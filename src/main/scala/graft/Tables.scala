@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Table loaders + shared determinism helpers.
+  *
+  * The reference keeps all state in a single embedded DuckDB file with a
+  * fixed, explicitly declared schema (/root/reference/README.md:7,55,75).
+  * Spark-side we mirror that as parquet + temp views: one loader per
+  * table, registered under the bare table name so `spark.sql` queries
+  * read identically to the DuckDB oracle SQL.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, sfDir) else
+      spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+    * natively; read it as a long (legacy conf) and convert to a µs
+    * timestamp. Lossless: the generated data is µs-exact (ns%1000==0,
+    * verified 2026-08-12), and DuckDB's CAST(ts_ns AS TIMESTAMP) yields
+    * the same µs values, so oracle SQL can use ts directly. */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Register every table as a temp view for the SQL-centric surface
+    * (README.md:7 — the reference is SQL-first over DuckDB). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** Determinism helpers shared by every oracle-checked query (SURVEY §0.2).
+  *
+  * Floating-point SUM is order-dependent; Spark's partial-agg order and
+  * DuckDB's differ in final ulps. `dsum` routes the summand through
+  * DECIMAL(38,4): the per-row double→decimal cast is deterministic and
+  * the decimal sum is exact, so both engines produce the identical value;
+  * the final cast back to double keeps the output schema simple.
+  */
+object Qx {
+  /** Order-independent exact sum of a double expression.
+    *
+    * Scale 6, not 4: the money columns are 2-decimal exact, so products
+    * of up to three of them are 6-decimal exact — at scale 6 every exact
+    * value sits ON the decimal grid, never at a rounding midpoint, and
+    * Spark's (shortest-repr HALF_UP) and DuckDB's (scaled-binary) casts
+    * agree. At scale 4 the 6-decimal products land exactly on .xxxx50
+    * midpoints where the two engines' cast paths disagree (observed:
+    * ~50/60k rows flipped on sum_charge at sf0.01). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+
+  /** Oracle-side twin of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** Exact-sum-derived average: identical double inputs on both engines
+    * ⇒ the IEEE division is bit-identical — no rounding needed at all
+    * (unlike avg(double), whose accumulation order differs). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1)).cast(DoubleType)
+
+  /** Oracle-side twin of [[davg]]. */
+  def davgSql(expr: String): String =
+    s"(${dsumSql(expr)} / CAST(COUNT(*) AS DOUBLE))"
+}

@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.{Qx, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY §2.4).
+  *
+  * Reference basis: overlap detection is GROUP BY patient,class HAVING
+  * count>1 (/root/reference/README.md:3,9,23); cost comparison is
+  * aggregates over price joins (README.md:8-9). Here each capability is a
+  * plain `groupBy().agg()` chain — Spark's HashAggregateExec runs the
+  * partial/final split automatically (map-side combine before the
+  * shuffle), which is exactly the 100 TB-safe shape: the shuffle carries
+  * one row per (partition, group), never the raw fact rows.
+  */
+object Aggs {
+  import Qx._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H-Q1-shaped pricing summary — the flagship aggregate
+    * (README.md:8-9 cost comparison). Scan → filter → project →
+    * hash-agg → sort; whole-stage-codegen end to end, parquet filter
+    * pushdown on l_shipdate. */
+  val aggGroupbyHash: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("2000-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Grand totals, no grouping key (README.md:8). */
+  val aggGlobal: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem").agg(
+      dsum($"l_extendedprice").as("total_price"),
+      dsum($"l_quantity").as("total_qty"),
+      davg($"l_discount").as("avg_disc"),
+      count(lit(1)).as("n_rows"),
+      min($"l_shipdate").as("min_ship"),
+      max($"l_shipdate").as("max_ship"))
+  }
+
+  /** Post-aggregate filter — the therapeutic-duplication shape:
+    * GROUP BY key HAVING count > threshold (README.md:3,9,23). */
+  val aggHaving: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_spent"))
+      .filter($"n_orders" > 3)
+      .orderBy($"o_custkey", $"o_orderstatus")
+  }
+
+  /** Exact distinct counts per group (README.md:7-8). */
+  val aggCountDistinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** HLL++ approximate distinct — the 100 TB twin of aggCountDistinct;
+    * sketch values differ from DuckDB by construction so no oracle
+    * (SURVEY §0.2.3). */
+  val aggApproxDistinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+           approx_count_distinct($"l_orderkey").as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Multi-level subtotals via GROUPING SETS (README.md:8-9 cost
+    * rollups); SQL surface because that is the reference's idiom. */
+  val aggGroupingSets: Q = (s, dir) => {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) AS INT) AS gid_status,
+             CAST(GROUPING(o_orderpriority) AS INT) AS gid_prio,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
+  /** Hierarchical rollup region → nation over the dimension join
+    * (README.md:8). Dims are tiny (5 / 25 rows) → Catalyst broadcasts
+    * them; only the orders→customer join shuffles, and AQE can demote
+    * even that at small SF. */
+  val aggRollup: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"),
+           grouping($"r_name").cast("int").as("gid_r"),
+           grouping($"n_name").cast("int").as("gid_n"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** All-combination subtotals (README.md:8). */
+  val aggCube: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** Per-patient med-list shape (README.md:3,7): collect per-user event
+    * types into a deterministically sorted array. */
+  val aggCollectList: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(array_sort(collect_set($"event_type")).as("types"),
+           count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** sum(CASE WHEN ...) pivot-style flag counting (README.md:9). */
+  val aggConditional: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"l_discount" > 0.05, 1L).otherwise(0L)).as("n_high_disc"),
+        sum(when($"l_tax" > 0.04, 1L).otherwise(0L)).as("n_high_tax"),
+        dsum(when($"l_discount" > 0.05, $"l_extendedprice").otherwise(lit(0.0))).as("disc_revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Variance/stddev of price per group (README.md:8 pricing analysis).
+    * Computed from exact decimal sums — sum(x), sum(x²), n — so both
+    * engines derive the identical double from identical inputs; the
+    * built-in stddev over doubles is order-dependent and would not
+    * hash-match (SURVEY §0.2.2). */
+  val aggStats: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_linestatus")
+      .agg(dsum($"l_extendedprice").as("s1"),
+           dsum($"l_extendedprice" * $"l_extendedprice").as("s2"),
+           count(lit(1)).cast("double").as("n"))
+      .select($"l_linestatus",
+        round(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1.0), 4).as("var_price"),
+        round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1.0)), 4).as("std_price"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** Exact interpolated median / p95 per group (README.md:8-9). Spark
+    * `percentile` and DuckDB `quantile_cont` both linearly interpolate. */
+  val aggPercentile: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(round(percentile($"l_quantity", lit(0.5)), 4).as("median_qty"),
+           round(percentile($"l_extendedprice", lit(0.95)), 4).as("p95_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "agg_groupby_hash" -> aggGroupbyHash,
+    "agg_global" -> aggGlobal,
+    "agg_having" -> aggHaving,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_collect_list" -> aggCollectList,
+    "agg_conditional" -> aggConditional,
+    "agg_stats" -> aggStats,
+    "agg_percentile" -> aggPercentile)
+
+  val oracle: Map[String, String] = Map(
+    "agg_groupby_hash" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_base_price,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+             ${davgSql("l_quantity")} AS avg_qty,
+             ${davgSql("l_extendedprice")} AS avg_price,
+             ${davgSql("l_discount")} AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "agg_global" -> s"""
+      SELECT ${dsumSql("l_extendedprice")} AS total_price,
+             ${dsumSql("l_quantity")} AS total_qty,
+             ${davgSql("l_discount")} AS avg_disc,
+             COUNT(*) AS n_rows,
+             MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+      FROM lineitem""",
+    "agg_having" -> s"""
+      SELECT o_custkey, o_orderstatus, COUNT(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS total_spent
+      FROM orders GROUP BY o_custkey, o_orderstatus
+      HAVING COUNT(*) > 3 ORDER BY o_custkey, o_orderstatus""",
+    "agg_count_distinct" -> """
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_grouping_sets" -> s"""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) AS INT) AS gid_status,
+             CAST(GROUPING(o_orderpriority) AS INT) AS gid_prio,
+             COUNT(*) AS n,
+             ${dsumSql("o_totalprice")} AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_rollup" -> s"""
+      SELECT r_name, n_name, COUNT(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS revenue,
+             CAST(GROUPING(r_name) AS INT) AS gid_r,
+             CAST(GROUPING(n_name) AS INT) AS gid_n
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "agg_cube" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             ${dsumSql("l_quantity")} AS qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_collect_list" -> """
+      SELECT user_id, list(event_type ORDER BY event_type) AS types,
+             CAST(SUM(cnt) AS BIGINT) AS n_events
+      FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type)
+      GROUP BY user_id ORDER BY user_id""",
+    "agg_conditional" -> s"""
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+             CAST(SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tax,
+             ${dsumSql("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")} AS disc_revenue
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_stats" -> s"""
+      SELECT l_linestatus,
+             ROUND((s2 - s1 * s1 / n) / (n - 1.0), 4) AS var_price,
+             ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1.0)), 4) AS std_price
+      FROM (SELECT l_linestatus,
+                   ${dsumSql("l_extendedprice")} AS s1,
+                   ${dsumSql("l_extendedprice * l_extendedprice")} AS s2,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM lineitem GROUP BY l_linestatus)
+      ORDER BY l_linestatus""",
+    "agg_percentile" -> """
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}
