@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.sources.Scans
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each queries key is one operator from SURVEY §2; oracleSql pairs it
@@ -14,10 +15,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Aggs.queries
+    Scans.queries ++ Projections.queries ++ SetOps.queries ++ Aggs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Aggs.oracle
+    Scans.oracle ++ Projections.oracle ++ SetOps.oracle ++ Aggs.oracle
 }

@@ -1,0 +1,145 @@
+package graft.sources
+
+import graft.{Qx, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources and sinks (SURVEY §2.1).
+  *
+  * The reference ingests HL7 v2 delimited segment text and nested FHIR
+  * JSON bundles into a fixed relational schema via etl/loaders.py
+  * (/root/reference/README.md:3,7,76) and exports FHIR MedicationRequest
+  * JSON (README.md:10,28-29,71). Spark-side: text/JSON parsing is pure
+  * Column expressions (codegen'd, no UDFs), so parse → project stays in
+  * one whole-stage-codegen span and scales linearly with input splits.
+  */
+object Scans {
+  import Qx._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Full parquet scan (DuckDB storage ≈ README.md:7; parquet per
+    * TESTDATA.md). Vectorized reader + column projection for free. */
+  val scanParquet: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "region").orderBy($"r_regionkey")
+  }
+
+  /** HL7-v2-style delimited segment ingest (README.md:3,7,76): build a
+    * PID-like pipe-delimited segment per customer, then parse it back to
+    * typed columns with split + casts — the loader path the reference's
+    * etl/loaders.py implements in Python. Money travels as integer cents
+    * so the string round-trip is exact. */
+  val scanCsvHl7: Q = (s, dir) => {
+    import s.implicits._
+    val seg = Tables.load(s, dir, "customer").select(
+      concat_ws("|", lit("PID"), $"c_custkey", $"c_name", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long"), $"c_mktsegment").as("line"))
+    seg.select(split($"line", "\\|").as("p"))
+      .select(
+        element_at($"p", 2).cast("long").as("custkey"),
+        element_at($"p", 3).as("name"),
+        element_at($"p", 4).cast("int").as("nationkey"),
+        element_at($"p", 5).cast("long").as("acctbal_cents"),
+        element_at($"p", 6).as("segment"))
+      .orderBy($"custkey")
+  }
+
+  /** FHIR-bundle-style nested JSON ingest (README.md:3,76): serialize
+    * each order to a nested JSON resource, then parse with an explicit
+    * schema and flatten dot-paths — round-trip is identity on values. */
+  val scanJsonFhir: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val js = o.select($"o_orderkey",
+      to_json(struct($"o_orderkey".as("id"),
+        struct($"o_custkey".as("subject_id"), $"o_orderstatus".as("status")).as("subject"))).as("j"))
+    js.select($"o_orderkey",
+        from_json($"j", org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, subject STRUCT<subject_id: BIGINT, status: STRING>")).as("r"))
+      .select($"o_orderkey", $"r.id".as("id"),
+        $"r.subject.subject_id".as("subject_id"), $"r.subject.status".as("status"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Parquet sink + re-read (bootstrap persistence, README.md:36,55). */
+  val sinkParquet: Q = (s, dir) => {
+    import s.implicits._
+    val agg = Tables.load(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+    agg.write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy($"o_orderstatus")
+  }
+
+  /** FHIR MedicationRequest-shaped JSON export (README.md:10,28-29,71):
+    * one draft resource per order as a serialized JSON string with
+    * pinned field order; string/long fields only so the byte form is
+    * engine-independent. */
+  val sinkJsonFhir: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .filter($"o_orderkey" <= 1000)
+      .select($"o_orderkey",
+        to_json(struct(
+          lit("MedicationRequest").as("resourceType"),
+          concat(lit("rx-"), $"o_orderkey").as("id"),
+          lit("draft").as("status"),
+          struct(concat(lit("Patient/"), $"o_custkey").as("reference")).as("subject"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("authoredOn"))).as("resource"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** SQL-centric staging surface (README.md:7): register every table as
+    * a view and run one multi-table SQL statement — the exact string the
+    * DuckDB oracle runs too. */
+  val registerViewSqlText: String = """
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
+
+  val registerViewSql: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(registerViewSqlText)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_csv_hl7" -> scanCsvHl7,
+    "scan_json_fhir" -> scanJsonFhir,
+    "sink_parquet" -> sinkParquet,
+    "sink_json_fhir" -> sinkJsonFhir,
+    "register_view_sql" -> registerViewSql)
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "scan_csv_hl7" -> """
+      SELECT CAST(p[2] AS BIGINT) AS custkey, p[3] AS name,
+             CAST(p[4] AS INT) AS nationkey,
+             CAST(p[5] AS BIGINT) AS acctbal_cents, p[6] AS segment
+      FROM (SELECT string_split(concat('PID', '|', c_custkey, '|', c_name, '|',
+                     c_nationkey, '|', CAST(round(c_acctbal * 100) AS BIGINT), '|',
+                     c_mktsegment), '|') AS p
+            FROM customer)
+      ORDER BY custkey""",
+    "scan_json_fhir" -> """
+      SELECT o_orderkey, o_orderkey AS id, o_custkey AS subject_id,
+             o_orderstatus AS status
+      FROM orders ORDER BY o_orderkey""",
+    "sink_parquet" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "sink_json_fhir" -> """
+      SELECT o_orderkey,
+             concat('{"resourceType":"MedicationRequest","id":"rx-', o_orderkey,
+                    '","status":"draft","subject":{"reference":"Patient/', o_custkey,
+                    '"},"authoredOn":"', strftime(o_orderdate, '%Y-%m-%d'), '"}') AS resource
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "register_view_sql" -> registerViewSqlText)
+}
