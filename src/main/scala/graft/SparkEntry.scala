@@ -15,10 +15,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Scans.queries ++ Projections.queries ++ SetOps.queries ++ Aggs.queries
+    Scans.queries ++ Projections.queries ++ Joins.queries ++ SetOps.queries ++ Aggs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Scans.oracle ++ Projections.oracle ++ SetOps.oracle ++ Aggs.oracle
+    Scans.oracle ++ Projections.oracle ++ Joins.oracle ++ SetOps.oracle ++ Aggs.oracle
 }

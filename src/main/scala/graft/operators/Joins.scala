@@ -1,0 +1,291 @@
+package graft.operators
+
+import graft.{Qx, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Joins (SURVEY §2.3) — the reference's core capability: prescriptions
+  * joined to drug classes, Orange Book links, pricing/formulary tables
+  * (/root/reference/README.md:8), payer lookups (README.md:25), overlap
+  * detection as a self-join within patient (README.md:3,9,23).
+  *
+  * We declare the logical join form and let Catalyst's JoinSelection +
+  * AQE pick broadcast/SMJ/shuffled-hash; the explicit `broadcast()` hint
+  * appears only where the dimension is known-tiny. At 100 TB the shapes
+  * below hold: fact⋈dim broadcasts, fact⋈fact shuffles on the join key
+  * (co-partitionable via bucketing), and the theta join is bounded to a
+  * small broadcast side so BroadcastNestedLoop never sees two big inputs.
+  */
+object Joins {
+  import Qx._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fact→dim equi inner join (meds→drug classes ≈ lineitem→part,
+    * README.md:8), dim side filtered before the join so Catalyst pushes
+    * the predicate below it. */
+  val joinInnerEqui: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val p = Tables.load(s, dir, "part").filter($"p_type" === "PROMO")
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"p_name",
+        $"p_brand", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"p_name",
+        $"p_brand", $"l_quantity")
+  }
+
+  /** Composite-key equi join (fill = order×part, README.md:8): per
+    * (order, part) totals joined back to the detail rows on both keys. */
+  val joinMultiKey: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val perPart = li.groupBy($"l_orderkey".as("g_okey"), $"l_partkey".as("g_pkey"))
+      .agg(dsum($"l_quantity").as("part_qty"), count(lit(1)).as("n_lines"))
+    li.join(perPart,
+        li("l_orderkey") === perPart("g_okey") && li("l_partkey") === perPart("g_pkey"))
+      .filter($"n_lines" > 1)
+      .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity",
+        $"part_qty", $"n_lines")
+      .orderBy($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity",
+        $"part_qty", $"n_lines")
+  }
+
+  /** Keep unmatched left — meds with no price row (README.md:8): parts
+    * never shipped before 1995-07-01, with coalesce defaulting. */
+  val joinLeftOuter: Q = (s, dir) => {
+    import s.implicits._
+    val p = Tables.load(s, dir, "part")
+    val early = Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" < lit("1995-07-01").cast("timestamp"))
+      .groupBy($"l_partkey").agg(dsum($"l_quantity").as("early_qty"))
+    p.join(early, p("p_partkey") === early("l_partkey"), "left")
+      .select($"p_partkey", $"p_name",
+        coalesce($"early_qty", lit(0.0)).as("early_qty"),
+        $"early_qty".isNull.as("never_early"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Reconcile two sources (Orange Book brand vs generic lists,
+    * README.md:8): customers with F orders vs customers with P orders. */
+  val joinFullOuter: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val f = o.filter($"o_orderstatus" === "F").groupBy($"o_custkey".as("f_cust"))
+      .agg(count(lit(1)).as("n_f"))
+    val p = o.filter($"o_orderstatus" === "P").groupBy($"o_custkey".as("p_cust"))
+      .agg(count(lit(1)).as("n_p"))
+    f.join(p, f("f_cust") === p("p_cust"), "full")
+      .select(coalesce($"f_cust", $"p_cust").as("custkey"),
+        coalesce($"n_f", lit(0L)).as("n_f"), coalesce($"n_p", lit(0L)).as("n_p"))
+      .orderBy($"custkey")
+  }
+
+  /** EXISTS — patients having a condition (README.md:3,7): customers
+    * with at least one urgent order. Left-semi never duplicates the
+    * left side and only ships the key column of the right. */
+  val joinSemi: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+    val urgent = Tables.load(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** NOT EXISTS — meds with no allergy conflict (README.md:7); testdata
+    * form: customers with no order before 1996 (right side filtered per
+    * SURVEY §0.2.8 — unfiltered, FK coverage makes this vacuously 0). */
+  val joinAnti: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+    val early = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+    c.join(early, c("c_custkey") === early("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  /** Small-dim broadcast (payer lookup, README.md:25): explicit
+    * broadcast() hint — nation (25 rows) and region (5 rows) replicate
+    * to every executor; zero shuffle of the customer side at any scale. */
+  val joinBroadcast: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select($"c_custkey", $"c_name", $"n_name", $"r_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Cartesian of two tiny dims — substitution-candidate generation
+    * (README.md:9,24): every region × every market segment. */
+  val joinCross: Q = (s, dir) => {
+    import s.implicits._
+    val r = Tables.load(s, dir, "region").select($"r_name")
+    val seg = Tables.load(s, dir, "customer").select($"c_mktsegment").distinct()
+    r.crossJoin(seg).orderBy($"r_name", $"c_mktsegment")
+  }
+
+  /** Non-equi theta join — price within band (README.md:8-9): for each
+    * supplier, how many suppliers hold a strictly higher balance. The
+    * 1000-row dim side broadcasts, so the nested loop is bounded. */
+  val joinThetaRange: Q = (s, dir) => {
+    import s.implicits._
+    val s1 = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_acctbal")
+    val s2 = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey".as("o_suppkey"), $"s_acctbal".as("o_acctbal"))
+    s1.join(broadcast(s2), $"o_acctbal" > $"s_acctbal", "left")
+      .groupBy($"s_suppkey", $"s_acctbal")
+      .agg(sum(when($"o_suppkey".isNotNull, 1L).otherwise(0L)).as("n_richer"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** FLAGSHIP — therapeutic-duplication self-join (README.md:3,9,23):
+    * two meds, same patient + class ≈ two lineitems, same order + part,
+    * line1 < line2. Value-determined pair set; deterministic as a
+    * multiset under the total sort. */
+  val joinSelfOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val l1 = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_partkey".as("pkey"),
+        $"l_linenumber".as("ln1"), $"l_quantity".as("qty1"))
+    val l2 = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey2"), $"l_partkey".as("pkey2"),
+        $"l_linenumber".as("ln2"), $"l_quantity".as("qty2"))
+    l1.join(l2, $"okey" === $"okey2" && $"pkey" === $"pkey2" && $"ln1" < $"ln2")
+      .select($"okey", $"pkey", $"ln1", $"ln2", $"qty1", $"qty2")
+      .orderBy($"okey", $"pkey", $"ln1", $"ln2", $"qty1", $"qty2")
+  }
+
+  /** As-of join — latest price effective at order date (README.md:8);
+    * testdata form: each order paired with the same customer's most
+    * recent earlier order. ANSI shape (time-conditioned join +
+    * row_number desc = 1) so the DuckDB oracle is the same query; at
+    * scale the equi part shuffles on custkey and the window sorts within
+    * partitions only. */
+  val joinAsof: Q = (s, dir) => {
+    import s.implicits._
+    val cur = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val prev = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("p_okey"), $"o_custkey".as("p_cust"),
+        $"o_orderdate".as("p_date"))
+    val joined = cur.join(prev,
+      $"o_custkey" === $"p_cust" && $"p_date" < $"o_orderdate", "left")
+    val w = Window.partitionBy($"o_orderkey")
+      .orderBy($"p_date".desc_nulls_last, $"p_okey".desc_nulls_last)
+    joined.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"p_okey".as("prev_orderkey"), $"p_date".as("prev_date"))
+      .orderBy($"o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_equi" -> joinInnerEqui,
+    "join_multi_key" -> joinMultiKey,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_broadcast" -> joinBroadcast,
+    "join_cross" -> joinCross,
+    "join_theta_range" -> joinThetaRange,
+    "join_self_overlap" -> joinSelfOverlap,
+    "join_asof" -> joinAsof)
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_equi" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand, l_quantity
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+      ORDER BY l_orderkey, l_linenumber, l_partkey, p_name, p_brand, l_quantity""",
+    "join_multi_key" -> s"""
+      SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity,
+             g.part_qty, g.n_lines
+      FROM lineitem l
+      JOIN (SELECT l_orderkey AS g_okey, l_partkey AS g_pkey,
+                   ${dsumSql("l_quantity")} AS part_qty, COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey, l_partkey) g
+        ON l.l_orderkey = g.g_okey AND l.l_partkey = g.g_pkey
+      WHERE g.n_lines > 1
+      ORDER BY l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity,
+               g.part_qty, g.n_lines""",
+    "join_left_outer" -> s"""
+      SELECT p_partkey, p_name,
+             COALESCE(early_qty, 0.0) AS early_qty,
+             (early_qty IS NULL) AS never_early
+      FROM part
+      LEFT JOIN (SELECT l_partkey, ${dsumSql("l_quantity")} AS early_qty
+                 FROM lineitem
+                 WHERE l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+                 GROUP BY l_partkey) e
+        ON p_partkey = e.l_partkey
+      ORDER BY p_partkey""",
+    "join_full_outer" -> """
+      SELECT COALESCE(f.f_cust, p.p_cust) AS custkey,
+             COALESCE(f.n_f, 0) AS n_f, COALESCE(p.n_p, 0) AS n_p
+      FROM (SELECT o_custkey AS f_cust, COUNT(*) AS n_f FROM orders
+            WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+      FULL JOIN (SELECT o_custkey AS p_cust, COUNT(*) AS n_p FROM orders
+                 WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+        ON f.f_cust = p.p_cust
+      ORDER BY custkey""",
+    "join_semi" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
+    "join_anti" -> """
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      ORDER BY c_custkey""",
+    "join_broadcast" -> """
+      SELECT c_custkey, c_name, n_name, r_name
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      ORDER BY c_custkey""",
+    "join_cross" -> """
+      SELECT r_name, c_mktsegment
+      FROM (SELECT r_name FROM region)
+      CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+      ORDER BY r_name, c_mktsegment""",
+    "join_theta_range" -> """
+      SELECT s1.s_suppkey, s1.s_acctbal,
+             CAST(SUM(CASE WHEN s2.o_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_richer
+      FROM supplier s1
+      LEFT JOIN (SELECT s_suppkey AS o_suppkey, s_acctbal AS o_acctbal
+                 FROM supplier) s2
+        ON s2.o_acctbal > s1.s_acctbal
+      GROUP BY s1.s_suppkey, s1.s_acctbal
+      ORDER BY s1.s_suppkey""",
+    "join_self_overlap" -> """
+      SELECT l1.l_orderkey AS okey, l1.l_partkey AS pkey,
+             l1.l_linenumber AS ln1, l2.l_linenumber AS ln2,
+             l1.l_quantity AS qty1, l2.l_quantity AS qty2
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey = l2.l_partkey
+       AND l1.l_linenumber < l2.l_linenumber
+      ORDER BY okey, pkey, ln1, ln2, qty1, qty2""",
+    "join_asof" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate, prev_orderkey, prev_date
+      FROM (SELECT cur.o_orderkey, cur.o_custkey, cur.o_orderdate,
+                   prev.o_orderkey AS prev_orderkey, prev.o_orderdate AS prev_date,
+                   ROW_NUMBER() OVER (PARTITION BY cur.o_orderkey
+                     ORDER BY prev.o_orderdate DESC NULLS LAST,
+                              prev.o_orderkey DESC NULLS LAST) AS rn
+            FROM orders cur
+            LEFT JOIN orders prev
+              ON cur.o_custkey = prev.o_custkey
+             AND prev.o_orderdate < cur.o_orderdate)
+      WHERE rn = 1
+      ORDER BY o_orderkey""")
+}
