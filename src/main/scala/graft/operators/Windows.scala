@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Window functions (SURVEY §2.5).
+  *
+  * Reference basis: rank formulary tiers / lowest-cost alternative per
+  * drug (/root/reference/README.md:8-9), per-patient clinical-history
+  * sequences (README.md:3). A window shuffles once on its partition key
+  * and sorts within partitions — at 100 TB the partition key (brand,
+  * user, customer) must be high-cardinality, which all of these are.
+  *
+  * Determinism: every orderBy inside a window carries a unique tiebreak
+  * column, and cumulative double sums go through DECIMAL(18,6) so the
+  * frame aggregation is exact on both engines (Spark folds left-to-right,
+  * DuckDB may use a segment tree — double addition is not associative).
+  */
+object Windows {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Top-3 cheapest parts per brand (README.md:8-9): row_number + rank +
+    * dense_rank, keep k lowest. */
+  val winRankTopk: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice", $"p_partkey")
+    Tables.load(s, dir, "part")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter($"rn" <= 3)
+      .select($"p_brand", $"rn", $"rnk", $"drnk", $"p_partkey", $"p_retailprice")
+      .orderBy($"p_brand", $"rn")
+  }
+
+  /** Gap to previous event per user — refill-gap shape (README.md:3). */
+  val winLagLead: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("next_event", lead($"event_id", 1).over(w))
+      .select($"user_id", $"event_id", $"ts",
+        (unix_micros($"ts") - unix_micros($"prev_ts")).as("gap_us"),
+        $"next_event")
+      .orderBy($"event_id")
+  }
+
+  /** Cumulative per-user value over time (README.md:3). */
+  val winRunningSum: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("running_value",
+        sum($"value".cast(DecimalType(18, 6))).over(w).cast("double"))
+      .select($"user_id", $"event_id", $"running_value")
+      .orderBy($"event_id")
+  }
+
+  /** Sliding mean over the last 5 rows per user ([NS] trend). */
+  val winMovingAvg: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val frame = w.rowsBetween(-4, 0)
+    Tables.load(s, dir, "events")
+      .withColumn("mov_avg",
+        sum($"value".cast(DecimalType(18, 6))).over(frame).cast("double") /
+          count(lit(1)).over(frame).cast("double"))
+      .select($"user_id", $"event_id", $"mov_avg")
+      .orderBy($"event_id")
+  }
+
+  /** RANGE frame by value interval ([NS]): per-customer 30-day trailing
+    * order revenue, ordered by day number so the frame is numeric. */
+  val winRangeFrame: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("day_num", datediff($"o_orderdate", to_date(lit("1995-01-01"))))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day_num")
+      .rangeBetween(-30, 0)
+    o.withColumn("trailing_30d",
+        sum($"o_totalprice".cast(DecimalType(18, 6))).over(w).cast("double"))
+      .select($"o_orderkey", $"o_custkey", $"day_num", $"trailing_30d")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Quartile bucketing + distribution stats — tier placement
+    * (README.md:9). */
+  val winNtilePctrank: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.load(s, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        $"quartile", $"pct_rank", $"cume")
+      .orderBy($"c_custkey")
+  }
+
+  /** First/last order per customer with an explicit full frame — latest
+    * coverage row shape (README.md:7). */
+  val winFirstLast: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders")
+      .withColumn("first_order", first($"o_orderkey").over(full))
+      .withColumn("last_order", last($"o_orderkey").over(full))
+      .select($"o_orderkey", $"o_custkey", $"first_order", $"last_order")
+      .orderBy($"o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_rank_topk" -> winRankTopk,
+    "win_lag_lead" -> winLagLead,
+    "win_running_sum" -> winRunningSum,
+    "win_moving_avg" -> winMovingAvg,
+    "win_range_frame" -> winRangeFrame,
+    "win_ntile_pctrank" -> winNtilePctrank,
+    "win_first_last" -> winFirstLast)
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_topk" -> """
+      SELECT p_brand, rn, rnk, drnk, p_partkey, p_retailprice
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+                   ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey))
+      WHERE rn <= 3 ORDER BY p_brand, rn""",
+    "win_lag_lead" -> """
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(LAG(ts, 1) OVER w AS TIMESTAMP)) AS gap_us,
+             LEAD(event_id, 1) OVER w AS next_event
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""",
+    "win_running_sum" -> """
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value
+      FROM events ORDER BY event_id""",
+    "win_moving_avg" -> """
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+    "win_range_frame" -> """
+      SELECT o_orderkey, o_custkey, day_num,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+               (PARTITION BY o_custkey ORDER BY day_num
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_30d
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+                     AS day_num
+            FROM orders)
+      ORDER BY o_orderkey""",
+    "win_ntile_pctrank" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS pct_rank,
+             CUME_DIST() OVER w AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey""",
+    "win_first_last" -> """
+      SELECT o_orderkey, o_custkey,
+             FIRST_VALUE(o_orderkey) OVER w AS first_order,
+             LAST_VALUE(o_orderkey) OVER w AS last_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderkey""")
+}
