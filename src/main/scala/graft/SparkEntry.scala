@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.sources.Scans
+import graft.streaming.Streamy
 import graft.functions.{Scalars, Udfs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Projections.queries ++ Joins.queries ++ SetOps.queries ++
-    Aggs.queries ++ Windows.queries ++ Scalars.queries ++ Udfs.queries
+    Aggs.queries ++ Windows.queries ++ Scalars.queries ++ Udfs.queries ++
+    Streamy.queries ++ TextOps.queries ++ SimOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Projections.oracle ++ Joins.oracle ++ SetOps.oracle ++
-    Aggs.oracle ++ Windows.oracle ++ Scalars.oracle ++ Udfs.oracle
+    Aggs.oracle ++ Windows.oracle ++ Scalars.oracle ++ Udfs.oracle ++
+    Streamy.oracle ++ TextOps.oracle ++ SimOps.oracle
 }

@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import scala.util.hashing.MurmurHash3
+
+/** Similarity search + near-dedup + multimodal operators ([NS] —
+  * BASELINE.json north star; SURVEY §2.11) over `embeddings` (64-dim
+  * float vectors) and `documents`.
+  *
+  * Scale design: exact brute-force variants are the correctness
+  * baseline (and stay oracle-checkable); the LSH variants (MinHash for
+  * Jaccard, random-hyperplane for cosine) are the 100 TB path — they
+  * turn all-pairs O(n²) into per-bucket joins whose fan-in is bounded
+  * by the band width. Dot products run as higher-order array folds
+  * (zip_with + aggregate) — one codegen'd expression per pair, no
+  * explode of 64 rows per vector on the Spark side.
+  */
+object SimOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Brute-force cosine top-k: 10 probe vectors against the whole table.
+    * The probe set broadcasts; candidates stream by. Ranking happens on
+    * the 4-digit-rounded cosine (with id tiebreak) so the ordering is
+    * engine-independent. */
+  val simCosineTopk: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val cands = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val pairs = cands.crossJoin(broadcast(probes))
+      .filter($"probe_id" =!= $"neighbor_id")
+      .select($"probe_id", $"neighbor_id",
+        round(dot($"p_emb", $"c_emb") / (norm($"p_emb") * norm($"c_emb")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"probe_id", $"rnk", $"neighbor_id", $"cosine")
+      .orderBy($"probe_id", $"rnk")
+  }
+
+  /** Embedding-cosine near-dup pairs, banded by label (the band plays
+    * the role an LSH bucket would at scale) with threshold on the
+    * rounded cosine so both engines agree at the boundary. */
+  val dedupEmbeddingCosine: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val a = e.select($"vec_id".as("d1"), $"label", $"embedding".as("emb1"))
+    val b = e.select($"vec_id".as("d2"), $"label".as("label2"), $"embedding".as("emb2"))
+    a.join(b, $"label" === $"label2" && $"d1" < $"d2")
+      .select($"d1", $"d2",
+        round(dot($"emb1", $"emb2") / (norm($"emb1") * norm($"emb2")), 4)
+          .as("cosine"))
+      .filter($"cosine" >= 0.3)
+      .orderBy($"d1", $"d2")
+  }
+
+  /** ANN via random-hyperplane LSH: 8 fixed deterministic hyperplanes →
+    * 8-bit sign bucket per vector; candidates share a bucket; exact
+    * cosine rerank keeps the best neighbor per vector. This is the
+    * scale path: bucketing replaces the all-pairs cross join with a
+    * shuffle on an 8-bit key. No oracle (bucket boundaries aren't
+    * ANSI-SQL-expressible); deterministic by construction. */
+  val simAnnLsh: Q = (s, dir) => {
+    import s.implicits._
+    val planes: Array[Array[Double]] =
+      Array.tabulate(8, 64)((p, d) => math.sin((p * 64 + d + 1).toDouble))
+    val bucketUdf = udf((emb: Seq[Float]) => {
+      var bucket = 0
+      var p = 0
+      while (p < 8) {
+        var acc = 0.0
+        var i = 0
+        while (i < emb.length && i < 64) { acc += emb(i) * planes(p)(i); i += 1 }
+        if (acc > 0) bucket |= (1 << p)
+        p += 1
+      }
+      bucket
+    })
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", bucketUdf($"embedding").as("bucket"))
+    val a = e.select($"vec_id".as("d1"), $"embedding".as("emb1"), $"bucket")
+    val b = e.select($"vec_id".as("d2"), $"embedding".as("emb2"), $"bucket".as("bucket2"))
+    val pairs = a.join(b, $"bucket" === $"bucket2" && $"d1" =!= $"d2")
+      .select($"d1", $"bucket", $"d2",
+        round(dot($"emb1", $"emb2") / (norm($"emb1") * norm($"emb2")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy($"d1").orderBy($"cosine".desc, $"d2")
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" === 1)
+      .select($"d1", $"bucket", $"d2".as("best_neighbor"), $"cosine")
+      .orderBy($"d1")
+  }
+
+  /** MinHash-LSH near-dup over word shingles (MLlib): shingle →
+    * minhash → band → bucket-join, the standard web-scale dedup
+    * pipeline. Seeded, so deterministic; no oracle (sketch, SURVEY
+    * §0.2.3) — dedup_ngram_jaccard is its exact twin. */
+  val dedupMinhashLsh: Q = (s, dir) => {
+    import s.implicits._
+    // Block by language before the LSH join — the corpus's docs share
+    // most of their small vocabulary, so unblocked bucket joins collapse
+    // to ~all-pairs. Same blocking a production pipeline applies.
+    val docs = Tables.load(s, dir, "documents")
+      .filter($"lang" === "en")
+      .select($"doc_id", split($"text", " ").as("words"))
+    val htf = new HashingTF().setInputCol("words").setOutputCol("features")
+      .setNumFeatures(1 << 16).setBinary(true)
+    val feat = htf.transform(docs)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(5).setSeed(42L)
+    val model = mh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 0.1, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      .filter($"d1" < $"d2")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** SimHash near-dup: 64-bit sign-aggregated token hash per doc,
+    * banded by the top 8 bits, pairwise Hamming distance via
+    * bit_count(xor). Deterministic (MurmurHash3 is seed-fixed); no
+    * oracle — the hash function isn't expressible in the ANSI
+    * intersection. */
+  val dedupSimhash: Q = (s, dir) => {
+    import s.implicits._
+    val simhashUdf = udf((words: Seq[String]) => {
+      val sums = new Array[Int](64)
+      words.foreach { w =>
+        val h = (MurmurHash3.stringHash(w).toLong << 32) |
+          (MurmurHash3.stringHash(w.reverse).toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (sums(i) > 0) out |= (1L << i); i += 1 }
+      out
+    })
+    val d = Tables.load(s, dir, "documents")
+      .select($"doc_id", simhashUdf(split($"text", " ")).as("simhash"))
+      .withColumn("band", shiftrightunsigned($"simhash", 56))
+    val a = d.select($"doc_id".as("d1"), $"simhash".as("sh1"), $"band")
+    val b = d.select($"doc_id".as("d2"), $"simhash".as("sh2"), $"band".as("band2"))
+    a.join(b, $"band" === $"band2" && $"d1" < $"d2")
+      .select($"d1", $"d2", bit_count($"sh1".bitwiseXOR($"sh2")).as("hamming"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Multimodal row: text + metadata + embedding joined into one
+    * record. TRUE inner join — documents:embeddings is 5000:2000 at
+    * sf0.1 (SURVEY §0.2.8), so no 1:1 assumption. */
+  val multimodalJoin: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val emb = Tables.load(s, dir, "embeddings")
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"label",
+        size($"embedding").as("n_dims"))
+      .orderBy($"doc_id")
+  }
+
+  /** Multimodal feature extraction over an opaque binary payload
+    * column: byte length, content hash, and deterministic fake decode
+    * dims (real decode libs aren't in the container — the Spark-side
+    * plumbing is the point, per the north star). */
+  val multimodalFeatures: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"), $"text", $"n_chars")
+      .select($"doc_id",
+        length($"payload").cast("long").as("n_bytes"),
+        sha2($"text", 256).as("content_sha"),
+        (lit(64) + pmod(length($"payload"), lit(64))).cast("long").as("width"),
+        (lit(64) + pmod(length($"payload") * 7, lit(64))).cast("long").as("height"),
+        (lit(1) + pmod(length($"payload"), lit(8))).cast("long").as("n_frames"))
+      .orderBy($"doc_id")
+  }
+
+  /** Partition-wise imperative "decode" of the binary payload —
+    * the mapPartitions shape a real image/audio decoder plugs into
+    * (batched per partition, typed output schema). The decoder itself
+    * is a deterministic STUB: byte sum + 4-bucket byte histogram in
+    * place of pixel stats. Rows-only check (byte-level loop has no
+    * ANSI twin). */
+  val multimodalDecodeStub: Q = (s, dir) => {
+    import s.implicits._
+    val ds = Tables.load(s, dir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        var sum = 0L
+        val hist = new Array[Long](4)
+        var i = 0
+        while (i < bytes.length) {
+          val u = bytes(i) & 0xff
+          sum += u
+          hist(u >> 6) += 1
+          i += 1
+        }
+        (id, bytes.length.toLong, sum, hist(0), hist(1), hist(2), hist(3))
+      }
+    }.toDF("doc_id", "n_bytes", "byte_sum", "h0", "h1", "h2", "h3")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_cosine_topk" -> simCosineTopk,
+    "sim_ann_lsh" -> simAnnLsh,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "multimodal_join" -> multimodalJoin,
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_decode_stub" -> multimodalDecodeStub)
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" -> """
+      WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                        generate_subscripts(embedding, 1) AS i FROM embeddings),
+      n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS p, b.vec_id AS c, SUM(a.v * b.v) AS dp
+            FROM x a JOIN x b ON a.i = b.i AND a.vec_id < 10
+             AND a.vec_id != b.vec_id
+            GROUP BY 1, 2),
+      sc AS (SELECT p AS probe_id, c AS neighbor_id,
+                    ROUND(dp / (n1.nrm * n2.nrm), 4) AS cosine
+             FROM d JOIN n n1 ON n1.vec_id = p JOIN n n2 ON n2.vec_id = c),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, neighbor_id) AS rnk FROM sc)
+      SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine
+      FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""",
+    "dedup_embedding_cosine" -> """
+      WITH x AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                        generate_subscripts(embedding, 1) AS i FROM embeddings),
+      n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS d1, b.vec_id AS d2, SUM(a.v * b.v) AS dp
+            FROM x a JOIN x b ON a.i = b.i AND a.label = b.label
+             AND a.vec_id < b.vec_id
+            GROUP BY 1, 2)
+      SELECT d1, d2, ROUND(dp / (n1.nrm * n2.nrm), 4) AS cosine
+      FROM d JOIN n n1 ON n1.vec_id = d1 JOIN n n2 ON n2.vec_id = d2
+      WHERE ROUND(dp / (n1.nrm * n2.nrm), 4) >= 0.3
+      ORDER BY d1, d2""",
+    "multimodal_join" -> """
+      SELECT doc_id, lang, source, n_chars, label,
+             CAST(len(embedding) AS INT) AS n_dims
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      ORDER BY doc_id""",
+    "multimodal_features" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS content_sha,
+             CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+             CAST(64 + (octet_length(encode(text)) * 7) % 64 AS BIGINT) AS height,
+             CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline ([NS] —
+  * BASELINE.json north star; SURVEY §2.11). All run on the `documents`
+  * table (space-separated word-soup corpus).
+  *
+  * Scale shape: every op here is explode → hash-agg or per-row
+  * expression — embarrassingly parallel, no driver-side state, and the
+  * only shuffles are on high-cardinality keys (token, doc_id). At 100 TB
+  * the tokenize/TF stages are the classic map-side-combine win: partial
+  * counts collapse each partition's token stream before the exchange.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopEn = Seq("the", "and", "of", "is", "to", "in", "a")
+  private val stopDe = Seq("der", "und", "die", "das", "ist")
+  private val stopEs = Seq("el", "la", "de", "que", "es")
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Word-bigram array: zip tokens with their right-shifted selves. */
+  private def bigrams(toks: Column): Column =
+    zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Tokenize + term frequency across the corpus (term → totals). */
+  val textTokenizeTf: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_total"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"token")
+  }
+
+  /** tf-idf per (doc, term): tf × ln(N/df). N rides along as a 1-row
+    * aggregate cross-joined into the plan (broadcast, never collected
+    * to the driver). */
+  val textTfidf: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tok.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "token").crossJoin(broadcast(n))
+      .filter($"doc_id" < 100)
+      .select($"doc_id", $"token", $"tf",
+        round($"tf" * log($"n_docs".cast("double") / $"df".cast("double")), 4)
+          .as("tfidf"))
+      .orderBy($"doc_id", $"token")
+  }
+
+  /** Per-language doc counts + exact average length, with a length
+    * filter (quality-gate shape). */
+  val textLangStats: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter($"n_chars" >= 100)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        (sum($"n_chars").cast("double") / count(lit(1)).cast("double")).as("avg_chars"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  /** Language-ID by stopword-hit heuristic (n-gram-style lang scoring).
+    * The corpus is engine-vocabulary soup, so most docs score 0 on all
+    * lists and fall through to 'unknown' — the operator shape (scored
+    * CASE over token-set membership) is what matters. */
+  val textLangId: Q = (s, dir) => {
+    import s.implicits._
+    def hits(words: Seq[String]): Column =
+      size(filter(tokens($"text"), t => t.isin(words: _*)))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        hits(stopEn).as("s_en"), hits(stopDe).as("s_de"), hits(stopEs).as("s_es"))
+      .select($"doc_id", $"lang",
+        when($"s_en" > 0 && $"s_en" >= $"s_de" && $"s_en" >= $"s_es", "en")
+          .when($"s_de" > 0 && $"s_de" >= $"s_es", "de")
+          .when($"s_es" > 0, "es")
+          .otherwise("unknown").as("predicted"))
+      .withColumn("is_match", $"predicted" === $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Quality score: length, punctuation ratio, stopword ratio composed
+    * into one [0,1] score — the classic pre-training quality gate. */
+  val textQualityScore: Q = (s, dir) => {
+    import s.implicits._
+    val nWords = size(tokens($"text")).cast("double")
+    val punct = length(regexp_replace($"text", "[^.!?,;]", "")).cast("double")
+    val stop = size(filter(tokens($"text"), t => t.isin(stopEn: _*))).cast("double")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        nWords.as("n_words"), punct.as("n_punct"), stop.as("n_stop"),
+        // no round: all inputs are exact int-derived doubles, so the
+        // IEEE arithmetic is bit-identical on both engines — rounding
+        // would only reintroduce midpoint-disagreement (observed once).
+        (lit(0.4) * least(lit(1.0), $"n_chars" / 500.0)
+          + lit(0.3) * (lit(1.0) - punct / greatest($"n_chars".cast("double"), lit(1.0)))
+          + lit(0.3) * (stop / nWords)).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex token count +
+    * a chars/4 subword estimate. */
+  val textTokenCount: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        size(tokens($"text")).as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").as("n_re_tokens"),
+        ceil($"n_chars" / 4.0).cast("long").as("est_bpe"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprinting: whole-text md5 + winnowed min-bigram
+    * hash (rolling-hash fingerprint shape — the minimum over k-gram
+    * hashes is the standard winnowing selection). */
+  val textFingerprint: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        md5($"text".cast("binary")).as("full_md5"),
+        array_min(transform(bigrams(tokens($"text")), b => md5(b.cast("binary"))))
+          .as("min_bigram_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact dedup on normalized text (lower/trim → md5), keeping the
+    * smallest doc_id per hash — deterministic, unlike dropDuplicates. */
+  val dedupExact: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .groupBy(md5(lower(trim($"text")).cast("binary")).as("text_hash"))
+      .agg(min($"doc_id").as("keeper_doc"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper_doc")
+  }
+
+  /** Exact n-gram (word-bigram) Jaccard similarity between banded doc
+    * pairs — the oracle-checkable twin of MinHash-LSH. Banding by
+    * (lang, source) bounds the pair space exactly the way an LSH bucket
+    * would at scale; the set intersection runs as a token-level
+    * self-join (shuffle on bigram), never a cartesian product. */
+  val dedupNgramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val bg = docs.select($"doc_id", $"lang", $"source",
+        explode(bigrams(tokens($"text"))).as("bgm")).distinct()
+    val sizes = bg.groupBy($"doc_id").agg(count(lit(1)).as("n_bg"))
+    val inter = bg.as("a").join(bg.as("b"),
+        col("a.bgm") === col("b.bgm") && col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_bg", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_bg", "n2"), "d2")
+      .select($"d1", $"d2", $"inter",
+        round($"inter".cast("double") / ($"n1" + $"n2" - $"inter").cast("double"), 4)
+          .as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_tokenize_tf" -> textTokenizeTf,
+    "text_tfidf" -> textTfidf,
+    "text_lang_stats" -> textLangStats,
+    "text_lang_id" -> textLangId,
+    "text_quality_score" -> textQualityScore,
+    "text_token_count" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint,
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard)
+
+  val oracle: Map[String, String] = Map(
+    "text_tokenize_tf" -> """
+      SELECT tok AS token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY token""",
+    "text_tfidf" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(*) AS df
+             FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 4)
+               AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+      WHERE tf.doc_id < 100 ORDER BY tf.doc_id, tf.token""",
+    "text_lang_stats" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM documents WHERE n_chars >= 100
+      GROUP BY lang ORDER BY lang""",
+    "text_lang_id" -> """
+      WITH sc AS (
+        SELECT doc_id, lang,
+               SUM(CASE WHEN tok IN ('the','and','of','is','to','in','a') THEN 1 ELSE 0 END) AS s_en,
+               SUM(CASE WHEN tok IN ('der','und','die','das','ist') THEN 1 ELSE 0 END) AS s_de,
+               SUM(CASE WHEN tok IN ('el','la','de','que','es') THEN 1 ELSE 0 END) AS s_es
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, lang)
+      SELECT doc_id, lang,
+             CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                  WHEN s_de > 0 AND s_de >= s_es THEN 'de'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'unknown' END AS predicted,
+             (CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                   WHEN s_de > 0 AND s_de >= s_es THEN 'de'
+                   WHEN s_es > 0 THEN 'es'
+                   ELSE 'unknown' END) = lang AS is_match
+      FROM sc ORDER BY doc_id""",
+    "text_quality_score" -> """
+      WITH st AS (
+        SELECT doc_id,
+               SUM(CASE WHEN tok IN ('the','and','of','is','to','in','a') THEN 1 ELSE 0 END) AS n_stop
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id)
+      SELECT d.doc_id, d.n_chars,
+             CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS n_words,
+             CAST(length(regexp_replace(d.text, '[^.!?,;]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(st.n_stop AS DOUBLE) AS n_stop,
+             0.4 * least(1.0, d.n_chars / 500.0)
+               + 0.3 * (1.0 - CAST(length(regexp_replace(d.text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+                   / greatest(CAST(d.n_chars AS DOUBLE), 1.0))
+               + 0.3 * (CAST(st.n_stop AS DOUBLE)
+                   / CAST(len(string_split(d.text, ' ')) AS DOUBLE)) AS quality
+      FROM documents d JOIN st ON d.doc_id = st.doc_id
+      ORDER BY d.doc_id""",
+    "text_token_count" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re_tokens,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe
+      FROM documents ORDER BY doc_id""",
+    "text_fingerprint" -> """
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      b AS (SELECT doc_id, MIN(md5(toks[i] || ' ' || toks[i + 1])) AS min_bgm
+            FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t)
+            WHERE i < len(toks) GROUP BY doc_id)
+      SELECT t.doc_id, md5(t.text) AS full_md5, b.min_bgm AS min_bigram_md5
+      FROM t LEFT JOIN b USING (doc_id) ORDER BY doc_id""",
+    "dedup_exact" -> """
+      SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keeper_doc,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keeper_doc""",
+    "dedup_ngram_jaccard" -> """
+      WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                 FROM documents),
+      bg AS (SELECT DISTINCT doc_id, lang, source, toks[i] || ' ' || toks[i + 1] AS bgm
+             FROM (SELECT doc_id, lang, source, toks,
+                          generate_subscripts(toks, 1) AS i FROM t)
+             WHERE i < len(toks)),
+      sz AS (SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM bg a JOIN bg b
+                  ON a.bgm = b.bgm AND a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, inter,
+             ROUND(CAST(inter AS DOUBLE)
+               / CAST(s1.n_bg + s2.n_bg - inter AS DOUBLE), 4) AS jaccard
+      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+      ORDER BY d1, d2""")
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Genuinely streaming forms of the Streamy batch twins (SURVEY §2.9).
+  *
+  * No Kafka offline — these take any streaming DataFrame/Dataset
+  * (file/rate/memory source; the test suite drives them with
+  * MemoryStream) and are the plans a production deployment would run:
+  * watermarked tumbling/session aggregation, within-watermark dedup,
+  * and arbitrary per-key state via flatMapGroupsWithState.
+  */
+object StreamRunner {
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class PurchaseUpdate(user_id: Long, event_id: Long, n_so_far: Long,
+                            cum_cents: Long)
+  case class PurchaseState(n: Long, cents: Long)
+
+  /** Watermarked tumbling hourly counts — the streaming form of
+    * Streamy.streamTumbling; late rows beyond 10m are dropped by the
+    * engine, which streamWatermarkLate emulates in batch. */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Watermarked 30-minute-gap sessions (Streamy.streamSession). */
+  def sessionWithWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** State-bounded streaming dedup by event id (Streamy.streamDedup). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary per-user state: running purchase count + exact cents
+    * total, one update row emitted per purchase. State survives across
+    * micro-batches; within a batch rows are ordered by (ts, event_id)
+    * for determinism (Streamy.streamStateful is the batch twin). */
+  def statefulPurchases(events: Dataset[Ev]): Dataset[PurchaseUpdate] = {
+    import events.sparkSession.implicits._
+    events.filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[PurchaseState]) =>
+          var st = state.getOption.getOrElse(PurchaseState(0L, 0L))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            st = PurchaseState(st.n + 1, st.cents + math.round(e.value * 100.0))
+            PurchaseUpdate(uid, e.event_id, st.n, st.cents)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

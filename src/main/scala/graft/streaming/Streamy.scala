@@ -1,0 +1,180 @@
+package graft.streaming
+
+import graft.{Qx, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Streaming operators (SURVEY §2.9) — batch twins.
+  *
+  * The reference is batch + an HTTP "real-time" UI
+  * (/root/reference/README.md:11); true pipelines are driver north-star
+  * scope. Each key here is the *batch twin* of a Structured Streaming
+  * op: same logical aggregation, expressed so the DuckDB oracle can
+  * check it. The genuinely streaming forms (withWatermark + window /
+  * session_window / dropDuplicatesWithinWatermark /
+  * flatMapGroupsWithState) live in [[StreamRunner]] and are exercised
+  * with MemoryStream in the test suite — they share these twins'
+  * semantics by construction.
+  */
+object Streamy {
+  import Qx._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-hour tumbling counts/sums. The batch `window()` function is the
+    * same expression streaming uses, so the twin is literally the same
+    * plan minus the watermark. */
+  val streamTumbling: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** 1h windows sliding every 15m — each event lands in 4 windows.
+    * Spark aligns window starts to epoch multiples of the slide, which
+    * the oracle reproduces with integer µs arithmetic. */
+  val streamSliding: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Per-user sessions with a 30-minute gap. Batch `session_window`
+    * merges exactly like the streaming one: a row at prev_ts + 30m
+    * starts a NEW session (end bound is exclusive). */
+  val streamSession: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Deterministic emulation of watermark late-drop: arrival order =
+    * event_id, running max event time, drop rows older than max − 10m,
+    * then the hourly aggregate. (The genuinely streaming form is
+    * StreamRunner.tumblingWithWatermark; a global running max is
+    * emulation-only — fine at any SF since it's a single pass.) */
+  val streamWatermarkLate: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("runmax", max($"us").over(w))
+      .filter($"us" >= $"runmax" - 600000000L)
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** Dedup by (user, type) keeping the first-arriving event —
+    * deterministic via row_number (dropDuplicates keeps an arbitrary
+    * row; its streaming form is StreamRunner.dedupWithinWatermark). */
+  val streamDedup: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"ts")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Custom per-user running state via the typed API — for every
+    * purchase, emit how many purchases that user has made so far and
+    * the exact running cents total. Batch twin of
+    * StreamRunner.statefulPurchases (flatMapGroupsWithState). */
+  val streamStateful: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"value", unix_micros($"ts").as("us"))
+      .as[(Long, Long, String, Double, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, String, Double, Long)]) =>
+        var n = 0L
+        var cents = 0L
+        it.toSeq.sortBy(e => (e._5, e._2)).iterator
+          .filter(_._3 == "purchase")
+          .map { e =>
+            n += 1
+            cents += math.round(e._4 * 100.0)
+            (uid, e._2, n, cents)
+          }
+      }
+      .toDF("user_id", "event_id", "n_so_far", "cum_cents")
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_watermark_late" -> streamWatermarkLate,
+    "stream_dedup" -> streamDedup,
+    "stream_stateful" -> streamStateful)
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" -> s"""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_sliding" -> """
+      SELECT make_timestamp(((us // 900000000) - i) * 900000000) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events)
+      CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+      GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_session" -> """
+      WITH e AS (SELECT user_id, event_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      f AS (SELECT user_id, us,
+                   CASE WHEN LAG(us) OVER w IS NULL
+                          OR us - LAG(us) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT user_id, us,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM f)
+      SELECT user_id, make_timestamp(MIN(us)) AS session_start,
+             make_timestamp(MAX(us) + 1800000000) AS session_end,
+             COUNT(*) AS n_events
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "stream_watermark_late" -> """
+      WITH e AS (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      f AS (SELECT *, MAX(us) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+            FROM e)
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type, COUNT(*) AS n
+      FROM f WHERE us >= runmax - 600000000
+      GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "stream_dedup" -> """
+      SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM (SELECT user_id, event_type, event_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                     ORDER BY event_id) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type""",
+    "stream_stateful" -> """
+      SELECT user_id, event_id,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS n_so_far,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS cum_cents
+      FROM (SELECT user_id, event_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events WHERE event_type = 'purchase')
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")
+}
