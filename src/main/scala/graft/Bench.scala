@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM before timing: codegen compiler, parquet reader, and
+    // shuffle paths all pay one-time init (~3-4 s) that would otherwise
+    // land entirely on whichever query happens to run first.
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().collect()
+    spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

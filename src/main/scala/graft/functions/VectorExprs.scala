@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Custom Catalyst expression for the similarity hot path (SURVEY §4
+  * flagged this as the one custom-Expression candidate worth building).
+  *
+  * The built-in higher-order route — `aggregate(zip_with(a, b, *), …)` —
+  * allocates an intermediate array and evaluates interpreted lambdas per
+  * element, and HOFs are excluded from whole-stage codegen. This fused
+  * dot product generates a tight primitive loop inside the codegen'd
+  * stage instead: no allocation, no virtual calls. On the O(n²) pair
+  * joins (dedup_embedding_cosine, sim_ann_lsh, sim_cosine_topk) that is
+  * the difference between the fold dominating the query and the join
+  * dominating it.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Register `vec_dot(arr<double>, arr<double>) -> double` in the
+    * session's function registry (idempotent) so plans can use it via
+    * expr("vec_dot(a, b)"). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+}
