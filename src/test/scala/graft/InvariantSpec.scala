@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style algebraic invariants (SURVEY §5.3) over seeded random
+  * datasets — each property checked on several independently generated
+  * inputs.
+  */
+class InvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randDf(seed: Int) = {
+    val rnd = new Random(seed)
+    (1 to 200).map { i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(5).toString,
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("id", "user", "grp", "value")
+  }
+
+  test("union-all count additivity; union-distinct bounded by sum") {
+    for (seed <- 1 to 3) {
+      val df = randDf(seed)
+      val a = df.filter($"user" < 5)
+      val b = df.filter($"user" >= 3)
+      assert(a.unionByName(b).count() == a.count() + b.count())
+      assert(a.union(b).distinct().count() <= a.count() + b.count())
+    }
+  }
+
+  test("dedup is idempotent") {
+    for (seed <- 4 to 6) {
+      val dup = randDf(seed).select($"user", $"grp")
+      val once = dup.distinct()
+      assert(once.count() == once.distinct().count())
+    }
+  }
+
+  test("running sum's last value per group equals the group sum (exact cents)") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 7 to 9) {
+      val df = randDf(seed).withColumn("cents", round($"value" * 100).cast("long"))
+      val w = Window.partitionBy($"user").orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastRunning = df.withColumn("run", sum($"cents").over(w))
+        .groupBy($"user").agg(max($"run").as("last_run"))
+      val groupSum = df.groupBy($"user").agg(sum($"cents").as("total"))
+      val joined = lastRunning.join(groupSum, "user")
+        .filter($"last_run" =!= $"total")
+      assert(joined.count() == 0)
+    }
+  }
+
+  test("semi ∪ anti partitions the left side") {
+    for (seed <- 10 to 12) {
+      val left = randDf(seed)
+      val right = randDf(seed + 100).filter($"value" > 50)
+      val semi = left.join(right, Seq("user"), "left_semi")
+      val anti = left.join(right, Seq("user"), "left_anti")
+      assert(semi.count() + anti.count() == left.count())
+      assert(semi.select("id").intersect(anti.select("id")).count() == 0)
+    }
+  }
+
+  test("rollup grand total equals global aggregate") {
+    for (seed <- 13 to 15) {
+      val df = randDf(seed).withColumn("cents", round($"value" * 100).cast("long"))
+      val grand = df.rollup($"grp").agg(sum($"cents").as("s"))
+        .filter($"grp".isNull).as[(String, Long)].collect().head._2
+      val global = df.agg(sum($"cents")).as[Long].collect().head
+      assert(grand == global)
+    }
+  }
+
+  test("cosine(v, v) ≈ 1 through the vec_dot expression") {
+    graft.functions.VectorExprs.register(spark)
+    for (seed <- 16 to 18) {
+      val rnd = new Random(seed)
+      val vecs = (1 to 50).map(i => (i.toLong, Seq.fill(64)(rnd.nextDouble() - 0.5)))
+        .toDF("id", "v")
+      val bad = vecs
+        .select(abs(expr("vec_dot(v, v)") / (sqrt(expr("vec_dot(v, v)")) * sqrt(expr("vec_dot(v, v)"))) - 1.0).as("err"))
+        .filter($"err" > 1e-9)
+      assert(bad.count() == 0)
+    }
+  }
+
+  test("watermark-late twin drops exactly the rows a running max excludes") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 19 to 20) {
+      val rnd = new Random(seed)
+      val df = (1 to 300).map { i =>
+        (i.toLong, 1000000L * rnd.nextInt(5000))
+      }.toDF("arrival", "us")
+      val w = Window.orderBy($"arrival")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = df.withColumn("runmax", max($"us").over(w))
+        .filter($"us" >= $"runmax" - 600000000L)
+      // every kept row is within 10 min of the max seen at its arrival;
+      // the first row always survives (its own max)
+      assert(kept.count() >= 1)
+      assert(kept.filter($"us" < $"runmax" - 600000000L).count() == 0)
+    }
+  }
+}

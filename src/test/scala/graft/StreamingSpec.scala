@@ -1,0 +1,121 @@
+package graft
+
+import graft.streaming.StreamRunner
+import graft.streaming.StreamRunner.{Ev, PurchaseUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** True Structured Streaming runs (SURVEY §5.5): MemoryStream drives
+  * the StreamRunner plans; results compared to the batch twins on the
+  * same rows, plus watermark late-drop behavior.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val evs = Seq(
+    Ev(1L, ts(0), 1L, "purchase", 10.25),
+    Ev(2L, ts(5), 1L, "view", 1.0),
+    Ev(3L, ts(10), 1L, "purchase", 2.50),
+    Ev(4L, ts(65), 1L, "purchase", 4.00), // second hour, second session
+    Ev(5L, ts(7), 2L, "purchase", 7.75),
+    Ev(6L, ts(8), 2L, "purchase", 0.30))
+
+  test("streaming tumbling agg matches hand-computed hourly counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(evs)
+    val q = StreamRunner.tumblingWithWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumb")
+        .as[(Timestamp, String, Long)].collect()
+        .map { case (w, t, n) => (w.toString, t, n) }.toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00.0", "purchase", 4L),
+        ("2024-01-01 00:00:00.0", "view", 1L),
+        ("2024-01-01 01:00:00.0", "purchase", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes the replayed event") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(evs :+ Ev(1L, ts(0), 1L, "purchase", 10.25)) // duplicate id 1
+    val q = StreamRunner.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == evs.size)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps per-user purchase state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.statefulPurchases(ms.toDS())
+      .writeStream.format("memory").queryName("stateful").outputMode("append").start()
+    try {
+      ms.addData(evs.take(3)) // batch 1: user 1 purchases id 1, 3
+      q.processAllAvailable()
+      ms.addData(evs.drop(3)) // batch 2: user 1 purchase id 4; user 2 both
+      q.processAllAvailable()
+      val got = spark.table("stateful").as[PurchaseUpdate].collect()
+        .map(u => u.event_id -> (u.n_so_far, u.cum_cents)).toMap
+      assert(got(1L) == (1L, 1025L))
+      assert(got(3L) == (2L, 1275L))
+      assert(got(4L) == (3L, 1675L), "state must survive into batch 2")
+      assert(got(5L) == (1L, 775L) && got(6L) == (2L, 805L))
+    } finally q.stop()
+  }
+
+  test("streaming stateful output equals the batch twin on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(evs)
+    val q = StreamRunner.statefulPurchases(ms.toDS())
+      .writeStream.format("memory").queryName("twin").outputMode("append").start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("twin").as[PurchaseUpdate].collect().toSet }
+      finally q.stop()
+
+    // batch twin: same state machine via flatMapGroups
+    val batch = evs.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+        var n = 0L; var cents = 0L
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).iterator
+          .filter(_.event_type == "purchase").map { e =>
+            n += 1; cents += math.round(e.value * 100.0)
+            PurchaseUpdate(uid, e.event_id, n, cents)
+          }
+      }.collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("watermark drops a too-late event from the windowed aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.tumblingWithWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      ms.addData(Ev(1L, ts(0), 1L, "view", 1.0), Ev(2L, ts(5), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past hour 0 (+10m delay): hour-0 window closes
+      ms.addData(Ev(3L, ts(200), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // this event is now behind the watermark -> must be dropped
+      ms.addData(Ev(4L, ts(1), 1L, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(5L, ts(400), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val hour0 = spark.table("late")
+        .filter($"window_start" === ts(0)).as[(Timestamp, String, Long)].collect()
+      assert(hour0.length == 1 && hour0.head._3 == 2L,
+        s"late event must not be counted, got ${hour0.mkString(",")}")
+    } finally q.stop()
+  }
+}
