@@ -262,7 +262,7 @@ object SimOps {
     "sim_cosine_topk" -> simCosineTopk,
     "sim_ann_lsh" -> simAnnLsh,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
-    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_near_minhash" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "multimodal_join" -> multimodalJoin,
     "multimodal_features" -> multimodalFeatures,
