@@ -183,7 +183,26 @@ object Aggs {
       .orderBy($"l_returnflag")
   }
 
+  /** Two-stage salted aggregation — the skew-mitigation pattern: a hot
+    * key is first split across 8 salt shards (partial agg per shard
+    * shuffles on the wide (key, salt) pair), then the shards collapse
+    * in a second, tiny aggregation. Partial sums stay DECIMAL between
+    * stages so the two-stage total is exactly the one-stage total. */
+  val aggSaltedSkew: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val partial = Tables.load(s, dir, "events")
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(8)))
+      .groupBy($"user_id", $"salt")
+      .agg(count(lit(1)).as("pc"),
+        sum($"value".cast(DecimalType(38, 6))).as("ps"))
+    partial.groupBy($"user_id")
+      .agg(sum($"pc").as("n"), sum($"ps").cast("double").as("total_value"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_salted_skew" -> aggSaltedSkew,
     "agg_groupby_hash" -> aggGroupbyHash,
     "agg_global" -> aggGlobal,
     "agg_having" -> aggHaving,
@@ -198,6 +217,9 @@ object Aggs {
     "agg_percentile" -> aggPercentile)
 
   val oracle: Map[String, String] = Map(
+    "agg_salted_skew" -> s"""
+      SELECT user_id, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id""",
     "agg_groupby_hash" -> s"""
       SELECT l_returnflag, l_linestatus,
              ${dsumSql("l_quantity")} AS sum_qty,

@@ -185,7 +185,48 @@ object Joins {
       .orderBy($"o_orderkey")
   }
 
+  /** Bucketed co-located fact⋈fact join — THE 100 TB join shape: both
+    * sides written bucketed (and sorted) on the join key, so the
+    * sort-merge join reads bucket i against bucket i with NO exchange
+    * of either fact table (the only shuffles left are the final
+    * aggregation's partial/final split and the output sort). Locally
+    * this materializes small bucketed tables per run; on a cluster the
+    * tables are written once and every subsequent join is shuffle-free.
+    * (At toy SF Catalyst still broadcasts the small side — correctly;
+    * the plan shows `Bucketed: true` scans, and once neither side fits
+    * the broadcast threshold the co-located SMJ takes over with zero
+    * fact-table exchanges.) */
+  val joinBucketed: Q = (s, dir) => {
+    import s.implicits._
+    // The in-memory catalog forgets tables between sessions but their
+    // managed locations survive on disk — drop both before rewriting.
+    Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = java.nio.file.Paths.get(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (java.nio.file.Files.exists(wh)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Tables.load(s, dir, "orders")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_b_orders")
+    Tables.load(s, dir, "lineitem")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_b_lineitem")
+    s.table("graft_b_orders")
+      .join(s.table("graft_b_lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("total_qty"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_bucketed" -> joinBucketed,
     "join_inner_equi" -> joinInnerEqui,
     "join_multi_key" -> joinMultiKey,
     "join_left_outer" -> joinLeftOuter,
@@ -199,6 +240,11 @@ object Joins {
     "join_asof" -> joinAsof)
 
   val oracle: Map[String, String] = Map(
+    "join_bucketed" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n_lines,
+             ${dsumSql("l_quantity")} AS total_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_inner_equi" -> """
       SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand, l_quantity
       FROM lineitem JOIN part ON l_partkey = p_partkey

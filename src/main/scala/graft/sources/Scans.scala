@@ -91,6 +91,22 @@ object Scans {
       .orderBy($"o_orderkey")
   }
 
+  /** Partitioned parquet sink + partition-pruned re-read — the layout a
+    * 100 TB table actually uses: one directory per partition value, so
+    * a filter on the partition column prunes whole directories before
+    * any I/O (PartitionFilters in the scan, not PushedFilters). */
+  val sinkParquetPartitioned: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part"
+    Tables.load(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** SQL-centric staging surface (README.md:7): register every table as
     * a view and run one multi-table SQL statement — the exact string the
     * DuckDB oracle runs too. */
@@ -113,6 +129,7 @@ object Scans {
     "scan_csv_hl7" -> scanCsvHl7,
     "scan_json_fhir" -> scanJsonFhir,
     "sink_parquet" -> sinkParquet,
+    "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_json_fhir" -> sinkJsonFhir,
     "register_view_sql" -> registerViewSql)
 
@@ -135,6 +152,11 @@ object Scans {
       SELECT o_orderstatus, COUNT(*) AS n,
              ${Qx.dsumSql("o_totalprice")} AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "sink_parquet_partitioned" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sink_json_fhir" -> """
       SELECT o_orderkey,
              concat('{"resourceType":"MedicationRequest","id":"rx-', o_orderkey,
