@@ -10,12 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM before timing: codegen compiler, parquet reader, and
-    // shuffle paths all pay one-time init (~3-4 s) that would otherwise
-    // land entirely on whichever query happens to run first.
-    spark.read.parquet(s"$sfDir/region.parquet")
-      .groupBy("r_name").count().collect()
-    spark.range(1000).selectExpr("sum(id)").collect()
+    // Warm run at the smallest SF before timing: whole-stage-codegen
+    // (janino) compiles each distinct plan shape once per JVM (~0.5-1 s
+    // apiece) — without this, those one-time costs land arbitrarily on
+    // whichever timed query hits each shape first.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
