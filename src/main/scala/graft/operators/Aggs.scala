@@ -201,7 +201,22 @@ object Aggs {
       .orderBy($"user_id")
   }
 
+  /** Pivot — rows to columns (flag counting per README.md:9, as the
+    * dedicated relational operator): per-user event counts, one column
+    * per event type. Values are pinned explicitly so the plan needs no
+    * discovery pass and the output schema is stable at any scale. */
+  val aggPivot: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_pivot" -> aggPivot,
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_groupby_hash" -> aggGroupbyHash,
     "agg_global" -> aggGlobal,
@@ -217,6 +232,14 @@ object Aggs {
     "agg_percentile" -> aggPercentile)
 
   val oracle: Map[String, String] = Map(
+    "agg_pivot" -> """
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY user_id ORDER BY user_id""",
     "agg_salted_skew" -> s"""
       SELECT user_id, COUNT(*) AS n, ${dsumSql("value")} AS total_value
       FROM events GROUP BY user_id ORDER BY user_id""",
