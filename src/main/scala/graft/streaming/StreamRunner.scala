@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Genuinely streaming forms of the Streamy batch twins (SURVEY §2.9).
   *
@@ -40,6 +41,39 @@ object StreamRunner {
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Same per-user purchase state machine on Spark 4's transformWithState
+    * API — the successor to flatMapGroupsWithState: named state variables
+    * with per-state TTL, timers, and evolvable state schema. Kept
+    * alongside the classic form so both state APIs are covered. */
+  class PurchaseProcessor
+      extends StatefulProcessor[Long, Ev, PurchaseUpdate] {
+    @transient private var st: ValueState[PurchaseState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PurchaseState](
+        "purchases", Encoders.product[PurchaseState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[PurchaseUpdate] = {
+      var cur = if (st.exists()) st.get() else PurchaseState(0L, 0L)
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .filter(_.event_type == "purchase").map { e =>
+          cur = PurchaseState(cur.n + 1, cur.cents + math.round(e.value * 100.0))
+          PurchaseUpdate(uid, e.event_id, cur.n, cur.cents)
+        }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  def statefulPurchasesTws(events: Dataset[Ev]): Dataset[PurchaseUpdate] = {
+    import events.sparkSession.implicits._
+    events.filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .transformWithState(new PurchaseProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Arbitrary per-user state: running purchase count + exact cents
     * total, one update row emitted per purchase. State survives across

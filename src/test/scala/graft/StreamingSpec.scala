@@ -96,6 +96,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("transformWithState keeps the same cross-batch state as flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs multiple state column families — RocksDB
+    // provider only (HDFSBackedStateStore throws UNSUPPORTED_FEATURE).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.statefulPurchasesTws(ms.toDS())
+      .writeStream.format("memory").queryName("tws").outputMode("append").start()
+    try {
+      ms.addData(evs.take(3))
+      q.processAllAvailable()
+      ms.addData(evs.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("tws").as[PurchaseUpdate].collect()
+        .map(u => u.event_id -> (u.n_so_far, u.cum_cents)).toMap
+      assert(got(1L) == (1L, 1025L))
+      assert(got(4L) == (3L, 1675L), "ValueState must survive into batch 2")
+      assert(got(6L) == (2L, 805L))
+    } finally q.stop()
+  }
+
   test("watermark drops a too-late event from the windowed aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
