@@ -1,0 +1,127 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's domain layer re-expressed as composable DataFrame
+  * functions — one per module of pchj/sigma-rx7
+  * (/root/reference/README.md:15-39):
+  *
+  *  - rules/overlap.py  → [[therapeuticOverlap]]   (README.md:3,9,23)
+  *  - rules/generics.py → [[genericSubstitutions]] (README.md:8-9,24)
+  *  - rules/payer.py    → [[formularyStatus]]      (README.md:9,25)
+  *  - ml/denial.py      → [[denialRisk]]           (README.md:9,27,77)
+  *  - fhir/export.py    → [[fhirMedicationRequest]] (README.md:10,28-29,71)
+  *  - EP1 end to end    → [[recommend]]            (README.md:41-71)
+  *
+  * Inputs use the reference's schema (FIXTURES.md §2): meds(med_id,
+  * patient_id, rxnorm_cui, drug_name, …), drug_classes(rxnorm_cui,
+  * class), orange_book(brand_cui, generic_cui), prices(rxnorm_cui,
+  * price, as_of), formulary(payer, rxnorm_cui, tier, prior_auth),
+  * coverage(patient_id, payer, …), allergies(patient_id, substance).
+  *
+  * Everything is a plain Column/DataFrame pipeline: at 100 TB the drug
+  * knowledge base (classes, orange book, prices, formulary — bounded
+  * catalogs) broadcasts, and only the patient-scaled tables (meds,
+  * coverage, allergies) shuffle, always on patient/med keys.
+  */
+object MedRules {
+
+  /** Therapeutic duplication: two active meds for the same patient in
+    * the same therapeutic class (the flagship self-join,
+    * README.md:3,9,23). Returns one row per offending pair. */
+  def therapeuticOverlap(meds: DataFrame, drugClasses: DataFrame): DataFrame = {
+    val classed = meds.join(broadcast(drugClasses), Seq("rxnorm_cui"))
+    val a = classed.select(col("patient_id"), col("med_id").as("med_1"),
+      col("drug_name").as("drug_1"), col("drug_class"))
+    val b = classed.select(col("patient_id").as("p2"), col("med_id").as("med_2"),
+      col("drug_name").as("drug_2"), col("drug_class").as("dc2"))
+    a.join(b, col("patient_id") === col("p2") && col("drug_class") === col("dc2") &&
+        col("med_1") < col("med_2"))
+      .select(col("patient_id"), col("drug_class"), col("med_1"), col("drug_1"),
+        col("med_2"), col("drug_2"))
+  }
+
+  /** Generic substitution candidates: brand meds with an Orange Book
+    * generic link, enriched with both prices and the saving
+    * (README.md:8-9,24). Left join keeps brands with no price row;
+    * allergy conflicts are anti-joined away (README.md:7). */
+  def genericSubstitutions(meds: DataFrame, orangeBook: DataFrame,
+      prices: DataFrame, allergies: DataFrame): DataFrame = {
+    val brandPrice = prices.select(col("rxnorm_cui").as("brand_cui"),
+      col("price").as("brand_price"))
+    val genPrice = prices.select(col("rxnorm_cui").as("generic_cui"),
+      col("price").as("generic_price"))
+    meds.join(broadcast(orangeBook), meds("rxnorm_cui") === orangeBook("brand_cui"))
+      .join(broadcast(brandPrice), Seq("brand_cui"), "left")
+      .join(broadcast(genPrice), Seq("generic_cui"), "left")
+      .join(allergies,
+        meds("patient_id") === allergies("patient_id") &&
+          orangeBook("generic_cui") === allergies("substance"), "left_anti")
+      .select(meds("patient_id"), col("med_id"), col("drug_name"),
+        col("brand_cui"), col("generic_cui"),
+        col("brand_price"), col("generic_price"),
+        (coalesce(col("brand_price"), lit(0.0)) -
+          coalesce(col("generic_price"), lit(0.0))).as("saving"))
+  }
+
+  /** Formulary placement for each med under the patient's active payer
+    * (README.md:9,25): tier + prior-auth flag, null tier = off-formulary. */
+  def formularyStatus(meds: DataFrame, coverage: DataFrame,
+      formulary: DataFrame): DataFrame =
+    meds.join(coverage, Seq("patient_id"))
+      .join(broadcast(formulary), Seq("payer", "rxnorm_cui"), "left")
+      .select(col("patient_id"), col("med_id"), col("rxnorm_cui"), col("payer"),
+        col("tier"), coalesce(col("prior_auth"), lit(false)).as("prior_auth"),
+        col("tier").isNull.as("off_formulary"))
+
+  /** The reference's explicit denial-risk model — "simple
+    * logistic-style function based on price, tier and prior
+    * authorisation" (README.md:9,27,77) — as a reusable Column. Plain
+    * arithmetic: Catalyst folds it, codegen runs it. */
+  def denialRisk(price: Column, tier: Column, priorAuth: Column): Column = {
+    val z = lit(-2.0) + lit(0.002) * coalesce(price, lit(0.0)) +
+      lit(0.4) * (coalesce(tier, lit(5)) - lit(1)) +
+      lit(1.5) * priorAuth.cast("double")
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Draft FHIR MedicationRequest per recommendation row
+    * (README.md:10,28-29,71): pinned field order, string/long fields
+    * only, so the serialized bytes are stable. */
+  def fhirMedicationRequest(recs: DataFrame): DataFrame =
+    recs.select(col("patient_id"), col("med_id"),
+      to_json(struct(
+        lit("MedicationRequest").as("resourceType"),
+        concat(lit("rx-"), col("med_id")).as("id"),
+        lit("draft").as("status"),
+        struct(concat(lit("Patient/"), col("patient_id")).as("reference")).as("subject"),
+        struct(concat(lit("RxNorm/"), col("generic_cui")).as("reference")).as("medicationReference"),
+        col("denial_risk").cast("string").as("denialRiskScore"))).as("resource"))
+
+  /** EP1 end to end (README.md:41-71): substitution candidates scored
+    * by denial risk under the patient's formulary, cheapest-first per
+    * med (win_rank_topk shape), exported as draft FHIR resources.
+    * Patients without a coverage row get NO recommendation (inner join
+    * — denial scoring requires payer context by design). */
+  def recommend(meds: DataFrame, drugClasses: DataFrame, orangeBook: DataFrame,
+      prices: DataFrame, allergies: DataFrame, coverage: DataFrame,
+      formulary: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = genericSubstitutions(meds, orangeBook, prices, allergies)
+    val genericFormulary = formulary.select(col("payer"),
+      col("rxnorm_cui").as("generic_cui"), col("tier"), col("prior_auth"))
+    val scored = subs.join(coverage, Seq("patient_id"))
+      .join(broadcast(genericFormulary), Seq("payer", "generic_cui"), "left")
+      .withColumn("denial_risk",
+        round(denialRisk(col("generic_price"), col("tier"),
+          coalesce(col("prior_auth"), lit(false))), 4))
+    val w = Window.partitionBy(col("med_id"))
+      .orderBy(col("denial_risk").asc, col("generic_price").asc_nulls_last,
+        col("generic_cui").asc)
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    fhirMedicationRequest(best)
+      .join(best.select(col("med_id"), col("generic_cui"), col("saving"),
+        col("denial_risk")), Seq("med_id"))
+  }
+}
