@@ -64,7 +64,13 @@ object Qx {
 
   /** Exact-sum-derived average: identical double inputs on both engines
     * ⇒ the IEEE division is bit-identical — no rounding needed at all
-    * (unlike avg(double), whose accumulation order differs). */
+    * (unlike avg(double), whose accumulation order differs).
+    *
+    * CAVEAT: divides by the ROW count (mirroring davgSql's COUNT(*)),
+    * which equals SQL AVG only for non-null measures. For a nullable
+    * measure use dsum(c)/count(c) on BOTH sides instead — as written,
+    * both engines would agree on the same not-AVG value and the oracle
+    * could not catch the divergence. */
   def davg(c: Column): Column = dsum(c) / count(lit(1)).cast(DoubleType)
 
   /** Oracle-side twin of [[davg]]. */

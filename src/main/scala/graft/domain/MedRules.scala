@@ -2,6 +2,7 @@ package graft.domain
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** The reference's domain layer re-expressed as composable DataFrame
   * functions — one per module of pchj/sigma-rx7
@@ -15,10 +16,14 @@ import org.apache.spark.sql.functions._
   *  - EP1 end to end    → [[recommend]]            (README.md:41-71)
   *
   * Inputs use the reference's schema (FIXTURES.md §2): meds(med_id,
-  * patient_id, rxnorm_cui, drug_name, …), drug_classes(rxnorm_cui,
-  * class), orange_book(brand_cui, generic_cui), prices(rxnorm_cui,
-  * price, as_of), formulary(payer, rxnorm_cui, tier, prior_auth),
-  * coverage(patient_id, payer, …), allergies(patient_id, substance).
+  * patient_id, rxnorm_cui, drug_name[, start_date, end_date]),
+  * drug_classes(rxnorm_cui, class), orange_book(brand_cui,
+  * generic_cui), prices(rxnorm_cui, price[, as_of]), formulary(payer,
+  * rxnorm_cui, tier, prior_auth), coverage(patient_id, payer
+  * [, effective, expires]), allergies(patient_id, substance). The
+  * bracketed temporal columns are honored when present (price history
+  * collapses to the latest as-of row; med/coverage activity windows are
+  * enforced) and ignored when a caller supplies the column-free shape.
   *
   * Everything is a plain Column/DataFrame pipeline: at 100 TB the drug
   * knowledge base (classes, orange book, prices, formulary — bounded
@@ -27,30 +32,64 @@ import org.apache.spark.sql.functions._
   */
 object MedRules {
 
-  /** Therapeutic duplication: two active meds for the same patient in
-    * the same therapeutic class (the flagship self-join,
-    * README.md:3,9,23). Returns one row per offending pair. */
+  /** Latest price per drug: if the table carries an as-of history
+    * (FIXTURES.md §2: "two as-of rows per drug"), keep the most recent
+    * row per rxnorm_cui (price as the deterministic tiebreak on equal
+    * as_of); otherwise the table is already one row per drug. */
+  private def latestPrices(prices: DataFrame): DataFrame =
+    if (prices.columns.contains("as_of")) {
+      val w = Window.partitionBy(col("rxnorm_cui"))
+        .orderBy(col("as_of").desc, col("price").desc)
+      prices.withColumn("price_rn", row_number().over(w))
+        .filter(col("price_rn") === 1)
+        .select(col("rxnorm_cui"), col("price"))
+    } else prices.select(col("rxnorm_cui"), col("price"))
+
+  /** Coverage rows active at `asOf` when the table carries
+    * effective/expires windows; all rows otherwise. */
+  private def activeCoverage(coverage: DataFrame, asOf: Column): DataFrame =
+    if (coverage.columns.contains("effective") && coverage.columns.contains("expires"))
+      coverage.filter(col("effective") <= asOf &&
+        (col("expires").isNull || col("expires") >= asOf))
+    else coverage
+
+  /** Therapeutic duplication: two meds for the same patient in the same
+    * therapeutic class whose activity windows overlap (the flagship
+    * self-join, README.md:3,9,23) — a null end_date means still active.
+    * Without date columns, every same-class pair is flagged. Returns
+    * one row per offending pair. */
   def therapeuticOverlap(meds: DataFrame, drugClasses: DataFrame): DataFrame = {
+    val dated = meds.columns.contains("start_date") && meds.columns.contains("end_date")
     val classed = meds.join(broadcast(drugClasses), Seq("rxnorm_cui"))
-    val a = classed.select(col("patient_id"), col("med_id").as("med_1"),
-      col("drug_name").as("drug_1"), col("drug_class"))
-    val b = classed.select(col("patient_id").as("p2"), col("med_id").as("med_2"),
-      col("drug_name").as("drug_2"), col("drug_class").as("dc2"))
-    a.join(b, col("patient_id") === col("p2") && col("drug_class") === col("dc2") &&
-        col("med_1") < col("med_2"))
+    val aCols = Seq(col("patient_id"), col("med_id").as("med_1"),
+      col("drug_name").as("drug_1"), col("drug_class")) ++
+      (if (dated) Seq(col("start_date").as("s1"), col("end_date").as("e1")) else Nil)
+    val bCols = Seq(col("patient_id").as("p2"), col("med_id").as("med_2"),
+      col("drug_name").as("drug_2"), col("drug_class").as("dc2")) ++
+      (if (dated) Seq(col("start_date").as("s2"), col("end_date").as("e2")) else Nil)
+    val a = classed.select(aCols: _*)
+    val b = classed.select(bCols: _*)
+    val pairCond = col("patient_id") === col("p2") &&
+      col("drug_class") === col("dc2") && col("med_1") < col("med_2")
+    val cond = if (dated)
+      pairCond && col("s1") <= coalesce(col("e2"), lit("9999-12-31").cast("date")) &&
+        col("s2") <= coalesce(col("e1"), lit("9999-12-31").cast("date"))
+    else pairCond
+    a.join(b, cond)
       .select(col("patient_id"), col("drug_class"), col("med_1"), col("drug_1"),
         col("med_2"), col("drug_2"))
   }
 
   /** Generic substitution candidates: brand meds with an Orange Book
-    * generic link, enriched with both prices and the saving
-    * (README.md:8-9,24). Left join keeps brands with no price row;
-    * allergy conflicts are anti-joined away (README.md:7). */
+    * generic link, enriched with the latest brand/generic prices and
+    * the saving (README.md:8-9,24). Left join keeps brands with no
+    * price row; allergy conflicts are anti-joined away (README.md:7). */
   def genericSubstitutions(meds: DataFrame, orangeBook: DataFrame,
       prices: DataFrame, allergies: DataFrame): DataFrame = {
-    val brandPrice = prices.select(col("rxnorm_cui").as("brand_cui"),
+    val latest = latestPrices(prices)
+    val brandPrice = latest.select(col("rxnorm_cui").as("brand_cui"),
       col("price").as("brand_price"))
-    val genPrice = prices.select(col("rxnorm_cui").as("generic_cui"),
+    val genPrice = latest.select(col("rxnorm_cui").as("generic_cui"),
       col("price").as("generic_price"))
     meds.join(broadcast(orangeBook), meds("rxnorm_cui") === orangeBook("brand_cui"))
       .join(broadcast(brandPrice), Seq("brand_cui"), "left")
@@ -65,11 +104,12 @@ object MedRules {
           coalesce(col("generic_price"), lit(0.0))).as("saving"))
   }
 
-  /** Formulary placement for each med under the patient's active payer
-    * (README.md:9,25): tier + prior-auth flag, null tier = off-formulary. */
+  /** Formulary placement for each med under the patient's payer(s)
+    * active at `asOf` (README.md:9,25): tier + prior-auth flag, null
+    * tier = off-formulary. */
   def formularyStatus(meds: DataFrame, coverage: DataFrame,
-      formulary: DataFrame): DataFrame =
-    meds.join(coverage, Seq("patient_id"))
+      formulary: DataFrame, asOf: Column = current_date()): DataFrame =
+    meds.join(activeCoverage(coverage, asOf), Seq("patient_id"))
       .join(broadcast(formulary), Seq("payer", "rxnorm_cui"), "left")
       .select(col("patient_id"), col("med_id"), col("rxnorm_cui"), col("payer"),
         col("tier"), coalesce(col("prior_auth"), lit(false)).as("prior_auth"),
@@ -88,40 +128,44 @@ object MedRules {
 
   /** Draft FHIR MedicationRequest per recommendation row
     * (README.md:10,28-29,71): pinned field order, string/long fields
-    * only, so the serialized bytes are stable. */
+    * only, so the serialized bytes are stable. Additive — appends a
+    * `resource` column so callers keep their scoring columns without
+    * re-evaluating the pipeline. */
   def fhirMedicationRequest(recs: DataFrame): DataFrame =
-    recs.select(col("patient_id"), col("med_id"),
+    recs.withColumn("resource",
       to_json(struct(
         lit("MedicationRequest").as("resourceType"),
         concat(lit("rx-"), col("med_id")).as("id"),
         lit("draft").as("status"),
         struct(concat(lit("Patient/"), col("patient_id")).as("reference")).as("subject"),
         struct(concat(lit("RxNorm/"), col("generic_cui")).as("reference")).as("medicationReference"),
-        col("denial_risk").cast("string").as("denialRiskScore"))).as("resource"))
+        col("denial_risk").cast("string").as("denialRiskScore"))))
 
   /** EP1 end to end (README.md:41-71): substitution candidates scored
-    * by denial risk under the patient's formulary, cheapest-first per
-    * med (win_rank_topk shape), exported as draft FHIR resources.
-    * Patients without a coverage row get NO recommendation (inner join
-    * — denial scoring requires payer context by design). */
+    * by denial risk under the patient's active formulary,
+    * lowest-risk/cheapest-first per med (win_rank_topk shape), exported
+    * as draft FHIR resources. Patients without an active coverage row
+    * get NO recommendation (inner join — denial scoring requires payer
+    * context by design). */
   def recommend(meds: DataFrame, drugClasses: DataFrame, orangeBook: DataFrame,
       prices: DataFrame, allergies: DataFrame, coverage: DataFrame,
-      formulary: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      formulary: DataFrame, asOf: Column = current_date()): DataFrame = {
     val subs = genericSubstitutions(meds, orangeBook, prices, allergies)
     val genericFormulary = formulary.select(col("payer"),
       col("rxnorm_cui").as("generic_cui"), col("tier"), col("prior_auth"))
-    val scored = subs.join(coverage, Seq("patient_id"))
+    val scored = subs.join(activeCoverage(coverage, asOf), Seq("patient_id"))
       .join(broadcast(genericFormulary), Seq("payer", "generic_cui"), "left")
       .withColumn("denial_risk",
         round(denialRisk(col("generic_price"), col("tier"),
           coalesce(col("prior_auth"), lit(false))), 4))
+    // (payer, generic_cui) is unique per scored row for a given med, so
+    // the trailing keys make the ordering total — rn=1 is deterministic.
     val w = Window.partitionBy(col("med_id"))
       .orderBy(col("denial_risk").asc, col("generic_price").asc_nulls_last,
-        col("generic_cui").asc)
+        col("generic_cui").asc, col("payer").asc)
     val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     fhirMedicationRequest(best)
-      .join(best.select(col("med_id"), col("generic_cui"), col("saving"),
-        col("denial_risk")), Seq("med_id"))
+      .select(col("patient_id"), col("med_id"), col("resource"),
+        col("generic_cui"), col("saving"), col("denial_risk"))
   }
 }

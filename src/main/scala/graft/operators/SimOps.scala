@@ -23,18 +23,10 @@ object SimOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
   /** Fused codegen'd dot product of double arrays (graft.functions
     * .DotProduct) — requires VectorExprs.register on the session first. */
   private def dotD(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
 
   /** Embeddings with the float→double cast and L2 norm done ONCE per
     * vector — pair joins then do a single 64-element fold per pair

@@ -68,7 +68,8 @@ object Scans {
     val agg = Tables.load(s, dir, "orders")
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+    // suffix by input dir so concurrent runs at different SFs don't race
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet_${math.abs(dir.hashCode)}"
     agg.write.mode("overwrite").parquet(out)
     s.read.parquet(out).orderBy($"o_orderstatus")
   }
@@ -97,7 +98,7 @@ object Scans {
     * any I/O (PartitionFilters in the scan, not PushedFilters). */
   val sinkParquetPartitioned: Q = (s, dir) => {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part_${math.abs(dir.hashCode)}"
     Tables.load(s, dir, "orders")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     s.read.parquet(out)
