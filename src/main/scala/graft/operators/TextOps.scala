@@ -170,7 +170,44 @@ object TextOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** Markup/noise normalization — the first stage of every pre-training
+    * text pipeline. The corpus is already clean, so deterministic noise
+    * (case, padding, punctuation) is injected first and then removed:
+    * the cleaning expressions are exercised non-trivially while both
+    * engines see identical input. */
+  val textClean: Q = (s, dir) => {
+    import s.implicits._
+    val noisy = concat(lit("  "), upper(substring($"text", 1, 10)),
+      substring($"text", 11, 100000), lit(" !!  "))
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(noisy), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", cleaned.as("clean_text"),
+        (cleaned === $"text").as("clean_matches_original"))
+      .orderBy($"doc_id")
+  }
+
+  /** PII redaction — emails and phone-shaped tokens masked before any
+    * downstream use. Deterministic PII is appended per doc (the corpus
+    * has none) so the redaction regexes fire on every row. */
+  val textPiiRedact: Q = (s, dir) => {
+    import s.implicits._
+    val withPii = concat($"text", lit(" contact user"), $"doc_id",
+      lit("@example.com or 555-0199"))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        regexp_replace(
+          regexp_replace(withPii, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"))
+      .withColumn("pii_gone",
+        !$"redacted".contains("@") && $"redacted".contains("<EMAIL>") &&
+          $"redacted".contains("<PHONE>"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_clean" -> textClean,
+    "text_pii_redact" -> textPiiRedact,
     "text_tokenize_tf" -> textTokenizeTf,
     "text_tfidf" -> textTfidf,
     "text_lang_stats" -> textLangStats,
@@ -182,6 +219,37 @@ object TextOps {
     "dedup_ngram_jaccard" -> dedupNgramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "text_clean" -> """
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               lower(concat('  ', upper(substring(text, 1, 10)),
+                 substring(text, 11, 100000), ' !!  ')),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean_text,
+             trim(regexp_replace(regexp_replace(
+               lower(concat('  ', upper(substring(text, 1, 10)),
+                 substring(text, 11, 100000), ' !!  ')),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) = text
+               AS clean_matches_original
+      FROM documents ORDER BY doc_id""",
+    "text_pii_redact" -> """
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+               concat(text, ' contact user', doc_id, '@example.com or 555-0199'),
+               '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+             (NOT contains(regexp_replace(regexp_replace(
+               concat(text, ' contact user', doc_id, '@example.com or 555-0199'),
+               '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '@'))
+             AND contains(regexp_replace(regexp_replace(
+               concat(text, ' contact user', doc_id, '@example.com or 555-0199'),
+               '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '<EMAIL>')
+             AND contains(regexp_replace(regexp_replace(
+               concat(text, ' contact user', doc_id, '@example.com or 555-0199'),
+               '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '<PHONE>') AS pii_gone
+      FROM documents ORDER BY doc_id""",
     "text_tokenize_tf" -> """
       SELECT tok AS token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
