@@ -215,8 +215,21 @@ object Aggs {
       .orderBy($"user_id")
   }
 
+  /** Unpivot — columns to rows (the melt half of the pivot pair):
+    * part's numeric attributes as (key, metric, value) triples. */
+  val aggUnpivot: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "part")
+      .select($"p_partkey", $"p_size".cast("double").as("size"),
+        $"p_retailprice".as("retailprice"))
+      .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"),
+        "metric", "value")
+      .orderBy($"p_partkey", $"metric")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_pivot" -> aggPivot,
+    "agg_unpivot" -> aggUnpivot,
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_groupby_hash" -> aggGroupbyHash,
     "agg_global" -> aggGlobal,
@@ -232,6 +245,11 @@ object Aggs {
     "agg_percentile" -> aggPercentile)
 
   val oracle: Map[String, String] = Map(
+    "agg_unpivot" -> """
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+      ORDER BY p_partkey, metric""",
     "agg_pivot" -> """
       SELECT user_id,
              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
