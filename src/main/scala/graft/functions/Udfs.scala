@@ -75,6 +75,7 @@ object Udfs {
     Tables.load(s, dir, "documents")
       .filter($"doc_id" < 50)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"token")
       .orderBy($"doc_id", $"pos")
   }
 

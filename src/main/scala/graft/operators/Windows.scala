@@ -29,9 +29,11 @@ object Windows {
     import s.implicits._
     val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice", $"p_partkey")
     Tables.load(s, dir, "part")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("rnk", rank().over(w))
-      .withColumn("drnk", dense_rank().over(w))
+      // long, not int: DuckDB window functions return BIGINT and the
+      // driver compare is safest with matching physical types.
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
       .filter($"rn" <= 3)
       .select($"p_brand", $"rn", $"rnk", $"drnk", $"p_partkey", $"p_retailprice")
       .orderBy($"p_brand", $"rn")
@@ -95,7 +97,7 @@ object Windows {
     import s.implicits._
     val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
     Tables.load(s, dir, "customer")
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pct_rank", percent_rank().over(w))
       .withColumn("cume", cume_dist().over(w))
       .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
