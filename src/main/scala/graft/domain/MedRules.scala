@@ -59,8 +59,12 @@ object MedRules {
     * Without date columns, every same-class pair is flagged. Returns
     * one row per offending pair. */
   def therapeuticOverlap(meds: DataFrame, drugClasses: DataFrame): DataFrame = {
+    // FIXTURES.md §2 declares the column as `class`; accept that or the
+    // keyword-friendly `drug_class` spelling.
+    val dc = if (drugClasses.columns.contains("class"))
+      drugClasses.withColumnRenamed("class", "drug_class") else drugClasses
     val dated = meds.columns.contains("start_date") && meds.columns.contains("end_date")
-    val classed = meds.join(broadcast(drugClasses), Seq("rxnorm_cui"))
+    val classed = meds.join(broadcast(dc), Seq("rxnorm_cui"))
     val aCols = Seq(col("patient_id"), col("med_id").as("med_1"),
       col("drug_name").as("drug_1"), col("drug_class")) ++
       (if (dated) Seq(col("start_date").as("s1"), col("end_date").as("e1")) else Nil)
@@ -133,13 +137,12 @@ object MedRules {
     * re-evaluating the pipeline. */
   def fhirMedicationRequest(recs: DataFrame): DataFrame =
     recs.withColumn("resource",
-      to_json(struct(
-        lit("MedicationRequest").as("resourceType"),
-        concat(lit("rx-"), col("med_id")).as("id"),
-        lit("draft").as("status"),
-        struct(concat(lit("Patient/"), col("patient_id")).as("reference")).as("subject"),
-        struct(concat(lit("RxNorm/"), col("generic_cui")).as("reference")).as("medicationReference"),
-        col("denial_risk").cast("string").as("denialRiskScore"))))
+      graft.functions.FhirJson.medicationRequest(
+        concat(lit("rx-"), col("med_id")),
+        concat(lit("Patient/"), col("patient_id")),
+        "medicationReference" ->
+          struct(concat(lit("RxNorm/"), col("generic_cui")).as("reference")),
+        "denialRiskScore" -> col("denial_risk").cast("string")))
 
   /** EP1 end to end (README.md:41-71): substitution candidates scored
     * by denial risk under the patient's active formulary,

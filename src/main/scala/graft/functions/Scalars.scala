@@ -116,14 +116,12 @@ object Scalars {
     Tables.load(s, dir, "orders")
       .filter($"o_orderkey" <= 2000)
       .select($"o_orderkey",
-        to_json(struct(
-          lit("MedicationRequest").as("resourceType"),
-          concat(lit("rx-"), $"o_orderkey").as("id"),
-          lit("draft").as("status"),
-          struct(concat(lit("Patient/"), $"o_custkey").as("reference")).as("subject"),
-          date_format($"o_orderdate", "yyyy-MM-dd").as("authoredOn"),
-          array(struct(concat(lit("priority "), $"o_orderpriority").as("text")))
-            .as("dosageInstruction"))).as("resource"))
+        FhirJson.medicationRequest(concat(lit("rx-"), $"o_orderkey"),
+          concat(lit("Patient/"), $"o_custkey"),
+          "authoredOn" -> date_format($"o_orderdate", "yyyy-MM-dd"),
+          "dosageInstruction" ->
+            array(struct(concat(lit("priority "), $"o_orderpriority").as("text")))
+        ).as("resource"))
       .orderBy($"o_orderkey")
   }
 

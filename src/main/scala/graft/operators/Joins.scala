@@ -206,8 +206,10 @@ object Joins {
         new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
       if (java.nio.file.Files.exists(wh)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(wh)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.delete)
+        finally walk.close()
       }
     }
     Tables.load(s, dir, "orders")

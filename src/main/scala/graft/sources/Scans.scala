@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.{Qx, Tables}
+import graft.functions.FhirJson
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,8 +69,10 @@ object Scans {
     val agg = Tables.load(s, dir, "orders")
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
-    // suffix by input dir so concurrent runs at different SFs don't race
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet_${math.abs(dir.hashCode)}"
+    // suffix by input dir AND pid: concurrent JVMs (even at the same SF)
+    // must not overwrite each other's sink mid-read
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
     agg.write.mode("overwrite").parquet(out)
     s.read.parquet(out).orderBy($"o_orderstatus")
   }
@@ -83,12 +86,9 @@ object Scans {
     Tables.load(s, dir, "orders")
       .filter($"o_orderkey" <= 1000)
       .select($"o_orderkey",
-        to_json(struct(
-          lit("MedicationRequest").as("resourceType"),
-          concat(lit("rx-"), $"o_orderkey").as("id"),
-          lit("draft").as("status"),
-          struct(concat(lit("Patient/"), $"o_custkey").as("reference")).as("subject"),
-          date_format($"o_orderdate", "yyyy-MM-dd").as("authoredOn"))).as("resource"))
+        FhirJson.medicationRequest(concat(lit("rx-"), $"o_orderkey"),
+          concat(lit("Patient/"), $"o_custkey"),
+          "authoredOn" -> date_format($"o_orderdate", "yyyy-MM-dd")).as("resource"))
       .orderBy($"o_orderkey")
   }
 
@@ -98,7 +98,8 @@ object Scans {
     * any I/O (PartitionFilters in the scan, not PushedFilters). */
   val sinkParquetPartitioned: Q = (s, dir) => {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part_${math.abs(dir.hashCode)}"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
     Tables.load(s, dir, "orders")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     s.read.parquet(out)

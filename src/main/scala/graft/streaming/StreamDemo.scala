@@ -40,19 +40,33 @@ object StreamDemo {
       .outputMode("append")
       .start()
 
-    // three arrival waves by event_id range → three micro-batches
-    Seq(($"event_id" % 3) === 0, ($"event_id" % 3) === 1, ($"event_id" % 3) === 2)
-      .zipWithIndex.foreach { case (cond, i) =>
-        events.filter(cond).write.mode("append").parquet(in)
-        query.processAllAvailable()
-        println(s"[stream-demo] wave $i ingested")
-      }
+    // Three arrival waves in EVENT-TIME order — id-interleaved waves
+    // would land waves 2-3 behind the wave-1-advanced watermark and be
+    // (correctly) dropped as late; time-ordered waves exercise multiple
+    // micro-batches with every event on time.
+    val Array(tMin, tMax) = events
+      .agg(unix_micros(min($"ts")), unix_micros(max($"ts")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val third = (tMax - tMin) / 3
+    val bounds = Seq(
+      $"ts" < timestamp_micros(lit(tMin + third)),
+      $"ts" >= timestamp_micros(lit(tMin + third)) &&
+        $"ts" < timestamp_micros(lit(tMin + 2 * third)),
+      $"ts" >= timestamp_micros(lit(tMin + 2 * third)))
+    bounds.zipWithIndex.foreach { case (cond, i) =>
+      events.filter(cond).write.mode("append").parquet(in)
+      query.processAllAvailable()
+      println(s"[stream-demo] wave $i ingested")
+    }
     query.stop()
 
     val sunk = spark.read.parquet(out)
-    println(s"[stream-demo] windows emitted to parquet sink: ${sunk.count()}")
-    println(s"[stream-demo] checkpoint dirs: " +
-      Files.list(Paths.get(ckpt)).count())
+    val total = sunk.agg(sum($"n")).collect().head.getLong(0)
+    println(s"[stream-demo] windows emitted to parquet sink: ${sunk.count()}" +
+      s" (covering $total events of ${events.count()})")
+    val ckptStream = Files.list(Paths.get(ckpt))
+    try println(s"[stream-demo] checkpoint dirs: ${ckptStream.count()}")
+    finally ckptStream.close()
     spark.stop()
   }
 }

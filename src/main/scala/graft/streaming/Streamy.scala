@@ -137,13 +137,13 @@ object Streamy {
     "stream_session" -> """
       WITH e AS (SELECT user_id, event_id,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-      f AS (SELECT user_id, us,
+      f AS (SELECT user_id, event_id, us,
                    CASE WHEN LAG(us) OVER w IS NULL
                           OR us - LAG(us) OVER w >= 1800000000
                         THEN 1 ELSE 0 END AS new_s
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       g AS (SELECT user_id, us,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
             FROM f)
       SELECT user_id, make_timestamp(MIN(us)) AS session_start,
