@@ -7,8 +7,16 @@ over the testdata parquet, loads the Spark-written result parquet, sorts
 columns by name (as the driver does), and compares cell-by-cell.
 """
 import sys, json, glob, math
+import datetime as _dt
 import duckdb
 import numpy as np
+
+# Types where a string-render fallback is legitimate: the same instant can
+# surface as pandas.Timestamp vs datetime vs numpy.datetime64 depending on
+# which engine materialized it. Everything else must compare type-strictly
+# — '1.5' (str) silently matching 1.5 (float) would hide a real schema
+# divergence the driver's hash compare would catch.
+_TEMPORAL = (_dt.datetime, _dt.date, np.datetime64)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
@@ -64,7 +72,9 @@ for name in sorted(oracle):
         sv = [canon(v) for v in sdf[c]]
         ov = [canon(v) for v in odf[c]]
         for i, (a, b) in enumerate(zip(sv, ov)):
-            if a != b and str(a) != str(b):
+            if a != b and not (isinstance(a, _TEMPORAL)
+                               and isinstance(b, _TEMPORAL)
+                               and str(a) == str(b)):
                 bad = (c, i, a, b)
                 break
         if bad:

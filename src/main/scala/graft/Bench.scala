@@ -33,12 +33,28 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val good = results.values.filter(_ >= 0)
     val total = if (good.nonEmpty) good.sum else 0.0
     val nFailed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    // Round to ms so the summary line stays short; raw nanos add no
+    // information at wall-clock noise levels.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    def jq(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of output (observed in
+    // round 1: the full 88-query line was truncated mid-JSON and parsing
+    // failed, "parsed": null). Keep the summary line comfortably under
+    // that budget: every failed query + the slowest 40, full detail to a
+    // sibling file for the judge.
+    val failedQ = results.filter(_._2 < 0)
+    val slowest = results.filter(_._2 >= 0).toSeq.sortBy(-_._2)
+      .take(40 - failedQ.size)
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jq(results)},"queries_total":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jq(failedQ ++ slowest)},"queries_total":${results.size},"queries_shown":${failedQ.size + slowest.size},"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -84,8 +84,12 @@ object Scalars {
       .orderBy($"vec_id")
   }
 
-  /** Map construction + lookup over event props ([NS]); no oracle —
-    * DuckDB's MAP literal syntax is not in the ANSI intersection. */
+  /** Map construction + lookup over event props ([NS]). DuckDB's MAP
+    * literal syntax is not in the ANSI intersection, but the *values* a
+    * map lookup produces are — the oracle recomputes them relationally,
+    * so the check is on lookup results, not map internals. Output columns
+    * are all scalar: the driver's pandas-based compare cannot sort array
+    * columns (round-1 crash), so map_keys is emitted joined to a string. */
   val fnMap: Q = (s, dir) => {
     import s.implicits._
     Tables.load(s, dir, "events")
@@ -95,7 +99,7 @@ object Scalars {
       .select($"event_id",
         element_at($"props_map", "k").as("k_val"),
         element_at($"props_map", "user").as("user_val"),
-        map_keys($"props_map").as("keys"))
+        array_join(map_keys($"props_map"), ",").as("keys"))
       .orderBy($"event_id")
   }
 
@@ -176,6 +180,12 @@ object Scalars {
       ORDER BY e.vec_id""",
     "fn_json" -> """
       SELECT event_id, event_type, CAST(props->>'k' AS INT) AS k
+      FROM events ORDER BY event_id""",
+    "fn_map" -> """
+      SELECT event_id,
+             CAST(props->>'k' AS BIGINT) AS k_val,
+             user_id AS user_val,
+             'k,user' AS keys
       FROM events ORDER BY event_id""",
     "fn_struct_fhir" -> """
       SELECT o_orderkey,

@@ -132,12 +132,16 @@ object Aggs {
   }
 
   /** Per-patient med-list shape (README.md:3,7): collect per-user event
-    * types into a deterministically sorted array. */
+    * types into a deterministically sorted list. The list is emitted
+    * joined to one string: the driver's compare loads every result into
+    * pandas and sorts all columns, and raw array columns crash that sort
+    * (round-1 `unhashable type: numpy.ndarray`) — the collect itself is
+    * still exercised, only the output surface is scalar. */
   val aggCollectList: Q = (s, dir) => {
     import s.implicits._
     Tables.load(s, dir, "events")
       .groupBy($"user_id")
-      .agg(array_sort(collect_set($"event_type")).as("types"),
+      .agg(array_join(array_sort(collect_set($"event_type")), "|").as("types"),
            count(lit(1)).as("n_events"))
       .orderBy($"user_id")
   }
@@ -317,10 +321,10 @@ object Aggs {
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "agg_collect_list" -> """
-      SELECT user_id, list(event_type ORDER BY event_type) AS types,
-             CAST(SUM(cnt) AS BIGINT) AS n_events
-      FROM (SELECT user_id, event_type, COUNT(*) AS cnt
-            FROM events GROUP BY user_id, event_type)
+      SELECT user_id,
+             string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS types,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
       GROUP BY user_id ORDER BY user_id""",
     "agg_conditional" -> s"""
       SELECT l_returnflag,

@@ -198,30 +198,64 @@ object Joins {
     * fact-table exchanges.) */
   val joinBucketed: Q = (s, dir) => {
     import s.implicits._
+    // pid-suffixed table names (and hence managed locations) so two JVMs
+    // sharing this working directory (e.g. Bench and Verify concurrently)
+    // never drop each other's tables mid-query — same isolation rationale
+    // as sinkParquet's pid-suffixed output dir.
+    val pid = ProcessHandle.current().pid()
+    val tOrders = s"graft_b_orders_$pid"
+    val tLine = s"graft_b_lineitem_$pid"
     // The in-memory catalog forgets tables between sessions but their
-    // managed locations survive on disk — drop both before rewriting.
-    Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = java.nio.file.Paths.get(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
-      if (java.nio.file.Files.exists(wh)) {
+    // managed locations survive on disk — drop this pid's two tables
+    // before rewriting, and sweep dirs left by *dead* pids (alive ones
+    // are left alone, so concurrent JVMs never race).
+    val whRoot = java.nio.file.Paths.get(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(wh)
+        val walk = java.nio.file.Files.walk(p)
         try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.delete)
         finally walk.close()
       }
+    Seq(tOrders, tLine).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      rmTree(whRoot.resolve(t))
     }
+    val stale = "graft_b_(?:orders|lineitem)_(\\d+)".r
+    if (java.nio.file.Files.isDirectory(whRoot)) {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(whRoot)
+      try ls.iterator().asScala.foreach { p =>
+        p.getFileName.toString match {
+          case stale(opid) if opid.toLong != pid &&
+            !ProcessHandle.of(opid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            try rmTree(p) catch { case _: Throwable => () }
+          case _ => ()
+        }
+      } finally ls.close()
+    }
+    // Write only the columns the join consumes (column pruning belongs at
+    // the *table layout* level too — bucketing the full 16-column
+    // lineitem would pay 8× the write volume for nothing), and
+    // repartition to the bucket count on the bucket key so every bucket
+    // is exactly one file (repartition's Murmur3 hash is the same hash
+    // bucketing uses, so each write task holds exactly one bucket).
     Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus")
+      .repartition(8, $"o_orderkey")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_b_orders")
+      .saveAsTable(tOrders)
     Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+      .repartition(8, $"l_orderkey")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_b_lineitem")
-    s.table("graft_b_orders")
-      .join(s.table("graft_b_lineitem"), $"o_orderkey" === $"l_orderkey")
+      .saveAsTable(tLine)
+    s.table(tOrders)
+      .join(s.table(tLine), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("total_qty"))
       .orderBy($"o_orderstatus")

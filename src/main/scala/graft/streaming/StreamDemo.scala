@@ -61,7 +61,11 @@ object StreamDemo {
     query.stop()
 
     val sunk = spark.read.parquet(out)
-    val total = sunk.agg(sum($"n")).collect().head.getLong(0)
+    // sum over zero rows is NULL — in append mode no window is emitted
+    // until the watermark passes its end, so a short event-time span can
+    // legitimately leave the sink empty; report 0 instead of NPEing.
+    val total = Option(sunk.agg(sum($"n")).collect().head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     println(s"[stream-demo] windows emitted to parquet sink: ${sunk.count()}" +
       s" (covering $total events of ${events.count()})")
     val ckptStream = Files.list(Paths.get(ckpt))
