@@ -43,9 +43,12 @@ object Joins {
     val li = Tables.load(s, dir, "lineitem")
     val perPart = li.groupBy($"l_orderkey".as("g_okey"), $"l_partkey".as("g_pkey"))
       .agg(dsum($"l_quantity").as("part_qty"), count(lit(1)).as("n_lines"))
+      // Filter below the join, not above it: only multi-line groups (a
+      // small fraction) survive, so the join's build side shrinks before
+      // it is shuffled/broadcast instead of after.
+      .filter($"n_lines" > 1)
     li.join(perPart,
         li("l_orderkey") === perPart("g_okey") && li("l_partkey") === perPart("g_pkey"))
-      .filter($"n_lines" > 1)
       .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity",
         $"part_qty", $"n_lines")
       .orderBy($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity",
@@ -141,6 +144,35 @@ object Joins {
     s1.join(broadcast(s2), $"o_acctbal" > $"s_acctbal", "left")
       .groupBy($"s_suppkey", $"s_acctbal")
       .agg(sum(when($"o_suppkey".isNotNull, 1L).otherwise(0L)).as("n_richer"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Binned range join — the 100 TB form of the theta join above. A
+    * band predicate |b.val − a.val| ≤ w joined naively is a
+    * BroadcastNestedLoop (O(n·m), only safe while one side broadcasts).
+    * Binning both sides to ⌊val/w⌋ and exploding one side to its three
+    * candidate bins turns it into a plain shuffled EQUI join on the bin
+    * key — both sides scale out, no broadcast required — with the exact
+    * predicate re-checked after the equi match. Each pair meets at most
+    * once (the probe side keeps one bin; the build side's three exploded
+    * bins are distinct). Semantics: suppliers with an account balance
+    * within ±100 of each other (README.md:8-9 price-band comparison). */
+  val joinRangeBinned: Q = (s, dir) => {
+    import s.implicits._
+    val w = 100.0
+    val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_acctbal")
+    val probe = sup.withColumn("bin", floor($"s_acctbal" / w))
+    val build = sup
+      .select($"s_suppkey".as("o_key"), $"s_acctbal".as("o_bal"))
+      .withColumn("bin", explode(array(
+        floor($"o_bal" / w) - 1, floor($"o_bal" / w), floor($"o_bal" / w) + 1)))
+    val near = probe.join(build,
+        probe("bin") === build("bin") &&
+          abs($"o_bal" - $"s_acctbal") <= w && $"o_key" =!= $"s_suppkey")
+      .groupBy($"s_suppkey".as("c_key")).agg(count(lit(1)).as("n_near"))
+    sup.join(near, $"s_suppkey" === $"c_key", "left")
+      .select($"s_suppkey", $"s_acctbal",
+        coalesce($"n_near", lit(0L)).as("n_near"))
       .orderBy($"s_suppkey")
   }
 
@@ -272,6 +304,7 @@ object Joins {
     "join_broadcast" -> joinBroadcast,
     "join_cross" -> joinCross,
     "join_theta_range" -> joinThetaRange,
+    "join_range_binned" -> joinRangeBinned,
     "join_self_overlap" -> joinSelfOverlap,
     "join_asof" -> joinAsof)
 
@@ -346,6 +379,15 @@ object Joins {
       LEFT JOIN (SELECT s_suppkey AS o_suppkey, s_acctbal AS o_acctbal
                  FROM supplier) s2
         ON s2.o_acctbal > s1.s_acctbal
+      GROUP BY s1.s_suppkey, s1.s_acctbal
+      ORDER BY s1.s_suppkey""",
+    "join_range_binned" -> """
+      SELECT s1.s_suppkey, s1.s_acctbal,
+             CAST(COUNT(s2.s_suppkey) AS BIGINT) AS n_near
+      FROM supplier s1
+      LEFT JOIN supplier s2
+        ON s2.s_suppkey <> s1.s_suppkey
+       AND abs(s2.s_acctbal - s1.s_acctbal) <= 100.0
       GROUP BY s1.s_suppkey, s1.s_acctbal
       ORDER BY s1.s_suppkey""",
     "join_self_overlap" -> """

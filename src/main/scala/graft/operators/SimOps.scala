@@ -114,6 +114,47 @@ object SimOps {
       .orderBy($"d1")
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization — the other
+    * standard scale path next to LSH: a small fixed centroid set
+    * broadcasts, every vector is assigned to its nearest centroid
+    * (argmax cosine, computed distributed as max-of-struct — no window,
+    * no shuffle beyond the final groupBy), and probes search only their
+    * own cell (nprobe=1). All-pairs O(n²) becomes per-cell joins whose
+    * fan-in is n/K on balanced data; on a cluster the assignment is one
+    * broadcast-join pass over the corpus. Centroids here are the first
+    * 16 corpus vectors (deterministic stand-in for k-means — the
+    * partitioning structure, not the training loop, is the operator).
+    * No oracle (cell boundaries aren't ANSI-expressible); deterministic
+    * by construction. */
+  val simAnnIvf: Q = (s, dir) => {
+    import s.implicits._
+    val e = vectorsWithNorm(s, dir)
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"v".as("c_v"), $"nrm".as("c_nrm"))
+    // argmax cosine per vector: max over struct(cos, 15-cent_id) picks
+    // the highest cosine, ties to the lowest centroid id.
+    val cells = e.crossJoin(broadcast(cents))
+      .select($"vec_id", struct(
+        (dotD($"v", $"c_v") / ($"nrm" * $"c_nrm")).as("cos"),
+        (lit(15) - $"cent_id").as("inv")).as("sc"))
+      .groupBy($"vec_id").agg(max($"sc").as("best"))
+      .select($"vec_id", (lit(15) - $"best.inv").as("cell"))
+    val ev = e.join(cells, "vec_id")
+    val probes = ev.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("p_v"), $"nrm".as("p_nrm"), $"cell")
+    val cands = ev.select($"vec_id".as("neighbor_id"), $"v".as("c_v"),
+      $"nrm".as("c_nrm"), $"cell".as("cell2"))
+    val pairs = probes.join(cands,
+        $"cell" === $"cell2" && $"probe_id" =!= $"neighbor_id")
+      .select($"probe_id", $"cell", $"neighbor_id",
+        round(dotD($"p_v", $"c_v") / ($"p_nrm" * $"c_nrm"), 4).as("cosine"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"probe_id", $"cell", $"rnk", $"neighbor_id", $"cosine")
+      .orderBy($"probe_id", $"rnk")
+  }
+
   /** MinHash-LSH near-dup: shingle → seeded-minhash signature → band →
     * bucket-join, the standard web-scale dedup pipeline, built natively
     * from codegen'd expressions (seeded xxhash64 + min-aggregate) rather
@@ -253,6 +294,7 @@ object SimOps {
   val queries: Map[String, Q] = Map(
     "sim_cosine_topk" -> simCosineTopk,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_near_minhash" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,

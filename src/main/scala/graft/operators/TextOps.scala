@@ -154,12 +154,19 @@ object TextOps {
   val dedupNgramJaccard: Q = (s, dir) => {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
+    // The (lang, source) band and the bigram itself are folded into one
+    // xxhash64 key before the distinct + self-join: the shuffles then
+    // carry (long, long) rows instead of full bigram strings — at 100 TB
+    // the token-level self-join is shuffle-bound, so key width is the
+    // cost driver. A 64-bit collision would need ~2^32 distinct bigrams
+    // per band to become likely (billions of docs away).
     val bg = docs.select($"doc_id", $"lang", $"source",
-        explode(bigrams(tokens($"text"))).as("bgm")).distinct()
+        explode(bigrams(tokens($"text"))).as("bgm"))
+      .select($"doc_id", xxhash64($"bgm", $"lang", $"source").as("h"))
+      .distinct()
     val sizes = bg.groupBy($"doc_id").agg(count(lit(1)).as("n_bg"))
     val inter = bg.as("a").join(bg.as("b"),
-        col("a.bgm") === col("b.bgm") && col("a.lang") === col("b.lang") &&
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_bg", "n1"), "d1")

@@ -109,6 +109,44 @@ object Scans {
       .orderBy($"o_orderstatus")
   }
 
+  /** ORC sink + re-read round-trip — Spark's second first-class columnar
+    * format (built into spark-sql, no extra jars): same predicate
+    * pushdown / column pruning machinery as parquet, so a pipeline can
+    * land in either without plan changes. Values compare against the
+    * DuckDB oracle over the original parquet, proving the round-trip is
+    * identity on values. */
+  val sinkOrc: Q = (s, dir) => {
+    import s.implicits._
+    val agg = Tables.load(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orc_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    agg.write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy($"o_orderpriority")
+  }
+
+  /** CSV sink + typed re-read round-trip — the interchange format every
+    * external consumer still speaks. Projection uses integer cents and
+    * strings only, so the text round-trip is exact (no float
+    * formatting ambiguity); the re-read parses with an explicit schema
+    * (never inferSchema — a second pass over 100 TB). */
+  val sinkCsv: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_csv_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long").as("acctbal_cents"),
+        $"c_mktsegment")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+          "acctbal_cents BIGINT, c_mktsegment STRING")
+      .option("header", "true").csv(out)
+      .orderBy($"c_custkey")
+  }
+
   /** SQL-centric staging surface (README.md:7): register every table as
     * a view and run one multi-table SQL statement — the exact string the
     * DuckDB oracle runs too. */
@@ -133,6 +171,8 @@ object Scans {
     "sink_parquet" -> sinkParquet,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_json_fhir" -> sinkJsonFhir,
+    "sink_orc" -> sinkOrc,
+    "sink_csv" -> sinkCsv,
     "register_view_sql" -> registerViewSql)
 
   val oracle: Map[String, String] = Map(
@@ -165,5 +205,14 @@ object Scans {
                     '","status":"draft","subject":{"reference":"Patient/', o_custkey,
                     '"},"authoredOn":"', strftime(o_orderdate, '%Y-%m-%d'), '"}') AS resource
       FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "sink_orc" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sink_csv" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             c_mktsegment
+      FROM customer ORDER BY c_custkey""",
     "register_view_sql" -> registerViewSqlText)
 }

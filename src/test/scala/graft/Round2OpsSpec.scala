@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, SimOps}
+import graft.sources.Scans
+
+/** Round-2 operators: binned range join, ORC/CSV sink round-trips,
+  * IVF ANN (SURVEY §2.3/§2.1/§2.11 extensions).
+  */
+class Round2OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join_range_binned equals the naive theta-join neighbor counts") {
+    val sup = Tables.load(spark, sf(), "supplier")
+      .select($"s_suppkey", $"s_acctbal")
+    val naive = sup.as("a").join(sup.as("b"),
+        col("b.s_suppkey") =!= col("a.s_suppkey") &&
+          abs(col("b.s_acctbal") - col("a.s_acctbal")) <= 100.0, "left")
+      .groupBy(col("a.s_suppkey").as("k"))
+      .agg(sum(when(col("b.s_suppkey").isNotNull, 1L).otherwise(0L)).as("n"))
+    val binned = Joins.joinRangeBinned(spark, sf())
+    val diff = binned.join(naive, $"s_suppkey" === $"k")
+      .filter($"n_near" =!= $"n")
+    assert(diff.count() == 0)
+    assert(binned.count() == sup.count(), "every supplier appears exactly once")
+  }
+
+  test("join_range_binned counts pairs, not bin duplicates") {
+    // a value sitting exactly on a bin edge must not be counted twice
+    val binned = Joins.joinRangeBinned(spark, sf()).collect()
+    assert(binned.map(_.getLong(0)).distinct.length == binned.length)
+  }
+
+  test("sink_orc round-trip equals the direct aggregation") {
+    val direct = Tables.load(spark, sf(), "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority").collect()
+    val rt = Scans.sinkOrc(spark, sf()).collect()
+    assert(rt.toSeq == direct.toSeq)
+  }
+
+  test("sink_csv round-trip is identity on the typed projection") {
+    val direct = Tables.load(spark, sf(), "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long").as("acctbal_cents"),
+        $"c_mktsegment")
+      .orderBy($"c_custkey").collect()
+    val rt = Scans.sinkCsv(spark, sf()).collect()
+    assert(rt.toSeq == direct.toSeq)
+  }
+
+  test("sim_ann_ivf: well-formed, deterministic, and recall vs exact > 0") {
+    val ivf = SimOps.simAnnIvf(spark, sf())
+    val rows = ivf.collect()
+    // per-probe: ranks are 1..k without gaps, cosine non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq == (1L to byRank.length).toSeq)
+      val cosines = byRank.map(_.getDouble(4)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+    // deterministic across independent evaluations
+    assert(SimOps.simAnnIvf(spark, sf()).collect().toSeq == rows.toSeq)
+    // nonzero overlap with the exact brute-force top-5 (cells shrink the
+    // candidate set; on this corpus at least some exact neighbors share
+    // the probe's cell)
+    val exact = SimOps.simCosineTopk(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = rows.map(r => (r.getLong(0), r.getLong(3))).count(exact)
+    assert(hits > 0, s"IVF found none of the exact top-5 neighbors")
+  }
+}
