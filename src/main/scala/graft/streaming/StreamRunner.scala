@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Genuinely streaming forms of the Streamy batch twins (SURVEY §2.9).
   *
@@ -72,6 +72,48 @@ object StreamRunner {
     events.filter(_.event_type == "purchase")
       .groupByKey(_.user_id)
       .transformWithState(new PurchaseProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  case class TypeUpdate(user_id: Long, event_id: Long, event_type: String,
+                        n_types_so_far: Long)
+
+  /** Per-user distinct-event-type tracker on transformWithState using a
+    * MapState column family (set-of-seen-types) next to a ValueState
+    * counter — the state shape a 100 TB profile-building pipeline keeps
+    * per entity. Emits, per event, how many distinct types the user has
+    * produced so far. Batch twin: Streamy.streamTwsTypes. */
+  class DistinctTypesProcessor
+      extends StatefulProcessor[Long, Ev, TypeUpdate] {
+    @transient private var seen: MapState[String, Boolean] = _
+    @transient private var nTypes: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[String, Boolean](
+        "seen_types", Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+      nTypes = getHandle.getValueState[Long](
+        "n_types", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[TypeUpdate] = {
+      var n = if (nTypes.exists()) nTypes.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        if (!seen.containsKey(e.event_type)) {
+          seen.updateValue(e.event_type, true)
+          n += 1
+        }
+        TypeUpdate(uid, e.event_id, e.event_type, n)
+      }
+      nTypes.update(n)
+      out.iterator
+    }
+  }
+
+  def distinctTypesTws(events: Dataset[Ev]): Dataset[TypeUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new DistinctTypesProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

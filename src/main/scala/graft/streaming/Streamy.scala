@@ -115,7 +115,27 @@ object Streamy {
       .orderBy($"event_id")
   }
 
+  /** Running distinct-event-type count per user — batch twin of
+    * StreamRunner.distinctTypesTws (transformWithState + MapState).
+    * Expressed relationally so the oracle can check it: an event is
+    * "new" iff it's the first of its (user, type) in arrival order;
+    * the running sum of the new-flags is the distinct count so far. */
+  val streamTwsTypes: Q = (s, dir) => {
+    import s.implicits._
+    val wNew = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"us", $"event_id")
+    val wRun = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("is_new", (row_number().over(wNew) === 1).cast("long"))
+      .withColumn("n_types_so_far", sum($"is_new").over(wRun))
+      .select($"user_id", $"event_id", $"event_type", $"n_types_so_far")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_tws_types" -> streamTwsTypes,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -124,6 +144,17 @@ object Streamy {
     "stream_stateful" -> streamStateful)
 
   val oracle: Map[String, String] = Map(
+    "stream_tws_types" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      f AS (SELECT *, CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY us, event_id) = 1
+                 THEN 1 ELSE 0 END AS is_new FROM e)
+      SELECT user_id, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_types_so_far
+      FROM f ORDER BY event_id""",
     "stream_tumbling" -> s"""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
              event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value

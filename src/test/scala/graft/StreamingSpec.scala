@@ -118,6 +118,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState MapState tracks distinct types across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.distinctTypesTws(ms.toDS())
+      .writeStream.format("memory").queryName("twstypes").outputMode("append").start()
+    try {
+      ms.addData(evs.take(3)) // user 1: purchase, view, purchase
+      q.processAllAvailable()
+      ms.addData(evs.drop(3)) // user 1: purchase; user 2: purchase ×2
+      q.processAllAvailable()
+      val got = spark.table("twstypes")
+        .as[StreamRunner.TypeUpdate].collect()
+        .map(u => u.event_id -> u.n_types_so_far).toMap
+      assert(got(1L) == 1L) // first type for user 1
+      assert(got(2L) == 2L) // "view" is new
+      assert(got(3L) == 2L) // repeat "purchase"
+      assert(got(4L) == 2L, "MapState must survive into batch 2")
+      assert(got(5L) == 1L && got(6L) == 1L)
+    } finally q.stop()
+  }
+
+  test("distinct-types streaming output equals the Streamy batch twin rows") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    ms.addData(evs)
+    val q = StreamRunner.distinctTypesTws(ms.toDS())
+      .writeStream.format("memory").queryName("twstwin").outputMode("append").start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("twstwin")
+        .as[StreamRunner.TypeUpdate].collect().toSet }
+      finally q.stop()
+    // batch twin on the same rows via the same window expressions
+    import org.apache.spark.sql.expressions.Window
+    val wNew = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    val wRun = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = evs.toDS()
+      .withColumn("is_new", (org.apache.spark.sql.functions.row_number().over(wNew) === 1).cast("long"))
+      .withColumn("n_types_so_far", org.apache.spark.sql.functions.sum($"is_new").over(wRun))
+      .select($"user_id", $"event_id", $"event_type", $"n_types_so_far")
+      .as[StreamRunner.TypeUpdate].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("watermark drops a too-late event from the windowed aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
