@@ -187,6 +187,24 @@ object Aggs {
       .orderBy($"l_returnflag")
   }
 
+  /** Sketch percentile next to its exact twin in one row — the
+    * 100 TB pattern: approx_percentile is a single-pass mergeable
+    * sketch (no global sort), the exact form is the correctness
+    * reference. No oracle (sketch, SURVEY §0.2.3): DuckDB's
+    * approximation differs by construction; the exact column is
+    * already oracle-covered by agg_percentile. */
+  val aggApproxPercentile: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_percentile($"l_extendedprice", lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        round(percentile($"l_extendedprice", lit(0.5)), 4)
+          .as("exact_median_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Two-stage salted aggregation — the skew-mitigation pattern: a hot
     * key is first split across 8 salt shards (partial agg per shard
     * shuffles on the wide (key, salt) pair), then the shards collapse
@@ -235,6 +253,7 @@ object Aggs {
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "agg_salted_skew" -> aggSaltedSkew,
+    "agg_approx_percentile" -> aggApproxPercentile,
     "agg_groupby_hash" -> aggGroupbyHash,
     "agg_global" -> aggGlobal,
     "agg_having" -> aggHaving,

@@ -193,6 +193,30 @@ object Joins {
       .orderBy($"okey", $"pkey", $"ln1", $"ln2", $"qty1", $"qty2")
   }
 
+  /** Salted fact⋈dim join — the join-side skew mitigation (the agg-side
+    * twin is agg_salted_skew): the fact side gets a deterministic salt
+    * in [0,8), the dim side is replicated ×8 with every salt value, and
+    * the join runs on (key, salt) — a hot key's rows now land on 8
+    * reducers instead of one. Salting must be a no-op on the result, so
+    * this stays oracle-checked against the plain join. (At toy SF
+    * Catalyst broadcasts the replicated dim — also correct; once the dim
+    * outgrows the threshold the (key, salt) shuffle is what prevents a
+    * single hot-key reducer from capping the join.) */
+  val joinSkewSalted: Q = (s, dir) => {
+    import s.implicits._
+    val nSalt = 8
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity",
+        pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(nSalt)).as("salt"))
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority")
+      .withColumn("salt", explode(array((0 until nSalt).map(lit): _*)))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("total_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** As-of join — latest price effective at order date (README.md:8);
     * testdata form: each order paired with the same customer's most
     * recent earlier order. ANSI shape (time-conditioned join +
@@ -305,6 +329,7 @@ object Joins {
     "join_cross" -> joinCross,
     "join_theta_range" -> joinThetaRange,
     "join_range_binned" -> joinRangeBinned,
+    "join_skew_salted" -> joinSkewSalted,
     "join_self_overlap" -> joinSelfOverlap,
     "join_asof" -> joinAsof)
 
@@ -381,6 +406,11 @@ object Joins {
         ON s2.o_acctbal > s1.s_acctbal
       GROUP BY s1.s_suppkey, s1.s_acctbal
       ORDER BY s1.s_suppkey""",
+    "join_skew_salted" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+             ${dsumSql("l_quantity")} AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "join_range_binned" -> """
       SELECT s1.s_suppkey, s1.s_acctbal,
              CAST(COUNT(s2.s_suppkey) AS BIGINT) AS n_near

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Joins, SimOps}
+import graft.operators.{Aggs, Joins, SimOps}
 import graft.sources.Scans
 
 /** Round-2 operators: binned range join, ORC/CSV sink round-trips,
@@ -48,6 +48,29 @@ class Round2OpsSpec extends SparkSpec {
       .orderBy($"c_custkey").collect()
     val rt = Scans.sinkCsv(spark, sf()).collect()
     assert(rt.toSeq == direct.toSeq)
+  }
+
+  test("join_skew_salted equals the unsalted join (salting is a no-op on values)") {
+    val li = Tables.load(spark, sf(), "lineitem")
+    val o = Tables.load(spark, sf(), "orders")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), Qx.dsum($"l_quantity").as("total_qty"))
+      .orderBy($"o_orderpriority").collect()
+    val salted = Joins.joinSkewSalted(spark, sf()).collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("agg_approx_percentile is deterministic and brackets the exact median") {
+    val a = Aggs.aggApproxPercentile(spark, sf()).collect()
+    val b = Aggs.aggApproxPercentile(spark, sf()).collect()
+    assert(a.toSeq == b.toSeq, "sketch must be run-to-run deterministic")
+    a.foreach { r =>
+      val approx = r.getDouble(1)
+      val exact = r.getDouble(2)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx median $approx too far from exact $exact")
+    }
   }
 
   test("sim_ann_ivf: well-formed, deterministic, and recall vs exact > 0") {
