@@ -59,7 +59,32 @@ object PlanAudit {
       """Skew mitigation: stage 1 shuffles on (user_id, salt) spreading
         |a hot key over 8 shards; stage 2 collapses 8 rows per key.
         |Exact decimal partials make the two-stage sum equal the
-        |one-stage sum bit for bit.""".stripMargin)
+        |one-stage sum bit for bit.""".stripMargin,
+    "join_range_binned" ->
+      """Band predicate as a shuffled EQUI join: both sides keyed by
+        |floor(val/width), build side exploded to its 3 candidate bins,
+        |exact predicate re-checked post-match. Expect hash joins /
+        |shuffles on the bin key and NO BroadcastNestedLoop anywhere —
+        |this is the range-join form that still works when neither side
+        |fits the broadcast threshold.""".stripMargin,
+    "join_skew_salted" ->
+      """Join-side skew mitigation: fact salted by hash mod 8, dim
+        |replicated ×8 via explode, equi join on (key, salt). A hot key
+        |lands on 8 reducers instead of 1. Expect the join keyed on both
+        |columns; at toy SF the replicated dim still broadcasts
+        |(correct), at scale the (key, salt) exchange is the point.""".stripMargin,
+    "pipeline_curate" ->
+      """Composed curation pipeline (quality gate → exact dedup →
+        |near-dedup → stats). Expect: the lang/length filters pushed
+        |into the documents scan; dedups shuffling on content-derived
+        |hash keys (never doc_id); left-semi and left-anti joins for
+        |keep/drop sets; one final map-side-combined aggregate.""".stripMargin,
+    "sim_ann_ivf" ->
+      """IVF ANN: 16-centroid set broadcast, argmax-cosine cell
+        |assignment as max-of-struct aggregate (no window, no sort),
+        |per-cell candidate join. Expect BroadcastNestedLoopJoin ONLY
+        |against the 16-row centroid set (bounded), then hash joins on
+        |the cell id for probe×candidate.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -212,7 +212,49 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end training-data curation pipeline — the composed form of
+    * the operators above, the shape a 100 TB pre-training corpus
+    * actually runs: quality gate (lang + length) → exact dedup (keep
+    * smallest doc per normalized hash) → near-dedup (bigram Jaccard
+    * ≥ 0.5 within source band drops the newer doc) → per-source corpus
+    * stats. Every stage is exact, so the whole pipeline stays
+    * oracle-checkable end to end. Scale notes: the quality gate is a
+    * pushed-down filter; both dedups shuffle on content-derived keys
+    * (hash / hashed bigram), never on doc_id, so they share nothing
+    * per-partition; the final stats are one map-side-combined agg. */
+  val pipelineCurate: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val kept = docs
+      .withColumn("n_tokens", size(tokens($"text")))
+      .filter($"lang" === "en" && $"n_chars" >= 50 && $"n_tokens" >= 10)
+    val keepers = kept.groupBy(md5(lower(trim($"text"))).as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+    val ex = kept.join(keepers.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val bg = ex.select($"doc_id", $"source",
+        explode(bigrams(tokens($"text"))).as("bgm"))
+      .select($"doc_id", xxhash64($"bgm", $"source").as("hb"))
+      .distinct()
+    val sizes = bg.groupBy($"doc_id").agg(count(lit(1)).as("n_bg"))
+    val dropIds = bg.as("a").join(bg.as("b"),
+        col("a.hb") === col("b.hb") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("d1"), $"n_bg".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n_bg".as("n2")), "d2")
+      .filter($"inter".cast("double") / ($"n1" + $"n2" - $"inter").cast("double") >= 0.5)
+      .select($"d2".as("doc_id")).distinct()
+    val surv = ex.join(dropIds, Seq("doc_id"), "left_anti")
+    surv.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"n_chars").as("total_chars"),
+        round(sum($"n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_curate" -> pipelineCurate,
     "text_clean" -> textClean,
     "text_pii_redact" -> textPiiRedact,
     "text_tokenize_tf" -> textTokenizeTf,
@@ -333,6 +375,39 @@ object TextOps {
       SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keeper_doc,
              COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keeper_doc""",
+    "pipeline_curate" -> """
+      WITH kept AS (
+        SELECT doc_id, text, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        FROM documents
+        WHERE lang = 'en' AND n_chars >= 50
+          AND len(string_split(text, ' ')) >= 10),
+      ex AS (SELECT k.* FROM kept k
+             JOIN (SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keeper
+                   FROM kept GROUP BY 1) m ON k.doc_id = m.keeper),
+      t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM ex),
+      bg AS (SELECT DISTINCT doc_id, source, toks[i] || ' ' || toks[i + 1] AS bgm
+             FROM (SELECT doc_id, source, toks,
+                          generate_subscripts(toks, 1) AS i FROM t)
+             WHERE i < len(toks)),
+      sz AS (SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY doc_id),
+      drop_ids AS (
+        SELECT DISTINCT d2 AS doc_id FROM (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM bg a JOIN bg b ON a.bgm = b.bgm AND a.source = b.source
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) p
+        JOIN sz s1 ON s1.doc_id = p.d1
+        JOIN sz s2 ON s2.doc_id = p.d2
+        WHERE CAST(inter AS DOUBLE)
+                / CAST(s1.n_bg + s2.n_bg - inter AS DOUBLE) >= 0.5),
+      surv AS (SELECT * FROM ex
+               WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids))
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+      FROM surv GROUP BY source ORDER BY source""",
     "dedup_ngram_jaccard" -> """
       WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
                  FROM documents),
