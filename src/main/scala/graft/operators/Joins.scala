@@ -193,6 +193,35 @@ object Joins {
       .orderBy($"okey", $"pkey", $"ln1", $"ln2", $"qty1", $"qty2")
   }
 
+  /** Dynamic-partition-pruning join — THE 100 TB star-join I/O saver:
+    * the fact table lives partitioned on the join column; a selective
+    * filter on the dim side becomes a runtime pruning subquery on the
+    * fact scan (Spark's DPP), so entire fact partitions are skipped
+    * before any I/O — the dim filter's selectivity multiplies directly
+    * into bytes read. Locally the fact is materialized
+    * partitionBy(o_orderstatus) first (pid-isolated dir), mirroring a
+    * production partitioned layout. */
+  val joinPartitionPruned: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_fact_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    Tables.load(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val fact = s.read.parquet(out)
+    // The dim must be a *file* source: a literal LocalRelation would be
+    // constant-folded through its filter, and DPP only fires when the
+    // build side still carries a selective predicate at planning time.
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "status_name")
+      .write.mode("overwrite").parquet(s"${out}_dim")
+    val dim = s.read.parquet(s"${out}_dim")
+    fact.join(broadcast(dim.filter($"status_name" === "finished")),
+        fact("o_orderstatus") === dim("status"))
+      .groupBy($"o_orderstatus", $"status_name")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Salted fact⋈dim join — the join-side skew mitigation (the agg-side
     * twin is agg_salted_skew): the fact side gets a deterministic salt
     * in [0,8), the dim side is replicated ×8 with every salt value, and
@@ -330,6 +359,7 @@ object Joins {
     "join_theta_range" -> joinThetaRange,
     "join_range_binned" -> joinRangeBinned,
     "join_skew_salted" -> joinSkewSalted,
+    "join_partition_pruned" -> joinPartitionPruned,
     "join_self_overlap" -> joinSelfOverlap,
     "join_asof" -> joinAsof)
 
@@ -406,6 +436,11 @@ object Joins {
         ON s2.o_acctbal > s1.s_acctbal
       GROUP BY s1.s_suppkey, s1.s_acctbal
       ORDER BY s1.s_suppkey""",
+    "join_partition_pruned" -> s"""
+      SELECT o_orderstatus, 'finished' AS status_name, COUNT(*) AS n,
+             ${dsumSql("o_totalprice")} AS total
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_skew_salted" -> s"""
       SELECT o_orderpriority, COUNT(*) AS n_lines,
              ${dsumSql("l_quantity")} AS total_qty

@@ -109,6 +109,28 @@ object Scans {
       .orderBy($"o_orderstatus")
   }
 
+  /** Schema-evolution scan (mergeSchema) — how a 100 TB table actually
+    * grows: early files lack a column later files carry; the merged
+    * read resolves the union schema and nulls the missing column in old
+    * files, with no rewrite of historical data. Two batches are
+    * materialized with divergent schemas (pid-isolated dir), then read
+    * back merged. */
+  val scanParquetMergeSchema: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    o.filter($"o_orderkey" <= 1000)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    o.filter($"o_orderkey" > 1000)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
   /** ORC sink + re-read round-trip — Spark's second first-class columnar
     * format (built into spark-sql, no extra jars): same predicate
     * pushdown / column pruning machinery as parquet, so a pipeline can
@@ -173,6 +195,7 @@ object Scans {
     "sink_json_fhir" -> sinkJsonFhir,
     "sink_orc" -> sinkOrc,
     "sink_csv" -> sinkCsv,
+    "scan_parquet_merge_schema" -> scanParquetMergeSchema,
     "register_view_sql" -> registerViewSql)
 
   val oracle: Map[String, String] = Map(
@@ -205,6 +228,11 @@ object Scans {
                     '","status":"draft","subject":{"reference":"Patient/', o_custkey,
                     '"},"authoredOn":"', strftime(o_orderdate, '%Y-%m-%d'), '"}') AS resource
       FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "scan_parquet_merge_schema" -> """
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey <= 1000 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders ORDER BY o_orderkey""",
     "sink_orc" -> s"""
       SELECT o_orderpriority, COUNT(*) AS n,
              ${Qx.dsumSql("o_totalprice")} AS total

@@ -73,6 +73,34 @@ class Round2OpsSpec extends SparkSpec {
     }
   }
 
+  test("join_partition_pruned: DPP prunes fact partitions and values match") {
+    val df = Joins.joinPartitionPruned(spark, sf())
+    val rows = df.collect()
+    // values equal the direct filtered aggregate
+    val direct = Tables.load(spark, sf(), "orders")
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(2) == direct.head.getLong(1))
+    assert(rows.head.getDouble(3) == direct.head.getDouble(2))
+    // the fact scan must carry a runtime pruning predicate on the
+    // partition column (DPP), not read all partitions
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in:\n${plan.take(2000)}")
+  }
+
+  test("scan_parquet_merge_schema: union schema, old files null-filled") {
+    val rows = Scans.scanParquetMergeSchema(spark, sf()).collect()
+    val old = rows.filter(_.getLong(0) <= 1000)
+    val recent = rows.filter(_.getLong(0) > 1000)
+    assert(old.nonEmpty && recent.nonEmpty)
+    assert(old.forall(_.isNullAt(2)), "pre-evolution files must null the new column")
+    assert(recent.forall(!_.isNullAt(2)))
+  }
+
   test("sim_ann_ivf: well-formed, deterministic, and recall vs exact > 0") {
     val ivf = SimOps.simAnnIvf(spark, sf())
     val rows = ivf.collect()
