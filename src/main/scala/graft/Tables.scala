@@ -76,4 +76,36 @@ object Qx {
   /** Oracle-side twin of [[davg]]. */
   def davgSql(expr: String): String =
     s"(${dsumSql(expr)} / CAST(COUNT(*) AS DOUBLE))"
+
+  /** Pid-isolated scratch dir for sink/round-trip operators.
+    *
+    * Returns `$tmpdir/graft_<prefix>_<dirHash>_<pid>` — the dir hash
+    * keeps SFs apart, the pid keeps concurrent JVMs (Bench and Verify in
+    * parallel) from overwriting each other's output mid-read. Before
+    * returning, sweeps same-prefix dirs owned by *dead* pids so repeated
+    * runs don't accumulate table copies in /tmp (live pids are never
+    * touched, so concurrency stays safe). */
+  def tmpOut(prefix: String, sfDir: String): String = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    val stale = s"graft_${prefix}_\\d+_(\\d+)(?:_dim)?".r
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(root)
+      try ls.iterator().asScala.foreach { p =>
+        p.getFileName.toString match {
+          case stale(opid) if opid.toLong != pid &&
+            !ProcessHandle.of(opid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            try {
+              val walk = java.nio.file.Files.walk(p)
+              try walk.iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.delete)
+              finally walk.close()
+            } catch { case _: Throwable => () }
+          case _ => ()
+        }
+      } finally ls.close()
+    }
+    s"$root/graft_${prefix}_${math.abs(sfDir.hashCode.toLong)}_$pid"
+  }
 }

@@ -203,8 +203,9 @@ object Joins {
     * production partitioned layout. */
   val joinPartitionPruned: Q = (s, dir) => {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_fact_" +
-      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    // Qx.tmpOut also sweeps stale dirs of dead pids (this op writes a
+    // full orders copy per run — leaking those would fill /tmp).
+    val out = Qx.tmpOut("dpp_fact", dir)
     Tables.load(s, dir, "orders")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     val fact = s.read.parquet(out)

@@ -69,10 +69,7 @@ object Scans {
     val agg = Tables.load(s, dir, "orders")
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
-    // suffix by input dir AND pid: concurrent JVMs (even at the same SF)
-    // must not overwrite each other's sink mid-read
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet_" +
-      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    val out = Qx.tmpOut("sink_parquet", dir)
     agg.write.mode("overwrite").parquet(out)
     s.read.parquet(out).orderBy($"o_orderstatus")
   }
@@ -98,8 +95,7 @@ object Scans {
     * any I/O (PartitionFilters in the scan, not PushedFilters). */
   val sinkParquetPartitioned: Q = (s, dir) => {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_part_" +
-      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    val out = Qx.tmpOut("sink_part", dir)
     Tables.load(s, dir, "orders")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     s.read.parquet(out)
@@ -118,8 +114,7 @@ object Scans {
   val scanParquetMergeSchema: Q = (s, dir) => {
     import s.implicits._
     val o = Tables.load(s, dir, "orders")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_" +
-      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    val out = Qx.tmpOut("evolve", dir)
     o.filter($"o_orderkey" <= 1000)
       .select($"o_orderkey", $"o_totalprice")
       .write.mode("overwrite").parquet(s"$out/batch=1")
@@ -142,8 +137,7 @@ object Scans {
     val agg = Tables.load(s, dir, "orders")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orc_" +
-      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    val out = Qx.tmpOut("sink_orc", dir)
     agg.write.mode("overwrite").orc(out)
     s.read.orc(out).orderBy($"o_orderpriority")
   }
@@ -155,8 +149,7 @@ object Scans {
     * (never inferSchema — a second pass over 100 TB). */
   val sinkCsv: Q = (s, dir) => {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_csv_" +
-      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    val out = Qx.tmpOut("sink_csv", dir)
     Tables.load(s, dir, "customer")
       .select($"c_custkey", $"c_name", $"c_nationkey",
         round($"c_acctbal" * 100).cast("long").as("acctbal_cents"),

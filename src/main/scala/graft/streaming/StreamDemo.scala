@@ -60,13 +60,22 @@ object StreamDemo {
     }
     query.stop()
 
-    val sunk = spark.read.parquet(out)
-    // sum over zero rows is NULL — in append mode no window is emitted
-    // until the watermark passes its end, so a short event-time span can
-    // legitimately leave the sink empty; report 0 instead of NPEing.
-    val total = Option(sunk.agg(sum($"n")).collect().head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    println(s"[stream-demo] windows emitted to parquet sink: ${sunk.count()}" +
+    // In append mode no window is emitted until the watermark passes its
+    // end, so a short event-time span can legitimately leave the sink
+    // with ZERO data files — then the read itself throws (no schema to
+    // infer), not the aggregate. Treat that as "0 windows" rather than
+    // crashing the demo; the null-safe get covers the read-ok-but-empty
+    // edge (e.g. a files-present, rows-empty sink).
+    val (nWindows, total) =
+      try {
+        val sunk = spark.read.parquet(out)
+        (sunk.count(),
+          Option(sunk.agg(sum($"n")).collect().head.get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => (0L, 0L)
+      }
+    println(s"[stream-demo] windows emitted to parquet sink: $nWindows" +
       s" (covering $total events of ${events.count()})")
     val ckptStream = Files.list(Paths.get(ckpt))
     try println(s"[stream-demo] checkpoint dirs: ${ckptStream.count()}")

@@ -16,6 +16,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
 object StreamRunner {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
+
+  /** Full-precision intra-batch event-time sort key. Timestamp.getTime
+    * is millisecond-truncated — two same-user events in one micro-batch
+    * within the same ms but different µs would sort by event_id instead
+    * of true time, diverging from the µs-ordered (unix_micros) batch
+    * twins the oracle checks. (seconds, nanos, event_id) is exact. */
+  private def evKey(e: Ev): (Long, Int, Long) =
+    (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos, e.event_id)
   case class PurchaseUpdate(user_id: Long, event_id: Long, n_so_far: Long,
                             cum_cents: Long)
   case class PurchaseState(n: Long, cents: Long)
@@ -57,7 +65,7 @@ object StreamRunner {
     override def handleInputRows(uid: Long, rows: Iterator[Ev],
         timers: TimerValues): Iterator[PurchaseUpdate] = {
       var cur = if (st.exists()) st.get() else PurchaseState(0L, 0L)
-      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = rows.toSeq.sortBy(evKey)
         .filter(_.event_type == "purchase").map { e =>
           cur = PurchaseState(cur.n + 1, cur.cents + math.round(e.value * 100.0))
           PurchaseUpdate(uid, e.event_id, cur.n, cur.cents)
@@ -98,7 +106,7 @@ object StreamRunner {
     override def handleInputRows(uid: Long, rows: Iterator[Ev],
         timers: TimerValues): Iterator[TypeUpdate] = {
       var n = if (nTypes.exists()) nTypes.get() else 0L
-      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      val out = rows.toSeq.sortBy(evKey).map { e =>
         if (!seen.containsKey(e.event_type)) {
           seen.updateValue(e.event_type, true)
           n += 1
@@ -128,7 +136,7 @@ object StreamRunner {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[PurchaseState]) =>
           var st = state.getOption.getOrElse(PurchaseState(0L, 0L))
-          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+          val out = it.toSeq.sortBy(evKey).map { e =>
             st = PurchaseState(st.n + 1, st.cents + math.round(e.value * 100.0))
             PurchaseUpdate(uid, e.event_id, st.n, st.cents)
           }
