@@ -20,9 +20,22 @@ object Bench {
     // whichever timed query hits each shape first.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      // Warm concurrently: queries at sf0.001 are codegen-bound, not
+      // CPU-bound, so 8 in flight cuts the warm phase ~4× on local[32].
+      // One SparkSession is thread-safe for concurrent actions; the
+      // TIMED loop below stays strictly serial.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val warms = SparkEntry.queries.toSeq.map { case (_, fn) =>
+        scala.concurrent.Future {
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
       }
+      scala.concurrent.Await.ready(
+        scala.concurrent.Future.sequence(warms),
+        scala.concurrent.duration.Duration(10, "min"))
+      pool.shutdown()
     }
     // A failing query reports -1 in `queries` and is excluded from the
     // total — a broken build must not masquerade as a fast benchmark.
