@@ -5,6 +5,7 @@ import graft.operators._
 import graft.sources.Scans
 import graft.streaming.Streamy
 import graft.functions.{Scalars, Udfs}
+import graft.domain.DomainQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each queries key is one operator from SURVEY §2; oracleSql pairs it
@@ -19,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Projections.queries ++ Joins.queries ++ SetOps.queries ++
     Aggs.queries ++ Windows.queries ++ Scalars.queries ++ Udfs.queries ++
-    Streamy.queries ++ TextOps.queries ++ SimOps.queries
+    Streamy.queries ++ TextOps.queries ++ SimOps.queries ++
+    DomainQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Projections.oracle ++ Joins.oracle ++ SetOps.oracle ++
     Aggs.oracle ++ Windows.oracle ++ Scalars.oracle ++ Udfs.oracle ++
-    Streamy.oracle ++ TextOps.oracle ++ SimOps.oracle
+    Streamy.oracle ++ TextOps.oracle ++ SimOps.oracle ++
+    DomainQueries.oracle
 }

@@ -1,0 +1,145 @@
+package graft.domain
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's EP1 flow (browser → rules → score → FHIR export,
+  * /root/reference/README.md:41-71) surfaced as a driver-checked query:
+  * [[MedRules.recommend]] runs unmodified; only its INPUTS are derived
+  * here, deterministically, from the testdata star schema (SURVEY §1.3
+  * mapping — part≈drug catalog, orders/lineitem≈fills, customer≈
+  * patients), so the whole domain pipeline sits inside the DuckDB
+  * oracle gate instead of only unit tests.
+  *
+  * Mapping (every rule is pure SQL over testdata, mirrored 1:1 in the
+  * oracle):
+  *  - meds: one per lineitem; med_id = l_orderkey·10 + l_linenumber
+  *    (l_linenumber ≤ 7 → unique), patient = the order's customer,
+  *    rxnorm_cui = 'CUI'||partkey, drug_name = part name.
+  *  - orange_book: within each p_type the smallest partkey is "the
+  *    generic"; every other part of that type brand-links to it.
+  *  - prices: part retail price (no as-of history → simple path).
+  *  - coverage: customer → payer = market segment.
+  *  - formulary: every payer lists parts with partkey%3=0 at
+  *    tier 1+partkey%4, prior-auth iff partkey%7=0.
+  *  - allergies: negative-balance customers react to
+  *    'CUI'||(1 + custkey%200).
+  */
+object DomainQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val domainEp1Recommend: Q = (s, dir) => {
+    import s.implicits._
+    val part = Tables.load(s, dir, "part")
+    val cust = Tables.load(s, dir, "customer")
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+
+    // lineitem has NO unique key — even (orderkey, linenumber, partkey)
+    // repeats (verified: 7 duplicate triples at sf0.01) — so the med id
+    // folds the part in AND the projection is DISTINCT: duplicate fills
+    // of the same drug are one med, and med_id is genuinely unique,
+    // which the recommend window's determinism depends on.
+    val meds = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(part, li("l_partkey") === part("p_partkey"))
+      .select((($"l_orderkey" * 10 + $"l_linenumber") * 100000 + $"l_partkey")
+          .as("med_id"),
+        $"o_custkey".as("patient_id"),
+        concat(lit("CUI"), $"l_partkey").as("rxnorm_cui"),
+        $"p_name".as("drug_name"))
+      .distinct()
+    val partMin = part.groupBy($"p_type".as("g_type"))
+      .agg(min($"p_partkey").as("gk"))
+    val orangeBook = part.join(partMin, $"p_type" === $"g_type")
+      .filter($"p_partkey" =!= $"gk")
+      .select(concat(lit("CUI"), $"p_partkey").as("brand_cui"),
+        concat(lit("CUI"), $"gk").as("generic_cui"))
+    val prices = part.select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+      $"p_retailprice".as("price"))
+    val allergies = cust.filter($"c_acctbal" < 0)
+      .select($"c_custkey".as("patient_id"),
+        concat(lit("CUI"), lit(1) + $"c_custkey" % 200).as("substance"))
+    val coverage = cust.select($"c_custkey".as("patient_id"),
+      $"c_mktsegment".as("payer"))
+    val formulary = cust.select($"c_mktsegment".as("payer")).distinct()
+      .crossJoin(part.filter($"p_partkey" % 3 === 0))
+      .select($"payer", concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+        (lit(1) + $"p_partkey" % 4).cast("int").as("tier"),
+        ($"p_partkey" % 7 === 0).as("prior_auth"))
+    val dc = part.select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+      $"p_type".as("drug_class"))
+
+    MedRules.recommend(meds, dc, orangeBook, prices, allergies,
+        coverage, formulary)
+      .orderBy($"med_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "domain_ep1_recommend" -> domainEp1Recommend)
+
+  val oracle: Map[String, String] = Map(
+    "domain_ep1_recommend" -> """
+      WITH part_min AS (SELECT p_type, MIN(p_partkey) AS gk
+                        FROM part GROUP BY p_type),
+      meds AS (SELECT DISTINCT
+                      (l_orderkey * 10 + l_linenumber) * 100000 + l_partkey
+                        AS med_id,
+                      o_custkey AS patient_id,
+                      'CUI' || l_partkey AS rxnorm_cui
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN part ON l_partkey = p_partkey),
+      ob AS (SELECT 'CUI' || p.p_partkey AS brand_cui,
+                    'CUI' || m.gk AS generic_cui
+             FROM part p JOIN part_min m ON p.p_type = m.p_type
+             WHERE p.p_partkey <> m.gk),
+      prices AS (SELECT 'CUI' || p_partkey AS cui, p_retailprice AS price
+                 FROM part),
+      allergies AS (SELECT c_custkey AS patient_id,
+                           'CUI' || (1 + c_custkey % 200) AS substance
+                    FROM customer WHERE c_acctbal < 0),
+      coverage AS (SELECT c_custkey AS patient_id, c_mktsegment AS payer
+                   FROM customer),
+      formulary AS (SELECT seg.payer, 'CUI' || p_partkey AS cui,
+                           CAST(1 + p_partkey % 4 AS INT) AS tier,
+                           (p_partkey % 7 = 0) AS prior_auth
+                    FROM (SELECT DISTINCT c_mktsegment AS payer
+                          FROM customer) seg
+                    CROSS JOIN part WHERE p_partkey % 3 = 0),
+      subs AS (SELECT m.patient_id, m.med_id, ob.generic_cui,
+                      gp.price AS generic_price,
+                      COALESCE(bp.price, 0.0) - COALESCE(gp.price, 0.0)
+                        AS saving
+               FROM meds m
+               JOIN ob ON m.rxnorm_cui = ob.brand_cui
+               LEFT JOIN prices bp ON ob.brand_cui = bp.cui
+               LEFT JOIN prices gp ON ob.generic_cui = gp.cui
+               WHERE NOT EXISTS (SELECT 1 FROM allergies a
+                                 WHERE a.patient_id = m.patient_id
+                                   AND a.substance = ob.generic_cui)),
+      scored AS (SELECT s.*, c.payer,
+                        ROUND(1.0 / (1.0 + exp(-(-2.0
+                          + 0.002 * COALESCE(s.generic_price, 0.0)
+                          + 0.4 * (COALESCE(f.tier, 5) - 1)
+                          + 1.5 * CAST(COALESCE(f.prior_auth, FALSE) AS INT)))),
+                          4) AS denial_risk,
+                        s.generic_price AS gp2
+                 FROM subs s
+                 JOIN coverage c USING (patient_id)
+                 LEFT JOIN formulary f
+                   ON f.payer = c.payer AND f.cui = s.generic_cui),
+      best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY med_id
+                 ORDER BY denial_risk, gp2 ASC NULLS LAST,
+                          generic_cui, payer) AS rn
+               FROM scored)
+      SELECT patient_id, med_id,
+             concat('{"resourceType":"MedicationRequest","id":"rx-', med_id,
+                    '","status":"draft","subject":{"reference":"Patient/',
+                    patient_id, '"},"medicationReference":{"reference":"RxNorm/',
+                    generic_cui, '"},"denialRiskScore":"',
+                    CAST(denial_risk AS VARCHAR), '"}') AS resource,
+             generic_cui, saving, denial_risk
+      FROM best WHERE rn = 1 ORDER BY med_id""")
+}
