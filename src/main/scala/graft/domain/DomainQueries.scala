@@ -76,10 +76,106 @@ object DomainQueries {
       .orderBy($"med_id")
   }
 
+  /** The flagship overlap rule through the domain API: meds banded by
+    * brand-level class (25 classes), patients sampled 1-in-5 to bound
+    * the pair count (~10k at sf0.01). Same-class pairs per patient =
+    * therapeutic duplication (README.md:3,9,23). */
+  val domainOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val part = Tables.load(s, dir, "part")
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val meds = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(part, li("l_partkey") === part("p_partkey"))
+      .filter($"o_custkey" % 5 === 0)
+      .select((($"l_orderkey" * 10 + $"l_linenumber") * 100000 + $"l_partkey")
+          .as("med_id"),
+        $"o_custkey".as("patient_id"),
+        concat(lit("CUI"), $"l_partkey").as("rxnorm_cui"),
+        $"p_name".as("drug_name"))
+      .distinct()
+    val dc = part.select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+      $"p_brand".as("drug_class"))
+    MedRules.therapeuticOverlap(meds, dc)
+      .orderBy($"med_1", $"med_2")
+  }
+
+  /** Formulary placement per med under the patient's payer
+    * (README.md:9,25) through the domain API, same derived inputs. */
+  val domainFormulary: Q = (s, dir) => {
+    import s.implicits._
+    val part = Tables.load(s, dir, "part")
+    val cust = Tables.load(s, dir, "customer")
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val meds = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(part, li("l_partkey") === part("p_partkey"))
+      .filter($"o_custkey" % 5 === 0)
+      .select((($"l_orderkey" * 10 + $"l_linenumber") * 100000 + $"l_partkey")
+          .as("med_id"),
+        $"o_custkey".as("patient_id"),
+        concat(lit("CUI"), $"l_partkey").as("rxnorm_cui"),
+        $"p_name".as("drug_name"))
+      .distinct()
+    val coverage = cust.select($"c_custkey".as("patient_id"),
+      $"c_mktsegment".as("payer"))
+    val formulary = cust.select($"c_mktsegment".as("payer")).distinct()
+      .crossJoin(part.filter($"p_partkey" % 3 === 0))
+      .select($"payer", concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+        (lit(1) + $"p_partkey" % 4).cast("int").as("tier"),
+        ($"p_partkey" % 7 === 0).as("prior_auth"))
+    MedRules.formularyStatus(meds, coverage, formulary)
+      .orderBy($"med_id", $"payer")
+  }
+
   val queries: Map[String, Q] = Map(
-    "domain_ep1_recommend" -> domainEp1Recommend)
+    "domain_ep1_recommend" -> domainEp1Recommend,
+    "domain_overlap" -> domainOverlap,
+    "domain_formulary" -> domainFormulary)
 
   val oracle: Map[String, String] = Map(
+    "domain_overlap" -> """
+      WITH meds AS (SELECT DISTINCT
+                      (l_orderkey * 10 + l_linenumber) * 100000 + l_partkey
+                        AS med_id,
+                      o_custkey AS patient_id,
+                      p_brand AS drug_class, p_name AS drug_name
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN part ON l_partkey = p_partkey
+               WHERE o_custkey % 5 = 0)
+      SELECT a.patient_id, a.drug_class,
+             a.med_id AS med_1, a.drug_name AS drug_1,
+             b.med_id AS med_2, b.drug_name AS drug_2
+      FROM meds a JOIN meds b
+        ON a.patient_id = b.patient_id AND a.drug_class = b.drug_class
+       AND a.med_id < b.med_id
+      ORDER BY med_1, med_2""",
+    "domain_formulary" -> """
+      WITH meds AS (SELECT DISTINCT
+                      (l_orderkey * 10 + l_linenumber) * 100000 + l_partkey
+                        AS med_id,
+                      o_custkey AS patient_id,
+                      'CUI' || l_partkey AS rxnorm_cui
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN part ON l_partkey = p_partkey
+               WHERE o_custkey % 5 = 0),
+      coverage AS (SELECT c_custkey AS patient_id, c_mktsegment AS payer
+                   FROM customer),
+      formulary AS (SELECT seg.payer, 'CUI' || p_partkey AS cui,
+                           CAST(1 + p_partkey % 4 AS INT) AS tier,
+                           (p_partkey % 7 = 0) AS prior_auth
+                    FROM (SELECT DISTINCT c_mktsegment AS payer
+                          FROM customer) seg
+                    CROSS JOIN part WHERE p_partkey % 3 = 0)
+      SELECT m.patient_id, m.med_id, m.rxnorm_cui, c.payer,
+             f.tier, COALESCE(f.prior_auth, FALSE) AS prior_auth,
+             (f.tier IS NULL) AS off_formulary
+      FROM meds m
+      JOIN coverage c USING (patient_id)
+      LEFT JOIN formulary f ON f.payer = c.payer AND f.cui = m.rxnorm_cui
+      ORDER BY m.med_id, c.payer""",
     "domain_ep1_recommend" -> """
       WITH part_min AS (SELECT p_type, MIN(p_partkey) AS gk
                         FROM part GROUP BY p_type),
