@@ -84,7 +84,16 @@ object PlanAudit {
         |assignment as max-of-struct aggregate (no window, no sort),
         |per-cell candidate join. Expect BroadcastNestedLoopJoin ONLY
         |against the 16-row centroid set (bounded), then hash joins on
-        |the cell id for probe×candidate.""".stripMargin)
+        |the cell id for probe×candidate.""".stripMargin,
+    "domain_ep1_recommend" ->
+      """The reference's EP1 flow end to end (README.md:41-71) as ONE
+        |Catalyst plan: substitution candidates (broadcast Orange Book
+        |+ price joins, allergy left-anti), formulary lookup, logistic
+        |denial score as folded Column arithmetic, best-per-med window,
+        |FHIR JSON serialization. Expect the drug-knowledge side to be
+        |all BroadcastHashJoins (bounded catalogs) and only the
+        |patient-scaled meds stream to shuffle — the per-patient tables
+        |scale, the knowledge base replicates.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
