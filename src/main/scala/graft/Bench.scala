@@ -24,18 +24,9 @@ object Bench {
       // CPU-bound, so 8 in flight cuts the warm phase ~4× on local[32].
       // One SparkSession is thread-safe for concurrent actions; the
       // TIMED loop below stays strictly serial.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val warms = SparkEntry.queries.toSeq.map { case (_, fn) =>
-        scala.concurrent.Future {
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
-        }
+      Qx.inParallel(SparkEntry.queries.toSeq) { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-      scala.concurrent.Await.ready(
-        scala.concurrent.Future.sequence(warms),
-        scala.concurrent.duration.Duration(10, "min"))
-      pool.shutdown()
     }
     // A failing query reports -1 in `queries` and is excluded from the
     // total — a broken build must not masquerade as a fast benchmark.

@@ -88,7 +88,9 @@ object Qx {
   def tmpOut(prefix: String, sfDir: String): String = {
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val pid = ProcessHandle.current().pid()
-    val stale = s"graft_${prefix}_\\d+_(\\d+)(?:_dim)?".r
+    // pid capped at 18 digits so a foreign /tmp entry with a huge
+    // digit run can't blow up toLong below.
+    val stale = s"graft_${prefix}_\\d+_(\\d{1,18})(?:_dim)?".r
     if (java.nio.file.Files.isDirectory(root)) {
       import scala.jdk.CollectionConverters._
       val ls = java.nio.file.Files.list(root)
@@ -107,5 +109,25 @@ object Qx {
       } finally ls.close()
     }
     s"$root/graft_${prefix}_${math.abs(sfDir.hashCode.toLong)}_$pid"
+  }
+
+  /** Run `f` over `items` on a bounded daemon pool and wait for ALL of
+    * them — shared by Bench's warm phase and Verify's dumps. No
+    * deadline (mirrors the sequential loops this replaced: run until
+    * done); the pool is always torn down, and daemon threads mean a
+    * wedged task can never keep the JVM alive after main exits. Each
+    * task must swallow its own per-item failures. */
+  def inParallel[A](items: Seq[A], width: Int = 8)(f: A => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(width,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = items.map(a => scala.concurrent.Future(f(a)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+      ()
+    } finally pool.shutdown()
   }
 }

@@ -17,23 +17,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dump concurrently (distinct output dir per query; one SparkSession
     // is thread-safe for concurrent actions) — halves the driver's
-    // correctness-gate wall time on local[32].
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val dumps = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+    // correctness-gate wall time on local[32]. No deadline: a slow run
+    // must still end with oracle_sql.json written below, never abort.
+    Qx.inParallel(SparkEntry.queries.toSeq) { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    scala.concurrent.Await.ready(
-      scala.concurrent.Future.sequence(dumps),
-      scala.concurrent.duration.Duration(30, "min"))
-    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -5,18 +5,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's EP1 flow (browser → rules → score → FHIR export,
-  * /root/reference/README.md:41-71) surfaced as a driver-checked query:
-  * [[MedRules.recommend]] runs unmodified; only its INPUTS are derived
+  * /root/reference/README.md:41-71) surfaced as driver-checked queries:
+  * [[MedRules]] functions run unmodified; only their INPUTS are derived
   * here, deterministically, from the testdata star schema (SURVEY §1.3
   * mapping — part≈drug catalog, orders/lineitem≈fills, customer≈
-  * patients), so the whole domain pipeline sits inside the DuckDB
-  * oracle gate instead of only unit tests.
+  * patients), so the whole domain layer sits inside the DuckDB oracle
+  * gate instead of only unit tests.
   *
   * Mapping (every rule is pure SQL over testdata, mirrored 1:1 in the
-  * oracle):
-  *  - meds: one per lineitem; med_id = l_orderkey·10 + l_linenumber
-  *    (l_linenumber ≤ 7 → unique), patient = the order's customer,
-  *    rxnorm_cui = 'CUI'||partkey, drug_name = part name.
+  * oracle CTEs — the builders below are the single Scala-side source
+  * of each mapping; a change here must change the matching CTE text):
+  *  - meds: one per DISTINCT (order, line, part) fill; med_id packs
+  *    (l_orderkey·10 + l_linenumber)·10⁸ + l_partkey — unique while
+  *    p_partkey < 10⁸, i.e. through ~SF100 (TPC-H part = 200k·SF); the
+  *    packing is a testdata artifact, real deployments carry native
+  *    med ids. lineitem repeats even full triples, hence DISTINCT.
   *  - orange_book: within each p_type the smallest partkey is "the
   *    generic"; every other part of that type brand-links to it.
   *  - prices: part retail price (no as-of history → simple path).
@@ -30,26 +33,47 @@ object DomainQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val domainEp1Recommend: Q = (s, dir) => {
+  /** Fills → meds (reference schema). `sampled` keeps 1-in-5 patients
+    * (bounds pair-producing queries). */
+  private def medsFrom(s: SparkSession, dir: String,
+      sampled: Boolean): DataFrame = {
     import s.implicits._
-    val part = Tables.load(s, dir, "part")
-    val cust = Tables.load(s, dir, "customer")
-    val li = Tables.load(s, dir, "lineitem")
-    val ord = Tables.load(s, dir, "orders")
-
-    // lineitem has NO unique key — even (orderkey, linenumber, partkey)
-    // repeats (verified: 7 duplicate triples at sf0.01) — so the med id
-    // folds the part in AND the projection is DISTINCT: duplicate fills
-    // of the same drug are one med, and med_id is genuinely unique,
-    // which the recommend window's determinism depends on.
-    val meds = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(part, li("l_partkey") === part("p_partkey"))
-      .select((($"l_orderkey" * 10 + $"l_linenumber") * 100000 + $"l_partkey")
+    val base = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.load(s, dir, "part"), $"l_partkey" === $"p_partkey")
+    (if (sampled) base.filter($"o_custkey" % 5 === 0) else base)
+      .select((($"l_orderkey" * 10 + $"l_linenumber") * 100000000L + $"l_partkey")
           .as("med_id"),
         $"o_custkey".as("patient_id"),
         concat(lit("CUI"), $"l_partkey").as("rxnorm_cui"),
         $"p_name".as("drug_name"))
       .distinct()
+  }
+
+  private def coverageFrom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("patient_id"), $"c_mktsegment".as("payer"))
+  }
+
+  private def formularyFrom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .select($"c_mktsegment".as("payer")).distinct()
+      .crossJoin(Tables.load(s, dir, "part").filter($"p_partkey" % 3 === 0))
+      .select($"payer", concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+        (lit(1) + $"p_partkey" % 4).cast("int").as("tier"),
+        ($"p_partkey" % 7 === 0).as("prior_auth"))
+  }
+
+  /** Shared med_id pack expression for the oracle CTEs. */
+  private val medIdSql =
+    "(l_orderkey * 10 + l_linenumber) * 100000000 + l_partkey"
+
+  val domainEp1Recommend: Q = (s, dir) => {
+    import s.implicits._
+    val part = Tables.load(s, dir, "part")
+    val cust = Tables.load(s, dir, "customer")
     val partMin = part.groupBy($"p_type".as("g_type"))
       .agg(min($"p_partkey").as("gk"))
     val orangeBook = part.join(partMin, $"p_type" === $"g_type")
@@ -61,18 +85,8 @@ object DomainQueries {
     val allergies = cust.filter($"c_acctbal" < 0)
       .select($"c_custkey".as("patient_id"),
         concat(lit("CUI"), lit(1) + $"c_custkey" % 200).as("substance"))
-    val coverage = cust.select($"c_custkey".as("patient_id"),
-      $"c_mktsegment".as("payer"))
-    val formulary = cust.select($"c_mktsegment".as("payer")).distinct()
-      .crossJoin(part.filter($"p_partkey" % 3 === 0))
-      .select($"payer", concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
-        (lit(1) + $"p_partkey" % 4).cast("int").as("tier"),
-        ($"p_partkey" % 7 === 0).as("prior_auth"))
-    val dc = part.select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
-      $"p_type".as("drug_class"))
-
-    MedRules.recommend(meds, dc, orangeBook, prices, allergies,
-        coverage, formulary)
+    MedRules.recommend(medsFrom(s, dir, sampled = false), orangeBook, prices,
+        allergies, coverageFrom(s, dir), formularyFrom(s, dir))
       .orderBy($"med_id")
   }
 
@@ -82,21 +96,10 @@ object DomainQueries {
     * therapeutic duplication (README.md:3,9,23). */
   val domainOverlap: Q = (s, dir) => {
     import s.implicits._
-    val part = Tables.load(s, dir, "part")
-    val li = Tables.load(s, dir, "lineitem")
-    val ord = Tables.load(s, dir, "orders")
-    val meds = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(part, li("l_partkey") === part("p_partkey"))
-      .filter($"o_custkey" % 5 === 0)
-      .select((($"l_orderkey" * 10 + $"l_linenumber") * 100000 + $"l_partkey")
-          .as("med_id"),
-        $"o_custkey".as("patient_id"),
-        concat(lit("CUI"), $"l_partkey").as("rxnorm_cui"),
-        $"p_name".as("drug_name"))
-      .distinct()
-    val dc = part.select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
-      $"p_brand".as("drug_class"))
-    MedRules.therapeuticOverlap(meds, dc)
+    val dc = Tables.load(s, dir, "part")
+      .select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+        $"p_brand".as("drug_class"))
+    MedRules.therapeuticOverlap(medsFrom(s, dir, sampled = true), dc)
       .orderBy($"med_1", $"med_2")
   }
 
@@ -104,27 +107,8 @@ object DomainQueries {
     * (README.md:9,25) through the domain API, same derived inputs. */
   val domainFormulary: Q = (s, dir) => {
     import s.implicits._
-    val part = Tables.load(s, dir, "part")
-    val cust = Tables.load(s, dir, "customer")
-    val li = Tables.load(s, dir, "lineitem")
-    val ord = Tables.load(s, dir, "orders")
-    val meds = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(part, li("l_partkey") === part("p_partkey"))
-      .filter($"o_custkey" % 5 === 0)
-      .select((($"l_orderkey" * 10 + $"l_linenumber") * 100000 + $"l_partkey")
-          .as("med_id"),
-        $"o_custkey".as("patient_id"),
-        concat(lit("CUI"), $"l_partkey").as("rxnorm_cui"),
-        $"p_name".as("drug_name"))
-      .distinct()
-    val coverage = cust.select($"c_custkey".as("patient_id"),
-      $"c_mktsegment".as("payer"))
-    val formulary = cust.select($"c_mktsegment".as("payer")).distinct()
-      .crossJoin(part.filter($"p_partkey" % 3 === 0))
-      .select($"payer", concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
-        (lit(1) + $"p_partkey" % 4).cast("int").as("tier"),
-        ($"p_partkey" % 7 === 0).as("prior_auth"))
-    MedRules.formularyStatus(meds, coverage, formulary)
+    MedRules.formularyStatus(medsFrom(s, dir, sampled = true),
+        coverageFrom(s, dir), formularyFrom(s, dir))
       .orderBy($"med_id", $"payer")
   }
 
@@ -134,10 +118,8 @@ object DomainQueries {
     "domain_formulary" -> domainFormulary)
 
   val oracle: Map[String, String] = Map(
-    "domain_overlap" -> """
-      WITH meds AS (SELECT DISTINCT
-                      (l_orderkey * 10 + l_linenumber) * 100000 + l_partkey
-                        AS med_id,
+    "domain_overlap" -> s"""
+      WITH meds AS (SELECT DISTINCT $medIdSql AS med_id,
                       o_custkey AS patient_id,
                       p_brand AS drug_class, p_name AS drug_name
                FROM lineitem
@@ -151,10 +133,8 @@ object DomainQueries {
         ON a.patient_id = b.patient_id AND a.drug_class = b.drug_class
        AND a.med_id < b.med_id
       ORDER BY med_1, med_2""",
-    "domain_formulary" -> """
-      WITH meds AS (SELECT DISTINCT
-                      (l_orderkey * 10 + l_linenumber) * 100000 + l_partkey
-                        AS med_id,
+    "domain_formulary" -> s"""
+      WITH meds AS (SELECT DISTINCT $medIdSql AS med_id,
                       o_custkey AS patient_id,
                       'CUI' || l_partkey AS rxnorm_cui
                FROM lineitem
@@ -176,12 +156,10 @@ object DomainQueries {
       JOIN coverage c USING (patient_id)
       LEFT JOIN formulary f ON f.payer = c.payer AND f.cui = m.rxnorm_cui
       ORDER BY m.med_id, c.payer""",
-    "domain_ep1_recommend" -> """
+    "domain_ep1_recommend" -> s"""
       WITH part_min AS (SELECT p_type, MIN(p_partkey) AS gk
                         FROM part GROUP BY p_type),
-      meds AS (SELECT DISTINCT
-                      (l_orderkey * 10 + l_linenumber) * 100000 + l_partkey
-                        AS med_id,
+      meds AS (SELECT DISTINCT $medIdSql AS med_id,
                       o_custkey AS patient_id,
                       'CUI' || l_partkey AS rxnorm_cui
                FROM lineitem

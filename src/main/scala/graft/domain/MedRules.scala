@@ -150,7 +150,7 @@ object MedRules {
     * as draft FHIR resources. Patients without an active coverage row
     * get NO recommendation (inner join — denial scoring requires payer
     * context by design). */
-  def recommend(meds: DataFrame, drugClasses: DataFrame, orangeBook: DataFrame,
+  def recommend(meds: DataFrame, orangeBook: DataFrame,
       prices: DataFrame, allergies: DataFrame, coverage: DataFrame,
       formulary: DataFrame, asOf: Column = current_date()): DataFrame = {
     val subs = genericSubstitutions(meds, orangeBook, prices, allergies)

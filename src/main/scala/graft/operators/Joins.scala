@@ -157,12 +157,14 @@ object Joins {
     * once (the probe side keeps one bin; the build side's three exploded
     * bins are distinct). Semantics: suppliers with an account balance
     * within ±100 of each other (README.md:8-9 price-band comparison). */
-  val joinRangeBinned: Q = (s, dir) => {
-    import s.implicits._
-    val w = 100.0
-    val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_acctbal")
-    val probe = sup.withColumn("bin", floor($"s_acctbal" / w))
-    val build = sup
+  /** Core of the binned band-join — per row of `rows(s_suppkey,
+    * s_acctbal)`, the count of OTHER rows within ±w. Factored out so
+    * the bin-edge unit test drives the PRODUCTION binning (explode
+    * offsets, exact-predicate recheck), not a replica. */
+  def bandedNeighborCounts(rows: DataFrame, w: Double): DataFrame = {
+    import rows.sparkSession.implicits._
+    val probe = rows.withColumn("bin", floor($"s_acctbal" / w))
+    val build = rows
       .select($"s_suppkey".as("o_key"), $"s_acctbal".as("o_bal"))
       .withColumn("bin", explode(array(
         floor($"o_bal" / w) - 1, floor($"o_bal" / w), floor($"o_bal" / w) + 1)))
@@ -170,9 +172,16 @@ object Joins {
         probe("bin") === build("bin") &&
           abs($"o_bal" - $"s_acctbal") <= w && $"o_key" =!= $"s_suppkey")
       .groupBy($"s_suppkey".as("c_key")).agg(count(lit(1)).as("n_near"))
-    sup.join(near, $"s_suppkey" === $"c_key", "left")
+    rows.join(near, $"s_suppkey" === $"c_key", "left")
       .select($"s_suppkey", $"s_acctbal",
         coalesce($"n_near", lit(0L)).as("n_near"))
+  }
+
+  val joinRangeBinned: Q = (s, dir) => {
+    import s.implicits._
+    bandedNeighborCounts(
+        Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_acctbal"),
+        100.0)
       .orderBy($"s_suppkey")
   }
 

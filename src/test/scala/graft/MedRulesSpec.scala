@@ -78,7 +78,7 @@ class MedRulesSpec extends SparkSpec {
   }
 
   test("recommend produces one valid draft FHIR resource per substitutable med") {
-    val recs = MedRules.recommend(meds, drugClasses, orangeBook, prices,
+    val recs = MedRules.recommend(meds, orangeBook, prices,
       allergies, coverage, formulary)
     val rows = recs.collect()
     // med 5 excluded (allergy); meds 1-4 each get exactly one best generic

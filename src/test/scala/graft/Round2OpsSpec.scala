@@ -25,30 +25,21 @@ class Round2OpsSpec extends SparkSpec {
     assert(binned.count() == sup.count(), "every supplier appears exactly once")
   }
 
-  test("binned band-join logic counts bin-edge pairs exactly once") {
-    // replicate joinRangeBinned's binning on values sitting ON bin edges
-    // (0, ±w, w/2 …) and compare against brute force — an overlap in the
-    // 3-bin explode would double-count an edge pair
+  test("binned band-join counts bin-edge pairs exactly once (production logic)") {
+    // drive the PRODUCTION binning (Joins.bandedNeighborCounts) with
+    // values sitting ON bin edges (0, ±w, w/2 …) and compare against
+    // brute force — an overlap in the 3-bin explode would double-count
     val w = 100.0
     val vals = Seq(0.0, 100.0, -100.0, 50.0, 99.999, 100.001, 199.999,
       200.0, -0.001, 149.9, 250.0)
     val sup = vals.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("s_suppkey", "s_acctbal")
-    val probe = sup.withColumn("bin", floor($"s_acctbal" / w))
-    val build = sup
-      .select($"s_suppkey".as("o_key"), $"s_acctbal".as("o_bal"))
-      .withColumn("bin", explode(array(
-        floor($"o_bal" / w) - 1, floor($"o_bal" / w), floor($"o_bal" / w) + 1)))
-    val binned = probe.join(build,
-        probe("bin") === build("bin") &&
-          abs($"o_bal" - $"s_acctbal") <= w && $"o_key" =!= $"s_suppkey")
-      .groupBy($"s_suppkey").agg(count(lit(1)).as("n_near"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val brute = (for {
-      (a, i) <- vals.zipWithIndex
-      (b, j) <- vals.zipWithIndex
-      if i != j && math.abs(b - a) <= w
-    } yield i.toLong).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val binned = Joins.bandedNeighborCounts(sup, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val brute = vals.indices.map { i =>
+      i.toLong -> vals.indices.count(j =>
+        j != i && math.abs(vals(j) - vals(i)) <= w).toLong
+    }.toMap
     assert(binned == brute,
       s"binned=$binned brute=$brute — edge values double-counted or missed")
   }
