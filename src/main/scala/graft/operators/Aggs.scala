@@ -187,6 +187,24 @@ object Aggs {
       .orderBy($"l_returnflag")
   }
 
+  /** arg-min/arg-max — "the latest coverage row per patient"
+    * (README.md:7) as a single-pass aggregate instead of a window +
+    * filter: no per-group sort, just a mergeable (key, value) max.
+    * The ordering key packs (days, orderkey) into one bigint so it's
+    * total (ties on date broken by key) — max_by with a tied key is
+    * nondeterministic in both engines. */
+  val aggArgminmax: Q = (s, dir) => {
+    import s.implicits._
+    val key = datediff($"o_orderdate", lit("1970-01-01").cast("date")) *
+      10000000000L + $"o_orderkey"
+    Tables.load(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max_by($"o_orderkey", key).as("latest_order"),
+        min_by($"o_orderkey", key).as("first_order"),
+        max_by($"o_totalprice", key).as("latest_price"))
+      .orderBy($"o_custkey")
+  }
+
   /** Sketch percentile next to its exact twin in one row — the
     * 100 TB pattern: approx_percentile is a single-pass mergeable
     * sketch (no global sort), the exact form is the correctness
@@ -254,6 +272,7 @@ object Aggs {
     "agg_unpivot" -> aggUnpivot,
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_approx_percentile" -> aggApproxPercentile,
+    "agg_argminmax" -> aggArgminmax,
     "agg_groupby_hash" -> aggGroupbyHash,
     "agg_global" -> aggGlobal,
     "agg_having" -> aggHaving,
@@ -345,6 +364,18 @@ object Aggs {
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM events
       GROUP BY user_id ORDER BY user_id""",
+    "agg_argminmax" -> """
+      SELECT o_custkey,
+             arg_max(o_orderkey, date_diff('day',
+               TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+               * 10000000000 + o_orderkey) AS latest_order,
+             arg_min(o_orderkey, date_diff('day',
+               TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+               * 10000000000 + o_orderkey) AS first_order,
+             arg_max(o_totalprice, date_diff('day',
+               TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+               * 10000000000 + o_orderkey) AS latest_price
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "agg_conditional" -> s"""
       SELECT l_returnflag,
              CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
