@@ -154,11 +154,19 @@ object Scans {
       .select($"c_custkey", $"c_name", $"c_nationkey",
         round($"c_acctbal" * 100).cast("long").as("acctbal_cents"),
         $"c_mktsegment")
-      .write.mode("overwrite").option("header", "true").csv(out)
+      .write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(out)
+    // whitespace trimming is ON by default in BOTH the CSV writer and
+    // reader and would corrupt values with leading/trailing spaces —
+    // disable on both sides for a faithful round-trip (proven on
+    // hostile strings in Round2OpsSpec)
     s.read.schema(
         "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
           "acctbal_cents BIGINT, c_mktsegment STRING")
-      .option("header", "true").csv(out)
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(out)
       .orderBy($"c_custkey")
   }
 

@@ -114,6 +114,35 @@ class Round2OpsSpec extends SparkSpec {
     assert(recent.forall(!_.isNullAt(2)))
   }
 
+  test("CSV round-trip survives quotes, commas, and newlines in values") {
+    // sink_csv relies on Spark's default CSV quoting; prove the
+    // write+explicit-schema-read pattern is identity on hostile strings
+    val tricky = Seq(
+      (1L, "plain"), (2L, "with,comma"), (3L, "with \"quotes\""),
+      (4L, "line\nbreak"), (5L, "trailing space "), (6L, ""))
+      .toDF("id", "s")
+    val out = Qx.tmpOut("test_csv_edge", "edge")
+    // BOTH the CSV writer and reader trim whitespace by default
+    // (ignoreLeading/TrailingWhiteSpace=true on each side) — a faithful
+    // round-trip disables all four
+    tricky.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(out)
+    // ignoreTrailingWhiteSpace defaults TRUE on read and would silently
+    // trim "trailing space " — faithful round-trips must disable it
+    val back = spark.read.schema("id BIGINT, s STRING")
+      .option("header", "true").option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(out)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = tricky.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // empty string reads back as null in Spark CSV — a documented
+    // representation limit, normalized here
+    val norm = back.map { case (k, v) => k -> (if (v == null) "" else v) }
+    assert(norm == expect)
+  }
+
   test("sim_ann_ivf: well-formed, deterministic, and recall vs exact > 0") {
     val ivf = SimOps.simAnnIvf(spark, sf())
     val rows = ivf.collect()
