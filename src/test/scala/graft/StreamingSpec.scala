@@ -166,6 +166,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("file-source streaming (the deployable no-Kafka shape) matches MemoryStream results") {
+    // the production source offline is a directory of files — prove the
+    // same plan over a file stream yields the MemoryStream/batch result
+    val dir = Qx.tmpOut("test_stream_src", "stream")
+    evs.toDS().write.mode("overwrite").parquet(dir)
+    val fileStream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+      .parquet(dir)
+    val q = StreamRunner.tumblingWithWatermark(fileStream)
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("filesrc")
+        .as[(Timestamp, String, Long)].collect()
+        .map { case (w, t, n) => (w.toString, t, n) }.toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00.0", "purchase", 4L),
+        ("2024-01-01 00:00:00.0", "view", 1L),
+        ("2024-01-01 01:00:00.0", "purchase", 1L)))
+    } finally q.stop()
+  }
+
   test("watermark drops a too-late event from the windowed aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
