@@ -55,11 +55,35 @@ object SetOps {
     a.except(b).orderBy($"o_custkey")
   }
 
+  /** Multiset A ∖ B (EXCEPT ALL): duplicates matter — a patient filling
+    * a drug 3× with 1 formulary match keeps 2 rows, which the set form
+    * would erase. Spark compiles this to a count-and-replicate
+    * aggregate, not a join per duplicate. Output rows repeat, but
+    * repeated rows are identical, so the ORDER BY is still stable. */
+  val setExceptAll: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val a = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val b = o.filter($"o_orderstatus" === "P").select($"o_custkey")
+    a.exceptAll(b).orderBy($"o_custkey")
+  }
+
+  /** Multiset A ∩ B (INTERSECT ALL): pairwise-matched duplicates. */
+  val setIntersectAll: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val a = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val b = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+    a.intersectAll(b).orderBy($"o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "set_union_all" -> setUnionAll,
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
-    "set_except" -> setExcept)
+    "set_except" -> setExcept,
+    "set_except_all" -> setExceptAll,
+    "set_intersect_all" -> setIntersectAll)
 
   val oracle: Map[String, String] = Map(
     "set_union_all" -> """
@@ -76,6 +100,18 @@ object SetOps {
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       INTERSECT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      ORDER BY o_custkey""",
+    "set_except_all" -> """
+      SELECT * FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      ORDER BY o_custkey""",
+    "set_intersect_all" -> """
+      SELECT * FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
       ORDER BY o_custkey""",
     "set_except" -> """
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
