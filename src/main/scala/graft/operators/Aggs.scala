@@ -187,6 +187,29 @@ object Aggs {
       .orderBy($"l_returnflag")
   }
 
+  /** Correlation/covariance of price vs quantity per group — pricing
+    * analysis (README.md:8). Derived from exact decimal sums (Σx, Σy,
+    * Σxy, Σx², n) like aggStats: the built-in corr/covar over doubles
+    * is accumulation-order-dependent and would not hash-match; from
+    * identical exact sums both engines compute the identical double. */
+  val aggCorr: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(dsum($"l_quantity").as("sx"),
+        dsum($"l_extendedprice").as("sy"),
+        dsum($"l_quantity" * $"l_extendedprice").as("sxy"),
+        dsum($"l_quantity" * $"l_quantity").as("sxx"),
+        dsum($"l_extendedprice" * $"l_extendedprice").as("syy"),
+        count(lit(1)).cast("double").as("n"))
+      .select($"l_returnflag",
+        round(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1.0), 4).as("covar_qty_price"),
+        round(($"sxy" - $"sx" * $"sy" / $"n") /
+          (sqrt($"sxx" - $"sx" * $"sx" / $"n") *
+           sqrt($"syy" - $"sy" * $"sy" / $"n")), 6).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** arg-min/arg-max — "the latest coverage row per patient"
     * (README.md:7) as a single-pass aggregate instead of a window +
     * filter: no per-group sort, just a mergeable (key, value) max.
@@ -273,6 +296,7 @@ object Aggs {
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_argminmax" -> aggArgminmax,
+    "agg_corr" -> aggCorr,
     "agg_groupby_hash" -> aggGroupbyHash,
     "agg_global" -> aggGlobal,
     "agg_having" -> aggHaving,
@@ -364,6 +388,21 @@ object Aggs {
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM events
       GROUP BY user_id ORDER BY user_id""",
+    "agg_corr" -> s"""
+      SELECT l_returnflag,
+             ROUND((sxy - sx * sy / n) / (n - 1.0), 4) AS covar_qty_price,
+             ROUND((sxy - sx * sy / n) /
+               (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 6)
+               AS corr_qty_price
+      FROM (SELECT l_returnflag,
+                   ${dsumSql("l_quantity")} AS sx,
+                   ${dsumSql("l_extendedprice")} AS sy,
+                   ${dsumSql("l_quantity * l_extendedprice")} AS sxy,
+                   ${dsumSql("l_quantity * l_quantity")} AS sxx,
+                   ${dsumSql("l_extendedprice * l_extendedprice")} AS syy,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag""",
     "agg_argminmax" -> """
       SELECT o_custkey,
              arg_max(o_orderkey, date_diff('day',

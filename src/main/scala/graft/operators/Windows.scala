@@ -118,7 +118,22 @@ object Windows {
       .orderBy($"o_orderkey")
   }
 
+  /** nth_value — "the second-cheapest alternative per drug class"
+    * shape (README.md:9): 2nd and 3rd order per customer over the full
+    * frame; null where the customer has fewer orders. */
+  val winNthValue: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders")
+      .withColumn("second_order", nth_value($"o_orderkey", 2).over(w))
+      .withColumn("third_order", nth_value($"o_orderkey", 3).over(w))
+      .select($"o_orderkey", $"o_custkey", $"second_order", $"third_order")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_nth_value" -> winNthValue,
     "win_rank_topk" -> winRankTopk,
     "win_lag_lead" -> winLagLead,
     "win_running_sum" -> winRunningSum,
@@ -128,6 +143,14 @@ object Windows {
     "win_first_last" -> winFirstLast)
 
   val oracle: Map[String, String] = Map(
+    "win_nth_value" -> """
+      SELECT o_orderkey, o_custkey,
+             NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+             NTH_VALUE(o_orderkey, 3) OVER w AS third_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderkey""",
     "win_rank_topk" -> """
       SELECT p_brand, rn, rnk, drnk, p_partkey, p_retailprice
       FROM (SELECT p_brand, p_partkey, p_retailprice,
