@@ -79,10 +79,24 @@ object Udfs {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Null-preserving generator — explode_outer keeps rows whose array
+    * is empty (doc with no long token → one (doc_id, NULL) row), the
+    * LEFT-JOIN-LATERAL semantics an ETL needs when the parent row must
+    * survive an empty child list (patient with no meds still exports). */
+  val udtfGeneratorOuter: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        explode_outer(filter(split($"text", " "), x => length(x) > 6))
+          .as("token"))
+      .orderBy($"doc_id", $"token".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "udf_scalar" -> udfScalar,
     "udaf_typed" -> udafTyped,
-    "udtf_generator" -> udtfGenerator)
+    "udtf_generator" -> udtfGenerator,
+    "udtf_generator_outer" -> udtfGeneratorOuter)
 
   val oracle: Map[String, String] = Map(
     "udf_scalar" -> """
@@ -100,5 +114,13 @@ object Udfs {
       SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token
       FROM (SELECT doc_id, string_split(text, ' ') AS toks
             FROM documents WHERE doc_id < 50)
-      ORDER BY doc_id, pos""")
+      ORDER BY doc_id, pos""",
+    "udtf_generator_outer" -> """
+      SELECT d.doc_id, t.token
+      FROM documents d
+      LEFT JOIN (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '),
+                               x -> len(x) > 6)) AS token
+                 FROM documents) t USING (doc_id)
+      ORDER BY doc_id, token NULLS FIRST""")
 }
