@@ -62,15 +62,36 @@ object Streamy {
   /** Deterministic emulation of watermark late-drop: arrival order =
     * event_id, running max event time, drop rows older than max − 10m,
     * then the hourly aggregate. (The genuinely streaming form is
-    * StreamRunner.tumblingWithWatermark; a global running max is
-    * emulation-only — fine at any SF since it's a single pass.) */
+    * StreamRunner.tumblingWithWatermark.)
+    *
+    * The running max is a DISTRIBUTED prefix-max, not a global
+    * `Window.orderBy` (which would move every row to one partition —
+    * the r2 bench flagged exactly that WARN). Shape: bucket arrival
+    * order into B range-buckets where B scales with cluster
+    * parallelism (NOT with data), reduce each bucket to its max in a
+    * map-side-combined agg, prefix-scan the B carry-ins on the driver
+    * (a constant-size array — this is the "broadcast the per-partition
+    * carry-ins" step, not a data-sized collect), and finish with a
+    * bucket-PARTITIONED running-max window. Every stage is parallel;
+    * per-task rows are n/B. */
   val streamWatermarkLate: Q = (s, dir) => {
     import s.implicits._
-    val w = Window.orderBy($"event_id")
+    val e0 = Tables.load(s, dir, "events").withColumn("us", unix_micros($"ts"))
+    val nBuckets = s.sessionState.conf.numShufflePartitions.toLong * 4
+    val maxId = e0.agg(max($"event_id")).first().getLong(0)
+    val width = math.max(1L, maxId / nBuckets + 1)
+    val e = e0.withColumn("b", floor($"event_id" / width))
+    // B rows total (one per bucket): the bounded carry-in collect.
+    val bucketMax = e.groupBy($"b").agg(max($"us").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var run = Long.MinValue
+    val carry: Map[Long, Long] = bucketMax.map { case (b, m) =>
+      val c = (b, run); run = math.max(run, m); c
+    }.toMap
+    val carryCol = coalesce(element_at(typedlit(carry), $"b"), lit(Long.MinValue))
+    val w = Window.partitionBy($"b").orderBy($"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(s, dir, "events")
-      .withColumn("us", unix_micros($"ts"))
-      .withColumn("runmax", max($"us").over(w))
+    e.withColumn("runmax", greatest(max($"us").over(w), carryCol))
       .filter($"us" >= $"runmax" - 600000000L)
       .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
       .agg(count(lit(1)).as("n"))
