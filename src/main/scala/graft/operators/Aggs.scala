@@ -203,10 +203,17 @@ object Aggs {
         dsum($"l_extendedprice" * $"l_extendedprice").as("syy"),
         count(lit(1)).cast("double").as("n"))
       .select($"l_returnflag",
-        round(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1.0), 4).as("covar_qty_price"),
-        round(($"sxy" - $"sx" * $"sy" / $"n") /
-          (sqrt($"sxx" - $"sx" * $"sx" / $"n") *
-           sqrt($"syy" - $"sy" * $"sy" / $"n")), 6).as("corr_qty_price"))
+        // Degenerate-group guards (mirrored in the oracle CTE): covar is
+        // undefined for n<=1 (the n−1 divisor), corr additionally for a
+        // zero-variance side (sqrt(0) divisor) — null, not NaN/±inf.
+        round(when($"n" > 1.0,
+          ($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1.0)), 4).as("covar_qty_price"),
+        round(when($"n" > 1.0 &&
+            $"sxx" - $"sx" * $"sx" / $"n" > 0.0 &&
+            $"syy" - $"sy" * $"sy" / $"n" > 0.0,
+          ($"sxy" - $"sx" * $"sy" / $"n") /
+            (sqrt($"sxx" - $"sx" * $"sx" / $"n") *
+             sqrt($"syy" - $"sy" * $"sy" / $"n"))), 6).as("corr_qty_price"))
       .orderBy($"l_returnflag")
   }
 
@@ -390,9 +397,12 @@ object Aggs {
       GROUP BY user_id ORDER BY user_id""",
     "agg_corr" -> s"""
       SELECT l_returnflag,
-             ROUND((sxy - sx * sy / n) / (n - 1.0), 4) AS covar_qty_price,
-             ROUND((sxy - sx * sy / n) /
-               (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 6)
+             ROUND(CASE WHEN n > 1.0
+               THEN (sxy - sx * sy / n) / (n - 1.0) END, 4) AS covar_qty_price,
+             ROUND(CASE WHEN n > 1.0 AND sxx - sx * sx / n > 0.0
+                         AND syy - sy * sy / n > 0.0
+               THEN (sxy - sx * sy / n) /
+                 (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) END, 6)
                AS corr_qty_price
       FROM (SELECT l_returnflag,
                    ${dsumSql("l_quantity")} AS sx,

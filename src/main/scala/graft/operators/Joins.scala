@@ -318,7 +318,9 @@ object Joins {
       s.sql(s"DROP TABLE IF EXISTS $t")
       rmTree(whRoot.resolve(t))
     }
-    val stale = "graft_b_(?:orders|lineitem)_(\\d+)".r
+    // pid capped at 18 digits (like Qx.tmpOut) so a foreign dir name with
+    // a huge digit run can't overflow the toLong below.
+    val stale = "graft_b_(?:orders|lineitem)_(\\d{1,18})".r
     if (java.nio.file.Files.isDirectory(whRoot)) {
       import scala.jdk.CollectionConverters._
       val ls = java.nio.file.Files.list(whRoot)

@@ -146,28 +146,54 @@ object TextOps {
       .orderBy($"keeper_doc")
   }
 
+  /** Candidate same-bigram doc pairs (d1 < d2), EXACT under 64-bit
+    * hashing. The hot self-join stays keyed on the xxhash64 fold `h`
+    * (narrow (long, long) shuffle rows — at 100 TB this join is
+    * shuffle-bound, so key width is the cost driver), but the hash is
+    * first verified injective on the corpus: any h carrying two
+    * distinct banded-bigram strings is routed through a string-equality
+    * join instead. The collide set needs ~2^32 distinct bigrams per
+    * band before it's likely non-empty (its pre-pass shuffles only
+    * map-side-deduped (h, k) rows), so the broadcast is tiny-to-empty —
+    * and a silent collision can no longer diverge from the
+    * exact-string oracle (r3 ADVICE item). `bg` must carry doc_id, h,
+    * and the banded bigram string k. */
+  private def exactPairs(bg: DataFrame): DataFrame = {
+    val collide = bg.groupBy(col("h")).agg(countDistinct(col("k")).as("nk"))
+      .filter(col("nk") > 1).select(col("h"))
+    val clean = bg.join(broadcast(collide), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+    val dirty = bg.join(broadcast(collide), Seq("h"), "left_semi")
+    val cleanPairs = clean.as("a").join(clean.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val dirtyPairs = dirty.as("a").join(dirty.as("b"),
+        col("a.h") === col("b.h") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    cleanPairs.unionAll(dirtyPairs)
+  }
+
   /** Exact n-gram (word-bigram) Jaccard similarity between banded doc
     * pairs — the oracle-checkable twin of MinHash-LSH. Banding by
     * (lang, source) bounds the pair space exactly the way an LSH bucket
     * would at scale; the set intersection runs as a token-level
-    * self-join (shuffle on bigram), never a cartesian product. */
+    * self-join (shuffle on the hashed bigram, collision-checked by
+    * [[exactPairs]]), never a cartesian product. */
   val dedupNgramJaccard: Q = (s, dir) => {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
-    // The (lang, source) band and the bigram itself are folded into one
-    // xxhash64 key before the distinct + self-join: the shuffles then
-    // carry (long, long) rows instead of full bigram strings — at 100 TB
-    // the token-level self-join is shuffle-bound, so key width is the
-    // cost driver. A 64-bit collision would need ~2^32 distinct bigrams
-    // per band to become likely (billions of docs away).
+    // NUL-separated band+bigram string: tokens are plain words, so k is injective on
+    // (lang, source, bigram) — the distinct below is then exactly the
+    // oracle's DISTINCT (doc_id, lang, source, bgm).
     val bg = docs.select($"doc_id", $"lang", $"source",
         explode(bigrams(tokens($"text"))).as("bgm"))
-      .select($"doc_id", xxhash64($"bgm", $"lang", $"source").as("h"))
+      .select($"doc_id", xxhash64($"bgm", $"lang", $"source").as("h"),
+        concat_ws("\u0000", $"lang", $"source", $"bgm").as("k"))
       .distinct()
     val sizes = bg.groupBy($"doc_id").agg(count(lit(1)).as("n_bg"))
-    val inter = bg.as("a").join(bg.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val inter = exactPairs(bg)
+      .groupBy($"d1", $"d2")
       .agg(count(lit(1)).as("inter"))
     inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_bg", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_bg", "n2"), "d2")
@@ -233,12 +259,12 @@ object TextOps {
     val ex = kept.join(keepers.select($"doc_id"), Seq("doc_id"), "left_semi")
     val bg = ex.select($"doc_id", $"source",
         explode(bigrams(tokens($"text"))).as("bgm"))
-      .select($"doc_id", xxhash64($"bgm", $"source").as("hb"))
+      .select($"doc_id", xxhash64($"bgm", $"source").as("h"),
+        concat_ws("\u0000", $"source", $"bgm").as("k"))
       .distinct()
     val sizes = bg.groupBy($"doc_id").agg(count(lit(1)).as("n_bg"))
-    val dropIds = bg.as("a").join(bg.as("b"),
-        col("a.hb") === col("b.hb") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val dropIds = exactPairs(bg)
+      .groupBy($"d1", $"d2")
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select($"doc_id".as("d1"), $"n_bg".as("n1")), "d1")
       .join(sizes.select($"doc_id".as("d2"), $"n_bg".as("n2")), "d2")

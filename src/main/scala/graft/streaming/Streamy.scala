@@ -76,11 +76,26 @@ object Streamy {
     * per-task rows are n/B. */
   val streamWatermarkLate: Q = (s, dir) => {
     import s.implicits._
-    val e0 = Tables.load(s, dir, "events").withColumn("us", unix_micros($"ts"))
+    // Project to the four consumed columns, then persist: the derivation
+    // needs two driver actions (id-span agg, bucket-max collect) plus the
+    // main query — cached, the parquet file is scanned ONCE instead of
+    // three times. (At 100 TB one would skip the cache and pay two extra
+    // column-pruned scans of (event_id[, ts]) instead — both modes keep
+    // every stage parallel; this one keeps I/O minimal at bench scale.)
+    val e0 = Tables.load(s, dir, "events")
+      .select($"event_id", $"event_type", $"ts", unix_micros($"ts").as("us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBuckets = s.sessionState.conf.numShufflePartitions.toLong * 4
-    val maxId = e0.agg(max($"event_id")).first().getLong(0)
-    val width = math.max(1L, maxId / nBuckets + 1)
-    val e = e0.withColumn("b", floor($"event_id" / width))
+    // Bucket on (event_id - minId) so sparse/offset id spaces (e.g.
+    // snowflake-style ids starting at a large base) still spread across
+    // all buckets; width from the span also removes any width<=0 path.
+    // min/max of zero rows is null — an empty table degenerates to one
+    // empty bucket instead of an NPE.
+    val mm = e0.agg(min($"event_id"), max($"event_id")).first()
+    val (minId, maxId) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (maxId - minId) / nBuckets + 1)
+    val e = e0.withColumn("b", floor(($"event_id" - minId) / width))
     // B rows total (one per bucket): the bounded carry-in collect.
     val bucketMax = e.groupBy($"b").agg(max($"us").as("m"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -111,26 +126,37 @@ object Streamy {
       .orderBy($"user_id", $"event_type")
   }
 
-  /** Custom per-user running state via the typed API — for every
-    * purchase, emit how many purchases that user has made so far and
-    * the exact running cents total. Batch twin of
-    * StreamRunner.statefulPurchases (flatMapGroupsWithState). */
+  /** Custom per-user running state — for every purchase, emit how many
+    * purchases that user has made so far and the exact running cents
+    * total. Batch twin of StreamRunner.statefulPurchases
+    * (flatMapGroupsWithState).
+    *
+    * Implemented as a SECONDARY SORT, not flatMapGroups: repartition on
+    * user_id co-locates each user, sortWithinPartitions puts the
+    * partition in (user, time, id) order, and mapPartitions streams it
+    * with O(1) running state that resets at each user boundary. No
+    * per-group buffer ever materializes — a hot key at 100× is a longer
+    * iterator, not an executor OOM (the r2/r3 `it.toSeq.sortBy` weak
+    * spot). The sort itself is Spark's spillable external sort. */
   val streamStateful: Q = (s, dir) => {
     import s.implicits._
     val ev = Tables.load(s, dir, "events")
-      .select($"user_id", $"event_id", $"event_type", $"value", unix_micros($"ts").as("us"))
-      .as[(Long, Long, String, Double, Long)]
-    ev.groupByKey(_._1)
-      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, String, Double, Long)]) =>
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"value", unix_micros($"ts").as("us"))
+      .as[(Long, Long, Double, Long)]
+    ev.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"us", $"event_id")
+      .mapPartitions { it =>
+        var started = false
+        var cur = 0L
         var n = 0L
         var cents = 0L
-        it.toSeq.sortBy(e => (e._5, e._2)).iterator
-          .filter(_._3 == "purchase")
-          .map { e =>
-            n += 1
-            cents += math.round(e._4 * 100.0)
-            (uid, e._2, n, cents)
-          }
+        it.map { case (uid, eid, v, _) =>
+          if (!started || uid != cur) { started = true; cur = uid; n = 0L; cents = 0L }
+          n += 1
+          cents += math.round(v * 100.0)
+          (uid, eid, n, cents)
+        }
       }
       .toDF("user_id", "event_id", "n_so_far", "cum_cents")
       .orderBy($"event_id")
