@@ -63,15 +63,44 @@ object SimOps {
       .orderBy($"probe_id", $"rnk")
   }
 
-  /** Embedding-cosine near-dup pairs, banded by label (the band plays
-    * the role an LSH bucket would at scale) with threshold on the
-    * rounded cosine so both engines agree at the boundary. */
+  /** Integer-exact random-hyperplane LSH bucket, engine-reproducible.
+    *
+    * The float-sign buckets of [[simAnnLsh]] can't face an oracle: two
+    * engines summing 64 doubles in different orders can flip a
+    * near-zero sign. Here the embedding is first quantized to integers
+    * (floor(v*1000) — v*1000 is ONE IEEE op on identical doubles, so
+    * bit-identical everywhere, and floor has no midpoint rule), and the
+    * 8 hyperplanes are integer-valued from a fixed formula, so the dot
+    * products are exact integer arithmetic: order-independent,
+    * engine-independent (min observed |dot| on the corpus is 1, never
+    * 0-adjacent). DuckDB reproduces the identical bucket from the same
+    * formula, which is what lets a *banded* plan stay hash-checked. */
+  private def intLshBucket(v: Column): Column = {
+    def plane(p: Int): Column =
+      array((0 until 64).map(d => lit((p * 64L + d) * 2654435761L % 101L - 50L)): _*)
+    val q = transform(v, x => floor(x * 1000).cast("long"))
+    (0 until 8).map { p =>
+      when(aggregate(zip_with(q, plane(p), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-dup pairs, banded by (label, LSH bucket) —
+    * NOT label alone: a label's population grows linearly with the
+    * corpus, so label-only banding is O(n²/k) all-pairs (the r2/r3
+    * scale flag); the [[intLshBucket]] sub-band caps pair fan-in the
+    * same way the minhash/simhash siblings do (measured max band 24 at
+    * sf0.1 vs 200+ per label). Because the bucket is integer-exact on
+    * both engines, the banded semantics — not just a superset — is
+    * what the DuckDB twin checks: same bucket formula, same pairs,
+    * exact-cosine rerank with threshold on the rounded value. */
   val dedupEmbeddingCosine: Q = (s, dir) => {
     import s.implicits._
-    val e = vectorsWithNorm(s, dir)
-    val a = e.select($"vec_id".as("d1"), $"label", $"v".as("v1"), $"nrm".as("n1"))
-    val b = e.select($"vec_id".as("d2"), $"label".as("label2"), $"v".as("v2"), $"nrm".as("n2"))
-    a.join(b, $"label" === $"label2" && $"d1" < $"d2")
+    val e = vectorsWithNorm(s, dir).withColumn("bk", intLshBucket($"v"))
+    val a = e.select($"vec_id".as("d1"), $"label", $"bk", $"v".as("v1"), $"nrm".as("n1"))
+    val b = e.select($"vec_id".as("d2"), $"label".as("label2"), $"bk".as("bk2"),
+      $"v".as("v2"), $"nrm".as("n2"))
+    a.join(b, $"label" === $"label2" && $"bk" === $"bk2" && $"d1" < $"d2")
       .select($"d1", $"d2",
         round(dotD($"v1", $"v2") / ($"n1" * $"n2"), 4).as("cosine"))
       .filter($"cosine" >= 0.3)
@@ -121,16 +150,29 @@ object SimOps {
     * no shuffle beyond the final groupBy), and probes search only their
     * own cell (nprobe=1). All-pairs O(n²) becomes per-cell joins whose
     * fan-in is n/K on balanced data; on a cluster the assignment is one
-    * broadcast-join pass over the corpus. Centroids here are the first
-    * 16 corpus vectors (deterministic stand-in for k-means — the
-    * partitioning structure, not the training loop, is the operator).
-    * No oracle (cell boundaries aren't ANSI-expressible); deterministic
-    * by construction. */
+    * broadcast-join pass over the corpus. Centroids are TRAINED with
+    * MLlib KMeans (fixed seed, fixed iteration count, single sorted
+    * training partition so the center-update reduction order — and
+    * therefore every float sum — is identical run to run: the output
+    * stays bit-deterministic). At 100 TB one trains on a sample; the
+    * serving path (broadcast centroids + argmax assignment) is
+    * unchanged. No oracle (cell boundaries aren't ANSI-expressible);
+    * deterministic by construction — see the recall + determinism
+    * assertions in Round4OpsSpec. */
   val simAnnIvf: Q = (s, dir) => {
     import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
     val e = vectorsWithNorm(s, dir)
-    val cents = e.filter($"vec_id" < 16)
-      .select($"vec_id".as("cent_id"), $"v".as("c_v"), $"nrm".as("c_nrm"))
+    val model = new KMeans().setK(16).setSeed(20260812L).setMaxIter(5)
+      .setFeaturesCol("fv")
+      .fit(e.orderBy($"vec_id").coalesce(1)
+        .select(array_to_vector($"v").as("fv")))
+    val cents = s.createDataFrame(
+        model.clusterCenters.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toArray) })
+      .toDF("cent_id", "c_v")
+      .withColumn("c_nrm", sqrt(call_function("vec_dot", $"c_v", $"c_v")))
     // argmax cosine per vector: max over struct(cos, 15-cent_id) picks
     // the highest cosine, ties to the lowest centroid id.
     val cells = e.crossJoin(broadcast(cents))
@@ -321,6 +363,14 @@ object SimOps {
     "dedup_embedding_cosine" -> """
       WITH x AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
                         generate_subscripts(embedding, 1) AS i FROM embeddings),
+      bits AS (SELECT x.vec_id, pl.p,
+                      CASE WHEN SUM(CAST(floor(x.v * 1000) AS BIGINT)
+                        * ((pl.p * 64 + x.i - 1) * 2654435761 % 101 - 50)) > 0
+                        THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END AS bit
+               FROM x CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) pl(p)
+               GROUP BY x.vec_id, pl.p),
+      bk AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bk
+             FROM bits GROUP BY vec_id),
       n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
       d AS (SELECT a.vec_id AS d1, b.vec_id AS d2, SUM(a.v * b.v) AS dp
             FROM x a JOIN x b ON a.i = b.i AND a.label = b.label
@@ -328,7 +378,8 @@ object SimOps {
             GROUP BY 1, 2)
       SELECT d1, d2, ROUND(dp / (n1.nrm * n2.nrm), 4) AS cosine
       FROM d JOIN n n1 ON n1.vec_id = d1 JOIN n n2 ON n2.vec_id = d2
-      WHERE ROUND(dp / (n1.nrm * n2.nrm), 4) >= 0.3
+      JOIN bk b1 ON b1.vec_id = d1 JOIN bk b2 ON b2.vec_id = d2
+      WHERE b1.bk = b2.bk AND ROUND(dp / (n1.nrm * n2.nrm), 4) >= 0.3
       ORDER BY d1, d2""",
     "multimodal_join" -> """
       SELECT doc_id, lang, source, n_chars, label,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.SimOps
+import graft.streaming.Streamy
+
+/** Round-4 items: trained-IVF quality/determinism, banded
+  * embedding-cosine recall accounting, secondary-sort stateful twin.
+  */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sim_ann_ivf (trained centroids) is bit-deterministic across runs") {
+    val a = SimOps.simAnnIvf(spark, sf()).collect()
+    val b = SimOps.simAnnIvf(spark, sf()).collect()
+    assert(a.length == b.length && a.sameElements(b),
+      "two trainings with the same seed must emit identical rows")
+    assert(a.nonEmpty)
+  }
+
+  test("sim_ann_ivf recall vs exact sim_cosine_topk is useful for nprobe=1") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimOps.simCosineTopk(spark, sf()))
+    val ivf = pairs(SimOps.simAnnIvf(spark, sf()))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // nprobe=1 over 16 trained cells: every probe searches only its own
+    // cell, so recall is bounded but must beat a random 16th of the
+    // corpus by a wide margin (random top-5 recall ≈ 5/n ≈ 1%).
+    assert(recall >= 0.3, s"recall $recall < 0.3")
+  }
+
+  test("dedup_embedding_cosine banded pairs are a subset of the label-band pairs") {
+    val banded = SimOps.dedupEmbeddingCosine(spark, sf())
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.nonEmpty, "the LSH sub-band must keep some survivors")
+    // every banded survivor must reproduce in a direct exact check
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    banded.foreach { case (d1, d2) =>
+      val (v1, v2) = (e(d1), e(d2))
+      val dot = v1.zip(v2).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(v1.map(x => x * x).sum) * math.sqrt(v2.map(x => x * x).sum))
+      assert(BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.3"),
+        s"pair ($d1,$d2) fails the exact cosine threshold")
+    }
+  }
+
+  test("stream_stateful secondary sort equals a driver-side reference") {
+    val rows = SimOpsHelpers.statefulReference(spark, sf())
+    val got = Streamy.streamStateful(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == rows, "secondary-sort output must equal the per-user reference")
+  }
+}
+
+/** Driver-side reference for the stateful twin (tiny SF only). */
+object SimOpsHelpers {
+  def statefulReference(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Long, Long, Long, Long)] = {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "event_type", "value", "unix_micros(ts) as us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    ev.filter(_._3 == "purchase")
+      .groupBy(_._1).toSeq
+      .flatMap { case (uid, es) =>
+        var n = 0L; var cents = 0L
+        es.sortBy(e => (e._5, e._2)).map { e =>
+          n += 1; cents += math.round(e._4 * 100.0)
+          (uid, e._2, n, cents)
+        }
+      }
+      .sortBy(_._2)
+  }
+}
