@@ -66,6 +66,24 @@ object DomainQueries {
         ($"p_partkey" % 7 === 0).as("prior_auth"))
   }
 
+  /** Conditions derived from testdata: patients in credit (acctbal >
+    * 5000) carry one clinical condition keyed off their id. */
+  private def conditionsFrom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer").filter($"c_acctbal" > 5000)
+      .select($"c_custkey".as("patient_id"),
+        concat(lit("COND"), $"c_custkey" % 50).as("condition_code"))
+  }
+
+  /** Contraindication catalog: every third part is contraindicated for
+    * one condition keyed off its partkey. */
+  private def contraindicationsFrom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "part").filter($"p_partkey" % 3 === 0)
+      .select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+        concat(lit("COND"), $"p_partkey" % 50).as("condition_code"))
+  }
+
   /** Shared med_id pack expression for the oracle CTEs. */
   private val medIdSql =
     "(l_orderkey * 10 + l_linenumber) * 100000000 + l_partkey"
@@ -80,8 +98,17 @@ object DomainQueries {
       .filter($"p_partkey" =!= $"gk")
       .select(concat(lit("CUI"), $"p_partkey").as("brand_cui"),
         concat(lit("CUI"), $"gk").as("generic_cui"))
+    // Deterministic two-row as-of history per drug (FIXTURES.md §2):
+    // a stale +10% price from 2024 and the current retail price. The
+    // MedRules.latestPrices window collapse must pick the newer row —
+    // the oracle CTE performs the matching ROW_NUMBER collapse, so the
+    // as-of branch now sits INSIDE the hash-checked flow (r3 gap #3).
     val prices = part.select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
-      $"p_retailprice".as("price"))
+        round($"p_retailprice" * 1.1, 2).as("price"),
+        lit("2024-01-01").cast("date").as("as_of"))
+      .unionAll(part.select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+        $"p_retailprice".as("price"),
+        lit("2025-06-01").cast("date").as("as_of")))
     val allergies = cust.filter($"c_acctbal" < 0)
       .select($"c_custkey".as("patient_id"),
         concat(lit("CUI"), lit(1) + $"c_custkey" % 200).as("substance"))
@@ -112,10 +139,22 @@ object DomainQueries {
       .orderBy($"med_id", $"payer")
   }
 
+  /** Condition-gated recommendation set (README.md:3,7) through the
+    * domain API: meds surviving the patient-history contraindication
+    * gate — the semi/anti-join rule the reference applies before
+    * proposing therapy changes. */
+  val domainConditions: Q = (s, dir) => {
+    import s.implicits._
+    MedRules.conditionGated(medsFrom(s, dir, sampled = true),
+        conditionsFrom(s, dir), contraindicationsFrom(s, dir))
+      .orderBy($"med_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "domain_ep1_recommend" -> domainEp1Recommend,
     "domain_overlap" -> domainOverlap,
-    "domain_formulary" -> domainFormulary)
+    "domain_formulary" -> domainFormulary,
+    "domain_conditions" -> domainConditions)
 
   val oracle: Map[String, String] = Map(
     "domain_overlap" -> s"""
@@ -169,8 +208,17 @@ object DomainQueries {
                     'CUI' || m.gk AS generic_cui
              FROM part p JOIN part_min m ON p.p_type = m.p_type
              WHERE p.p_partkey <> m.gk),
-      prices AS (SELECT 'CUI' || p_partkey AS cui, p_retailprice AS price
-                 FROM part),
+      prices AS (
+        SELECT cui, price FROM (
+          SELECT cui, price, ROW_NUMBER() OVER (
+                   PARTITION BY cui ORDER BY as_of DESC, price DESC) AS rn
+          FROM (SELECT 'CUI' || p_partkey AS cui,
+                       round(p_retailprice * 1.1, 2) AS price,
+                       DATE '2024-01-01' AS as_of FROM part
+                UNION ALL
+                SELECT 'CUI' || p_partkey AS cui, p_retailprice AS price,
+                       DATE '2025-06-01' AS as_of FROM part))
+        WHERE rn = 1),
       allergies AS (SELECT c_custkey AS patient_id,
                            'CUI' || (1 + c_custkey % 200) AS substance
                     FROM customer WHERE c_acctbal < 0),
@@ -215,5 +263,27 @@ object DomainQueries {
                     generic_cui, '"},"denialRiskScore":"',
                     CAST(denial_risk AS VARCHAR), '"}') AS resource,
              generic_cui, saving, denial_risk
-      FROM best WHERE rn = 1 ORDER BY med_id""")
+      FROM best WHERE rn = 1 ORDER BY med_id""",
+    "domain_conditions" -> s"""
+      WITH meds AS (SELECT DISTINCT $medIdSql AS med_id,
+                      o_custkey AS patient_id,
+                      'CUI' || l_partkey AS rxnorm_cui, p_name AS drug_name
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN part ON l_partkey = p_partkey
+               WHERE o_custkey % 5 = 0),
+      conditions AS (SELECT c_custkey AS patient_id,
+                            'COND' || (c_custkey % 50) AS condition_code
+                     FROM customer WHERE c_acctbal > 5000),
+      contra AS (SELECT 'CUI' || p_partkey AS rxnorm_cui,
+                        'COND' || (p_partkey % 50) AS condition_code
+                 FROM part WHERE p_partkey % 3 = 0),
+      blocked AS (SELECT m.med_id
+                  FROM meds m JOIN contra x ON m.rxnorm_cui = x.rxnorm_cui
+                  WHERE EXISTS (SELECT 1 FROM conditions c
+                                WHERE c.patient_id = m.patient_id
+                                  AND c.condition_code = x.condition_code))
+      SELECT med_id, patient_id, rxnorm_cui, drug_name FROM meds
+      WHERE med_id NOT IN (SELECT med_id FROM blocked)
+      ORDER BY med_id""")
 }

@@ -108,6 +108,25 @@ object MedRules {
           coalesce(col("generic_price"), lit(0.0))).as("saving"))
   }
 
+  /** Condition-gated therapy filter (README.md:3,7 — "diversifies
+    * therapy based on the patient's clinical history"): a med is
+    * blocked when its drug is contraindicated for a condition the
+    * patient carries. Inputs: conditions(patient_id, condition_code),
+    * contraindications(rxnorm_cui, condition_code). Returns the meds
+    * that SURVIVE the gate. Shape: the contraindication catalog is a
+    * bounded drug-knowledge table (broadcast); the patient-condition
+    * check is a left_semi on (patient, condition) and the gate itself a
+    * left_anti on med_id — both patient-key shuffles, nothing
+    * collected. */
+  def conditionGated(meds: DataFrame, conditions: DataFrame,
+      contraindications: DataFrame): DataFrame = {
+    val blocked = meds.join(broadcast(contraindications), Seq("rxnorm_cui"))
+      .join(conditions, Seq("patient_id", "condition_code"), "left_semi")
+      .select(col("med_id"))
+    meds.join(blocked, Seq("med_id"), "left_anti")
+      .select(col("med_id"), col("patient_id"), col("rxnorm_cui"), col("drug_name"))
+  }
+
   /** Formulary placement for each med under the patient's payer(s)
     * active at `asOf` (README.md:9,25): tier + prior-auth flag, null
     * tier = off-formulary. */

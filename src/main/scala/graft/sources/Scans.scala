@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.{Qx, Tables}
 import graft.functions.FhirJson
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sources and sinks (SURVEY §2.1).
@@ -61,6 +61,100 @@ object Scans {
       .select($"o_orderkey", $"r.id".as("id"),
         $"r.subject.subject_id".as("subject_id"), $"r.subject.status".as("status"))
       .orderBy($"o_orderkey")
+  }
+
+  /** Multi-segment HL7 v2 message ingest (README.md:3,7,76) — the
+    * reference's real loader shape, not the single-segment toy: each
+    * message is MSH (header) + PID (patient) + RXE (pharmacy order),
+    * and the parser routes segments by their 3-letter type to produce
+    * ONE typed med row per message. Framing is one message per row
+    * (file-per-message / length-prefixed sources land this way), so
+    * parsing is pure per-row Column work: split into segments, pick
+    * each segment with a type-prefix lambda filter, split fields on
+    * `|` — embarrassingly parallel, no shuffle before the final sort.
+    * The DuckDB oracle stages the identical text and parses it with
+    * string_split + list_filter. Money travels as integer cents. */
+  val scanHl7Message: Q = (s, dir) => {
+    import s.implicits._
+    val joined = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(Tables.load(s, dir, "lineitem").filter($"l_linenumber" === 1),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.load(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .filter($"o_orderkey" <= 4000)
+    val msg = concat(
+      lit("MSH|^~\\&|PHARMACY|SIGMA|RX|SITE|"), $"o_orderkey", lit("\n"),
+      lit("PID|1|"), $"o_custkey", lit("|"), $"c_name", lit("|"), $"c_mktsegment", lit("\n"),
+      lit("RXE|1|CUI"), $"l_partkey", lit("|"), $"p_name", lit("|"),
+      $"l_quantity".cast("long"), lit("|"), round($"l_extendedprice" * 100).cast("long"))
+    val segs = joined.select(split(msg, "\n").as("segs"))
+    def seg(prefix: String): Column =
+      split(element_at(filter($"segs", x => x.startsWith(prefix)), 1), "\\|")
+    segs.select(seg("MSH").as("msh"), seg("PID").as("pid"), seg("RXE").as("rxe"))
+      .select(
+        element_at($"msh", 7).cast("long").as("msg_id"),
+        element_at($"pid", 3).cast("long").as("patient_id"),
+        element_at($"pid", 4).as("patient_name"),
+        element_at($"pid", 5).as("segment"),
+        element_at($"rxe", 3).as("rxnorm_cui"),
+        element_at($"rxe", 4).as("drug_name"),
+        element_at($"rxe", 5).cast("long").as("qty"),
+        element_at($"rxe", 6).cast("long").as("price_cents"))
+      // lineitem has no unique key — (orderkey, linenumber) repeats with
+      // different parts, so msg_id ties: total ORDER BY over all columns.
+      .orderBy($"msg_id", $"rxnorm_cui", $"qty", $"price_cents")
+  }
+
+  /** FHIR Bundle ingest (README.md:3,76) — the reference's real JSON
+    * shape: one Bundle per patient whose `entry[]` array mixes a
+    * Patient resource with that patient's MedicationRequest resources.
+    * Construction serializes a union-struct entry array (to_json drops
+    * null fields, so each resource carries only its own keys); the
+    * read path is from_json → explode(entry.resource) → route by
+    * resourceType → join the patient entry back onto its med entries.
+    * Per-bundle entry count is bounded by per-patient fills, so the
+    * collect_list stays small at any corpus scale (partitioned by
+    * patient, never global). */
+  val scanFhirBundle: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer").filter($"c_custkey" <= 300)
+    val reqs = Tables.load(s, dir, "orders").filter($"o_custkey" <= 300)
+      .select($"o_custkey",
+        struct(lit("MedicationRequest").as("resourceType"),
+          concat(lit("rx-"), $"o_orderkey").as("id"),
+          lit(null).cast("string").as("name"),
+          lit(null).cast("string").as("segment"),
+          $"o_orderkey".as("okey"),
+          $"o_orderstatus".as("status")).as("res"))
+      .groupBy($"o_custkey").agg(sort_array(collect_list($"res")).as("reqs"))
+    val bundles = cust.join(reqs, $"c_custkey" === $"o_custkey")
+      .select(to_json(struct(
+        lit("Bundle").as("resourceType"),
+        concat(lit("bundle-"), $"c_custkey").as("id"),
+        concat(
+          array(struct(struct(
+            lit("Patient").as("resourceType"),
+            concat(lit("pat-"), $"c_custkey").as("id"),
+            $"c_name".as("name"),
+            $"c_mktsegment".as("segment"),
+            lit(null).cast("long").as("okey"),
+            lit(null).cast("string").as("status")).as("resource"))),
+          transform($"reqs", r => struct(r.as("resource")))).as("entry"))).as("bundle"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "resourceType STRING, id STRING, entry ARRAY<STRUCT<resource: STRUCT<" +
+        "resourceType: STRING, id: STRING, name: STRING, segment: STRING, " +
+        "okey: BIGINT, status: STRING>>>")
+    val parsed = bundles
+      .select(from_json($"bundle", schema).as("b"))
+      .select($"b.id".as("bundle_id"), explode($"b.entry.resource").as("r"))
+    val pats = parsed.filter($"r.resourceType" === "Patient")
+      .select($"bundle_id", $"r.id".as("patient_ref"),
+        $"r.name".as("patient_name"), $"r.segment".as("segment"))
+    val meds = parsed.filter($"r.resourceType" === "MedicationRequest")
+      .select($"bundle_id", $"r.okey".as("order_key"), $"r.status".as("status"))
+    meds.join(pats, "bundle_id")
+      .select($"order_key", $"patient_ref", $"patient_name", $"segment", $"status")
+      .orderBy($"order_key")
   }
 
   /** Parquet sink + re-read (bootstrap persistence, README.md:36,55). */
@@ -190,7 +284,9 @@ object Scans {
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> scanParquet,
     "scan_csv_hl7" -> scanCsvHl7,
+    "scan_hl7_message" -> scanHl7Message,
     "scan_json_fhir" -> scanJsonFhir,
+    "scan_fhir_bundle" -> scanFhirBundle,
     "sink_parquet" -> sinkParquet,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_json_fhir" -> sinkJsonFhir,
@@ -210,6 +306,41 @@ object Scans {
                      c_mktsegment), '|') AS p
             FROM customer)
       ORDER BY custkey""",
+    "scan_hl7_message" -> """
+      WITH src AS (
+        SELECT concat(
+          'MSH|^~\&|PHARMACY|SIGMA|RX|SITE|', o_orderkey, chr(10),
+          'PID|1|', o_custkey, '|', c_name, '|', c_mktsegment, chr(10),
+          'RXE|1|CUI', l_partkey, '|', p_name, '|',
+          CAST(l_quantity AS BIGINT), '|',
+          CAST(round(l_extendedprice * 100) AS BIGINT)) AS msg
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey AND l_linenumber = 1
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderkey <= 4000),
+      seg AS (SELECT string_split(msg, chr(10)) AS segs FROM src),
+      f AS (SELECT
+          string_split(list_filter(segs, x -> x LIKE 'MSH%')[1], '|') AS msh,
+          string_split(list_filter(segs, x -> x LIKE 'PID%')[1], '|') AS pid,
+          string_split(list_filter(segs, x -> x LIKE 'RXE%')[1], '|') AS rxe
+        FROM seg)
+      SELECT CAST(msh[7] AS BIGINT) AS msg_id,
+             CAST(pid[3] AS BIGINT) AS patient_id,
+             pid[4] AS patient_name,
+             pid[5] AS segment,
+             rxe[3] AS rxnorm_cui,
+             rxe[4] AS drug_name,
+             CAST(rxe[5] AS BIGINT) AS qty,
+             CAST(rxe[6] AS BIGINT) AS price_cents
+      FROM f ORDER BY msg_id, rxnorm_cui, qty, price_cents""",
+    "scan_fhir_bundle" -> """
+      SELECT o_orderkey AS order_key, 'pat-' || c_custkey AS patient_ref,
+             c_name AS patient_name, c_mktsegment AS segment,
+             o_orderstatus AS status
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_custkey <= 300
+      ORDER BY order_key""",
     "scan_json_fhir" -> """
       SELECT o_orderkey, o_orderkey AS id, o_custkey AS subject_id,
              o_orderstatus AS status
