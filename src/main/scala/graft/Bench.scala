@@ -27,6 +27,24 @@ object Bench {
     (summary, detail)
   }
 
+  /** Full-detail line with the per-query variance band over the timed
+    * passes: `"band":{q:[min,median,max]}` (seconds, ms precision).
+    * Machine noise vs code-shaped regressions was manually adjudicated
+    * in rounds 2–3 (observed ±2.6 s swings on untouched queries); the
+    * band makes that separation mechanical. */
+  def detailWithBand(median: Map[String, Double],
+      passes: Seq[Map[String, Double]], sfDir: String): String = {
+    val (_, base) = summaryLines(median, sfDir)
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val band = median.keys.toSeq.sorted.map { k =>
+      val vs = passes.flatMap(_.get(k)).filter(_ >= 0).sorted
+      val arr = if (vs.isEmpty) "[-1,-1,-1]"
+        else s"[${r3(vs.head)},${r3(vs((vs.size - 1) / 2))},${r3(vs.last)}]"
+      "\"" + k + "\":" + arr
+    }.mkString("{", ",", "}")
+    base.dropRight(1) + s""","passes":${passes.size},"band":$band}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,16 +74,29 @@ object Bench {
     }
     // A failing query reports -1 in `queries` and is excluded from the
     // total — a broken build must not masquerade as a fast benchmark.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Multiple serial timed passes (default 3): the headline value is the
+    // per-query MEDIAN, and BENCH_DETAIL.json carries [min,median,max]
+    // per query so run-to-run machine noise (±2+ s observed on untouched
+    // queries in rounds 2–3) is separable from code-shaped regressions.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val passes: Seq[Map[String, Double]] = (1 to nPasses).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
-    val (summary, detail) = summaryLines(results, sfDir)
+    // median over the passes that succeeded; -1 only if EVERY pass failed
+    val results = SparkEntry.queries.keys.map { name =>
+      val ok = passes.flatMap(_.get(name)).filter(_ >= 0).sorted
+      name -> (if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2))
+    }.toMap
+    val (summary, _) = summaryLines(results, sfDir)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detailWithBand(results, passes, sfDir) + "\n")
     catch { case _: Throwable => () }
     println(summary)
     spark.stop()

@@ -37,4 +37,24 @@ class BenchLineSpec extends AnyFunSuite {
     // detail always carries the full map
     names.foreach(n => assert(detail.contains("\"" + n + "\"")))
   }
+
+  test("detailWithBand emits [min,median,max] per query and stays valid JSON-ish") {
+    val passes = Seq(
+      names.map(_ -> 1.0).toMap,
+      names.map(_ -> 3.0).toMap,
+      names.map(_ -> 2.0).toMap)
+    val median = names.map(_ -> 2.0).toMap
+    val d = Bench.detailWithBand(median, passes, sf)
+    assert(d.contains("\"passes\":3"))
+    assert(d.contains(s""""${names.head}":[1.0,2.0,3.0]"""))
+    assert(d.endsWith("}"))
+    assert(d.count(_ == '{') == d.count(_ == '}'))
+  }
+
+  test("detailWithBand reports [-1,-1,-1] for a query that failed every pass") {
+    val passes = Seq(names.map(_ -> -1.0).toMap, names.map(_ -> -1.0).toMap)
+    val median = names.map(_ -> -1.0).toMap
+    val d = Bench.detailWithBand(median, passes, sf)
+    assert(d.contains(s""""${names.head}":[-1,-1,-1]"""))
+  }
 }
