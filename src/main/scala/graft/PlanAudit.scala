@@ -93,7 +93,35 @@ object PlanAudit {
         |FHIR JSON serialization. Expect the drug-knowledge side to be
         |all BroadcastHashJoins (bounded catalogs) and only the
         |patient-scaled meds stream to shuffle — the per-patient tables
-        |scale, the knowledge base replicates.""".stripMargin)
+        |scale, the knowledge base replicates.""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """Banded near-dup (r4): pair generation keyed on (label, integer
+        |LSH bucket), never label alone — expect the self-join's equi
+        |keys to include the bucket column, so per-band fan-in is capped
+        |(measured max 24 members at sf0.1) and the within-band
+        |all-pairs never grows quadratic in the corpus. The bucket is
+        |integer-exact (floor-quantized vector × integer hyperplanes),
+        |which is why the oracle can check the banded semantics.""".stripMargin,
+    "stream_stateful" ->
+      """Secondary sort (r4): expect Exchange hashpartitioning(user_id)
+        |→ Sort [user_id, us, event_id] → MapPartitions, and NO
+        |per-group buffering operator — running state is O(1) per task;
+        |a hot user is a longer iterator, not an executor OOM. The sort
+        |is Spark's spillable external sort.""".stripMargin,
+    "stream_watermark_late" ->
+      """Distributed prefix-max (r3, single-scan r4): events projected
+        |+ cached once (InMemoryTableScan in the downstream plans, one
+        |FileScan total); range-bucketed on (event_id − minId) so offset
+        |id spaces keep all B buckets; bucket-partitioned running-max
+        |window + B-row carry-in broadcast. No `WindowExec: No Partition
+        |Defined` anywhere.""".stripMargin,
+    "scan_fhir_bundle" ->
+      """Bundle ingest (r4): per-patient collect_list is keyed by the
+        |patient exchange (bounded by per-patient fills, never global);
+        |parse path is from_json → explode(entry.resource) → two
+        |type-routed filters re-joined on bundle_id. Expect the
+        |patient↔med rejoin to hash-join on bundle_id with no
+        |cartesian.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -159,8 +159,15 @@ object TextOps {
     * exact-string oracle (r3 ADVICE item). `bg` must carry doc_id, h,
     * and the banded bigram string k. */
   private def exactPairs(bg: DataFrame): DataFrame = {
-    val collide = bg.groupBy(col("h")).agg(countDistinct(col("k")).as("nk"))
-      .filter(col("nk") > 1).select(col("h"))
+    // (Measured: persisting bg is a net loss here — AQE's ReusedExchange
+    // already dedups the explode+distinct subplan across the four
+    // consumers, so a cache only adds write traffic. At 100 TB the same
+    // reuse is a materialize-to-parquet of the token set instead.)
+    // >1 distinct k ⇔ min(k) ≠ max(k): a single-phase map-side-combined
+    // agg (2 strings per h per map partition), cheaper than the
+    // two-phase partial-distinct a countDistinct would run.
+    val collide = bg.groupBy(col("h")).agg(min(col("k")).as("k1"), max(col("k")).as("k2"))
+      .filter(col("k1") =!= col("k2")).select(col("h"))
     val clean = bg.join(broadcast(collide), Seq("h"), "left_anti")
       .select(col("doc_id"), col("h"))
     val dirty = bg.join(broadcast(collide), Seq("h"), "left_semi")
