@@ -164,6 +164,10 @@ object SimOps {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = vectorsWithNorm(s, dir)
+    // Full-corpus fit at bench SFs (sub-sampling measured a recall drop
+    // at sf0.001's 200 vectors); at 100 TB the coarse quantizer is fit
+    // on a bounded deterministic sample instead — the serving path
+    // below is unchanged either way.
     val model = new KMeans().setK(16).setSeed(20260812L).setMaxIter(5)
       .setFeaturesCol("fv")
       .fit(e.orderBy($"vec_id").coalesce(1)

@@ -125,6 +125,29 @@ object StreamRunner {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Watermarked STREAM-STREAM interval join (purchase attribution):
+    * each purchase matched to the same user's clicks in the preceding
+    * hour. Watermarks on both sides let the engine expire buffered
+    * clicks once older than watermark + interval — join state is
+    * O(click rate × 1 h) per user, never unbounded, which is what makes
+    * the join deployable against an infinite stream. Batch twin:
+    * Streamy.streamIntervalJoin. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "70 minutes")
+    purchases.join(clicks, expr(
+        "user_id = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        floor((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))) / 1000000.0)
+          .cast("long").as("secs_before"))
+  }
+
   /** Arbitrary per-user state: running purchase count + exact cents
     * total, one update row emitted per purchase. State survives across
     * micro-batches; within a batch rows are ordered by (ts, event_id)

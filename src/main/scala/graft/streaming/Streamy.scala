@@ -181,7 +181,30 @@ object Streamy {
       .orderBy($"event_id")
   }
 
+  /** Purchase attribution: each purchase joined to the same user's
+    * clicks in the preceding hour — batch twin of the watermarked
+    * stream-stream interval join (StreamRunner.purchaseAttribution).
+    * The time band rides on the user_id equi key (hash join + range
+    * post-filter), so both sides shuffle once on user_id — never a
+    * cartesian; in the streaming form the same interval bounds the
+    * engine's click buffer to watermark + 1h of state. */
+  val streamIntervalJoin: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), unix_micros($"ts").as("p_us"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        unix_micros($"ts").as("c_us"))
+    p.join(c, $"user_id" === $"c_user" &&
+        $"c_us" >= $"p_us" - 3600000000L && $"c_us" <= $"p_us")
+      .select($"user_id", $"purchase_id", $"click_id",
+        floor(($"p_us" - $"c_us") / 1000000.0).cast("long").as("secs_before"))
+      .orderBy($"purchase_id", $"click_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_interval_join" -> streamIntervalJoin,
     "stream_tws_types" -> streamTwsTypes,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
@@ -191,6 +214,16 @@ object Streamy {
     "stream_stateful" -> streamStateful)
 
   val oracle: Map[String, String] = Map(
+    "stream_interval_join" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+             CAST(floor((p.us - c.us) / 1000000.0) AS BIGINT) AS secs_before
+      FROM e p JOIN e c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.us >= p.us - 3600000000 AND c.us <= p.us
+      ORDER BY purchase_id, click_id""",
     "stream_tws_types" -> """
       WITH e AS (SELECT user_id, event_id, event_type,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

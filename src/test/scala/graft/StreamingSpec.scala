@@ -41,6 +41,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(Seq(
+      Ev(10L, ts(0), 1L, "click", 0.0),
+      Ev(11L, ts(30), 1L, "click", 0.0),
+      Ev(12L, ts(45), 1L, "purchase", 5.0),   // joins clicks 10 and 11
+      Ev(13L, ts(130), 1L, "purchase", 5.0),  // >1h after both: no match
+      Ev(14L, ts(20), 2L, "purchase", 5.0)))  // other user: no click
+    val q = StreamRunner.purchaseAttribution(ms.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, 12L, 10L, 45L * 60),
+        (1L, 12L, 11L, 15L * 60)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes the replayed event") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
