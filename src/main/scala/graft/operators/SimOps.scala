@@ -113,11 +113,12 @@ object SimOps {
     * scale path: bucketing replaces the all-pairs cross join with a
     * shuffle on an 8-bit key. No oracle (bucket boundaries aren't
     * ANSI-SQL-expressible); deterministic by construction. */
-  val simAnnLsh: Q = (s, dir) => {
-    import s.implicits._
+  /** Shared 8-hyperplane sign bucket for the LSH ANN family (fixed
+    * deterministic sin-sequence planes). */
+  private lazy val hyperBucket: org.apache.spark.sql.expressions.UserDefinedFunction = {
     val planes: Array[Array[Double]] =
       Array.tabulate(8, 64)((p, d) => math.sin((p * 64 + d + 1).toDouble))
-    val bucketUdf = udf((emb: Seq[Double]) => {
+    udf((emb: Seq[Double]) => {
       var bucket = 0
       var p = 0
       while (p < 8) {
@@ -129,8 +130,12 @@ object SimOps {
       }
       bucket
     })
+  }
+
+  val simAnnLsh: Q = (s, dir) => {
+    import s.implicits._
     val e = vectorsWithNorm(s, dir)
-      .select($"vec_id", $"v", $"nrm", bucketUdf($"v").as("bucket"))
+      .select($"vec_id", $"v", $"nrm", hyperBucket($"v").as("bucket"))
     val a = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"), $"bucket")
     val b = e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"), $"bucket".as("bucket2"))
     val pairs = a.join(b, $"bucket" === $"bucket2" && $"d1" =!= $"d2")
@@ -140,6 +145,35 @@ object SimOps {
     pairs.withColumn("rnk", row_number().over(w))
       .filter($"rnk" === 1)
       .select($"d1", $"bucket", $"d2".as("best_neighbor"), $"cosine")
+      .orderBy($"d1")
+  }
+
+  /** Multi-probe LSH — the standard recall lever on [[simAnnLsh]]:
+    * each probe also searches the 8 buckets at Hamming distance 1 from
+    * its own (the most likely homes of a near neighbor that fell on
+    * the wrong side of one hyperplane). ~9× candidate fan-in for a
+    * large recall jump, still strictly bucket-bounded (never
+    * all-pairs); at 100 TB the explode side is the small probe stream,
+    * the corpus side still shuffles once on its single bucket key. No
+    * oracle (like simAnnLsh); deterministic by construction —
+    * recall-dominance over single-probe is spec-asserted. */
+  val simAnnLshMultiprobe: Q = (s, dir) => {
+    import s.implicits._
+    val e = vectorsWithNorm(s, dir)
+      .select($"vec_id", $"v", $"nrm", hyperBucket($"v").as("bucket"))
+    val probeBuckets = array(($"bucket" +: (0 until 8).map(b =>
+      $"bucket".bitwiseXOR(lit(1 << b)))): _*)
+    val probes = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"),
+      explode(probeBuckets).as("pb"))
+    val cands = e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"),
+      $"bucket".as("b2"))
+    val pairs = probes.join(cands, $"pb" === $"b2" && $"d1" =!= $"d2")
+      .select($"d1", $"d2",
+        round(dotD($"v1", $"v2") / ($"n1" * $"n2"), 4).as("cosine"))
+    val w = Window.partitionBy($"d1").orderBy($"cosine".desc, $"d2")
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" === 1)
+      .select($"d1", $"d2".as("best_neighbor"), $"cosine")
       .orderBy($"d1")
   }
 
@@ -340,6 +374,7 @@ object SimOps {
   val queries: Map[String, Q] = Map(
     "sim_cosine_topk" -> simCosineTopk,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_lsh_multiprobe" -> simAnnLshMultiprobe,
     "sim_ann_ivf" -> simAnnIvf,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_near_minhash" -> dedupMinhashLsh,

@@ -48,6 +48,23 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH dominates single-probe on coverage and best-cosine") {
+    def best(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val single = best(SimOps.simAnnLsh(spark, sf())
+      .select("d1", "best_neighbor", "cosine"))
+    val multi = best(SimOps.simAnnLshMultiprobe(spark, sf()))
+    // probing 9 buckets is a superset of probing 1: every vector that
+    // found a neighbor still finds one at least as good, and more
+    // vectors find one at all
+    assert(multi.size >= single.size)
+    single.foreach { case (d1, c) =>
+      assert(multi(d1) >= c, s"d1=$d1 multi=${multi(d1)} < single=$c")
+    }
+    assert(multi.size > single.size || multi.values.sum > single.values.sum,
+      "multi-probe must strictly improve somewhere on this corpus")
+  }
+
   test("stream_stateful secondary sort equals a driver-side reference") {
     val rows = SimOpsHelpers.statefulReference(spark, sf())
     val got = Streamy.streamStateful(spark, sf()).collect()
