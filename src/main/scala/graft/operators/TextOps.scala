@@ -210,6 +210,57 @@ object TextOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** Multi-signal dedup CLUSTERING — the step production corpus dedup
+    * runs after pair generation: near-dup edges from TWO signals
+    * (lexical bigram-jaccard ≥ 0.1 and banded embedding-cosine ≥ 0.3)
+    * are unioned into one graph, connected components are computed by
+    * iterative min-label propagation, and each cluster elects its
+    * minimum doc_id as the canonical keeper. The fixpoint (component
+    * minimum) is unique and order-independent, so — unusually for a
+    * graph algorithm — the whole operator stays oracle-checkable: the
+    * DuckDB twin reaches the same fixpoint through a recursive
+    * transitive-closure CTE. Scale shape: each iteration is one
+    * neighbor join + one min-agg (the simplified form of the
+    * alternating large-star/small-star CC used on web-scale corpora);
+    * iterations are bounded by cluster diameter (near-dup clusters are
+    * shallow), and the driver only ever sees a convergence count. */
+  val dedupClusterKeeper: Q = (s, dir) => {
+    import s.implicits._
+    val lexical = dedupNgramJaccard(s, dir)
+      .filter($"jaccard" >= 0.1).select($"d1", $"d2")
+    val semantic = SimOps.dedupEmbeddingCosine(s, dir).select($"d1", $"d2")
+    val edges = lexical.unionAll(semantic).distinct()
+    // The edge list is tiny (near-dup pairs) but its lineage contains
+    // the full pair-generation joins — localCheckpoint truncates that
+    // lineage so each propagation iteration starts from materialized
+    // edges, never re-running bigram + cosine pair generation. (On a
+    // cluster: checkpoint to reliable storage instead.)
+    val und = edges.unionAll(edges.select($"d2".as("d1"), $"d1".as("d2")))
+      .localCheckpoint(true)
+    // Each generation of labels is eagerly localCheckpoint'ed: the
+    // loop's lineage would otherwise grow by one join per iteration and
+    // recompute from the start at every convergence count — the
+    // standard iterative-algorithm discipline (MLlib does the same
+    // between iterations).
+    var labels = und.select($"d1".as("doc_id")).distinct()
+      .withColumn("comp", $"doc_id").localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 10) {
+      val viaNbr = und.join(labels, und("d2") === labels("doc_id"))
+        .select(und("d1").as("doc_id"), $"comp")
+      val next = labels.unionAll(viaNbr)
+        .groupBy($"doc_id").agg(min($"comp").as("comp")).localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+        .filter($"comp" =!= $"old").count()
+      labels = next
+      iter += 1
+    }
+    labels.select($"doc_id", $"comp".as("keeper_doc"),
+        ($"doc_id" === $"comp").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
   /** Markup/noise normalization — the first stage of every pre-training
     * text pipeline. The corpus is already clean, so deterministic noise
     * (case, padding, punctuation) is injected first and then removed:
@@ -298,7 +349,8 @@ object TextOps {
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "dedup_exact" -> dedupExact,
-    "dedup_ngram_jaccard" -> dedupNgramJaccard)
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_cluster_keeper" -> dedupClusterKeeper)
 
   val oracle: Map[String, String] = Map(
     "text_clean" -> """
@@ -441,6 +493,45 @@ object TextOps {
              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
       FROM surv GROUP BY source ORDER BY source""",
+    "dedup_cluster_keeper" -> """
+      WITH RECURSIVE
+      t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+      bg AS (SELECT DISTINCT doc_id, lang, source, toks[i] || ' ' || toks[i + 1] AS bgm
+             FROM (SELECT doc_id, lang, source, toks, generate_subscripts(toks, 1) AS i FROM t)
+             WHERE i < len(toks)),
+      sz AS (SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM bg a JOIN bg b ON a.bgm = b.bgm AND a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      lex AS (SELECT d1, d2 FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+              WHERE ROUND(CAST(inter AS DOUBLE) / CAST(s1.n_bg + s2.n_bg - inter AS DOUBLE), 4) >= 0.1),
+      x AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+      bits AS (SELECT x.vec_id, pl.p,
+                      CASE WHEN SUM(CAST(floor(x.v * 1000) AS BIGINT)
+                        * ((pl.p * 64 + x.i - 1) * 2654435761 % 101 - 50)) > 0
+                        THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END AS bit
+               FROM x CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) pl(p)
+               GROUP BY x.vec_id, pl.p),
+      bk AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bk FROM bits GROUP BY vec_id),
+      n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS d1, b.vec_id AS d2, SUM(a.v * b.v) AS dp
+            FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+            GROUP BY 1, 2),
+      sem AS (SELECT d1, d2 FROM d
+              JOIN n n1 ON n1.vec_id = d1 JOIN n n2 ON n2.vec_id = d2
+              JOIN bk b1 ON b1.vec_id = d1 JOIN bk b2 ON b2.vec_id = d2
+              WHERE b1.bk = b2.bk AND ROUND(dp / (n1.nrm * n2.nrm), 4) >= 0.3),
+      e AS (SELECT d1, d2 FROM lex UNION SELECT d1, d2 FROM sem),
+      und AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+      )
+      SELECT doc_id, keeper_doc, doc_id = keeper_doc AS is_keeper FROM (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS keeper_doc FROM reach GROUP BY a)
+      ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> """
       WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
                  FROM documents),

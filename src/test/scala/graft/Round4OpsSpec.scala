@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
-import graft.operators.SimOps
+import graft.operators.{SimOps, TextOps}
 import graft.streaming.Streamy
 
 /** Round-4 items: trained-IVF quality/determinism, banded
@@ -63,6 +63,18 @@ class Round4OpsSpec extends SparkSpec {
     }
     assert(multi.size > single.size || multi.values.sum > single.values.sum,
       "multi-probe must strictly improve somewhere on this corpus")
+  }
+
+  test("dedup_cluster_keeper elects the component-minimum keeper") {
+    val rows = TextOps.dedupClusterKeeper(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val keeper = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (d, k, isK) =>
+      assert(k <= d, s"keeper $k must be the component minimum for $d")
+      assert(isK == (d == k))
+      assert(keeper(k) == k, s"keeper $k of $d must be its own keeper")
+    }
   }
 
   test("stream_stateful secondary sort equals a driver-side reference") {
