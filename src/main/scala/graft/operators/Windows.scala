@@ -132,7 +132,54 @@ object Windows {
       .orderBy($"o_orderkey")
   }
 
+  /** Time-series gap fill / hourly resample: every user gets a complete
+    * hourly spine from their first to last event, with missing hours
+    * zero-filled — the resampling step every downstream time-series
+    * model or dashboard assumes. The spine is generated per key with
+    * `sequence` + `explode` (bounded by that key's own span — no global
+    * calendar table, no cross join), then left-joined back to the
+    * per-hour counts; both sides shuffle on (user, hour). */
+  val tsGapFill: Q = (s, dir) => {
+    import s.implicits._
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly.groupBy($"user_id")
+      .agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("h"))
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h".as("hour_start"),
+        coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"user_id", $"hour_start")
+  }
+
+  /** Ordered funnel: per user, the first view, the first click AFTER
+    * that view, and the first purchase AFTER that click — stage = how
+    * deep the user got. The order constraint is what makes this a
+    * funnel rather than three independent mins: each stage's candidate
+    * set is gated by the previous stage's timestamp. Three
+    * map-side-combined min-aggs + two left joins, all keyed on
+    * user_id — no window sort, no event buffering. */
+  val tsFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("v_us"))
+    val c = e.join(v, "user_id").filter($"event_type" === "click" && $"us" >= $"v_us")
+      .groupBy($"user_id").agg(min($"us").as("c_us"))
+    val p = e.join(c, "user_id").filter($"event_type" === "purchase" && $"us" >= $"c_us")
+      .groupBy($"user_id").agg(min($"us").as("p_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id", $"v_us", $"c_us", $"p_us",
+        (lit(1) + $"c_us".isNotNull.cast("int") + $"p_us".isNotNull.cast("int")).as("stage"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_funnel" -> tsFunnel,
+    "ts_gap_fill" -> tsGapFill,
     "win_nth_value" -> winNthValue,
     "win_rank_topk" -> winRankTopk,
     "win_lag_lead" -> winLagLead,
@@ -143,6 +190,33 @@ object Windows {
     "win_first_last" -> winFirstLast)
 
   val oracle: Map[String, String] = Map(
+    "ts_funnel" -> """
+      WITH e AS (SELECT user_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      v AS (SELECT user_id, MIN(us) AS v_us FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(us) AS c_us FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us >= v_us GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us >= c_us GROUP BY e.user_id)
+      SELECT v.user_id, v_us, c_us, p_us,
+             CAST(1 + CAST(c_us IS NOT NULL AS INT)
+                    + CAST(p_us IS NOT NULL AS INT) AS INT) AS stage
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      ORDER BY v.user_id""",
+    "ts_gap_fill" -> """
+      WITH hourly AS (SELECT user_id,
+                             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                             COUNT(*) AS n
+                      FROM events GROUP BY 1, 2),
+      span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+               FROM hourly GROUP BY user_id),
+      spine AS (SELECT user_id,
+                       unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                FROM span)
+      SELECT s.user_id, s.h AS hour_start, COALESCE(n, 0) AS n
+      FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
+      ORDER BY s.user_id, hour_start""",
     "win_nth_value" -> """
       SELECT o_orderkey, o_custkey,
              NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
