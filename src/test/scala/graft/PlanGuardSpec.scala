@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Scale-hygiene guard over EVERY registered query's physical plan:
+  * the anti-patterns the per-round plan audits hunt by hand, asserted
+  * mechanically so a regression fails the suite instead of waiting for
+  * a bench tail WARN.
+  *
+  *  - `WindowExec` with an empty partitionSpec moves the whole input
+  *    through ONE task — the single-partition scale-killer (flagged by
+  *    the r2 bench on stream_watermark_late, fixed in r3; never again).
+  *  - `CartesianProductExec` / `BroadcastNestedLoopJoinExec` are
+  *    allowed only where a side is broadcast-tiny BY DESIGN (1-row
+  *    corpus stats, ≤16-row centroid/probe sets, bounded payer×part
+  *    knowledge-base grids) or the op is semantically cartesian
+  *    (join_cross) — every allowance is named and justified here.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain a cartesian/BNLJ because
+    * one side is bounded by construction (broadcast catalog / probe /
+    * stat), or the operator IS a cross join. */
+  private val allowUnkeyedJoin: Map[String, String] = Map(
+    "join_cross" -> "semantically cartesian (bounded region×nation grid)",
+    "text_tfidf" -> "1-row corpus-size aggregate cross-joined into the plan",
+    "sim_cosine_topk" -> "10-row probe set broadcast against the corpus",
+    "sim_ann_ivf" -> "16-row centroid set broadcast for cell assignment",
+    "domain_formulary" -> "payers×part knowledge-base grid (bounded catalogs)",
+    "domain_ep1_recommend" -> "payers×part knowledge-base grid (bounded catalogs)",
+    "domain_conditions" -> "contraindication catalog broadcast (bounded)",
+    "agg_global" -> "single-row global aggregate joined back",
+    "fn_math_logistic" -> "scalar stat row cross-joined for normalization")
+
+  private def offenders(plan: SparkPlan): Seq[String] = {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    plan.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        bad += "unpartitioned WindowExec (single-task window)"
+      case _: CartesianProductExec => bad += "CartesianProductExec"
+      case _: BroadcastNestedLoopJoinExec => bad += "BroadcastNestedLoopJoinExec"
+      case _ => ()
+    }
+    bad.toSeq
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"plan hygiene: $name") {
+      val found = offenders(fn(spark, sf()).queryExecution.executedPlan)
+      if (allowUnkeyedJoin.contains(name)) {
+        // allowance covers unkeyed joins, never unpartitioned windows
+        assert(!found.exists(_.contains("WindowExec")),
+          s"$name: ${found.mkString(", ")}")
+      } else {
+        assert(found.isEmpty, s"$name: ${found.mkString(", ")}")
+      }
+    }
+  }
+}
