@@ -121,7 +121,19 @@ object PlanAudit {
         |parse path is from_json → explode(entry.resource) → two
         |type-routed filters re-joined on bundle_id. Expect the
         |patient↔med rejoin to hash-join on bundle_id with no
-        |cartesian.""".stripMargin)
+        |cartesian.""".stripMargin,
+    "ts_gap_fill" ->
+      """Per-key hourly resample (r4): the spine generates per user via
+        |sequence+explode bounded by that user's own span — expect NO
+        |global calendar cross join anywhere; spine and counts hash-join
+        |on (user, hour).""".stripMargin,
+    "dedup_cluster_keeper" ->
+      """Multi-signal CC dedup (r4): the displayed plan is the final
+        |label generation — a scan of the localCheckpoint'ed labels (the
+        |iterative min-label joins ran before it, each against the
+        |checkpointed edge list, lineage truncated per iteration). The
+        |absence of the pair-generation joins here IS the point: the
+        |loop never re-derives edges.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
