@@ -261,6 +261,23 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic train/holdout split — the reproducible-split step
+    * every training-data pipeline needs: membership is a pure function
+    * of the doc's id hash (first md5 hex nibble, 14/16 ≈ 87.5% train),
+    * so the split is stable across runs, engines, partitionings, and
+    * corpus growth (a doc never migrates between splits when new data
+    * arrives — unlike row_number- or rand-based splits). Emits
+    * per-split per-language stats for a leakage-free size audit. */
+  val splitTrainHoldout: Q = (s, dir) => {
+    import s.implicits._
+    val nibble = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+    Tables.load(s, dir, "documents")
+      .withColumn("split", when(nibble <= "d", "train").otherwise("holdout"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"split", $"lang")
+  }
+
   /** Markup/noise normalization — the first stage of every pre-training
     * text pipeline. The corpus is already clean, so deterministic noise
     * (case, padding, punctuation) is injected first and then removed:
@@ -350,7 +367,8 @@ object TextOps {
     "text_fingerprint" -> textFingerprint,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
-    "dedup_cluster_keeper" -> dedupClusterKeeper)
+    "dedup_cluster_keeper" -> dedupClusterKeeper,
+    "split_train_holdout" -> splitTrainHoldout)
 
   val oracle: Map[String, String] = Map(
     "text_clean" -> """
@@ -493,6 +511,12 @@ object TextOps {
              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
       FROM surv GROUP BY source ORDER BY source""",
+    "split_train_holdout" -> """
+      SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                  THEN 'train' ELSE 'holdout' END AS split,
+             lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
     "dedup_cluster_keeper" -> """
       WITH RECURSIVE
       t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
