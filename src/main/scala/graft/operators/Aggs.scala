@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Qx, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY §2.4).
@@ -297,7 +298,25 @@ object Aggs {
       .orderBy($"p_partkey", $"metric")
   }
 
+  /** Statistical mode per group, DETERMINISTIC: Spark's `mode()` and
+    * DuckDB's both pick an arbitrary value on tied frequencies, so
+    * neither would hash-match; this derives the mode as count → rank
+    * with a total ordering (highest count, then smallest value) — same
+    * two-agg shape either engine would run, no arbitrary tiebreak. */
+  val aggMode: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"n_occ".desc, $"l_quantity".asc)
+    counts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"n_occ")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_mode" -> aggMode,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "agg_salted_skew" -> aggSaltedSkew,
@@ -318,6 +337,13 @@ object Aggs {
     "agg_percentile" -> aggPercentile)
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" -> """
+      WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n_occ
+                 FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              ORDER BY n_occ DESC, l_quantity ASC) AS rn FROM c)
+      SELECT l_returnflag, l_quantity AS mode_qty, n_occ
+      FROM r WHERE rn = 1 ORDER BY l_returnflag""",
     "agg_unpivot" -> """
       SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
       UNION ALL

@@ -177,7 +177,30 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** Gaps-and-islands: longest consecutive-day activity streak per
+    * user. The island key is `day − row_number` (constant within a
+    * consecutive run — the classic trick), so streaks fall out of one
+    * window + two aggregations with no self-join and no iteration.
+    * Ties on length break to the latest streak start, making the
+    * winner total. */
+  val winStreak: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.load(s, dir, "events")
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val st = d.withColumn("grp", date_sub($"day", row_number().over(w).cast("int")))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("best_len"), min($"day").as("streak_start"))
+    val pick = Window.partitionBy($"user_id")
+      .orderBy($"best_len".desc, $"streak_start".desc)
+    st.withColumn("rn", row_number().over(pick)).filter($"rn" === 1)
+      .select($"user_id", $"best_len", $"streak_start")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_streak" -> winStreak,
     "ts_funnel" -> tsFunnel,
     "ts_gap_fill" -> tsGapFill,
     "win_nth_value" -> winNthValue,
@@ -190,6 +213,20 @@ object Windows {
     "win_first_last" -> winFirstLast)
 
   val oracle: Map[String, String] = Map(
+    "win_streak" -> """
+      WITH d AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+                 FROM events),
+      s AS (SELECT user_id, day,
+                   day - CAST(ROW_NUMBER() OVER (
+                     PARTITION BY user_id ORDER BY day) AS INT) AS grp
+            FROM d),
+      st AS (SELECT user_id, grp, COUNT(*) AS best_len, MIN(day) AS streak_start
+             FROM s GROUP BY 1, 2),
+      b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY best_len DESC, streak_start DESC) AS rn FROM st)
+      SELECT user_id, CAST(best_len AS BIGINT) AS best_len, streak_start
+      FROM b WHERE rn = 1 ORDER BY user_id""",
     "ts_funnel" -> """
       WITH e AS (SELECT user_id, event_type,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
