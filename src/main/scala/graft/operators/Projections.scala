@@ -110,6 +110,22 @@ object Projections {
       .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(50)
   }
 
+  /** Top-3 lineitems by price per supplier through the NATIVE
+    * [[graft.plans.TopKPerGroup]] operator (partial bounded-heap →
+    * group exchange → final bounded-heap) instead of the window
+    * row_number plan — the per-group analogue of what topk_global gets
+    * from TakeOrderedAndProject. Same result as the window form, but
+    * the shuffle carries ≤ k·partitions rows per group rather than the
+    * whole fact table, and nothing is ever sorted beyond a k-heap. */
+  val topkPerGroupNative: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    graft.plans.TopK.perGroup(li, 3, Seq("l_suppkey"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)))
+      .orderBy($"l_suppkey", desc("l_extendedprice"), $"l_orderkey", $"l_linenumber")
+  }
+
   val queries: Map[String, Q] = Map(
     "project_select" -> projectSelect,
     "filter_predicate" -> filterPredicate,
@@ -118,7 +134,8 @@ object Projections {
     "project_cast_null" -> projectCastNull,
     "sort_multicol" -> sortMulticol,
     "limit_n" -> limitN,
-    "topk_global" -> topkGlobal)
+    "topk_global" -> topkGlobal,
+    "topk_per_group_native" -> topkPerGroupNative)
 
   val oracle: Map[String, String] = Map(
     "project_select" -> """
@@ -165,5 +182,13 @@ object Projections {
       FROM orders ORDER BY o_orderkey LIMIT 100""",
     "topk_global" -> """
       SELECT o_orderkey, o_custkey, o_totalprice
-      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""")
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+    "topk_per_group_native" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+      FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""")
 }

@@ -1,0 +1,170 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Native whole-operator Catalyst extension: top-k rows per group.
+  *
+  * The reference exposes "rapid query and analysis" ranking views
+  * (/root/reference/README.md:7); the built-in Spark form is a window
+  * `row_number() <= k`, which SORTS every group's full row set after the
+  * shuffle. This operator is the scale-correct physical shape instead:
+  *
+  *   partial TopKPerGroupExec   (map side: bounded k-heap per group,
+  *                               no sort, no spill — caps shuffle input
+  *                               at k rows/group/partition)
+  *   → hash exchange on group
+  *   → final TopKPerGroupExec   (same bounded heap, post-shuffle)
+  *
+  * At 100 TB the win is the exchange: a window plan shuffles EVERY row
+  * of the fact table and then sorts each group; this plan shuffles at
+  * most k·partitions rows per group and never sorts anything larger
+  * than a k-element heap. It is the per-group analogue of
+  * TakeOrderedAndProject, which Spark only provides for global ORDER BY
+  * + LIMIT.
+  *
+  * Registration: planner strategy + optimizer rule, via either
+  * [[GraftExtensions]] (spark.sql.extensions) or [[TopK.ensure]]
+  * (runtime, any session — used by the query entries so the driver's
+  * session works regardless of how it was built).
+  */
+case class TopKPerGroup(
+    k: Int,
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Optimizer rule: a deterministic filter that references only bare
+  * group columns commutes with per-group top-k (dropping whole groups
+  * before ranking cannot change any surviving group's top-k), so it is
+  * pushed below the operator — from where Spark's own pushdown rules
+  * carry it onward to the scan. Filters on ranked/measure columns must
+  * NOT move (they would change what each group ranks). */
+object PushFilterThroughTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, t: TopKPerGroup) =>
+      val bareGroupAttrs = AttributeSet(t.groupExprs.collect { case a: Attribute => a })
+      if (cond.deterministic && cond.references.nonEmpty &&
+          cond.references.subsetOf(bareGroupAttrs))
+        t.copy(child = Filter(cond, t.child))
+      else f
+  }
+}
+
+/** Planner strategy: TopKPerGroup → partial exec (any distribution) →
+  * [EnsureRequirements inserts the hash exchange] → final exec
+  * (clustered on the group keys). */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(k, g, o, child) =>
+      val partial = TopKPerGroupExec(k, g, o, partial = true, planLater(child))
+      TopKPerGroupExec(k, g, o, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical top-k-per-group: one pass, one bounded max-heap per group
+  * (`peek` = current worst of the kept k). Memory is O(groups·k) per
+  * task — independent of input rows, the property that makes the
+  * partial/final split safe at any scale. Rows and keys are copied on
+  * retention (iterator rows are reused buffers). */
+case class TopKPerGroupExec(
+    k: Int,
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  // Row-filtering only: partitioning passes through (keeps AQE/EnsureRequirements
+  // from re-shuffling consumers keyed on the same group columns).
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val g = groupExprs
+    val o = order
+    val attrs = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(g, attrs)
+      val ord = GenerateOrdering.generate(o, attrs)
+      val worstFirst: Ordering[InternalRow] = ord.reverse
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var q = heaps.get(key)
+        if (q == null) {
+          q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+          heaps.put(key.copy(), q)
+        }
+        if (q.size() < kk) q.add(row.copy())
+        else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+      }
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => PushFilterThroughTopK)
+  }
+}
+
+object TopK {
+  /** Idempotent runtime injection for sessions not built with
+    * [[GraftExtensions]] (e.g. a driver-owned session). */
+  def ensure(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(TopKStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+      if (!exp.extraOptimizations.contains(PushFilterThroughTopK))
+        exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughTopK
+    }
+  }
+
+  /** Top-k rows per group of `df`, ranked by `orderKeys`
+    * ((column, descending?)); ties must be broken by the caller's key
+    * list for deterministic output. */
+  def perGroup(df: DataFrame, k: Int, groupCols: Seq[String],
+      orderKeys: Seq[(String, Boolean)]): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    ensure(spark)
+    val plan = ds.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"column $name not among ${plan.output.map(_.name).mkString(", ")}"))
+    val g = groupCols.map(attr(_): Expression)
+    val o = orderKeys.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    classic.GraftSqlBridge.ofRows(spark, TopKPerGroup(k, g, o, plan))
+  }
+}

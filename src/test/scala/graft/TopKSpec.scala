@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.Projections
+import graft.plans.{TopK, TopKPerGroupExec}
+
+/** Native TopKPerGroup plan: result parity with the window form, plan
+  * shape (partial → exchange → final), filter pushdown, and edge cases. */
+class TopKSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame) = {
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution
+    qe.executedPlan
+  }
+
+  test("topk_per_group_native matches the window row_number plan") {
+    import spark.implicits._
+    val dir = sf()
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy(desc("l_extendedprice"), $"l_orderkey", $"l_linenumber")
+    val expected = li.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .drop("rn")
+      .orderBy($"l_suppkey", desc("l_extendedprice"), $"l_orderkey", $"l_linenumber")
+      .collect()
+    val got = Projections.topkPerGroupNative(spark, dir).collect()
+    assert(got.length == expected.length)
+    assert(got.sameElements(expected))
+  }
+
+  test("physical plan is partial heap -> exchange -> final heap") {
+    import spark.implicits._
+    val df = TopK.perGroup(
+      Tables.load(spark, sf(), "part").select($"p_brand", $"p_partkey", $"p_retailprice"),
+      3, Seq("p_brand"), Seq(("p_retailprice", false), ("p_partkey", false)))
+    df.collect() // force AQE final plan
+    // AQE wraps stages in QueryStageExec leaves — flatten through them.
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val nodes = flatten(planOf(df))
+    val execs = nodes.collect { case t: TopKPerGroupExec => t }
+    assert(execs.map(_.partial).sorted == Seq(false, true),
+      s"expected one partial and one final TopKPerGroupExec, got:\n${planOf(df)}")
+    assert(nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"expected a hash exchange between partial and final:\n${planOf(df)}")
+  }
+
+  test("group-only filter is pushed below top-k; measure filter is not") {
+    import spark.implicits._
+    val base = Tables.load(spark, sf(), "part")
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+    val topk = TopK.perGroup(base, 2, Seq("p_brand"),
+      Seq(("p_retailprice", false), ("p_partkey", false)))
+
+    // Group filter: pushing it below cannot change survivors — same rows
+    // either way, and the optimized plan has the Filter under TopKPerGroup.
+    val groupFiltered = topk.filter($"p_brand" === "Brand#11")
+    val viaPrefilter = TopK.perGroup(base.filter($"p_brand" === "Brand#11"), 2,
+      Seq("p_brand"), Seq(("p_retailprice", false), ("p_partkey", false)))
+    assert(groupFiltered.orderBy($"p_partkey").collect()
+      .sameElements(viaPrefilter.orderBy($"p_partkey").collect()))
+    val optimized = groupFiltered
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan
+    val topkNodes = optimized.collect { case t: graft.plans.TopKPerGroup => t }
+    assert(topkNodes.nonEmpty)
+    // After pushdown the TopKPerGroup child subtree carries the brand
+    // predicate (it may have been folded into the relation's filters).
+    assert(topkNodes.head.child.toString.contains("Brand#11") ||
+      topkNodes.head.child.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.nonEmpty,
+      s"group filter was not pushed below TopKPerGroup:\n$optimized")
+
+    // Measure filter must NOT be pushed (it would change the ranked set):
+    // filter-then-topk and topk-then-filter genuinely differ, and the
+    // optimizer must preserve the latter.
+    val measureFiltered = topk.filter($"p_retailprice" > 1500.0)
+    val opt2 = measureFiltered
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan
+    val filterAbove = opt2.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[graft.plans.TopKPerGroup] => f
+    }
+    assert(filterAbove.nonEmpty,
+      s"measure filter must stay above TopKPerGroup:\n$opt2")
+  }
+
+  test("k larger than group size returns whole groups; empty input returns empty") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
+    val all = TopK.perGroup(df, 10, Seq("g"), Seq(("v", true)))
+      .orderBy($"g", $"v").collect()
+    assert(all.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("a", 2), ("b", 5)))
+    val empty = TopK.perGroup(df.filter($"v" > 100), 3, Seq("g"), Seq(("v", true)))
+    assert(empty.count() == 0)
+  }
+
+  test("ties at the k boundary are broken by the caller's tiebreak keys") {
+    import spark.implicits._
+    val df = Seq(("g", 10, 1), ("g", 10, 2), ("g", 10, 3), ("g", 9, 4))
+      .toDF("grp", "score", "id")
+    val got = TopK.perGroup(df, 2, Seq("grp"), Seq(("score", true), ("id", false)))
+      .orderBy($"id").collect().map(_.getInt(2)).toSeq
+    assert(got == Seq(1, 2), s"expected ids 1,2 (score desc, id asc), got $got")
+  }
+}
