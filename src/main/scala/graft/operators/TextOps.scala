@@ -241,19 +241,26 @@ object TextOps {
     // loop's lineage would otherwise grow by one join per iteration and
     // recompute from the start at every convergence count — the
     // standard iterative-algorithm discipline (MLlib does the same
-    // between iterations).
-    var labels = und.select($"d1".as("doc_id")).distinct()
-      .withColumn("comp", $"doc_id").localCheckpoint(true)
+    // between iterations). The first propagation is fused into the
+    // initialization (comp₀ = min over self ∪ neighbors), and each
+    // iteration materializes its change flag IN-ROW (left join +
+    // least), so convergence needs only a filter-count over the
+    // just-checkpointed generation — one distributed pass per
+    // iteration instead of the former union-agg + compare-join pair.
+    var labels = und.select($"d1".as("doc_id"), $"d1".as("comp"))
+      .unionAll(und.select($"d1".as("doc_id"), $"d2".as("comp")))
+      .groupBy($"doc_id").agg(min($"comp").as("comp")).localCheckpoint(true)
     var changed = 1L
-    var iter = 0
+    var iter = 1 // init already performed one propagation round
     while (changed > 0 && iter < 10) {
-      val viaNbr = und.join(labels, und("d2") === labels("doc_id"))
-        .select(und("d1").as("doc_id"), $"comp")
-      val next = labels.unionAll(viaNbr)
-        .groupBy($"doc_id").agg(min($"comp").as("comp")).localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-        .filter($"comp" =!= $"old").count()
-      labels = next
+      val nbrMin = und.join(labels, und("d2") === labels("doc_id"))
+        .groupBy(und("d1").as("doc_id")).agg(min($"comp").as("nbr"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id", least($"comp", coalesce($"nbr", $"comp")).as("comp"),
+          ($"nbr" < $"comp").as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter($"chg").count()
+      labels = next.drop("chg")
       iter += 1
     }
     labels.select($"doc_id", $"comp".as("keeper_doc"),
