@@ -285,6 +285,25 @@ object TextOps {
       .orderBy($"split", $"lang")
   }
 
+  /** Deterministic stratified sampling — fixed-size per-stratum samples
+    * for eval-set construction: within each language the 20 docs with
+    * the smallest id-hash win, so the sample is a pure function of doc
+    * identity (stable under reruns, engine choice, partitioning, and
+    * corpus growth — a selected doc stays selected until 20 new docs
+    * hash below it). Runs through the native [[graft.plans.TopKPerGroup]]
+    * operator: per-partition 20-heaps + one exchange of ≤20·partitions
+    * rows per stratum — no full sort, no skew sensitivity to stratum
+    * size, the scale shape a rand()-free sampler needs at 100 TB. */
+  val sampleStratified: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"lang", $"doc_id", $"source", $"n_chars",
+        md5($"doc_id".cast("string").cast("binary")).as("hk"))
+    graft.plans.TopK.perGroup(docs, 20, Seq("lang"),
+        Seq(("hk", false), ("doc_id", false)))
+      .orderBy($"lang", $"hk", $"doc_id")
+  }
+
   /** Markup/noise normalization — the first stage of every pre-training
     * text pipeline. The corpus is already clean, so deterministic noise
     * (case, padding, punctuation) is injected first and then removed:
@@ -375,7 +394,8 @@ object TextOps {
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_cluster_keeper" -> dedupClusterKeeper,
-    "split_train_holdout" -> splitTrainHoldout)
+    "split_train_holdout" -> splitTrainHoldout,
+    "sample_stratified" -> sampleStratified)
 
   val oracle: Map[String, String] = Map(
     "text_clean" -> """
@@ -524,6 +544,15 @@ object TextOps {
              lang, COUNT(*) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
+    "sample_stratified" -> """
+      SELECT lang, doc_id, source, n_chars, hk
+      FROM (SELECT lang, doc_id, source, n_chars,
+                   md5(CAST(doc_id AS VARCHAR)) AS hk,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 20
+      ORDER BY lang, hk, doc_id""",
     "dedup_cluster_keeper" -> """
       WITH RECURSIVE
       t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),

@@ -177,6 +177,25 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** Cohort retention — users bucketed by first-activity week, counted
+    * distinct in each later week, the standard retention-triangle
+    * input. Two map-side-combined aggregations and one join on
+    * user_id; cohort assignment shuffles one row per user, never the
+    * event stream, so the shape holds when events is the 100 TB side.
+    * week_no goes through floor() on BOTH engines before the BIGINT
+    * cast (Spark casts by truncation, DuckDB by rounding). */
+  val tsRetentionCohort: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+    val cohort = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    e.join(cohort, "user_id")
+      .groupBy($"cohort_wk",
+        floor(datediff($"wk", $"cohort_wk") / 7).cast("long").as("week_no"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_wk", $"week_no")
+  }
+
   /** Gaps-and-islands: longest consecutive-day activity streak per
     * user. The island key is `day − row_number` (constant within a
     * consecutive run — the classic trick), so streaks fall out of one
@@ -203,6 +222,7 @@ object Windows {
     "win_streak" -> winStreak,
     "ts_funnel" -> tsFunnel,
     "ts_gap_fill" -> tsGapFill,
+    "ts_retention_cohort" -> tsRetentionCohort,
     "win_nth_value" -> winNthValue,
     "win_rank_topk" -> winRankTopk,
     "win_lag_lead" -> winLagLead,
@@ -241,6 +261,16 @@ object Windows {
                     + CAST(p_us IS NOT NULL AS INT) AS INT) AS stage
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       ORDER BY v.user_id""",
+    "ts_retention_cohort" -> """
+      WITH e AS (SELECT user_id,
+                        CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+                 FROM events),
+      c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+      SELECT cohort_wk,
+             CAST(FLOOR(datediff('day', cohort_wk, wk) / 7) AS BIGINT) AS week_no,
+             COUNT(DISTINCT e.user_id) AS n_users
+      FROM e JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_wk, week_no""",
     "ts_gap_fill" -> """
       WITH hourly AS (SELECT user_id,
                              date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
