@@ -133,7 +133,24 @@ object PlanAudit {
         |iterative min-label joins ran before it, each against the
         |checkpointed edge list, lineage truncated per iteration). The
         |absence of the pair-generation joins here IS the point: the
-        |loop never re-derives edges.""".stripMargin)
+        |loop never re-derives edges.""".stripMargin,
+    "topk_per_group_native" ->
+      """Native whole-operator extension (r5): TopKPerGroup partial
+        |(bounded k-heap per group, map side) → hash exchange on the
+        |group key → TopKPerGroup final. Contrast with win_rank_topk's
+        |window plan: the exchange here carries ≤ k·partitions rows per
+        |group instead of every fact row, and nothing is ever sorted —
+        |the per-group analogue of TakeOrderedAndProject.""".stripMargin,
+    "sample_stratified" ->
+      """Deterministic stratified sampler (r5) on the same native
+        |operator: per-stratum 20-heaps keyed on the id hash. No rand(),
+        |no full sort, no per-stratum skew sensitivity — the exchange
+        |carries ≤ 20·partitions rows per language.""".stripMargin,
+    "ts_retention_cohort" ->
+      """Retention triangle (r5): two map-side-combined aggregates and
+        |one join keyed on user_id — cohort assignment shuffles one row
+        |per user; the event stream shuffles once for its own distinct
+        |agg and never again.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
