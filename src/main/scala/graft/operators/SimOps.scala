@@ -56,8 +56,15 @@ object SimOps {
       .filter($"probe_id" =!= $"neighbor_id")
       .select($"probe_id", $"neighbor_id",
         round(dotD($"p_v", $"c_v") / ($"p_nrm" * $"c_nrm"), 4).as("cosine"))
+    // k-selection through the native TopKPerGroup (bounded per-task
+    // heaps — the candidate stream never shuffles in full), then rank
+    // the ≤5 survivors per probe with a tiny window. (cosine desc,
+    // neighbor_id) is a total order, so ranks on the reduced set equal
+    // ranks on the full set; the all-window form is the DuckDB oracle.
+    val top = graft.plans.TopK.perGroup(pairs, 5, Seq("probe_id"),
+      Seq(("cosine", true), ("neighbor_id", false)))
     val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 5)
       .select($"probe_id", $"rnk", $"neighbor_id", $"cosine")
       .orderBy($"probe_id", $"rnk")

@@ -24,11 +24,24 @@ object Windows {
   type Q = (SparkSession, String) => DataFrame
 
   /** Top-3 cheapest parts per brand (README.md:8-9): row_number + rank +
-    * dense_rank, keep k lowest. */
+    * dense_rank, keep k lowest.
+    *
+    * Shipped plan routes the k-selection through the native
+    * [[graft.plans.TopKPerGroup]] operator (partial/final bounded
+    * heaps around the exchange — shuffles ≤ 3·partitions rows per
+    * brand instead of the whole `part` table), then computes the rank
+    * columns with a window over the surviving ≤3 rows per brand. The
+    * ordering (p_retailprice, p_partkey) is total, so ranks computed on
+    * the reduced set equal ranks on the full set — the window form IS
+    * the DuckDB oracle, and [[graft.TopKSpec]] asserts parity. */
   val winRankTopk: Q = (s, dir) => {
     import s.implicits._
+    val top = graft.plans.TopK.perGroup(
+      Tables.load(s, dir, "part")
+        .select($"p_brand", $"p_partkey", $"p_retailprice"),
+      3, Seq("p_brand"), Seq(("p_retailprice", false), ("p_partkey", false)))
     val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice", $"p_partkey")
-    Tables.load(s, dir, "part")
+    top
       // long, not int: DuckDB window functions return BIGINT and the
       // driver compare is safest with matching physical types.
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -21,8 +21,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * shuffle. This operator is the scale-correct physical shape instead:
   *
   *   partial TopKPerGroupExec   (map side: bounded k-heap per group,
-  *                               no sort, no spill — caps shuffle input
-  *                               at k rows/group/partition)
+  *                               no sort — caps shuffle input at
+  *                               k rows/group/partition; the heap map
+  *                               itself is capped at
+  *                               spark.graft.topk.maxPartialGroups
+  *                               groups/task, past which rows pass
+  *                               through unfiltered instead of growing
+  *                               memory)
   *   → hash exchange on group
   *   → final TopKPerGroupExec   (same bounded heap, post-shuffle)
   *
@@ -37,6 +42,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * [[GraftExtensions]] (spark.sql.extensions) or [[TopK.ensure]]
   * (runtime, any session — used by the query entries so the driver's
   * session works regardless of how it was built).
+  */
+/** Logical top-k-per-group node.
+  *
+  * Determinism contract: `order` must be a TOTAL order over each
+  * group's rows (append a unique tiebreak column if the ranking key
+  * can tie). Rows that compare equal at the heap boundary are kept
+  * first-seen-wins, so under a merely partial order the output depends
+  * on partitioning/arrival order. [[TopK.perGroup]] documents the same
+  * requirement at the public API; callers constructing this node
+  * directly are bound by it too.
   */
 case class TopKPerGroup(
     k: Int,
@@ -79,10 +94,25 @@ object TopKStrategy extends SparkStrategy {
 }
 
 /** Physical top-k-per-group: one pass, one bounded max-heap per group
-  * (`peek` = current worst of the kept k). Memory is O(groups·k) per
-  * task — independent of input rows, the property that makes the
-  * partial/final split safe at any scale. Rows and keys are copied on
-  * retention (iterator rows are reused buffers). */
+  * (`peek` = current worst of the kept k). Rows and keys are copied on
+  * retention (iterator rows are reused buffers).
+  *
+  * Memory contract (per task):
+  *  - partial (map side): O(min(groups, `spark.graft.topk.maxPartialGroups`)·k).
+  *    Group cardinality scales with input, so the heap map is CAPPED:
+  *    once the cap is reached, rows of not-yet-tracked groups pass
+  *    through unfiltered — a pure optimization loss, never a
+  *    correctness change, because the final exec after the exchange
+  *    re-filters every group. This mirrors Spark's hash-aggregate
+  *    partial-skip fallback under high-cardinality keys.
+  *  - final (post-exchange): O(groups-in-partition·k) — proportional to
+  *    this partition's OUTPUT, the floor for any operator that must
+  *    hold k candidates per group until its input is exhausted; it
+  *    shrinks linearly with `spark.sql.shuffle.partitions`.
+  *
+  * Ordering contract: see [[TopKPerGroup]] — `order` must totally
+  * order each group's rows or boundary ties are arrival-order
+  * dependent. */
 case class TopKPerGroupExec(
     k: Int,
     groupExprs: Seq[Expression],
@@ -105,22 +135,41 @@ case class TopKPerGroupExec(
     val g = groupExprs
     val o = order
     val attrs = child.output
+    // Partial mode only: cap on distinct groups tracked per task before
+    // degrading to pass-through. Final mode must keep every group (its
+    // heaps ARE the output), so it never degrades.
+    val groupCap =
+      if (partial)
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(TopK.MaxPartialGroupsKey, TopK.MaxPartialGroupsDefault).toInt
+      else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, attrs)
       val ord = GenerateOrdering.generate(o, attrs)
       val worstFirst: Ordering[InternalRow] = ord.reverse
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
+      val filtered = iter.flatMap { row =>
         val key = keyProj(row)
         var q = heaps.get(key)
-        if (q == null) {
+        if (q == null && heaps.size() < groupCap) {
           q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
           heaps.put(key.copy(), q)
         }
-        if (q.size() < kk) q.add(row.copy())
-        else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+        if (q == null) {
+          // Over the cap (partial mode only): emit unfiltered; the
+          // final exec re-filters, so semantics are unchanged. No copy
+          // needed — the row is consumed downstream before the next
+          // iterator step reuses the buffer.
+          Iterator.single(row)
+        } else {
+          if (q.size() < kk) q.add(row.copy())
+          else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+          Iterator.empty
+        }
       }
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      // `++` evaluates its operand lazily, so the heap flush runs only
+      // after the input (and therefore every heap) is complete.
+      filtered ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 
@@ -137,6 +186,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object TopK {
+  /** Session conf key bounding the partial exec's per-task group map
+    * (see [[TopKPerGroupExec]] memory contract). */
+  val MaxPartialGroupsKey = "spark.graft.topk.maxPartialGroups"
+  val MaxPartialGroupsDefault = "131072"
+
   /** Idempotent runtime injection for sessions not built with
     * [[GraftExtensions]] (e.g. a driver-owned session). */
   def ensure(spark: SparkSession): Unit = {
@@ -158,9 +212,20 @@ object TopK {
     val spark = ds.sparkSession
     ensure(spark)
     val plan = ds.queryExecution.analyzed
+    // Session-resolver matching (case-insensitive by default, like any
+    // other column lookup) + a hard error on duplicates — post-join
+    // plans can carry same-named attributes and silently picking the
+    // first would rank on the wrong one.
+    val resolver = spark.sessionState.conf.resolver
     def attr(name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"column $name not among ${plan.output.map(_.name).mkString(", ")}"))
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not among ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: ${many.size} attributes match " +
+            s"(${many.map(_.qualifiedName).mkString(", ")}); disambiguate upstream")
+      }
     val g = groupCols.map(attr(_): Expression)
     val o = orderKeys.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)

@@ -46,6 +46,30 @@ class PlanGuardSpec extends SparkSpec {
     bad.toSeq
   }
 
+  /** Queries whose shipped plan must route per-group k-selection
+    * through the native TopKPerGroup operator (r6: the window
+    * row_number form is kept only as the oracle/parity twin). */
+  private val mustUseNativeTopK =
+    Seq("win_rank_topk", "sim_cosine_topk", "topk_per_group_native", "sample_stratified")
+
+  mustUseNativeTopK.foreach { name =>
+    test(s"native top-k routing: $name") {
+      val df = SparkEntry.queries(name)(spark, sf())
+      df.collect() // force the AQE final plan
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case _ => p.children.flatMap(flatten)
+      })
+      val execs = flatten(df.queryExecution.executedPlan)
+        .collect { case t: graft.plans.TopKPerGroupExec => t }
+      assert(execs.exists(_.partial) && execs.exists(!_.partial),
+        s"$name must plan through partial+final TopKPerGroupExec:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan hygiene: $name") {
       val found = offenders(fn(spark, sf()).queryExecution.executedPlan)

@@ -108,6 +108,54 @@ class TopKSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("partial-mode group cap degrades to pass-through, not OOM or wrong answers") {
+    import spark.implicits._
+    // Near-unique group key (l_orderkey) with the cap forced far below
+    // the group count: the map side must stop tracking new groups and
+    // pass their rows through; the final exec re-filters, so the result
+    // must STILL match the window row_number plan exactly.
+    val dir = sf()
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy(desc("l_extendedprice"), $"l_linenumber")
+    val expected = li.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .drop("rn")
+      .orderBy($"l_orderkey", desc("l_extendedprice"), $"l_linenumber")
+      .collect()
+    val prev = spark.conf.getOption(TopK.MaxPartialGroupsKey)
+    spark.conf.set(TopK.MaxPartialGroupsKey, "16")
+    try {
+      val got = TopK.perGroup(li, 2, Seq("l_orderkey"),
+          Seq(("l_extendedprice", true), ("l_linenumber", false)))
+        .orderBy($"l_orderkey", desc("l_extendedprice"), $"l_linenumber")
+        .collect()
+      assert(got.length == expected.length,
+        s"capped partial mode changed row count: ${got.length} vs ${expected.length}")
+      assert(got.sameElements(expected))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(TopK.MaxPartialGroupsKey, v)
+        case None => spark.conf.unset(TopK.MaxPartialGroupsKey)
+      }
+    }
+  }
+
+  test("column resolution is case-insensitive and rejects ambiguity") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("b", 2)).toDF("Grp", "Val")
+    // Case-insensitive (the session default resolver), like any lookup.
+    val ok = TopK.perGroup(df, 1, Seq("grp"), Seq(("VAL", true)))
+    assert(ok.count() == 2)
+    // Duplicate output names (post-join shape) must error, not pick one.
+    val dup = df.select($"Grp", $"Val").join(df.select($"Grp", $"Val".as("v2")), "Grp")
+      .select($"Grp", $"Val", $"v2".as("Val"))
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(dup, 1, Seq("Grp"), Seq(("Val", true)))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("ties at the k boundary are broken by the caller's tiebreak keys") {
     import spark.implicits._
     val df = Seq(("g", 10, 1), ("g", 10, 2), ("g", 10, 3), ("g", 9, 4))
