@@ -58,8 +58,10 @@ object DomainQueries {
 
   private def formularyFrom(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "customer")
-      .select($"c_mktsegment".as("payer")).distinct()
+    // The 5-row payer side is the build side (broadcast), never the
+    // part slice: part grows with scale factor, payers don't.
+    broadcast(Tables.load(s, dir, "customer")
+        .select($"c_mktsegment".as("payer")).distinct())
       .crossJoin(Tables.load(s, dir, "part").filter($"p_partkey" % 3 === 0))
       .select($"payer", concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
         (lit(1) + $"p_partkey" % 4).cast("int").as("tier"),

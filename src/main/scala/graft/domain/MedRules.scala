@@ -132,8 +132,12 @@ object MedRules {
     * tier = off-formulary. */
   def formularyStatus(meds: DataFrame, coverage: DataFrame,
       formulary: DataFrame, asOf: Column = current_date()): DataFrame =
+    // No explicit broadcast hint on the formulary: it is derived from
+    // the drug catalog and scales with it, so the join is left to the
+    // size estimator — AQE broadcasts it while it fits and demotes to
+    // shuffle when a 100× catalog exceeds the threshold.
     meds.join(activeCoverage(coverage, asOf), Seq("patient_id"))
-      .join(broadcast(formulary), Seq("payer", "rxnorm_cui"), "left")
+      .join(formulary, Seq("payer", "rxnorm_cui"), "left")
       .select(col("patient_id"), col("med_id"), col("rxnorm_cui"), col("payer"),
         col("tier"), coalesce(col("prior_auth"), lit(false)).as("prior_auth"),
         col("tier").isNull.as("off_formulary"))
@@ -175,8 +179,10 @@ object MedRules {
     val subs = genericSubstitutions(meds, orangeBook, prices, allergies)
     val genericFormulary = formulary.select(col("payer"),
       col("rxnorm_cui").as("generic_cui"), col("tier"), col("prior_auth"))
+    // Size-estimated join (no hint): see formularyStatus — AQE keeps
+    // the broadcast while the catalog-derived formulary is small.
     val scored = subs.join(activeCoverage(coverage, asOf), Seq("patient_id"))
-      .join(broadcast(genericFormulary), Seq("payer", "generic_cui"), "left")
+      .join(genericFormulary, Seq("payer", "generic_cui"), "left")
       .withColumn("denial_risk",
         round(denialRisk(col("generic_price"), col("tier"),
           coalesce(col("prior_auth"), lit(false))), 4))

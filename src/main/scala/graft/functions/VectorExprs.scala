@@ -58,9 +58,15 @@ case class DotProduct(left: Expression, right: Expression)
 
 object VectorExprs {
   /** Register `vec_dot(arr<double>, arr<double>) -> double` in the
-    * session's function registry (idempotent) so plans can use it via
-    * expr("vec_dot(a, b)"). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    * session's function registry (idempotent — check-before-register,
+    * so repeated query construction doesn't spam "function replaced"
+    * WARNs into the logs) so plans can use it via expr("vec_dot(a, b)"). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
+    if (!reg.functionExists(id)) {
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    }
+  }
 }

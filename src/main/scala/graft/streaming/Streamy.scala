@@ -82,9 +82,16 @@ object Streamy {
     // three times. (At 100 TB one would skip the cache and pay two extra
     // column-pruned scans of (event_id[, ts]) instead — both modes keep
     // every stage parallel; this one keeps I/O minimal at bench scale.)
-    val e0 = Tables.load(s, dir, "events")
+    val e0raw = Tables.load(s, dir, "events")
       .select($"event_id", $"event_type", $"ts", unix_micros($"ts").as("us"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Guard the persist: repeated bench passes rebuild this same plan,
+    // and re-persisting an already-cached plan WARNs into the log tail.
+    val e0 = {
+      val ds = e0raw.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      if (ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isEmpty)
+        e0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else e0raw
+    }
     val nBuckets = s.sessionState.conf.numShufflePartitions.toLong * 4
     // Bucket on (event_id - minId) so sparse/offset id spaces (e.g.
     // snowflake-style ids starting at a large base) still spread across
