@@ -304,6 +304,83 @@ object TextOps {
       .orderBy($"lang", $"hk", $"doc_id")
   }
 
+  /** Word n-gram array (n consecutive tokens joined by single spaces):
+    * position i (0-based) yields a gram when a full window fits. */
+  private def ngrams(toks: Column, n: Int): Column =
+    filter(
+      transform(toks, (_, i) => when(i <= size(toks) - n,
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
+      g => g.isNotNull)
+
+  /** Eval-set decontamination — the train/test contamination audit every
+    * training pipeline runs before publishing an eval set: for each doc
+    * in the stratified HOLDOUT sample ([[sampleStratified]] shape over
+    * the [[splitTrainHoldout]] membership function), the fraction of its
+    * distinct word-5-grams that appear anywhere in the train split's
+    * 5-gram set (same language). A high fraction means the eval doc's
+    * content leaks from training data (near-dup or copied span) and the
+    * doc must be dropped before the eval set ships.
+    *
+    * Scale shape: the train gram set is the big side — grams fold to
+    * xxhash64 longs so the membership semi-join shuffles (long, long)
+    * rows banded by language, never strings; hash collisions are routed
+    * through a string-equality join exactly like [[exactPairs]] (the
+    * collide set is broadcast tiny-to-empty), so the result is EXACT
+    * under any corpus and faces a full DuckDB oracle. The eval side is
+    * 20 docs/lang — bounded — so every join against it broadcasts. */
+  val decontaminateEval: Q = (s, dir) => {
+    import s.implicits._
+    val hk = md5(col("doc_id").cast("string").cast("binary"))
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", $"text", hk.as("hk"),
+        (substring(hk, 1, 1) <= "d").as("is_train"))
+    // Eval candidates: deterministic 20-per-lang sample of the holdout
+    // split, selected by the native TopKPerGroup operator.
+    val evalDocs = graft.plans.TopK.perGroup(
+      docs.filter(!$"is_train").select($"lang", $"doc_id", $"hk", $"text"),
+      20, Seq("lang"), Seq(("hk", false), ("doc_id", false)))
+    // Distinct 5-grams per doc, banded by lang, folded to longs. The
+    // struct key carries the exact (lang, gram) value for collision
+    // detection/routing — it never rides the hot shuffle.
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lang"), explode(ngrams(tokens(col("text")), 5)).as("g"))
+        .select(col("doc_id"), col("lang"), col("g"),
+          xxhash64(col("g"), col("lang")).as("h"))
+        .distinct()
+    val evalG = grams(evalDocs)
+    val trainG = grams(docs.filter($"is_train")).select($"lang", $"g", $"h").distinct()
+    // Injectivity check of h over BOTH gram sets: any h carrying two
+    // distinct (lang, gram) values is routed through string equality.
+    val allG = evalG.select($"h", struct($"lang", $"g").as("kv"))
+      .unionAll(trainG.select($"h", struct($"lang", $"g").as("kv")))
+    val collide = allG.groupBy($"h").agg(min($"kv").as("k1"), max($"kv").as("k2"))
+      .filter($"k1" =!= $"k2").select($"h")
+    // Project to doc_id BEFORE the union: using-column joins hoist the
+    // join keys to the front, so the two branches' column orders differ
+    // and a positional unionAll would misalign them.
+    val cleanHits = evalG.join(broadcast(collide), Seq("h"), "left_anti")
+      .join(trainG.select($"h"), Seq("h"), "left_semi")
+      .select($"doc_id")
+    val dirtyHits = evalG.join(broadcast(collide), Seq("h"), "left_semi")
+      .join(trainG, Seq("h", "lang", "g"), "left_semi")
+      .select($"doc_id")
+    val hits = cleanHits.unionAll(dirtyHits)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    val sizes = evalG.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val frac = when(coalesce($"n_grams", lit(0L)) === 0, lit(0.0))
+      .otherwise(round(coalesce($"n_overlap", lit(0L)).cast("double")
+        / $"n_grams".cast("double"), 4))
+    evalDocs.select($"lang", $"doc_id")
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"lang", $"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        frac.as("overlap_frac"),
+        (frac >= 0.5).as("contaminated"))
+      .orderBy($"lang", $"doc_id")
+  }
+
   /** Markup/noise normalization — the first stage of every pre-training
     * text pipeline. The corpus is already clean, so deterministic noise
     * (case, padding, punctuation) is injected first and then removed:
@@ -395,7 +472,8 @@ object TextOps {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_cluster_keeper" -> dedupClusterKeeper,
     "split_train_holdout" -> splitTrainHoldout,
-    "sample_stratified" -> sampleStratified)
+    "sample_stratified" -> sampleStratified,
+    "decontaminate_eval" -> decontaminateEval)
 
   val oracle: Map[String, String] = Map(
     "text_clean" -> """
@@ -553,6 +631,44 @@ object TextOps {
             FROM documents)
       WHERE rn <= 20
       ORDER BY lang, hk, doc_id""",
+    "decontaminate_eval" -> """
+      WITH d AS (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS hk,
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' AS is_train
+                 FROM documents),
+      ev AS (SELECT lang, doc_id, hk, text FROM (
+               SELECT lang, doc_id, hk, text,
+                      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+               FROM d WHERE NOT is_train)
+             WHERE rn <= 20),
+      tt AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM d WHERE is_train),
+      tg AS (SELECT DISTINCT lang,
+                    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                    toks[i+3] || ' ' || toks[i+4] AS g
+             FROM (SELECT lang, toks, generate_subscripts(toks, 1) AS i FROM tt)
+             WHERE i + 4 <= len(toks)),
+      et AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM ev),
+      eg AS (SELECT DISTINCT doc_id, lang,
+                    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                    toks[i+3] || ' ' || toks[i+4] AS g
+             FROM (SELECT doc_id, lang, toks, generate_subscripts(toks, 1) AS i FROM et)
+             WHERE i + 4 <= len(toks)),
+      sz AS (SELECT doc_id, COUNT(*) AS n_grams FROM eg GROUP BY doc_id),
+      hit AS (SELECT eg.doc_id, COUNT(*) AS n_overlap
+              FROM eg JOIN tg ON tg.lang = eg.lang AND tg.g = eg.g
+              GROUP BY eg.doc_id)
+      SELECT e.lang, e.doc_id,
+             COALESCE(s.n_grams, 0) AS n_grams,
+             COALESCE(h.n_overlap, 0) AS n_overlap,
+             CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+                  ELSE ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                             / CAST(s.n_grams AS DOUBLE), 4) END AS overlap_frac,
+             CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+                  ELSE ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                             / CAST(s.n_grams AS DOUBLE), 4) END >= 0.5 AS contaminated
+      FROM ev e
+      LEFT JOIN sz s ON s.doc_id = e.doc_id
+      LEFT JOIN hit h ON h.doc_id = e.doc_id
+      ORDER BY e.lang, e.doc_id""",
     "dedup_cluster_keeper" -> """
       WITH RECURSIVE
       t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
