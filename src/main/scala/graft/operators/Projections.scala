@@ -126,6 +126,25 @@ object Projections {
       .orderBy($"l_suppkey", desc("l_extendedprice"), $"l_orderkey", $"l_linenumber")
   }
 
+  /** The same native operator reached from the SQL SURFACE: the classic
+    * `row_number() OVER (...) <= k` idiom, replanned to
+    * [[graft.plans.TopKPerGroup]] by [[graft.plans.RewriteRowNumberTopK]]
+    * because the rank column is pruned by the outer projection. The
+    * DuckDB oracle executes the identical ANSI text, so the rewrite is
+    * hash-checked equivalent to the window semantics it replaces. */
+  val topkSqlRewrite: Q = (s, dir) => {
+    import s.implicits._
+    graft.plans.TopK.ensure(s)
+    Tables.load(s, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .createOrReplaceTempView("graft_topk_li")
+    s.sql("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_suppkey
+          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM graft_topk_li) WHERE rn <= 3
+        ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""")
+  }
+
   val queries: Map[String, Q] = Map(
     "project_select" -> projectSelect,
     "filter_predicate" -> filterPredicate,
@@ -135,7 +154,8 @@ object Projections {
     "sort_multicol" -> sortMulticol,
     "limit_n" -> limitN,
     "topk_global" -> topkGlobal,
-    "topk_per_group_native" -> topkPerGroupNative)
+    "topk_per_group_native" -> topkPerGroupNative,
+    "topk_sql_rewrite" -> topkSqlRewrite)
 
   val oracle: Map[String, String] = Map(
     "project_select" -> """
@@ -184,6 +204,14 @@ object Projections {
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
     "topk_per_group_native" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+      FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""",
+    "topk_sql_rewrite" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
       FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
                    ROW_NUMBER() OVER (PARTITION BY l_suppkey

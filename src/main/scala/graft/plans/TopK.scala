@@ -81,6 +81,60 @@ object PushFilterThroughTopK extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule: the classic SQL top-k-per-group idiom
+  *
+  *   SELECT <cols> FROM (SELECT *, row_number() OVER
+  *     (PARTITION BY g ORDER BY o) AS rn FROM t) WHERE rn <= k
+  *
+  * replans to the native [[TopKPerGroup]] operator whenever the rank
+  * column itself is pruned by the enclosing projection — the window
+  * then exists only to FILTER, and the heap operator does that without
+  * shuffling the full input or sorting any group. Fires only on:
+  * a single row_number window expression, non-empty PARTITION BY and
+  * ORDER BY, a `rn <= k` / `rn < k` / `rn = 1` predicate, and a
+  * projection that references no window output. Rank-column consumers
+  * keep the window plan (Spark's own InferWindowGroupLimit still
+  * bounds it). Ties at the boundary: identical semantics class to the
+  * window form — under a non-total ORDER BY both keep an
+  * arrival-order-dependent k; under a total order both are exact. */
+object RewriteRowNumberTopK extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+
+  /** `rn <= k` → k, for the supported comparison shapes. */
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Project(projList,
+        Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, spec), _)),
+            partSpec, orderSpec, child, _)))
+        if partSpec.nonEmpty && orderSpec.nonEmpty &&
+          spec.frameSpecification == SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) &&
+          limitOf(cond, alias.toAttribute).exists(_ > 0) &&
+          !projList.exists(_.references.contains(alias.toAttribute)) &&
+          projList.forall(p => p.references.subsetOf(child.outputSet)) =>
+      // Spark's InferWindowGroupLimit may already have slid a
+      // WindowGroupLimit under the window; the heap operator subsumes
+      // it, so unwrap a matching one rather than stacking both.
+      val input = child match {
+        case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
+            ps, os, _, _, grandchild)
+            if ps == partSpec && os == orderSpec => grandchild
+        case other => other
+      }
+      Project(projList,
+        TopKPerGroup(limitOf(cond, alias.toAttribute).get, partSpec, orderSpec, input))
+  }
+}
+
 /** Planner strategy: TopKPerGroup → partial exec (any distribution) →
   * [EnsureRequirements inserts the hash exchange] → final exec
   * (clustered on the group keys). */
@@ -182,6 +236,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughTopK)
+    e.injectOptimizerRule(_ => RewriteRowNumberTopK)
   }
 }
 
@@ -200,6 +255,8 @@ object TopK {
         exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
       if (!exp.extraOptimizations.contains(PushFilterThroughTopK))
         exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughTopK
+      if (!exp.extraOptimizations.contains(RewriteRowNumberTopK))
+        exp.extraOptimizations = exp.extraOptimizations :+ RewriteRowNumberTopK
     }
   }
 

@@ -50,7 +50,8 @@ class PlanGuardSpec extends SparkSpec {
     * through the native TopKPerGroup operator (r6: the window
     * row_number form is kept only as the oracle/parity twin). */
   private val mustUseNativeTopK =
-    Seq("win_rank_topk", "sim_cosine_topk", "topk_per_group_native", "sample_stratified")
+    Seq("win_rank_topk", "sim_cosine_topk", "topk_per_group_native",
+      "sample_stratified", "topk_sql_rewrite")
 
   mustUseNativeTopK.foreach { name =>
     test(s"native top-k routing: $name") {

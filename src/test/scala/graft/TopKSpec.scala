@@ -156,6 +156,65 @@ class TopKSpec extends SparkSpec {
     assert(e.getMessage.contains("ambiguous"))
   }
 
+  test("SQL row_number<=k pattern replans to TopKPerGroup when rn is pruned") {
+    import spark.implicits._
+    TopK.ensure(spark)
+    Tables.load(spark, sf(), "part")
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+      .createOrReplaceTempView("topk_sql_part")
+    val q = """SELECT p_brand, p_partkey, p_retailprice FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice, p_partkey) AS rn
+                 FROM topk_sql_part) WHERE rn <= 3"""
+    val df = spark.sql(q)
+    val opt = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan
+    assert(opt.collect { case t: graft.plans.TopKPerGroup => t }.nonEmpty,
+      s"row_number<=k pattern did not replan to TopKPerGroup:\n$opt")
+    assert(opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"window should be eliminated by the rewrite:\n$opt")
+    // Identical results to the un-rewritten form: keeping rn in the
+    // output blocks the rewrite (asserted in the next test), so collect
+    // that plan and strip rn row-side.
+    val expected = spark.sql("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY p_brand
+            ORDER BY p_retailprice, p_partkey) AS rn
+          FROM topk_sql_part) WHERE rn <= 3""")
+      .orderBy($"p_brand", $"p_partkey").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = df.orderBy($"p_brand", $"p_partkey").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(expected))
+  }
+
+  test("SQL rewrite does NOT fire when the rank column survives, or for rank()") {
+    import spark.implicits._
+    TopK.ensure(spark)
+    Tables.load(spark, sf(), "part")
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+      .createOrReplaceTempView("topk_sql_part2")
+    def optOf(sql: String) =
+      spark.sql(sql).asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.optimizedPlan
+    // rn in the output: the window must survive (it produces the column).
+    val keepRn = optOf("""SELECT p_brand, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY p_brand
+          ORDER BY p_retailprice, p_partkey) AS rn
+        FROM topk_sql_part2) WHERE rn <= 3""")
+    assert(keepRn.collect { case t: graft.plans.TopKPerGroup => t }.isEmpty,
+      s"must not rewrite when rn is consumed:\n$keepRn")
+    // rank() can emit MORE than k rows on ties — not row_number semantics.
+    val rankQ = optOf("""SELECT p_brand, p_partkey FROM (
+        SELECT *, rank() OVER (PARTITION BY p_brand
+          ORDER BY p_retailprice) AS rk
+        FROM topk_sql_part2) WHERE rk <= 3""")
+    assert(rankQ.collect { case t: graft.plans.TopKPerGroup => t }.isEmpty,
+      s"must not rewrite rank():\n$rankQ")
+  }
+
   test("ties at the k boundary are broken by the caller's tiebreak keys") {
     import spark.implicits._
     val df = Seq(("g", 10, 1), ("g", 10, 2), ("g", 10, 3), ("g", 9, 4))
