@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline ([NS] —
@@ -381,6 +382,100 @@ object TextOps {
       .orderBy($"lang", $"doc_id")
   }
 
+  /** Overlapping character-window chunking — the doc → chunk explode an
+    * embedding/RAG pipeline runs before vectorization: 200-char windows
+    * every 150 chars (50-char overlap). Emits chunk offsets and an md5
+    * fingerprint instead of the chunk text, keeping the output narrow.
+    * Pure per-row generator: embarrassingly parallel, zero shuffle
+    * before the presentation sort, and the chunk count per doc is
+    * ceil(len/150) — output scales linearly with corpus bytes. */
+  val chunkDocuments: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), greatest(length($"text") - 1, lit(0)), lit(150)))
+          .as("start"))
+      .select($"doc_id",
+        floor($"start" / 150).cast("long").as("chunk_idx"),
+        ($"start" + 1).cast("long").as("chunk_start"),
+        length($"text".substr($"start" + 1, lit(200))).cast("long").as("chunk_len"),
+        md5($"text".substr($"start" + 1, lit(200)).cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Unigram language-model quality score — the perplexity-proxy filter
+    * of a pre-training pipeline: the corpus's own unigram distribution
+    * scores each doc by mean negative log2 token probability
+    * (bits/token); unusually high-surprisal docs (gibberish, wrong
+    * tokenization, binary junk) float to the top of avg_nll.
+    *
+    * Determinism: p = cnt/total is an exact integer ratio (bit-identical
+    * division on both engines); the only libm call (log2) is rounded to
+    * the 6-decimal grid per token, then summed exactly in DECIMAL(38,6)
+    * and divided by the exact count — no accumulation-order noise.
+    * Scale: vocab is Zipf-bounded (grows ~log corpus), so the token →
+    * vocab join stays a size-estimated broadcast; the per-doc agg is
+    * map-side combined; the 1-row total joins in as a broadcast NLJ. */
+  val textUnigramLogprob: Q = (s, dir) => {
+    import s.implicits._
+    import graft.Qx
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    toks.join(vocab, "tok").crossJoin(broadcast(total))
+      .select($"doc_id",
+        round(-log2($"cnt".cast("double") / $"total".cast("double")), 6).as("nll"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (Qx.dsum($"nll") / count(lit(1)).cast("double")).as("avg_nll"),
+        max($"nll").as("max_nll"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token-budget sequence packing — the step that lays curated docs
+    * end-to-end into fixed-size training sequences (B = 2048 tokens):
+    * doc d's sequence id is floor(prefix_tokens_before(d) / B) under
+    * (lang, doc_id) order, its offset the remainder — deterministic,
+    * split-stable, and exactly what a sequence-packing writer needs to
+    * route each doc to its output shard.
+    *
+    * The prefix sum is computed DISTRIBUTEDLY (same discipline as the
+    * stream_watermark_late running max): per-(lang, range-bucket)
+    * partials, a bounded carry collect (langs × ~4·partitions rows —
+    * scales with parallelism, not data), then an in-bucket window
+    * cumsum plus the broadcast carry. No single-task per-language
+    * window anywhere. The oracle is the plain one-window form. */
+  val packSequences: Q = (s, dir) => {
+    import s.implicits._
+    val budget = 2048L
+    val base = Tables.load(s, dir, "documents")
+      .select($"lang", $"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+    val nBuckets = s.sessionState.conf.numShufflePartitions.toLong * 4
+    val mm = base.agg(min($"doc_id"), max($"doc_id")).first()
+    val (minId, maxId) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (maxId - minId) / nBuckets + 1)
+    val b = base.withColumn("bkt", floor(($"doc_id" - minId) / width))
+    val partials = b.groupBy($"lang", $"bkt").agg(sum($"n_tokens").as("t"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val carryRows = partials.groupBy(_._1._1).toSeq.flatMap { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_._1._2).map { case ((l, bkt), t) =>
+        val c = (l, bkt, run); run += t; c
+      }
+    }
+    val carryDf = carryRows.toDF("lang", "bkt", "carry")
+    val w = Window.partitionBy($"lang", $"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(carryDf), Seq("lang", "bkt"))
+      .withColumn("pfx", coalesce(sum($"n_tokens").over(w), lit(0L)) + $"carry")
+      .select($"lang", $"doc_id", $"n_tokens",
+        floor($"pfx" / budget).cast("long").as("seq_id"),
+        ($"pfx" % budget).cast("long").as("seq_offset"))
+      .orderBy($"lang", $"doc_id")
+  }
+
   /** Markup/noise normalization — the first stage of every pre-training
     * text pipeline. The corpus is already clean, so deterministic noise
     * (case, padding, punctuation) is injected first and then removed:
@@ -473,7 +568,10 @@ object TextOps {
     "dedup_cluster_keeper" -> dedupClusterKeeper,
     "split_train_holdout" -> splitTrainHoldout,
     "sample_stratified" -> sampleStratified,
-    "decontaminate_eval" -> decontaminateEval)
+    "decontaminate_eval" -> decontaminateEval,
+    "chunk_documents" -> chunkDocuments,
+    "text_unigram_logprob" -> textUnigramLogprob,
+    "pack_sequences" -> packSequences)
 
   val oracle: Map[String, String] = Map(
     "text_clean" -> """
@@ -631,6 +729,41 @@ object TextOps {
             FROM documents)
       WHERE rn <= 20
       ORDER BY lang, hk, doc_id""",
+    "chunk_documents" -> """
+      SELECT doc_id,
+             CAST(floor(i / 150) AS BIGINT) AS chunk_idx,
+             CAST(i + 1 AS BIGINT) AS chunk_start,
+             CAST(length(substr(text, CAST(i + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len,
+             md5(substr(text, CAST(i + 1 AS INTEGER), 200)) AS chunk_md5
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS i
+            FROM documents)
+      ORDER BY doc_id, chunk_idx""",
+    "text_unigram_logprob" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+      vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT SUM(cnt) AS total FROM vocab),
+      nll AS (SELECT t.doc_id,
+                     ROUND(-log2(CAST(v.cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS nll
+              FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN tot)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CAST(nll AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_nll,
+             MAX(nll) AS max_nll
+      FROM nll GROUP BY doc_id ORDER BY doc_id""",
+    "pack_sequences" -> """
+      WITH t AS (SELECT lang, doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT lang, doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+            FROM t)
+      SELECT lang, doc_id, n_tokens,
+             CAST(floor(CAST(pfx AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
+             CAST(pfx % 2048 AS BIGINT) AS seq_offset
+      FROM c ORDER BY lang, doc_id""",
     "decontaminate_eval" -> """
       WITH d AS (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS hk,
                         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' AS is_train

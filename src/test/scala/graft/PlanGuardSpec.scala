@@ -32,6 +32,7 @@ class PlanGuardSpec extends SparkSpec {
     "domain_ep1_recommend" -> "payers×part knowledge-base grid (bounded catalogs)",
     "domain_conditions" -> "contraindication catalog broadcast (bounded)",
     "agg_global" -> "single-row global aggregate joined back",
+    "text_unigram_logprob" -> "1-row corpus token total cross-joined into the scorer",
     "fn_math_logistic" -> "scalar stat row cross-joined for normalization")
 
   private def offenders(plan: SparkPlan): Seq[String] = {

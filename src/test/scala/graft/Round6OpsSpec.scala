@@ -40,6 +40,58 @@ class Round6OpsSpec extends SparkSpec {
       s"eval docs leaked from train split: ${(evalIds -- holdout).take(5)}")
   }
 
+  test("pack_sequences: offsets within budget, packing consistent with a local prefix sum") {
+    import spark.implicits._
+    val out = TextOps.packSequences(spark, sf("0.01")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) < 2048, s"offset out of range: $r")
+    }
+    // Recompute the per-lang running prefix locally and check
+    // seq_id/seq_offset encode exactly floor/mod of it — i.e. the
+    // distributed bucket+carry path equals the sequential semantics.
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      var pfx = 0L
+      rows.sortBy(_.getLong(1)).foreach { r =>
+        assert(r.getLong(3) == pfx / 2048, s"seq_id mismatch at $r (expected ${pfx / 2048})")
+        assert(r.getLong(4) == pfx % 2048, s"seq_offset mismatch at $r")
+        pfx += r.getLong(2)
+      }
+    }
+  }
+
+  test("chunk_documents: windows tile each doc with 50-char overlap and cover it") {
+    import spark.implicits._
+    val chunks = TextOps.chunkDocuments(spark, sf("0.001")).collect()
+      .groupBy(_.getLong(0))
+    val lens = Tables.load(spark, sf("0.001"), "documents")
+      .select($"doc_id", length($"text").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == lens.keySet)
+    chunks.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, s"chunk_idx gap in doc $doc")
+        assert(r.getLong(2) == i * 150 + 1, s"chunk_start wrong in doc $doc")
+        assert(r.getLong(3) <= 200)
+      }
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) - 1 == lens(doc),
+        s"doc $doc not covered to its end")
+    }
+  }
+
+  test("text_unigram_logprob: surprisal bounded by corpus entropy extremes") {
+    import spark.implicits._
+    val out = TextOps.textUnigramLogprob(spark, sf("0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (avg, mx) = (r.getDouble(2), r.getDouble(3))
+      // -log2 p ranges over (0, log2 total]; avg can't exceed max.
+      assert(avg > 0 && mx > 0 && avg <= mx + 1e-9, s"bounds violated: $r")
+    }
+  }
+
   test("decontaminate_eval flags a planted holdout copy of a train doc") {
     import spark.implicits._
     // Build a corpus where holdout doc X is an exact copy of train doc
