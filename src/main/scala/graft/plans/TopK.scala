@@ -5,13 +5,13 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, GenerateOrdering, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Native whole-operator Catalyst extension: top-k rows per group.
   *
@@ -147,6 +147,55 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Per-partition top-k state shared by the interpreted (doExecute) and
+  * whole-stage-codegen paths of [[TopKPerGroupExec]]: one bounded
+  * max-heap per group key, a group cap past which `offer` returns the
+  * row for pass-through instead of growing the map.
+  *
+  * `offer` returns null when the row was retained (copied) or pruned,
+  * or the INPUT row (not copied — caller decides) when the group map is
+  * at capacity and the row's group is untracked. `flush` drains every
+  * heap; call it only after the input is exhausted. */
+final class TopKPartitionBuffer(
+    k: Int,
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    attrs: Seq[Attribute],
+    groupCap: Int) {
+  private val keyProj = UnsafeProjection.create(groupExprs, attrs)
+  private val ord = GenerateOrdering.generate(order, attrs)
+  private val worstFirst: Ordering[InternalRow] = ord.reverse
+  private val heaps =
+    new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+
+  def offer(row: InternalRow): InternalRow = {
+    val key = keyProj(row)
+    var q = heaps.get(key)
+    if (q == null && heaps.size() < groupCap) {
+      q = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+      heaps.put(key.copy(), q)
+    }
+    if (q == null) row
+    else {
+      if (q.size() < k) q.add(row.copy())
+      else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+      null
+    }
+  }
+
+  def flush(): java.util.Iterator[InternalRow] = {
+    val outer = heaps.values().iterator()
+    new java.util.Iterator[InternalRow] {
+      private var inner: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+      override def hasNext: Boolean = {
+        while (!inner.hasNext && outer.hasNext) inner = outer.next().iterator()
+        inner.hasNext
+      }
+      override def next(): InternalRow = { hasNext; inner.next() }
+    }
+  }
+}
+
 /** Physical top-k-per-group: one pass, one bounded max-heap per group
   * (`peek` = current worst of the kept k). Rows and keys are copied on
   * retention (iterator rows are reused buffers).
@@ -172,7 +221,7 @@ case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
 
@@ -184,47 +233,116 @@ case class TopKPerGroupExec(
   // from re-shuffling consumers keyed on the same group columns).
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  /** Partial mode only: cap on distinct groups tracked per task before
+    * degrading to pass-through. Final mode must keep every group (its
+    * heaps ARE the output), so it never degrades. Resolved driver-side
+    * so the session conf, not the executor default, wins. */
+  private def groupCap: Int =
+    if (partial)
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(TopK.MaxPartialGroupsKey, TopK.MaxPartialGroupsDefault).toInt
+    else Int.MaxValue
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
     val g = groupExprs
     val o = order
     val attrs = child.output
-    // Partial mode only: cap on distinct groups tracked per task before
-    // degrading to pass-through. Final mode must keep every group (its
-    // heaps ARE the output), so it never degrades.
-    val groupCap =
-      if (partial)
-        org.apache.spark.sql.internal.SQLConf.get
-          .getConfString(TopK.MaxPartialGroupsKey, TopK.MaxPartialGroupsDefault).toInt
-      else Int.MaxValue
+    val cap = groupCap
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(g, attrs)
-      val ord = GenerateOrdering.generate(o, attrs)
-      val worstFirst: Ordering[InternalRow] = ord.reverse
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      val filtered = iter.flatMap { row =>
-        val key = keyProj(row)
-        var q = heaps.get(key)
-        if (q == null && heaps.size() < groupCap) {
-          q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
-          heaps.put(key.copy(), q)
-        }
-        if (q == null) {
-          // Over the cap (partial mode only): emit unfiltered; the
-          // final exec re-filters, so semantics are unchanged. No copy
-          // needed — the row is consumed downstream before the next
-          // iterator step reuses the buffer.
-          Iterator.single(row)
-        } else {
-          if (q.size() < kk) q.add(row.copy())
-          else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
-          Iterator.empty
-        }
+      val buf = new TopKPartitionBuffer(kk, g, o, attrs, cap)
+      val passedThrough = iter.flatMap { row =>
+        // Over the cap (partial mode only) offer hands the row back for
+        // pass-through: emit unfiltered; the final exec re-filters, so
+        // semantics are unchanged. No copy needed — the row is consumed
+        // downstream before the next iterator step reuses the buffer.
+        val out = buf.offer(row)
+        if (out == null) Iterator.empty else Iterator.single(out)
       }
       // `++` evaluates its operand lazily, so the heap flush runs only
       // after the input (and therefore every heap) is complete.
-      filtered ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      passedThrough ++ buf.flush().asScala
     }, preservesPartitioning = true)
+  }
+
+  // ---- whole-stage codegen (FINAL mode only) -------------------------
+  // The partial exec's over-cap degrade emits rows MID-stream, but a
+  // blocking codegen operator runs its child's loop to completion with
+  // stop checks disabled (needStopCheck = false) — every pass-through
+  // row would pile up in the stage's output buffer, re-creating exactly
+  // the unbounded memory the cap exists to prevent. The partial side
+  // therefore stays a streaming mapPartitions by design; the final exec
+  // is purely blocking (it never degrades) and fuses into the
+  // post-exchange stage like SortExec does.
+
+  override def supportCodegen: Boolean =
+    !partial && org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(TopK.CodegenKey, "true").toBoolean
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  /** Called from generated code: per-task heap state (never degrades —
+    * see [[supportCodegen]], only the final exec compiles). */
+  def createBuffer(): TopKPartitionBuffer =
+    new TopKPartitionBuffer(k, groupExprs, order, child.output, Int.MaxValue)
+
+  private var bufferVariable: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needToProcess = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "topkNeedInput",
+      v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    bufferVariable = ctx.addMutableState(classOf[TopKPartitionBuffer].getName, "topkBuffer",
+      v => s"$v = $thisPlan.createBuffer();", forceInline = true)
+    val flushIter = ctx.addMutableState(
+      "java.util.Iterator<InternalRow>", "topkFlushIter", forceInline = true)
+    val addToBuffer = ctx.freshName("addToTopK")
+    val addToBufferFunc = ctx.addNewFunction(addToBuffer,
+      s"""
+         |private void $addToBuffer() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topkOutputRow")
+    s"""
+       |if ($needToProcess) {
+       |  $addToBufferFunc();
+       |  $flushIter = $bufferVariable.flush();
+       |  $needToProcess = false;
+       |}
+       |while ($limitNotReachedCond $flushIter.hasNext()) {
+       |  UnsafeRow $outputRow = (UnsafeRow) $flushIter.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    if (row != null) {
+      // Child handed us a materialized row (InputAdapter over the
+      // exchange — the common final-mode shape).
+      s"""
+         |${row.code}
+         |$bufferVariable.offer(${row.value});
+       """.stripMargin
+    } else {
+      // Child produced column variables: pack them into an UnsafeRow
+      // first (offer copies on retention, so the buffer is safe).
+      val colExprs = child.output.zipWithIndex.map { case (attr, i) =>
+        BoundReference(i, attr.dataType, attr.nullable)
+      }
+      val evaluateInputs = evaluateVariables(input)
+      ctx.INPUT_ROW = null
+      ctx.currentVars = input
+      val code = GenerateUnsafeProjection.createCode(ctx, colExprs)
+      s"""
+         |$evaluateInputs
+         |${code.code}
+         |$bufferVariable.offer(${code.value});
+       """.stripMargin
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
@@ -245,6 +363,11 @@ object TopK {
     * (see [[TopKPerGroupExec]] memory contract). */
   val MaxPartialGroupsKey = "spark.graft.topk.maxPartialGroups"
   val MaxPartialGroupsDefault = "131072"
+
+  /** Kill-switch for the final exec's whole-stage-codegen path (see
+    * [[TopKPerGroupExec.supportCodegen]]); interpreted doExecute remains
+    * the fallback either way. */
+  val CodegenKey = "spark.graft.topk.codegen"
 
   /** Idempotent runtime injection for sessions not built with
     * [[GraftExtensions]] (e.g. a driver-owned session). */

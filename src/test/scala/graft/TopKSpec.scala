@@ -215,6 +215,67 @@ class TopKSpec extends SparkSpec {
       s"must not rewrite rank():\n$rankQ")
   }
 
+  test("final exec compiles into WholeStageCodegen; partial stays interpreted") {
+    import spark.implicits._
+    val df = TopK.perGroup(
+      Tables.load(spark, sf(), "part").select($"p_brand", $"p_partkey", $"p_retailprice"),
+      3, Seq("p_brand"), Seq(("p_retailprice", true), ("p_partkey", false)))
+    df.collect() // force AQE final plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val nodes = flatten(planOf(df))
+    // A codegen stage ends at InputAdapter / query-stage boundaries —
+    // don't descend past them or the map stage's nodes would be
+    // mis-attributed to the reduce stage's WholeStageCodegen subtree.
+    def stageLocal(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: org.apache.spark.sql.execution.InputAdapter => Nil
+      case _: QueryStageExec => Nil
+      case other => other +: other.children.flatMap(stageLocal)
+    }
+    val wscSubtrees = nodes.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => stageLocal(w.child)
+    }
+    // The final (post-exchange) exec must sit INSIDE a codegen stage...
+    assert(wscSubtrees.exists(_.exists {
+      case t: TopKPerGroupExec => !t.partial
+      case _ => false
+    }), s"final TopKPerGroupExec not inside WholeStageCodegen:\n${planOf(df)}")
+    // ...and the partial (map-side) exec must NOT (its pass-through
+    // degrade is incompatible with blocking codegen — see TopK.scala).
+    assert(!wscSubtrees.exists(_.exists {
+      case t: TopKPerGroupExec => t.partial
+      case _ => false
+    }), s"partial TopKPerGroupExec must stay interpreted:\n${planOf(df)}")
+  }
+
+  test("codegen on/off parity, including under the partial group cap") {
+    import spark.implicits._
+    val li = Tables.load(spark, sf(), "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    def run() = TopK.perGroup(li, 2, Seq("l_suppkey"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)))
+      .orderBy($"l_suppkey", desc("l_extendedprice"), $"l_orderkey", $"l_linenumber")
+      .collect()
+    val withCodegen = run()
+    val prevCg = spark.conf.getOption(TopK.CodegenKey)
+    val prevCap = spark.conf.getOption(TopK.MaxPartialGroupsKey)
+    try {
+      spark.conf.set(TopK.CodegenKey, "false")
+      assert(run().sameElements(withCodegen), "interpreted path diverged from codegen")
+      spark.conf.set(TopK.CodegenKey, "true")
+      spark.conf.set(TopK.MaxPartialGroupsKey, "8")
+      assert(run().sameElements(withCodegen),
+        "codegen final + capped partial diverged from uncapped result")
+    } finally {
+      prevCg.fold(spark.conf.unset(TopK.CodegenKey))(spark.conf.set(TopK.CodegenKey, _))
+      prevCap.fold(spark.conf.unset(TopK.MaxPartialGroupsKey))(
+        spark.conf.set(TopK.MaxPartialGroupsKey, _))
+    }
+  }
+
   test("ties at the k boundary are broken by the caller's tiebreak keys") {
     import spark.implicits._
     val df = Seq(("g", 10, 1), ("g", 10, 2), ("g", 10, 3), ("g", 9, 4))
