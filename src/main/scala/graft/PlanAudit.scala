@@ -145,20 +145,22 @@ object PlanAudit {
         |carries ≤ k·partitions rows per group instead of every fact
         |row, and nothing is ever sorted beyond a k-heap.
         |
-        |Codegen status (r6, measured): the exec is mapPartitions-based,
-        |so it ends the child's WholeStageCodegen span. Cost of that
-        |break at sf0.1 (600k lineitem rows, local[32], 7 passes):
-        |native min/med 0.41/0.49 s vs the fully-codegen'd window plan's
-        |0.35/0.40 s — ~0.07 s, i.e. ~100 ns/row of iterator overhead,
-        |only visible because the input is tiny. The window plan's map
-        |side SORTS each partition (Sort → partial WindowGroupLimit,
-        |n·log n over every fact row) where this operator heaps
-        |(n·log k): the native plan's CPU advantage grows with rows per
-        |partition precisely where the codegen-break constant stays
-        |fixed. A CodegenSupport (produce/consume over an inlined
-        |bounded heap, HashAggregateExec-style) would recover the
-        |constant and is deferred as not load-bearing at any scale
-        |where this operator matters.""".stripMargin,
+        |Codegen status (r6, shipped): the FINAL exec implements
+        |BlockingOperatorWithCodegen (SortExec-style produce/consume
+        |over the shared heap buffer), so the post-exchange stage is
+        |one fused WholeStageCodegen span — expect `*(n) TopKPerGroup
+        |… false` in the plan. The PARTIAL exec stays interpreted by
+        |design: its over-cap pass-through emits rows mid-stream,
+        |which a blocking codegen operator cannot do without buffering
+        |them unboundedly (needStopCheck=false) — the exact hazard the
+        |group cap prevents. Measured (sf0.1 lineitem, local[32], 7
+        |interleaved passes): codegen on min/med 0.23/0.31 s vs off
+        |0.23/0.28 s — parity; the final side is row-starved (≤
+        |k·partitions rows/group), so the codegen win here is fusing
+        |downstream consumers into the stage, not the heap loop
+        |itself. Both beat the window plan (0.28/0.31 s), whose map
+        |side sorts every fact row (n·log n vs this heap's n·log k).
+        |Kill-switch: spark.graft.topk.codegen.""".stripMargin,
     "sample_stratified" ->
       """Deterministic stratified sampler (r5) on the same native
         |operator: per-stratum 20-heaps keyed on the id hash. No rand(),
