@@ -552,6 +552,90 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** Gopher/C4-style repetition quality filter: per-doc token-repetition
+    * metrics + a `repetitive` gate. The corpus has no newlines, so the
+    * published line-based rules are re-expressed at token granularity:
+    * top-word fraction, top-bigram fraction, duplicate-token fraction
+    * (1 − type/token), and the longest same-token run.
+    *
+    * Scale shape: word/bigram counts are explode → two-level hash-agg
+    * keyed on (doc_id, term) — partial aggregation collapses each
+    * partition's stream before the exchange, and every key is bounded
+    * by one document's vocabulary. The max-run metric never explodes
+    * at all: a linear `aggregate` fold over the token array (prev
+    * token, current run, best run) — per-row, codegen'd, zero shuffle.
+    * Thresholds verified non-vacuous at sf0.01 (42/75/25/9 docs trip
+    * the four rules). */
+  val textRepetitionFilter: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val ws = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("topw"), sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+    val bs = docs.select($"doc_id", explode(bigrams(tokens($"text"))).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("topb"), sum($"c").as("n_big"))
+    val runs = docs.select($"doc_id",
+      aggregate(
+        tokens($"text"),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, t) => {
+          val newRun = when(t === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(t.as("prev"), newRun.as("run"),
+            greatest(acc.getField("best"), newRun).as("best"))
+        },
+        acc => acc.getField("best")).as("max_run"))
+    ws.join(bs, Seq("doc_id")).join(runs, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens",
+        round($"topw".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("top_word_frac"),
+        round($"topb".cast("double") / $"n_big".cast("double"), 6)
+          .as("top_bigram_frac"),
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("dup_token_frac"),
+        $"max_run")
+      .withColumn("repetitive",
+        $"top_word_frac" >= 0.15 || $"top_bigram_frac" >= 0.06 ||
+          $"dup_token_frac" >= 0.7 || $"max_run" >= 3)
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic training-mixture construction: per-source sampling
+    * weights realized as integer copies + an md5-nibble fractional
+    * draw (the [[splitTrainHoldout]] membership idiom, salted ":mix").
+    * src{1,6,11,16} upsample ×2.5, src{3,8,13,18} downsample ×0.25,
+    * everything else passes through ×1 — so the mixture is a pure
+    * function of (doc_id, source), stable across runs, engines, and
+    * corpus growth, with no rand() anywhere.
+    *
+    * Scale shape: per-row `explode(sequence(1, copies))` after a
+    * copies>0 filter (sequence(1,0) would be DESCENDING in Spark, not
+    * empty — the filter is load-bearing). No shuffle except the
+    * deterministic output sort. */
+  val mixSources: Q = (s, dir) => {
+    import s.implicits._
+    // Hex nibble of md5(doc_id || ":mix") orders uniformly in [0,16):
+    // '< 8' keeps 8/16 = 1/2 of docs, '< 4' keeps 1/4.
+    val nib = substring(
+      md5(concat($"doc_id".cast("string"), lit(":mix")).cast("binary")), 1, 1)
+    val copies =
+      when($"source".isin("src1", "src6", "src11", "src16"),
+        when(nib < "8", 3).otherwise(2))
+      .when($"source".isin("src3", "src8", "src13", "src18"),
+        when(nib < "4", 1).otherwise(0))
+      .otherwise(1)
+    Tables.load(s, dir, "documents")
+      .withColumn("copies", copies)
+      .filter($"copies" > 0)
+      .select($"doc_id", $"lang", $"source",
+        explode(sequence(lit(1), $"copies")).as("copy"))
+      .withColumn("mix_id", $"doc_id" * 4 + $"copy")
+      .orderBy($"doc_id", $"copy")
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_curate" -> pipelineCurate,
     "text_clean" -> textClean,
@@ -571,7 +655,9 @@ object TextOps {
     "decontaminate_eval" -> decontaminateEval,
     "chunk_documents" -> chunkDocuments,
     "text_unigram_logprob" -> textUnigramLogprob,
-    "pack_sequences" -> packSequences)
+    "pack_sequences" -> packSequences,
+    "text_repetition_filter" -> textRepetitionFilter,
+    "mix_sources" -> mixSources)
 
   val oracle: Map[String, String] = Map(
     "text_clean" -> """
@@ -858,5 +944,59 @@ object TextOps {
              ROUND(CAST(inter AS DOUBLE)
                / CAST(s1.n_bg + s2.n_bg - inter AS DOUBLE), 4) AS jaccard
       FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
-      ORDER BY d1, d2""")
+      ORDER BY d1, d2""",
+    "text_repetition_filter" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      ws AS (SELECT doc_id, MAX(c) AS topw, SUM(c) AS n_tokens,
+                    COUNT(*) AS n_distinct
+             FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+             GROUP BY doc_id),
+      bs AS (SELECT doc_id, MAX(c) AS topb, SUM(c) AS n_big
+             FROM (SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bg, COUNT(*) AS c
+                   FROM toks t1 JOIN toks t2
+                     ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+                   GROUP BY 1, 2)
+             GROUP BY doc_id),
+      rs AS (SELECT doc_id, MAX(c) AS max_run
+             FROM (SELECT doc_id, tok, g, COUNT(*) AS c
+                   FROM (SELECT doc_id, tok, pos,
+                                pos - ROW_NUMBER() OVER (
+                                  PARTITION BY doc_id, tok ORDER BY pos) AS g
+                         FROM toks)
+                   GROUP BY 1, 2, 3)
+             GROUP BY doc_id)
+      SELECT ws.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             ROUND(CAST(topw AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS top_word_frac,
+             ROUND(CAST(topb AS DOUBLE) / CAST(n_big AS DOUBLE), 6)
+               AS top_bigram_frac,
+             ROUND(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS dup_token_frac,
+             CAST(max_run AS INTEGER) AS max_run,
+             (ROUND(CAST(topw AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) >= 0.15
+              OR ROUND(CAST(topb AS DOUBLE) / CAST(n_big AS DOUBLE), 6) >= 0.06
+              OR ROUND(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) >= 0.7
+              OR max_run >= 3) AS repetitive
+      FROM ws JOIN bs ON ws.doc_id = bs.doc_id JOIN rs ON ws.doc_id = rs.doc_id
+      ORDER BY ws.doc_id""",
+    "mix_sources" -> """
+      WITH w AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN source IN ('src1', 'src6', 'src11', 'src16') THEN
+                      CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 1) < '8'
+                           THEN 3 ELSE 2 END
+                    WHEN source IN ('src3', 'src8', 'src13', 'src18') THEN
+                      CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 1) < '4'
+                           THEN 1 ELSE 0 END
+                    ELSE 1 END AS copies
+        FROM documents)
+      SELECT doc_id, lang, source, copy, doc_id * 4 + copy AS mix_id FROM (
+        SELECT doc_id, lang, source,
+               CAST(unnest(generate_series(1, copies)) AS INTEGER) AS copy
+        FROM w WHERE copies > 0)
+      ORDER BY doc_id, copy""")
 }

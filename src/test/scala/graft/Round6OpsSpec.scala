@@ -129,4 +129,66 @@ class Round6OpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("text_repetition_filter: metric ranges, flag consistency, max_run cross-check") {
+    import spark.implicits._
+    val out = TextOps.textRepetitionFilter(spark, sf("0.01")).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (topw, topb, dup) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val run = r.getInt(5)
+      assert(topw > 0.0 && topw <= 1.0 && topb > 0.0 && topb <= 1.0)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(run >= 1, s"max_run must be >= 1 for non-empty docs: $r")
+      assert(r.getBoolean(6) ==
+        (topw >= 0.15 || topb >= 0.06 || dup >= 0.7 || run >= 3),
+        s"repetitive flag inconsistent: $r")
+    }
+    // Non-vacuous gate: both classes present.
+    assert(out.exists(_.getBoolean(6)) && out.exists(!_.getBoolean(6)))
+    // Cross-check the aggregate-fold max_run against a plain Scala scan
+    // for every doc (the fold is the one non-obvious expression here).
+    val texts = Tables.load(spark, sf("0.01"), "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ")
+      var best = 1; var run = 1
+      for (i <- 1 until toks.length) {
+        run = if (toks(i) == toks(i - 1)) run + 1 else 1
+        best = math.max(best, run)
+      }
+      assert(r.getInt(5) == best,
+        s"max_run fold diverged from sequential scan for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("mix_sources: copy counts per weight class, stable ids, determinism") {
+    import spark.implicits._
+    val out = TextOps.mixSources(spark, sf("0.01")).collect()
+    val up = Set("src1", "src6", "src11", "src16")
+    val down = Set("src3", "src8", "src13", "src18")
+    val perDoc = out.groupBy(_.getLong(0))
+    perDoc.foreach { case (_, rows) =>
+      val src = rows.head.getString(2)
+      val n = rows.length
+      if (up(src)) assert(n == 2 || n == 3, s"upsampled doc has $n copies")
+      else if (down(src)) assert(n == 1, s"surviving downsampled doc has $n copies")
+      else assert(n == 1, s"passthrough doc has $n copies")
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to n),
+        "copy numbers must be 1..n")
+    }
+    // Downsampling must actually drop docs (≈3/4 of the class).
+    val allDown = Tables.load(spark, sf("0.01"), "documents")
+      .filter($"source".isin(down.toSeq: _*)).count()
+    val keptDown = perDoc.count { case (_, rows) => down(rows.head.getString(2)) }
+    assert(keptDown < allDown, "downsampling dropped nothing")
+    // Upsampling must produce some 3-copy docs (the fractional draw).
+    assert(perDoc.exists { case (_, rows) => rows.length == 3 })
+    // mix_id is unique — safe as a downstream key.
+    assert(out.map(_.getLong(4)).distinct.length == out.length)
+    // Pure function of the input: a second run is bit-identical.
+    val again = TextOps.mixSources(spark, sf("0.01")).collect()
+    assert(out.sameElements(again))
+  }
 }
