@@ -37,6 +37,24 @@ object StreamRunner {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming form of Streamy.streamWindowTopk, stage 1: watermarked
+    * windowed counts. Stage 2 (per-window top-k) runs on each
+    * micro-batch's output via [[windowTopkOfBatch]] — chained streaming
+    * aggregations are unsupported by the engine, and the k-selection is
+    * a bounded filter over the agg's update stream, so foreachBatch /
+    * sink-then-select is the standard production shape. */
+  def windowTopkCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Stage 2: native TopKPerGroup over one micro-batch (or the sink
+    * table) of [[windowTopkCounts]] output. */
+  def windowTopkOfBatch(counts: DataFrame, k: Int = 3): DataFrame =
+    graft.plans.TopK.perGroup(counts, k, Seq("window_start"),
+      Seq(("n", true), ("event_type", false)))
+
   /** Watermarked 30-minute-gap sessions (Streamy.streamSession). */
   def sessionWithWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")

@@ -210,7 +210,32 @@ object Streamy {
       .orderBy($"purchase_id", $"click_id")
   }
 
+  /** Per-window top-3 event types by count: the windowed-aggregation
+    * discipline composed with the native [[graft.plans.TopKPerGroup]]
+    * operator. The count agg shuffles once on (window, type) with
+    * map-side combine; k-selection then never re-shuffles the full
+    * count stream — partial heaps cap it at 3·partitions rows per
+    * window. (n desc, event_type) is a total order within a window, so
+    * ranking the 3 survivors with a tiny window function equals ranking
+    * the full set; the all-window form is the DuckDB oracle. The
+    * streaming form (watermark + foreachBatch top-k) is
+    * [[StreamRunner.windowTopkWithWatermark]]. */
+  val streamWindowTopk: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+    val top = graft.plans.TopK.perGroup(counts, 3, Seq("window_start"),
+      Seq(("n", true), ("event_type", false)))
+    val w = Window.partitionBy($"window_start").orderBy($"n".desc, $"event_type")
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select($"window_start", $"rnk", $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_window_topk" -> streamWindowTopk,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_tws_types" -> streamTwsTypes,
     "stream_tumbling" -> streamTumbling,
@@ -246,6 +271,17 @@ object Streamy {
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
              event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_window_topk" -> s"""
+      WITH c AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+        FROM events GROUP BY 1, 2)
+      SELECT window_start, rnk, event_type, n, total_value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY window_start
+                 ORDER BY n DESC, event_type) AS rnk
+        FROM c) WHERE rnk <= 3
+      ORDER BY window_start, rnk""",
     "stream_sliding" -> """
       SELECT make_timestamp(((us // 900000000) - i) * 900000000) AS window_start,
              event_type, COUNT(*) AS n

@@ -41,6 +41,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k: counts stream + native TopK per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // Hour 0: purchase=3, view=2, click=1, refund=1 → top3 drops refund
+    // (click ties refund at 1 but wins the event_type tiebreak... both
+    // tie: top3 keeps (purchase, view) then min type among {click,
+    // refund} = click).
+    ms.addData(Seq(
+      Ev(1L, ts(1), 1L, "purchase", 1.0), Ev(2L, ts(2), 1L, "purchase", 1.0),
+      Ev(3L, ts(3), 2L, "purchase", 1.0), Ev(4L, ts(4), 1L, "view", 1.0),
+      Ev(5L, ts(5), 2L, "view", 1.0), Ev(6L, ts(6), 1L, "click", 1.0),
+      Ev(7L, ts(7), 2L, "refund", 1.0),
+      Ev(8L, ts(61), 1L, "view", 1.0))) // hour 1: single type
+    val q = StreamRunner.windowTopkCounts(ms.toDF())
+      .writeStream.format("memory").queryName("wtopk").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = StreamRunner.windowTopkOfBatch(spark.table("wtopk"))
+        .as[(Timestamp, String, Long)].collect()
+        .map { case (w, t, n) => (w.toString, t, n) }.toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00.0", "purchase", 3L),
+        ("2024-01-01 00:00:00.0", "view", 2L),
+        ("2024-01-01 00:00:00.0", "click", 1L),
+        ("2024-01-01 01:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
