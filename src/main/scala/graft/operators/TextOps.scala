@@ -636,6 +636,35 @@ object TextOps {
       .orderBy($"doc_id", $"copy")
   }
 
+  /** Bigram-LM surprisal per doc: mean −log2 P(w2|w1) under the
+    * corpus's own bigram model (conditional MLE: c(w1 w2)/c(w1 ·)).
+    * No smoothing needed — the model is trained on the scored corpus
+    * itself, so every bigram has support. Complements
+    * [[textUnigramLogprob]] with the join-on-pairs shuffle structure:
+    * the LM table keys on the bigram string, the denominator on its
+    * first token, and both are Zipf-bounded (vocab², vocab) so at any
+    * corpus size the two model joins stay broadcastable. */
+  val textBigramLogprob: Q = (s, dir) => {
+    import s.implicits._
+    import graft.Qx
+    val bgs = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(bigrams(tokens($"text"))).as("bg"))
+    val bgCounts = bgs.groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val w1Counts = bgCounts
+      .withColumn("w1", split($"bg", " ")(0))
+      .groupBy($"w1").agg(sum($"c2").as("c1"))
+    bgs.join(broadcast(bgCounts), "bg")
+      .withColumn("w1", split($"bg", " ")(0))
+      .join(broadcast(w1Counts), "w1")
+      .select($"doc_id",
+        round(-log2($"c2".cast("double") / $"c1".cast("double")), 6).as("nll"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (Qx.dsum($"nll") / count(lit(1)).cast("double")).as("avg_nll"),
+        max($"nll").as("max_nll"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_curate" -> pipelineCurate,
     "text_clean" -> textClean,
@@ -657,7 +686,8 @@ object TextOps {
     "text_unigram_logprob" -> textUnigramLogprob,
     "pack_sequences" -> packSequences,
     "text_repetition_filter" -> textRepetitionFilter,
-    "mix_sources" -> mixSources)
+    "mix_sources" -> mixSources,
+    "text_bigram_logprob" -> textBigramLogprob)
 
   val oracle: Map[String, String] = Map(
     "text_clean" -> """
@@ -834,6 +864,22 @@ object TextOps {
                      ROUND(-log2(CAST(v.cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS nll
               FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN tot)
       SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CAST(nll AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_nll,
+             MAX(nll) AS max_nll
+      FROM nll GROUP BY doc_id ORDER BY doc_id""",
+    "text_bigram_logprob" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      bg AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+             FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t)
+             WHERE i < len(toks)),
+      c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      nll AS (SELECT b.doc_id,
+                     ROUND(-log2(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)), 6)
+                       AS nll
+              FROM bg b JOIN c2 ON b.bg = c2.bg JOIN c1 ON b.w1 = c1.w1)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
              CAST(SUM(CAST(nll AS DECIMAL(38,6))) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS avg_nll,
              MAX(nll) AS max_nll

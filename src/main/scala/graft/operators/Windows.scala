@@ -231,7 +231,40 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** Trailing-window z-score anomaly detection over the hourly event
+    * series: each (hour, type) count scored against the mean/stddev of
+    * its own previous ≤24 observed hours (ROWS frame ending at
+    * 1 PRECEDING — the current point never contaminates its own
+    * baseline). Rows with <12 hours of history or zero variance are
+    * unscored (z null), mirroring how a production monitor warms up.
+    *
+    * Scale shape: one (hour, type) hash-agg with map-side combine
+    * collapses the event stream, then the window partitions by
+    * event_type — bounded series per partition, no unpartitioned
+    * window anywhere. Threshold 2.5 verified non-vacuous at sf0.01
+    * (97/3385 scored rows flag). */
+  val tsAnomalyZscore: Q = (s, dir) => {
+    import s.implicits._
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"window_start")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("hist", count($"n").over(w))
+      .withColumn("mu", avg($"n").over(w))
+      .withColumn("sd", stddev_samp($"n").over(w))
+      .withColumn("z",
+        when($"hist" >= 12 && $"sd" > 0,
+          round(($"n" - $"mu") / $"sd", 4)))
+      .select($"window_start", $"event_type", $"n",
+        round($"mu", 4).as("mu"), round($"sd", 4).as("sd"), $"z",
+        coalesce(abs($"z") >= 2.5, lit(false)).as("anomalous"))
+      .orderBy($"window_start", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_anomaly_zscore" -> tsAnomalyZscore,
     "win_streak" -> winStreak,
     "ts_funnel" -> tsFunnel,
     "ts_gap_fill" -> tsGapFill,
@@ -246,6 +279,28 @@ object Windows {
     "win_first_last" -> winFirstLast)
 
   val oracle: Map[String, String] = Map(
+    "ts_anomaly_zscore" -> """
+      WITH h AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT window_start, event_type, n,
+               count(n) OVER win AS hist,
+               avg(n) OVER win AS mu,
+               stddev_samp(n) OVER win AS sd
+        FROM h
+        WINDOW win AS (PARTITION BY event_type ORDER BY window_start
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      z AS (
+        SELECT window_start, event_type, n, mu, sd,
+               CASE WHEN hist >= 12 AND sd > 0
+                    THEN ROUND((n - mu) / sd, 4) END AS z
+        FROM w)
+      SELECT window_start, event_type, n,
+             ROUND(mu, 4) AS mu, ROUND(sd, 4) AS sd, z,
+             COALESCE(abs(z) >= 2.5, FALSE) AS anomalous
+      FROM z ORDER BY window_start, event_type""",
     "win_streak" -> """
       WITH d AS (SELECT DISTINCT user_id,
                         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day

@@ -163,6 +163,44 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("ts_anomaly_zscore: warm-up nulls, flag consistency, both classes present") {
+    import spark.implicits._
+    val out = graft.operators.Windows.tsAnomalyZscore(spark, sf("0.01")).collect()
+    assert(out.nonEmpty)
+    // First observed hour of every series has no history: mu/sd/z null.
+    val firstPerType = out.groupBy(_.getString(1))
+      .map { case (_, rows) => rows.minBy(_.getTimestamp(0).getTime) }
+    firstPerType.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+        s"first row of a series must be unscored: $r")
+      assert(!r.getBoolean(6), "unscored rows are never anomalous")
+    }
+    out.foreach { r =>
+      if (!r.isNullAt(5))
+        assert(r.getBoolean(6) == (math.abs(r.getDouble(5)) >= 2.5),
+          s"anomalous flag inconsistent with z: $r")
+      else assert(!r.getBoolean(6))
+    }
+    assert(out.exists(_.getBoolean(6)) && out.exists(!_.getBoolean(6)),
+      "threshold must split the data")
+  }
+
+  test("text_bigram_logprob: n_bigrams = n_tokens - 1; surprisal bounds") {
+    import spark.implicits._
+    val out = TextOps.textBigramLogprob(spark, sf("0.01")).collect()
+    assert(out.length == 500)
+    val nTokens = Tables.load(spark, sf("0.01"), "documents")
+      .select($"doc_id", size(split($"text", " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == nTokens(r.getLong(0)) - 1,
+        s"bigram count must be token count - 1: $r")
+      // MLE on the training corpus itself: every bigram has support, so
+      // surprisal is finite and non-negative; max dominates the mean.
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= r.getDouble(2) - 1e-9)
+    }
+  }
+
   test("mix_sources: copy counts per weight class, stable ids, determinism") {
     import spark.implicits._
     val out = TextOps.mixSources(spark, sf("0.01")).collect()
