@@ -16,12 +16,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Aggs.aggGroupbyHash(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every entry installs the graft optimizer/planner extensions
+    * ([[graft.plans.TopK.ensure]] — idempotent) before building its
+    * plan. Without this, whether e.g. `RewriteRowNumberTopK` fires on a
+    * given query would depend on which query ran FIRST in a shared
+    * session (only the native-TopK entries called ensure themselves) —
+    * order-dependent plans, order-dependent timings. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Scans.queries ++ Projections.queries ++ Joins.queries ++ SetOps.queries ++
+    (Scans.queries ++ Projections.queries ++ Joins.queries ++ SetOps.queries ++
     Aggs.queries ++ Windows.queries ++ Scalars.queries ++ Udfs.queries ++
     Streamy.queries ++ TextOps.queries ++ SimOps.queries ++
-    DomainQueries.queries
+    DomainQueries.queries).map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        graft.plans.TopK.ensure(s); fn(s, dir)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
