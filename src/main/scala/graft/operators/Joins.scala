@@ -380,7 +380,35 @@ object Joins {
       .saveAsTable(tLine)
   }
 
+  /** Fuzzy name-matching join (healthcare master-data shape: the
+    * reference normalizes free-text drug names to RxNorm codes,
+    * README.md:3,7 — the step before that normalization is exactly
+    * this reconciliation). Matching runs at CATALOG level — distinct
+    * names + their part counts — so the pair join scales with
+    * vocabulary, not corpus: at 100 TB the distinct-name table is
+    * Zipf-bounded while part rows grow linearly. Banding by the type
+    * word (standard blocking) bounds fan-in per band; the 3-arg
+    * `levenshtein` with a threshold early-exits the DP for far-apart
+    * names, so post-band cost is O(band²·len·threshold) not
+    * O(band²·len²). Blocking trade documented: near-dups differing in
+    * the type word itself are out of scope by design. */
+  val joinFuzzyLevenshtein: Q = (s, dir) => {
+    import s.implicits._
+    val names = Tables.load(s, dir, "part")
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("w2", split($"p_name", " ")(1))
+    val a = names.select($"w2", $"p_name".as("name_a"), $"n_parts".as("n_a"))
+    val b = names.select($"w2", $"p_name".as("name_b"), $"n_parts".as("n_b"))
+    a.join(b, Seq("w2"))
+      .filter($"name_a" < $"name_b")
+      .withColumn("lev", levenshtein($"name_a", $"name_b", 2))
+      .filter($"lev" >= 0) // threshold form returns -1 past the bound
+      .select($"name_a", $"name_b", $"lev", $"n_a", $"n_b")
+      .orderBy($"name_a", $"name_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_fuzzy_levenshtein" -> joinFuzzyLevenshtein,
     "join_bucketed" -> joinBucketed,
     "join_inner_equi" -> joinInnerEqui,
     "join_multi_key" -> joinMultiKey,
@@ -398,6 +426,15 @@ object Joins {
     "join_asof" -> joinAsof)
 
   val oracle: Map[String, String] = Map(
+    "join_fuzzy_levenshtein" -> """
+      WITH n AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1),
+      b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[2] AS w2 FROM n)
+      SELECT a.p_name AS name_a, c.p_name AS name_b,
+             CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS lev,
+             a.n_parts AS n_a, c.n_parts AS n_b
+      FROM b a JOIN b c ON a.w2 = c.w2 AND a.p_name < c.p_name
+      WHERE levenshtein(a.p_name, c.p_name) <= 2
+      ORDER BY name_a, name_b""",
     "join_bucketed" -> s"""
       SELECT o_orderstatus, COUNT(*) AS n_lines,
              ${dsumSql("l_quantity")} AS total_qty

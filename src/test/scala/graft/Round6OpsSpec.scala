@@ -201,6 +201,27 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("join_fuzzy_levenshtein: blocking, canonical pair order, exact distances") {
+    import spark.implicits._
+    val out = graft.operators.Joins.joinFuzzyLevenshtein(spark, sf("0.01")).collect()
+    assert(out.nonEmpty)
+    def levRef(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    out.foreach { r =>
+      val (na, nb, lev) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(na < nb, "pairs must be canonically ordered (no mirror dups)")
+      assert(na.split(" ")(1) == nb.split(" ")(1), "blocking key must match")
+      assert(lev >= 1 && lev <= 2, s"distinct names within threshold: $r")
+      assert(lev == levRef(na, nb), s"levenshtein disagrees with reference DP: $r")
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0)
+    }
+  }
+
   test("mix_sources: copy counts per weight class, stable ids, determinism") {
     import spark.implicits._
     val out = TextOps.mixSources(spark, sf("0.01")).collect()
