@@ -407,7 +407,33 @@ object Joins {
       .orderBy($"name_a", $"name_b")
   }
 
+  /** Forward as-of: each order matched to the same customer's NEXT
+    * order (earliest strictly-after date) plus the gap in days — the
+    * reorder-interval view; [[joinAsof]] is the backward twin. Same
+    * scale shape: equi key (custkey) carries the shuffle, the range
+    * predicate only post-filters within a customer's bounded order
+    * history, and the window collapse is per-order. */
+  val joinAsofForward: Q = (s, dir) => {
+    import s.implicits._
+    val cur = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val nxt = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("n_okey"), $"o_custkey".as("n_cust"),
+        $"o_orderdate".as("n_date"))
+    val joined = cur.join(nxt,
+      $"o_custkey" === $"n_cust" && $"n_date" > $"o_orderdate", "left")
+    val w = Window.partitionBy($"o_orderkey")
+      .orderBy($"n_date".asc_nulls_last, $"n_okey".asc_nulls_last)
+    joined.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"n_okey".as("next_orderkey"), $"n_date".as("next_date"),
+        datediff($"n_date", $"o_orderdate").as("gap_days"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_forward" -> joinAsofForward,
     "join_fuzzy_levenshtein" -> joinFuzzyLevenshtein,
     "join_bucketed" -> joinBucketed,
     "join_inner_equi" -> joinInnerEqui,
@@ -546,6 +572,21 @@ object Joins {
             LEFT JOIN orders prev
               ON cur.o_custkey = prev.o_custkey
              AND prev.o_orderdate < cur.o_orderdate)
+      WHERE rn = 1
+      ORDER BY o_orderkey""",
+    "join_asof_forward" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate, next_orderkey, next_date,
+             CAST(date_diff('day', o_orderdate, next_date) AS INTEGER)
+               AS gap_days
+      FROM (SELECT cur.o_orderkey, cur.o_custkey, cur.o_orderdate,
+                   nxt.o_orderkey AS next_orderkey, nxt.o_orderdate AS next_date,
+                   ROW_NUMBER() OVER (PARTITION BY cur.o_orderkey
+                     ORDER BY nxt.o_orderdate ASC NULLS LAST,
+                              nxt.o_orderkey ASC NULLS LAST) AS rn
+            FROM orders cur
+            LEFT JOIN orders nxt
+              ON cur.o_custkey = nxt.o_custkey
+             AND nxt.o_orderdate > cur.o_orderdate)
       WHERE rn = 1
       ORDER BY o_orderkey""")
 }
