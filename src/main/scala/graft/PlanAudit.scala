@@ -185,7 +185,39 @@ object PlanAudit {
         |xxhash64 longs banded by language — never gram strings; the
         |collision set broadcast is tiny-to-empty; every join against
         |the bounded eval side broadcasts. The train gram set is the
-        |only data-scaled shuffle, as it must be.""".stripMargin)
+        |only data-scaled shuffle, as it must be.""".stripMargin,
+    "stream_window_topk" ->
+      """Windowed agg composed with the native operator (r6): one
+        |(window, type) HashAggregate with partial combine, then
+        |TopKPerGroup partial/final around the window-key exchange.
+        |The Sort + row_number Window ABOVE the heap operator ranks
+        |only the ≤3 survivors per window (the heaps already filtered),
+        |so it is bounded per group — not the data-scaled
+        |sort-every-fact-row shape the native operator exists to
+        |avoid.""".stripMargin,
+    "text_repetition_filter" ->
+      """Repetition quality gate (r6): word and bigram branches are
+        |two-level HashAggregates — (doc, term) partial combine before
+        |the exchange, then per-doc max/sum. The max-run branch has NO
+        |explode and NO window: a linear aggregate() fold over the token
+        |array, per-row inside codegen. Three doc_id-keyed joins close
+        |the plan; AQE broadcasts them at small SF, and at scale they
+        |shuffle on the same doc_id key the aggregates already
+        |established.""".stripMargin,
+    "join_fuzzy_levenshtein" ->
+      """Catalog-scale fuzzy matching (r6): the FIRST operation is the
+        |distinct-name aggregate — everything downstream (band join,
+        |thresholded levenshtein) runs on vocabulary cardinality, not
+        |corpus rows. Expect the pair join keyed on the type word with
+        |the levenshtein filter ABOVE it (post-band), and no
+        |corpus-sized shuffle anywhere after the first aggregate.""".stripMargin,
+    "ts_anomaly_zscore" ->
+      """Trailing z-score monitor (r6): (hour, type) HashAggregate with
+        |partial combine collapses the event stream BEFORE the analytic
+        |window — the window sees one row per series point, not per
+        |event. Single exchange on event_type for the window; ROWS
+        |frame [-24, -1] keeps state at 24 rows per series; final sort
+        |is the deterministic output order only.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
