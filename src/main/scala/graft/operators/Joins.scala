@@ -432,7 +432,31 @@ object Joins {
       .orderBy($"o_orderkey")
   }
 
+  /** [[joinAsof]] re-expressed through the native
+    * [[graft.plans.AsOfJoinExec]] merge operator: one exchange per
+    * side, in-partition sorts, a single linear merge holding ONE
+    * candidate row — versus the window form's O(history²) candidate
+    * pairs per customer through the join. The window form IS the
+    * oracle (identical SQL twin); p_okey is the right-side tiebreak
+    * making (p_date, p_okey) unique per customer, so both plans pick
+    * the same row on date ties. */
+  val joinAsofNative: Q = (s, dir) => {
+    import s.implicits._
+    val cur = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val prev = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("p_okey"), $"o_custkey".as("p_cust"),
+        $"o_orderdate".as("p_date"))
+    graft.plans.AsOf.joinPrev(cur, prev,
+        Seq("o_custkey"), Seq("p_cust"), "o_orderdate", "p_date",
+        rightTiebreak = Seq("p_okey"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"p_okey".as("prev_orderkey"), $"p_date".as("prev_date"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_native" -> joinAsofNative,
     "join_asof_forward" -> joinAsofForward,
     "join_fuzzy_levenshtein" -> joinFuzzyLevenshtein,
     "join_bucketed" -> joinBucketed,
@@ -452,6 +476,19 @@ object Joins {
     "join_asof" -> joinAsof)
 
   val oracle: Map[String, String] = Map(
+    "join_asof_native" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate, prev_orderkey, prev_date
+      FROM (SELECT cur.o_orderkey, cur.o_custkey, cur.o_orderdate,
+                   prev.o_orderkey AS prev_orderkey, prev.o_orderdate AS prev_date,
+                   ROW_NUMBER() OVER (PARTITION BY cur.o_orderkey
+                     ORDER BY prev.o_orderdate DESC NULLS LAST,
+                              prev.o_orderkey DESC NULLS LAST) AS rn
+            FROM orders cur
+            LEFT JOIN orders prev
+              ON cur.o_custkey = prev.o_custkey
+             AND prev.o_orderdate < cur.o_orderdate)
+      WHERE rn = 1
+      ORDER BY o_orderkey""",
     "join_fuzzy_levenshtein" -> """
       WITH n AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1),
       b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[2] AS w2 FROM n)

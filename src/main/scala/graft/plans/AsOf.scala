@@ -1,0 +1,190 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Native as-of join: for each left row, the single "most recent" right
+  * row of the same key whose time is before (strict) or at-or-before
+  * the left row's time; left-outer (unmatched left rows keep nulls).
+  *
+  * The reference surfaces as-of pricing ("latest price as of a date",
+  * /root/reference/README.md:9). The composable Spark form — equi join
+  * on the key plus a range predicate, then a row_number window collapse
+  * (operators/Joins.joinAsof) — materializes EVERY (left, earlier
+  * right) candidate pair before discarding all but one: O(history²)
+  * rows per key through the join. This operator is the scale-correct
+  * shape instead:
+  *
+  *   shuffle left on keys, shuffle right on keys   (one exchange each)
+  *   sort each partition by (keys, time[, tiebreak])  (external, spills)
+  *   linear merge: one pass, one retained row of state
+  *
+  * At 100 TB the win is both the shuffle (no pair blow-up: n+m rows
+  * move, not n·history) and the memory contract (the merge holds ONE
+  * candidate row, not a group buffer; the sorts spill via Spark's
+  * external sorter).
+  *
+  * Determinism: ties on right time are resolved by `rightTiebreak`
+  * (appended ascending to the right sort) — the retained match is the
+  * MAX (time, tiebreak...) among qualifying rows, which equals the
+  * row_number pick of the window form ordered descending. Callers must
+  * supply a tiebreak that makes (time, tiebreak) unique per key or ties
+  * fall to sort nondeterminism, exactly as with the window form. Null
+  * keys never match (SQL equi-join semantics); null right times sort
+  * first and therefore qualify as "earliest".
+  */
+case class AsOfJoin(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreak: Seq[Expression],
+    strict: Boolean,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+    "as-of join needs matching non-empty key lists")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(lk, rk, lt, rt, tb, strict, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, strict, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge join. EnsureRequirements provides the two hash
+  * exchanges (co-partitioned ClusteredDistributions, like a shuffled
+  * join) and the two in-partition sorts; doExecute is the single
+  * forward merge pass. */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreak: Seq[Expression],
+    strict: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +:
+        rightTiebreak.map(SortOrder(_, Ascending))))
+
+  // Left-outer: every left row passes through exactly once, in place.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    val isStrict = strict
+    val lAttrs = left.output; val rAttrs = right.output
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lAttrs)
+      val rKeyProj = UnsafeProjection.create(rk, rAttrs)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lAttrs)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rAttrs)
+      def ordOf(exprs: Seq[Expression]) = GenerateOrdering.create(StructType(
+        exprs.zipWithIndex.map { case (e, i) =>
+          StructField(s"c$i", e.dataType, e.nullable)
+        }))
+      val keyOrd = ordOf(lk)
+      val timeOrd = ordOf(Seq(lt))
+      val rBuf = rIter.buffered
+      // One retained candidate: the best qualifying right row seen for
+      // `matchKey`. Rows and keys are copied on retention (sorter
+      // iterators reuse buffers).
+      var matchKey: UnsafeRow = null
+      var matchRow: InternalRow = null
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rAttrs.size)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow).copy()
+        var scanning = true
+        while (scanning && rBuf.hasNext) {
+          val rHead = rBuf.head
+          val c = keyOrd.compare(rKeyProj(rHead), lKey)
+          if (c < 0) {
+            rBuf.next() // right key already behind every remaining left row
+          } else if (c == 0) {
+            val tc = timeOrd.compare(rTimeProj(rHead), lTimeRow)
+            if (tc < 0 || (!isStrict && tc == 0)) {
+              // Qualifies; later qualifiers overwrite (sorted ascending,
+              // so the last one kept is the max (time, tiebreak)).
+              matchRow = rBuf.next().copy()
+              matchKey = lKey.copy()
+            } else scanning = false
+          } else scanning = false
+        }
+        val rightSide =
+          if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) matchRow
+          else nullRight
+        resultProj(joined(lRow, rightSide))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOf {
+  /** As-of join `left` to the most recent `right` row per key: strict
+    * (`rightTime < leftTime`, the default) or inclusive. Column names
+    * resolve with the session resolver and reject ambiguity, as in
+    * [[TopK.perGroup]]. `rightTiebreak` must make (time, tiebreak)
+    * unique per key for deterministic output. */
+  def joinPrev(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String] = Nil,
+      strict: Boolean = true): DataFrame = {
+    val l = left.asInstanceOf[classic.Dataset[Row]]
+    val r = right.asInstanceOf[classic.Dataset[Row]]
+    val spark = l.sparkSession
+    TopK.ensure(spark)
+    val resolver = spark.sessionState.conf.resolver
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not among ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: ${many.size} attributes match; " +
+            "disambiguate upstream")
+      }
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    classic.GraftSqlBridge.ofRows(spark, AsOfJoin(
+      leftKeys.map(attr(lp, _): Expression), rightKeys.map(attr(rp, _): Expression),
+      attr(lp, leftTime), attr(rp, rightTime),
+      rightTiebreak.map(attr(rp, _): Expression), strict, lp, rp))
+  }
+}

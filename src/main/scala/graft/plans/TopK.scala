@@ -353,6 +353,7 @@ case class TopKPerGroupExec(
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectPlannerStrategy(_ => AsOfStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughTopK)
     e.injectOptimizerRule(_ => RewriteRowNumberTopK)
   }
@@ -370,12 +371,15 @@ object TopK {
   val CodegenKey = "spark.graft.topk.codegen"
 
   /** Idempotent runtime injection for sessions not built with
-    * [[GraftExtensions]] (e.g. a driver-owned session). */
+    * [[GraftExtensions]] (e.g. a driver-owned session). Installs ALL
+    * graft planner/optimizer extensions (TopK + AsOf). */
   def ensure(spark: SparkSession): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
     exp.synchronized {
       if (!exp.extraStrategies.contains(TopKStrategy))
         exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+      if (!exp.extraStrategies.contains(AsOfStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ AsOfStrategy
       if (!exp.extraOptimizations.contains(PushFilterThroughTopK))
         exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughTopK
       if (!exp.extraOptimizations.contains(RewriteRowNumberTopK))
