@@ -211,6 +211,16 @@ object PlanAudit {
         |corpus rows. Expect the pair join keyed on the type word with
         |the levenshtein filter ABOVE it (post-band), and no
         |corpus-sized shuffle anywhere after the first aggregate.""".stripMargin,
+    "join_asof_native" ->
+      """Whole-operator as-of merge join (r6): expect ONE AsOfJoin node
+        |fed by two Exchange+Sort pairs (EnsureRequirements satisfying
+        |the operator's declared distribution/ordering) and NO Window,
+        |BNLJ, or join-then-filter pair blow-up. Contrast with
+        |join_asof (kept as the composable twin and the oracle): that
+        |plan joins every order to ALL earlier same-customer orders —
+        |O(history²) intermediate rows — then discards all but one per
+        |order with a row_number window. Here n+m rows move through
+        |one exchange per side and the merge holds one candidate row.""".stripMargin,
     "ts_anomaly_zscore" ->
       """Trailing z-score monitor (r6): (hour, type) HashAggregate with
         |partial combine collapses the event stream BEFORE the analytic
