@@ -276,6 +276,18 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions wires every graft strategy and rule for spark.sql.extensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val strategies = ext.buildPlannerStrategies(cls)
+    assert(strategies.contains(graft.plans.TopKStrategy))
+    assert(strategies.contains(graft.plans.AsOfStrategy))
+    val rules = ext.buildOptimizerRules(cls)
+    assert(rules.contains(graft.plans.PushFilterThroughTopK))
+    assert(rules.contains(graft.plans.RewriteRowNumberTopK))
+  }
+
   test("ties at the k boundary are broken by the caller's tiebreak keys") {
     import spark.implicits._
     val df = Seq(("g", 10, 1), ("g", 10, 2), ("g", 10, 3), ("g", 9, 4))
