@@ -280,10 +280,17 @@ class TopKSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
     val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val strategies = ext.buildPlannerStrategies(cls)
+    // build* are private[sql] in Scala but public in bytecode — invoke
+    // reflectively rather than dropping the only coverage of the
+    // spark.sql.extensions install path.
+    def build(name: String): Seq[AnyRef] =
+      classOf[org.apache.spark.sql.SparkSessionExtensions]
+        .getMethod(name, classOf[org.apache.spark.sql.SparkSession])
+        .invoke(ext, cls).asInstanceOf[Seq[AnyRef]]
+    val strategies = build("buildPlannerStrategies")
     assert(strategies.contains(graft.plans.TopKStrategy))
     assert(strategies.contains(graft.plans.AsOfStrategy))
-    val rules = ext.buildOptimizerRules(cls)
+    val rules = build("buildOptimizerRules")
     assert(rules.contains(graft.plans.PushFilterThroughTopK))
     assert(rules.contains(graft.plans.RewriteRowNumberTopK))
   }
