@@ -378,7 +378,38 @@ object SimOps {
       .orderBy($"doc_id")
   }
 
+  /** Int8 embedding quantization with per-dimension corpus min/max —
+    * the 4× storage-reduction step a 100 TB embedding table actually
+    * ships with. Codes are exact integers (hash-checkable); the output
+    * is a per-vector summary (dim count, code checksum/extrema, max
+    * reconstruction error) so the check covers every code without
+    * emitting a 64-wide array the driver can't compare.
+    *
+    * Scale shape: the stats table is one row per DIMENSION (64) — a
+    * map-side-combined agg then a broadcast back onto the exploded
+    * stream; no join shuffles vector rows. */
+  val embeddingQuantize: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"vec_id", ($"pos" + 1).as("dim"), $"xf".cast("double").as("x"))
+    val stats = e.groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+    e.join(broadcast(stats), "dim")
+      .withColumn("q",
+        round(($"x" - $"mn") * 255.0 / ($"mx" - $"mn"), 0).cast("int") - 128)
+      .withColumn("err",
+        round(abs($"mn" + ($"q" + 128).cast("double") * ($"mx" - $"mn") / 255.0
+          - $"x"), 6))
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        sum($"q").as("q_checksum"),
+        min($"q").as("q_min"), max($"q").as("q_max"),
+        max($"err").as("max_abs_err"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "embedding_quantize" -> embeddingQuantize,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_lsh_multiprobe" -> simAnnLshMultiprobe,
@@ -391,6 +422,23 @@ object SimOps {
     "multimodal_decode_stub" -> multimodalDecodeStub)
 
   val oracle: Map[String, String] = Map(
+    "embedding_quantize" -> """
+      WITH e AS (
+        SELECT vec_id,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings),
+      st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim),
+      q AS (SELECT vec_id, e.dim, x, mn, mx,
+                   CAST(round((x - mn) * 255.0 / (mx - mn)) AS INTEGER) - 128 AS q
+            FROM e JOIN st ON e.dim = st.dim),
+      r AS (SELECT vec_id, q,
+                   round(abs(mn + (q + 128) * (mx - mn) / 255.0 - x), 6) AS err
+            FROM q)
+      SELECT vec_id, COUNT(*) AS n_dims, CAST(SUM(q) AS BIGINT) AS q_checksum,
+             CAST(MIN(q) AS INTEGER) AS q_min, CAST(MAX(q) AS INTEGER) AS q_max,
+             MAX(err) AS max_abs_err
+      FROM r GROUP BY vec_id ORDER BY vec_id""",
     "sim_cosine_topk" -> """
       WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                         generate_subscripts(embedding, 1) AS i FROM embeddings),

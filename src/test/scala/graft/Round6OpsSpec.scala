@@ -222,6 +222,25 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding_quantize: int8 range, full coverage, bounded reconstruction error") {
+    import spark.implicits._
+    val out = graft.operators.SimOps.embeddingQuantize(spark, sf("0.01")).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.getLong(1) == 64, s"every vector has 64 dims: $r")
+      assert(r.getLong(2) >= -128L * 64 && r.getLong(2) <= 127L * 64,
+        s"checksum outside the attainable code-sum range: $r")
+      assert(r.getInt(3) >= -128 && r.getInt(4) <= 127,
+        s"codes must stay in int8 range: $r")
+      // 8-bit quantization error bound: half a step of the widest dim.
+      // Steps here are (mx-mn)/255 with |x| <= ~1.5 → well under 0.01.
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 0.01,
+        s"reconstruction error above the 8-bit step bound: $r")
+    }
+    // Extremes are hit: some dim of some vector sits at its min and max.
+    assert(out.exists(_.getInt(3) == -128) && out.exists(_.getInt(4) == 127))
+  }
+
   test("mix_sources: copy counts per weight class, stable ids, determinism") {
     import spark.implicits._
     val out = TextOps.mixSources(spark, sf("0.01")).collect()
