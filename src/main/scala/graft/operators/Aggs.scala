@@ -315,7 +315,39 @@ object Aggs {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact weighted median per group (l_extendedprice weighted by
+    * l_quantity): smallest value whose cumulative weight reaches half
+    * the group total. Integer-exact — weights are integral, so every
+    * comparison is `2·cum ≥ W` on longs, never a float tolerance.
+    *
+    * Scale shape: the naive form windows over EVERY row of a group
+    * (3 groups → 200k-row skewed partitions at sf0.1, unbounded at
+    * 100 TB). Instead the rows collapse onto the (group, value) GRID
+    * first — a map-side-combined hash-agg — and the cumulative window
+    * runs over grid rows only, bounded by the value cardinality (a
+    * 2-decimal money grid), not the row count. The total-weight side
+    * is 3 rows, broadcast. */
+  val aggWeightedMedian: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice",
+        $"l_quantity".cast("long").as("w"))
+    val grid = li.groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(sum($"w").as("gw"))
+    val tot = grid.groupBy($"l_returnflag").agg(sum($"gw").as("tw"))
+    val win = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum", sum($"gw").over(win))
+      .join(broadcast(tot), "l_returnflag")
+      .filter($"cum" * 2 >= $"tw")
+      .groupBy($"l_returnflag", $"tw")
+      .agg(min($"l_extendedprice").as("weighted_median"))
+      .select($"l_returnflag", $"tw".as("total_weight"), $"weighted_median")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_weighted_median" -> aggWeightedMedian,
     "agg_mode" -> aggMode,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
@@ -337,6 +369,24 @@ object Aggs {
     "agg_percentile" -> aggPercentile)
 
   val oracle: Map[String, String] = Map(
+    "agg_weighted_median" -> """
+      WITH grid AS (
+        SELECT l_returnflag, l_extendedprice,
+               SUM(CAST(l_quantity AS BIGINT)) AS gw
+        FROM lineitem GROUP BY 1, 2),
+      tot AS (SELECT l_returnflag, SUM(gw) AS tw FROM grid GROUP BY 1),
+      cum AS (
+        SELECT l_returnflag, l_extendedprice,
+               SUM(gw) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM grid)
+      SELECT c.l_returnflag, CAST(t.tw AS BIGINT) AS total_weight,
+             MIN(c.l_extendedprice) AS weighted_median
+      FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+      WHERE c.cum * 2 >= t.tw
+      GROUP BY 1, 2 ORDER BY 1""",
     "agg_mode" -> """
       WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n_occ
                  FROM lineitem GROUP BY 1, 2),

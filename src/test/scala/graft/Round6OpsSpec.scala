@@ -222,6 +222,23 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_weighted_median: matches a local exact computation") {
+    import spark.implicits._
+    val out = graft.operators.Aggs.aggWeightedMedian(spark, sf("0.01")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = Tables.load(spark, sf("0.01"), "lineitem")
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity".cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      val sorted = grp.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      val median = sorted.find { case (_, _, w) => cum += w; cum * 2 >= total }.get._2
+      assert(out(flag) == ((total, median)),
+        s"weighted median diverged for $flag: got ${out(flag)}, want ($total, $median)")
+    }
+  }
+
   test("embedding_quantize: int8 range, full coverage, bounded reconstruction error") {
     import spark.implicits._
     val out = graft.operators.SimOps.embeddingQuantize(spark, sf("0.01")).collect()
