@@ -31,6 +31,43 @@ object Scans {
     * typed columns with split + casts — the loader path the reference's
     * etl/loaders.py implements in Python. Money travels as integer cents
     * so the string round-trip is exact. */
+  /** Malformed-input handling: ~10% of the CSV lines carry a
+    * non-numeric key (custkey % 10 == 0 → "BAD<k>"), and the reader
+    * runs PERMISSIVE with a corrupt-record column — bad rows are
+    * CAPTURED, not dropped or fatal, which is what a 100 TB ingest of
+    * third-party files needs (one bad line must not kill a 6-hour
+    * job, and silently dropping it corrupts counts). Output is the
+    * parse audit: totals, good/corrupt split, and an exact checksum
+    * over the rows that parsed — all derivable by the oracle from the
+    * clean table plus the same % 10 rule. */
+  val scanCsvBadrecords: Q = (s, dir) => {
+    import s.implicits._
+    val out = Qx.tmpOut("badcsv", dir)
+    Tables.load(s, dir, "customer")
+      .select(concat_ws(",",
+        when($"c_custkey" % 10 === 0, concat(lit("BAD"), $"c_custkey"))
+          .otherwise($"c_custkey".cast("string")),
+        $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long")).as("value"))
+      .write.mode("overwrite").text(out)
+    val parsed = s.read
+      .schema("c_custkey BIGINT, c_nationkey INT, acctbal_cents BIGINT, _bad STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+    // A corrupt row still parses its OTHER fields (only the failing
+    // cast nulls out, _bad carries the raw line) — so every "good"
+    // metric must gate on _bad being null or corrupt rows' cents
+    // would leak into the checksum. One aggregate = one parse pass.
+    val good = $"_bad".isNull
+    parsed.agg(
+      count(lit(1)).as("n_total"),
+      count($"_bad").as("n_corrupt"),
+      count(when(good, 1)).as("n_good"),
+      sum(when(good, $"c_custkey")).as("good_key_sum"),
+      sum(when(good, $"acctbal_cents")).as("good_cents_sum"))
+  }
+
   val scanCsvHl7: Q = (s, dir) => {
     import s.implicits._
     val seg = Tables.load(s, dir, "customer").select(
@@ -283,6 +320,7 @@ object Scans {
 
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> scanParquet,
+    "scan_csv_badrecords" -> scanCsvBadrecords,
     "scan_csv_hl7" -> scanCsvHl7,
     "scan_hl7_message" -> scanHl7Message,
     "scan_json_fhir" -> scanJsonFhir,
@@ -297,6 +335,18 @@ object Scans {
 
   val oracle: Map[String, String] = Map(
     "scan_parquet" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "scan_csv_badrecords" -> """
+      SELECT COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+             CAST(SUM(CASE WHEN c_custkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good,
+             CAST(SUM(CASE WHEN c_custkey % 10 <> 0 THEN c_custkey END) AS BIGINT)
+               AS good_key_sum,
+             CAST(SUM(CASE WHEN c_custkey % 10 <> 0
+                           THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS BIGINT)
+               AS good_cents_sum
+      FROM customer""",
     "scan_csv_hl7" -> """
       SELECT CAST(p[2] AS BIGINT) AS custkey, p[3] AS name,
              CAST(p[4] AS INT) AS nationkey,
