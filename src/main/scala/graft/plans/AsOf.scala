@@ -84,6 +84,12 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with an as-of match"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -103,6 +109,8 @@ case class AsOfJoinExec(
     val isStrict = strict
     val lAttrs = left.output; val rAttrs = right.output
     val outAttrs = output
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lAttrs)
       val rKeyProj = UnsafeProjection.create(rk, rAttrs)
@@ -143,8 +151,10 @@ case class AsOfJoinExec(
           } else scanning = false
         }
         val rightSide =
-          if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) matchRow
-          else nullRight
+          if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) {
+            matched += 1; matchRow
+          } else nullRight
+        outRows += 1
         resultProj(joined(lRow, rightSide))
       }
     }

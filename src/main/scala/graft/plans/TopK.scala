@@ -225,6 +225,13 @@ case class TopKPerGroupExec(
 
   override def output: Seq[Attribute] = child.output
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numPassThrough" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext,
+        "rows passed through unfiltered (partial over group cap)"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
@@ -249,6 +256,8 @@ case class TopKPerGroupExec(
     val o = order
     val attrs = child.output
     val cap = groupCap
+    val outRows = longMetric("numOutputRows")
+    val passRows = longMetric("numPassThrough")
     child.execute().mapPartitions({ iter =>
       val buf = new TopKPartitionBuffer(kk, g, o, attrs, cap)
       val passedThrough = iter.flatMap { row =>
@@ -257,11 +266,12 @@ case class TopKPerGroupExec(
         // semantics are unchanged. No copy needed — the row is consumed
         // downstream before the next iterator step reuses the buffer.
         val out = buf.offer(row)
-        if (out == null) Iterator.empty else Iterator.single(out)
+        if (out == null) Iterator.empty
+        else { passRows += 1; outRows += 1; Iterator.single(out) }
       }
       // `++` evaluates its operand lazily, so the heap flush runs only
       // after the input (and therefore every heap) is complete.
-      passedThrough ++ buf.flush().asScala
+      passedThrough ++ buf.flush().asScala.map { r => outRows += 1; r }
     }, preservesPartitioning = true)
   }
 
@@ -305,6 +315,7 @@ case class TopKPerGroupExec(
          |}
        """.stripMargin.trim)
     val outputRow = ctx.freshName("topkOutputRow")
+    val numOutput = metricTerm(ctx, "numOutputRows")
     s"""
        |if ($needToProcess) {
        |  $addToBufferFunc();
@@ -313,6 +324,7 @@ case class TopKPerGroupExec(
        |}
        |while ($limitNotReachedCond $flushIter.hasNext()) {
        |  UnsafeRow $outputRow = (UnsafeRow) $flushIter.next();
+       |  $numOutput.add(1);
        |  ${consume(ctx, null, outputRow)}
        |  if (shouldStop()) return;
        |}

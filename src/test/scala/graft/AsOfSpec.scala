@@ -86,6 +86,23 @@ class AsOfSpec extends SparkSpec {
       "tie on rt must keep the max tiebreak, like the desc window pick")
   }
 
+  test("SQL metrics report output and match counts") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 15L, 1L)).toDF("rk", "rt", "rid")
+    val df = AsOf.joinPrev(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTiebreak = Seq("rid"))
+    // collect() executes THIS queryExecution (count() would plan and run
+    // a different one, leaving these metrics untouched).
+    assert(df.collect().length == 3)
+    val exec = flatten(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan)
+      .collectFirst { case a: AsOfJoinExec => a }.get
+    assert(exec.metrics("numOutputRows").value == 3)
+    assert(exec.metrics("numMatched").value == 1) // only (1, 20) sees the quote
+  }
+
   test("property: native as-of equals join+window collapse on random data") {
     import spark.implicits._
     val gen = for {
