@@ -566,7 +566,11 @@ object TextOps {
     * token, current run, best run) — per-row, codegen'd, zero shuffle.
     * Thresholds verified non-vacuous at sf0.01 (42/75/25/9 docs trip
     * the four rules). */
-  val textRepetitionFilter: Q = (s, dir) => {
+  /** Per-doc repetition metrics + flag, unsorted — shared by
+    * [[textRepetitionFilter]] (which just adds the output sort) and
+    * [[pipelinePretrain]] (which joins it as a gate; no trailing sort
+    * to drag into the composed plan). */
+  private def repetitionMetrics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
@@ -600,7 +604,37 @@ object TextOps {
       .withColumn("repetitive",
         $"top_word_frac" >= 0.15 || $"top_bigram_frac" >= 0.06 ||
           $"dup_token_frac" >= 0.7 || $"max_run" >= 3)
-      .orderBy($"doc_id")
+  }
+
+  val textRepetitionFilter: Q = (s, dir) => {
+    import s.implicits._
+    repetitionMetrics(s, dir).orderBy($"doc_id")
+  }
+
+  /** End-to-end pretraining-prep pipeline, every stage exact and the
+    * composition oracle-checked: repetition gate (reusing
+    * [[repetitionMetrics]]) → exact dedup (min doc_id per content
+    * hash) → deterministic train split (the [[splitTrainHoldout]]
+    * nibble) → per-(lang, source) corpus stats. The [[pipelineCurate]]
+    * sibling covers the near-dedup path; this one covers the
+    * quality-gate + split path a pretraining corpus build runs. */
+  val pipelinePretrain: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val gate = repetitionMetrics(s, dir)
+      .select($"doc_id", $"n_tokens", $"repetitive")
+    val gated = docs.join(gate, "doc_id")
+      .filter(!$"repetitive" && $"n_tokens" >= 10)
+    val keepers = gated.groupBy(md5($"text".cast("binary")).as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+    val deduped = gated.join(keepers.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val train = deduped.filter(
+      substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) <= "d")
+    train.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        round(sum($"n_tokens").cast("double") / count(lit(1)), 4).as("avg_tokens"))
+      .orderBy($"lang", $"source")
   }
 
   /** Deterministic training-mixture construction: per-source sampling
@@ -687,7 +721,8 @@ object TextOps {
     "pack_sequences" -> packSequences,
     "text_repetition_filter" -> textRepetitionFilter,
     "mix_sources" -> mixSources,
-    "text_bigram_logprob" -> textBigramLogprob)
+    "text_bigram_logprob" -> textBigramLogprob,
+    "pipeline_pretrain" -> pipelinePretrain)
 
   val oracle: Map[String, String] = Map(
     "text_clean" -> """
@@ -1029,6 +1064,52 @@ object TextOps {
               OR max_run >= 3) AS repetitive
       FROM ws JOIN bs ON ws.doc_id = bs.doc_id JOIN rs ON ws.doc_id = rs.doc_id
       ORDER BY ws.doc_id""",
+    "pipeline_pretrain" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      ws AS (SELECT doc_id, MAX(c) AS topw, SUM(c) AS n_tokens,
+                    COUNT(*) AS n_distinct
+             FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+             GROUP BY doc_id),
+      bs AS (SELECT doc_id, MAX(c) AS topb, SUM(c) AS n_big
+             FROM (SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bg, COUNT(*) AS c
+                   FROM toks t1 JOIN toks t2
+                     ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+                   GROUP BY 1, 2)
+             GROUP BY doc_id),
+      rs AS (SELECT doc_id, MAX(c) AS max_run
+             FROM (SELECT doc_id, tok, g, COUNT(*) AS c
+                   FROM (SELECT doc_id, tok, pos,
+                                pos - ROW_NUMBER() OVER (
+                                  PARTITION BY doc_id, tok ORDER BY pos) AS g
+                         FROM toks)
+                   GROUP BY 1, 2, 3)
+             GROUP BY doc_id),
+      gate AS (
+        SELECT ws.doc_id, ws.n_tokens
+        FROM ws JOIN bs ON ws.doc_id = bs.doc_id JOIN rs ON ws.doc_id = rs.doc_id
+        WHERE NOT (
+          ROUND(CAST(topw AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) >= 0.15
+          OR ROUND(CAST(topb AS DOUBLE) / CAST(n_big AS DOUBLE), 6) >= 0.06
+          OR ROUND(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) >= 0.7
+          OR max_run >= 3)
+          AND ws.n_tokens >= 10),
+      gated AS (
+        SELECT d.doc_id, d.lang, d.source, d.text, g.n_tokens
+        FROM documents d JOIN gate g ON d.doc_id = g.doc_id),
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+      train AS (
+        SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+        WHERE substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) <= 'd')
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS avg_tokens
+      FROM train GROUP BY lang, source ORDER BY lang, source""",
     "mix_sources" -> """
       WITH w AS (
         SELECT doc_id, lang, source,

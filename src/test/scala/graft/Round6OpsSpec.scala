@@ -222,6 +222,24 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_pretrain: gate, dedup, and split each strictly shrink the corpus") {
+    import spark.implicits._
+    val out = TextOps.pipelinePretrain(spark, sf("0.01")).collect()
+    assert(out.nonEmpty)
+    val survivors = out.map(_.getLong(2)).sum
+    val total = Tables.load(spark, sf("0.01"), "documents").count()
+    // Repetition gate (151 flagged at sf0.01), dedup, and the ~1/8
+    // holdout cut must all bite: the surviving train set is well under
+    // the corpus but far from empty.
+    assert(survivors > 0 && survivors < total * 9 / 10,
+      s"pipeline dropped nothing: $survivors of $total")
+    out.foreach { r =>
+      val (n, tok, avg) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(n > 0 && tok >= 10 * n, s"gated docs carry >=10 tokens each: $r")
+      assert(math.abs(avg - tok.toDouble / n) < 1e-3)
+    }
+  }
+
   test("agg_weighted_median: matches a local exact computation") {
     import spark.implicits._
     val out = graft.operators.Aggs.aggWeightedMedian(spark, sf("0.01")).collect()
