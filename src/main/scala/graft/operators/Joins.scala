@@ -455,7 +455,29 @@ object Joins {
       .orderBy($"o_orderkey")
   }
 
+  /** [[joinAsofForward]] through the native merge operator
+    * (forward/peek-only mode — no retained row at all); the window
+    * form is the oracle. Tiebreak n_okey makes (n_date, n_okey)
+    * unique per customer, so the ascending first-pick matches the
+    * window's `asc` row_number. */
+  val joinAsofForwardNative: Q = (s, dir) => {
+    import s.implicits._
+    val cur = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val nxt = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("n_okey"), $"o_custkey".as("n_cust"),
+        $"o_orderdate".as("n_date"))
+    graft.plans.AsOf.joinNext(cur, nxt,
+        Seq("o_custkey"), Seq("n_cust"), "o_orderdate", "n_date",
+        rightTiebreak = Seq("n_okey"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"n_okey".as("next_orderkey"), $"n_date".as("next_date"),
+        datediff($"n_date", $"o_orderdate").as("gap_days"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_forward_native" -> joinAsofForwardNative,
     "join_asof_native" -> joinAsofNative,
     "join_asof_forward" -> joinAsofForward,
     "join_fuzzy_levenshtein" -> joinFuzzyLevenshtein,
@@ -476,6 +498,21 @@ object Joins {
     "join_asof" -> joinAsof)
 
   val oracle: Map[String, String] = Map(
+    "join_asof_forward_native" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate, next_orderkey, next_date,
+             CAST(date_diff('day', o_orderdate, next_date) AS INTEGER)
+               AS gap_days
+      FROM (SELECT cur.o_orderkey, cur.o_custkey, cur.o_orderdate,
+                   nxt.o_orderkey AS next_orderkey, nxt.o_orderdate AS next_date,
+                   ROW_NUMBER() OVER (PARTITION BY cur.o_orderkey
+                     ORDER BY nxt.o_orderdate ASC NULLS LAST,
+                              nxt.o_orderkey ASC NULLS LAST) AS rn
+            FROM orders cur
+            LEFT JOIN orders nxt
+              ON cur.o_custkey = nxt.o_custkey
+             AND nxt.o_orderdate > cur.o_orderdate)
+      WHERE rn = 1
+      ORDER BY o_orderkey""",
     "join_asof_native" -> """
       SELECT o_orderkey, o_custkey, o_orderdate, prev_orderkey, prev_date
       FROM (SELECT cur.o_orderkey, cur.o_custkey, cur.o_orderdate,

@@ -48,6 +48,7 @@ case class AsOfJoin(
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
     strict: Boolean,
+    forward: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
@@ -61,8 +62,9 @@ case class AsOfJoin(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lt, rt, tb, strict, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, strict, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lt, rt, tb, strict, fwd, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, strict, fwd,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -78,6 +80,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
     strict: Boolean,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -131,29 +134,54 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rAttrs.size)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val isForward = forward
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lTimeRow = lTimeProj(lRow).copy()
-        var scanning = true
-        while (scanning && rBuf.hasNext) {
-          val rHead = rBuf.head
-          val c = keyOrd.compare(rKeyProj(rHead), lKey)
-          if (c < 0) {
-            rBuf.next() // right key already behind every remaining left row
-          } else if (c == 0) {
-            val tc = timeOrd.compare(rTimeProj(rHead), lTimeRow)
-            if (tc < 0 || (!isStrict && tc == 0)) {
-              // Qualifies; later qualifiers overwrite (sorted ascending,
-              // so the last one kept is the max (time, tiebreak)).
-              matchRow = rBuf.next().copy()
-              matchKey = lKey.copy()
+        var rightSide: InternalRow = nullRight
+        if (isForward) {
+          // Forward: match = the FIRST right at/after lTime, i.e. the
+          // head once everything too early is discarded. Lefts ascend
+          // in (key, time), so a discarded right row (earlier key, or
+          // same key at/before this left's time) is useless for every
+          // later left too. Peek-only — the same head may also be the
+          // match of the next left row, so it is never consumed here.
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val rHead = rBuf.head
+            val c = keyOrd.compare(rKeyProj(rHead), lKey)
+            if (c < 0) rBuf.next()
+            else if (c == 0) {
+              val tc = timeOrd.compare(rTimeProj(rHead), lTimeRow)
+              if (tc < 0 || (isStrict && tc == 0)) rBuf.next()
+              else scanning = false
             } else scanning = false
-          } else scanning = false
-        }
-        val rightSide =
+          }
+          if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0) {
+            matched += 1; rightSide = rBuf.head
+          }
+        } else {
+          // Backward: retain the best qualifying right row seen so far;
+          // ascending sort means the last retained is the max
+          // (time, tiebreak) — the window form's descending pick.
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val rHead = rBuf.head
+            val c = keyOrd.compare(rKeyProj(rHead), lKey)
+            if (c < 0) {
+              rBuf.next() // right key already behind every remaining left row
+            } else if (c == 0) {
+              val tc = timeOrd.compare(rTimeProj(rHead), lTimeRow)
+              if (tc < 0 || (!isStrict && tc == 0)) {
+                matchRow = rBuf.next().copy()
+                matchKey = lKey.copy()
+              } else scanning = false
+            } else scanning = false
+          }
           if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) {
-            matched += 1; matchRow
-          } else nullRight
+            matched += 1; rightSide = matchRow
+          }
+        }
         outRows += 1
         resultProj(joined(lRow, rightSide))
       }
@@ -175,7 +203,27 @@ object AsOf {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
       rightTiebreak: Seq[String] = Nil,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTiebreak, strict, forward = false)
+
+  /** Forward twin of [[joinPrev]]: the EARLIEST right row strictly
+    * after (default) or at-or-after the left row's time. Ties on right
+    * time resolve to the min tiebreak (ascending window pick). */
+  def joinNext(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String] = Nil,
+      strict: Boolean = true): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTiebreak, strict, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String],
+      strict: Boolean,
+      forward: Boolean): DataFrame = {
     val l = left.asInstanceOf[classic.Dataset[Row]]
     val r = right.asInstanceOf[classic.Dataset[Row]]
     val spark = l.sparkSession
@@ -195,6 +243,6 @@ object AsOf {
     classic.GraftSqlBridge.ofRows(spark, AsOfJoin(
       leftKeys.map(attr(lp, _): Expression), rightKeys.map(attr(rp, _): Expression),
       attr(lp, leftTime), attr(rp, rightTime),
-      rightTiebreak.map(attr(rp, _): Expression), strict, lp, rp))
+      rightTiebreak.map(attr(rp, _): Expression), strict, forward, lp, rp))
   }
 }

@@ -103,6 +103,62 @@ class AsOfSpec extends SparkSpec {
     assert(exec.metrics("numMatched").value == 1) // only (1, 20) sees the quote
   }
 
+  test("forward native as-of matches the forward window form row for row") {
+    import spark.implicits._
+    val native = graft.operators.Joins.joinAsofForwardNative(spark, sf()).collect()
+    val window = graft.operators.Joins.joinAsofForward(spark, sf()).collect()
+    assert(native.length == window.length)
+    assert(native.sameElements(window))
+  }
+
+  test("forward strict vs inclusive; forward ties pick the MIN tiebreak") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "t1"), (2L, 50L, "t2")).toDF("sym", "ts", "trade")
+    val r = Seq((1L, 100L, 9.0), (1L, 150L, 9.5), (1L, 150L, 9.4))
+      .toDF("q_sym", "q_ts", "px")
+    def run(strict: Boolean) =
+      AsOf.joinNext(l, r, Seq("sym"), Seq("q_sym"), "ts", "q_ts",
+          rightTiebreak = Seq("px"), strict = strict)
+        .select($"trade", $"q_ts", $"px").collect()
+        .map(x => (x.getString(0),
+          if (x.isNullAt(1)) None else Some((x.getLong(1), x.getDouble(2))))).toSet
+    // strict: t1 skips the same-instant quote, lands on the 150-tie →
+    // min px of the tie (9.4). t2 has no same-key quotes.
+    assert(run(strict = true) == Set(
+      ("t1", Some((150L, 9.4))), ("t2", None)))
+    // inclusive: t1 takes the same-instant quote.
+    assert(run(strict = false) == Set(
+      ("t1", Some((100L, 9.0))), ("t2", None)))
+  }
+
+  test("property: forward native equals the forward join+window collapse") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(0, 30)
+      nr <- Gen.choose(0, 30)
+      ls <- Gen.listOfN(nl, for { k <- Gen.choose(0, 3); t <- Gen.choose(0, 15) } yield (k, t))
+      rs <- Gen.listOfN(nr, for { k <- Gen.choose(0, 3); t <- Gen.choose(0, 15) } yield (k, t))
+    } yield (ls, rs)
+    val prop = Prop.forAll(gen) { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid").repartition(3)
+      val r = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("rk", "rt", "rid").repartition(2)
+      val native = AsOf.joinNext(l, r, Seq("k"), Seq("rk"), "t", "rt",
+          rightTiebreak = Seq("rid"))
+        .select($"lid", $"rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      val w = Window.partitionBy($"lid").orderBy($"rt".asc_nulls_last, $"rid".asc_nulls_last)
+      val expected = l.join(r, $"k" === $"rk" && $"rt" > $"t", "left")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"lid", $"rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      native == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"property falsified: $res")
+  }
+
   test("property: native as-of equals join+window collapse on random data") {
     import spark.implicits._
     val gen = for {
