@@ -101,6 +101,57 @@ object StreamRunner {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class LastQuote(sec: Long, nanos: Int, event_id: Long, px: Double)
+  case class TradeQuote(sym: Long, trade_id: Long,
+                        quote_id: Option[Long], quote_px: Option[Double])
+
+  /** Streaming as-of (tick-join) on transformWithState: per symbol
+    * (keyed on user_id), ValueState holds the latest quote; each trade
+    * emits joined to the prevailing quote, None before any quote. The
+    * streaming counterpart of [[graft.plans.AsOfJoinExec]]'s backward
+    * mode with O(1) state per key — versus buffering a quote history.
+    *
+    * Exactness contract: within a micro-batch rows sort by the
+    * full-precision event-time key, so arbitrary interleaving inside a
+    * batch is handled; ACROSS batches it assumes the per-key feed is
+    * time-ordered (the standard ordered-tick-feed assumption — a quote
+    * arriving after a later trade's batch cannot retroactively re-match
+    * it). */
+  class AsOfQuoteProcessor extends StatefulProcessor[Long, Ev, TradeQuote] {
+    @transient private var last: ValueState[LastQuote] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastQuote](
+        "lastQuote", Encoders.product[LastQuote], TTLConfig.NONE)
+
+    override def handleInputRows(sym: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[TradeQuote] = {
+      var cur = if (last.exists()) Some(last.get()) else None
+      val out = rows.toSeq.sortBy(evKey).flatMap { e =>
+        e.event_type match {
+          case "quote" =>
+            cur = Some(LastQuote(Math.floorDiv(e.ts.getTime, 1000L),
+              e.ts.getNanos, e.event_id, e.value))
+            None
+          case "trade" =>
+            Some(TradeQuote(sym, e.event_id,
+              cur.map(_.event_id), cur.map(_.px)))
+          case _ => None
+        }
+      }
+      cur.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  def asofQuotes(events: Dataset[Ev]): Dataset[TradeQuote] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == "quote" || e.event_type == "trade")
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfQuoteProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class TypeUpdate(user_id: Long, event_id: Long, event_type: String,
                         n_types_so_far: Long)
 

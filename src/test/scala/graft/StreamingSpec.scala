@@ -69,6 +69,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of tick join: latest-quote state carries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs multiple state column families — RocksDB
+    // provider (the HDFS-backed default throws).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.asofQuotes(ms.toDF().as[Ev])
+      .writeStream.format("memory").queryName("asofq").outputMode("append").start()
+    try {
+      // Batch 1, interleaved arrival within the batch (sorted by event
+      // time inside the handler): trade@15 must see quote@10, trade@5
+      // must see nothing even though the quote row precedes it in
+      // arrival order here.
+      ms.addData(Seq(
+        Ev(10L, ts(10), 1L, "quote", 9.0),
+        Ev(11L, ts(5), 1L, "trade", 0.0),
+        Ev(12L, ts(15), 1L, "trade", 0.0)))
+      q.processAllAvailable()
+      // Batch 2: the batch-1 quote must still prevail for trade@20,
+      // then a fresh quote@25 takes over for trade@30; symbol 2 has no
+      // quote at all.
+      ms.addData(Seq(
+        Ev(13L, ts(20), 1L, "trade", 0.0),
+        Ev(14L, ts(25), 1L, "quote", 9.5),
+        Ev(15L, ts(30), 1L, "trade", 0.0),
+        Ev(16L, ts(30), 2L, "trade", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("asofq")
+        .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+      assert(got == Set(
+        (1L, 11L, None, None),
+        (1L, 12L, Some(10L), Some(9.0)),
+        (1L, 13L, Some(10L), Some(9.0)),
+        (1L, 15L, Some(14L), Some(9.5)),
+        (2L, 16L, None, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
