@@ -211,6 +211,27 @@ object PlanAudit {
         |corpus rows. Expect the pair join keyed on the type word with
         |the levenshtein filter ABOVE it (post-band), and no
         |corpus-sized shuffle anywhere after the first aggregate.""".stripMargin,
+    "agg_weighted_median" ->
+      """Exact weighted median (r6): the FIRST operation is the
+        |(group, value) grid HashAggregate with partial combine — the
+        |cumulative window above it runs over grid rows (value
+        |cardinality), never raw lineitem rows. Expect two aggregates,
+        |one window whose exchange carries the grid, and a broadcast of
+        |the 3-row totals side. A plan that windows directly over the
+        |scan would be the 100 TB failure shape this query avoids.""".stripMargin,
+    "embedding_quantize" ->
+      """Int8 quantization (r6): per-dimension min/max is a 64-row
+        |aggregate broadcast back onto the exploded coordinate stream —
+        |expect BroadcastHashJoin, never a shuffle of vector rows for
+        |the stats join; the only data-scaled exchange is the final
+        |per-vector regroup.""".stripMargin,
+    "pipeline_pretrain" ->
+      """Composed pretraining prep (r6): repetition-metrics subplan
+        |(shared with text_repetition_filter, no trailing sort) feeding
+        |gate → content-hash dedup (left_semi on min-doc_id keepers) →
+        |md5-nibble split filter → final (lang, source) aggregate.
+        |Every stage is hash-pure, so the whole chain is one
+        |oracle-checked query rather than trusted glue code.""".stripMargin,
     "join_asof_native" ->
       """Whole-operator as-of merge join (r6): expect ONE AsOfJoin node
         |fed by two Exchange+Sort pairs (EnsureRequirements satisfying
