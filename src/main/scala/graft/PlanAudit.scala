@@ -217,8 +217,11 @@ object PlanAudit {
         |cumulative window above it runs over grid rows (value
         |cardinality), never raw lineitem rows. Expect two aggregates,
         |one window whose exchange carries the grid, and a broadcast of
-        |the 3-row totals side. A plan that windows directly over the
-        |scan would be the 100 TB failure shape this query avoids.""".stripMargin,
+        |the 3-row totals side. The initial plan PRINTS the grid twice
+        |(window branch + totals branch) but AQE dedupes it at runtime —
+        |executed plan shows ReusedExchange, one real scan+grid-agg. A
+        |plan that windowed directly over the scan would be the 100 TB
+        |failure shape this query avoids.""".stripMargin,
     "embedding_quantize" ->
       """Int8 quantization (r6): per-dimension min/max is a 64-row
         |aggregate broadcast back onto the exploded coordinate stream —
