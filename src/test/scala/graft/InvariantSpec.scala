@@ -102,4 +102,40 @@ class InvariantSpec extends SparkSpec {
       assert(kept.filter($"us" < $"runmax" - 600000000L).count() == 0)
     }
   }
+
+  test("native operators are shuffle-partition-count invariant") {
+    // The custom execs own their distribution/merge logic — a
+    // co-partitioning or partial-cap bug would show up exactly as a
+    // partition-count-dependent result. Same data, partitions 1/3/7:
+    // bit-identical output required.
+    val base = randDf(42)
+    val rBase = randDf(43).select($"id".as("rid"), $"user".as("ruser"),
+      $"value".as("rvalue"))
+    def results(parts: Int): (Seq[String], Seq[String], Seq[String]) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val topk = graft.plans.TopK.perGroup(base.repartition(parts), 3,
+            Seq("user"), Seq(("value", true), ("id", false)))
+          .orderBy($"user", desc("value"), $"id")
+          .collect().map(_.toString).toSeq
+        val back = graft.plans.AsOf.joinPrev(base.repartition(parts),
+            rBase.repartition(parts), Seq("user"), Seq("ruser"), "id", "rid",
+            rightTiebreak = Seq("rvalue"))
+          .orderBy($"id").collect().map(_.toString).toSeq
+        val fwd = graft.plans.AsOf.joinNext(base.repartition(parts),
+            rBase.repartition(parts), Seq("user"), Seq("ruser"), "id", "rid",
+            rightTiebreak = Seq("rvalue"))
+          .orderBy($"id").collect().map(_.toString).toSeq
+        (topk, back, fwd)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val p1 = results(1)
+    for (n <- Seq(3, 7)) {
+      val pn = results(n)
+      assert(pn._1 == p1._1, s"TopK.perGroup differs at $n partitions")
+      assert(pn._2 == p1._2, s"AsOf.joinPrev differs at $n partitions")
+      assert(pn._3 == p1._3, s"AsOf.joinNext differs at $n partitions")
+    }
+  }
 }
