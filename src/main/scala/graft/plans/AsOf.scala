@@ -139,7 +139,16 @@ case class AsOfJoinExec(
         val lKey = lKeyProj(lRow)
         val lTimeRow = lTimeProj(lRow).copy()
         var rightSide: InternalRow = nullRight
-        if (isForward) {
+        if (lKey.anyNull) {
+          // SQL equi-join semantics: a null key equals nothing, so the
+          // left row passes through unmatched. (The key ORDERING treats
+          // null == null, so without this check null-key rows would
+          // falsely pair — exactly the divergence from the join+window
+          // twin this guard prevents. Null-key RIGHT rows sort first
+          // and are consumed by the c<0 advance under any non-null
+          // left key; under a null left key we never advance, which
+          // only leaves unmatchable rows buffered.)
+        } else if (isForward) {
           // Forward: match = the FIRST right at/after lTime, i.e. the
           // head once everything too early is discarded. Lefts ascend
           // in (key, time), so a discarded right row (earlier key, or

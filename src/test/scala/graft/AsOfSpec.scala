@@ -86,6 +86,26 @@ class AsOfSpec extends SparkSpec {
       "tie on rt must keep the max tiebreak, like the desc window pick")
   }
 
+  test("null keys never match, matching the join+window twin's equi-join semantics") {
+    import spark.implicits._
+    val l = Seq((Some(1L), 10L, "a"), (None, 10L, "b"), (Some(1L), 20L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Some(1L), 5L, 1L), (Option.empty[Long], 5L, 2L))
+      .toDF("rk", "rt", "rid")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tag", $"rid").collect()
+        .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    val native = pairs(AsOf.joinPrev(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTiebreak = Seq("rid")))
+    val w = Window.partitionBy($"tag").orderBy($"rt".desc_nulls_last, $"rid".desc_nulls_last)
+    val windowForm = pairs(l.join(r, $"k" === $"rk" && $"rt" < $"t", "left")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1))
+    assert(native == windowForm)
+    // And concretely: the null-key left row survives unmatched; the
+    // null-key right row matches nobody.
+    assert(native == Set(("a", 1L), ("b", -1L), ("c", 1L)))
+  }
+
   test("SQL metrics report output and match counts") {
     import spark.implicits._
     val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
