@@ -38,8 +38,10 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * row_number pick of the window form ordered descending. Callers must
   * supply a tiebreak that makes (time, tiebreak) unique per key or ties
   * fall to sort nondeterminism, exactly as with the window form. Null
-  * keys never match (SQL equi-join semantics); null right times sort
-  * first and therefore qualify as "earliest".
+  * semantics match the join+window twin exactly: null keys equal
+  * nothing (equi-join) and null times — left or right — satisfy no
+  * range predicate, so such rows never match (null-key/time left rows
+  * still pass through, left-outer).
   */
 case class AsOfJoin(
     leftKeys: Seq[Expression],
@@ -139,15 +141,16 @@ case class AsOfJoinExec(
         val lKey = lKeyProj(lRow)
         val lTimeRow = lTimeProj(lRow).copy()
         var rightSide: InternalRow = nullRight
-        if (lKey.anyNull) {
-          // SQL equi-join semantics: a null key equals nothing, so the
-          // left row passes through unmatched. (The key ORDERING treats
-          // null == null, so without this check null-key rows would
-          // falsely pair — exactly the divergence from the join+window
-          // twin this guard prevents. Null-key RIGHT rows sort first
-          // and are consumed by the c<0 advance under any non-null
-          // left key; under a null left key we never advance, which
-          // only leaves unmatchable rows buffered.)
+        if (lKey.anyNull || lTimeRow.isNullAt(0)) {
+          // SQL semantics: a null key equals nothing and a null time
+          // satisfies no range predicate, so the left row passes
+          // through unmatched. (The key ORDERING treats null == null,
+          // so without this check null-key rows would falsely pair —
+          // exactly the divergence from the join+window twin this
+          // guard prevents. Null-key RIGHT rows sort first and are
+          // consumed by the c<0 advance under any non-null left key;
+          // under a null left key we never advance, which only leaves
+          // unmatchable rows buffered.)
         } else if (isForward) {
           // Forward: match = the FIRST right at/after lTime, i.e. the
           // head once everything too early is discarded. Lefts ascend
@@ -161,9 +164,13 @@ case class AsOfJoinExec(
             val c = keyOrd.compare(rKeyProj(rHead), lKey)
             if (c < 0) rBuf.next()
             else if (c == 0) {
-              val tc = timeOrd.compare(rTimeProj(rHead), lTimeRow)
-              if (tc < 0 || (isStrict && tc == 0)) rBuf.next()
-              else scanning = false
+              val rTime = rTimeProj(rHead)
+              if (rTime.isNullAt(0)) rBuf.next() // never satisfies > / >=
+              else {
+                val tc = timeOrd.compare(rTime, lTimeRow)
+                if (tc < 0 || (isStrict && tc == 0)) rBuf.next()
+                else scanning = false
+              }
             } else scanning = false
           }
           if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0) {
@@ -180,11 +187,20 @@ case class AsOfJoinExec(
             if (c < 0) {
               rBuf.next() // right key already behind every remaining left row
             } else if (c == 0) {
-              val tc = timeOrd.compare(rTimeProj(rHead), lTimeRow)
-              if (tc < 0 || (!isStrict && tc == 0)) {
-                matchRow = rBuf.next().copy()
-                matchKey = lKey.copy()
-              } else scanning = false
+              val rTime = rTimeProj(rHead)
+              if (rTime.isNullAt(0)) {
+                // A null time satisfies no `<` predicate (the window
+                // twin's rt < lt is false for null rt) — but it SORTS
+                // first, so consume without retaining or it would be
+                // kept as the "earliest" match.
+                rBuf.next()
+              } else {
+                val tc = timeOrd.compare(rTime, lTimeRow)
+                if (tc < 0 || (!isStrict && tc == 0)) {
+                  matchRow = rBuf.next().copy()
+                  matchKey = lKey.copy()
+                } else scanning = false
+              }
             } else scanning = false
           }
           if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) {

@@ -106,6 +106,31 @@ class AsOfSpec extends SparkSpec {
     assert(native == Set(("a", 1L), ("b", -1L), ("c", 1L)))
   }
 
+  test("null TIMES never match either, in both directions (window-twin parity)") {
+    import spark.implicits._
+    val l = Seq((1L, Some(10L), "a"), (1L, Option.empty[Long], "b"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, Some(5L), 1L), (1L, Option.empty[Long], 2L),
+        (1L, Some(15L), 3L))
+      .toDF("rk", "rt", "rid")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tag", $"rid").collect()
+        .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    // Backward: "a"(t=10) matches rid=1 (rt=5); the null-rt row must
+    // NOT be kept as "earliest"; "b"(t=null) matches nothing.
+    val back = pairs(AsOf.joinPrev(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTiebreak = Seq("rid")))
+    assert(back == Set(("a", 1L), ("b", -1L)), s"backward: $back")
+    // Forward: "a"(t=10) matches rid=3 (rt=15); null rows stay out.
+    val fwd = pairs(AsOf.joinNext(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTiebreak = Seq("rid")))
+    assert(fwd == Set(("a", 3L), ("b", -1L)), s"forward: $fwd")
+    // Inclusive forward with a null left time must still not match.
+    val fwdIncl = pairs(AsOf.joinNext(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTiebreak = Seq("rid"), strict = false))
+    assert(fwdIncl == Set(("a", 3L), ("b", -1L)), s"forward inclusive: $fwdIncl")
+  }
+
   test("SQL metrics report output and match counts") {
     import spark.implicits._
     val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
