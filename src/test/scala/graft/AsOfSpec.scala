@@ -206,11 +206,15 @@ class AsOfSpec extends SparkSpec {
 
   test("property: native as-of equals join+window collapse on random data") {
     import spark.implicits._
+    // ~1 in 8 times are NULL — the window predicate is null-safe-false,
+    // and the native merge must agree row for row.
+    val tGen = Gen.frequency(7 -> Gen.choose(0, 20).map(Some(_): Option[Int]),
+      1 -> Gen.const(Option.empty[Int]))
     val gen = for {
       nl <- Gen.choose(0, 40)
       nr <- Gen.choose(0, 40)
-      ls <- Gen.listOfN(nl, for { k <- Gen.choose(0, 4); t <- Gen.choose(0, 20) } yield (k, t))
-      rs <- Gen.listOfN(nr, for { k <- Gen.choose(0, 4); t <- Gen.choose(0, 20) } yield (k, t))
+      ls <- Gen.listOfN(nl, for { k <- Gen.choose(0, 4); t <- tGen } yield (k, t))
+      rs <- Gen.listOfN(nr, for { k <- Gen.choose(0, 4); t <- tGen } yield (k, t))
     } yield (ls, rs)
     val prop = Prop.forAll(gen) { case (ls, rs) =>
       val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
