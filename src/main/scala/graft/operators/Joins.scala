@@ -313,7 +313,14 @@ object Joins {
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val tOrders = s"graft_b_orders_${pid}_$dirKey"
     val tLine = s"graft_b_lineitem_${pid}_$dirKey"
-    bucketedReady.computeIfAbsent(dir, _ => setupBucketed(s, dir, tOrders, tLine))
+    // compute (not computeIfAbsent): the memo says the on-disk layout
+    // exists, but the in-memory catalog forgets tables between
+    // SESSIONS in the same JVM — so also re-run setup whenever this
+    // session's catalog lacks the table. The bin lock of compute keeps
+    // concurrent first calls from racing the setup.
+    bucketedReady.compute(dir, (_, _) => {
+      if (!s.catalog.tableExists(tOrders)) setupBucketed(s, dir, tOrders, tLine)
+    })
     s.table(tOrders)
       .join(s.table(tLine), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderstatus")

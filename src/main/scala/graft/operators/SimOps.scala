@@ -388,24 +388,34 @@ object SimOps {
     * Scale shape: the stats table is one row per DIMENSION (64) — a
     * map-side-combined agg then a broadcast back onto the exploded
     * stream; no join shuffles vector rows. */
-  val embeddingQuantize: Q = (s, dir) => {
-    import s.implicits._
-    val e = Tables.load(s, dir, "embeddings")
-      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
-      .select($"vec_id", ($"pos" + 1).as("dim"), $"xf".cast("double").as("x"))
+  /** Quantization core over an exploded (vec_id, dim, x) frame —
+    * factored out so the degenerate-dimension guard is unit-testable. */
+  private[graft] def quantizeExploded(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val stats = e.groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+    // A constant dimension (mx == mn) would make the scale 0/0 = NaN,
+    // and NaN→int casting diverges between Spark (null, non-ANSI) and
+    // DuckDB — so the degenerate case is pinned explicitly: q = 0,
+    // err = 0 (a constant dimension reconstructs exactly).
     e.join(broadcast(stats), "dim")
-      .withColumn("q",
-        round(($"x" - $"mn") * 255.0 / ($"mx" - $"mn"), 0).cast("int") - 128)
-      .withColumn("err",
+      .withColumn("q", when($"mx" === $"mn", lit(0)).otherwise(
+        round(($"x" - $"mn") * 255.0 / ($"mx" - $"mn"), 0).cast("int") - 128))
+      .withColumn("err", when($"mx" === $"mn", lit(0.0)).otherwise(
         round(abs($"mn" + ($"q" + 128).cast("double") * ($"mx" - $"mn") / 255.0
-          - $"x"), 6))
+          - $"x"), 6)))
       .groupBy($"vec_id")
       .agg(count(lit(1)).as("n_dims"),
         sum($"q").as("q_checksum"),
         min($"q").as("q_min"), max($"q").as("q_max"),
         max($"err").as("max_abs_err"))
       .orderBy($"vec_id")
+  }
+
+  val embeddingQuantize: Q = (s, dir) => {
+    import s.implicits._
+    quantizeExploded(Tables.load(s, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"vec_id", ($"pos" + 1).as("dim"), $"xf".cast("double").as("x")))
   }
 
   val queries: Map[String, Q] = Map(
@@ -430,10 +440,14 @@ object SimOps {
         FROM embeddings),
       st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim),
       q AS (SELECT vec_id, e.dim, x, mn, mx,
-                   CAST(round((x - mn) * 255.0 / (mx - mn)) AS INTEGER) - 128 AS q
+                   CASE WHEN mx = mn THEN 0
+                        ELSE CAST(round((x - mn) * 255.0 / (mx - mn)) AS INTEGER) - 128
+                   END AS q
             FROM e JOIN st ON e.dim = st.dim),
       r AS (SELECT vec_id, q,
-                   round(abs(mn + (q + 128) * (mx - mn) / 255.0 - x), 6) AS err
+                   CASE WHEN mx = mn THEN 0.0
+                        ELSE round(abs(mn + (q + 128) * (mx - mn) / 255.0 - x), 6)
+                   END AS err
             FROM q)
       SELECT vec_id, COUNT(*) AS n_dims, CAST(SUM(q) AS BIGINT) AS q_checksum,
              CAST(MIN(q) AS INTEGER) AS q_min, CAST(MAX(q) AS INTEGER) AS q_max,

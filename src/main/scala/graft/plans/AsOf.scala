@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Native as-of join: for each left row, the single "most recent" right
   * row of the same key whose time is before (strict) or at-or-before
@@ -55,6 +55,20 @@ case class AsOfJoin(
     right: LogicalPlan) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs matching non-empty key lists")
+  // The merge orderings are generated from LEFT-side types and applied
+  // to right-side rows, so a type mismatch (int vs bigint key, date vs
+  // timestamp time) would silently compare garbage instead of inserting
+  // the implicit casts the join+window twin gets from the analyzer.
+  // Fail fast instead; callers cast explicitly.
+  require(leftKeys.zip(rightKeys).forall { case (l, r) =>
+      DataType.equalsStructurally(l.dataType, r.dataType, ignoreNullability = true) },
+    s"as-of join key types must match pairwise: " +
+      s"${leftKeys.map(_.dataType.simpleString).mkString("(", ", ", ")")} vs " +
+      s"${rightKeys.map(_.dataType.simpleString).mkString("(", ", ", ")")}")
+  require(DataType.equalsStructurally(
+      leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+    s"as-of join time types must match: ${leftTime.dataType.simpleString} " +
+      s"vs ${rightTime.dataType.simpleString}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

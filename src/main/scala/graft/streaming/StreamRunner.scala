@@ -116,8 +116,19 @@ object StreamRunner {
     * batch is handled; ACROSS batches it assumes the per-key feed is
     * time-ordered (the standard ordered-tick-feed assumption — a quote
     * arriving after a later trade's batch cannot retroactively re-match
-    * it). */
+    * it).
+    *
+    * Timestamp ties are pinned, not left to event_id assignment: at the
+    * exact same (sec, nanos), quotes order BEFORE trades, so a trade
+    * sees the same-instant quote — at-or-before (inclusive) semantics,
+    * the `strict = false` mode of [[graft.plans.AsOfJoinExec]]. (For
+    * strictly-before semantics, rank trades before quotes instead.) */
   class AsOfQuoteProcessor extends StatefulProcessor[Long, Ev, TradeQuote] {
+    // quotes (0) before trades (1) at equal timestamps — the inclusive
+    // tie contract above; event_id last for full determinism.
+    private def tickKey(e: Ev): (Long, Int, Int, Long) =
+      (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos,
+        if (e.event_type == "quote") 0 else 1, e.event_id)
     @transient private var last: ValueState[LastQuote] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -127,7 +138,7 @@ object StreamRunner {
     override def handleInputRows(sym: Long, rows: Iterator[Ev],
         timers: TimerValues): Iterator[TradeQuote] = {
       var cur = if (last.exists()) Some(last.get()) else None
-      val out = rows.toSeq.sortBy(evKey).flatMap { e =>
+      val out = rows.toSeq.sortBy(tickKey).flatMap { e =>
         e.event_type match {
           case "quote" =>
             cur = Some(LastQuote(Math.floorDiv(e.ts.getTime, 1000L),

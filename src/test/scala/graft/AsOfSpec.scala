@@ -235,4 +235,23 @@ class AsOfSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, s"property falsified: $res")
   }
+
+  test("mismatched key or time types fail fast instead of comparing garbage") {
+    import spark.implicits._
+    val l = Seq((1, 10L)).toDF("k", "t")
+    val rLongKey = Seq((1L, 5L)).toDF("rk", "rt")
+    val keyErr = intercept[IllegalArgumentException] {
+      AsOf.joinPrev(l, rLongKey, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(keyErr.getMessage.contains("key types"), keyErr.getMessage)
+    val rIntTime = Seq((1, 5)).toDF("rk", "rt")
+    val timeErr = intercept[IllegalArgumentException] {
+      AsOf.joinPrev(l, rIntTime, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(timeErr.getMessage.contains("time types"), timeErr.getMessage)
+    // and the explicit cast that the error demands actually works
+    val ok = AsOf.joinPrev(l, rIntTime.select($"rk".cast("int").as("rk"),
+      $"rt".cast("long").as("rt")), Seq("k"), Seq("rk"), "t", "rt").collect()
+    assert(ok.length == 1 && ok.head.getLong(3) == 5L)
+  }
 }

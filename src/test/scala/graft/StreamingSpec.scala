@@ -97,6 +97,14 @@ class StreamingSpec extends SparkSpec {
         Ev(15L, ts(30), 1L, "trade", 0.0),
         Ev(16L, ts(30), 2L, "trade", 0.0)))
       q.processAllAvailable()
+      // Batch 3: quote and trade at the EXACT same timestamp, with the
+      // trade's event_id below the quote's — the pinned tie contract
+      // (quotes before trades, inclusive) must let the trade see the
+      // same-instant quote regardless of event_id assignment.
+      ms.addData(Seq(
+        Ev(17L, ts(40), 1L, "trade", 0.0),
+        Ev(18L, ts(40), 1L, "quote", 9.9)))
+      q.processAllAvailable()
       val got = spark.table("asofq")
         .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
       assert(got == Set(
@@ -104,7 +112,8 @@ class StreamingSpec extends SparkSpec {
         (1L, 12L, Some(10L), Some(9.0)),
         (1L, 13L, Some(10L), Some(9.0)),
         (1L, 15L, Some(14L), Some(9.5)),
-        (2L, 16L, None, None)))
+        (2L, 16L, None, None),
+        (1L, 17L, Some(18L), Some(9.9))))
     } finally q.stop()
   }
 
