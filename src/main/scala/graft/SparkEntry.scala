@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (Scans.queries ++ Projections.queries ++ Joins.queries ++ SetOps.queries ++
     Aggs.queries ++ Windows.queries ++ Scalars.queries ++ Udfs.queries ++
-    Streamy.queries ++ TextOps.queries ++ SimOps.queries ++
+    Streamy.queries ++ TextOps.queries ++ SimOps.queries ++ CdcOps.queries ++
     DomainQueries.queries).map { case (name, fn) =>
       name -> { (s: SparkSession, dir: String) =>
         graft.plans.TopK.ensure(s); fn(s, dir)
@@ -39,6 +39,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Projections.oracle ++ Joins.oracle ++ SetOps.oracle ++
     Aggs.oracle ++ Windows.oracle ++ Scalars.oracle ++ Udfs.oracle ++
-    Streamy.oracle ++ TextOps.oracle ++ SimOps.oracle ++
+    Streamy.oracle ++ TextOps.oracle ++ SimOps.oracle ++ CdcOps.oracle ++
     DomainQueries.oracle
 }

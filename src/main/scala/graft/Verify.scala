@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names to dump (iteration
+    // aid; the driver always runs the full surface)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +24,8 @@ object Verify {
     // is thread-safe for concurrent actions) — halves the driver's
     // correctness-gate wall time on local[32]. No deadline: a slow run
     // must still end with oracle_sql.json written below, never abort.
-    Qx.inParallel(SparkEntry.queries.toSeq) { case (name, fn) =>
+    Qx.inParallel(SparkEntry.queries.toSeq
+        .filter { case (n, _) => only.forall(_.contains(n)) }) { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

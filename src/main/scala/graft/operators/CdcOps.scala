@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Incremental / CDC operators (SURVEY §2.12): changelog compaction,
+  * SCD-2 history construction, and MERGE-style changeset application.
+  *
+  * Reference basis: the reference's staging tables are rebuilt from
+  * append-only ingest feeds (/root/reference/README.md:3,7 — HL7/FHIR
+  * messages arrive as events, the warehouse keeps current state), which
+  * is exactly the changelog→snapshot problem. The `events` table plays
+  * the changelog: one row per (user_id, ts) mutation, with event_type
+  * `error` read as a tombstone.
+  *
+  * Scale notes: compaction routes through the native
+  * [[graft.plans.TopKPerGroup]] operator with k=1 — per-task bounded
+  * heaps mean the exchange moves at most one row per (task, user), not
+  * the raw changelog; a 100 TB day of events compacts into a shuffle of
+  * ~|users|·|tasks| rows. SCD-2 is one window pass over the key-sorted
+  * stream (single shuffle, no self-join). Merge is a single full-outer
+  * shuffle join between snapshot and compacted changeset — the changeset
+  * is post-compaction (one row per key), so AQE can broadcast it when
+  * small without materializing the raw log anywhere.
+  */
+object CdcOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Latest change row per key, tombstones included — the shared
+    * compaction stage of [[cdcUpsertLatest]] and [[cdcMergeApply]].
+    * (ts, event_id) is a total order per user, so the pick is exact. */
+  private def latestPerUser(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.TopK.perGroup(
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value"),
+      1, Seq("user_id"), Seq(("ts", true), ("event_id", true)))
+  }
+
+  /** Changelog → current-state snapshot: keep each key's latest row,
+    * drop keys whose latest row is a tombstone (`error`). The Kafka
+    * log-compaction / upsert-sink semantics. */
+  val cdcUpsertLatest: Q = (s, dir) => {
+    import s.implicits._
+    latestPerUser(s, dir)
+      .filter($"event_type" =!= "error")
+      .select($"user_id", $"event_id".as("last_event_id"), $"ts".as("last_ts"),
+        $"event_type".as("last_type"), $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  /** SCD-2 (slowly-changing-dimension) history build: every change row
+    * becomes a version with validity [ts, next-change ts); the newest
+    * version per key stays open (null valid_to, is_current). One window
+    * pass — lead() over the per-key time order; no self-join. */
+  val scd2Intervals: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("valid_from", $"ts")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"event_id", $"value",
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  /** MERGE INTO semantics against a snapshot: the compacted changeset
+    * (latest row per key) is applied to a partial customer snapshot —
+    * matched non-tombstone rows UPDATE the balance, matched tombstones
+    * DELETE, unmatched source rows INSERT, untouched target rows stay.
+    * The snapshot window [50, 300) is chosen so all four paths are
+    * non-vacuous against the 150-user changelog (users 0–49 insert,
+    * 50–149 update/delete, custkeys 150–299 keep). */
+  val cdcMergeApply: Q = (s, dir) => {
+    import s.implicits._
+    val target = Tables.load(s, dir, "customer")
+      .filter($"c_custkey" >= 50 && $"c_custkey" < 300)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    val changes = latestPerUser(s, dir)
+      .select($"user_id", $"event_type".as("chg_type"), $"value".as("chg_value"))
+    target.join(changes, $"c_custkey" === $"user_id", "full_outer")
+      .withColumn("op",
+        when($"c_custkey".isNull, "inserted")
+          .when($"chg_type".isNull, "kept")
+          .when($"chg_type" === "error", "deleted")
+          .otherwise("updated"))
+      .filter($"op" =!= "deleted")
+      .select(
+        coalesce($"c_custkey", $"user_id").as("custkey"),
+        coalesce($"c_name", concat(lit("Customer#new"), $"user_id")).as("name"),
+        when($"op" === "kept", $"c_acctbal").otherwise($"chg_value").as("acctbal"),
+        $"op")
+      .orderBy($"custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cdc_upsert_latest" -> cdcUpsertLatest,
+    "scd2_intervals" -> scd2Intervals,
+    "cdc_merge_apply" -> cdcMergeApply)
+
+  val oracle: Map[String, String] = Map(
+    "cdc_upsert_latest" -> """
+      WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+             event_type AS last_type, value AS last_value
+      FROM ranked WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id""",
+    "scd2_intervals" -> """
+      SELECT user_id, event_id, value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+      FROM events
+      ORDER BY user_id, valid_from, event_id""",
+    "cdc_merge_apply" -> """
+      WITH target AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey >= 50 AND c_custkey < 300),
+      ranked AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      changes AS (
+        SELECT user_id, event_type AS chg_type, value AS chg_value
+        FROM ranked WHERE rn = 1),
+      merged AS (
+        SELECT t.c_custkey, t.c_name, t.c_acctbal, c.user_id, c.chg_type,
+               c.chg_value,
+               CASE WHEN t.c_custkey IS NULL THEN 'inserted'
+                    WHEN c.chg_type IS NULL THEN 'kept'
+                    WHEN c.chg_type = 'error' THEN 'deleted'
+                    ELSE 'updated' END AS op
+        FROM target t FULL OUTER JOIN changes c ON t.c_custkey = c.user_id)
+      SELECT COALESCE(c_custkey, user_id) AS custkey,
+             COALESCE(c_name, 'Customer#new' || user_id) AS name,
+             CASE WHEN op = 'kept' THEN c_acctbal ELSE chg_value END AS acctbal,
+             op
+      FROM merged WHERE op <> 'deleted'
+      ORDER BY custkey""")
+}

@@ -2,10 +2,60 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.SimOps
+import graft.operators.{CdcOps, SimOps}
 
 /** Round-7 additions and hardening. */
 class Round7OpsSpec extends SparkSpec {
+
+  test("cdc_upsert_latest: one row per surviving key, tombstoned keys dropped") {
+    import spark.implicits._
+    val snap = CdcOps.cdcUpsertLatest(spark, sf("0.01")).collect()
+    assert(snap.map(_.getLong(0)).distinct.length == snap.length,
+      "compaction must emit at most one row per key")
+    assert(snap.forall(_.getString(3) != "error"),
+      "tombstoned keys must not reach the snapshot")
+    // 150 users total; some latest rows ARE tombstones, so the snapshot
+    // must be a strict subset — otherwise the delete path is vacuous.
+    assert(snap.length < 150 && snap.length > 100, s"got ${snap.length}")
+  }
+
+  test("cdc_merge_apply: insert, update, and keep paths all non-vacuous and disjoint") {
+    import spark.implicits._
+    val out = CdcOps.cdcMergeApply(spark, sf("0.01")).collect()
+    val byOp = out.groupBy(_.getString(3))
+    assert(byOp.keySet == Set("inserted", "updated", "kept"), s"${byOp.keySet}")
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      "merged snapshot must be unique per key")
+    // inserted = changelog keys outside the snapshot window [50, 300)
+    assert(byOp("inserted").forall(_.getLong(0) < 50))
+    // kept = snapshot keys with no changelog row (users stop at 149)
+    assert(byOp("kept").forall(_.getLong(0) >= 150))
+    assert(byOp("updated").forall { r =>
+      val k = r.getLong(0); k >= 50 && k < 150 })
+  }
+
+  test("scd2_intervals: versions chain per key and exactly one is current") {
+    import spark.implicits._
+    val rows = CdcOps.scd2Intervals(spark, sf("0.01"))
+      .select($"user_id", $"valid_from", $"valid_to", $"is_current", $"event_id")
+      .collect()
+    rows.groupBy(_.getLong(0)).foreach { case (uid, vs) =>
+      assert(vs.count(_.getBoolean(3)) == 1, s"user $uid: != 1 current version")
+      // full-precision Timestamp ordering + event_id tiebreak — the
+      // window's order; getTime alone is only millisecond-granular
+      val sorted = vs.sortWith { (a, b) =>
+        val c = a.getTimestamp(1).compareTo(b.getTimestamp(1))
+        if (c != 0) c < 0 else a.getLong(4) < b.getLong(4)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(2) == b.getTimestamp(1),
+            s"user $uid: valid_to must chain to the next valid_from")
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(2), s"user $uid: newest version must be open")
+    }
+  }
 
   test("embedding quantization pins a constant dimension to q=0, err=0 (no NaN)") {
     import spark.implicits._
