@@ -88,6 +88,43 @@ object Aggs {
       .orderBy($"l_returnflag")
   }
 
+  /** Mergeable-sketch pre-aggregation — the canonical 100 TB rollup
+    * pattern: per-(event_type, day) HLL partial sketches of user_id
+    * (what a warehouse materializes per partition), then a second level
+    * UNIONs partials per type and estimates distinct users. Any rollup
+    * (week, month, global) is a cheap union over the stored sketches —
+    * the raw stream is never rescanned. Sketch output is rows-only for
+    * the driver (no oracle, like agg_approx_distinct); Round7OpsSpec
+    * asserts the merged estimate equals the single-pass estimate
+    * EXACTLY (union correctness, bit-deterministic) and sits within
+    * HLL error of exact distinct. */
+  val aggHllPartialMerge: Q = (s, dir) => {
+    import s.implicits._
+    val partials = Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    partials.groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"),
+        count(lit(1)).as("n_partials"))
+      .orderBy($"event_type")
+  }
+
+  /** Heavy hitters via approx_top_k (DataSketches frequent-items).
+    * With 5 distinct event types — far below the default
+    * maxItemsTracked (10000) — the sketch degenerates to EXACT counts,
+    * so unlike the other sketch ops this one faces the DuckDB oracle
+    * head-on: top-3 types by count. At real cardinality the same plan
+    * keeps a bounded sketch per partial instead of a full hash map —
+    * the point of the operator. */
+  val aggApproxTopk: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .agg(expr("approx_top_k(event_type, 3)").as("top"))
+      .select(explode($"top").as("e"))
+      .select($"e.item".as("event_type"), $"e.count".cast("long").as("n"))
+      .orderBy($"n".desc, $"event_type")
+  }
+
   /** Multi-level subtotals via GROUPING SETS (README.md:8-9 cost
     * rollups); SQL surface because that is the reference's idiom. */
   val aggGroupingSets: Q = (s, dir) => {
@@ -347,6 +384,8 @@ object Aggs {
   }
 
   val queries: Map[String, Q] = Map(
+    "agg_hll_partial_merge" -> aggHllPartialMerge,
+    "agg_approx_topk" -> aggApproxTopk,
     "agg_weighted_median" -> aggWeightedMedian,
     "agg_mode" -> aggMode,
     "agg_pivot" -> aggPivot,
@@ -369,6 +408,10 @@ object Aggs {
     "agg_percentile" -> aggPercentile)
 
   val oracle: Map[String, String] = Map(
+    "agg_approx_topk" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+      ORDER BY n DESC, event_type LIMIT 3""",
     "agg_weighted_median" -> """
       WITH grid AS (
         SELECT l_returnflag, l_extendedprice,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CdcOps, SimOps}
+import graft.operators.{Aggs, CdcOps, SimOps}
 
 /** Round-7 additions and hardening. */
 class Round7OpsSpec extends SparkSpec {
@@ -55,6 +55,40 @@ class Round7OpsSpec extends SparkSpec {
       }
       assert(sorted.last.isNullAt(2), s"user $uid: newest version must be open")
     }
+  }
+
+  test("agg_hll_partial_merge: union of partials == single-pass sketch, within HLL error of exact") {
+    import spark.implicits._
+    val dir = sf("0.01")
+    val merged = Aggs.aggHllPartialMerge(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // single-pass sketch per type, no daily pre-aggregation level
+    val onePass = Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sketch union is lossless over partials of the same stream: the
+    // two-level estimate must equal the one-level estimate EXACTLY
+    assert(merged == onePass, s"union changed the sketch: $merged vs $onePass")
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (t, est) =>
+      val rel = math.abs(est.toDouble - exact(t)) / exact(t).max(1L)
+      assert(rel <= 0.05, s"$t: estimate $est vs exact ${exact(t)} (rel $rel)")
+    }
+  }
+
+  test("agg_approx_topk is exact below maxItemsTracked (5 types, k=3)") {
+    import spark.implicits._
+    val dir = sf("0.01")
+    val got = Aggs.aggApproxTopk(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"event_type").limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(exact), s"${got.toSeq} vs ${exact.toSeq}")
   }
 
   test("embedding quantization pins a constant dimension to q=0, err=0 (no NaN)") {
