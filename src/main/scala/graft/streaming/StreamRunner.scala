@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 
 /** Genuinely streaming forms of the Streamy batch twins (SURVEY §2.9).
   *
@@ -226,6 +227,94 @@ object StreamRunner {
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         floor((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))) / 1000000.0)
           .cast("long").as("secs_before"))
+  }
+
+  case class GapSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+  case class SessionClose(user_id: Long, session_start: java.sql.Timestamp,
+                          session_end: java.sql.Timestamp, n_events: Long,
+                          value_sum: Double)
+
+  private def tsMicros(e: Ev): Long =
+    Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Inactivity-closed sessions on EVENT-TIME TIMERS: per key, one
+    * ValueState holds the open session and one timer sits at
+    * last-event-time + gap. New events extend the session and slide the
+    * timer (delete + re-register — never more than one pending timer
+    * per key); when the WATERMARK passes the timer, handleExpiredTimer
+    * emits the closed session and clears state. O(1) state per key, no
+    * end-of-stream flush needed — the shape of a production
+    * sessionizer over an unbounded keyspace. A same-batch gap closes
+    * the session inline (the timer only covers silence ACROSS batches).
+    * Batch twin (oracle-checked): [[Streamy.streamTimerSession]]. */
+  class TimerSessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Ev, SessionClose] {
+    @transient private var sess: ValueState[GapSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[GapSession](
+        "gapSession", Encoders.product[GapSession], TTLConfig.NONE)
+
+    private def expiryMs(s: GapSession): Long = (s.endUs + gapUs) / 1000L
+    private def close(uid: Long, s: GapSession): SessionClose =
+      SessionClose(uid, microsToTs(s.startUs), microsToTs(s.endUs), s.n, s.sum)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[SessionClose] = {
+      val out = scala.collection.mutable.ListBuffer.empty[SessionClose]
+      val prior = if (sess.exists()) Some(sess.get()) else None
+      var cur = prior
+      rows.toSeq.sortBy(evKey).foreach { e =>
+        val t = tsMicros(e)
+        cur match {
+          case Some(s) if t - s.endUs >= gapUs =>
+            out += close(uid, s)
+            cur = Some(GapSession(t, t, 1L, e.value))
+          case Some(s) =>
+            cur = Some(GapSession(s.startUs, math.max(s.endUs, t),
+              s.n + 1L, s.sum + e.value))
+          case None =>
+            cur = Some(GapSession(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        // slide the single pending timer only when the deadline moved
+        if (prior.map(expiryMs).contains(expiryMs(s))) ()
+        else {
+          prior.foreach(p => getHandle.deleteTimer(expiryMs(p)))
+          getHandle.registerTimer(expiryMs(s))
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionClose] =
+      if (sess.exists()) {
+        val s = sess.get()
+        // a stale timer (session extended after registration) never
+        // matches the live deadline — emit only on the real one
+        if (expired.getExpiryTimeInMs >= expiryMs(s)) {
+          sess.clear()
+          Iterator.single(close(uid, s))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** 30-minute-gap timer sessions over a watermarked event stream —
+    * run with `.withWatermark("ts", ...)` applied upstream. */
+  def timerSessions(events: Dataset[Ev]): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(1800L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Arbitrary per-user state: running purchase count + exact cents

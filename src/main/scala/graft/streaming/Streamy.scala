@@ -234,7 +234,37 @@ object Streamy {
       .orderBy($"window_start", $"rnk")
   }
 
+  /** Per-user inactivity sessions — the TIMER-closed variant (r7):
+    * same 30-minute gap rule as [[streamSession]] but emitting the
+    * LAST-EVENT time as session_end plus per-session value totals —
+    * the payload a timer-driven processor emits when a key goes
+    * silent. The genuinely streaming form
+    * ([[StreamRunner.timerSessions]]) keeps one ValueState per key and
+    * ONE registered event-time timer at last-event + gap; the timer
+    * fires when the watermark passes it — state is O(1) per key and
+    * the emission needs no end-of-stream flush. StreamingSpec asserts
+    * parity against this twin on the same rows. */
+  val streamTimerSession: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val marked = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_s",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" >= 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum($"new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy($"user_id", $"sess_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"), dsum($"value").as("value_sum"))
+      .select($"user_id", $"session_start", $"session_end",
+        $"n_events", $"value_sum")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_timer_session" -> streamTimerSession,
     "stream_window_topk" -> streamWindowTopk,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_tws_types" -> streamTwsTypes,
@@ -246,6 +276,23 @@ object Streamy {
     "stream_stateful" -> streamStateful)
 
   val oracle: Map[String, String] = Map(
+    "stream_timer_session" -> s"""
+      WITH e AS (SELECT user_id, event_id, value,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      f AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                             OR us - LAG(us) OVER w >= 1800000000
+                           THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            FROM f)
+      SELECT user_id, make_timestamp(MIN(us)) AS session_start,
+             make_timestamp(MAX(us)) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ${dsumSql("value")} AS value_sum
+      FROM g GROUP BY user_id, sess_id
+      ORDER BY user_id, session_start""",
     "stream_interval_join" -> """
       WITH e AS (SELECT user_id, event_id, event_type,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)

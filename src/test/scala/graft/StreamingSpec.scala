@@ -69,6 +69,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timers close inactivity sessions as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.timerSessions(
+        ms.toDF().withWatermark("ts", "0 seconds").as[Ev])
+      .writeStream.format("memory").queryName("tsess").outputMode("append").start()
+    try {
+      // Batch 1 — user 1 has an IN-BATCH 30-min gap (session closes
+      // inline, no timer needed); user 2 opens a 1-event session.
+      ms.addData(Seq(
+        Ev(1L, ts(0), 1L, "view", 10.0),
+        Ev(2L, ts(10), 1L, "click", 2.5),
+        Ev(3L, ts(40), 1L, "view", 4.0),
+        Ev(4L, ts(5), 2L, "purchase", 7.75)))
+      q.processAllAvailable()
+      // Batch 2 advances the watermark to 0:40 — user 2's timer (0:35)
+      // fires; user 1's open session (deadline 1:10) survives.
+      ms.addData(Seq(Ev(5L, ts(120), 3L, "view", 1.0)))
+      q.processAllAvailable()
+      // Batch 3 advances the watermark to 2:00 (user 1's second session
+      // fires, deadline 1:10) and then 5:00 via the trailing no-data
+      // batch Spark runs on watermark advance (user 3 fires, deadline
+      // 2:30). User 99 (deadline 5:30) stays open — nothing ever moves
+      // the watermark past it.
+      ms.addData(Seq(Ev(6L, ts(300), 99L, "view", 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("tsess")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .map { case (u, s, e, n, v) => (u, s.toString, e.toString, n, v) }.toSet
+      assert(got == Set(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0", 2L, 12.5),
+        (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:05:00.0", 1L, 7.75),
+        (1L, "2024-01-01 00:40:00.0", "2024-01-01 00:40:00.0", 1L, 4.0),
+        (3L, "2024-01-01 02:00:00.0", "2024-01-01 02:00:00.0", 1L, 1.0)),
+        s"got: $got")
+    } finally q.stop()
+  }
+
   test("streaming as-of tick join: latest-quote state carries across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState needs multiple state column families — RocksDB
