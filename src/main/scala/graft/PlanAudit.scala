@@ -251,7 +251,50 @@ object PlanAudit {
         |window — the window sees one row per series point, not per
         |event. Single exchange on event_type for the window; ROWS
         |frame [-24, -1] keeps state at 24 rows per series; final sort
-        |is the deterministic output order only.""".stripMargin)
+        |is the deterministic output order only.""".stripMargin,
+    "cdc_upsert_latest" ->
+      """Changelog compaction (r7): expect TopKPerGroup partial/final
+        |around ONE exchange on user_id — each map task emits at most
+        |one row per key from its bounded heap, so the shuffle carries
+        |≤ |keys|·|tasks| rows however large the raw log is. The
+        |row_number-window alternative would shuffle and sort the
+        |ENTIRE changelog. Tombstone filter is post-final (it inspects
+        |the winning row, so it cannot push below the k-selection).""".stripMargin,
+    "scd2_intervals" ->
+      """SCD-2 history build (r7): one exchange on user_id, one
+        |in-partition sort, ONE WindowExec computing lead(ts) — version
+        |chaining without a self-join (the naive form joins each row to
+        |its successor: a second shuffle plus a pair blow-up on ties).
+        |Final sort is output determinism only.""".stripMargin,
+    "cdc_merge_apply" ->
+      """MERGE INTO shape (r7): the changeset compacts FIRST (bounded
+        |TopK heaps, one row per key) and only then meets the snapshot
+        |in a single full-outer SortMergeJoin — the raw changelog never
+        |reaches the join. At toy SF AQE may broadcast the compacted
+        |side; at 100 TB both sides shuffle once on the key, and the
+        |case-projection is codegen'd row-local work.""".stripMargin,
+    "agg_hll_partial_merge" ->
+      """Mergeable-sketch rollup (r7): two HashAggregate levels — per
+        |(type, day) HLL partials (partial_hllsketchagg before the
+        |exchange: each task ships one ~KB sketch per group, not user
+        |ids), then per-type sketch UNION. The exchange payload is
+        |sketches; the raw stream is read exactly once, and any coarser
+        |rollup could reuse the materialized partials without touching
+        |it again.""".stripMargin,
+    "agg_approx_topk" ->
+      """Frequent-items heavy hitters (r7): two-phase ApproxTopK
+        |aggregate — per-task bounded sketches combine into one final
+        |sketch; memory is O(maxItemsTracked) per task regardless of
+        |key cardinality, where the exact groupBy alternative's hash
+        |map grows with distinct keys. Explode of the (item, count)
+        |structs is driver-trivial (k rows).""".stripMargin,
+    "stream_timer_session" ->
+      """Timer-session batch twin (r7): one exchange on user_id feeds
+        |BOTH window passes (lag/session-id marking and the cumulative
+        |sum) and the final per-session HashAggregate — the partitioning
+        |is reused, no second shuffle of event rows. The streaming form
+        |(StreamRunner.timerSessions) replaces all of it with O(1)
+        |ValueState + one timer per key.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
