@@ -294,7 +294,48 @@ object PlanAudit {
         |sum) and the final per-session HashAggregate — the partitioning
         |is reused, no second shuffle of event rows. The streaming form
         |(StreamRunner.timerSessions) replaces all of it with O(1)
-        |ValueState + one timer per key.""".stripMargin)
+        |ValueState + one timer per key.""".stripMargin,
+    "layout_zorder" ->
+      """Z-order layout (r7): the Morton key is the native codegen'd
+        |interleave_bits expression — expect it INSIDE the
+        |WholeStageCodegen span of the scan projection (12 branch-free
+        |ALU ops per row, no UDF black box), then one two-phase
+        |HashAggregate on the cell prefix. No window, no global sort:
+        |at a real write the same key feeds repartitionByRange, whose
+        |sampled range exchange is the only data-scaled movement. The
+        |per-cell min/max output IS the zone-map evidence: both
+        |dimensions' spans bounded < 64 in every cell.""".stripMargin,
+    "profile_table" ->
+      """ANALYZE-style profile (r7): FOUR exact NDVs in one pass —
+        |expect a single Expand (×4 row multiplication tagged by gid)
+        |feeding two HashAggregate levels, then a 1-row pivot to
+        |per-column rows. One scan, one shuffle; the naive per-column
+        |loop would rescan the 100 TB table four times. Expand's ×4 is
+        |the explicit, bounded price of exactness — swap to HLL partials
+        |(agg_hll_partial_merge) when approximate NDV suffices.""".stripMargin,
+    "cdc_incremental_agg" ->
+      """Incremental view maintenance (r7): two filtered aggregates
+        |(each partial-combined before its exchange) merged by ONE
+        |full-outer join on user_id. Work is ∝ |delta| + |snapshot|,
+        |never history; the DECIMAL(38,6) sums make the merge order
+        |irrelevant (bit-exact associativity doubles lack). The oracle
+        |recomputes from scratch — merge == recompute is the IVM
+        |correctness claim, hash-checked.""".stripMargin,
+    "dedup_spans" ->
+      """Duplicate-span removal (r7): explode to 3-word spans, ONE
+        |hash exchange on the span string for the first-occurrence
+        |window (high-cardinality, uniform — no skew key), re-agg by
+        |doc_id. Never all-pairs: fan-in per span is its duplicate
+        |count. At 100 TB the span column folds to xxhash64 before the
+        |exchange (8-byte keys, same routing) with a collision re-check
+        |— the dedup_ngram_jaccard recipe.""".stripMargin,
+    "win_ewma" ->
+      """Truncated EWMA (r7): ONE exchange on user_id, one in-partition
+        |sort, one WindowExec evaluating all 8 lags in a single frame
+        |pass — constant state per row, no self-join, no frame rescan.
+        |The infinite-recurrence EWMA is inherently sequential; the
+        |8-term truncation (error < 0.4%) is what makes it one parallel
+        |window pass at any scale.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

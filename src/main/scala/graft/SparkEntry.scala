@@ -28,7 +28,7 @@ object SparkEntry {
     (Scans.queries ++ Projections.queries ++ Joins.queries ++ SetOps.queries ++
     Aggs.queries ++ Windows.queries ++ Scalars.queries ++ Udfs.queries ++
     Streamy.queries ++ TextOps.queries ++ SimOps.queries ++ CdcOps.queries ++
-    DomainQueries.queries).map { case (name, fn) =>
+    WarehouseOps.queries ++ DomainQueries.queries).map { case (name, fn) =>
       name -> { (s: SparkSession, dir: String) =>
         graft.plans.TopK.ensure(s); fn(s, dir)
       }
@@ -40,5 +40,5 @@ object SparkEntry {
     Scans.oracle ++ Projections.oracle ++ Joins.oracle ++ SetOps.oracle ++
     Aggs.oracle ++ Windows.oracle ++ Scalars.oracle ++ Udfs.oracle ++
     Streamy.oracle ++ TextOps.oracle ++ SimOps.oracle ++ CdcOps.oracle ++
-    DomainQueries.oracle
+    WarehouseOps.oracle ++ DomainQueries.oracle
 }

@@ -98,10 +98,55 @@ object CdcOps {
       .orderBy($"custkey")
   }
 
+  /** Incremental aggregate maintenance: the materialized-view refresh
+    * path of a warehouse. A per-user aggregate (count / exact sum /
+    * latest ts) is held as a SNAPSHOT over everything before the cutoff;
+    * when the DELTA (one ingest day) arrives, the two are merged with
+    * the aggregate's own combine algebra — counts add, DECIMAL(38,6)
+    * sums add exactly, max takes greatest — instead of rescanning
+    * history. The oracle is the full recompute over all events, so the
+    * check proves merge(snapshot, delta) == recompute, which is the
+    * entire correctness claim of incremental view maintenance.
+    *
+    * Cutoff is day 1 of the 30-day window: most users exist only in the
+    * delta side, so the null-handling (insert) path of the merge is
+    * non-vacuous, not just the update path.
+    *
+    * Scale: at 100 TB the snapshot is a stored table of |users| rows;
+    * each refresh scans ONE day of the changelog plus the snapshot —
+    * work proportional to the delta, not history. The merge itself is a
+    * full-outer shuffle join on user_id, and AQE broadcasts whichever
+    * side is small. The decimal sums mean refresh order never changes
+    * the result (double addition would drift per merge order).
+    */
+  val cdcIncrementalAgg: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cutoff = lit("2024-01-02 00:00:00").cast("timestamp")
+    val ev = Tables.load(s, dir, "events").select($"user_id", $"ts", $"value")
+    def aggOf(df: DataFrame, tag: String): DataFrame =
+      df.groupBy($"user_id").agg(
+        count(lit(1)).as(s"${tag}_n"),
+        sum($"value".cast(DecimalType(38, 6))).as(s"${tag}_sum"),
+        max($"ts").as(s"${tag}_last"))
+    val snap = aggOf(ev.filter($"ts" < cutoff), "s")
+    val delta = aggOf(ev.filter($"ts" >= cutoff), "d")
+    val zero = lit(0).cast(DecimalType(38, 6))
+    snap.join(delta, Seq("user_id"), "full_outer")
+      .select(
+        $"user_id",
+        (coalesce($"s_n", lit(0L)) + coalesce($"d_n", lit(0L))).as("n_events"),
+        (coalesce($"s_sum", zero) + coalesce($"d_sum", zero))
+          .cast("double").as("total_value"),
+        greatest($"s_last", $"d_last").as("last_ts"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "cdc_upsert_latest" -> cdcUpsertLatest,
     "scd2_intervals" -> scd2Intervals,
-    "cdc_merge_apply" -> cdcMergeApply)
+    "cdc_merge_apply" -> cdcMergeApply,
+    "cdc_incremental_agg" -> cdcIncrementalAgg)
 
   val oracle: Map[String, String] = Map(
     "cdc_upsert_latest" -> """
@@ -147,5 +192,12 @@ object CdcOps {
              CASE WHEN op = 'kept' THEN c_acctbal ELSE chg_value END AS acctbal,
              op
       FROM merged WHERE op <> 'deleted'
-      ORDER BY custkey""")
+      ORDER BY custkey""",
+    // Full recompute over the unsplit changelog — merge(snapshot, delta)
+    // must reproduce it exactly (incremental-view-maintenance claim).
+    "cdc_incremental_agg" -> """
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id ORDER BY user_id""")
 }

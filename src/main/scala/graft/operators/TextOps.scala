@@ -699,7 +699,49 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Cross-corpus duplicate-span removal (MassiveText / C4 "remove
+    * repeated passages" step, applied corpus-wide): each document is cut
+    * into non-overlapping 3-word spans, a span seen earlier ANYWHERE in
+    * the corpus (order = (doc_id, span index)) counts as duplicated, and
+    * each doc reports its duplicated-span fraction plus the keep/drop
+    * verdict a curation pipeline would act on. Differs from
+    * [[dedupExact]] (whole-doc) and [[dedupNgramJaccard]] (doc-pair
+    * similarity): this is SUB-document dedup — boilerplate and quoted
+    * passages shared across otherwise-distinct documents.
+    *
+    * Scale: the only shuffle is the hash partition on the span string
+    * itself (high cardinality, uniform by construction) for the
+    * first-occurrence window, then a re-agg by doc_id; nothing is ever
+    * compared all-pairs, and span width bounds state per row. At 100 TB
+    * the span column would be folded to xxhash64 before the shuffle
+    * (same routing, 8-byte keys) with a collision re-check, exactly the
+    * dedup_ngram_jaccard recipe (TextOps.scala:161).
+    */
+  val dedupSpans: Q = (s, dir) => {
+    import s.implicits._
+    val w = 3
+    val spans = Tables.load(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0L), floor((size($"ws") - 1) / w).cast("long")))
+          .as("si"))
+      .select($"doc_id", $"si",
+        array_join(slice($"ws", ($"si" * w + 1).cast("int"), lit(w)), " ").as("span"))
+    val firstSeen = Window.partitionBy($"span").orderBy($"doc_id", $"si")
+    spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(when($"rn" > 1, lit(1))).as("n_dup_spans"))
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        round($"n_dup_spans".cast("double") / $"n_spans", 6).as("dup_frac"))
+      .withColumn("keep_doc", $"dup_frac" < 0.5)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_spans" -> dedupSpans,
     "pipeline_curate" -> pipelineCurate,
     "text_clean" -> textClean,
     "text_pii_redact" -> textPiiRedact,
@@ -725,6 +767,33 @@ object TextOps {
     "pipeline_pretrain" -> pipelinePretrain)
 
   val oracle: Map[String, String] = Map(
+    // DuckDB list slice ws[a:b] clamps at the list end exactly like
+    // Spark's slice(ws, a, w) — the trailing short span matches.
+    "dedup_spans" -> """
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      idx AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(0,
+                 CAST(floor((len(ws) - 1) / 3) AS BIGINT))) AS i
+        FROM words),
+      spans AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS si,
+               array_to_string(ws[CAST(i*3+1 AS INTEGER):CAST(i*3+3 AS INTEGER)],
+                               ' ') AS span
+        FROM idx),
+      ranked AS (
+        SELECT doc_id, si, span,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, si) AS rn
+        FROM spans),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dup_spans
+        FROM ranked GROUP BY doc_id)
+      SELECT doc_id, n_spans, n_dup_spans,
+             ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac,
+             ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) < 0.5 AS keep_doc
+      FROM agg ORDER BY doc_id""",
     "text_clean" -> """
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(

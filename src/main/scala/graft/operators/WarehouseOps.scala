@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{Qx, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse-maintenance operators (SURVEY §2.13): multi-dimensional
+  * data-layout clustering and ANALYZE-style statistics collection.
+  *
+  * Reference basis: the reference keeps one analytic store that is
+  * scanned by range predicates over several keys at once and re-ingested
+  * continuously (/root/reference/README.md:3,7-9) — exactly the workload
+  * where a warehouse earns its keep through LAYOUT (cluster the files so
+  * zone maps prune every predicate dimension) and STATISTICS (the
+  * optimizer's row/ndv estimates). Both are first-class maintenance jobs
+  * in any 100 TB deployment (Delta `OPTIMIZE ZORDER`, `ANALYZE TABLE`).
+  */
+object WarehouseOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Z-order layout clustering over (l_partkey, l_suppkey).
+    *
+    * The native [[graft.functions.InterleaveBits]] expression computes
+    * each row's Morton key; the query then buckets rows by the key's
+    * 12-bit-truncated prefix — each `zcell` is exactly one cell of the
+    * 2-D grid `(l_partkey >> 6, l_suppkey >> 6)`, i.e. what one output
+    * file would contain after `repartitionByRange($"z")` + write. The
+    * per-cell part/supp min-max spans ARE the parquet zone-map bounds
+    * that layout would produce: bounded spans in BOTH dimensions is the
+    * property that lets a 100 TB scan with a predicate on EITHER key
+    * prune to a thin band of files, which a single-column sort cannot do.
+    *
+    * Scale: one codegen'd projection (the expression is ~12 ALU ops,
+    * branch-free) + one hash aggregation on the cell key — map-side
+    * combined, no window, no sort of the full data. At a real 100 TB
+    * write the same `z` feeds `repartitionByRange` (range exchange via
+    * sampled bounds) and the files come out cell-clustered.
+    */
+  val layoutZorder: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.BitExprs.register(s)
+    Tables.load(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey")
+      .withColumn("z", expr("interleave_bits(l_partkey, l_suppkey)"))
+      .withColumn("zcell", shiftright($"z", 12).cast("long"))
+      .groupBy($"zcell")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("part_min"), max($"l_partkey").as("part_max"),
+        min($"l_suppkey").as("supp_min"), max($"l_suppkey").as("supp_max"))
+      .select($"zcell", $"n_rows",
+        $"part_min", $"part_max", ($"part_max" - $"part_min").as("part_span"),
+        $"supp_min", $"supp_max", ($"supp_max" - $"supp_min").as("supp_span"))
+      .orderBy($"zcell")
+  }
+
+  /** The oracle evaluates the identical Morton key arithmetically: bit i
+    * of each operand, extracted with integer div/mod, shifted to its
+    * interleaved position — exact integer math both engines reproduce. */
+  private val zSql: String = (0 until 16).map { i =>
+    s"((l_partkey // ${1L << i}) % 2) * ${1L << (2 * i)}" +
+      s" + ((l_suppkey // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+  }.mkString(" + ")
+
+  private val profiledCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** ANALYZE-style one-pass column profile of lineitem's measures: row
+    * count, null count, exact NDV, min/max, and mean per column, emitted
+    * as one row per column — the statistics a cost-based optimizer (and
+    * any data-quality gate) runs against every warehouse table.
+    *
+    * One aggregation over one scan computes all four columns' metrics
+    * (Spark plans the multi-distinct via a single Expand — one shuffle,
+    * ×4 row multiplication, no per-column rescan of the 100 TB input);
+    * the per-column pivot to rows happens on the single result row.
+    * Mean = exact DECIMAL(38,6) sum ÷ non-null count, so both engines
+    * divide identical doubles (SURVEY §0.2.2); min/max/ndv are raw data
+    * values, accumulation-order-free.
+    */
+  val profileTable: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: profiledCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_cnt"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        sum(col(c).cast(DecimalType(38, 6))).as(s"${c}_sum"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(profiledCols.map { c =>
+        struct(
+          lit(c).as("col_name"),
+          $"n_rows",
+          ($"n_rows" - col(s"${c}_cnt")).as("n_nulls"),
+          col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_min").as("min_v"),
+          col(s"${c}_max").as("max_v"),
+          (col(s"${c}_sum").cast("double") / col(s"${c}_cnt")).as("avg_v"))
+      }: _*)).as("p"))
+      .select($"p.*")
+      .orderBy($"col_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "layout_zorder" -> layoutZorder,
+    "profile_table" -> profileTable)
+
+  val oracle: Map[String, String] = Map(
+    "layout_zorder" -> s"""
+      WITH z AS (
+        SELECT l_partkey, l_suppkey, CAST($zSql AS BIGINT) AS z
+        FROM lineitem)
+      SELECT z // 4096 AS zcell, COUNT(*) AS n_rows,
+             MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+             MAX(l_partkey) - MIN(l_partkey) AS part_span,
+             MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max,
+             MAX(l_suppkey) - MIN(l_suppkey) AS supp_span
+      FROM z GROUP BY zcell ORDER BY zcell""",
+    "profile_table" -> (profiledCols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT($c) AS n_nulls,
+             COUNT(DISTINCT $c) AS n_distinct,
+             MIN($c) AS min_v, MAX($c) AS max_v,
+             ${Qx.dsumSql(c)} / CAST(COUNT($c) AS DOUBLE) AS avg_v
+      FROM lineitem"""
+    }.mkString("\n      UNION ALL\n      ") + "\n      ORDER BY col_name"))
+}

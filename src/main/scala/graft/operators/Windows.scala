@@ -263,7 +263,44 @@ object Windows {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Truncated exponentially-weighted moving average (α = 1/2, last 8
+    * observations) of `value` per user — the standard time-series
+    * smoother, in the finite form both engines can evaluate exactly:
+    * ewma8 = Σⱼ wⱼ·x₍ₜ₋ⱼ₎ / Σⱼ wⱼ with wⱼ = 2⁻ʲ over the lags that
+    * exist (early rows renormalize over their shorter history).
+    *
+    * Determinism (why there is NO rounding here): every weight is a
+    * power of two, so each product wⱼ·x is IEEE-exact; the additions
+    * run left-to-right in the same written order in Spark and DuckDB,
+    * and the final division divides identical doubles — the unrounded
+    * result is bit-identical across engines (SURVEY §0.2.2 needs
+    * rounding only when accumulation ORDER differs; here it cannot).
+    *
+    * Scale: one window (hash-shuffle on user_id, sort within), 8 lag
+    * functions evaluated in a single WindowExec pass with O(8) state
+    * per partition — no self-join, no frame re-scan. The truncation is
+    * what makes this a scale operator: the infinite-history EWMA
+    * recurrence is inherently sequential, while the 8-term window form
+    * is one parallel pass with a fixed error bound of (1-α)⁸ < 0.4%.
+    */
+  val winEwma: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val terms = (0 until 8).map { j =>
+      val wgt = 1.0 / (1L << j)
+      val lj = if (j == 0) $"value" else lag($"value", j).over(w)
+      (coalesce(lj * wgt, lit(0.0)),
+        when(lj.isNotNull, lit(wgt)).otherwise(lit(0.0)))
+    }
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("ewma8",
+        terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_ewma" -> winEwma,
     "ts_anomaly_zscore" -> tsAnomalyZscore,
     "win_streak" -> winStreak,
     "ts_funnel" -> tsFunnel,
@@ -279,6 +316,27 @@ object Windows {
     "win_first_last" -> winFirstLast)
 
   val oracle: Map[String, String] = Map(
+    // Identical 8-term truncated EWMA; weight literals are exact powers
+    // of two, additions in the same written order — bit-identical
+    // doubles, so no ROUND (see winEwma scaladoc).
+    "win_ewma" -> {
+      val num = (0 until 8).map { j =>
+        val wgt = java.math.BigDecimal.valueOf(1.0 / (1L << j)).toPlainString
+        if (j == 0) s"value * $wgt"
+        else s"COALESCE(lag(value, $j) OVER w * $wgt, 0.0)"
+      }.mkString(" + ")
+      val den = (0 until 8).map { j =>
+        val wgt = java.math.BigDecimal.valueOf(1.0 / (1L << j)).toPlainString
+        if (j == 0) wgt
+        else s"CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN $wgt ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""
+      SELECT user_id, event_id, ts, value,
+             ($num) / ($den) AS ewma8
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ts, event_id"""
+    },
     "ts_anomaly_zscore" -> """
       WITH h AS (
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Aggs, CdcOps, SimOps}
+import graft.operators.{Aggs, CdcOps, SimOps, TextOps, WarehouseOps, Windows}
 
 /** Round-7 additions and hardening. */
 class Round7OpsSpec extends SparkSpec {
@@ -111,5 +111,103 @@ class Round7OpsSpec extends SparkSpec {
     // the checksums are exactly the varying dimension's codes.
     val byVec = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(byVec == Map(1L -> -128L, 2L -> 0L, 3L -> 127L), s"$byVec")
+  }
+
+  test("interleave_bits: codegen twiddle == per-bit arithmetic reference, incl. edges") {
+    import spark.implicits._
+    import graft.functions.BitExprs
+    BitExprs.register(spark)
+    val edges = Seq(0L, 1L, 2L, 0x5555L, 0xAAAAL, 0xFFFFL, 0x10000L, 123456789L)
+    val pairs = for (x <- edges; y <- edges) yield (x, y)
+    val got = pairs.toDF("x", "y")
+      .selectExpr("x", "y", "interleave_bits(x, y) AS z").collect()
+    got.foreach { r =>
+      val exp = BitExprs.mortonRef(r.getLong(0) & 0xFFFFL, r.getLong(1) & 0xFFFFL)
+      assert(r.getLong(2) == exp, s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // interleave is a bijection on 16-bit pairs: distinct inputs (mod
+    // 2^16) must give distinct codes — 0x10000 collapses onto 0.
+    val inBounds = got.filter(r => r.getLong(0) < 0x10000L && r.getLong(1) < 0x10000L)
+    assert(inBounds.map(_.getLong(2)).distinct.length == inBounds.length)
+  }
+
+  test("layout_zorder: cells partition the data and bound BOTH dimension spans") {
+    import spark.implicits._
+    val dir = sf("0.01")
+    val cells = WarehouseOps.layoutZorder(spark, dir).collect()
+    val total = Tables.load(spark, dir, "lineitem").count()
+    assert(cells.map(_.getLong(1)).sum == total, "cells must partition all rows")
+    // each zcell drops 6 low bits per dimension: spans are < 64 by
+    // construction — the zone-map-pruning property the layout exists for
+    assert(cells.forall(_.getLong(4) < 64), "part_span must be < 64 in every cell")
+    assert(cells.forall(_.getLong(7) < 64), "supp_span must be < 64 in every cell")
+    assert(cells.map(_.getLong(0)).distinct.length == cells.length)
+  }
+
+  test("profile_table: one row per profiled column, stats match direct queries") {
+    import spark.implicits._
+    val dir = sf("0.01")
+    val prof = WarehouseOps.profileTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val li = Tables.load(spark, dir, "lineitem")
+    val q = prof("l_quantity")
+    assert(q.getLong(1) == li.count())
+    assert(q.getLong(2) == 0, "no nulls in the fixture")
+    assert(q.getLong(3) == li.select($"l_quantity").distinct().count())
+    assert(q.getDouble(4) == 1.0 && q.getDouble(5) == 50.0,
+      s"quantity min/max: $q")
+  }
+
+  test("cdc_incremental_agg: merge(snapshot, delta) == full recompute, insert path live") {
+    import spark.implicits._
+    val dir = sf("0.01")
+    val merged = CdcOps.cdcIncrementalAgg(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val full = Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(38,6)")).cast("double").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(merged == full, "incremental merge must equal full recompute exactly")
+    // day-1 cutoff: some users have no snapshot row, so the merge's
+    // insert (null-snapshot) path is exercised, not just update
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val snapUsers = Tables.load(spark, dir, "events")
+      .filter($"ts" < lit(cutoff)).select($"user_id").distinct().count()
+    assert(snapUsers < merged.size, "cutoff must leave some users delta-only")
+  }
+
+  test("dedup_spans: first occurrence never counts, fractions in range, dups real") {
+    import spark.implicits._
+    val out = TextOps.dedupSpans(spark, sf("0.01")).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)),
+      "dup spans cannot exceed total spans")
+    assert(out.forall { r =>
+      val f = r.getDouble(3); f >= 0.0 && f <= 1.0 })
+    val totalDups = out.map(_.getLong(2)).sum
+    assert(totalDups > 0, "3-word spans over a 31-word vocab must collide")
+    // doc 0 is first in corpus order: its spans can only duplicate
+    // WITHIN the doc, so its dup count is bounded by n_spans - distinct
+    val d0 = out.find(_.getLong(0) == 0L).get
+    assert(d0.getLong(2) < d0.getLong(1))
+  }
+
+  test("win_ewma: renormalized truncated EWMA equals a sequential reference per user") {
+    import spark.implicits._
+    val rows = Windows.winEwma(spark, sf("0.001")).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, vs) =>
+      // rows arrive in (ts, event_id) order from the final sort
+      val xs = vs.map(_.getDouble(3))
+      vs.zipWithIndex.foreach { case (r, i) =>
+        val k = math.min(i + 1, 8)
+        val num = (0 until k).map(j => xs(i - j) / (1L << j)).sum
+        val den = (0 until k).map(j => 1.0 / (1L << j)).sum
+        assert(math.abs(r.getDouble(4) - num / den) < 1e-9,
+          s"row $i: ${r.getDouble(4)} vs ${num / den}")
+      }
+    }
   }
 }
