@@ -368,7 +368,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => AsOfStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughTopK)
     e.injectOptimizerRule(_ => RewriteRowNumberTopK)
+    // Scalar extension functions: any session built with this extensions
+    // class gets the codegen'd expressions on its SQL surface without a
+    // manual register call.
+    e.injectFunction(GraftExtensions.vecDot)
+    e.injectFunction(GraftExtensions.interleaveBits)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[plans] val vecDot =
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "vec_dot"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.DotProduct(exprs.head, exprs(1)): Expression)
+
+  private[plans] val interleaveBits =
+    (FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[graft.functions.InterleaveBits].getName,
+        "interleave_bits"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.InterleaveBits(exprs.head, exprs(1)): Expression)
 }
 
 object TopK {
@@ -397,6 +420,12 @@ object TopK {
       if (!exp.extraOptimizations.contains(RewriteRowNumberTopK))
         exp.extraOptimizations = exp.extraOptimizations :+ RewriteRowNumberTopK
     }
+    // Keep the SQL-function surface in lockstep with the extensions
+    // class: ensure() is the runtime-injection twin of GraftExtensions,
+    // so a driver-owned session gets the same functions either way
+    // (both registrations are idempotent check-before-register).
+    graft.functions.VectorExprs.register(spark)
+    graft.functions.BitExprs.register(spark)
   }
 
   /** Top-k rows per group of `df`, ranked by `orderKeys`

@@ -293,6 +293,27 @@ class TopKSpec extends SparkSpec {
     val rules = build("buildOptimizerRules")
     assert(rules.contains(graft.plans.PushFilterThroughTopK))
     assert(rules.contains(graft.plans.RewriteRowNumberTopK))
+    // the scalar extension functions ride the same entry point;
+    // registerFunctions needs a live catalog, so assert on the
+    // injected-builders list instead
+    val fnField = classOf[org.apache.spark.sql.SparkSessionExtensions]
+      .getDeclaredFields.find(_.getName.endsWith("injectedFunctions"))
+      .getOrElse(fail("injectedFunctions field not found"))
+    fnField.setAccessible(true)
+    val names = fnField.get(ext)
+      .asInstanceOf[scala.collection.mutable.Buffer[(
+        org.apache.spark.sql.catalyst.FunctionIdentifier, _, _)]]
+      .map(_._1.funcName).toSet
+    assert(names == Set("vec_dot", "interleave_bits"), s"$names")
+  }
+
+  test("ensure() exposes the scalar extension functions on the plain SQL surface") {
+    graft.plans.TopK.ensure(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "interleave_bits(3L, 1L) AS z").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 7L) // x=3 -> bits 0,2 ; y=1 -> bit 1 ; union = 7
   }
 
   test("ties at the k boundary are broken by the caller's tiebreak keys") {
