@@ -317,6 +317,58 @@ object StreamRunner {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class LastChange(us: Long, event_id: Long, typ: String, value: Double)
+  case class UpsertRow(user_id: Long, last_event_id: Long,
+                       last_ts: java.sql.Timestamp, last_type: String,
+                       last_value: Double, is_tombstone: Boolean)
+
+  /** Streaming CDC compaction — the continuously-maintained form of
+    * [[graft.operators.CdcOps.cdcUpsertLatest]]'s batch changelog
+    * compaction (Kafka log-compaction / upsert-sink semantics): per
+    * key, ValueState holds the single winning change row under the
+    * (ts, event_id) total order; each micro-batch emits one changelog
+    * row per key whose winner CHANGED, with `error` rows carried as
+    * tombstone markers for the downstream sink to delete on. State is
+    * O(1) per key over an unbounded keyspace — the raw log is never
+    * retained. Within a batch rows sort by full-precision event time;
+    * across batches a LATER-timestamped arrival always wins regardless
+    * of arrival batch (upserts are order-insensitive by key — unlike
+    * the tick join, no feed-ordering assumption is needed).
+    * Batch twin (oracle-checked): `stream_cdc_upsert` in [[Streamy]];
+    * StreamingSpec asserts final-state parity on the same rows. */
+  class UpsertProcessor extends StatefulProcessor[Long, Ev, UpsertRow] {
+    @transient private var cur: ValueState[LastChange] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[LastChange](
+        "lastChange", Encoders.product[LastChange], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[UpsertRow] = {
+      val incoming = rows.map(e =>
+        LastChange(tsMicros(e), e.event_id, e.event_type, e.value))
+        .maxByOption(c => (c.us, c.event_id))
+      val prior = if (cur.exists()) Some(cur.get()) else None
+      val winner = (prior.toSeq ++ incoming.toSeq)
+        .maxByOption(c => (c.us, c.event_id))
+      winner match {
+        case Some(w) if !prior.contains(w) =>
+          cur.update(w)
+          Iterator.single(UpsertRow(uid, w.event_id, microsToTs(w.us),
+            w.typ, w.value, w.typ == "error"))
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  def upsertLatest(events: Dataset[Ev]): Dataset[UpsertRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UpsertProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Arbitrary per-user state: running purchase count + exact cents
     * total, one update row emitted per purchase. State survives across
     * micro-batches; within a batch rows are ordered by (ts, event_id)

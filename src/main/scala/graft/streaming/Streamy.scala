@@ -263,7 +263,28 @@ object Streamy {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Batch twin of the streaming CDC compaction
+    * ([[StreamRunner.upsertLatest]]): the final upsert-sink state —
+    * latest change row per key under the (ts, event_id) total order,
+    * tombstones KEPT and flagged (the sink's delete markers), unlike
+    * [[graft.operators.CdcOps.cdcUpsertLatest]] which drops them.
+    * Routed through the native TopKPerGroup at k=1 — the exchange
+    * carries one row per (task, key), never the raw changelog. */
+  val streamCdcUpsert: Q = (s, dir) => {
+    import s.implicits._
+    graft.plans.TopK.perGroup(
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value"),
+      1, Seq("user_id"), Seq(("ts", true), ("event_id", true)))
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"ts".as("last_ts"), $"event_type".as("last_type"),
+        $"value".as("last_value"),
+        ($"event_type" === "error").as("is_tombstone"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_cdc_upsert" -> streamCdcUpsert,
     "stream_timer_session" -> streamTimerSession,
     "stream_window_topk" -> streamWindowTopk,
     "stream_interval_join" -> streamIntervalJoin,
@@ -276,6 +297,16 @@ object Streamy {
     "stream_stateful" -> streamStateful)
 
   val oracle: Map[String, String] = Map(
+    "stream_cdc_upsert" -> """
+      WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+             event_type AS last_type, value AS last_value,
+             event_type = 'error' AS is_tombstone
+      FROM ranked WHERE rn = 1 ORDER BY user_id""",
     "stream_timer_session" -> s"""
       WITH e AS (SELECT user_id, event_id, value,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

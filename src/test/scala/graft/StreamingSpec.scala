@@ -349,4 +349,35 @@ class StreamingSpec extends SparkSpec {
         s"late event must not be counted, got ${hour0.mkString(",")}")
     } finally q.stop()
   }
+
+  test("streaming CDC upsert: final state matches the batch compaction twin on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // real sf0.001 events, fed as three micro-batches split ARBITRARILY
+    // (hash of event_id, not time) — upserts are order-insensitive by
+    // key, so the final state must still equal the batch compaction
+    val all = Tables.load(spark, sf("0.001"),  "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val batches = all.groupBy(e => math.abs(e.event_id % 3)).toSeq
+      .sortBy(_._1).map(_._2)
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.upsertLatest(ms.toDS())
+      .writeStream.format("memory").queryName("upsert").outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      // last emission per key = the stream's final upsert-sink state
+      val emitted = spark.table("upsert")
+        .as[(Long, Long, Timestamp, String, Double, Boolean)].collect()
+      val finalState = emitted.groupBy(_._1).map { case (_, vs) =>
+        vs.maxBy(r => (r._3.getTime, r._3.getNanos, r._2)) }.toSet
+      val twin = graft.streaming.Streamy.streamCdcUpsert(spark, sf("0.001"))
+        .as[(Long, Long, Timestamp, String, Double, Boolean)].collect().toSet
+      assert(finalState == twin,
+        s"stream/batch divergence: ${(finalState diff twin).take(3)} vs ${(twin diff finalState).take(3)}")
+      // tombstone markers must surface (the delete path is non-vacuous)
+      assert(twin.exists(_._6), "fixture must contain tombstoned keys")
+    } finally q.stop()
+  }
 }
