@@ -383,7 +383,36 @@ object Aggs {
       .orderBy($"l_returnflag")
   }
 
+  /** Equi-width histogram of l_extendedprice (20 bins over the data's
+    * own [min, max]) — the distribution profile behind optimizer
+    * selectivity estimates and data-quality dashboards, and the natural
+    * companion of `profile_table`'s scalar stats.
+    *
+    * Two passes by necessity (bounds must exist before binning), but
+    * pass 1 is a 1-row min/max aggregate broadcast back onto the scan —
+    * the fact table shuffles only once, collapsed to ≤ 20 bin rows by a
+    * map-side-combined count. Determinism: bin = floor((x−mn)/width) is
+    * IEEE-identical on both engines given identical doubles (same ops,
+    * same order); the top value clamps into the last bin; bounds are
+    * reported rounded for display only. */
+  val aggHistogram: Q = (s, dir) => {
+    import s.implicits._
+    val nb = 20
+    val li = Tables.load(s, dir, "lineitem").select($"l_extendedprice".as("x"))
+    val stats = li.agg(min($"x").as("mn"), max($"x").as("mx"))
+    li.crossJoin(broadcast(stats))
+      .select(least(floor(($"x" - $"mn") / (($"mx" - $"mn") / nb)), lit(nb - 1))
+        .cast("long").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(stats))
+      .select($"bin", $"n",
+        round($"mn" + $"bin" * (($"mx" - $"mn") / nb), 4).as("bin_lo"),
+        round($"mn" + ($"bin" + 1) * (($"mx" - $"mn") / nb), 4).as("bin_hi"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_histogram" -> aggHistogram,
     "agg_hll_partial_merge" -> aggHllPartialMerge,
     "agg_approx_topk" -> aggApproxTopk,
     "agg_weighted_median" -> aggWeightedMedian,
@@ -408,6 +437,17 @@ object Aggs {
     "agg_percentile" -> aggPercentile)
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram" -> """
+      WITH s AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+                 FROM lineitem),
+      b AS (SELECT LEAST(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 20))
+                              AS BIGINT), 19) AS bin
+            FROM lineitem, s),
+      c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin)
+      SELECT bin, n,
+             ROUND(mn + bin * ((mx - mn) / 20), 4) AS bin_lo,
+             ROUND(mn + (bin + 1) * ((mx - mn) / 20), 4) AS bin_hi
+      FROM c, s ORDER BY bin""",
     "agg_approx_topk" -> """
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY event_type

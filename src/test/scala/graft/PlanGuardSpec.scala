@@ -33,7 +33,8 @@ class PlanGuardSpec extends SparkSpec {
     "domain_conditions" -> "contraindication catalog broadcast (bounded)",
     "agg_global" -> "single-row global aggregate joined back",
     "text_unigram_logprob" -> "1-row corpus token total cross-joined into the scorer",
-    "fn_math_logistic" -> "scalar stat row cross-joined for normalization")
+    "fn_math_logistic" -> "scalar stat row cross-joined for normalization",
+    "agg_histogram" -> "1-row min/max bounds broadcast for binning and labels")
 
   private def offenders(plan: SparkPlan): Seq[String] = {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]

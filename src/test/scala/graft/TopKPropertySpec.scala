@@ -50,4 +50,31 @@ class TopKPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, s"property falsified: $res")
   }
+
+  test("property: interleave_bits is a monotone bijection with the z-order locality law") {
+    import graft.functions.BitExprs.{mortonRef, spread}
+    val u16 = Gen.choose(0L, 0xFFFFL)
+    val prop = Prop.forAll(u16, u16, u16, u16) { (x1, y1, x2, y2) =>
+      val z1 = spread(x1) | (spread(y1) << 1)
+      val z2 = spread(x2) | (spread(y2) << 1)
+      val twiddleMatchesArithmetic =
+        z1 == mortonRef(x1, y1) && z2 == mortonRef(x2, y2)
+      val injective = (z1 == z2) == (x1 == x2 && y1 == y2)
+      // per-dimension monotonicity: fixing one coordinate, the z-order
+      // is ordered by the other — the property that makes range
+      // predicates on either dimension map to z-ranges.
+      val monotone =
+        (y1 != y2 || (x1 < x2) == (z1 < z2) || x1 == x2) &&
+        (x1 != x2 || (y1 < y2) == (z1 < z2) || y1 == y2)
+      // locality law behind the zcell bucketing: equal 2k-bit z-prefixes
+      // ⟺ both coordinates agree on their high (16−k) bits, for the
+      // k = 6 cell size layout_zorder uses.
+      val cellLaw =
+        ((z1 >> 12) == (z2 >> 12)) == ((x1 >> 6) == (x2 >> 6) && (y1 >> 6) == (y2 >> 6))
+      twiddleMatchesArithmetic && injective && monotone && cellLaw
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"property falsified: $res")
+  }
 }
