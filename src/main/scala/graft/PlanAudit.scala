@@ -335,7 +335,22 @@ object PlanAudit {
         |pass — constant state per row, no self-join, no frame rescan.
         |The infinite-recurrence EWMA is inherently sequential; the
         |8-term truncation (error < 0.4%) is what makes it one parallel
-        |window pass at any scale.""".stripMargin)
+        |window pass at any scale.""".stripMargin,
+    "stream_cdc_upsert" ->
+      """Upsert-sink state, batch twin (r7): TopKPerGroup k=1 — per-task
+        |bounded 1-heaps, exchange carries ≤ one row per (task, key),
+        |never the raw changelog. The streaming form
+        |(StreamRunner.upsertLatest) replaces even that with ONE
+        |ValueState row per key updated in place, emitting only keys
+        |whose winner changed per micro-batch.""".stripMargin,
+    "agg_histogram" ->
+      """Equi-width histogram (r7): pass 1 is a 1-row min/max aggregate;
+        |expect it to re-enter as a BroadcastNestedLoopJoin build side
+        |(1 row — bounded by construction, the allowlisted shape) onto
+        |the scan, then a two-phase HashAggregate on the bin id: the
+        |fact table crosses the exchange as ≤ 20 partial bin counts per
+        |task. The second 1-row broadcast labels bin bounds on the ≤ 20
+        |result rows — driver-trivial.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
