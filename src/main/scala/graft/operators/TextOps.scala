@@ -717,10 +717,16 @@ object TextOps {
     * (same routing, 8-byte keys) with a collision re-check, exactly the
     * dedup_ngram_jaccard recipe (TextOps.scala:161).
     */
-  val dedupSpans: Q = (s, dir) => {
-    import s.implicits._
+  val dedupSpans: Q = (s, dir) =>
+    spanStats(Tables.load(s, dir, "documents"))
+
+  /** Reusable core of [[dedupSpans]] over any (doc_id, text) frame —
+    * edge-cased on identical-doc / single-word micro fixtures in
+    * EdgeCaseSpec. */
+  private[graft] def spanStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = 3
-    val spans = Tables.load(s, dir, "documents")
+    val spans = docs
       .select($"doc_id", tokens($"text").as("ws"))
       .select($"doc_id", $"ws",
         explode(sequence(lit(0L), floor((size($"ws") - 1) / w).cast("long")))

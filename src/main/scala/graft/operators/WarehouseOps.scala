@@ -79,10 +79,14 @@ object WarehouseOps {
     * divide identical doubles (SURVEY §0.2.2); min/max/ndv are raw data
     * values, accumulation-order-free.
     */
-  val profileTable: Q = (s, dir) => {
-    import s.implicits._
-    val li = Tables.load(s, dir, "lineitem")
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: profiledCols.flatMap { c =>
+  val profileTable: Q = (s, dir) =>
+    profile(Tables.load(s, dir, "lineitem"), profiledCols)
+
+  /** One-pass multi-column profile over any numeric columns of `df` —
+    * the reusable core of [[profileTable]] (edge-cased on null-bearing
+    * micro fixtures in EdgeCaseSpec). */
+  private[graft] def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}_cnt"),
         countDistinct(col(c)).as(s"${c}_nd"),
@@ -90,19 +94,19 @@ object WarehouseOps {
         max(col(c)).as(s"${c}_max"),
         sum(col(c).cast(DecimalType(38, 6))).as(s"${c}_sum"))
     }
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(profiledCols.map { c =>
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
         struct(
           lit(c).as("col_name"),
-          $"n_rows",
-          ($"n_rows" - col(s"${c}_cnt")).as("n_nulls"),
+          col("n_rows"),
+          (col("n_rows") - col(s"${c}_cnt")).as("n_nulls"),
           col(s"${c}_nd").as("n_distinct"),
           col(s"${c}_min").as("min_v"),
           col(s"${c}_max").as("max_v"),
           (col(s"${c}_sum").cast("double") / col(s"${c}_cnt")).as("avg_v"))
       }: _*)).as("p"))
-      .select($"p.*")
-      .orderBy($"col_name")
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
   }
 
   val queries: Map[String, Q] = Map(

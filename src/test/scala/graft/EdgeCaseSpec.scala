@@ -24,6 +24,42 @@ class EdgeCaseSpec extends SparkSpec {
     (6L, 3L, "c6", null.asInstanceOf[String])
   ).toDF("med_id", "patient_id", "cui", "drug_class")
 
+  test("profile handles nulls: null rows excluded from ndv/avg, counted as n_nulls") {
+    val df = Seq(Some(1.0), None, Some(2.0), Some(2.0))
+      .toDF("a")
+    val p = graft.operators.WarehouseOps.profile(df, Seq("a")).collect()
+    assert(p.length == 1)
+    val r = p.head
+    assert(r.getString(0) == "a")
+    assert(r.getLong(1) == 4L, "n_rows counts null rows")
+    assert(r.getLong(2) == 1L, "n_nulls")
+    assert(r.getLong(3) == 2L, "ndv ignores nulls")
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 2.0)
+    assert(r.getDouble(6) == (1.0 + 2.0 + 2.0) / 3, "avg over NON-null count")
+  }
+
+  test("span dedup: identical later doc is fully duplicated; 1-word doc is 1 span") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // 2 spans, all first occurrences
+      (2L, "a b c d e f"),       // identical → both spans duplicated
+      (3L, "z")                  // single word → one 1-word span
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.spanStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, 0L, true)), s"first doc never dup: ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, false)), s"identical doc fully dup + dropped: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, true)), s"short doc one span: ${out(3L)}")
+  }
+
+  test("interleave_bits propagates nulls and ignores bits above 16") {
+    graft.functions.BitExprs.register(spark)
+    val r = spark.sql(
+      "SELECT interleave_bits(CAST(NULL AS BIGINT), 1L) AS a, " +
+        "interleave_bits(65537L, 0L) AS b, interleave_bits(1L, 0L) AS c").head()
+    assert(r.isNullAt(0), "null input must yield null")
+    assert(r.getLong(1) == r.getLong(2), "bit 16 must not leak into the code")
+  }
+
   test("self-overlap join finds duplicate-class pairs, null classes never match") {
     val a = meds.select($"med_id".as("m1"), $"patient_id".as("p1"), $"drug_class".as("dc1"))
     val b = meds.select($"med_id".as("m2"), $"patient_id".as("p2"), $"drug_class".as("dc2"))
