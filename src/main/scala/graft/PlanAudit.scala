@@ -350,7 +350,16 @@ object PlanAudit {
         |the scan, then a two-phase HashAggregate on the bin id: the
         |fact table crosses the exchange as ≤ 20 partial bin counts per
         |task. The second 1-row broadcast labels bin bounds on the ≤ 20
-        |result rows — driver-trivial.""".stripMargin)
+        |result rows — driver-trivial.""".stripMargin,
+    "join_asof_nearest" ->
+      """Nearest-in-time as-of (r7): TWO AsOfJoin nodes stacked — the
+        |outer (forward) consumes the inner (backward) DIRECTLY: expect
+        |exactly three hashpartitioning exchanges (one per scanned
+        |input) and NO exchange or sort between the two merges — the
+        |inner's declared output partitioning/ordering satisfies the
+        |outer's left-side requirement, so adding the second direction
+        |costs only the right-side scan. The window alternative would
+        |run two O(history²) self-join+rank passes.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -483,7 +483,46 @@ object Joins {
       .orderBy($"o_orderkey")
   }
 
+  /** Nearest-in-time as-of: each order matched to its customer's
+    * closest OTHER order in either direction — both native merge modes
+    * composed ([[graft.plans.AsOf.joinPrev]] then joinNext), then a
+    * row-local CASE picks the smaller day gap, ties to the past side
+    * (`dp <= dn` → prev; the documented contract). Strict time on both
+    * sides: a same-date order is neither prev nor next. The second
+    * merge reuses the first's hash partitioning on o_custkey — the
+    * plan carries one exchange per input, no re-shuffle between the
+    * two as-of passes, no window over the fact rows anywhere. */
+  val joinAsofNearest: Q = (s, dir) => {
+    import s.implicits._
+    val cur = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val prevDf = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("p_okey"), $"o_custkey".as("p_cust"),
+        $"o_orderdate".as("p_date"))
+    val nxtDf = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("n_okey"), $"o_custkey".as("n_cust"),
+        $"o_orderdate".as("n_date"))
+    val both = graft.plans.AsOf.joinNext(
+      graft.plans.AsOf.joinPrev(cur, prevDf,
+        Seq("o_custkey"), Seq("p_cust"), "o_orderdate", "p_date",
+        rightTiebreak = Seq("p_okey")),
+      nxtDf, Seq("o_custkey"), Seq("n_cust"), "o_orderdate", "n_date",
+      rightTiebreak = Seq("n_okey"))
+    val isPrev = $"dp".isNotNull && ($"dn".isNull || $"dp" <= $"dn")
+    both
+      .withColumn("dp", datediff($"o_orderdate", $"p_date"))
+      .withColumn("dn", datediff($"n_date", $"o_orderdate"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        when(isPrev, $"p_okey").otherwise($"n_okey").as("nearest_orderkey"),
+        when(isPrev, $"p_date").otherwise($"n_date").as("nearest_date"),
+        when(isPrev, lit("prev")).when($"dn".isNotNull, lit("next"))
+          .as("direction"),
+        when(isPrev, $"dp").otherwise($"dn").as("gap_days"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_nearest" -> joinAsofNearest,
     "join_asof_forward_native" -> joinAsofForwardNative,
     "join_asof_native" -> joinAsofNative,
     "join_asof_forward" -> joinAsofForward,
@@ -505,6 +544,47 @@ object Joins {
     "join_asof" -> joinAsof)
 
   val oracle: Map[String, String] = Map(
+    "join_asof_nearest" -> """
+      WITH p AS (
+        SELECT o_orderkey, prev_orderkey, prev_date FROM (
+          SELECT cur.o_orderkey, prev.o_orderkey AS prev_orderkey,
+                 prev.o_orderdate AS prev_date,
+                 ROW_NUMBER() OVER (PARTITION BY cur.o_orderkey
+                   ORDER BY prev.o_orderdate DESC NULLS LAST,
+                            prev.o_orderkey DESC NULLS LAST) AS rn
+          FROM orders cur LEFT JOIN orders prev
+            ON cur.o_custkey = prev.o_custkey
+           AND prev.o_orderdate < cur.o_orderdate)
+        WHERE rn = 1),
+      n AS (
+        SELECT o_orderkey, next_orderkey, next_date FROM (
+          SELECT cur.o_orderkey, nxt.o_orderkey AS next_orderkey,
+                 nxt.o_orderdate AS next_date,
+                 ROW_NUMBER() OVER (PARTITION BY cur.o_orderkey
+                   ORDER BY nxt.o_orderdate ASC NULLS LAST,
+                            nxt.o_orderkey ASC NULLS LAST) AS rn
+          FROM orders cur LEFT JOIN orders nxt
+            ON cur.o_custkey = nxt.o_custkey
+           AND nxt.o_orderdate > cur.o_orderdate)
+        WHERE rn = 1),
+      j AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               p.prev_orderkey, p.prev_date, n.next_orderkey, n.next_date,
+               CAST(date_diff('day', p.prev_date, o.o_orderdate) AS INTEGER) AS dp,
+               CAST(date_diff('day', o.o_orderdate, n.next_date) AS INTEGER) AS dn
+        FROM orders o
+        JOIN p ON p.o_orderkey = o.o_orderkey
+        JOIN n ON n.o_orderkey = o.o_orderkey)
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CASE WHEN dp IS NOT NULL AND (dn IS NULL OR dp <= dn)
+                  THEN prev_orderkey ELSE next_orderkey END AS nearest_orderkey,
+             CASE WHEN dp IS NOT NULL AND (dn IS NULL OR dp <= dn)
+                  THEN prev_date ELSE next_date END AS nearest_date,
+             CASE WHEN dp IS NOT NULL AND (dn IS NULL OR dp <= dn) THEN 'prev'
+                  WHEN dn IS NOT NULL THEN 'next' END AS direction,
+             CASE WHEN dp IS NOT NULL AND (dn IS NULL OR dp <= dn)
+                  THEN dp ELSE dn END AS gap_days
+      FROM j ORDER BY o_orderkey""",
     "join_asof_forward_native" -> """
       SELECT o_orderkey, o_custkey, o_orderdate, next_orderkey, next_date,
              CAST(date_diff('day', o_orderdate, next_date) AS INTEGER)
