@@ -142,7 +142,48 @@ object CdcOps {
       .orderBy($"user_id")
   }
 
+  /** Snapshot diff — the INVERSE of [[cdcMergeApply]]: given two
+    * versions of a table, emit the changelog that transforms old into
+    * new (`added` / `removed` / `changed` rows; unchanged rows are
+    * suppressed — at 100 TB they are ~the whole table and the diff is
+    * the point). The new version is derived deterministically from the
+    * old so all three paths are non-vacuous at every SF: keys ≡0 mod 13
+    * are dropped (removed), keys ≡0 mod 7 get a balance bump (changed),
+    * and a shifted key block re-enters as fresh rows (added).
+    *
+    * Scale: ONE full-outer shuffle join on the key — both snapshots
+    * partition once; the op/filter projection is row-local, so the
+    * output stream is only the changed fraction. This is how a
+    * warehouse publishes incremental extracts of a rebuilt table
+    * without shipping the whole rebuild downstream. */
+  val cdcSnapshotDiff: Q = (s, dir) => {
+    import s.implicits._
+    val old = Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    val neu = old
+      .filter($"c_custkey" % 13 =!= 0)
+      .withColumn("c_acctbal",
+        when($"c_custkey" % 7 === 0, $"c_acctbal" + 10.0)
+          .otherwise($"c_acctbal"))
+      .unionAll(old.filter($"c_custkey" < 50).select(
+        ($"c_custkey" + 100000).as("c_custkey"),
+        concat(lit("Customer#new"), $"c_custkey").as("c_name"),
+        $"c_acctbal"))
+    old.select($"c_custkey".as("key"), $"c_acctbal".as("old_bal"))
+      .join(neu.select($"c_custkey".as("nkey"), $"c_acctbal".as("new_bal")),
+        $"key" === $"nkey", "full_outer")
+      .withColumn("op",
+        when($"key".isNull, "added")
+          .when($"nkey".isNull, "removed")
+          .when($"old_bal" =!= $"new_bal", "changed"))
+      .filter($"op".isNotNull)
+      .select(coalesce($"key", $"nkey").as("custkey"),
+        $"op", $"old_bal", $"new_bal")
+      .orderBy($"custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "cdc_upsert_latest" -> cdcUpsertLatest,
     "scd2_intervals" -> scd2Intervals,
     "cdc_merge_apply" -> cdcMergeApply,
@@ -199,5 +240,28 @@ object CdcOps {
       SELECT user_id, COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
              MAX(ts) AS last_ts
-      FROM events GROUP BY user_id ORDER BY user_id""")
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "cdc_snapshot_diff" -> """
+      WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      neu AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM old WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 100000, 'Customer#new' || c_custkey, c_acctbal
+        FROM old WHERE c_custkey < 50),
+      d AS (
+        SELECT o.c_custkey AS key, o.c_acctbal AS old_bal,
+               n.c_custkey AS nkey, n.c_acctbal AS new_bal
+        FROM old o FULL OUTER JOIN neu n ON o.c_custkey = n.c_custkey),
+      ops AS (
+        SELECT COALESCE(key, nkey) AS custkey,
+               CASE WHEN key IS NULL THEN 'added'
+                    WHEN nkey IS NULL THEN 'removed'
+                    WHEN old_bal <> new_bal THEN 'changed' END AS op,
+               old_bal, new_bal
+        FROM d)
+      SELECT custkey, op, old_bal, new_bal
+      FROM ops WHERE op IS NOT NULL ORDER BY custkey""")
 }

@@ -299,7 +299,40 @@ object Windows {
       .orderBy($"user_id", $"ts", $"event_id")
   }
 
+  /** OHLC downsample — the canonical time-series resample: per (user,
+    * hour) bar, open = first value, close = last value (both under the
+    * total (ts, event_id) order), high/low = max/min, plus the bar's
+    * event count. One hash exchange on (user, hour) serves BOTH the
+    * open/close window and the final aggregate — the group-by keys
+    * equal the window partition keys, so Catalyst reuses the
+    * partitioning and no second shuffle of event rows exists (audited
+    * in PLANS.md). first_value/last_value run over the full frame in a
+    * single WindowExec pass. */
+  val tsResampleOhlc: Q = (s, dir) => {
+    import s.implicits._
+    val hour = date_trunc("hour", $"ts").as("bar_ts")
+    val w = Window.partitionBy($"user_id", $"bar_ts")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"value", hour)
+      .withColumn("open", first($"value").over(w))
+      .withColumn("close", last($"value").over(w))
+      .groupBy($"user_id", $"bar_ts")
+      .agg(
+        // min, not first: every row in the bar carries the same
+        // open/close, and min is deterministic by definition where
+        // first() documents itself as any-value
+        min($"open").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        min($"close").as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"bar_ts")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_resample_ohlc" -> tsResampleOhlc,
     "win_ewma" -> winEwma,
     "ts_anomaly_zscore" -> tsAnomalyZscore,
     "win_streak" -> winStreak,
@@ -316,6 +349,25 @@ object Windows {
     "win_first_last" -> winFirstLast)
 
   val oracle: Map[String, String] = Map(
+    "ts_resample_ohlc" -> """
+      WITH e AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                 AS bar_ts
+        FROM events),
+      oc AS (
+        SELECT user_id, bar_ts, value,
+               first_value(value) OVER w AS open,
+               last_value(value) OVER w AS close
+        FROM e
+        WINDOW w AS (PARTITION BY user_id, bar_ts ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING))
+      SELECT user_id, bar_ts,
+             MIN(open) AS open, MAX(value) AS high, MIN(value) AS low,
+             MIN(close) AS close, COUNT(*) AS n_events
+      FROM oc GROUP BY user_id, bar_ts
+      ORDER BY user_id, bar_ts""",
     // Identical 8-term truncated EWMA; weight literals are exact powers
     // of two, additions in the same written order — bit-identical
     // doubles, so no ROUND (see winEwma scaladoc).

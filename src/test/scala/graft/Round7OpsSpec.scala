@@ -195,6 +195,36 @@ class Round7OpsSpec extends SparkSpec {
     assert(d0.getLong(2) < d0.getLong(1))
   }
 
+  test("cdc_snapshot_diff: three change classes, disjoint and complete, no unchanged leak") {
+    import spark.implicits._
+    val out = CdcOps.cdcSnapshotDiff(spark, sf("0.01")).collect()
+    val byOp = out.groupBy(_.getString(1))
+    assert(byOp.keySet == Set("added", "removed", "changed"), s"${byOp.keySet}")
+    assert(byOp("added").forall(r => r.getLong(0) >= 100000L && r.isNullAt(2)))
+    assert(byOp("removed").forall(r => r.getLong(0) % 13 == 0 && r.isNullAt(3)))
+    assert(byOp("changed").forall { r =>
+      val k = r.getLong(0)
+      k % 7 == 0 && k % 13 != 0 && r.getDouble(3) == r.getDouble(2) + 10.0
+    })
+    // completeness against the derivation: 50 inserts, |old|/13 deletes
+    assert(byOp("added").length == 50)
+    assert(byOp("removed").length == 1500 / 13 + 1) // keys 0,13,...,1495
+  }
+
+  test("ts_resample_ohlc: bar invariants hold and bars partition the event stream") {
+    import spark.implicits._
+    val dir = sf("0.01")
+    val bars = Windows.tsResampleOhlc(spark, dir).collect()
+    bars.foreach { r =>
+      val (open, high, low, close) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(high >= math.max(open, close) && low <= math.min(open, close),
+        s"OHLC invariant violated: $r")
+    }
+    val total = Tables.load(spark, dir, "events").count()
+    assert(bars.map(_.getLong(6)).sum == total, "bars must partition all events")
+  }
+
   test("win_ewma: renormalized truncated EWMA equals a sequential reference per user") {
     import spark.implicits._
     val rows = Windows.winEwma(spark, sf("0.001")).collect()
