@@ -182,7 +182,43 @@ object CdcOps {
       .orderBy($"custkey")
   }
 
+  /** Composed CDC round trip — the pipeline identity that makes the
+    * §2.12 surface trustworthy as a SYSTEM, not just as parts:
+    * `diff(old, apply(old, changelog))` must surface exactly the
+    * changelog's net effect. Stage 1 is [[cdcMergeApply]] verbatim
+    * (compacted changeset MERGEd into the snapshot window); stage 2
+    * diffs that result against the original snapshot. `added` rows are
+    * the changelog's inserts (users below the snapshot window),
+    * `removed` its effective tombstones, `changed` its balance updates
+    * — an update whose value happens to equal the old balance is
+    * correctly suppressed (no net change). Oracle-checked end to end
+    * as ONE query, so the composition itself — not just each stage —
+    * is hash-verified against DuckDB.
+    *
+    * Scale: stage 1's plan (compaction heaps + one full-outer join)
+    * flows straight into stage 2's diff join; the only data-scaled
+    * exchanges are the per-key hash partitions, and the final output
+    * is the changed fraction only. */
+  val cdcPipelineRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val old = Tables.load(s, dir, "customer")
+      .filter($"c_custkey" >= 50 && $"c_custkey" < 300)
+      .select($"c_custkey".as("key"), $"c_acctbal".as("old_bal"))
+    val neu = cdcMergeApply(s, dir)
+      .select($"custkey".as("nkey"), $"acctbal".as("new_bal"))
+    old.join(neu, $"key" === $"nkey", "full_outer")
+      .withColumn("op",
+        when($"key".isNull, "added")
+          .when($"nkey".isNull, "removed")
+          .when($"old_bal" =!= $"new_bal", "changed"))
+      .filter($"op".isNotNull)
+      .select(coalesce($"key", $"nkey").as("custkey"),
+        $"op", $"old_bal", $"new_bal")
+      .orderBy($"custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_cdc_roundtrip" -> cdcPipelineRoundtrip,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "cdc_upsert_latest" -> cdcUpsertLatest,
     "scd2_intervals" -> scd2Intervals,
@@ -241,6 +277,44 @@ object CdcOps {
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
              MAX(ts) AS last_ts
       FROM events GROUP BY user_id ORDER BY user_id""",
+    "pipeline_cdc_roundtrip" -> """
+      WITH target AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey >= 50 AND c_custkey < 300),
+      ranked AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      changes AS (
+        SELECT user_id, event_type AS chg_type, value AS chg_value
+        FROM ranked WHERE rn = 1),
+      merged AS (
+        SELECT t.c_custkey, t.c_acctbal, c.user_id, c.chg_type, c.chg_value,
+               CASE WHEN t.c_custkey IS NULL THEN 'inserted'
+                    WHEN c.chg_type IS NULL THEN 'kept'
+                    WHEN c.chg_type = 'error' THEN 'deleted'
+                    ELSE 'updated' END AS op
+        FROM target t FULL OUTER JOIN changes c ON t.c_custkey = c.user_id),
+      new_snap AS (
+        SELECT COALESCE(c_custkey, user_id) AS nkey,
+               CASE WHEN op = 'kept' THEN c_acctbal ELSE chg_value END AS new_bal
+        FROM merged WHERE op <> 'deleted'),
+      old AS (
+        SELECT c_custkey AS key, c_acctbal AS old_bal FROM customer
+        WHERE c_custkey >= 50 AND c_custkey < 300),
+      d AS (
+        SELECT key, old_bal, nkey, new_bal
+        FROM old FULL OUTER JOIN new_snap ON key = nkey),
+      ops AS (
+        SELECT COALESCE(key, nkey) AS custkey,
+               CASE WHEN key IS NULL THEN 'added'
+                    WHEN nkey IS NULL THEN 'removed'
+                    WHEN old_bal <> new_bal THEN 'changed' END AS op,
+               old_bal, new_bal
+        FROM d)
+      SELECT custkey, op, old_bal, new_bal
+      FROM ops WHERE op IS NOT NULL ORDER BY custkey""",
     "cdc_snapshot_diff" -> """
       WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
       neu AS (

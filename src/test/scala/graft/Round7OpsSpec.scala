@@ -211,6 +211,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(byOp("removed").length == 1500 / 13 + 1) // keys 0,13,...,1495
   }
 
+  test("pipeline_cdc_roundtrip: diff(old, apply(old, log)) surfaces exactly the log's net effect") {
+    import spark.implicits._
+    val dir = sf("0.01")
+    val out = CdcOps.cdcPipelineRoundtrip(spark, dir).collect()
+    val byOp = out.groupBy(_.getString(1))
+    assert(byOp.keySet == Set("added", "removed", "changed"), s"${byOp.keySet}")
+    // the diff must recover the changelog's semantics from the snapshots
+    val latest = CdcOps.scd2Intervals(spark, dir)
+      .filter($"is_current").select($"user_id", $"value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byOp("added").forall(_.getLong(0) < 50), "adds = inserts below window")
+    byOp("changed").foreach { r =>
+      assert(r.getDouble(3) == latest(r.getLong(0)),
+        s"changed key ${r.getLong(0)} must land on the changelog's latest value")
+    }
+    // removed keys are exactly the tombstoned ones inside the window
+    val snap = CdcOps.cdcUpsertLatest(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(byOp("removed").forall(r => !snap.contains(r.getLong(0))),
+      "removed keys must be absent from the compacted (tombstone-dropped) snapshot")
+  }
+
   test("ts_resample_ohlc: bar invariants hold and bars partition the event stream") {
     import spark.implicits._
     val dir = sf("0.01")
