@@ -359,7 +359,16 @@ object PlanAudit {
         |inner's declared output partitioning/ordering satisfies the
         |outer's left-side requirement, so adding the second direction
         |costs only the right-side scan. The window alternative would
-        |run two O(history²) self-join+rank passes.""".stripMargin)
+        |run two O(history²) self-join+rank passes.""".stripMargin,
+    "pipeline_cdc_roundtrip" ->
+      """Composed CDC round trip (r7): merge-apply's plan (TopK k=1
+        |compaction + full-outer MERGE join) flows DIRECTLY into the
+        |diff's second full-outer join — expect the compaction heaps,
+        |two key-hashed full-outer joins, and row-local CASE
+        |projections, with no window over fact rows and no re-derivation
+        |of the changeset between stages. The output stream is the
+        |changed fraction only — what a 100 TB refresh would publish
+        |downstream instead of the rebuilt table.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

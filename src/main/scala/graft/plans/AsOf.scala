@@ -233,6 +233,19 @@ case class AsOfJoinExec(
 }
 
 object AsOf {
+  /** Design note — why there is NO `RewriteRowNumberTopK`-style
+    * optimizer rule replanning the SQL as-of idiom (inequality join +
+    * per-left-key row_number + rn=1 filter) onto this operator: that
+    * rewrite is UNSOUND in general. The window form partitions by the
+    * left-side key COLUMNS and keeps one row per key VALUE; the as-of
+    * operator keeps one match per left ROW. They coincide only when the
+    * partition columns functionally determine left rows — a property
+    * the optimizer cannot prove from the plan. (This is why engines
+    * with native as-of expose it as explicit syntax rather than derive
+    * it from window patterns.) The TopK rewrite has no such gap — its
+    * window and native semantics agree for any key multiplicity —
+    * which is why it exists and this one deliberately does not. */
+
   /** As-of join `left` to the most recent `right` row per key: strict
     * (`rightTime < leftTime`, the default) or inclusive. Column names
     * resolve with the session resolver and reject ambiguity, as in
