@@ -138,4 +138,34 @@ class InvariantSpec extends SparkSpec {
       assert(pn._3 == p1._3, s"AsOf.joinNext differs at $n partitions")
     }
   }
+
+  test("round-7 queries are invariant to AQE and shuffle-partition config") {
+    // Every checked query carries a total ORDER BY (SURVEY §0.2.1), so
+    // its collected row sequence must be bit-identical however the
+    // engine partitions or re-plans — the property the driver's hash
+    // compare silently relies on.
+    val keys = Seq("layout_zorder", "profile_table", "cdc_incremental_agg",
+      "dedup_spans", "win_ewma", "stream_cdc_upsert", "agg_histogram",
+      "join_asof_nearest", "cdc_snapshot_diff", "ts_resample_ohlc",
+      "pipeline_cdc_roundtrip", "cdc_upsert_latest")
+    def runAll(): Map[String, Seq[String]] =
+      keys.map { k =>
+        k -> SparkEntry.queries(k)(spark, sf("0.001"))
+          .collect().map(_.toString).toSeq
+      }.toMap
+    val base = runAll()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val alt = runAll()
+      keys.foreach { k =>
+        assert(alt(k) == base(k), s"$k differs under AQE-off/7 partitions")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
