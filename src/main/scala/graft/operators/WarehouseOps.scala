@@ -109,9 +109,48 @@ object WarehouseOps {
       .orderBy(col("col_name"))
   }
 
+  /** The z-order WRITE path end to end: lineitem is range-partitioned
+    * on the Morton key ([[layoutZorder]] computes the same key's cell
+    * stats analytically), sorted within partitions, written to parquet,
+    * and RE-READ through a two-dimensional predicate — the exact
+    * workload the layout exists for. The oracle filters the original
+    * table directly, so the check proves the clustered write is
+    * lossless and the layout is purely physical. ZorderSinkSpec opens
+    * each written file and asserts both dimensions' min/max spans are
+    * bounded — the zone-map evidence at the FILE level, which is what
+    * a 100 TB scan's row-group pruning actually consults.
+    *
+    * `repartitionByRange` samples range bounds; the bounds (hence file
+    * membership) may vary run to run, but the query RESULT is
+    * layout-independent by construction — only scan cost varies.
+    * Locally the pruning shows as parquet row-group stats; results are
+    * identical either way, which is exactly the claim. */
+  val sinkParquetZordered: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.BitExprs.register(s)
+    val out = Qx.tmpOut("zord", dir)
+    Tables.load(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity", $"l_extendedprice")
+      .withColumn("z", expr("interleave_bits(l_partkey, l_suppkey)"))
+      .repartitionByRange(8, $"z")
+      .sortWithinPartitions($"z")
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    // the 2-D band is non-vacuous at EVERY SF (keys scale with SF;
+    // 20≤part<120 ∧ 2≤supp<8 matches 1806/176/19 rows at
+    // sf0.001/0.01/0.1 — §0.2.8 teeth at all scales)
+    s.read.parquet(out)
+      .filter($"l_partkey" >= 20 && $"l_partkey" < 120 &&
+        $"l_suppkey" >= 2 && $"l_suppkey" < 8)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"l_quantity").as("qty"))
+      .orderBy($"l_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "layout_zorder" -> layoutZorder,
-    "profile_table" -> profileTable)
+    "profile_table" -> profileTable,
+    "sink_parquet_zordered" -> sinkParquetZordered)
 
   val oracle: Map[String, String] = Map(
     "layout_zorder" -> s"""
@@ -124,6 +163,16 @@ object WarehouseOps {
              MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max,
              MAX(l_suppkey) - MIN(l_suppkey) AS supp_span
       FROM z GROUP BY zcell ORDER BY zcell""",
+    // The clustered write must be lossless: the oracle reads the
+    // ORIGINAL table — any row lost/duplicated by the layout write
+    // would hash-mismatch.
+    "sink_parquet_zordered" -> """
+      SELECT l_suppkey, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_partkey >= 20 AND l_partkey < 120
+        AND l_suppkey >= 2 AND l_suppkey < 8
+      GROUP BY l_suppkey ORDER BY l_suppkey""",
     "profile_table" -> (profiledCols.map { c =>
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
              COUNT(*) - COUNT($c) AS n_nulls,

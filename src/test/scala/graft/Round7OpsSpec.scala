@@ -246,6 +246,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(bars.map(_.getLong(6)).sum == total, "bars must partition all events")
   }
 
+  test("z-ordered sink: written files bound BOTH dimensions (file-level zone-map evidence)") {
+    import spark.implicits._
+    val dir = sf("0.01")
+    WarehouseOps.sinkParquetZordered(spark, dir).collect() // runs the write
+    val out = Qx.tmpOut("zord", dir)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length >= 4, s"expected several range files, got ${files.length}")
+    val g = spark.read.parquet(out).agg(
+      (max($"l_partkey") - min($"l_partkey")).as("ps"),
+      (max($"l_suppkey") - min($"l_suppkey")).as("ss")).head()
+    val gArea = (g.getLong(0) + 1.0) * (g.getLong(1) + 1.0)
+    val areas = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath).agg(
+        max($"l_partkey") - min($"l_partkey"),
+        max($"l_suppkey") - min($"l_suppkey")).head()
+      (r.getLong(0) + 1.0) * (r.getLong(1) + 1.0)
+    }
+    val meanArea = areas.sum / areas.length
+    // a random (unclustered) write gives every file ~the global area;
+    // contiguous z-ranges must shrink the mean bounding box sharply
+    assert(meanArea < gArea / 2.0,
+      s"files not z-clustered: mean area $meanArea vs global $gArea")
+  }
+
   test("win_ewma: renormalized truncated EWMA equals a sequential reference per user") {
     import spark.implicits._
     val rows = Windows.winEwma(spark, sf("0.001")).collect()
