@@ -369,6 +369,60 @@ object StreamRunner {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class OpenVersion(us: Long, event_id: Long, value: Double)
+  case class ClosedVersion(user_id: Long, event_id: Long, value: Double,
+                           valid_from: java.sql.Timestamp,
+                           valid_to: java.sql.Timestamp)
+
+  /** Streaming SCD-2 history build — the continuously-maintained form
+    * of [[graft.operators.CdcOps.scd2Intervals]]: per key, ValueState
+    * holds only the OPEN version; each newer change CLOSES it (emitting
+    * the finished `[valid_from, valid_to)` interval downstream) and
+    * opens the next. Exactly the closed rows of the batch build are
+    * emitted — the open version is state, not output, so no
+    * end-of-stream flush is needed and history lands downstream as it
+    * is sealed. State is O(1) per key; the full history lives in the
+    * sink, never in the store.
+    *
+    * Ordering contract (same as [[AsOfQuoteProcessor]]): within a
+    * micro-batch rows sort by the full-precision (ts, event_id) key;
+    * ACROSS batches the per-key feed is assumed time-ordered — an
+    * out-of-order arrival cannot rewrite an interval already emitted.
+    * Parity: StreamingSpec replays real events in chronological
+    * batches and asserts the emitted intervals equal the batch twin's
+    * closed versions. */
+  class Scd2Processor extends StatefulProcessor[Long, Ev, ClosedVersion] {
+    @transient private var open: ValueState[OpenVersion] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenVersion](
+        "openVersion", Encoders.product[OpenVersion], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[ClosedVersion] = {
+      var cur = if (open.exists()) Some(open.get()) else None
+      val out = scala.collection.mutable.ListBuffer.empty[ClosedVersion]
+      rows.toSeq.sortBy(evKey).foreach { e =>
+        val t = tsMicros(e)
+        cur.foreach { o =>
+          out += ClosedVersion(uid, o.event_id, o.value,
+            microsToTs(o.us), microsToTs(t))
+        }
+        cur = Some(OpenVersion(t, e.event_id, e.value))
+      }
+      cur.foreach(open.update)
+      out.iterator
+    }
+  }
+
+  def scd2Stream(events: Dataset[Ev]): Dataset[ClosedVersion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Arbitrary per-user state: running purchase count + exact cents
     * total, one update row emitted per purchase. State survives across
     * micro-batches; within a batch rows are ordered by (ts, event_id)

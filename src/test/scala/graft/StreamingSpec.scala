@@ -380,4 +380,31 @@ class StreamingSpec extends SparkSpec {
       assert(twin.exists(_._6), "fixture must contain tombstoned keys")
     } finally q.stop()
   }
+
+  test("streaming SCD-2: emitted closed intervals equal the batch twin's sealed versions") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // chronological batches (the documented ordered-feed contract)
+    val all = Tables.load(spark, sf("0.001"), "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val batches = all.grouped((all.size + 2) / 3).toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.scd2Stream(ms.toDS())
+      .writeStream.format("memory").queryName("scd2s").outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      val emitted = spark.table("scd2s")
+        .as[(Long, Long, Double, Timestamp, Timestamp)].collect().toSet
+      val twin = graft.operators.CdcOps.scd2Intervals(spark, sf("0.001"))
+        .filter($"valid_to".isNotNull) // sealed versions only
+        .select($"user_id", $"event_id", $"value", $"valid_from", $"valid_to")
+        .as[(Long, Long, Double, Timestamp, Timestamp)].collect().toSet
+      assert(emitted == twin,
+        s"stream/batch divergence: ${(emitted diff twin).take(3)} vs ${(twin diff emitted).take(3)}")
+      assert(emitted.nonEmpty)
+    } finally q.stop()
+  }
 }
