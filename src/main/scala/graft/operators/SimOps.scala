@@ -200,19 +200,47 @@ object SimOps {
     * unchanged. No oracle (cell boundaries aren't ANSI-expressible);
     * deterministic by construction — see the recall + determinism
     * assertions in Round4OpsSpec. */
+  /** Max vectors the IVF coarse quantizer trains on. Small enough that
+    * a single task holds the sample trivially (4096 × 64 doubles ≈
+    * 2 MB), large enough that at every tested SF the sample is the
+    * whole corpus (so small-SF recall is unchanged by sampling). */
+  private[graft] val IvfFitCap = 4096
+
+  /** Deterministic bounded training sample for the IVF quantizer:
+    * global top-[[IvfFitCap]] rows by (md5(vec_id), vec_id) — the same
+    * pure-hash membership discipline as split_train_holdout, so the
+    * sample is stable across runs, engines, and partitionings, and a
+    * vector never migrates in or out when unrelated data arrives.
+    * Executes as sort+limit = per-partition bounded top-k heaps merged
+    * at the driver (≤ cap rows), never a full-corpus sort or collect:
+    * the fit input is O(cap) no matter the corpus size. The survivors
+    * are re-sorted by vec_id into ONE partition so the KMeans
+    * center-update reduction order — and therefore every float sum —
+    * is identical run to run (bit-determinism of the trained model). */
+  private[graft] def ivfTrainingSample(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select($"vec_id", $"v")
+      .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
+      .limit(IvfFitCap)
+      .coalesce(1)
+      .sortWithinPartitions($"vec_id")
+  }
+
   val simAnnIvf: Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = vectorsWithNorm(s, dir)
-    // Full-corpus fit at bench SFs (sub-sampling measured a recall drop
-    // at sf0.001's 200 vectors); at 100 TB the coarse quantizer is fit
-    // on a bounded deterministic sample instead — the serving path
-    // below is unchanged either way.
+    // Bounded-sample fit: ≤ IvfFitCap vectors, hash-chosen, one sorted
+    // partition (bit-deterministic). At the tested SFs the cap exceeds
+    // the corpus so the sample IS the corpus — identical training to
+    // the exhaustive fit; at 100 TB the fit stays a single 2 MB task
+    // while the serving path below (broadcast centroids + distributed
+    // argmax assignment) is what scales with the data.
     val model = new KMeans().setK(16).setSeed(20260812L).setMaxIter(5)
       .setFeaturesCol("fv")
-      .fit(e.orderBy($"vec_id").coalesce(1)
-        .select(array_to_vector($"v").as("fv")))
+      .fit(ivfTrainingSample(e).select(array_to_vector($"v").as("fv")))
     val cents = s.createDataFrame(
         model.clusterCenters.toIndexedSeq.zipWithIndex
           .map { case (c, i) => (i.toLong, c.toArray) })
