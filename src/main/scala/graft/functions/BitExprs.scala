@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Morton (Z-order) bit interleave — the clustering key behind
@@ -29,7 +29,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * allocation.
   */
 case class InterleaveBits(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // Declared input types give non-BIGINT arguments (e.g. INT literals
+  // via the SQL registration) an analysis-time implicit cast — or a
+  // typed analysis error — instead of a runtime ClassCastException /
+  // uncompilable codegen, matching Spark's own bit expressions.
+  // (Covariant Seq[DataType] — AbstractDataType is private[sql].)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def dataType: DataType = LongType
 

@@ -149,7 +149,12 @@ object CdcOps {
     * the point). The new version is derived deterministically from the
     * old so all three paths are non-vacuous at every SF: keys ≡0 mod 13
     * are dropped (removed), keys ≡0 mod 7 get a balance bump (changed),
-    * and a shifted key block re-enters as fresh rows (added).
+    * and a shifted key block re-enters as fresh rows (added). The shift
+    * is max(c_custkey)+1 — derived from the data, not a constant — so
+    * the injected keys can never collide with real ones at any SF (a
+    * fixed +100000 would collide once the table holds ≥100000 keys,
+    * fanning out the full-outer join and breaking the added/removed/
+    * changed disjointness). The 1-row max broadcasts.
     *
     * Scale: ONE full-outer shuffle join on the key — both snapshots
     * partition once; the op/filter projection is row-local, so the
@@ -165,10 +170,12 @@ object CdcOps {
       .withColumn("c_acctbal",
         when($"c_custkey" % 7 === 0, $"c_acctbal" + 10.0)
           .otherwise($"c_acctbal"))
-      .unionAll(old.filter($"c_custkey" < 50).select(
-        ($"c_custkey" + 100000).as("c_custkey"),
-        concat(lit("Customer#new"), $"c_custkey").as("c_name"),
-        $"c_acctbal"))
+      .unionAll(old.filter($"c_custkey" < 50)
+        .crossJoin(broadcast(old.agg((max($"c_custkey") + 1).as("k_shift"))))
+        .select(
+          ($"c_custkey" + $"k_shift").as("c_custkey"),
+          concat(lit("Customer#new"), $"c_custkey").as("c_name"),
+          $"c_acctbal"))
     old.select($"c_custkey".as("key"), $"c_acctbal".as("old_bal"))
       .join(neu.select($"c_custkey".as("nkey"), $"c_acctbal".as("new_bal")),
         $"key" === $"nkey", "full_outer")
@@ -323,7 +330,8 @@ object CdcOps {
                     ELSE c_acctbal END AS c_acctbal
         FROM old WHERE c_custkey % 13 <> 0
         UNION ALL
-        SELECT c_custkey + 100000, 'Customer#new' || c_custkey, c_acctbal
+        SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+               'Customer#new' || c_custkey, c_acctbal
         FROM old WHERE c_custkey < 50),
       d AS (
         SELECT o.c_custkey AS key, o.c_acctbal AS old_bal,

@@ -184,22 +184,6 @@ object SimOps {
       .orderBy($"d1")
   }
 
-  /** ANN via IVF (inverted-file) coarse quantization — the other
-    * standard scale path next to LSH: a small fixed centroid set
-    * broadcasts, every vector is assigned to its nearest centroid
-    * (argmax cosine, computed distributed as max-of-struct — no window,
-    * no shuffle beyond the final groupBy), and probes search only their
-    * own cell (nprobe=1). All-pairs O(n²) becomes per-cell joins whose
-    * fan-in is n/K on balanced data; on a cluster the assignment is one
-    * broadcast-join pass over the corpus. Centroids are TRAINED with
-    * MLlib KMeans (fixed seed, fixed iteration count, single sorted
-    * training partition so the center-update reduction order — and
-    * therefore every float sum — is identical run to run: the output
-    * stays bit-deterministic). At 100 TB one trains on a sample; the
-    * serving path (broadcast centroids + argmax assignment) is
-    * unchanged. No oracle (cell boundaries aren't ANSI-expressible);
-    * deterministic by construction — see the recall + determinism
-    * assertions in Round4OpsSpec. */
   /** Max vectors the IVF coarse quantizer trains on. Small enough that
     * a single task holds the sample trivially (4096 × 64 doubles ≈
     * 2 MB), large enough that at every tested SF the sample is the
@@ -227,6 +211,21 @@ object SimOps {
       .sortWithinPartitions($"vec_id")
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization — the other
+    * standard scale path next to LSH: a small fixed centroid set
+    * broadcasts, every vector is assigned to its nearest centroid
+    * (argmax cosine, computed distributed as max-of-struct — no window,
+    * no shuffle beyond the final groupBy), and probes search only their
+    * own cell (nprobe=1). All-pairs O(n²) becomes per-cell joins whose
+    * fan-in is n/K on balanced data; on a cluster the assignment is one
+    * broadcast-join pass over the corpus. Centroids are TRAINED with
+    * MLlib KMeans (fixed seed, fixed iteration count) on the bounded
+    * deterministic [[ivfTrainingSample]] — a single sorted training
+    * partition so the center-update reduction order, and therefore
+    * every float sum, is identical run to run: the output stays
+    * bit-deterministic. No oracle (cell boundaries aren't
+    * ANSI-expressible); deterministic by construction — see the
+    * recall + determinism assertions in Round4OpsSpec. */
   val simAnnIvf: Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans

@@ -372,15 +372,18 @@ object Windows {
     // of two, additions in the same written order — bit-identical
     // doubles, so no ROUND (see winEwma scaladoc).
     "win_ewma" -> {
+      // j=0 handles a null value exactly like every other lag (COALESCE
+      // numerator, zeroed weight) — symmetric with the Spark side, so a
+      // null current value renormalizes over the lags instead of
+      // diverging between engines.
+      def lagExpr(j: Int) = if (j == 0) "value" else s"lag(value, $j) OVER w"
       val num = (0 until 8).map { j =>
         val wgt = java.math.BigDecimal.valueOf(1.0 / (1L << j)).toPlainString
-        if (j == 0) s"value * $wgt"
-        else s"COALESCE(lag(value, $j) OVER w * $wgt, 0.0)"
+        s"COALESCE(${lagExpr(j)} * $wgt, 0.0)"
       }.mkString(" + ")
       val den = (0 until 8).map { j =>
         val wgt = java.math.BigDecimal.valueOf(1.0 / (1L << j)).toPlainString
-        if (j == 0) wgt
-        else s"CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN $wgt ELSE 0.0 END"
+        s"CASE WHEN ${lagExpr(j)} IS NOT NULL THEN $wgt ELSE 0.0 END"
       }.mkString(" + ")
       s"""
       SELECT user_id, event_id, ts, value,

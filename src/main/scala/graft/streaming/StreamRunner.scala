@@ -388,6 +388,12 @@ object StreamRunner {
     * micro-batch rows sort by the full-precision (ts, event_id) key;
     * ACROSS batches the per-key feed is assumed time-ordered — an
     * out-of-order arrival cannot rewrite an interval already emitted.
+    * The contract is ENFORCED, not assumed silently: an arrival at or
+    * before the stored open version's (ts, event_id) would close it at
+    * an earlier timestamp and emit an inverted `valid_from > valid_to`
+    * interval — corrupting already-published history with no signal —
+    * so the processor throws instead (fail loudly; the violating batch
+    * aborts before anything lands in the sink).
     * Parity: StreamingSpec replays real events in chronological
     * batches and asserts the emitted intervals equal the batch twin's
     * closed versions. */
@@ -405,6 +411,12 @@ object StreamRunner {
       rows.toSeq.sortBy(evKey).foreach { e =>
         val t = tsMicros(e)
         cur.foreach { o =>
+          if (t < o.us || (t == o.us && e.event_id <= o.event_id))
+            throw new IllegalStateException(
+              s"scd2Stream ordering contract violated for key $uid: arrival " +
+                s"(ts_us=$t, event_id=${e.event_id}) is not after the open " +
+                s"version (ts_us=${o.us}, event_id=${o.event_id}); emitting " +
+                "would invert an already-published interval")
           out += ClosedVersion(uid, o.event_id, o.value,
             microsToTs(o.us), microsToTs(t))
         }

@@ -34,7 +34,8 @@ class PlanGuardSpec extends SparkSpec {
     "agg_global" -> "single-row global aggregate joined back",
     "text_unigram_logprob" -> "1-row corpus token total cross-joined into the scorer",
     "fn_math_logistic" -> "scalar stat row cross-joined for normalization",
-    "agg_histogram" -> "1-row min/max bounds broadcast for binning and labels")
+    "agg_histogram" -> "1-row min/max bounds broadcast for binning and labels",
+    "cdc_snapshot_diff" -> "1-row max-key shift broadcast into the injected-adds block")
 
   private def offenders(plan: SparkPlan): Seq[String] = {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
