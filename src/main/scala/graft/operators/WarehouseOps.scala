@@ -147,8 +147,65 @@ object WarehouseOps {
       .orderBy($"l_suppkey")
   }
 
+  /** Small-file compaction (Delta/Iceberg `OPTIMIZE`) — the table-
+    * maintenance companion to [[sinkParquetZordered]]: incremental
+    * appends (the exact output shape of repeated `cdc_merge_apply`
+    * deltas) leave a directory of many small files whose clustering-key
+    * ranges all overlap, so every scan touches every file; compaction
+    * bin-packs them back to a few target-size files with DISJOINT
+    * Morton ranges, restoring the zone-map pruning the z-order layout
+    * exists for. Reference basis: a continuously re-ingested warehouse
+    * store (/root/reference/README.md:3,7).
+    *
+    * Stage 1 simulates the fragmentation: 8 delta slices (split on a
+    * key orthogonal to the clustering dims) each append one z-sorted
+    * file — sorted WITHIN itself, overlapping every other delta
+    * globally. Stage 2 is the compaction job itself: read the
+    * fragmented table, recompute the Morton key (~12 ALU ops/row —
+    * cheaper than persisting it), `repartitionByRange` to the target
+    * file count, sort within, rewrite. One range exchange of the data;
+    * at 100 TB the job runs per partition-of-the-table, not globally.
+    * The re-read through a 2-D predicate + the ORIGINAL-table oracle
+    * prove the round trip is lossless (same recipe as
+    * [[sinkParquetZordered]]); Round8OpsSpec asserts the physical
+    * evidence — file count drops 8→≤4 and per-file bounding boxes
+    * shrink from ~global to cell-local. */
+  val layoutCompact: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.BitExprs.register(s)
+    val frag = Qx.tmpOut("frag", dir)
+    val compacted = Qx.tmpOut("compacted", dir)
+    val base = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_quantity", $"l_extendedprice")
+      .withColumn("z", expr("interleave_bits(l_partkey, l_suppkey)"))
+    (0 until 8).foreach { d =>
+      base.filter($"l_orderkey" % 8 === d)
+        .drop("l_orderkey")
+        .coalesce(1).sortWithinPartitions($"z")
+        .drop("z")
+        .write.mode(if (d == 0) "overwrite" else "append").parquet(frag)
+    }
+    s.read.parquet(frag)
+      .withColumn("z", expr("interleave_bits(l_partkey, l_suppkey)"))
+      .repartitionByRange(4, $"z")
+      .sortWithinPartitions($"z")
+      .drop("z")
+      .write.mode("overwrite").parquet(compacted)
+    // same proven-non-vacuous 2-D band as sink_parquet_zordered
+    // (1806/176/19 rows at sf0.001/0.01/0.1); different measure so the
+    // two checks are independent
+    s.read.parquet(compacted)
+      .filter($"l_partkey" >= 20 && $"l_partkey" < 120 &&
+        $"l_suppkey" >= 2 && $"l_suppkey" < 8)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"l_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "layout_zorder" -> layoutZorder,
+    "layout_compact" -> layoutCompact,
     "profile_table" -> profileTable,
     "sink_parquet_zordered" -> sinkParquetZordered)
 
@@ -169,6 +226,17 @@ object WarehouseOps {
     "sink_parquet_zordered" -> """
       SELECT l_suppkey, COUNT(*) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_partkey >= 20 AND l_partkey < 120
+        AND l_suppkey >= 2 AND l_suppkey < 8
+      GROUP BY l_suppkey ORDER BY l_suppkey""",
+    // Lossless through BOTH rewrites: the oracle reads the ORIGINAL
+    // table, so a row lost or duplicated by the fragmented appends or
+    // the compaction rewrite hash-mismatches.
+    "layout_compact" -> """
+      SELECT l_suppkey, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
       FROM lineitem
       WHERE l_partkey >= 20 AND l_partkey < 120
         AND l_suppkey >= 2 AND l_suppkey < 8

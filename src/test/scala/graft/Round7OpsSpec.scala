@@ -200,7 +200,11 @@ class Round7OpsSpec extends SparkSpec {
     val out = CdcOps.cdcSnapshotDiff(spark, sf("0.01")).collect()
     val byOp = out.groupBy(_.getString(1))
     assert(byOp.keySet == Set("added", "removed", "changed"), s"${byOp.keySet}")
-    assert(byOp("added").forall(r => r.getLong(0) >= 100000L && r.isNullAt(2)))
+    // added keys carry the data-derived shift of max(c_custkey)+1, so
+    // they always land strictly beyond the real key domain
+    val maxk = Tables.load(spark, sf("0.01"), "customer")
+      .agg(org.apache.spark.sql.functions.max($"c_custkey")).head().getLong(0)
+    assert(byOp("added").forall(r => r.getLong(0) > maxk && r.isNullAt(2)))
     assert(byOp("removed").forall(r => r.getLong(0) % 13 == 0 && r.isNullAt(3)))
     assert(byOp("changed").forall { r =>
       val k = r.getLong(0)

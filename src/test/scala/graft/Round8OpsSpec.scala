@@ -63,6 +63,45 @@ class Round8OpsSpec extends SparkSpec {
       "injected keys must never collide with real custkeys at any SF")
   }
 
+  test("layout_compact: file count drops and per-file bounding boxes shrink to cell-local") {
+    import graft.operators.WarehouseOps
+    val dir = sf("0.01")
+    WarehouseOps.layoutCompact(spark, dir).collect() // runs both rewrites
+    def parquetFiles(path: String) = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val fragDir = Qx.tmpOut("frag", dir)
+    val compDir = Qx.tmpOut("compacted", dir)
+    val frag = parquetFiles(fragDir)
+    val comp = parquetFiles(compDir)
+    assert(frag.length >= 8, s"expected >=8 fragmented delta files, got ${frag.length}")
+    assert(comp.length <= 4 && comp.length < frag.length,
+      s"compaction must shrink the file count: ${frag.length} -> ${comp.length}")
+    def meanArea(files: Array[java.io.File]): Double = {
+      val areas = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath).agg(
+          max($"l_partkey") - min($"l_partkey"),
+          max($"l_suppkey") - min($"l_suppkey")).head()
+        (r.getLong(0) + 1.0) * (r.getLong(1) + 1.0)
+      }
+      areas.sum / areas.length
+    }
+    val g = spark.read.parquet(fragDir).agg(
+      max($"l_partkey") - min($"l_partkey"),
+      max($"l_suppkey") - min($"l_suppkey")).head()
+    val gArea = (g.getLong(0) + 1.0) * (g.getLong(1) + 1.0)
+    val fragArea = meanArea(frag)
+    val compArea = meanArea(comp)
+    // each delta file spans ~the whole key grid (that's the problem);
+    // compacted files must be cell-local (that's the fix)
+    assert(fragArea > gArea * 0.5,
+      s"fixture broken: delta files should span the grid ($fragArea vs $gArea)")
+    assert(compArea < gArea / 2.0 && compArea < fragArea / 2.0,
+      s"compacted files not z-clustered: $compArea vs global $gArea / frag $fragArea")
+    // lossless through both rewrites (the oracle also checks this by value)
+    assert(spark.read.parquet(compDir).count() ==
+      Tables.load(spark, dir, "lineitem").count())
+  }
+
   test("scd2Stream rejects an out-of-order cross-batch arrival (no inverted intervals)") {
     import graft.streaming.StreamRunner
     import graft.streaming.StreamRunner.Ev
