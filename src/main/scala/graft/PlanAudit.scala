@@ -368,7 +368,26 @@ object PlanAudit {
         |projections, with no window over fact rows and no re-derivation
         |of the changeset between stages. The output stream is the
         |changed fraction only — what a 100 TB refresh would publish
-        |downstream instead of the rebuilt table.""".stripMargin)
+        |downstream instead of the rebuilt table.""".stripMargin,
+    "stats_cbo_join" ->
+      """Statistics→optimizer feedback (r8): the join runs over CATALOG
+        |tables carrying ANALYZE … FOR ALL COLUMNS stats with CBO on.
+        |Expect a BroadcastHashJoin with the filtered customer side
+        |built — at the default threshold both estimates broadcast, but
+        |Round8OpsSpec pins the decision to the STATS by holding the
+        |threshold between the size-only estimate (no CBO: filter keeps
+        |the table's on-disk bytes → SortMergeJoin) and the
+        |column-stats estimate (CBO FilterEstimation applies the ~10%
+        |selectivity → broadcast). At 100 TB this is the
+        |shuffle-the-fact vs broadcast-the-filtered-dim decision, made
+        |from ANALYZE numbers instead of file sizes.""".stripMargin,
+    "layout_compact" ->
+      """Small-file compaction (r8): expect ONE range exchange
+        |(repartitionByRange on the recomputed interleave_bits key) over
+        |the fragmented table followed by an in-partition sort and the
+        |rewrite — no global sort, no shuffle of anything but the data
+        |being compacted once. The final re-read plan shows PushedFilters
+        |on both clustering dims against the compacted files.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -203,10 +203,70 @@ object WarehouseOps {
       .orderBy($"l_suppkey")
   }
 
+  /** Session-gated memo of the ANALYZEd catalog twin tables — one
+    * (write + ANALYZE) per (session, sf dir), like the bucketed-join
+    * memo: repeated query construction (Bench passes, Verify, specs)
+    * reuses the published tables instead of re-writing them. */
+  private val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  /** Publish `customer`/`orders` as CATALOG tables (external, under a
+    * pid-scoped tmp location) and run `ANALYZE TABLE … COMPUTE
+    * STATISTICS FOR ALL COLUMNS` on both — the step that closes the
+    * statistics loop: [[profileTable]] computes exactly these numbers
+    * (rows, NDV, min/max) as DATA; this materializes them where the
+    * cost-based optimizer actually reads them (catalog stats are
+    * invisible on temp views over raw parquet — a table object is the
+    * price of admission). Also flips `spark.sql.cbo.enabled` on for
+    * the session: CBO only activates on relations that HAVE catalog
+    * stats, so the rest of the query surface (raw parquet scans) keeps
+    * its size-only estimates and identical plans. */
+  private[graft] def ensureStatsTables(s: SparkSession, dir: String): (String, String) =
+    statsMemo.getOrElseUpdate((s, dir), {
+      // catalog metadata is per-JVM (in-memory catalog); only the DATA
+      // path needs cross-JVM isolation, which tmpOut's pid suffix gives
+      val tag = math.abs(dir.hashCode.toLong).toString
+      val tc = s"graft_stats_customer_$tag"
+      val to = s"graft_stats_orders_$tag"
+      Tables.load(s, dir, "customer").write.mode("overwrite")
+        .option("path", Qx.tmpOut(s"statc$tag", dir)).saveAsTable(tc)
+      Tables.load(s, dir, "orders").write.mode("overwrite")
+        .option("path", Qx.tmpOut(s"stato$tag", dir)).saveAsTable(to)
+      s.sql(s"ANALYZE TABLE $tc COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql(s"ANALYZE TABLE $to COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      (tc, to)
+    })
+
+  /** Statistics→optimizer feedback, end to end: revenue by market
+    * segment for HIGH-BALANCE customers (c_acctbal > 9000, ~10%
+    * selective at every SF), run over the ANALYZEd catalog twins with
+    * CBO on. The RESULT is stats-independent (hash-checked against
+    * DuckDB on the raw parquet — publishing tables + stats must change
+    * nothing); the PLAN is what the stats buy: with column stats, the
+    * optimizer's FilterEstimation shrinks the filtered dim's size/row
+    * estimate ~10×, which is what flips a dim join to broadcast once
+    * the full table exceeds the threshold. Round8OpsSpec pins exactly
+    * that flip (CBO off → SortMergeJoin, CBO on + stats → Broadcast
+    * HashJoin, threshold held between the two estimates); at 100 TB
+    * this decision — shuffle the 100 TB fact vs broadcast the filtered
+    * dim — is the difference between hours and minutes, and it is made
+    * from these ANALYZE numbers, not file sizes. */
+  val statsCboJoin: Q = (s, dir) => {
+    import s.implicits._
+    val (tc, to) = ensureStatsTables(s, dir)
+    s.table(to)
+      .join(s.table(tc).filter($"c_acctbal" > 9000), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), Qx.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_compact" -> layoutCompact,
     "profile_table" -> profileTable,
+    "stats_cbo_join" -> statsCboJoin,
     "sink_parquet_zordered" -> sinkParquetZordered)
 
   val oracle: Map[String, String] = Map(
@@ -241,6 +301,16 @@ object WarehouseOps {
       WHERE l_partkey >= 20 AND l_partkey < 120
         AND l_suppkey >= 2 AND l_suppkey < 8
       GROUP BY l_suppkey ORDER BY l_suppkey""",
+    // The oracle reads the RAW parquet tables: publishing the catalog
+    // twins + ANALYZE stats must be result-invisible (plans change,
+    // values don't).
+    "stats_cbo_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_acctbal > 9000
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "profile_table" -> (profiledCols.map { c =>
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
              COUNT(*) - COUNT($c) AS n_nulls,

@@ -102,6 +102,51 @@ class Round8OpsSpec extends SparkSpec {
       Tables.load(spark, dir, "lineitem").count())
   }
 
+  test("ANALYZE stats + CBO flip the filtered-dim join to broadcast") {
+    import graft.operators.WarehouseOps
+    val dir = sf("0.01")
+    val (tc, to) = WarehouseOps.ensureStatsTables(spark, dir)
+    val cbo0 = spark.conf.get("spark.sql.cbo.enabled")
+    val thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      def filteredEstimate = spark.table(tc).filter($"c_acctbal" > 9000)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      // without CBO the filter keeps its child's size estimate (here:
+      // the table's on-disk bytes); with CBO + column stats,
+      // FilterEstimation applies the ~10% selectivity
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val estOff = filteredEstimate
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val estOn = filteredEstimate
+      assert(estOn < estOff / 2,
+        s"column stats must shrink the filter estimate: $estOn vs $estOff")
+      // hold the broadcast threshold BETWEEN the two estimates, then
+      // the join strategy is decided purely by whether stats are used
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((estOn + estOff) / 2).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan only
+      def join = spark.table(to)
+        .join(spark.table(tc).filter($"c_acctbal" > 9000),
+          $"o_custkey" === $"c_custkey")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val without = join.queryExecution.sparkPlan.toString
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val withStats = join.queryExecution.sparkPlan.toString
+      assert(!without.contains("BroadcastHashJoin"),
+        s"without CBO the size-only estimate must exceed the threshold:\n$without")
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"with stats the filtered dim must broadcast:\n$withStats")
+      // results are identical either way (the oracle checks values too)
+      assert(spark.table(tc).queryExecution.optimizedPlan.stats.rowCount.isDefined,
+        "ANALYZE must publish a row count to the catalog")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cbo0)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+    }
+  }
+
   test("scd2Stream rejects an out-of-order cross-batch arrival (no inverted intervals)") {
     import graft.streaming.StreamRunner
     import graft.streaming.StreamRunner.Ev
