@@ -161,12 +161,15 @@ final class TopKPartitionBuffer(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     attrs: Seq[Attribute],
-    groupCap: Int) {
+    groupCap: Int,
+    maxRows: Long = Long.MaxValue,
+    heapRowsMetric: org.apache.spark.sql.execution.metric.SQLMetric = null) {
   private val keyProj = UnsafeProjection.create(groupExprs, attrs)
   private val ord = GenerateOrdering.generate(order, attrs)
   private val worstFirst: Ordering[InternalRow] = ord.reverse
   private val heaps =
     new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+  private var retained = 0L
 
   def offer(row: InternalRow): InternalRow = {
     val key = keyProj(row)
@@ -177,7 +180,23 @@ final class TopKPartitionBuffer(
     }
     if (q == null) row
     else {
-      if (q.size() < k) q.add(row.copy())
+      if (q.size() < k) {
+        // Growing the retained set: enforce the sizing contract BEFORE
+        // the allocation. The final exec cannot degrade to pass-through
+        // (its heaps ARE the output) and has no sort-spill fallback, so
+        // past the bound the honest behaviors are a clear error here or
+        // an eventual executor OOM — we pick the error.
+        if (retained >= maxRows)
+          throw new IllegalStateException(
+            s"TopKPerGroup final-mode heap exceeded ${TopK.MaxFinalHeapRowsKey}" +
+              s"=$maxRows retained rows in one task (memory is O(groups-in-" +
+              "partition × k) and cannot spill). Raise spark.sql.shuffle." +
+              "partitions so fewer groups land per task, raise the cap, or " +
+              "use the window row_number form, which sort-spills.")
+        retained += 1
+        if (heapRowsMetric != null) heapRowsMetric.add(1)
+        q.add(row.copy())
+      }
       else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
       null
     }
@@ -211,7 +230,12 @@ final class TopKPartitionBuffer(
   *  - final (post-exchange): O(groups-in-partition·k) — proportional to
   *    this partition's OUTPUT, the floor for any operator that must
   *    hold k candidates per group until its input is exhausted; it
-  *    shrinks linearly with `spark.sql.shuffle.partitions`.
+  *    shrinks linearly with `spark.sql.shuffle.partitions`. Unlike
+  *    `HashAggregateExec` there is no sort-spill fallback, so the
+  *    contract is ENFORCED: past `spark.graft.topk.maxFinalHeapRows`
+  *    retained rows the task raises a clear sizing error (naming the
+  *    remedies) instead of drifting toward OOM; the `numHeapRows`
+  *    metric reports actual retention for sizing.
   *
   * Ordering contract: see [[TopKPerGroup]] — `order` must totally
   * order each group's rows or boundary ties are arrival-order
@@ -230,7 +254,10 @@ case class TopKPerGroupExec(
       .createMetric(sparkContext, "number of output rows"),
     "numPassThrough" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext,
-        "rows passed through unfiltered (partial over group cap)"))
+        "rows passed through unfiltered (partial over group cap)"),
+    "numHeapRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext,
+        "rows retained in heaps (final-mode memory ∝ this ÷ tasks)"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -250,6 +277,18 @@ case class TopKPerGroupExec(
         .getConfString(TopK.MaxPartialGroupsKey, TopK.MaxPartialGroupsDefault).toInt
     else Int.MaxValue
 
+  /** Final mode only: hard cap on rows retained per task before raising
+    * a clear sizing error instead of drifting toward OOM (the partial
+    * exec never needs it — its group cap bounds retention and the rest
+    * passes through). Resolved STRICTLY at construction, i.e. on the
+    * driver during planning, because the codegen path serializes this
+    * plan node to executors where `SQLConf.get` would see defaults,
+    * not the session's setting. */
+  private val finalRowCap: Long =
+    if (partial) Long.MaxValue
+    else org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(TopK.MaxFinalHeapRowsKey, TopK.MaxFinalHeapRowsDefault).toLong
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
     val g = groupExprs
@@ -258,8 +297,10 @@ case class TopKPerGroupExec(
     val cap = groupCap
     val outRows = longMetric("numOutputRows")
     val passRows = longMetric("numPassThrough")
+    val rowCap = finalRowCap
+    val heapRows = longMetric("numHeapRows")
     child.execute().mapPartitions({ iter =>
-      val buf = new TopKPartitionBuffer(kk, g, o, attrs, cap)
+      val buf = new TopKPartitionBuffer(kk, g, o, attrs, cap, rowCap, heapRows)
       val passedThrough = iter.flatMap { row =>
         // Over the cap (partial mode only) offer hands the row back for
         // pass-through: emit unfiltered; the final exec re-filters, so
@@ -295,7 +336,8 @@ case class TopKPerGroupExec(
   /** Called from generated code: per-task heap state (never degrades —
     * see [[supportCodegen]], only the final exec compiles). */
   def createBuffer(): TopKPartitionBuffer =
-    new TopKPartitionBuffer(k, groupExprs, order, child.output, Int.MaxValue)
+    new TopKPartitionBuffer(k, groupExprs, order, child.output, Int.MaxValue,
+      finalRowCap, longMetric("numHeapRows"))
 
   private var bufferVariable: String = _
 
@@ -404,6 +446,17 @@ object TopK {
     * [[TopKPerGroupExec.supportCodegen]]); interpreted doExecute remains
     * the fallback either way. */
   val CodegenKey = "spark.graft.topk.codegen"
+
+  /** Session conf key bounding FINAL-mode retained rows per task (the
+    * O(groups-in-partition·k) term that, unlike HashAggregateExec, has
+    * no sort-spill fallback): past the bound the task raises a clear
+    * sizing error naming the remedies instead of drifting toward OOM.
+    * Default 64 Mi rows ≈ several GiB of retained UnsafeRows — far
+    * above any sane per-task output, low enough to fire before the
+    * executor dies. The `numHeapRows` metric reports actual retention
+    * for sizing. */
+  val MaxFinalHeapRowsKey = "spark.graft.topk.maxFinalHeapRows"
+  val MaxFinalHeapRowsDefault = (64L * 1024 * 1024).toString
 
   /** Idempotent runtime injection for sessions not built with
     * [[GraftExtensions]] (e.g. a driver-owned session). Installs ALL

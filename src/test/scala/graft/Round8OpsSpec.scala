@@ -147,6 +147,42 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerGroup final mode enforces its sizing contract instead of OOMing") {
+    import graft.plans.TopK
+    val docs = Tables.load(spark, sf("0.01"), "documents")
+      .select($"doc_id", $"lang", $"n_chars") // ~2000 groups at k=1
+    def topkPerDoc = TopK.perGroup(docs, 1, Seq("doc_id"), Seq(("n_chars", true)))
+    val key = TopK.MaxFinalHeapRowsKey
+    try {
+      // bound far below the group count: the final exec must fail with
+      // the sizing error, not silently retain unbounded heap rows
+      spark.conf.set(key, "100")
+      val ex = intercept[Exception] { topkPerDoc.collect() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains(key)),
+        s"expected the $key sizing error, got: $ex")
+    } finally spark.conf.unset(key)
+    // at the default cap the same plan runs, and the new metric reports
+    // the retained-row count the sizing rule is stated in
+    val df = topkPerDoc
+    val n = df.collect().length.toLong // executes THIS plan's metrics
+    assert(n > 100)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val finalExec = flatten(df.queryExecution.executedPlan)
+      .collect { case t: graft.plans.TopKPerGroupExec if !t.partial => t }
+    assert(finalExec.nonEmpty)
+    assert(finalExec.head.metrics("numHeapRows").value == n,
+      "final-mode retention must equal the output rows at k=1")
+  }
+
   test("scd2Stream rejects an out-of-order cross-batch arrival (no inverted intervals)") {
     import graft.streaming.StreamRunner
     import graft.streaming.StreamRunner.Ev
