@@ -111,7 +111,14 @@ object Scans {
     * `|` — embarrassingly parallel, no shuffle before the final sort.
     * The DuckDB oracle stages the identical text and parses it with
     * string_split + list_filter. Money travels as integer cents. */
-  val scanHl7Message: Q = (s, dir) => {
+  /** Staged HL7 v2 message corpus (one message STRING per row, column
+    * `msg`; segments separated by `sep` — `\n` for the in-plan batch
+    * staging, `\r` — the actual HL7 v2 segment terminator — when the
+    * messages are written one-per-line to text files for the streaming
+    * ingest twin). Shared generator for [[scanHl7Message]],
+    * `stream_hl7_ingest`, and the file-source stream in StreamRunner. */
+  private[graft] def hl7Messages(s: SparkSession, dir: String,
+      sep: String = "\n"): DataFrame = {
     import s.implicits._
     val joined = Tables.load(s, dir, "orders")
       .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
@@ -119,27 +126,58 @@ object Scans {
         $"l_orderkey" === $"o_orderkey")
       .join(Tables.load(s, dir, "part"), $"l_partkey" === $"p_partkey")
       .filter($"o_orderkey" <= 4000)
-    val msg = concat(
-      lit("MSH|^~\\&|PHARMACY|SIGMA|RX|SITE|"), $"o_orderkey", lit("\n"),
-      lit("PID|1|"), $"o_custkey", lit("|"), $"c_name", lit("|"), $"c_mktsegment", lit("\n"),
+    joined.select(concat(
+      lit("MSH|^~\\&|PHARMACY|SIGMA|RX|SITE|"), $"o_orderkey", lit(sep),
+      lit("PID|1|"), $"o_custkey", lit("|"), $"c_name", lit("|"), $"c_mktsegment", lit(sep),
       lit("RXE|1|CUI"), $"l_partkey", lit("|"), $"p_name", lit("|"),
-      $"l_quantity".cast("long"), lit("|"), round($"l_extendedprice" * 100).cast("long"))
-    val segs = joined.select(split(msg, "\n").as("segs"))
+      $"l_quantity".cast("long"), lit("|"),
+      round($"l_extendedprice" * 100).cast("long")).as("msg"))
+  }
+
+  /** Segment-routing HL7 parser over a `msg` string column — pure
+    * per-row Column work (split on any of `\r`/`\n`, type-prefix lambda
+    * filter, field split on `|`), shared verbatim by the batch scan and
+    * the Structured Streaming file-source ingest (StreamRunner
+    * .hl7FileStream): the parity the spec asserts is BY CONSTRUCTION
+    * the same expressions. No sort — callers order (streams can't). */
+  private[graft] def hl7Rows(msgs: DataFrame): DataFrame = {
+    val segs = msgs.select(split(col("msg"), "[\r\n]").as("segs"))
     def seg(prefix: String): Column =
-      split(element_at(filter($"segs", x => x.startsWith(prefix)), 1), "\\|")
+      split(element_at(filter(col("segs"), x => x.startsWith(prefix)), 1), "\\|")
     segs.select(seg("MSH").as("msh"), seg("PID").as("pid"), seg("RXE").as("rxe"))
       .select(
-        element_at($"msh", 7).cast("long").as("msg_id"),
-        element_at($"pid", 3).cast("long").as("patient_id"),
-        element_at($"pid", 4).as("patient_name"),
-        element_at($"pid", 5).as("segment"),
-        element_at($"rxe", 3).as("rxnorm_cui"),
-        element_at($"rxe", 4).as("drug_name"),
-        element_at($"rxe", 5).cast("long").as("qty"),
-        element_at($"rxe", 6).cast("long").as("price_cents"))
+        element_at(col("msh"), 7).cast("long").as("msg_id"),
+        element_at(col("pid"), 3).cast("long").as("patient_id"),
+        element_at(col("pid"), 4).as("patient_name"),
+        element_at(col("pid"), 5).as("segment"),
+        element_at(col("rxe"), 3).as("rxnorm_cui"),
+        element_at(col("rxe"), 4).as("drug_name"),
+        element_at(col("rxe"), 5).cast("long").as("qty"),
+        element_at(col("rxe"), 6).cast("long").as("price_cents"))
+  }
+
+  val scanHl7Message: Q = (s, dir) => {
+    import s.implicits._
+    hl7Rows(hl7Messages(s, dir))
       // lineitem has no unique key — (orderkey, linenumber) repeats with
       // different parts, so msg_id ties: total ORDER BY over all columns.
       .orderBy($"msg_id", $"rxnorm_cui", $"qty", $"price_cents")
+  }
+
+  /** Batch twin of the continuous HL7 ingest monitor (StreamRunner
+    * .hl7FileStream runs the REAL file-source stream over the same
+    * parser; StreamingSpec asserts row-level parity): per market
+    * segment, message count and quantity/cents totals — the per-source
+    * health aggregation an ingest loop publishes each interval.
+    * Integer-exact measures, so no rounding concerns. */
+  val streamHl7Ingest: Q = (s, dir) => {
+    import s.implicits._
+    hl7Rows(hl7Messages(s, dir))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum($"qty").as("qty_sum"),
+        sum($"price_cents").as("cents_sum"))
+      .orderBy($"segment")
   }
 
   /** FHIR Bundle ingest (README.md:3,76) — the reference's real JSON
@@ -331,6 +369,7 @@ object Scans {
     "sink_orc" -> sinkOrc,
     "sink_csv" -> sinkCsv,
     "scan_parquet_merge_schema" -> scanParquetMergeSchema,
+    "stream_hl7_ingest" -> streamHl7Ingest,
     "register_view_sql" -> registerViewSql)
 
   val oracle: Map[String, String] = Map(
@@ -384,6 +423,28 @@ object Scans {
              CAST(rxe[5] AS BIGINT) AS qty,
              CAST(rxe[6] AS BIGINT) AS price_cents
       FROM f ORDER BY msg_id, rxnorm_cui, qty, price_cents""",
+    "stream_hl7_ingest" -> """
+      WITH src AS (
+        SELECT concat(
+          'MSH|^~\&|PHARMACY|SIGMA|RX|SITE|', o_orderkey, chr(10),
+          'PID|1|', o_custkey, '|', c_name, '|', c_mktsegment, chr(10),
+          'RXE|1|CUI', l_partkey, '|', p_name, '|',
+          CAST(l_quantity AS BIGINT), '|',
+          CAST(round(l_extendedprice * 100) AS BIGINT)) AS msg
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey AND l_linenumber = 1
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderkey <= 4000),
+      seg AS (SELECT string_split(msg, chr(10)) AS segs FROM src),
+      f AS (SELECT
+          string_split(list_filter(segs, x -> x LIKE 'PID%')[1], '|') AS pid,
+          string_split(list_filter(segs, x -> x LIKE 'RXE%')[1], '|') AS rxe
+        FROM seg)
+      SELECT pid[5] AS segment, COUNT(*) AS n_msgs,
+             CAST(SUM(CAST(rxe[5] AS BIGINT)) AS BIGINT) AS qty_sum,
+             CAST(SUM(CAST(rxe[6] AS BIGINT)) AS BIGINT) AS cents_sum
+      FROM f GROUP BY segment ORDER BY segment""",
     "scan_fhir_bundle" -> """
       SELECT o_orderkey AS order_key, 'pat-' || c_custkey AS patient_ref,
              c_name AS patient_name, c_mktsegment AS segment,

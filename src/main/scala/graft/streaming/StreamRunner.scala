@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode,
@@ -433,6 +433,25 @@ object StreamRunner {
       .groupByKey(_.user_id)
       .transformWithState(new Scd2Processor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Continuous HL7 v2 ingest — the streaming form of the reference's
+    * ingest loop (/root/reference/README.md:76): a file-source stream
+    * tails a landing directory of message files (one message per LINE,
+    * segments separated by `\r` — the actual HL7 v2 segment terminator,
+    * which is why `lineSep=\n` is pinned: the default Hadoop line
+    * reader would split on the `\r`s too and shred messages), and every
+    * micro-batch runs the IDENTICAL segment-routing parser as the batch
+    * scan (`Scans.hl7Rows` — shared Column expressions, so batch/stream
+    * parity holds by construction, and StreamingSpec asserts it row for
+    * row). Stateless append: each file is parsed once, no watermark or
+    * state store; at scale the source's maxFilesPerTrigger paces the
+    * ingest and the parse is embarrassingly parallel per file split. */
+  def hl7FileStream(s: SparkSession, landingDir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Scans.hl7Rows(
+      s.readStream.format("text").option("lineSep", "\n")
+        .load(landingDir).select($"value".as("msg")))
   }
 
   /** Arbitrary per-user state: running purchase count + exact cents

@@ -407,4 +407,27 @@ class StreamingSpec extends SparkSpec {
       assert(emitted.nonEmpty)
     } finally q.stop()
   }
+
+  test("HL7 file-source stream parses identically to the batch scan") {
+    val dir = sf("0.001")
+    val landing = Qx.tmpOut("hl7land", dir)
+    // land the corpus as text files: one message per LINE, segments
+    // separated by \r (the HL7 v2 terminator) so the \n line framing
+    // survives; 3 files ≈ 3 ingest arrivals
+    graft.sources.Scans.hl7Messages(spark, dir, sep = "\r")
+      .repartition(3)
+      .write.mode("overwrite").format("text").save(landing)
+    val q = StreamRunner.hl7FileStream(spark, landing)
+      .writeStream.format("memory").queryName("hl7s").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getLong(6), r.getLong(7))
+    // multiset compare: msg_id ties exist (lineitem has no unique key)
+    val got = spark.table("hl7s").collect().map(key).sorted
+    val want = graft.sources.Scans.scanHl7Message(spark, dir).collect().map(key).sorted
+    assert(got.nonEmpty && got.sameElements(want),
+      s"stream parsed ${got.length} rows vs batch ${want.length}")
+  }
 }
