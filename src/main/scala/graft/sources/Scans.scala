@@ -190,7 +190,11 @@ object Scans {
     * Per-bundle entry count is bounded by per-patient fills, so the
     * collect_list stays small at any corpus scale (partitioned by
     * patient, never global). */
-  val scanFhirBundle: Q = (s, dir) => {
+  /** Staged FHIR Bundle corpus (one serialized Bundle per row, column
+    * `bundle`) — shared generator for [[scanFhirBundle]] and the NDJSON
+    * landing files the streaming ingest twin tails (to_json emits
+    * compact single-line JSON, so one-bundle-per-line framing is free). */
+  private[graft] def fhirBundles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = Tables.load(s, dir, "customer").filter($"c_custkey" <= 300)
     val reqs = Tables.load(s, dir, "orders").filter($"o_custkey" <= 300)
@@ -202,7 +206,7 @@ object Scans {
           $"o_orderkey".as("okey"),
           $"o_orderstatus".as("status")).as("res"))
       .groupBy($"o_custkey").agg(sort_array(collect_list($"res")).as("reqs"))
-    val bundles = cust.join(reqs, $"c_custkey" === $"o_custkey")
+    cust.join(reqs, $"c_custkey" === $"o_custkey")
       .select(to_json(struct(
         lit("Bundle").as("resourceType"),
         concat(lit("bundle-"), $"c_custkey").as("id"),
@@ -215,21 +219,54 @@ object Scans {
             lit(null).cast("long").as("okey"),
             lit(null).cast("string").as("status")).as("resource"))),
           transform($"reqs", r => struct(r.as("resource")))).as("entry"))).as("bundle"))
+  }
+
+  /** Bundle parser over a `bundle` JSON-string column: from_json with
+    * an explicit schema, then ROW-LOCAL resource routing — the patient
+    * entry is picked out of the entry array with a lambda filter and
+    * carried alongside while only the med entries explode. Zero
+    * shuffle (the r1–r7 form exploded everything and joined patient
+    * back on bundle_id — one exchange per scan and a stream-stream
+    * join in the streaming form; this is strictly better at any
+    * scale). Shared verbatim by the batch scan and StreamRunner
+    * .fhirFileStream, so batch/stream parity holds by construction.
+    * No sort — callers order (streams can't). */
+  private[graft] def fhirBundleRows(bundles: DataFrame): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "resourceType STRING, id STRING, entry ARRAY<STRUCT<resource: STRUCT<" +
         "resourceType: STRING, id: STRING, name: STRING, segment: STRING, " +
         "okey: BIGINT, status: STRING>>>")
-    val parsed = bundles
-      .select(from_json($"bundle", schema).as("b"))
-      .select($"b.id".as("bundle_id"), explode($"b.entry.resource").as("r"))
-    val pats = parsed.filter($"r.resourceType" === "Patient")
-      .select($"bundle_id", $"r.id".as("patient_ref"),
-        $"r.name".as("patient_name"), $"r.segment".as("segment"))
-    val meds = parsed.filter($"r.resourceType" === "MedicationRequest")
-      .select($"bundle_id", $"r.okey".as("order_key"), $"r.status".as("status"))
-    meds.join(pats, "bundle_id")
-      .select($"order_key", $"patient_ref", $"patient_name", $"segment", $"status")
-      .orderBy($"order_key")
+    bundles
+      .select(from_json(col("bundle"), schema).as("b"))
+      .select(
+        element_at(filter(col("b.entry.resource"),
+          r => r.getField("resourceType") === "Patient"), 1).as("pat"),
+        explode(filter(col("b.entry.resource"),
+          r => r.getField("resourceType") === "MedicationRequest")).as("m"))
+      .select(col("m.okey").as("order_key"),
+        col("pat.id").as("patient_ref"),
+        col("pat.name").as("patient_name"),
+        col("pat.segment").as("segment"),
+        col("m.status").as("status"))
+  }
+
+  val scanFhirBundle: Q = (s, dir) => {
+    import s.implicits._
+    fhirBundleRows(fhirBundles(s, dir)).orderBy($"order_key")
+  }
+
+  /** Batch twin of the continuous FHIR-bundle ingest monitor
+    * (StreamRunner.fhirFileStream runs the real NDJSON file-source
+    * stream over the same parser; StreamingSpec asserts row parity):
+    * per (segment, status) med-request counts + distinct patients —
+    * the per-source health aggregation the ingest loop publishes. */
+  val streamFhirIngest: Q = (s, dir) => {
+    import s.implicits._
+    fhirBundleRows(fhirBundles(s, dir))
+      .groupBy($"segment", $"status")
+      .agg(count(lit(1)).as("n_meds"),
+        countDistinct($"patient_ref").as("n_patients"))
+      .orderBy($"segment", $"status")
   }
 
   /** Parquet sink + re-read (bootstrap persistence, README.md:36,55). */
@@ -370,6 +407,7 @@ object Scans {
     "sink_csv" -> sinkCsv,
     "scan_parquet_merge_schema" -> scanParquetMergeSchema,
     "stream_hl7_ingest" -> streamHl7Ingest,
+    "stream_fhir_ingest" -> streamFhirIngest,
     "register_view_sql" -> registerViewSql)
 
   val oracle: Map[String, String] = Map(
@@ -452,6 +490,13 @@ object Scans {
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_custkey <= 300
       ORDER BY order_key""",
+    "stream_fhir_ingest" -> """
+      SELECT c_mktsegment AS segment, o_orderstatus AS status,
+             COUNT(*) AS n_meds,
+             CAST(COUNT(DISTINCT 'pat-' || c_custkey) AS BIGINT) AS n_patients
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_custkey <= 300
+      GROUP BY segment, status ORDER BY segment, status""",
     "scan_json_fhir" -> """
       SELECT o_orderkey, o_orderkey AS id, o_custkey AS subject_id,
              o_orderstatus AS status

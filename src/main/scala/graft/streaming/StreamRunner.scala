@@ -454,6 +454,17 @@ object StreamRunner {
         .load(landingDir).select($"value".as("msg")))
   }
 
+  /** Continuous FHIR-bundle ingest — the NDJSON sibling of
+    * [[hl7FileStream]]: one serialized Bundle per line (to_json emits
+    * compact single-line JSON, so the framing is free), parsed by the
+    * same row-local `Scans.fhirBundleRows` as the batch scan — no
+    * state, no shuffle, each micro-batch is a pure parse. */
+  def fhirFileStream(s: SparkSession, landingDir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Scans.fhirBundleRows(
+      s.readStream.format("text").load(landingDir).select($"value".as("bundle")))
+  }
+
   /** Arbitrary per-user state: running purchase count + exact cents
     * total, one update row emitted per purchase. State survives across
     * micro-batches; within a batch rows are ordered by (ts, event_id)

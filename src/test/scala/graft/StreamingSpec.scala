@@ -430,4 +430,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(want),
       s"stream parsed ${got.length} rows vs batch ${want.length}")
   }
+
+  test("FHIR NDJSON file-source stream parses identically to the batch scan") {
+    val dir = sf("0.001")
+    val landing = Qx.tmpOut("fhirland", dir)
+    // one compact Bundle JSON per line across 3 files
+    graft.sources.Scans.fhirBundles(spark, dir)
+      .repartition(3)
+      .write.mode("overwrite").format("text").save(landing)
+    val q = StreamRunner.fhirFileStream(spark, landing)
+      .writeStream.format("memory").queryName("fhirs").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+    val got = spark.table("fhirs").collect().map(key).sorted
+    val want = graft.sources.Scans.scanFhirBundle(spark, dir).collect().map(key).sorted
+    assert(got.nonEmpty && got.sameElements(want),
+      s"stream parsed ${got.length} rows vs batch ${want.length}")
+  }
 }
