@@ -405,6 +405,68 @@ object SimOps {
       .orderBy($"doc_id")
   }
 
+  /** REAL multimodal decode — upgrades the [[multimodalDecodeStub]]
+    * plumbing shape to an actual binary-format decoder, end to end:
+    *
+    * ENCODE (pure Column work): each doc gets a raster payload in a
+    * defined format — magic `0x47 0x4D` ("GM"), big-endian u16 width
+    * and height, then width×height pixel bytes `p(i) = (doc_id·31 +
+    * i·7) mod 256` — assembled as hex and materialized with `unhex`
+    * into a true BINARY column. Docs with `doc_id ≡ 0 (mod 37)` are
+    * TRUNCATED mid-header (the malformed-input path every real ingest
+    * has).
+    *
+    * DECODE (typed mapPartitions, the batched per-partition shape a
+    * libjpeg/ffmpeg binding plugs into): validate magic + exact length
+    * against the header dims, then one byte loop for sum/min/max —
+    * malformed payloads route to `is_valid = false` with zeroed stats
+    * instead of poisoning the batch.
+    *
+    * The DuckDB oracle cannot parse the binary — instead it computes
+    * the SAME stats arithmetically from the generating formula, so a
+    * hash match PROVES the byte-level decode (header endianness, pixel
+    * offsets, corruption routing) is exactly right. This is what moves
+    * the op from the stub's rows-only check into the oracle gate. */
+  val multimodalDecode: Q = (s, dir) => {
+    import s.implicits._
+    val w = (lit(8) + pmod($"doc_id", lit(9))).cast("int")
+    val h = (lit(4) + pmod($"doc_id", lit(7))).cast("int")
+    val hdrHex = concat(lit("474D"),
+      lpad(hex(w), 4, "0"), lpad(hex(h), 4, "0"))
+    val pixHex = array_join(
+      transform(sequence(lit(0), w * h - 1),
+        i => lpad(hex(pmod($"doc_id" * 31 + i * 7, lit(256))), 2, "0")), "")
+    val payload = unhex(concat(hdrHex, pixHex))
+    val ds = Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(37)) === 0, substring(payload, 1, 4))
+          .otherwise(payload).as("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        def u(i: Int) = bytes(i) & 0xff
+        val headerOk = bytes.length >= 6 && u(0) == 0x47 && u(1) == 0x4D
+        val (w, h) =
+          if (headerOk) ((u(2) << 8) | u(3), (u(4) << 8) | u(5)) else (0, 0)
+        if (!headerOk || bytes.length != 6 + w * h)
+          (id, false, 0L, 0L, 0L, 0L, 0L)
+        else {
+          var sum = 0L; var mn = 255L; var mx = 0L
+          var i = 6
+          while (i < bytes.length) {
+            val p = u(i)
+            sum += p
+            if (p < mn) mn = p
+            if (p > mx) mx = p
+            i += 1
+          }
+          (id, true, w.toLong, h.toLong, sum, mn, mx)
+        }
+      }
+    }.toDF("doc_id", "is_valid", "width", "height", "pix_sum", "pix_min", "pix_max")
+      .orderBy($"doc_id")
+  }
+
   /** Int8 embedding quantization with per-dimension corpus min/max —
     * the 4× storage-reduction step a 100 TB embedding table actually
     * ships with. Codes are exact integers (hash-checkable); the output
@@ -456,6 +518,7 @@ object SimOps {
     "dedup_simhash" -> dedupSimhash,
     "multimodal_join" -> multimodalJoin,
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_decode" -> multimodalDecode,
     "multimodal_decode_stub" -> multimodalDecodeStub)
 
   val oracle: Map[String, String] = Map(
@@ -528,5 +591,29 @@ object SimOps {
              CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
              CAST(64 + (octet_length(encode(text)) * 7) % 64 AS BIGINT) AS height,
              CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+    // The oracle reproduces the decoder's OUTPUT from the pixel
+    // formula, never touching the binary: a hash match proves the
+    // Spark side's byte-level parse (magic, BE header, offsets,
+    // corruption routing) decoded the payload exactly.
+    "multimodal_decode" -> """
+      WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h,
+                        (doc_id % 37 = 0) AS corrupt
+                 FROM documents),
+      px AS (SELECT doc_id, ((doc_id*31 + i*7) % 256) AS p
+             FROM (SELECT doc_id, unnest(generate_series(0, w*h - 1)) AS i
+                   FROM d WHERE NOT corrupt)
+             JOIN d USING (doc_id)),
+      agg AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS pix_sum,
+                     CAST(MIN(p) AS BIGINT) AS pix_min,
+                     CAST(MAX(p) AS BIGINT) AS pix_max
+              FROM px GROUP BY doc_id)
+      SELECT d.doc_id, NOT d.corrupt AS is_valid,
+             CAST(CASE WHEN d.corrupt THEN 0 ELSE d.w END AS BIGINT) AS width,
+             CAST(CASE WHEN d.corrupt THEN 0 ELSE d.h END AS BIGINT) AS height,
+             COALESCE(a.pix_sum, 0) AS pix_sum,
+             COALESCE(a.pix_min, 0) AS pix_min,
+             COALESCE(a.pix_max, 0) AS pix_max
+      FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id""")
 }

@@ -183,6 +183,23 @@ class Round8OpsSpec extends SparkSpec {
       "final-mode retention must equal the output rows at k=1")
   }
 
+  test("multimodal_decode really parses the binary format (and routes corrupt payloads)") {
+    val rows = SimOps.multimodalDecode(spark, sf()).collect()
+    assert(rows.length == 500)
+    val (bad, good) = rows.partition(r => !r.getBoolean(1))
+    assert(bad.nonEmpty && bad.forall(_.getLong(0) % 37 == 0),
+      "exactly the truncated payloads must be flagged invalid")
+    assert(bad.forall(r => (2 to 6).forall(i => r.getLong(i) == 0L)))
+    good.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(w == 8 + id % 9 && h == 4 + id % 7, s"header dims wrong for $id")
+      // independent JVM-side reference decode from the generating formula
+      val pix = (0L until w * h).map(i => (id * 31 + i * 7) % 256)
+      assert(r.getLong(4) == pix.sum && r.getLong(5) == pix.min &&
+        r.getLong(6) == pix.max, s"pixel stats wrong for $id")
+    }
+  }
+
   test("scd2Stream rejects an out-of-order cross-batch arrival (no inverted intervals)") {
     import graft.streaming.StreamRunner
     import graft.streaming.StreamRunner.Ev
