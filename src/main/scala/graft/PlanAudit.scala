@@ -118,12 +118,15 @@ object PlanAudit {
         |window + B-row carry-in broadcast. No `WindowExec: No Partition
         |Defined` anywhere.""".stripMargin,
     "scan_fhir_bundle" ->
-      """Bundle ingest (r4): per-patient collect_list is keyed by the
-        |patient exchange (bounded by per-patient fills, never global);
-        |parse path is from_json → explode(entry.resource) → two
-        |type-routed filters re-joined on bundle_id. Expect the
-        |patient↔med rejoin to hash-join on bundle_id with no
-        |cartesian.""".stripMargin,
+      """Bundle ingest (r4; parser rewritten r8): per-patient
+        |collect_list is keyed by the patient exchange (bounded by
+        |per-patient fills, never global). The parse path is now
+        |ROW-LOCAL — from_json, lambda-filter the patient entry out of
+        |the array, explode only the med entries — so expect NO join
+        |and no second exchange after the bundle construction (the
+        |r4–r7 form exploded everything and hash-joined patient back on
+        |bundle_id; one exchange saved, and the same parser now runs
+        |unchanged inside the streaming file-source ingest).""".stripMargin,
     "ts_gap_fill" ->
       """Per-key hourly resample (r4): the spine generates per user via
         |sequence+explode bounded by that user's own span — expect NO
