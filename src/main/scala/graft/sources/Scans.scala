@@ -142,18 +142,25 @@ object Scans {
     * the same expressions. No sort — callers order (streams can't). */
   private[graft] def hl7Rows(msgs: DataFrame): DataFrame = {
     val segs = msgs.select(split(col("msg"), "[\r\n]").as("segs"))
+    // try_element_at, not element_at: a message MISSING a segment type
+    // (malformed feed input) must yield null fields for that segment,
+    // not throw INVALID_ARRAY_INDEX and kill the whole batch/stream
+    // (EdgeCaseSpec pins this).
     def seg(prefix: String): Column =
-      split(element_at(filter(col("segs"), x => x.startsWith(prefix)), 1), "\\|")
+      split(try_element_at(filter(col("segs"), x => x.startsWith(prefix)), lit(1)), "\\|")
+    // try_element_at on fields too: a TRUNCATED segment ("PID|1") must
+    // null its missing fields, not throw
+    def f(c: String, i: Int): Column = try_element_at(col(c), lit(i))
     segs.select(seg("MSH").as("msh"), seg("PID").as("pid"), seg("RXE").as("rxe"))
       .select(
-        element_at(col("msh"), 7).cast("long").as("msg_id"),
-        element_at(col("pid"), 3).cast("long").as("patient_id"),
-        element_at(col("pid"), 4).as("patient_name"),
-        element_at(col("pid"), 5).as("segment"),
-        element_at(col("rxe"), 3).as("rxnorm_cui"),
-        element_at(col("rxe"), 4).as("drug_name"),
-        element_at(col("rxe"), 5).cast("long").as("qty"),
-        element_at(col("rxe"), 6).cast("long").as("price_cents"))
+        f("msh", 7).cast("long").as("msg_id"),
+        f("pid", 3).cast("long").as("patient_id"),
+        f("pid", 4).as("patient_name"),
+        f("pid", 5).as("segment"),
+        f("rxe", 3).as("rxnorm_cui"),
+        f("rxe", 4).as("drug_name"),
+        f("rxe", 5).cast("long").as("qty"),
+        f("rxe", 6).cast("long").as("price_cents"))
   }
 
   val scanHl7Message: Q = (s, dir) => {
@@ -239,8 +246,10 @@ object Scans {
     bundles
       .select(from_json(col("bundle"), schema).as("b"))
       .select(
-        element_at(filter(col("b.entry.resource"),
-          r => r.getField("resourceType") === "Patient"), 1).as("pat"),
+        // try_element_at: a bundle with no Patient entry (malformed
+        // input) carries null patient fields instead of failing the run
+        try_element_at(filter(col("b.entry.resource"),
+          r => r.getField("resourceType") === "Patient"), lit(1)).as("pat"),
         explode(filter(col("b.entry.resource"),
           r => r.getField("resourceType") === "MedicationRequest")).as("m"))
       .select(col("m.okey").as("order_key"),

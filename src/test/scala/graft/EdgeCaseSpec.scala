@@ -143,4 +143,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got(0) == 32.0)
     assert(got(1) == 14.0, "shorter array bounds the loop")
   }
+
+  test("hl7Rows on malformed messages yields null fields, never throws") {
+    // a continuous ingest sees garbage: missing segments, empty lines,
+    // non-HL7 text — the parser must degrade to nulls per field (the
+    // stream would route these to a dead-letter filter), not error
+    val df = Seq(
+      "MSH|^~\\&|PHARMACY|SIGMA|RX|SITE|42",      // header only
+      "PID|1|7|Name|SEG",                          // no MSH/RXE
+      "garbage with no pipes",
+      "").toDF("msg")
+    val out = graft.sources.Scans.hl7Rows(df).collect()
+    assert(out.length == 4)
+    assert(out(0).getLong(0) == 42L && out(0).isNullAt(1) && out(0).isNullAt(7))
+    assert(out(1).isNullAt(0) && out(1).getLong(1) == 7L)
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1))
+    assert(out(3).isNullAt(0))
+  }
+
+  test("fhirBundleRows on malformed bundles emits nothing or null fields, never throws") {
+    val df = Seq(
+      "not json at all",
+      """{"resourceType":"Bundle","id":"b1","entry":[]}""",   // no resources
+      // med without a patient entry: row emitted, patient fields null
+      """{"resourceType":"Bundle","id":"b2","entry":[{"resource":{"resourceType":"MedicationRequest","id":"rx-1","okey":9,"status":"O"}}]}""")
+      .toDF("bundle")
+    val out = graft.sources.Scans.fhirBundleRows(df).collect()
+    // rows come only from med entries; the orphan med keeps null patient
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 9L && out(0).isNullAt(1) && out(0).getString(4) == "O")
+  }
 }
