@@ -232,6 +232,32 @@ object Joins {
       .orderBy($"o_orderstatus")
   }
 
+  /** Runtime bloom-filter-pruned join — the ROW-LEVEL sibling of
+    * [[joinPartitionPruned]]'s partition-level DPP, completing the
+    * runtime-filtering story (DPP prunes whole partitions; the bloom
+    * filter prunes rows of a fact NOT partitioned on the join key —
+    * the common case). When a shuffle join's build side is small and
+    * selective, Spark's InjectRuntimeFilter plants a
+    * `bloom_filter_agg` subquery on the dim and a `might_contain`
+    * filter on the fact scan, so ~90% of fact rows (here: parts with
+    * p_size > 5) die before the exchange instead of shuffling. The
+    * query itself is a plain selective-dim join (at toy SF Catalyst
+    * broadcasts the dim — also correct; past the broadcast threshold
+    * the injected bloom is what keeps the fact exchange thin);
+    * Round8OpsSpec pins the injection: with the shuffle join forced
+    * and the application-side size gate lowered, the optimized plan
+    * contains the bloom aggregate + might_contain filter, and the
+    * result equals the unfiltered-plan result. */
+  val joinBloomPruned: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "part").filter($"p_size" <= 5),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_size")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+      .orderBy($"p_size")
+  }
+
   /** Salted fact⋈dim join — the join-side skew mitigation (the agg-side
     * twin is agg_salted_skew): the fact side gets a deterministic salt
     * in [0,8), the dim side is replicated ×8 with every salt value, and
@@ -540,6 +566,7 @@ object Joins {
     "join_range_binned" -> joinRangeBinned,
     "join_skew_salted" -> joinSkewSalted,
     "join_partition_pruned" -> joinPartitionPruned,
+    "join_bloom_pruned" -> joinBloomPruned,
     "join_self_overlap" -> joinSelfOverlap,
     "join_asof" -> joinAsof)
 
@@ -699,6 +726,11 @@ object Joins {
              ${dsumSql("o_totalprice")} AS total
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_bloom_pruned" -> s"""
+      SELECT p_size, COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 5
+      GROUP BY p_size ORDER BY p_size""",
     "join_skew_salted" -> s"""
       SELECT o_orderpriority, COUNT(*) AS n_lines,
              ${dsumSql("l_quantity")} AS total_qty

@@ -200,6 +200,29 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import graft.operators.Joins
+    val dir = sf("0.01")
+    val want = Joins.joinBloomPruned(spark, dir).collect().toSeq // default plan
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = Joins.joinBloomPruned(spark, dir)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter in:\n$plan")
+      // the filter is an optimization, never a semantics change
+      assert(df.collect().toSeq == want)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("scd2Stream rejects an out-of-order cross-batch arrival (no inverted intervals)") {
     import graft.streaming.StreamRunner
     import graft.streaming.StreamRunner.Ev
