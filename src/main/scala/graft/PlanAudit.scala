@@ -374,16 +374,18 @@ object PlanAudit {
         |downstream instead of the rebuilt table.""".stripMargin,
     "stats_cbo_join" ->
       """Statistics→optimizer feedback (r8): the join runs over CATALOG
-        |tables carrying ANALYZE … FOR ALL COLUMNS stats with CBO on.
-        |Expect a BroadcastHashJoin with the filtered customer side
-        |built — at the default threshold both estimates broadcast, but
-        |Round8OpsSpec pins the decision to the STATS by holding the
-        |threshold between the size-only estimate (no CBO: filter keeps
-        |the table's on-disk bytes → SortMergeJoin) and the
-        |column-stats estimate (CBO FilterEstimation applies the ~10%
-        |selectivity → broadcast). At 100 TB this is the
-        |shuffle-the-fact vs broadcast-the-filtered-dim decision, made
-        |from ANALYZE numbers instead of file sizes.""".stripMargin,
+        |tables carrying ANALYZE … FOR ALL COLUMNS stats. Expect a
+        |BroadcastHashJoin with the filtered customer side built — at
+        |the default threshold the dim broadcasts either way; the
+        |stats' plan CONSEQUENCE is pinned in Round8OpsSpec under an
+        |explicitly scoped conf (the op itself never mutates the shared
+        |session's optimizer mode): with the threshold held between the
+        |size-only estimate (no CBO: filter keeps the table's on-disk
+        |bytes → SortMergeJoin) and the column-stats estimate (CBO
+        |FilterEstimation applies the ~10% selectivity → broadcast).
+        |At 100 TB this is the shuffle-the-fact vs
+        |broadcast-the-filtered-dim decision, made from ANALYZE numbers
+        |instead of file sizes.""".stripMargin,
     "layout_compact" ->
       """Small-file compaction (r8): expect ONE range exchange
         |(repartitionByRange on the recomputed interleave_bits key) over

@@ -203,12 +203,15 @@ object WarehouseOps {
       .orderBy($"l_suppkey")
   }
 
-  /** Session-gated memo of the ANALYZEd catalog twin tables — one
-    * (write + ANALYZE) per (session, sf dir), like the bucketed-join
-    * memo: repeated query construction (Bench passes, Verify, specs)
-    * reuses the published tables instead of re-writing them. */
-  private val statsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  /** Memo of the ANALYZEd catalog twin tables — keyed by sf dir like
+    * the bucketed-join memo (NOT by session: a session key would pin
+    * every session's object graph for the JVM lifetime), with a
+    * per-session catalog-existence re-check inside the bin lock since
+    * the in-memory catalog forgets tables between sessions. Repeated
+    * query construction (Bench warm + 3 timed passes, Verify, specs)
+    * publishes once. */
+  private val statsReady =
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
 
   /** Publish `customer`/`orders` as CATALOG tables (external, under a
     * pid-scoped tmp location) and run `ANALYZE TABLE … COMPUTE
@@ -217,31 +220,35 @@ object WarehouseOps {
     * (rows, NDV, min/max) as DATA; this materializes them where the
     * cost-based optimizer actually reads them (catalog stats are
     * invisible on temp views over raw parquet — a table object is the
-    * price of admission). Also flips `spark.sql.cbo.enabled` on for
-    * the session: CBO only activates on relations that HAVE catalog
-    * stats, so the rest of the query surface (raw parquet scans) keeps
-    * its size-only estimates and identical plans. */
-  private[graft] def ensureStatsTables(s: SparkSession, dir: String): (String, String) =
-    statsMemo.getOrElseUpdate((s, dir), {
-      // catalog metadata is per-JVM (in-memory catalog); only the DATA
-      // path needs cross-JVM isolation, which tmpOut's pid suffix gives
-      val tag = math.abs(dir.hashCode.toLong).toString
-      val tc = s"graft_stats_customer_$tag"
-      val to = s"graft_stats_orders_$tag"
-      Tables.load(s, dir, "customer").write.mode("overwrite")
-        .option("path", Qx.tmpOut(s"statc$tag", dir)).saveAsTable(tc)
-      Tables.load(s, dir, "orders").write.mode("overwrite")
-        .option("path", Qx.tmpOut(s"stato$tag", dir)).saveAsTable(to)
-      s.sql(s"ANALYZE TABLE $tc COMPUTE STATISTICS FOR ALL COLUMNS")
-      s.sql(s"ANALYZE TABLE $to COMPUTE STATISTICS FOR ALL COLUMNS")
-      s.conf.set("spark.sql.cbo.enabled", "true")
-      (tc, to)
+    * price of admission). Deliberately does NOT touch
+    * `spark.sql.cbo.enabled`: mutating a shared session's optimizer
+    * mode as a side effect of building one query would make every
+    * other plan order-dependent on whether this op ran first; the
+    * CBO-on/off plan flip is demonstrated under an explicitly scoped
+    * conf in Round8OpsSpec instead. */
+  private[graft] def ensureStatsTables(s: SparkSession, dir: String): (String, String) = {
+    // catalog metadata is per-JVM (in-memory catalog); only the DATA
+    // path needs cross-JVM isolation, which tmpOut's pid suffix gives
+    val tag = math.abs(dir.hashCode.toLong).toString
+    val tc = s"graft_stats_customer_$tag"
+    val to = s"graft_stats_orders_$tag"
+    statsReady.compute(dir, (_, _) => {
+      if (!s.catalog.tableExists(tc)) {
+        Tables.load(s, dir, "customer").write.mode("overwrite")
+          .option("path", Qx.tmpOut(s"statc$tag", dir)).saveAsTable(tc)
+        Tables.load(s, dir, "orders").write.mode("overwrite")
+          .option("path", Qx.tmpOut(s"stato$tag", dir)).saveAsTable(to)
+        s.sql(s"ANALYZE TABLE $tc COMPUTE STATISTICS FOR ALL COLUMNS")
+        s.sql(s"ANALYZE TABLE $to COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
     })
+    (tc, to)
+  }
 
   /** Statistics→optimizer feedback, end to end: revenue by market
     * segment for HIGH-BALANCE customers (c_acctbal > 9000, ~10%
-    * selective at every SF), run over the ANALYZEd catalog twins with
-    * CBO on. The RESULT is stats-independent (hash-checked against
+    * selective at every SF), run over the ANALYZEd catalog twins.
+    * The RESULT is stats-independent (hash-checked against
     * DuckDB on the raw parquet — publishing tables + stats must change
     * nothing); the PLAN is what the stats buy: with column stats, the
     * optimizer's FilterEstimation shrinks the filtered dim's size/row

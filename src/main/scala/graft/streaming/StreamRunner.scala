@@ -388,12 +388,16 @@ object StreamRunner {
     * micro-batch rows sort by the full-precision (ts, event_id) key;
     * ACROSS batches the per-key feed is assumed time-ordered — an
     * out-of-order arrival cannot rewrite an interval already emitted.
-    * The contract is ENFORCED, not assumed silently: an arrival at or
-    * before the stored open version's (ts, event_id) would close it at
-    * an earlier timestamp and emit an inverted `valid_from > valid_to`
-    * interval — corrupting already-published history with no signal —
-    * so the processor throws instead (fail loudly; the violating batch
-    * aborts before anything lands in the sink).
+    * The contract is ENFORCED, not assumed silently: an arrival
+    * STRICTLY before the stored open version's (ts, event_id) would
+    * close it at an earlier timestamp and emit an inverted
+    * `valid_from > valid_to` interval — corrupting already-published
+    * history with no signal — so the processor throws instead (fail
+    * loudly; the violating batch aborts before anything lands in the
+    * sink). An EXACT redelivery of the open version (same ts and
+    * event_id — at-least-once upstream) is instead an idempotent
+    * no-op: throwing there would crash-loop the retried batch forever
+    * on input that changes nothing.
     * Parity: StreamingSpec replays real events in chronological
     * batches and asserts the emitted intervals equal the batch twin's
     * closed versions. */
@@ -410,17 +414,25 @@ object StreamRunner {
       val out = scala.collection.mutable.ListBuffer.empty[ClosedVersion]
       rows.toSeq.sortBy(evKey).foreach { e =>
         val t = tsMicros(e)
-        cur.foreach { o =>
-          if (t < o.us || (t == o.us && e.event_id <= o.event_id))
-            throw new IllegalStateException(
-              s"scd2Stream ordering contract violated for key $uid: arrival " +
-                s"(ts_us=$t, event_id=${e.event_id}) is not after the open " +
-                s"version (ts_us=${o.us}, event_id=${o.event_id}); emitting " +
-                "would invert an already-published interval")
-          out += ClosedVersion(uid, o.event_id, o.value,
-            microsToTs(o.us), microsToTs(t))
+        // Exact redelivery of the OPEN version (same ts AND event_id —
+        // an at-least-once upstream re-sending its last delivery) is an
+        // idempotent no-op: throwing here would crash-loop the stream
+        // on retried input that changes nothing. Only a STRICTLY
+        // earlier arrival is a contract violation.
+        val isRedelivery = cur.exists(o => t == o.us && e.event_id == o.event_id)
+        if (!isRedelivery) {
+          cur.foreach { o =>
+            if (t < o.us || (t == o.us && e.event_id < o.event_id))
+              throw new IllegalStateException(
+                s"scd2Stream ordering contract violated for key $uid: arrival " +
+                  s"(ts_us=$t, event_id=${e.event_id}) is before the open " +
+                  s"version (ts_us=${o.us}, event_id=${o.event_id}); emitting " +
+                  "would invert an already-published interval")
+            out += ClosedVersion(uid, o.event_id, o.value,
+              microsToTs(o.us), microsToTs(t))
+          }
+          cur = Some(OpenVersion(t, e.event_id, e.value))
         }
-        cur = Some(OpenVersion(t, e.event_id, e.value))
       }
       cur.foreach(open.update)
       out.iterator

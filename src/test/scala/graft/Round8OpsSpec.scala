@@ -239,9 +239,15 @@ class Round8OpsSpec extends SparkSpec {
     try {
       ms.addData(Seq(Ev(2L, ts(10), 1L, "purchase", 1.0)))
       q.processAllAvailable()
-      // a later batch delivering an EARLIER (ts, event_id) for the same
-      // key violates the documented time-ordered-feed contract: the
-      // processor must fail the batch, not publish valid_from > valid_to
+      // EXACT redelivery of the open version (at-least-once upstream)
+      // is an idempotent no-op — must not throw, must not emit
+      ms.addData(Seq(Ev(2L, ts(10), 1L, "purchase", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("scd2guard").count() == 0,
+        "a redelivered open version must not emit an interval")
+      // a later batch delivering a strictly EARLIER (ts, event_id) for
+      // the same key violates the documented time-ordered-feed contract:
+      // the processor must fail the batch, not publish valid_from > valid_to
       ms.addData(Seq(Ev(1L, ts(5), 1L, "purchase", 2.0)))
       val ex = intercept[Exception] { q.processAllAvailable() }
       def causes(t: Throwable): Seq[Throwable] =
