@@ -386,6 +386,17 @@ object PlanAudit {
         |At 100 TB this is the shuffle-the-fact vs
         |broadcast-the-filtered-dim decision, made from ANALYZE numbers
         |instead of file sizes.""".stripMargin,
+    "join_bloom_pruned" ->
+      """Runtime bloom-filter join (r8): at toy SF the selective dim
+        |broadcasts (correct — no bloom needed when the build side
+        |ships whole). The 100 TB behavior — bloom_filter_agg subquery
+        |on the dim + might_contain on the fact scan once the join
+        |shuffles — is pinned in Round8OpsSpec with the broadcast
+        |disabled and the application-side size gate lowered, plus
+        |result equality with the unfiltered plan. Completes the
+        |runtime-filtering trio: DPP prunes partitions
+        |(join_partition_pruned), the bloom filter prunes rows of an
+        |unpartitioned fact, stats_cbo_join picks the strategy.""".stripMargin,
     "layout_compact" ->
       """Small-file compaction (r8): expect ONE range exchange
         |(repartitionByRange on the recomputed interleave_bits key) over
