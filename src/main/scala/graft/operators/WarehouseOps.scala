@@ -203,6 +203,71 @@ object WarehouseOps {
       .orderBy($"l_suppkey")
   }
 
+  /** The compaction rewrite under the SNAPSHOT-COMMIT protocol
+    * ([[graft.sources.Snapshots]]) — [[layoutCompact]]'s missing atomic
+    * half. `layout_compact` rewrites the directory in place
+    * (`mode("overwrite")`), which at 100 TB with concurrent readers can
+    * expose a partially rewritten listing; here the SAME fragment →
+    * compact maintenance cycle runs as two versioned commits:
+    *
+    *   1. commit v(N):   8 overlapping z-sorted delta files — the
+    *      fragmented state repeated `cdc_merge_apply` appends leave;
+    *   2. commit v(N+1): the compaction job reads the CURRENT head
+    *      through its manifest (never a directory glob), bin-packs to 4
+    *      cell-local files via one range exchange on the recomputed
+    *      Morton key, and publishes them with one atomic manifest
+    *      create — readers resolve all-old or all-new, never a mix
+    *      (interleaved-reader proof in Round9OpsSpec);
+    *   3. the query then reads through the resolved head and re-checks
+    *      the 2-D band against the ORIGINAL table — lossless through
+    *      the whole versioned cycle;
+    *   4. `vacuum(keepLast = 4)` bounds retained versions, so repeated
+    *      maintenance runs don't accumulate table copies (the
+    *      time-travel retention contract).
+    *
+    * Scale: identical data movement to [[layoutCompact]] (one range
+    * exchange of the fragmented data; the commit itself moves one small
+    * metadata file) — atomicity costs nothing at 100 TB. */
+  val tableCommitSwap: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    graft.functions.BitExprs.register(s)
+    val root = Qx.tmpOut("snaptbl", dir)
+    val base = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_quantity", $"l_extendedprice")
+      .withColumn("z", expr("interleave_bits(l_partkey, l_suppkey)"))
+    Snapshots.commit(root) { out =>
+      (0 until 8).foreach { d =>
+        base.filter($"l_orderkey" % 8 === d)
+          .drop("l_orderkey")
+          .coalesce(1).sortWithinPartitions($"z")
+          .drop("z")
+          .write.mode("append").parquet(out)
+      }
+    }
+    val head = Snapshots.read(s, root)
+      .withColumn("z", expr("interleave_bits(l_partkey, l_suppkey)"))
+    Snapshots.commit(root) { out =>
+      head.repartitionByRange(4, $"z")
+        .sortWithinPartitions($"z")
+        .drop("z")
+        .write.parquet(out)
+    }
+    Snapshots.vacuum(root, keepLast = 4)
+    // same proven-non-vacuous 2-D band as the layout siblings
+    // (1806/176/19 rows at sf0.001/0.01/0.1); both measures at once so
+    // the check is independent of either sibling's
+    Snapshots.read(s, root)
+      .filter($"l_partkey" >= 20 && $"l_partkey" < 120 &&
+        $"l_suppkey" >= 2 && $"l_suppkey" < 8)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        Qx.dsum($"l_quantity").as("qty"),
+        Qx.dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"l_suppkey")
+  }
+
   /** Memo of the ANALYZEd catalog twin tables — keyed by sf dir like
     * the bucketed-join memo (NOT by session: a session key would pin
     * every session's object graph for the JVM lifetime), with a
@@ -228,8 +293,14 @@ object WarehouseOps {
     * conf in Round8OpsSpec instead. */
   private[graft] def ensureStatsTables(s: SparkSession, dir: String): (String, String) = {
     // catalog metadata is per-JVM (in-memory catalog); only the DATA
-    // path needs cross-JVM isolation, which tmpOut's pid suffix gives
-    val tag = math.abs(dir.hashCode.toLong).toString
+    // path needs cross-JVM isolation, which tmpOut's pid suffix gives.
+    // Tag = truncated SHA-256 of the full dir string: collision-free in
+    // practice, unlike hashCode, where two dirs sharing a 32-bit hash
+    // would alias table names while the memo (keyed by the full string)
+    // believed them distinct.
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     val tc = s"graft_stats_customer_$tag"
     val to = s"graft_stats_orders_$tag"
     statsReady.compute(dir, (_, _) => {
@@ -272,6 +343,7 @@ object WarehouseOps {
   val queries: Map[String, Q] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_compact" -> layoutCompact,
+    "table_commit_swap" -> tableCommitSwap,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
     "sink_parquet_zordered" -> sinkParquetZordered)
@@ -302,6 +374,19 @@ object WarehouseOps {
     // the compaction rewrite hash-mismatches.
     "layout_compact" -> """
       SELECT l_suppkey, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      WHERE l_partkey >= 20 AND l_partkey < 120
+        AND l_suppkey >= 2 AND l_suppkey < 8
+      GROUP BY l_suppkey ORDER BY l_suppkey""",
+    // Lossless through the VERSIONED maintenance cycle: the oracle reads
+    // the ORIGINAL table, so a row lost or duplicated by the snapshot
+    // appends, the compaction rewrite, or a mis-resolved manifest (e.g.
+    // reading a mixed file set) hash-mismatches.
+    "table_commit_swap" -> """
+      SELECT l_suppkey, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
                AS revenue
       FROM lineitem

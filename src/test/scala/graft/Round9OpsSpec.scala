@@ -1,0 +1,163 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Round-9 items: the snapshot-commit protocol (atomicity under
+  * interleaved readers, orphan invisibility, retention), the
+  * table_commit_swap maintenance cycle's physical shape, and the
+  * measured read-side pruning effect of the layout family.
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = Qx.tmpOut(name, sf())
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+    root
+  }
+
+  private def writeTagged(out: String, tag: Int, rows: Long): Unit =
+    spark.range(rows).select(lit(tag).as("tag"), $"id")
+      .write.mode("append").parquet(out)
+
+  test("snapshot commit: pinned reader sees all-old, fresh resolve all-new, never a mix") {
+    val root = freshRoot("snapspec")
+    assert(Snapshots.resolve(root).isEmpty)
+    val v1 = Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 100))
+    assert(v1 == 1L)
+    val snap1 = Snapshots.resolve(root).get
+    val pinned = spark.read.parquet(snap1.files: _*) // reader pins v1
+    // the rewrite lands UNDER the pinned reader
+    val v2 = Snapshots.commit(root)(writeTagged(_, tag = 2, rows = 60))
+    assert(v2 == 2L)
+    // fresh resolve: all-new — count, content, and file locations
+    val head = Snapshots.resolve(root).get
+    assert(head.version == 2L)
+    val fresh = spark.read.parquet(head.files: _*)
+    assert(fresh.count() == 60 && fresh.filter($"tag" =!= 2).count() == 0)
+    val v2dir = Snapshots.versionDir(root, 2L)
+    assert(fresh.inputFiles.forall(_.contains(v2dir)),
+      s"head read must touch only $v2dir files: ${fresh.inputFiles.toSeq}")
+    // pinned reader: STILL all-old — the commit moved no old file
+    assert(pinned.count() == 100 && pinned.filter($"tag" =!= 1).count() == 0)
+  }
+
+  test("uncommitted staging data is invisible and reclaimed by the next commit") {
+    val root = freshRoot("snaporphan")
+    Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
+    // a crashed writer's orphan: data files at v2, no manifest
+    writeTagged(Snapshots.versionDir(root, 2L), tag = 99, rows = 5)
+    val head = Snapshots.resolve(root).get
+    assert(head.version == 1L, "an uncommitted version must not resolve")
+    assert(spark.read.parquet(head.files: _*)
+      .filter($"tag" === 99).count() == 0)
+    // the next commit reclaims the orphan dir and publishes cleanly
+    val v = Snapshots.commit(root)(writeTagged(_, tag = 2, rows = 7))
+    assert(v == 2L)
+    val df = Snapshots.read(spark, root)
+    assert(df.count() == 7 && df.filter($"tag" =!= 2).count() == 0,
+      "orphan rows must never leak into the committed version")
+  }
+
+  test("a reader interleaved with repeated commits never observes a mixed snapshot") {
+    val root = freshRoot("snaprace")
+    Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
+    // writer thread: versions 2..6, tag t with exactly t*10 rows
+    val writer = new Thread(() =>
+      (2 to 6).foreach(t => Snapshots.commit(root)(writeTagged(_, t, t * 10L))))
+    writer.setDaemon(true)
+    writer.start()
+    var checks = 0
+    while (writer.isAlive || checks == 0) {
+      val snap = Snapshots.resolve(root).get
+      val rows = spark.read.parquet(snap.files: _*).collect()
+      val tags = rows.map(_.getInt(0)).distinct.toSeq
+      assert(tags.length == 1,
+        s"mixed snapshot observed at v${snap.version}: tags $tags")
+      assert(rows.length == tags.head * 10,
+        s"torn file set at v${snap.version}: ${rows.length} rows for tag ${tags.head}")
+      checks += 1
+    }
+    writer.join()
+    assert(checks > 0 && Snapshots.maxCommitted(root) == 6L)
+  }
+
+  test("vacuum retains the newest K versions and reclaims the rest") {
+    val root = freshRoot("snapvac")
+    (1 to 5).foreach(t => Snapshots.commit(root)(writeTagged(_, t, 10L)))
+    Snapshots.vacuum(root, keepLast = 2)
+    (1L to 3L).foreach { v =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(Snapshots.versionDir(root, v))),
+        s"v$v data must be reclaimed")
+    }
+    (4L to 5L).foreach { v =>
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(Snapshots.versionDir(root, v))),
+        s"v$v must survive keepLast=2")
+    }
+    val df = Snapshots.read(spark, root)
+    assert(Snapshots.maxCommitted(root) == 5L && df.count() == 10)
+  }
+
+  test("table_commit_swap: head resolves to <=4 compacted files, previous version holds the 8 fragments") {
+    import graft.operators.WarehouseOps
+    val dir = sf("0.01")
+    assert(WarehouseOps.tableCommitSwap(spark, dir).collect().nonEmpty)
+    val root = Qx.tmpOut("snaptbl", dir)
+    val head = Snapshots.resolve(root).get
+    assert(head.files.length <= 4,
+      s"compacted head must be bin-packed: ${head.files.length} files")
+    val headDir = Snapshots.versionDir(root, head.version)
+    assert(head.files.forall(_.startsWith(headDir)))
+    // the fragmented state is the immediately preceding version
+    val prev = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      root, "_commits", f"${head.version - 1}%08d.manifest"))
+    assert(prev.size >= 8,
+      s"fragmented version must keep its delta files: ${prev.size}")
+  }
+
+  /** Rows surfaced by the parquet SCAN node itself (before Spark's
+    * residual FilterExec) — row-group/page pruning from the pushed
+    * predicate is exactly what this metric measures. */
+  private def scanOutputRows(path: String): Long = {
+    val df = spark.read.parquet(path)
+      .filter($"l_partkey" >= 20 && $"l_partkey" < 120 &&
+        $"l_suppkey" >= 2 && $"l_suppkey" < 8)
+    df.collect() // execute THIS plan so its metrics populate
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val scans = flatten(df.queryExecution.executedPlan)
+      .filter(p => p.children.isEmpty && p.metrics.contains("numOutputRows"))
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("compaction measurably restores read-side pruning (scan surfaces fewer rows)") {
+    import graft.operators.WarehouseOps
+    val dir = sf("0.01")
+    WarehouseOps.layoutCompact(spark, dir).collect() // materialize both layouts
+    val frag = scanOutputRows(Qx.tmpOut("frag", dir))
+    val comp = scanOutputRows(Qx.tmpOut("compacted", dir))
+    // every fragmented delta spans the whole key grid, so its row groups
+    // all match the band's min/max and the scan surfaces ~everything;
+    // compacted files are cell-local, so most row groups/pages prune out
+    assert(frag > 0 && comp > 0)
+    assert(comp * 2 < frag,
+      s"compacted layout must prune the selective scan: $comp vs $frag scan rows")
+  }
+}
