@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.hashing.MurmurHash3
+
+/** Codegen'd sketch-hash expressions for the similarity family — the
+  * r8 verdict's last two per-row UDFs replaced with native Catalyst
+  * expressions (the same upgrade [[DotProduct]]/[[InterleaveBits]] got
+  * earlier).
+  *
+  * Both sit on the 100 TB embedding/document scale path (every row is
+  * hashed before the bucketed candidate join), where a Scala UDF pays a
+  * serialization boundary per row — catalyst→Scala conversion of the
+  * array argument, a virtual lambda call, and exclusion of the
+  * surrounding projection from whole-stage codegen. As expressions, the
+  * numeric loops inline into the generated stage: primitive reads off
+  * ArrayData, no conversion, no row-boundary.
+  */
+object HashExprs {
+
+  /** The 8 fixed deterministic sin-sequence hyperplanes shared by the
+    * LSH ANN family — same table the former UDF closed over. */
+  val planes: Array[Array[Double]] =
+    Array.tabulate(8, 64)((p, d) => math.sin((p * 64 + d + 1).toDouble))
+
+  /** Interpreted twin of the generated hyperplane-bucket loop. */
+  def hyperBucket(a: ArrayData): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < 8) {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.numElements(), 64)
+      while (i < n) { acc += a.getDouble(i) * planes(p)(i); i += 1 }
+      if (acc > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Word-level 64-bit hash of the former simhash UDF, bit-for-bit:
+    * murmur3 of the word in the high half, murmur3 of its naive
+    * char-reversal in the low half. */
+  def wordHash64(w: String): Long = {
+    val cs = w.toCharArray
+    var j = 0; var k = cs.length - 1
+    while (j < k) { val t = cs(j); cs(j) = cs(k); cs(k) = t; j += 1; k -= 1 }
+    (MurmurHash3.stringHash(w).toLong << 32) |
+      (MurmurHash3.stringHash(new String(cs)).toLong & 0xffffffffL)
+  }
+
+  /** Interpreted twin of the generated simhash loop. `sums` is caller-
+    * provided scratch (codegen reuses one buffer across rows). */
+  def simhash64(a: ArrayData, sums: Array[Int]): Long = {
+    java.util.Arrays.fill(sums, 0)
+    val nw = a.numElements()
+    var w = 0
+    while (w < nw) {
+      if (!a.isNullAt(w)) {
+        val h = wordHash64(a.getUTF8String(w).toString)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+          i += 1
+        }
+      }
+      w += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (sums(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** Register both as session SQL functions (idempotent, like
+    * [[VectorExprs.register]]): `lsh_bucket8(arr<double>) -> int`,
+    * `simhash64(arr<string>) -> bigint`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("lsh_bucket8"))) {
+      reg.createOrReplaceTempFunction(
+        "lsh_bucket8", exprs => HyperplaneBucket(exprs.head), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier("simhash64"))) {
+      reg.createOrReplaceTempFunction(
+        "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    }
+  }
+}
+
+/** 8-hyperplane random-projection sign bucket (`lsh_bucket8`): bit p of
+  * the result is the sign of `v · plane(p)` over the first 64 dims. The
+  * plane table rides along as a codegen reference object (512 doubles,
+  * hoisted once per stage — never recomputed per row). */
+case class HyperplaneBucket(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "lsh_bucket8"
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    HashExprs.hyperBucket(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planes = ctx.addReferenceObj("lshPlanes", HashExprs.planes, "double[][]")
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $bucket = 0;
+         |int $n = java.lang.Math.min($a.numElements(), 64);
+         |for (int $p = 0; $p < 8; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $planes[$p][$i];
+         |  }
+         |  if ($acc > 0) $bucket |= (1 << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a word array (`simhash64`): per word, murmur3
+  * forward/reversed halves vote each of the 64 bit positions up or
+  * down; the sign vector is the fingerprint. The vote buffer is
+  * per-stage mutable state (one 64-int array reused across rows — the
+  * former UDF allocated it per row). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash64"
+
+  override def dataType: DataType = LongType
+
+  // interpreted path allocates its scratch per call (rare: only when
+  // codegen is disabled or falls back)
+  override def nullSafeEval(input: Any): Any =
+    HashExprs.simhash64(input.asInstanceOf[ArrayData], new Array[Int](64))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sums = ctx.addMutableState("int[]", "simhashSums",
+        v => s"$v = new int[64];")
+      s"""
+         |${ev.value} = graft.functions.HashExprs$$.MODULE$$.simhash64($a, $sums);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -5,7 +5,6 @@ import graft.functions.VectorExprs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import scala.util.hashing.MurmurHash3
 
 /** Similarity search + near-dedup + multimodal operators ([NS] —
   * BASELINE.json north star; SURVEY §2.11) over `embeddings` (64-dim
@@ -120,29 +119,13 @@ object SimOps {
     * scale path: bucketing replaces the all-pairs cross join with a
     * shuffle on an 8-bit key. No oracle (bucket boundaries aren't
     * ANSI-SQL-expressible); deterministic by construction. */
-  /** Shared 8-hyperplane sign bucket for the LSH ANN family (fixed
-    * deterministic sin-sequence planes). */
-  private lazy val hyperBucket: org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val planes: Array[Array[Double]] =
-      Array.tabulate(8, 64)((p, d) => math.sin((p * 64 + d + 1).toDouble))
-    udf((emb: Seq[Double]) => {
-      var bucket = 0
-      var p = 0
-      while (p < 8) {
-        var acc = 0.0
-        var i = 0
-        while (i < emb.length && i < 64) { acc += emb(i) * planes(p)(i); i += 1 }
-        if (acc > 0) bucket |= (1 << p)
-        p += 1
-      }
-      bucket
-    })
-  }
-
   val simAnnLsh: Q = (s, dir) => {
     import s.implicits._
+    // the 8-hyperplane sign bucket is the codegen'd lsh_bucket8
+    // expression (functions/HashExprs.scala) — formerly a per-row UDF
+    graft.functions.HashExprs.register(s)
     val e = vectorsWithNorm(s, dir)
-      .select($"vec_id", $"v", $"nrm", hyperBucket($"v").as("bucket"))
+      .select($"vec_id", $"v", $"nrm", expr("lsh_bucket8(v)").as("bucket"))
     val a = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"), $"bucket")
     val b = e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"), $"bucket".as("bucket2"))
     val pairs = a.join(b, $"bucket" === $"bucket2" && $"d1" =!= $"d2")
@@ -166,8 +149,9 @@ object SimOps {
     * recall-dominance over single-probe is spec-asserted. */
   val simAnnLshMultiprobe: Q = (s, dir) => {
     import s.implicits._
+    graft.functions.HashExprs.register(s)
     val e = vectorsWithNorm(s, dir)
-      .select($"vec_id", $"v", $"nrm", hyperBucket($"v").as("bucket"))
+      .select($"vec_id", $"v", $"nrm", expr("lsh_bucket8(v)").as("bucket"))
     val probeBuckets = array(($"bucket" +: (0 until 8).map(b =>
       $"bucket".bitwiseXOR(lit(1 << b)))): _*)
     val probes = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"),
@@ -316,29 +300,16 @@ object SimOps {
 
   /** SimHash near-dup: 64-bit sign-aggregated token hash per doc,
     * banded by the top 8 bits, pairwise Hamming distance via
-    * bit_count(xor). Deterministic (MurmurHash3 is seed-fixed); no
-    * oracle — the hash function isn't expressible in the ANSI
-    * intersection. */
+    * bit_count(xor). The fingerprint is the codegen'd simhash64
+    * expression (functions/HashExprs.scala — formerly a per-row UDF;
+    * bit-identical word hashing, HashExprsSpec pins it). Deterministic
+    * (MurmurHash3 is seed-fixed); no oracle — the hash function isn't
+    * expressible in the ANSI intersection. */
   val dedupSimhash: Q = (s, dir) => {
     import s.implicits._
-    val simhashUdf = udf((words: Seq[String]) => {
-      val sums = new Array[Int](64)
-      words.foreach { w =>
-        val h = (MurmurHash3.stringHash(w).toLong << 32) |
-          (MurmurHash3.stringHash(w.reverse).toLong & 0xffffffffL)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
-          i += 1
-        }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (sums(i) > 0) out |= (1L << i); i += 1 }
-      out
-    })
+    graft.functions.HashExprs.register(s)
     val d = Tables.load(s, dir, "documents")
-      .select($"doc_id", simhashUdf(split($"text", " ")).as("simhash"))
+      .select($"doc_id", expr("simhash64(split(text, ' '))").as("simhash"))
       .withColumn("band", shiftrightunsigned($"simhash", 56))
     val a = d.select($"doc_id".as("d1"), $"simhash".as("sh1"), $"band")
     val b = d.select($"doc_id".as("d2"), $"simhash".as("sh2"), $"band".as("band2"))

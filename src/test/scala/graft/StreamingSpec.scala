@@ -431,6 +431,67 @@ class StreamingSpec extends SparkSpec {
       s"stream parsed ${got.length} rows vs batch ${want.length}")
   }
 
+  test("HL7 file stream resumes from its checkpoint exactly-once: no loss, no dupes") {
+    import java.nio.file.{Files, Paths}
+    val dir = sf("0.001")
+    def fresh(prefix: String): String = {
+      val p = Qx.tmpOut(prefix, dir)
+      val root = Paths.get(p)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        } finally walk.close()
+      }
+      p
+    }
+    val staging = fresh("hl7ckstage")
+    val landing = fresh("hl7ckland")
+    val ckpt = fresh("hl7ckckpt")
+    val out = fresh("hl7ckout")
+    // the full corpus as 4 landing files (one message per line, \r segments)
+    graft.sources.Scans.hl7Messages(spark, dir, sep = "\r")
+      .repartition(4)
+      .write.mode("overwrite").format("text").save(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 4)
+    Files.createDirectories(Paths.get(landing))
+    def land(fs: Seq[java.io.File]): Unit =
+      fs.foreach(f => Files.copy(f.toPath, Paths.get(landing, f.getName)))
+    // a REAL durable run: file source -> parquet file sink, checkpointed;
+    // AvailableNow drains what has landed, then the query STOPS — the
+    // "crash" between feeds. The restart reuses the same checkpoint.
+    def runOnce(): Unit = {
+      val q = StreamRunner.hl7FileStream(spark, landing)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    land(parts.take(2))
+    runOnce()
+    val afterHalf = spark.read.parquet(out).count()
+    land(parts.drop(2))
+    runOnce() // restart: must pick up ONLY the two new files
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getLong(6), r.getLong(7))
+    val got = spark.read.parquet(out).collect().map(key).sorted
+    val want = graft.sources.Scans.scanHl7Message(spark, dir).collect().map(key).sorted
+    assert(afterHalf > 0 && afterHalf < want.length,
+      s"first run must process only the landed half ($afterHalf of ${want.length})")
+    assert(got.sameElements(want),
+      s"restart broke exactly-once: ${got.length} sink rows vs batch ${want.length}")
+    // a restart with NOTHING new is a no-op (checkpoint remembers all files)
+    runOnce()
+    assert(spark.read.parquet(out).count() == want.length,
+      "an idle restart must not re-emit")
+  }
+
   test("FHIR NDJSON file-source stream parses identically to the batch scan") {
     val dir = sf("0.001")
     val landing = Qx.tmpOut("fhirland", dir)
