@@ -155,7 +155,18 @@ object TopKStrategy extends SparkStrategy {
   * `offer` returns null when the row was retained (copied) or pruned,
   * or the INPUT row (not copied — caller decides) when the group map is
   * at capacity and the row's group is untracked. `flush` drains every
-  * heap; call it only after the input is exhausted. */
+  * heap; call it only after the input is exhausted.
+  *
+  * FINAL-mode overflow (retention past `maxRows`): with
+  * `overflowToSort` the buffer degrades IN PLACE to the window twin's
+  * physical shape — existing heap rows plus the remaining stream feed a
+  * spillable external sort on (group, order), and `flush` streams a
+  * k-per-group limit over the sorted run. Correct under mid-stream
+  * switch because every row the heaps already pruned was, at prune
+  * time, dominated by ≥ k rows of its own group — so the union of heap
+  * contents and the remaining input still contains every group's true
+  * top-k. Without the flag (strict mode) the buffer raises the sizing
+  * error instead. */
 final class TopKPartitionBuffer(
     k: Int,
     groupExprs: Seq[Expression],
@@ -163,15 +174,58 @@ final class TopKPartitionBuffer(
     attrs: Seq[Attribute],
     groupCap: Int,
     maxRows: Long = Long.MaxValue,
-    heapRowsMetric: org.apache.spark.sql.execution.metric.SQLMetric = null) {
+    heapRowsMetric: org.apache.spark.sql.execution.metric.SQLMetric = null,
+    overflowToSort: Boolean = false,
+    sortFallbackMetric: org.apache.spark.sql.execution.metric.SQLMetric = null) {
   private val keyProj = UnsafeProjection.create(groupExprs, attrs)
   private val ord = GenerateOrdering.generate(order, attrs)
   private val worstFirst: Ordering[InternalRow] = ord.reverse
   private val heaps =
     new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
   private var retained = 0L
+  private var sorter: org.apache.spark.sql.execution.UnsafeExternalRowSorter = null
+  private lazy val toUnsafe = UnsafeProjection.create(attrs.map(_.dataType).toArray)
+
+  /** The degrade: move every heaped row into a spillable external sort
+    * keyed (group, order) and route all later offers there. Memory from
+    * here on is the sorter's — page-managed, spilling, exactly what the
+    * heap path lacks. */
+  private def switchToSort(): Unit = {
+    val fullOrder = groupExprs.map(SortOrder(_, Ascending)) ++ order
+    val sortOrd = GenerateOrdering.generate(fullOrder, attrs)
+    sorter = org.apache.spark.sql.execution.UnsafeExternalRowSorter.create(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(attrs),
+      sortOrd,
+      new org.apache.spark.util.collection.unsafe.sort.PrefixComparator {
+        override def compare(a: Long, b: Long): Int = 0 // full-row ordering only
+      },
+      new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer {
+        private val p =
+          new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer.Prefix
+        override def computePrefix(row: InternalRow)
+            : org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+          p.isNull = false; p.value = 0L; p
+        }
+      },
+      org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+      false)
+    if (sortFallbackMetric != null) sortFallbackMetric.add(1)
+    val qs = heaps.values().iterator()
+    while (qs.hasNext) {
+      val q = qs.next().iterator()
+      while (q.hasNext) insertIntoSorter(q.next())
+    }
+    heaps.clear()
+  }
+
+  private def insertIntoSorter(row: InternalRow): Unit =
+    sorter.insertRow(row match {
+      case u: UnsafeRow => u
+      case other => toUnsafe(other)
+    })
 
   def offer(row: InternalRow): InternalRow = {
+    if (sorter != null) { insertIntoSorter(row); return null }
     val key = keyProj(row)
     var q = heaps.get(key)
     if (q == null && heaps.size() < groupCap) {
@@ -183,16 +237,19 @@ final class TopKPartitionBuffer(
       if (q.size() < k) {
         // Growing the retained set: enforce the sizing contract BEFORE
         // the allocation. The final exec cannot degrade to pass-through
-        // (its heaps ARE the output) and has no sort-spill fallback, so
-        // past the bound the honest behaviors are a clear error here or
-        // an eventual executor OOM — we pick the error.
-        if (retained >= maxRows)
+        // (its heaps ARE the output); past the bound it either switches
+        // to the spillable sort shape (default) or, in strict mode,
+        // raises a clear error rather than drifting toward OOM.
+        if (retained >= maxRows) {
+          if (overflowToSort) { switchToSort(); insertIntoSorter(row); return null }
           throw new IllegalStateException(
             s"TopKPerGroup final-mode heap exceeded ${TopK.MaxFinalHeapRowsKey}" +
               s"=$maxRows retained rows in one task (memory is O(groups-in-" +
               "partition × k) and cannot spill). Raise spark.sql.shuffle." +
-              "partitions so fewer groups land per task, raise the cap, or " +
-              "use the window row_number form, which sort-spills.")
+              "partitions so fewer groups land per task, raise the cap, " +
+              s"or set ${TopK.FinalOverflowKey}=sort to degrade to the " +
+              "spillable sort shape.")
+        }
         retained += 1
         if (heapRowsMetric != null) heapRowsMetric.add(1)
         q.add(row.copy())
@@ -203,6 +260,7 @@ final class TopKPartitionBuffer(
   }
 
   def flush(): java.util.Iterator[InternalRow] = {
+    if (sorter != null) return groupLimit(sorter.sort())
     val outer = heaps.values().iterator()
     new java.util.Iterator[InternalRow] {
       private var inner: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
@@ -213,6 +271,29 @@ final class TopKPartitionBuffer(
       override def next(): InternalRow = { hasNext; inner.next() }
     }
   }
+
+  /** Streaming k-per-group limit over a (group, order)-sorted run —
+    * O(1) state: the previous group key and a counter. */
+  private def groupLimit(it: Iterator[InternalRow]): java.util.Iterator[InternalRow] =
+    new java.util.Iterator[InternalRow] {
+      private var prevKey: UnsafeRow = null
+      private var seen = 0
+      private var pending: InternalRow = null
+      private def advance(): Unit = {
+        while (pending == null && it.hasNext) {
+          val r = it.next()
+          val key = keyProj(r)
+          if (prevKey == null || key != prevKey) { prevKey = key.copy(); seen = 0 }
+          seen += 1
+          if (seen <= k) pending = r
+        }
+      }
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): InternalRow = {
+        advance()
+        val r = pending; pending = null; r
+      }
+    }
 }
 
 /** Physical top-k-per-group: one pass, one bounded max-heap per group
@@ -257,7 +338,10 @@ case class TopKPerGroupExec(
         "rows passed through unfiltered (partial over group cap)"),
     "numHeapRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext,
-        "rows retained in heaps (final-mode memory ∝ this ÷ tasks)"))
+        "rows retained in heaps (final-mode memory ∝ this ÷ tasks)"),
+    "numSortFallbacks" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext,
+        "tasks that degraded to the spillable sort shape on heap overflow"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -289,6 +373,18 @@ case class TopKPerGroupExec(
     else org.apache.spark.sql.internal.SQLConf.get
       .getConfString(TopK.MaxFinalHeapRowsKey, TopK.MaxFinalHeapRowsDefault).toLong
 
+  /** Final-mode overflow policy ("sort" = degrade to the spillable
+    * sort + group-limit shape, "error" = strict sizing error). Same
+    * strict construction-time resolution as [[finalRowCap]]. */
+  private val overflowToSort: Boolean =
+    !partial && (org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(TopK.FinalOverflowKey, TopK.FinalOverflowDefault) match {
+        case "sort" => true
+        case "error" => false
+        case other => throw new IllegalArgumentException(
+          s"${TopK.FinalOverflowKey} must be 'sort' or 'error', got '$other'")
+      })
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
     val g = groupExprs
@@ -299,8 +395,11 @@ case class TopKPerGroupExec(
     val passRows = longMetric("numPassThrough")
     val rowCap = finalRowCap
     val heapRows = longMetric("numHeapRows")
+    val degrade = overflowToSort
+    val sortFallbacks = longMetric("numSortFallbacks")
     child.execute().mapPartitions({ iter =>
-      val buf = new TopKPartitionBuffer(kk, g, o, attrs, cap, rowCap, heapRows)
+      val buf = new TopKPartitionBuffer(kk, g, o, attrs, cap, rowCap, heapRows,
+        degrade, sortFallbacks)
       val passedThrough = iter.flatMap { row =>
         // Over the cap (partial mode only) offer hands the row back for
         // pass-through: emit unfiltered; the final exec re-filters, so
@@ -337,7 +436,8 @@ case class TopKPerGroupExec(
     * see [[supportCodegen]], only the final exec compiles). */
   def createBuffer(): TopKPartitionBuffer =
     new TopKPartitionBuffer(k, groupExprs, order, child.output, Int.MaxValue,
-      finalRowCap, longMetric("numHeapRows"))
+      finalRowCap, longMetric("numHeapRows"),
+      overflowToSort, longMetric("numSortFallbacks"))
 
   private var bufferVariable: String = _
 
@@ -457,6 +557,14 @@ object TopK {
     * for sizing. */
   val MaxFinalHeapRowsKey = "spark.graft.topk.maxFinalHeapRows"
   val MaxFinalHeapRowsDefault = (64L * 1024 * 1024).toString
+
+  /** What a FINAL-mode task does when retention passes the cap:
+    * "sort" (default) degrades in place to a spillable external sort on
+    * (group, order) + streaming k-per-group limit — the window twin's
+    * physical shape, so the query completes correctly with sort-spill
+    * memory behavior; "error" keeps the r8 strict sizing error. */
+  val FinalOverflowKey = "spark.graft.topk.finalOverflow"
+  val FinalOverflowDefault = "sort"
 
   /** Idempotent runtime injection for sessions not built with
     * [[GraftExtensions]] (e.g. a driver-owned session). Installs ALL

@@ -154,16 +154,21 @@ class Round8OpsSpec extends SparkSpec {
     def topkPerDoc = TopK.perGroup(docs, 1, Seq("doc_id"), Seq(("n_chars", true)))
     val key = TopK.MaxFinalHeapRowsKey
     try {
-      // bound far below the group count: the final exec must fail with
-      // the sizing error, not silently retain unbounded heap rows
+      // bound far below the group count IN STRICT MODE (r9 made the
+      // sort degrade the default): the final exec must fail with the
+      // sizing error, not silently retain unbounded heap rows
       spark.conf.set(key, "100")
+      spark.conf.set(TopK.FinalOverflowKey, "error")
       val ex = intercept[Exception] { topkPerDoc.collect() }
       def causes(t: Throwable): Seq[Throwable] =
         if (t == null) Nil else t +: causes(t.getCause)
       assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
         c.getMessage.contains(key)),
         s"expected the $key sizing error, got: $ex")
-    } finally spark.conf.unset(key)
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.unset(TopK.FinalOverflowKey)
+    }
     // at the default cap the same plan runs, and the new metric reports
     // the retained-row count the sizing rule is stated in
     val df = topkPerDoc

@@ -147,6 +147,36 @@ class Round9OpsSpec extends SparkSpec {
     scans.map(_.metrics("numOutputRows").value).sum
   }
 
+  test("TopKPerGroup heap overflow degrades to the spillable sort shape, not an error") {
+    import graft.plans.TopK
+    val docs = Tables.load(spark, sf("0.01"), "documents")
+      .select($"doc_id", $"lang", $"n_chars") // ~2000 groups at k=1
+    def topkPerDoc = TopK.perGroup(docs, 1, Seq("doc_id"), Seq(("n_chars", true)))
+    val want = topkPerDoc.collect().map(_.toSeq).sortBy(_.toString)
+    assert(want.length > 100)
+    try {
+      // force the overflow on every final task; default policy = sort
+      spark.conf.set(TopK.MaxFinalHeapRowsKey, "100")
+      val df = topkPerDoc
+      val got = df.collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.sameElements(want),
+        s"sort degrade changed results: ${got.length} vs ${want.length} rows")
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(q.plan)
+        case _ => p.children.flatMap(flatten)
+      })
+      val finalExec = flatten(df.queryExecution.executedPlan)
+        .collect { case t: graft.plans.TopKPerGroupExec if !t.partial => t }
+      assert(finalExec.nonEmpty)
+      assert(finalExec.head.metrics("numSortFallbacks").value > 0,
+        "the degrade path must actually have fired")
+    } finally spark.conf.unset(TopK.MaxFinalHeapRowsKey)
+  }
+
   test("compaction measurably restores read-side pruning (scan surfaces fewer rows)") {
     import graft.operators.WarehouseOps
     val dir = sf("0.01")
