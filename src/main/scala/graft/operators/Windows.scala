@@ -283,20 +283,29 @@ object Windows {
     * recurrence is inherently sequential, while the 8-term window form
     * is one parallel pass with a fixed error bound of (1-α)⁸ < 0.4%.
     */
-  val winEwma: Q = (s, dir) => {
-    import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+  val winEwma: Q = (s, dir) =>
+    ewma8(Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value")))
+
+  /** The reusable ewma core of [[winEwma]] over any (user_id, event_id,
+    * ts, value) frame — split out so EdgeCaseSpec can drive the
+    * all-null-window fixture the real events table doesn't contain. */
+  private[graft] def ewma8(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val terms = (0 until 8).map { j =>
       val wgt = 1.0 / (1L << j)
-      val lj = if (j == 0) $"value" else lag($"value", j).over(w)
+      val lj = if (j == 0) col("value") else lag(col("value"), j).over(w)
       (coalesce(lj * wgt, lit(0.0)),
         when(lj.isNotNull, lit(wgt)).otherwise(lit(0.0)))
     }
-    Tables.load(s, dir, "events")
-      .select($"user_id", $"event_id", $"ts", $"value")
-      .withColumn("ewma8",
-        terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
-      .orderBy($"user_id", $"ts", $"event_id")
+    // Denominator guarded by construction: a row whose value AND all 8
+    // lags are NULL has weight-sum 0, and 0.0/0.0 is where the engines
+    // part ways (Spark non-ANSI Divide → NULL, DuckDB IEEE → NaN) — so
+    // both sides define the all-null window as NULL explicitly.
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("ewma8", when(den =!= 0.0, num / den))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
   /** OHLC downsample — the canonical time-series resample: per (user,
@@ -385,9 +394,12 @@ object Windows {
         val wgt = java.math.BigDecimal.valueOf(1.0 / (1L << j)).toPlainString
         s"CASE WHEN ${lagExpr(j)} IS NOT NULL THEN $wgt ELSE 0.0 END"
       }.mkString(" + ")
+      // NULLIF twin of the Spark side's when(den =!= 0) guard: the
+      // all-null window is NULL in both engines by construction
+      // (DuckDB IEEE 0/0 would be NaN, Spark's Divide NULL).
       s"""
       SELECT user_id, event_id, ts, value,
-             ($num) / ($den) AS ewma8
+             ($num) / NULLIF($den, 0.0) AS ewma8
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, ts, event_id"""

@@ -401,7 +401,11 @@ object StreamRunner {
     * Parity: StreamingSpec replays real events in chronological
     * batches and asserts the emitted intervals equal the batch twin's
     * closed versions. */
-  class Scd2Processor extends StatefulProcessor[Long, Ev, ClosedVersion] {
+  class Scd2Processor(
+      dropLateViolations: Boolean = false,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      extends StatefulProcessor[Long, Ev, ClosedVersion]
+      with org.apache.spark.internal.Logging {
     @transient private var open: ValueState[OpenVersion] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -414,24 +418,45 @@ object StreamRunner {
       val out = scala.collection.mutable.ListBuffer.empty[ClosedVersion]
       rows.toSeq.sortBy(evKey).foreach { e =>
         val t = tsMicros(e)
-        // Exact redelivery of the OPEN version (same ts AND event_id —
-        // an at-least-once upstream re-sending its last delivery) is an
-        // idempotent no-op: throwing here would crash-loop the stream
-        // on retried input that changes nothing. Only a STRICTLY
-        // earlier arrival is a contract violation.
-        val isRedelivery = cur.exists(o => t == o.us && e.event_id == o.event_id)
-        if (!isRedelivery) {
-          cur.foreach { o =>
-            if (t < o.us || (t == o.us && e.event_id < o.event_id))
-              throw new IllegalStateException(
-                s"scd2Stream ordering contract violated for key $uid: arrival " +
-                  s"(ts_us=$t, event_id=${e.event_id}) is before the open " +
-                  s"version (ts_us=${o.us}, event_id=${o.event_id}); emitting " +
-                  "would invert an already-published interval")
-            out += ClosedVersion(uid, o.event_id, o.value,
-              microsToTs(o.us), microsToTs(t))
-          }
-          cur = Some(OpenVersion(t, e.event_id, e.value))
+        // Exact redelivery of the OPEN version — same ts, event_id AND
+        // value (an at-least-once upstream re-sending its last
+        // delivery) — is an idempotent no-op: throwing here would
+        // crash-loop the stream on retried input that changes nothing.
+        // The value is part of the identity check: a same-(ts,event_id)
+        // arrival carrying a DIFFERENT value is a contradictory
+        // upstream correction, not a redelivery, and silently
+        // discarding it would lose the correction with no signal.
+        val isRedelivery =
+          cur.exists(o => t == o.us && e.event_id == o.event_id && e.value == o.value)
+        val violation = cur.flatMap { o =>
+          if (t < o.us || (t == o.us && e.event_id < o.event_id))
+            Some(s"arrival (ts_us=$t, event_id=${e.event_id}) is before the " +
+              s"open version (ts_us=${o.us}, event_id=${o.event_id}); " +
+              "emitting would invert an already-published interval")
+          else if (!isRedelivery && t == o.us && e.event_id == o.event_id)
+            Some(s"arrival (ts_us=$t, event_id=${e.event_id}) redelivers the " +
+              s"open version with a CONFLICTING value ${e.value} != ${o.value}")
+          else None
+        }
+        (isRedelivery, violation) match {
+          case (true, _) => () // idempotent no-op
+          case (_, Some(why)) =>
+            // Fail-stop by default; with dropLateViolations the row is
+            // side-dropped WITH a signal (log + accumulator) — the
+            // availability-over-consistency mode for at-least-once
+            // upstreams that can replay more than their last record.
+            if (dropLateViolations) {
+              dropped.foreach(_.add(1))
+              logWarning(s"scd2Stream dropping contract-violating arrival " +
+                s"for key $uid: $why")
+            } else throw new IllegalStateException(
+              s"scd2Stream ordering contract violated for key $uid: $why")
+          case _ =>
+            cur.foreach { o =>
+              out += ClosedVersion(uid, o.event_id, o.value,
+                microsToTs(o.us), microsToTs(t))
+            }
+            cur = Some(OpenVersion(t, e.event_id, e.value))
         }
       }
       cur.foreach(open.update)
@@ -439,11 +464,14 @@ object StreamRunner {
     }
   }
 
-  def scd2Stream(events: Dataset[Ev]): Dataset[ClosedVersion] = {
+  def scd2Stream(events: Dataset[Ev],
+      dropLateViolations: Boolean = false,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[ClosedVersion] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .transformWithState(new Scd2Processor,
+      .transformWithState(new Scd2Processor(dropLateViolations, dropped),
         TimeMode.None(), OutputMode.Append())
   }
 

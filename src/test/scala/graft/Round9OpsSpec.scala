@@ -125,6 +125,72 @@ class Round9OpsSpec extends SparkSpec {
       s"fragmented version must keep its delta files: ${prev.size}")
   }
 
+  test("scd2Stream: conflicting-value redelivery is a violation, drop mode side-drops with a count") {
+    import graft.streaming.StreamRunner
+    import graft.streaming.StreamRunner.Ev
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(minute: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+    // strict mode: a same-(ts,event_id) arrival with a DIFFERENT value
+    // is a contradictory correction, not an idempotent redelivery
+    val ms1 = MemoryStream[Ev]
+    val q1 = StreamRunner.scd2Stream(ms1.toDS())
+      .writeStream.format("memory").queryName("scd2conflict")
+      .outputMode("append").start()
+    try {
+      ms1.addData(Seq(Ev(2L, ts(10), 1L, "purchase", 1.0)))
+      q1.processAllAvailable()
+      ms1.addData(Seq(Ev(2L, ts(10), 1L, "purchase", 9.9))) // value conflict
+      val ex = intercept[Exception] { q1.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("CONFLICTING value")), s"got: $ex")
+    } finally q1.stop()
+    // drop mode: the same violations are side-dropped with a signal
+    // (accumulator) and the stream keeps running correctly
+    val droppedAcc = spark.sparkContext.longAccumulator("scd2LateDropped")
+    val ms2 = MemoryStream[Ev]
+    val q2 = StreamRunner.scd2Stream(ms2.toDS(),
+        dropLateViolations = true, dropped = Some(droppedAcc))
+      .writeStream.format("memory").queryName("scd2drop")
+      .outputMode("append").start()
+    try {
+      ms2.addData(Seq(Ev(5L, ts(10), 7L, "purchase", 1.0)))
+      q2.processAllAvailable()
+      // strictly-earlier arrival AND a conflicting redelivery: both drop
+      ms2.addData(Seq(
+        Ev(4L, ts(5), 7L, "purchase", 2.0),
+        Ev(5L, ts(10), 7L, "purchase", 3.3)))
+      q2.processAllAvailable()
+      // a legitimate later change still seals the open version
+      ms2.addData(Seq(Ev(6L, ts(20), 7L, "purchase", 4.0)))
+      q2.processAllAvailable()
+      assert(droppedAcc.value == 2, s"expected 2 drops, got ${droppedAcc.value}")
+      val rows = spark.table("scd2drop").collect()
+      assert(rows.length == 1 && rows(0).getLong(1) == 5L &&
+        rows(0).getDouble(2) == 1.0,
+        s"surviving interval must be the original open version: ${rows.toSeq}")
+    } finally q2.stop()
+  }
+
+  test("ewma with an all-null window is NULL, never 0/0") {
+    import graft.operators.Windows
+    val df = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Option.empty[Double]),
+      (1L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), Some(4.0)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val rows = Windows.ewma8(df).select($"event_id", $"ewma8").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(1),
+      s"first event with NULL value must yield NULL ewma, got ${rows(0)}")
+    // second row: value present, one null lag — renormalized over j=0
+    assert(math.abs(rows(1).getDouble(1) - 4.0) < 1e-12)
+  }
+
   /** Rows surfaced by the parquet SCAN node itself (before Spark's
     * residual FilterExec) — row-group/page pruning from the pushed
     * predicate is exactly what this metric measures. */
