@@ -1,0 +1,150 @@
+package graft.plans
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.classic.GraftSqlBridge
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO SQL surface for the snapshot-commit store.
+  *
+  * Stock Spark 4 PARSES `MERGE INTO` but only EXECUTES it against a v2
+  * table whose catalog implements row-level operations (probe result,
+  * quoted in PLANS.md: `[UNSUPPORTED_FEATURE.TABLE_OPERATION] Table …
+  * does not support MERGE INTO TABLE` on any default-catalog table) —
+  * the analyzers for it live behind Delta/Iceberg-style connectors that
+  * are not on this classpath, and adding one is out of scope by the
+  * build rules. So graft executes the statement itself: Spark's own
+  * parser produces the [[MergeIntoTable]] tree (full SQL fidelity — no
+  * home-grown grammar), and this interpreter lowers the tree onto the
+  * DataFrame algebra:
+  *
+  *   FULL OUTER join of target and source on the merge condition, with
+  *   existence markers on both sides; each output column is a CASE
+  *   chain over the three clause families, and each family evaluates
+  *   its WHEN [AND cond] actions in declaration order (first match
+  *   wins, exactly the SQL contract):
+  *     matched          → UPDATE assignment / DELETE drop / fallthrough keep
+  *     not matched      → INSERT values / fallthrough drop
+  *     not matched by source → UPDATE / DELETE / fallthrough keep
+  *
+  * The write-back is COPY-ON-WRITE against [[Snapshots]]: the merged
+  * result lands in a fresh versioned dir and publishes with one atomic
+  * manifest commit, so concurrent readers see the pre-merge or
+  * post-merge table, never a mix — the same guarantee a Delta MERGE
+  * gives, produced by the same protocol shape.
+  *
+  * Scale: the lowered plan is ONE full-outer shuffle join on the merge
+  * keys (AQE broadcasts a small source), identical to the DataFrame
+  * `cdc_merge_apply` it mirrors; at 100 TB a real deployment would
+  * scope the rewrite to affected partitions, which the snapshot layer
+  * supports by committing per-partition file sets.
+  *
+  * Supported shape: equi-or-any merge condition, UPDATE SET / DELETE /
+  * INSERT (cols) VALUES (exprs) with optional AND conditions. Star
+  * forms (`UPDATE SET *`, `INSERT *`) and schema evolution raise a
+  * clear unsupported error.
+  */
+object MergeSql {
+
+  /** Parse and execute one MERGE INTO statement. `tables` maps the
+    * statement's target table name to its snapshot root; the source
+    * relation resolves against the session's temp views. Returns the
+    * post-merge table read through the new snapshot head. */
+  def mergeInto(spark: SparkSession, sql: String,
+      tables: Map[String, String]): DataFrame = {
+    val m = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case m: MergeIntoTable => m
+      case other => throw new IllegalArgumentException(
+        s"not a MERGE INTO statement: ${other.getClass.getSimpleName}")
+    }
+    require(!m.withSchemaEvolution, "WITH SCHEMA EVOLUTION is not supported")
+
+    def unwrap(p: LogicalPlan): (String, Option[String]) = p match {
+      case SubqueryAlias(id, child) => (unwrap(child)._1, Some(id.name))
+      case u: UnresolvedRelation => (u.multipartIdentifier.last, None)
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE relation shape: ${other.getClass.getSimpleName}")
+    }
+    val (targetName, targetAlias) = unwrap(m.targetTable)
+    val (sourceName, sourceAlias) = unwrap(m.sourceTable)
+    val root = tables.getOrElse(targetName, throw new IllegalArgumentException(
+      s"unknown snapshot table $targetName (known: ${tables.keys.mkString(", ")})"))
+
+    val tMark = "__graft_t_exists"
+    val sMark = "__graft_s_exists"
+    val target = Snapshots.read(spark, root)
+    val targetCols = target.columns.toSeq
+    val t = target.withColumn(tMark, lit(true)).alias(targetAlias.getOrElse(targetName))
+    val s = spark.table(sourceName).withColumn(sMark, lit(true))
+      .alias(sourceAlias.getOrElse(sourceName))
+    val joined = t.join(s, GraftSqlBridge.column(m.mergeCondition), "full_outer")
+    val matched = col(tMark).isNotNull && col(sMark).isNotNull
+    val sourceOnly = col(tMark).isNull && col(sMark).isNotNull
+
+    def condCol(c: Option[Expression]): Column =
+      c.map(GraftSqlBridge.column).getOrElse(lit(true))
+    def assigned(assigns: Seq[Assignment], colName: String): Option[Column] =
+      assigns.collectFirst {
+        case Assignment(k: UnresolvedAttribute, v)
+            if k.nameParts.last.equalsIgnoreCase(colName) =>
+          GraftSqlBridge.column(v)
+      }
+
+    /** First-match-wins CASE over one clause family for one output
+      * column; `default` is the fallthrough (old value / NULL). */
+    def chainValue(actions: Seq[MergeAction], colName: String,
+        default: Column): Column =
+      actions.foldRight(default) { (a, rest) =>
+        a match {
+          case UpdateAction(c, assigns, _) =>
+            when(condCol(c), assigned(assigns, colName).getOrElse(default))
+              .otherwise(rest)
+          case DeleteAction(c) =>
+            // value is irrelevant on a deleted row; keep the chain shape
+            when(condCol(c), default).otherwise(rest)
+          case InsertAction(c, assigns) =>
+            when(condCol(c), assigned(assigns, colName).getOrElse(lit(null)))
+              .otherwise(rest)
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE action: ${other.getClass.getSimpleName} " +
+              "(star forms are not supported)")
+        }
+      }
+
+    /** Same chain deciding row survival. */
+    def chainKeep(actions: Seq[MergeAction], default: Column): Column =
+      actions.foldRight(default) { (a, rest) =>
+        a match {
+          case UpdateAction(c, _, _) => when(condCol(c), lit(true)).otherwise(rest)
+          case DeleteAction(c) => when(condCol(c), lit(false)).otherwise(rest)
+          case InsertAction(c, _) => when(condCol(c), lit(true)).otherwise(rest)
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE action: ${other.getClass.getSimpleName} " +
+              "(star forms are not supported)")
+        }
+      }
+
+    val keep = when(matched, chainKeep(m.matchedActions, lit(true)))
+      .when(sourceOnly, chainKeep(m.notMatchedActions, lit(false)))
+      .otherwise(chainKeep(m.notMatchedBySourceActions, lit(true)))
+    val outCols = targetCols.map { c =>
+      when(matched, chainValue(m.matchedActions, c, target(c)))
+        .when(sourceOnly, chainValue(m.notMatchedActions, c, lit(null)))
+        .otherwise(chainValue(m.notMatchedBySourceActions, c, target(c)))
+        .as(c)
+    }
+    val merged = joined
+      .select(outCols :+ keep.as("__graft_keep"): _*)
+      .filter(col("__graft_keep"))
+      .drop("__graft_keep")
+
+    // copy-on-write: the merged rows land in a NEW versioned dir while
+    // the old files keep serving readers; the manifest publish flips
+    // the head atomically
+    Snapshots.commit(root)(out => merged.write.mode("append").parquet(out))
+    Snapshots.read(spark, root)
+  }
+}

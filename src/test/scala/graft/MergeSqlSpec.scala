@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The MERGE INTO surface: stock-Spark refusal documented, the graft
+  * interpreter's semantics + atomicity + unsupported-shape guards.
+  */
+class MergeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stock Spark 4 refuses MERGE INTO on a default-catalog table (the gap MergeSql fills)") {
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.mode("overwrite")
+      .option("path", Qx.tmpOut("mergeprobe", "t")).saveAsTable("merge_probe_t")
+    Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v")
+      .createOrReplaceTempView("merge_probe_s")
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO merge_probe_t t USING merge_probe_s s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    }
+    assert(ex.getMessage.contains("does not support MERGE INTO TABLE"),
+      s"probe contract changed — revisit MergeSql's reason to exist: $ex")
+  }
+
+  test("cdc_merge_sql equals cdc_merge_apply row for row (minus the op column)") {
+    import graft.operators.CdcOps
+    val dir = sf("0.01")
+    val got = CdcOps.cdcMergeSql(spark, dir)
+      .select($"custkey", $"name", $"acctbal")
+      .collect().map(_.toSeq)
+    val want = CdcOps.cdcMergeApply(spark, dir)
+      .select($"custkey", $"name", $"acctbal")
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.sameElements(want),
+      s"statement and DataFrame merges diverge: ${got.length} vs ${want.length}")
+  }
+
+  test("the merge commit is atomic: a pre-merge pinned reader keeps the base table") {
+    import graft.sources.Snapshots
+    val dir = sf("0.001")
+    val root = Qx.tmpOut("mergetbl", dir)
+    graft.operators.CdcOps.cdcMergeSql(spark, dir).collect() // ensures >=2 versions
+    val head = Snapshots.resolve(root).get
+    val prev = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      root, "_commits", f"${head.version - 1}%08d.manifest"))
+    import scala.jdk.CollectionConverters._
+    val base = spark.read.parquet(prev.asScala.toSeq: _*)
+    // the pre-merge version is exactly the pristine slice: no inserts
+    // beyond the snapshot window, original balances intact
+    assert(base.agg(min($"custkey"), max($"custkey")).head().getLong(0) >= 50)
+    assert(base.filter($"name".startsWith("Customer#new")).count() == 0)
+    assert(Snapshots.read(spark, root)
+      .filter($"name".startsWith("Customer#new")).count() > 0,
+      "the head must be the post-merge table")
+  }
+
+  test("star forms and non-MERGE statements raise clear unsupported errors") {
+    import graft.plans.MergeSql
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("mergestar", sf("0.001"))
+    Snapshots.commit(root)(out => Seq((60L, 5.0)).toDF("custkey", "acctbal")
+      .write.mode("append").parquet(out))
+    Seq((60L, 1.0)).toDF("user_id", "chg_value")
+      .createOrReplaceTempView("merge_star_s")
+    val exStar = intercept[IllegalArgumentException] {
+      MergeSql.mergeInto(spark,
+        """MERGE INTO graft_star_t t USING merge_star_s s
+          |ON t.custkey = s.user_id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+        Map("graft_star_t" -> root)).collect()
+    }
+    assert(exStar.getMessage.contains("star"), exStar.getMessage)
+    val exNotMerge = intercept[IllegalArgumentException] {
+      MergeSql.mergeInto(spark, "SELECT 1", Map.empty)
+    }
+    assert(exNotMerge.getMessage.contains("not a MERGE INTO"), exNotMerge.getMessage)
+  }
+}
