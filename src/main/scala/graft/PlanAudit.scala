@@ -403,7 +403,36 @@ object PlanAudit {
         |the fragmented table followed by an in-partition sort and the
         |rewrite — no global sort, no shuffle of anything but the data
         |being compacted once. The final re-read plan shows PushedFilters
-        |on both clustering dims against the compacted files.""".stripMargin)
+        |on both clustering dims against the compacted files.""".stripMargin,
+    "table_commit_swap" ->
+      """Atomic table maintenance (r9): the same fragment→compact cycle
+        |as layout_compact, but every rewrite is a SNAPSHOT COMMIT
+        |(graft.sources.Snapshots — immutable versioned data dirs, the
+        |head advanced by one exclusive-create manifest rename; readers
+        |resolve the manifest's pinned file list, never a directory
+        |glob). The query-side plan is identical to layout_compact's
+        |(one range exchange + in-partition sort per rewrite; the
+        |re-read scans ≤4 compacted files with PushedFilters on both
+        |clustering dims) — atomicity costs zero data movement, which
+        |is the point: at 100 TB the commit moves one small metadata
+        |file. Round9OpsSpec proves pinned-reader isolation, a live
+        |interleaved-reader race, orphan invisibility, and retention.""".stripMargin,
+    "cdc_merge_sql" ->
+      """MERGE INTO as a SQL statement (r9). Stock Spark 4 parses MERGE
+        |but refuses to execute it on any default-catalog table — the
+        |probe (pinned in MergeSqlSpec) fails with
+        |[UNSUPPORTED_FEATURE.TABLE_OPERATION] "Table … does not support
+        |MERGE INTO TABLE"; execution lives behind v2
+        |row-level-operation connectors (Delta/Iceberg) that are not on
+        |this classpath and cannot be added under the build rules. So
+        |graft.plans.MergeSql interprets the PARSED MergeIntoTable tree
+        |itself: expect ONE full-outer SortMergeJoin (or broadcast under
+        |AQE when the source is small) on the merge keys, the three
+        |clause families lowered to first-match-wins CASE chains in a
+        |single projection, then a copy-on-write parquet write published
+        |by the snapshot store's atomic manifest commit — the same
+        |read-isolation guarantee a Delta MERGE gives. Spec-pinned equal
+        |to the DataFrame cdc_merge_apply row for row.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
