@@ -417,6 +417,18 @@ object PlanAudit {
         |is the point: at 100 TB the commit moves one small metadata
         |file. Round9OpsSpec proves pinned-reader isolation, a live
         |interleaved-reader race, orphan invisibility, and retention.""".stripMargin,
+    "snapshot_incremental_read" ->
+      """The read side of the snapshot store (r9): the change range
+        |(vFrom, vTo] resolves to an explicit delta file list by
+        |manifest set difference — pure metadata, two small file reads
+        |and a subtraction. Expect the scan node's file list to contain
+        |ONLY post-base version dirs (spec-asserted via inputFiles):
+        |the base is never re-listed, never re-scanned, so incremental
+        |catch-up costs O(delta) not O(table). Above the scan: a plain
+        |two-phase hash agg per range, union of the two tagged frames.
+        |Time travel (snapshot_time_travel) shares the mechanism — a
+        |historical read resolves ONE manifest and plans a normal scan
+        |over its pinned, immutable file set.""".stripMargin,
     "cdc_merge_sql" ->
       """MERGE INTO as a SQL statement (r9). Stock Spark 4 parses MERGE
         |but refuses to execute it on any default-catalog table — the

@@ -81,8 +81,19 @@ object Snapshots {
   def resolve(root: String): Option[Snapshot] = {
     val v = maxCommitted(root)
     if (v == 0L) None
-    else Some(Snapshot(v, Files.readAllLines(manifestPath(root, v), UTF_8)
-      .asScala.toSeq.filter(_.nonEmpty)))
+    else Some(resolveAt(root, v))
+  }
+
+  /** Resolve a SPECIFIC committed version — time travel. Fails with a
+    * clear retention error if the version was never committed or its
+    * manifest has been [[vacuum]]ed (Delta's `VERSION AS OF` contract:
+    * history is readable exactly as far back as retention keeps it). */
+  def resolveAt(root: String, version: Long): Snapshot = {
+    val m = manifestPath(root, version)
+    if (!Files.exists(m)) throw new IllegalStateException(
+      s"version $version of $root is not committed or is beyond retention")
+    Snapshot(version,
+      Files.readAllLines(m, UTF_8).asScala.toSeq.filter(_.nonEmpty))
   }
 
   /** Read the current head through its manifest. */
@@ -92,12 +103,55 @@ object Snapshots {
     spark.read.parquet(snap.files: _*)
   }
 
+  /** Time travel: read version `v` through ITS manifest — the same
+    * pinned-file-list isolation as [[read]], just not at the head. */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(resolveAt(root, version).files: _*)
+
+  /** File-level change feed between two committed versions: the files
+    * present in `toVersion`'s manifest but not in `fromVersion`'s
+    * (`fromVersion = 0` means "since the beginning"). For append
+    * commits ([[commitAppend]]) this is exactly the rows added in
+    * `(fromVersion, toVersion]` — manifests are explicit file lists, so
+    * the diff is a metadata-only set difference; an incremental
+    * consumer never re-lists or re-scans the base data. A REWRITE
+    * commit ([[commit]]) republishes every row it keeps as new files,
+    * so its whole output shows up here (the same caveat Delta's CDF has
+    * for copy-on-write rewrites without per-row tracking); row-level
+    * diffing across rewrites is `cdc_snapshot_diff`'s job. */
+  def changedFiles(root: String, fromVersion: Long, toVersion: Long): Seq[String] = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad change range ($fromVersion, $toVersion]")
+    val before =
+      if (fromVersion == 0L) Set.empty[String]
+      else resolveAt(root, fromVersion).files.toSet
+    resolveAt(root, toVersion).files.filterNot(before)
+  }
+
+  /** Read only the files added in `(fromVersion, toVersion]`. */
+  def readChanges(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    spark.read.parquet(changedFiles(root, fromVersion, toVersion): _*)
+
   /** Commit one new table version: `write(stagingDir)` materializes the
     * full new file set (any number of Spark writes into that dir), then
     * the manifest publish makes it visible atomically. Returns the
     * committed version. On a writer race, the staged files are discarded
     * and the write re-runs against the next version (bounded retries). */
-  def commit(root: String)(write: String => Unit): Long = {
+  def commit(root: String)(write: String => Unit): Long =
+    commitImpl(root, carryForward = false)(write)
+
+  /** APPEND commit: like [[commit]], but the published manifest is the
+    * previous head's file list PLUS the newly staged files — the table
+    * grows without touching (or re-listing) a byte of existing data.
+    * This is the ingest-side commit shape: at 100 TB, appending a
+    * micro-batch moves only the new files and one small manifest, and
+    * [[changedFiles]] hands incremental consumers exactly the delta. */
+  def commitAppend(root: String)(write: String => Unit): Long =
+    commitImpl(root, carryForward = true)(write)
+
+  private def commitImpl(root: String, carryForward: Boolean)(
+      write: String => Unit): Long = {
     Files.createDirectories(commitsDir(root))
     var attempt = 0
     while (true) {
@@ -107,8 +161,13 @@ object Snapshots {
       // writer's orphan (no manifest references it) — reclaim it
       deleteRecursively(Paths.get(dataDir))
       write(dataDir)
-      val files = listParquet(dataDir)
-      require(files.nonEmpty, s"commit produced no data files in $dataDir")
+      val staged = listParquet(dataDir)
+      require(staged.nonEmpty, s"commit produced no data files in $dataDir")
+      // carried files re-resolved INSIDE the retry loop: after a lost
+      // race the parent is the winner's head, not the one we started from
+      val files =
+        if (carryForward && v > 1L) resolveAt(root, v - 1).files ++ staged
+        else staged
       val tmp = commitsDir(root).resolve(
         s".tmp_${ProcessHandle.current().pid()}_$v")
       Files.write(tmp, files.mkString("\n").getBytes(UTF_8))
@@ -127,17 +186,33 @@ object Snapshots {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Retention: drop all but the newest `keepLast` committed versions —
-    * data dirs AND manifests — never touching the head. Readers pinned
-    * to a vacuumed snapshot fail on next access, the documented
-    * time-travel retention contract (same as Delta's VACUUM). */
+  /** Retention: drop all but the newest `keepLast` committed versions.
+    * Readers pinned to a vacuumed snapshot fail on next access, the
+    * documented time-travel retention contract (same as Delta's VACUUM).
+    *
+    * Reference-aware: an APPEND commit's manifest pins files that
+    * physically live in OLDER version dirs, so expiring a version
+    * deletes its manifest but only those of its data files that no
+    * RETAINED manifest still references (Delta's VACUUM rule: expire
+    * log entries freely, delete a data file only when unreferenced). */
   def vacuum(root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the head")
     val head = maxCommitted(root)
-    (1L until math.max(1L, head - keepLast + 1)).foreach { v =>
+    val oldest = math.max(1L, head - keepLast + 1)
+    val referenced = (oldest to head).iterator
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap(v => resolveAt(root, v).files).toSet
+    (1L until oldest).foreach { v =>
       val m = manifestPath(root, v)
       if (Files.exists(m)) {
-        deleteRecursively(Paths.get(versionDir(root, v)))
+        resolveAt(root, v).files.filterNot(referenced).foreach { f =>
+          Files.deleteIfExists(Paths.get(f))
+        }
+        val dir = Paths.get(versionDir(root, v))
+        // non-parquet write debris (_SUCCESS, .crc) dies with the dir,
+        // but only once every data file in it is unreferenced
+        if (listParquet(versionDir(root, v)).forall(!referenced(_)))
+          deleteRecursively(dir)
         Files.delete(m)
       }
     }

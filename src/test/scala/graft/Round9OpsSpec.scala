@@ -90,6 +90,50 @@ class Round9OpsSpec extends SparkSpec {
     assert(checks > 0 && Snapshots.maxCommitted(root) == 6L)
   }
 
+  test("time travel: historical versions stay exact under append commits; retention bounds history, never the head") {
+    val root = freshRoot("snaptime")
+    val v1 = Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
+    val v2 = Snapshots.commitAppend(root)(writeTagged(_, tag = 2, rows = 5))
+    val v3 = Snapshots.commitAppend(root)(writeTagged(_, tag = 3, rows = 2))
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    // an append manifest carries the parent's files forward verbatim
+    assert(Snapshots.resolveAt(root, v2).files.toSet
+      .subsetOf(Snapshots.resolveAt(root, v3).files.toSet))
+    assert(Snapshots.readAt(spark, root, v1).count() == 10)
+    assert(Snapshots.readAt(spark, root, v2).count() == 15)
+    assert(Snapshots.read(spark, root).count() == 17)
+    // never committed / beyond head: a clear error, not an empty read
+    intercept[IllegalStateException](Snapshots.readAt(spark, root, 9L))
+    // vacuum to the head only: history beyond retention raises, but the
+    // head keeps ALL its rows — including those whose files physically
+    // live in v1's dir (reference-aware vacuum must not delete them)
+    Snapshots.vacuum(root, keepLast = 1)
+    intercept[IllegalStateException](Snapshots.readAt(spark, root, v1))
+    val head = Snapshots.read(spark, root)
+    assert(head.count() == 17,
+      "vacuum deleted files still referenced by the head's append manifest")
+    assert(head.select($"tag").distinct().count() == 3)
+  }
+
+  test("incremental read surfaces exactly the appended delta via a metadata-only manifest diff") {
+    val root = freshRoot("snapdelta")
+    val v1 = Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
+    Snapshots.commitAppend(root)(writeTagged(_, tag = 2, rows = 5))
+    val v3 = Snapshots.commitAppend(root)(writeTagged(_, tag = 3, rows = 2))
+    val delta = Snapshots.readChanges(spark, root, v1, v3)
+    assert(delta.count() == 7 && delta.filter($"tag" === 1).count() == 0,
+      "the (v1, v3] delta must hold only tags 2 and 3")
+    // the delta read plans over ONLY post-v1 files — the base is
+    // neither re-listed nor re-scanned
+    val v1dir = Snapshots.versionDir(root, v1)
+    assert(delta.inputFiles.forall(!_.contains(v1dir)),
+      s"delta read touched base files: ${delta.inputFiles.toSeq}")
+    // fromVersion = 0 means "since the beginning" = the whole head
+    assert(Snapshots.readChanges(spark, root, 0L, v3).count() == 17)
+    // empty range is a degenerate but valid feed
+    assert(Snapshots.changedFiles(root, v3, v3).isEmpty)
+  }
+
   test("vacuum retains the newest K versions and reclaims the rest") {
     val root = freshRoot("snapvac")
     (1 to 5).foreach(t => Snapshots.commit(root)(writeTagged(_, t, 10L)))
