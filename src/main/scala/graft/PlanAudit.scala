@@ -408,7 +408,7 @@ object PlanAudit {
       """Atomic table maintenance (r9): the same fragment→compact cycle
         |as layout_compact, but every rewrite is a SNAPSHOT COMMIT
         |(graft.sources.Snapshots — immutable versioned data dirs, the
-        |head advanced by one exclusive-create manifest rename; readers
+        |head advanced by one atomic manifest create-if-absent; readers
         |resolve the manifest's pinned file list, never a directory
         |glob). The query-side plan is identical to layout_compact's
         |(one range exchange + in-partition sort per rewrite; the

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
-import java.nio.file.StandardCopyOption.ATOMIC_MOVE
 import scala.jdk.CollectionConverters._
 
 /** Minimal snapshot-commit protocol for table maintenance — the atomic
@@ -19,30 +18,38 @@ import scala.jdk.CollectionConverters._
   *
   * Layout under a table root:
   * {{{
-  *   root/v00000001/part-*.parquet      immutable once committed
-  *   root/v00000002/part-*.parquet
+  *   root/v00000001_<writer>/part-*.parquet   immutable once committed
+  *   root/v00000002_<writer>/part-*.parquet   (dir unique per writer
+  *                                             ATTEMPT — racing writers
+  *                                             can never touch each
+  *                                             other's staged files)
   *   root/_commits/00000001.manifest    one line per committed data file
   *   root/_commits/00000002.manifest
   * }}}
   *
-  * The COMMIT POINT is the exclusive-create (`ATOMIC_MOVE` without
-  * replace) of `_commits/%08d.manifest`: data files are fully written and
+  * The COMMIT POINT is an atomic CREATE-IF-ABSENT of
+  * `_commits/%08d.manifest`: data files are fully written and
   * fsync-closed before the manifest appears, are never mutated after, and
   * the resolved head is simply the highest committed manifest — so the
-  * head "pointer" advances atomically with the rename. Two writers racing
-  * the same version collide on the exclusive create; the loser discards
-  * its staged files and retries at the next version (optimistic
-  * concurrency, exactly Delta's `_delta_log/N.json` protocol). A reader
-  * concurrently resolving sees the old head or the new head, never a mix,
-  * and because it reads the manifest's explicit file list — never a
-  * directory glob — a half-written staging dir is invisible to it.
+  * head "pointer" advances atomically with the manifest's appearance.
+  * Locally the primitive is a hard-link create (`Files.createLink`),
+  * which atomically fails with EEXIST when the target exists — NOT a
+  * rename: POSIX rename(2) silently replaces an existing target, so a
+  * racing loser would overwrite the winner's manifest (a lost commit;
+  * caught by the racing-writers spec). Two writers racing the same
+  * version collide on the exclusive create; the loser discards its own
+  * staged dir and retries at the next version (optimistic concurrency,
+  * exactly Delta's `_delta_log/N.json` protocol). A reader concurrently
+  * resolving sees the old head or the new head, never a mix, and because
+  * it reads the manifest's explicit file list — never a directory glob —
+  * a half-written staging dir is invisible to it.
   *
-  * Scale note: on HDFS the same exclusive-create rename is atomic at the
-  * namenode; on S3 the rename becomes a conditional PUT (If-None-Match)
-  * of the manifest object. The protocol needs exactly one primitive —
-  * atomic create-if-absent of a small metadata file — which every
-  * production store offers; the 100 TB of data files move zero times at
-  * commit. Local java.nio is the test-scale binding of that primitive.
+  * Scale note: on HDFS the primitive is create(path, overwrite=false)
+  * (atomic at the namenode); on S3 it is a conditional PUT
+  * (If-None-Match) of the manifest object. The protocol needs exactly
+  * one primitive — atomic create-if-absent of a small metadata file —
+  * which every production store offers; the 100 TB of data files move
+  * zero times at commit. Local java.nio is the test-scale binding.
   */
 object Snapshots {
 
@@ -54,8 +61,37 @@ object Snapshots {
   private def manifestPath(root: String, v: Long): Path =
     commitsDir(root).resolve(f"$v%08d.manifest")
 
-  private[graft] def versionDir(root: String, v: Long): String =
-    f"$root/v$v%08d"
+  /** Data dirs are WRITER-UNIQUE: `v<version>_<pid>_<seq>`. Two writers
+    * racing the same version stage into different dirs, so neither can
+    * ever list, append into, or delete the other's in-flight files —
+    * the loser of the manifest race discards only its OWN dir. (Delta
+    * gets the same property from UUID part-file names inside a shared
+    * dir; per-attempt dirs are the same idea one level up.) */
+  private[graft] def versionPrefix(v: Long): String = f"v$v%08d_"
+
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def newDataDir(root: String, v: Long): String =
+    s"$root/${versionPrefix(v)}${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}"
+
+  private val dirVersionRe = """v(\d{8})_.*""".r
+
+  /** All data dirs under the root staged at a version < `below` —
+    * committed, expired, or orphaned by a crashed writer. */
+  private def dataDirsBelow(root: String, below: Long): Seq[Path] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Nil
+    else {
+      val ls = Files.list(r)
+      try ls.iterator().asScala.filter(Files.isDirectory(_)).filter { p =>
+        p.getFileName.toString match {
+          case dirVersionRe(v) => v.toLong < below
+          case _               => false
+        }
+      }.toSeq
+      finally ls.close()
+    }
+  }
 
   /** Highest committed version (0 = nothing committed yet). Scans the
     * manifest names only — a few hundred bytes of listing even after
@@ -156,10 +192,11 @@ object Snapshots {
     var attempt = 0
     while (true) {
       val v = maxCommitted(root) + 1
-      val dataDir = versionDir(root, v)
-      // an existing dir at an UNcommitted version is a crashed/raced
-      // writer's orphan (no manifest references it) — reclaim it
-      deleteRecursively(Paths.get(dataDir))
+      // writer-unique staging dir: a racing writer at the same version
+      // stages elsewhere, so no cross-writer list/append/delete is
+      // possible; a crashed writer's dir is an orphan no manifest ever
+      // references, invisible to readers and reclaimed by [[vacuum]]
+      val dataDir = newDataDir(root, v)
       write(dataDir)
       val staged = listParquet(dataDir)
       require(staged.nonEmpty, s"commit produced no data files in $dataDir")
@@ -169,15 +206,23 @@ object Snapshots {
         if (carryForward && v > 1L) resolveAt(root, v - 1).files ++ staged
         else staged
       val tmp = commitsDir(root).resolve(
-        s".tmp_${ProcessHandle.current().pid()}_$v")
+        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
       Files.write(tmp, files.mkString("\n").getBytes(UTF_8))
       try {
-        Files.move(tmp, manifestPath(root, v), ATOMIC_MOVE) // commit point
+        // COMMIT POINT — a true atomic create-if-absent. NOT a rename:
+        // POSIX rename(2) (= Files.move + ATOMIC_MOVE) silently
+        // REPLACES an existing target, so a racing loser would
+        // overwrite the winner's manifest and its commit would vanish.
+        // A hard-link create is the POSIX primitive that atomically
+        // fails (EEXIST) when the target exists, and the link appears
+        // only fully formed — readers can never see a partial manifest.
+        Files.createLink(manifestPath(root, v), tmp)
+        Files.delete(tmp)
         return v
       } catch {
         case _: FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
-          deleteRecursively(Paths.get(dataDir))
+          deleteRecursively(Paths.get(dataDir)) // own dir only
           attempt += 1
           if (attempt > 5) throw new IllegalStateException(
             s"lost the commit race $attempt times under $root")
@@ -202,19 +247,19 @@ object Snapshots {
     val referenced = (oldest to head).iterator
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => resolveAt(root, v).files).toSet
-    (1L until oldest).foreach { v =>
-      val m = manifestPath(root, v)
-      if (Files.exists(m)) {
-        resolveAt(root, v).files.filterNot(referenced).foreach { f =>
-          Files.deleteIfExists(Paths.get(f))
-        }
-        val dir = Paths.get(versionDir(root, v))
-        // non-parquet write debris (_SUCCESS, .crc) dies with the dir,
-        // but only once every data file in it is unreferenced
-        if (listParquet(versionDir(root, v)).forall(!referenced(_)))
-          deleteRecursively(dir)
-        Files.delete(m)
-      }
+    (1L until oldest).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    // sweep data dirs staged below the retention floor — expired
+    // versions AND crashed-writer orphans alike. A dir goes away whole
+    // (with its _SUCCESS/.crc debris) once no retained manifest
+    // references any of its files; in a part-referenced dir (append
+    // carry) only the unreferenced files go. Dirs at >= `oldest` are
+    // never touched: an in-flight writer stages at >= head, so the
+    // floor keeps vacuum clear of live staging (the standard retention
+    // caveat — don't vacuum to keepLast=1 under writers mid-stage).
+    dataDirsBelow(root, oldest).foreach { dir =>
+      val fs = listParquet(dir.toString)
+      fs.filterNot(referenced).foreach(f => Files.deleteIfExists(Paths.get(f)))
+      if (fs.forall(!referenced(_))) deleteRecursively(dir)
     }
   }
 

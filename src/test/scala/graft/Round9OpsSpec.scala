@@ -43,28 +43,36 @@ class Round9OpsSpec extends SparkSpec {
     assert(head.version == 2L)
     val fresh = spark.read.parquet(head.files: _*)
     assert(fresh.count() == 60 && fresh.filter($"tag" =!= 2).count() == 0)
-    val v2dir = Snapshots.versionDir(root, 2L)
-    assert(fresh.inputFiles.forall(_.contains(v2dir)),
-      s"head read must touch only $v2dir files: ${fresh.inputFiles.toSeq}")
+    val v2pfx = Snapshots.versionPrefix(2L)
+    assert(fresh.inputFiles.forall(_.contains(v2pfx)),
+      s"head read must touch only $v2pfx dirs: ${fresh.inputFiles.toSeq}")
     // pinned reader: STILL all-old — the commit moved no old file
     assert(pinned.count() == 100 && pinned.filter($"tag" =!= 1).count() == 0)
   }
 
-  test("uncommitted staging data is invisible and reclaimed by the next commit") {
+  test("uncommitted staging data is invisible and reclaimed by vacuum") {
     val root = freshRoot("snaporphan")
     Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
-    // a crashed writer's orphan: data files at v2, no manifest
-    writeTagged(Snapshots.versionDir(root, 2L), tag = 99, rows = 5)
+    // a crashed writer's orphan: a staged data dir at v2, no manifest
+    val orphanDir = s"$root/${Snapshots.versionPrefix(2L)}99999_1"
+    writeTagged(orphanDir, tag = 99, rows = 5)
     val head = Snapshots.resolve(root).get
     assert(head.version == 1L, "an uncommitted version must not resolve")
     assert(spark.read.parquet(head.files: _*)
       .filter($"tag" === 99).count() == 0)
-    // the next commit reclaims the orphan dir and publishes cleanly
+    // the next commit stages in its OWN dir (never touching the orphan)
+    // and publishes cleanly over it
     val v = Snapshots.commit(root)(writeTagged(_, tag = 2, rows = 7))
     assert(v == 2L)
     val df = Snapshots.read(spark, root)
     assert(df.count() == 7 && df.filter($"tag" =!= 2).count() == 0,
       "orphan rows must never leak into the committed version")
+    // one more commit puts the orphan below the retention floor;
+    // vacuum sweeps it with the expired versions
+    Snapshots.commit(root)(writeTagged(_, tag = 3, rows = 1))
+    Snapshots.vacuum(root, keepLast = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphanDir)),
+      "vacuum must reclaim a crashed writer's orphan dir")
   }
 
   test("a reader interleaved with repeated commits never observes a mixed snapshot") {
@@ -125,8 +133,8 @@ class Round9OpsSpec extends SparkSpec {
       "the (v1, v3] delta must hold only tags 2 and 3")
     // the delta read plans over ONLY post-v1 files — the base is
     // neither re-listed nor re-scanned
-    val v1dir = Snapshots.versionDir(root, v1)
-    assert(delta.inputFiles.forall(!_.contains(v1dir)),
+    val v1pfx = Snapshots.versionPrefix(v1)
+    assert(delta.inputFiles.forall(!_.contains(v1pfx)),
       s"delta read touched base files: ${delta.inputFiles.toSeq}")
     // fromVersion = 0 means "since the beginning" = the whole head
     assert(Snapshots.readChanges(spark, root, 0L, v3).count() == 17)
@@ -134,19 +142,62 @@ class Round9OpsSpec extends SparkSpec {
     assert(Snapshots.changedFiles(root, v3, v3).isEmpty)
   }
 
+  test("racing append writers: the loser retries onto the winner's head, no row lost or doubled") {
+    val root = freshRoot("snapappendrace")
+    Snapshots.commit(root)(writeTagged(_, tag = 0, rows = 1))
+    // two writers append disjoint tags concurrently; the exclusive
+    // manifest create serializes them — each loser re-resolves the new
+    // head INSIDE the retry loop, so both deltas survive exactly once
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ws = (1 to 2).map { t =>
+      val th = new Thread(() =>
+        try (1 to 3).foreach { i =>
+          Snapshots.commitAppend(root)(writeTagged(_, tag = t * 10 + i, rows = t))
+        } catch { case e: Throwable => errs.add(e) })
+      th.setDaemon(true); th.start(); th
+    }
+    ws.foreach(_.join())
+    assert(errs.isEmpty, s"append writer failed: ${errs.peek()}")
+    assert(Snapshots.maxCommitted(root) == 7L, "1 base + 6 appends")
+    val head = Snapshots.read(spark, root)
+    // every appended tag present with exactly its own row count
+    val got = head.groupBy($"tag").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = Map(0 -> 1L) ++
+      (1 to 3).map(i => (10 + i) -> 1L) ++ (1 to 3).map(i => (20 + i) -> 2L)
+    assert(got == want, s"head content after racing appends: $got")
+  }
+
+  test("a crashed writer's leftover tmp manifest never resolves and never blocks the next commit") {
+    val root = freshRoot("snaptorn")
+    Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
+    // a writer that died between staging its manifest and the atomic
+    // rename leaves a .tmp_* file in _commits — not a manifest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_commits", ".tmp_99999_2"),
+      "bogus/file.parquet".getBytes("UTF-8"))
+    assert(Snapshots.maxCommitted(root) == 1L,
+      "a torn tmp file must not advance the head")
+    val v = Snapshots.commit(root)(writeTagged(_, tag = 2, rows = 5))
+    assert(v == 2L && Snapshots.read(spark, root).count() == 5)
+  }
+
   test("vacuum retains the newest K versions and reclaims the rest") {
     val root = freshRoot("snapvac")
     (1 to 5).foreach(t => Snapshots.commit(root)(writeTagged(_, t, 10L)))
     Snapshots.vacuum(root, keepLast = 2)
+    def dirsAt(v: Long): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try ls.iterator().asScala.filter(
+        _.getFileName.toString.startsWith(Snapshots.versionPrefix(v))).toSeq
+      finally ls.close()
+    }
     (1L to 3L).foreach { v =>
-      assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(Snapshots.versionDir(root, v))),
-        s"v$v data must be reclaimed")
+      assert(dirsAt(v).isEmpty, s"v$v data must be reclaimed")
     }
     (4L to 5L).foreach { v =>
-      assert(java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(Snapshots.versionDir(root, v))),
-        s"v$v must survive keepLast=2")
+      assert(dirsAt(v).nonEmpty, s"v$v must survive keepLast=2")
     }
     val df = Snapshots.read(spark, root)
     assert(Snapshots.maxCommitted(root) == 5L && df.count() == 10)
@@ -160,8 +211,8 @@ class Round9OpsSpec extends SparkSpec {
     val head = Snapshots.resolve(root).get
     assert(head.files.length <= 4,
       s"compacted head must be bin-packed: ${head.files.length} files")
-    val headDir = Snapshots.versionDir(root, head.version)
-    assert(head.files.forall(_.startsWith(headDir)))
+    val headPfx = Snapshots.versionPrefix(head.version)
+    assert(head.files.forall(_.contains(headPfx)))
     // the fragmented state is the immediately preceding version
     val prev = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       root, "_commits", f"${head.version - 1}%08d.manifest"))
