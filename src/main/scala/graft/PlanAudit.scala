@@ -429,6 +429,21 @@ object PlanAudit {
         |Time travel (snapshot_time_travel) shares the mechanism — a
         |historical read resolves ONE manifest and plans a normal scan
         |over its pinned, immutable file set.""".stripMargin,
+    "stream_snapshot_append" ->
+      """Exactly-once streaming ingest into the snapshot store (r9):
+        |each micro-batch is one idempotent APPEND commit
+        |(Snapshots.appendBatch, the foreachBatch binding) whose
+        |manifest carries a #txn:<appId>:<batchId> tag — a replayed
+        |batch after a crash-restart finds its tag and no-ops, which is
+        |what upgrades foreachBatch from at-least-once to exactly-once
+        |(Delta's txnAppId/txnVersion). Query-side plan: three filtered
+        |scans of events feeding parquet appends (each O(micro-batch),
+        |never O(table) — an append manifest carries the parent's file
+        |list forward without re-listing it), then one map-side-combined
+        |hash agg over the resolved head. The idempotence gate is
+        |metadata-only: one header line per retained manifest. The live
+        |checkpointed stream form (stop/restart between feeds, zombie
+        |replay, idle restart) is pinned in Round9OpsSpec.""".stripMargin,
     "cdc_merge_sql" ->
       """MERGE INTO as a SQL statement (r9). Stock Spark 4 parses MERGE
         |but refuses to execute it on any default-catalog table — the

@@ -343,6 +343,46 @@ object WarehouseOps {
     }.reduce(_ union _).orderBy($"from_step", $"o_orderpriority")
   }
 
+  /** STREAMING INGEST into the snapshot store, exactly-once: each
+    * micro-batch lands as one idempotent append commit through the
+    * SAME `foreachBatch` binding a production stream passes to
+    * `.writeStream.foreachBatch(Snapshots.appendBatch(root, appId) _)`
+    * — the manifest carries a `#txn:<appId>:<batchId>` tag, and a
+    * REPLAYED batch (what a crash between the store commit and the
+    * checkpoint write causes on restart) finds its tag already
+    * committed and no-ops. This is Delta's `txnAppId`/`txnVersion`
+    * idempotence; without it, `foreachBatch` is only at-least-once.
+    *
+    * The query drives three event micro-batches through the sink, then
+    * REPLAYS the last one with the same batchId — if the replay were
+    * appended instead of skipped, every count/sum in the result would
+    * double and the oracle (which reads the `events` table once) would
+    * hash-mismatch. The live MemoryStream + checkpoint-restart form of
+    * the same sink is exercised in Round9OpsSpec.
+    *
+    * Scale: an append commit moves the micro-batch's files plus one
+    * small manifest — O(delta), never O(table); the idempotence check
+    * is one header line per retained manifest (metadata-only). Readers
+    * tail the store incrementally via `Snapshots.readChanges` — the
+    * [[snapshotIncrementalRead]] path — so the ingest loop and its
+    * consumers never re-list the 100 TB base. */
+  val streamSnapshotAppend: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("snapstream", dir)
+    val appId = "graft_ingest"
+    val base = Tables.load(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    def batch(m: Int) = base.filter($"event_id" % 3 === m).drop("event_id")
+    (0 to 2).foreach(b => Snapshots.appendBatch(root, appId)(batch(b), b))
+    // crash-replay of the last micro-batch: same batchId → must no-op
+    Snapshots.appendBatch(root, appId)(batch(2), 2)
+    Snapshots.read(s, root)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
   /** Memo of the ANALYZEd catalog twin tables — keyed by sf dir like
     * the bucketed-join memo (NOT by session: a session key would pin
     * every session's object graph for the JVM lifetime), with a
@@ -421,6 +461,7 @@ object WarehouseOps {
     "table_commit_swap" -> tableCommitSwap,
     "snapshot_time_travel" -> snapshotTimeTravel,
     "snapshot_incremental_read" -> snapshotIncrementalRead,
+    "stream_snapshot_append" -> streamSnapshotAppend,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
     "sink_parquet_zordered" -> sinkParquetZordered)
@@ -503,6 +544,14 @@ object WarehouseOps {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
       FROM orders WHERE o_orderkey % 3 = 2 GROUP BY o_orderpriority
       ORDER BY from_step, o_orderpriority""",
+    // The whole events table, read ONCE: the three micro-batch appends
+    // partition it exactly, so a replayed batch that were appended
+    // instead of skipped would double its slice's counts/sums and
+    // hash-mismatch.
+    "stream_snapshot_append" -> s"""
+      SELECT event_type, COUNT(*) AS n,
+             ${Qx.dsumSql("value")} AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // The oracle reads the RAW parquet tables: publishing the catalog
     // twins + ANALYZE stats must be result-invisible (plans change,
     // values don't).

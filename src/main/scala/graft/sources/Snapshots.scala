@@ -128,8 +128,10 @@ object Snapshots {
     val m = manifestPath(root, version)
     if (!Files.exists(m)) throw new IllegalStateException(
       s"version $version of $root is not committed or is beyond retention")
-    Snapshot(version,
-      Files.readAllLines(m, UTF_8).asScala.toSeq.filter(_.nonEmpty))
+    // lines starting with '#' are metadata headers (e.g. the #txn tag
+    // of an idempotent streaming append), not data files
+    Snapshot(version, Files.readAllLines(m, UTF_8).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#")))
   }
 
   /** Read the current head through its manifest. */
@@ -175,7 +177,7 @@ object Snapshots {
     * committed version. On a writer race, the staged files are discarded
     * and the write re-runs against the next version (bounded retries). */
   def commit(root: String)(write: String => Unit): Long =
-    commitImpl(root, carryForward = false)(write)
+    commitImpl(root, carryForward = false, txn = None)(write)
 
   /** APPEND commit: like [[commit]], but the published manifest is the
     * previous head's file list PLUS the newly staged files — the table
@@ -184,13 +186,58 @@ object Snapshots {
     * micro-batch moves only the new files and one small manifest, and
     * [[changedFiles]] hands incremental consumers exactly the delta. */
   def commitAppend(root: String)(write: String => Unit): Long =
-    commitImpl(root, carryForward = true)(write)
+    commitImpl(root, carryForward = true, txn = None)(write)
 
-  private def commitImpl(root: String, carryForward: Boolean)(
-      write: String => Unit): Long = {
+  /** IDEMPOTENT append — the streaming-sink commit shape (Delta's
+    * `txnAppId`/`txnVersion`): the committed manifest carries a
+    * `#txn:<appId>:<epoch>` header, and a commit whose (appId, epoch)
+    * is already present in a retained manifest is SKIPPED (returns the
+    * current head untouched). This is what makes a `foreachBatch` sink
+    * exactly-once: after a crash between the snapshot commit and the
+    * checkpoint write, the restarted query REPLAYS the last micro-batch
+    * with the same batchId — the replay must be a no-op, not a
+    * double-append. Epochs must be monotonic per appId (Spark batchIds
+    * are). Retention caveat, same as Delta's: [[vacuum]] drops expired
+    * manifests and their txn tags with them, so `keepLast` must exceed
+    * the deepest possible replay window (a restarting stream replays at
+    * most its last batch, so any keepLast >= 2 is safe). */
+  def commitAppendTxn(root: String, appId: String, epoch: Long)(
+      write: String => Unit): Long =
+    commitImpl(root, carryForward = true, txn = Some((appId, epoch)))(write)
+
+  /** Highest epoch committed for `appId` among retained manifests
+    * (-1 = none): one small header line read per manifest, metadata-only. */
+  def lastTxn(root: String, appId: String): Long = {
+    val cd = commitsDir(root)
+    if (!Files.isDirectory(cd)) -1L
+    else {
+      val ls = Files.list(cd)
+      val heads =
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".manifest"))
+          .flatMap { m =>
+            val r = Files.newBufferedReader(m, UTF_8)
+            try Option(r.readLine()) finally r.close()
+          }.toSeq
+        finally ls.close()
+      val tag = s"#txn:$appId:"
+      heads.collect { case h if h.startsWith(tag) =>
+        h.stripPrefix(tag).toLong }
+        .foldLeft(-1L)(math.max)
+    }
+  }
+
+  private def commitImpl(root: String, carryForward: Boolean,
+      txn: Option[(String, Long)])(write: String => Unit): Long = {
     Files.createDirectories(commitsDir(root))
     var attempt = 0
     while (true) {
+      // idempotence gate, re-checked on every attempt: a replayed epoch
+      // (crash-restart, or a zombie writer losing the race to its own
+      // twin) finds its txn tag already committed and no-ops
+      txn.foreach { case (appId, epoch) =>
+        if (lastTxn(root, appId) >= epoch) return maxCommitted(root)
+      }
       val v = maxCommitted(root) + 1
       // writer-unique staging dir: a racing writer at the same version
       // stages elsewhere, so no cross-writer list/append/delete is
@@ -207,7 +254,8 @@ object Snapshots {
         else staged
       val tmp = commitsDir(root).resolve(
         s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-      Files.write(tmp, files.mkString("\n").getBytes(UTF_8))
+      val header = txn.map { case (a, e) => s"#txn:$a:$e\n" }.getOrElse("")
+      Files.write(tmp, (header + files.mkString("\n")).getBytes(UTF_8))
       try {
         // COMMIT POINT — a true atomic create-if-absent. NOT a rename:
         // POSIX rename(2) (= Files.move + ATOMIC_MOVE) silently
@@ -230,6 +278,18 @@ object Snapshots {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** The `foreachBatch` binding of [[commitAppendTxn]] — pass
+    * `.writeStream.foreachBatch(Snapshots.appendBatch(root, appId) _)`
+    * and every micro-batch lands as one idempotent append commit tagged
+    * with its batchId: replays after a crash-restart no-op, incremental
+    * consumers tail the store via [[readChanges]]. */
+  def appendBatch(root: String, appId: String)(df: DataFrame, batchId: Long): Unit =
+    // an empty micro-batch commits nothing (and leaves no txn tag —
+    // there is nothing a replay of it could duplicate)
+    if (!df.isEmpty) commitAppendTxn(root, appId, batchId) { out =>
+      df.write.mode("append").parquet(out)
+    }
 
   /** Retention: drop all but the newest `keepLast` committed versions.
     * Readers pinned to a vacuumed snapshot fail on next access, the

@@ -168,6 +168,90 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == want, s"head content after racing appends: $got")
   }
 
+  test("idempotent txn append: replayed epochs no-op, distinct appIds are independent") {
+    val root = freshRoot("snaptxn")
+    def batchDf(tag: Int, rows: Long) =
+      spark.range(rows).select(lit(tag).as("tag"), $"id")
+    Snapshots.appendBatch(root, "app")(batchDf(1, 5), 0L)
+    Snapshots.appendBatch(root, "app")(batchDf(2, 3), 1L)
+    assert(Snapshots.maxCommitted(root) == 2L)
+    assert(Snapshots.lastTxn(root, "app") == 1L)
+    // crash-replay: both epochs already committed — must be skipped
+    Snapshots.appendBatch(root, "app")(batchDf(99, 100), 1L)
+    Snapshots.appendBatch(root, "app")(batchDf(99, 100), 0L)
+    assert(Snapshots.maxCommitted(root) == 2L, "replays must not commit")
+    val head = Snapshots.read(spark, root)
+    assert(head.count() == 8 && head.filter($"tag" === 99).count() == 0)
+    // a DIFFERENT appId's epoch 0 is independent (two streams, one table)
+    Snapshots.appendBatch(root, "other")(batchDf(3, 2), 0L)
+    assert(Snapshots.maxCommitted(root) == 3L)
+    assert(Snapshots.lastTxn(root, "other") == 0L &&
+      Snapshots.lastTxn(root, "app") == 1L)
+    assert(Snapshots.read(spark, root).count() == 10)
+    // an empty micro-batch is a no-op, not a failed commit
+    Snapshots.appendBatch(root, "app")(batchDf(4, 5).filter($"id" < 0), 2L)
+    assert(Snapshots.maxCommitted(root) == 3L)
+  }
+
+  test("snapshot-store foreachBatch sink is exactly-once across checkpointed restarts") {
+    import java.nio.file.{Files, Paths}
+    val dir = sf()
+    val root = freshRoot("snapsinkroot")
+    val staging = freshRoot("snapsinkstage")
+    val landing = freshRoot("snapsinkland")
+    val ckpt = freshRoot("snapsinkckpt")
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 4)
+    Files.createDirectories(Paths.get(landing))
+    def land(fs: Seq[java.io.File]): Unit =
+      fs.foreach(f => Files.copy(f.toPath, Paths.get(landing, f.getName)))
+    val schema = spark.read.parquet(staging).schema
+    // the REAL streaming sink: file source -> foreachBatch append
+    // commits into the snapshot store, checkpointed; AvailableNow
+    // drains what has landed, then the query STOPS (the "crash"
+    // between feeds); the restart reuses the same checkpoint
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(landing)
+        .writeStream
+        .foreachBatch(Snapshots.appendBatch(root, "sinkapp") _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    land(parts.take(2))
+    runOnce()
+    val want = ev.count()
+    val afterHalf = Snapshots.read(spark, root).count()
+    assert(afterHalf > 0 && afterHalf < want,
+      s"first run must ingest only the landed half ($afterHalf of $want)")
+    // zombie replay: a crashed query re-runs its last micro-batch with
+    // the same batchId — the txn gate must no-op it
+    val last = Snapshots.lastTxn(root, "sinkapp")
+    assert(last >= 0L)
+    Snapshots.appendBatch(root, "sinkapp")(
+      spark.range(3).select($"id".as("event_id"),
+        lit("ZOMBIE").as("event_type"), lit(0.0f).as("value")), last)
+    assert(Snapshots.read(spark, root).count() == afterHalf,
+      "a replayed batchId must not append")
+    land(parts.drop(2))
+    runOnce() // restart: picks up ONLY the two new files
+    val got = Snapshots.read(spark, root)
+    assert(got.count() == want && got.filter($"event_type" === "ZOMBIE").count() == 0)
+    val g = got.select($"event_id").collect().map(_.getLong(0)).sorted
+    val w = ev.select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(g.sameElements(w), "restart broke exactly-once")
+    // idle restart (nothing new): no new commit, no re-emit
+    val headBefore = Snapshots.maxCommitted(root)
+    runOnce()
+    assert(Snapshots.maxCommitted(root) == headBefore &&
+      Snapshots.read(spark, root).count() == want)
+  }
+
   test("a crashed writer's leftover tmp manifest never resolves and never blocks the next commit") {
     val root = freshRoot("snaptorn")
     Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
