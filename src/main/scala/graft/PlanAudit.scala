@@ -429,6 +429,18 @@ object PlanAudit {
         |Time travel (snapshot_time_travel) shares the mechanism — a
         |historical read resolves ONE manifest and plans a normal scan
         |over its pinned, immutable file set.""".stripMargin,
+    "snapshot_schema_evolution" ->
+      """Schema evolution across snapshot commits (r9): v1 lacks the
+        |o_band column, the append commit adds it, and the head is read
+        |with mergeSchema — expect ONE scan over both eras' files whose
+        |ReadSchema already carries the union schema (pre-evolution rows
+        |null-fill at the reader, no rewrite of history, zero data
+        |movement to add the column), feeding one map-side-combined hash
+        |agg over (priority, band). A time-travel readAt of v1 still
+        |plans the pre-evolution schema — spec-pinned. At 100 TB the
+        |footer-per-file planning cost is the argument for caching the
+        |union schema in the manifest, which this protocol's metadata
+        |file already centralizes.""".stripMargin,
     "stream_snapshot_append" ->
       """Exactly-once streaming ingest into the snapshot store (r9):
         |each micro-batch is one idempotent APPEND commit

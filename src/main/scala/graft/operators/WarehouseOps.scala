@@ -343,6 +343,46 @@ object WarehouseOps {
     }.reduce(_ union _).orderBy($"from_step", $"o_orderpriority")
   }
 
+  /** SCHEMA EVOLUTION across snapshot commits: v1 commits `orders`
+    * rows WITHOUT the `o_band` column; an append commit adds rows that
+    * CARRY it. The head is read with schema merging — the union schema
+    * resolves and pre-evolution rows surface `o_band = NULL` (folded to
+    * 'none' here so the grouping is total) — while a time-travel read
+    * of v1 still presents exactly the pre-evolution schema
+    * (spec-pinned in Round9OpsSpec). History is never rewritten: the
+    * column "appears" retroactively at read time, the Delta/Iceberg
+    * `mergeSchema`/add-column contract, and what lets a 100 TB table
+    * grow a column with zero data movement.
+    *
+    * Scale: the evolved read costs one footer read per file at
+    * planning (a production store caches the union schema in the
+    * manifest — the same metadata file this protocol already
+    * centralizes); the aggregate itself is one map-side-combined hash
+    * agg. The oracle recomputes both eras from the ORIGINAL table, so
+    * a lost row, a mis-nulled column, or a schema resolution that
+    * drops either era hash-mismatches. */
+  val snapshotSchemaEvolution: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("snapevo", dir)
+    val o = Tables.load(s, dir, "orders")
+    Snapshots.commit(root)(out =>
+      o.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderpriority", $"o_totalprice")
+        .write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderpriority", $"o_totalprice",
+          when($"o_totalprice" > 150000, "hi").otherwise("lo").as("o_band"))
+        .write.mode("append").parquet(out))
+    Snapshots.vacuum(root, keepLast = 2)
+    Snapshots.readMerged(s, root)
+      .groupBy($"o_orderpriority",
+        coalesce($"o_band", lit("none")).as("band"))
+      .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority", $"band")
+  }
+
   /** STREAMING INGEST into the snapshot store, exactly-once: each
     * micro-batch lands as one idempotent append commit through the
     * SAME `foreachBatch` binding a production stream passes to
@@ -462,6 +502,7 @@ object WarehouseOps {
     "snapshot_time_travel" -> snapshotTimeTravel,
     "snapshot_incremental_read" -> snapshotIncrementalRead,
     "stream_snapshot_append" -> streamSnapshotAppend,
+    "snapshot_schema_evolution" -> snapshotSchemaEvolution,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
     "sink_parquet_zordered" -> sinkParquetZordered)
@@ -544,6 +585,19 @@ object WarehouseOps {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
       FROM orders WHERE o_orderkey % 3 = 2 GROUP BY o_orderpriority
       ORDER BY from_step, o_orderpriority""",
+    // Both eras recomputed from the ORIGINAL table: even-key rows are
+    // pre-evolution (band = 'none'), odd-key rows carry the band — a
+    // mis-nulled column, a dropped era, or a stale schema resolution
+    // hash-mismatches.
+    "snapshot_schema_evolution" -> s"""
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 2 = 1
+                  THEN CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+                  ELSE 'none' END AS band,
+             COUNT(*) AS n, ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders
+      GROUP BY o_orderpriority, band
+      ORDER BY o_orderpriority, band""",
     // The whole events table, read ONCE: the three micro-batch appends
     // partition it exactly, so a replayed batch that were appended
     // instead of skipped would double its slice's counts/sums and

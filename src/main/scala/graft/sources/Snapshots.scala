@@ -146,6 +146,22 @@ object Snapshots {
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(resolveAt(root, version).files: _*)
 
+  /** Read the head with parquet schema MERGING — schema evolution:
+    * later commits may add columns, and the merged read resolves the
+    * union schema, nulling the added columns in pre-evolution files.
+    * History is never rewritten (files are immutable), and a
+    * time-travel [[readAt]] of a pre-evolution version still presents
+    * exactly the schema it was committed with — the two halves of the
+    * Delta/Iceberg evolution contract. mergeSchema costs one footer
+    * read per file at planning; at 100 TB scale a production store
+    * would cache the union schema in the manifest, the same few bytes
+    * of metadata this protocol already centralizes. */
+  def readMerged(spark: SparkSession, root: String): DataFrame = {
+    val snap = resolve(root).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot under $root"))
+    spark.read.option("mergeSchema", "true").parquet(snap.files: _*)
+  }
+
   /** File-level change feed between two committed versions: the files
     * present in `toVersion`'s manifest but not in `fromVersion`'s
     * (`fromVersion = 0` means "since the beginning"). For append

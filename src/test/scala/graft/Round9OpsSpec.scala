@@ -252,6 +252,26 @@ class Round9OpsSpec extends SparkSpec {
       Snapshots.read(spark, root).count() == want)
   }
 
+  test("schema evolution: merged head nulls the added column in old files; time travel keeps the old schema") {
+    val root = freshRoot("snapevospec")
+    val v1 = Snapshots.commit(root)(out =>
+      spark.range(4).select($"id").write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      spark.range(4, 6).select($"id", lit("x").as("extra"))
+        .write.mode("append").parquet(out))
+    val head = Snapshots.readMerged(spark, root)
+    assert(head.columns.toSet == Set("id", "extra"),
+      s"merged head must resolve the union schema: ${head.columns.toSeq}")
+    assert(head.count() == 6)
+    assert(head.filter($"extra".isNull).count() == 4,
+      "pre-evolution rows must surface NULL for the added column")
+    assert(head.filter($"extra" === "x").count() == 2)
+    // time travel: the pre-evolution version presents EXACTLY the
+    // schema it was committed with — history is never rewritten
+    val old = Snapshots.readAt(spark, root, v1)
+    assert(old.columns.toSeq == Seq("id") && old.count() == 4)
+  }
+
   test("a crashed writer's leftover tmp manifest never resolves and never blocks the next commit") {
     val root = freshRoot("snaptorn")
     Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
