@@ -441,6 +441,20 @@ object PlanAudit {
         |footer-per-file planning cost is the argument for caching the
         |union schema in the manifest, which this protocol's metadata
         |file already centralizes.""".stripMargin,
+    "sql_update_delete" ->
+      """UPDATE / DELETE statements against the snapshot store (r9):
+        |Spark's parser produces the UpdateTable / DeleteFromTable tree
+        |and RowSql lowers each onto ONE embarrassingly-parallel
+        |scan→project/filter→write — expect ZERO exchanges in either
+        |lowered plan (contrast MERGE's full-outer shuffle join): every
+        |task rewrites exactly its own input split, so the statement
+        |cost is one table pass regardless of cluster width. The
+        |write-back is copy-on-write through the atomic manifest
+        |commit; time travel keeps each pre-statement version. At
+        |100 TB the production refinement is scoping the rewrite to
+        |files whose zone maps can satisfy the predicate and carrying
+        |untouched files forward by reference in the manifest — the
+        |append-manifest machinery this store already has.""".stripMargin,
     "stream_snapshot_append" ->
       """Exactly-once streaming ingest into the snapshot store (r9):
         |each micro-batch is one idempotent APPEND commit

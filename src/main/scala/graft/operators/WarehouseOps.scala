@@ -383,6 +383,45 @@ object WarehouseOps {
       .orderBy($"o_orderpriority", $"band")
   }
 
+  /** UPDATE / DELETE SQL statements against the snapshot store — the
+    * row-level companions to `cdc_merge_sql`, executed by
+    * [[graft.plans.RowSql]]: Spark's own parser produces the
+    * `UpdateTable` / `DeleteFromTable` tree (stock Spark 4 refuses to
+    * execute either on a default-catalog table, same probe family as
+    * MERGE), and the interpreter lowers each onto ONE
+    * embarrassingly-parallel scan→project/filter→write — zero
+    * exchanges — with copy-on-write write-back through the atomic
+    * manifest commit. The statement pair here updates one slice and
+    * then deletes on the POST-update values, so the oracle catches an
+    * interpreter that runs the statements out of order, misses
+    * three-valued WHERE semantics, or loses rows in the versioned
+    * write-back.
+    *
+    * Each invocation re-commits the pristine slice first (the
+    * statements are destructive by design), keeping the key
+    * deterministic across repeated Bench/Verify passes; vacuum bounds
+    * retention. */
+  val sqlUpdateDelete: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("rowsqltbl", dir)
+    Snapshots.commit(root)(out =>
+      Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("custkey"), $"c_nationkey".as("nationkey"),
+          $"c_acctbal".as("acctbal"))
+        .write.mode("append").parquet(out))
+    graft.plans.RowSql.execute(s,
+      "UPDATE graft_cust SET acctbal = acctbal + 100.0 WHERE nationkey < 10",
+      Map("graft_cust" -> root))
+    val after = graft.plans.RowSql.execute(s,
+      "DELETE FROM graft_cust WHERE acctbal < 0.0",
+      Map("graft_cust" -> root))
+    Snapshots.vacuum(root, keepLast = 4)
+    after.groupBy($"nationkey")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"acctbal").as("total"))
+      .orderBy($"nationkey")
+  }
+
   /** STREAMING INGEST into the snapshot store, exactly-once: each
     * micro-batch lands as one idempotent append commit through the
     * SAME `foreachBatch` binding a production stream passes to
@@ -503,6 +542,7 @@ object WarehouseOps {
     "snapshot_incremental_read" -> snapshotIncrementalRead,
     "stream_snapshot_append" -> streamSnapshotAppend,
     "snapshot_schema_evolution" -> snapshotSchemaEvolution,
+    "sql_update_delete" -> sqlUpdateDelete,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
     "sink_parquet_zordered" -> sinkParquetZordered)
@@ -598,6 +638,20 @@ object WarehouseOps {
       FROM orders
       GROUP BY o_orderpriority, band
       ORDER BY o_orderpriority, band""",
+    // Replays the statement pair in ANSI SQL over the ORIGINAL table:
+    // the UPDATE's CASE first, then the DELETE's filter over the
+    // POST-update values — out-of-order execution, wrong WHERE
+    // semantics, or rows lost/duplicated by the copy-on-write
+    // write-back all hash-mismatch.
+    "sql_update_delete" -> s"""
+      WITH u AS (
+        SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+               CASE WHEN c_nationkey < 10 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS acctbal
+        FROM customer),
+      d AS (SELECT * FROM u WHERE NOT (acctbal < 0.0))
+      SELECT nationkey, COUNT(*) AS n, ${Qx.dsumSql("acctbal")} AS total
+      FROM d GROUP BY nationkey ORDER BY nationkey""",
     // The whole events table, read ONCE: the three micro-batch appends
     // partition it exactly, so a replayed batch that were appended
     // instead of skipped would double its slice's counts/sums and
