@@ -441,6 +441,30 @@ object PlanAudit {
         |footer-per-file planning cost is the argument for caching the
         |union schema in the manifest, which this protocol's metadata
         |file already centralizes.""".stripMargin,
+    "snapshot_partition_prune" ->
+      """Manifest-level partition pruning (r9): orders committed
+        |.partitionBy(o_orderpriority) across two eras, read back for 2
+        |of 5 priorities. The pruning happens BEFORE Spark — the
+        |manifest's file list is filtered on the partition path segment,
+        |so expect one scan per era whose file set carries ONLY the two
+        |wanted priorities (spec asserts inputFiles), unioned, feeding a
+        |map-side-combined hash agg on the recovered partition column.
+        |At 100 TB: planning touches exactly the matching partitions'
+        |files with zero LIST of the base — the manifest is the listing,
+        |and filtering it is a metadata-only string match, the same move
+        |Iceberg makes with partition summaries in manifest files.""".stripMargin,
+    "sql_delete_mor" ->
+      """Merge-on-read DELETE (r9): two DELETE statements commit tiny
+        |delete-key files (#del manifest lines) — base files never move
+        |(spec-pinned identical file list). Expect the head read to be
+        |the base scan + ONE BroadcastHashJoin LeftAnti against the
+        |union of delete keys (broadcast = O(deleted keys), the base
+        |side never shuffles), then the usual agg. Statement cost is
+        |O(matching rows) written; at 100 TB deleting a key costs
+        |kilobytes vs copy-on-write's full rewrite (sql_update_delete
+        |is the COW contrast) — the read-side anti join is the rent
+        |until a rewrite commit absorbs the deletes (also spec-pinned,
+        |as is vacuum keeping referenced delete files).""".stripMargin,
     "sql_update_delete" ->
       """UPDATE / DELETE statements against the snapshot store (r9):
         |Spark's parser produces the UpdateTable / DeleteFromTable tree

@@ -422,6 +422,77 @@ object WarehouseOps {
       .orderBy($"nationkey")
   }
 
+  /** PARTITION PRUNING through the snapshot manifest: orders committed
+    * `.partitionBy(o_orderpriority)` (two eras — an initial commit and
+    * an append, so the pruned read spans two version dirs), then read
+    * back for two of the five priorities via
+    * [[graft.sources.Snapshots.readPartitionPruned]]. The pruning is
+    * METADATA-ONLY — the manifest's file list is filtered on the
+    * `o_orderpriority=<v>` path segment before Spark ever lists or
+    * opens a file — so ~3/5 of the table costs zero I/O (file-count
+    * assertion in Round9OpsSpec). At 100 TB this is the difference
+    * between planning over every file and planning over exactly the
+    * matching partitions, with no LIST of the base.
+    *
+    * The oracle recomputes the two priorities from the ORIGINAL table:
+    * a pruned read that drops a matching file or leaks a non-matching
+    * one hash-mismatches. */
+  val snapshotPartitionPrune: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("snappart", dir)
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    Snapshots.commit(root)(out =>
+      o.filter($"o_orderkey" % 2 === 0)
+        .write.partitionBy("o_orderpriority").mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 2 === 1)
+        .write.partitionBy("o_orderpriority").mode("append").parquet(out))
+    Snapshots.vacuum(root, keepLast = 2)
+    Snapshots.readPartitionPruned(s, root, "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** MERGE-ON-READ DELETE — the other half of the DELETE story
+    * ([[sqlUpdateDelete]] is copy-on-write): two DELETE statements
+    * execute by committing tiny delete-key files (`#del` manifest
+    * lines, [[graft.sources.Snapshots.commitDelete]]) while the base
+    * files never move; the head read applies them as one broadcast
+    * anti join. Statement cost is O(matching rows) written regardless
+    * of table size — at 100 TB, deleting a user's rows costs kilobytes
+    * of delete file, not a table rewrite; the read-side anti join is
+    * the rent until the next rewrite commit absorbs the deletes
+    * (spec-pinned in Round9OpsSpec, with time travel and vacuum
+    * retention of delete files).
+    *
+    * The second statement deletes on values the FIRST already hides
+    * (nation-13 rows with negative balances are gone after delete 1),
+    * so the oracle also checks that stacked delete files compose. */
+  val sqlDeleteMor: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("mortbl", dir)
+    Snapshots.commit(root)(out =>
+      Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("custkey"), $"c_nationkey".as("nationkey"),
+          $"c_acctbal".as("acctbal"))
+        .write.mode("append").parquet(out))
+    graft.plans.RowSql.deleteMergeOnRead(s,
+      "DELETE FROM graft_cust WHERE acctbal < 0.0",
+      Map("graft_cust" -> root), "custkey")
+    val after = graft.plans.RowSql.deleteMergeOnRead(s,
+      "DELETE FROM graft_cust WHERE nationkey = 13",
+      Map("graft_cust" -> root), "custkey")
+    Snapshots.vacuum(root, keepLast = 4)
+    after.groupBy($"nationkey")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"acctbal").as("total"))
+      .orderBy($"nationkey")
+  }
+
   /** STREAMING INGEST into the snapshot store, exactly-once: each
     * micro-batch lands as one idempotent append commit through the
     * SAME `foreachBatch` binding a production stream passes to
@@ -543,6 +614,8 @@ object WarehouseOps {
     "stream_snapshot_append" -> streamSnapshotAppend,
     "snapshot_schema_evolution" -> snapshotSchemaEvolution,
     "sql_update_delete" -> sqlUpdateDelete,
+    "sql_delete_mor" -> sqlDeleteMor,
+    "snapshot_partition_prune" -> snapshotPartitionPrune,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
     "sink_parquet_zordered" -> sinkParquetZordered)
@@ -652,6 +725,24 @@ object WarehouseOps {
       d AS (SELECT * FROM u WHERE NOT (acctbal < 0.0))
       SELECT nationkey, COUNT(*) AS n, ${Qx.dsumSql("acctbal")} AS total
       FROM d GROUP BY nationkey ORDER BY nationkey""",
+    // Stacked MOR deletes replayed as plain filters over the ORIGINAL
+    // table: a delete file dropped by the read, a key leaking back, or
+    // an anti join hiding too much hash-mismatches.
+    "sql_delete_mor" -> s"""
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n,
+             ${Qx.dsumSql("c_acctbal")} AS total
+      FROM customer
+      WHERE NOT (c_acctbal < 0.0) AND NOT (c_nationkey = 13)
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // Two of five priorities recomputed from the ORIGINAL table: a
+    // pruned read dropping a matching file (either era) or leaking a
+    // non-matching partition hash-mismatches.
+    "snapshot_partition_prune" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // The whole events table, read ONCE: the three micro-batch appends
     // partition it exactly, so a replayed batch that were appended
     // instead of skipped would double its slice's counts/sums and

@@ -85,6 +85,40 @@ object RowSql {
     }
   }
 
+  /** Execute one DELETE statement MERGE-ON-READ: instead of rewriting
+    * the survivors (the copy-on-write path of [[execute]]), write only
+    * the DELETED KEY VALUES as a tiny delete file and publish it with
+    * `#del` manifest lines ([[Snapshots.commitDelete]]); readers apply
+    * it as a broadcast anti join. The statement costs O(matching rows)
+    * I/O regardless of table size — the 100 TB contrast to
+    * copy-on-write's full-table rewrite — at the price of a small
+    * read-side anti join until the next rewrite commit absorbs the
+    * deletes. `keyCol` must identify rows (a primary key). A DELETE
+    * matching nothing commits nothing (no empty delete files). */
+  def deleteMergeOnRead(spark: SparkSession, sql: String,
+      tables: Map[String, String], keyCol: String): DataFrame = {
+    val (rel, cond) = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case DeleteFromTable(r, c) => (r, c)
+      case other => throw new IllegalArgumentException(
+        s"not a DELETE statement: ${other.getClass.getSimpleName}")
+    }
+    def unwrap(p: LogicalPlan): (String, Option[String]) = p match {
+      case SubqueryAlias(id, child) => (unwrap(child)._1, Some(id.name))
+      case u: UnresolvedRelation => (u.multipartIdentifier.last, None)
+      case other => throw new IllegalArgumentException(
+        s"unsupported relation shape: ${other.getClass.getSimpleName}")
+    }
+    val (name, alias) = unwrap(rel)
+    val root = tables.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown snapshot table $name (known: ${tables.keys.mkString(", ")})"))
+    val target = Snapshots.read(spark, root).alias(alias.getOrElse(name))
+    val doomedKeys = target.filter(isTrue(cond)).select(keyCol).distinct()
+    if (!doomedKeys.isEmpty)
+      Snapshots.commitDelete(root, keyCol)(out =>
+        doomedKeys.write.mode("append").parquet(out))
+    Snapshots.read(spark, root)
+  }
+
   /** predicate is TRUE (not null, not false) — three-valued logic */
   private def isTrue(c: Expression): Column =
     coalesce(GraftSqlBridge.column(c), lit(false))

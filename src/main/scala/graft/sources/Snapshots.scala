@@ -53,8 +53,11 @@ import scala.jdk.CollectionConverters._
   */
 object Snapshots {
 
-  /** A resolved table version: the immutable file set of one commit. */
-  final case class Snapshot(version: Long, files: Seq[String])
+  /** A resolved table version: the immutable file set of one commit,
+    * plus any pending MERGE-ON-READ delete files — `(keyCol, path)`
+    * pairs whose parquet holds the deleted key values ([[commitDelete]]). */
+  final case class Snapshot(version: Long, files: Seq[String],
+      deletes: Seq[(String, String)] = Nil)
 
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
 
@@ -128,23 +131,78 @@ object Snapshots {
     val m = manifestPath(root, version)
     if (!Files.exists(m)) throw new IllegalStateException(
       s"version $version of $root is not committed or is beyond retention")
-    // lines starting with '#' are metadata headers (e.g. the #txn tag
-    // of an idempotent streaming append), not data files
-    Snapshot(version, Files.readAllLines(m, UTF_8).asScala.toSeq
-      .filter(l => l.nonEmpty && !l.startsWith("#")))
+    // lines starting with '#' are metadata headers: the #txn tag of an
+    // idempotent streaming append, and #del:<keyCol>:<path> lines
+    // recording merge-on-read delete files
+    val lines = Files.readAllLines(m, UTF_8).asScala.toSeq.filter(_.nonEmpty)
+    val dels = lines.collect { case l if l.startsWith(delPrefix) =>
+      val body = l.stripPrefix(delPrefix)
+      val sep = body.indexOf(':')
+      (body.substring(0, sep), body.substring(sep + 1))
+    }
+    Snapshot(version, lines.filterNot(_.startsWith("#")), dels)
   }
 
-  /** Read the current head through its manifest. */
+  private val delPrefix = "#del:"
+
+  /** Apply a snapshot's pending merge-on-read deletes: one broadcast
+    * LEFT ANTI join per delete key column against the union of that
+    * column's delete-key files. Delete files are O(deleted keys) —
+    * tiny next to the base — so the anti join broadcasts and the base
+    * never shuffles; a no-delete snapshot pays nothing. */
+  private def applyDeletes(spark: SparkSession, base: DataFrame,
+      deletes: Seq[(String, String)]): DataFrame =
+    deletes.groupBy(_._1).foldLeft(base) { case (df, (keyCol, dels)) =>
+      val keys = spark.read.parquet(dels.map(_._2): _*).select(keyCol).distinct()
+      df.join(org.apache.spark.sql.functions.broadcast(keys),
+        Seq(keyCol), "left_anti")
+    }
+
+  /** Read the current head through its manifest (merge-on-read deletes
+    * applied — see [[commitDelete]]). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
-    spark.read.parquet(snap.files: _*)
+    applyDeletes(spark, spark.read.parquet(snap.files: _*), snap.deletes)
   }
 
   /** Time travel: read version `v` through ITS manifest — the same
-    * pinned-file-list isolation as [[read]], just not at the head. */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.parquet(resolveAt(root, version).files: _*)
+    * pinned-file-list isolation as [[read]], just not at the head. That
+    * version's own pending deletes (if any) apply; deletes committed
+    * AFTER it do not, exactly like any other later commit. */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val snap = resolveAt(root, version)
+    applyDeletes(spark, spark.read.parquet(snap.files: _*), snap.deletes)
+  }
+
+  /** PARTITION-PRUNED head read: keep only the manifest files whose
+    * path carries `partCol=<one of values>` as a directory segment —
+    * i.e. files written through `.partitionBy(partCol)` inside a
+    * [[commit]]/[[commitAppend]] staging dir. The pruning is METADATA-
+    * ONLY: the manifest file list is filtered before Spark ever lists,
+    * opens, or footer-reads anything, so at 100 TB a 2-of-N-partition
+    * query plans over exactly the matching files — the store never
+    * relists the table, and non-matching partitions cost zero I/O.
+    * Reads group by version dir so Spark re-derives the partition
+    * column from each era's own `basePath` (append commits may span
+    * several version dirs). */
+  def readPartitionPruned(spark: SparkSession, root: String,
+      partCol: String, values: Seq[String]): DataFrame = {
+    val snap = resolve(root).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot under $root"))
+    val wanted = values.map(v => s"/$partCol=$v/").toSet
+    val kept = snap.files.filter(f => wanted.exists(f.contains))
+    require(kept.nonEmpty,
+      s"no files match $partCol in ${values.mkString("{", ",", "}")} under $root")
+    val byBase = kept.groupBy { f =>
+      // basePath = the version dir: root-relative first segment v########_*
+      val rel = Paths.get(root).relativize(Paths.get(f))
+      Paths.get(root).resolve(rel.getName(0)).toString
+    }
+    byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
+      spark.read.option("basePath", base).parquet(fs: _*)
+    }.reduce(_ unionByName _)
+  }
 
   /** Read the head with parquet schema MERGING — schema evolution:
     * later commits may add columns, and the merged read resolves the
@@ -159,7 +217,9 @@ object Snapshots {
   def readMerged(spark: SparkSession, root: String): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
-    spark.read.option("mergeSchema", "true").parquet(snap.files: _*)
+    applyDeletes(spark,
+      spark.read.option("mergeSchema", "true").parquet(snap.files: _*),
+      snap.deletes)
   }
 
   /** File-level change feed between two committed versions: the files
@@ -221,6 +281,27 @@ object Snapshots {
       write: String => Unit): Long =
     commitImpl(root, carryForward = true, txn = Some((appId, epoch)))(write)
 
+  /** MERGE-ON-READ delete commit: `write(stagingDir)` materializes a
+    * parquet of DELETED KEY VALUES (single column `keyCol`), and the
+    * published manifest carries the parent's data files UNCHANGED plus
+    * a `#del:<keyCol>:<path>` line per staged file (prior pending
+    * deletes carry forward too). Readers apply the deletes as a
+    * broadcast anti join ([[read]]): the delete costs O(deleted keys)
+    * written — never a rewrite of the 100 TB base (contrast the
+    * copy-on-write DELETE, which republishes every surviving row).
+    * Any full rewrite [[commit]] (compaction, a COW statement)
+    * publishes no `#del` lines, so it absorbs and clears pending
+    * deletes once the survivors are materialized.
+    *
+    * Contract: `keyCol` must identify rows (a primary key). A key
+    * deleted here stays invisible even if a later APPEND re-adds it —
+    * re-inserting a deleted key requires a rewrite commit first (the
+    * standard key-based merge-on-read caveat; position-based delete
+    * vectors are the per-file refinement of the same idea). */
+  def commitDelete(root: String, keyCol: String)(write: String => Unit): Long =
+    commitImpl(root, carryForward = true, txn = None,
+      stagedAsDeletes = Some(keyCol))(write)
+
   /** Highest epoch committed for `appId` among retained manifests
     * (-1 = none): one small header line read per manifest, metadata-only. */
   def lastTxn(root: String, appId: String): Long = {
@@ -244,7 +325,8 @@ object Snapshots {
   }
 
   private def commitImpl(root: String, carryForward: Boolean,
-      txn: Option[(String, Long)])(write: String => Unit): Long = {
+      txn: Option[(String, Long)],
+      stagedAsDeletes: Option[String] = None)(write: String => Unit): Long = {
     Files.createDirectories(commitsDir(root))
     var attempt = 0
     while (true) {
@@ -265,13 +347,26 @@ object Snapshots {
       require(staged.nonEmpty, s"commit produced no data files in $dataDir")
       // carried files re-resolved INSIDE the retry loop: after a lost
       // race the parent is the winner's head, not the one we started from
-      val files =
-        if (carryForward && v > 1L) resolveAt(root, v - 1).files ++ staged
-        else staged
+      val parent =
+        if (v > 1L && (carryForward || stagedAsDeletes.isDefined))
+          Some(resolveAt(root, v - 1))
+        else None
+      val files = stagedAsDeletes match {
+        case Some(_) => parent.getOrElse(throw new IllegalStateException(
+          s"merge-on-read delete needs a committed table under $root")).files
+        case None => parent.map(_.files).getOrElse(Nil) ++ staged
+      }
+      // pending deletes carry forward on append/delete commits; a full
+      // rewrite (carryForward = false) clears them — the rewrite
+      // materializes the surviving rows
+      val delLines =
+        parent.map(_.deletes).getOrElse(Nil).map { case (k, f) => s"$delPrefix$k:$f" } ++
+          stagedAsDeletes.toSeq.flatMap(k => staged.map(f => s"$delPrefix$k:$f"))
       val tmp = commitsDir(root).resolve(
         s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
       val header = txn.map { case (a, e) => s"#txn:$a:$e\n" }.getOrElse("")
-      Files.write(tmp, (header + files.mkString("\n")).getBytes(UTF_8))
+      val delBlock = if (delLines.isEmpty) "" else delLines.mkString("", "\n", "\n")
+      Files.write(tmp, (header + delBlock + files.mkString("\n")).getBytes(UTF_8))
       try {
         // COMMIT POINT — a true atomic create-if-absent. NOT a rename:
         // POSIX rename(2) (= Files.move + ATOMIC_MOVE) silently
@@ -322,7 +417,10 @@ object Snapshots {
     val oldest = math.max(1L, head - keepLast + 1)
     val referenced = (oldest to head).iterator
       .filter(v => Files.exists(manifestPath(root, v)))
-      .flatMap(v => resolveAt(root, v).files).toSet
+      .flatMap { v =>
+        val s = resolveAt(root, v)
+        s.files ++ s.deletes.map(_._2) // pending delete files are live too
+      }.toSet
     (1L until oldest).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     // sweep data dirs staged below the retention floor — expired
     // versions AND crashed-writer orphans alike. A dir goes away whole
@@ -339,15 +437,20 @@ object Snapshots {
     }
   }
 
+  /** All parquet files under `dir`, RECURSIVELY — a `.partitionBy(col)`
+    * write stages its files inside `col=value/` subdirectories, and the
+    * manifest must pin those leaf files (their paths carry the
+    * partition value, which is what [[readPartitionPruned]] prunes on). */
   private def listParquet(dir: String): Seq[String] = {
     val d = Paths.get(dir)
-    val ls = Files.list(d)
-    try ls.iterator().asScala
+    val walk = Files.walk(d)
+    try walk.iterator().asScala
+      .filter(Files.isRegularFile(_))
       .map(_.toAbsolutePath.toString)
       .filter(p => p.endsWith(".parquet") &&
         !Paths.get(p).getFileName.toString.startsWith("_"))
       .toSeq.sorted
-    finally ls.close()
+    finally walk.close()
   }
 
   private def deleteRecursively(p: Path): Unit =

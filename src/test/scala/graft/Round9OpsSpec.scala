@@ -272,6 +272,69 @@ class Round9OpsSpec extends SparkSpec {
     assert(old.columns.toSeq == Seq("id") && old.count() == 4)
   }
 
+  test("partition-pruned snapshot read plans over only matching files, across eras") {
+    val root = freshRoot("snappruspec")
+    Snapshots.commit(root)(out =>
+      spark.range(20).select($"id", ($"id" % 4).cast("string").as("p"))
+        .write.partitionBy("p").mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      spark.range(20, 30).select($"id", ($"id" % 2).cast("string").as("p"))
+        .write.partitionBy("p").mode("append").parquet(out))
+    val all = Snapshots.resolve(root).get.files
+    assert(all.forall(_.contains("/p=")), "partitioned staging must pin leaf files")
+    val pruned = Snapshots.readPartitionPruned(spark, root, "p", Seq("1"))
+    val scanned = pruned.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/p=1/")),
+      s"pruned plan leaked non-matching files: $scanned")
+    assert(scanned.size < all.size, "pruning must drop the other partitions' files")
+    // era1: id%4==1 → 1,5,9,13,17; era2: id%2==1 → 21,23,25,27,29
+    assert(pruned.count() == 10)
+    assert(pruned.filter($"p" =!= "1").count() == 0)
+    assert(pruned.select($"id").as[Long].collect().toSet ==
+      Set(1L, 5L, 9L, 13L, 17L, 21L, 23L, 25L, 27L, 29L))
+  }
+
+  test("merge-on-read delete: base files never move, deletes stack, vacuum keeps them, rewrite absorbs") {
+    import graft.plans.RowSql
+    val root = freshRoot("morspec")
+    val v1 = Snapshots.commit(root)(out =>
+      spark.range(10).select($"id", ($"id" * 1.0).as("v"))
+        .write.mode("append").parquet(out))
+    val baseFiles = Snapshots.resolve(root).get.files
+    RowSql.deleteMergeOnRead(spark, "DELETE FROM t WHERE id >= 8", Map("t" -> root), "id")
+    val snap2 = Snapshots.resolve(root).get
+    assert(snap2.files == baseFiles, "MOR delete must not touch base files")
+    assert(snap2.deletes.nonEmpty && snap2.deletes.forall(_._1 == "id"))
+    assert(Snapshots.read(spark, root).count() == 8)
+    assert(Snapshots.readAt(spark, root, v1).count() == 10,
+      "time travel to the pre-delete version must see every row")
+    // the read-side apply is a BROADCAST anti join — the base never shuffles
+    val plan = Snapshots.read(spark, root).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"deletes must apply as a broadcast anti join:\n$plan")
+    // stacked deletes compose
+    RowSql.deleteMergeOnRead(spark, "DELETE FROM t WHERE id < 2", Map("t" -> root), "id")
+    assert(Snapshots.read(spark, root).count() == 6)
+    assert(Snapshots.resolve(root).get.deletes.size >= 2)
+    // a DELETE matching nothing commits nothing
+    val vBefore = Snapshots.maxCommitted(root)
+    RowSql.deleteMergeOnRead(spark, "DELETE FROM t WHERE id > 100", Map("t" -> root), "id")
+    assert(Snapshots.maxCommitted(root) == vBefore, "empty delete must be a no-op")
+    // vacuum to the head alone: referenced delete files survive the sweep
+    Snapshots.vacuum(root, keepLast = 1)
+    assert(Snapshots.read(spark, root).count() == 6,
+      "vacuum must keep delete files the head still references")
+    // a rewrite commit materializes survivors and clears the deletes
+    Snapshots.commit(root)(out =>
+      Snapshots.read(spark, root).write.mode("append").parquet(out))
+    val head = Snapshots.resolve(root).get
+    assert(head.deletes.isEmpty, "a rewrite must absorb pending deletes")
+    assert(Snapshots.read(spark, root).count() == 6)
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet ==
+      (2L to 7L).toSet)
+  }
+
   test("a crashed writer's leftover tmp manifest never resolves and never blocks the next commit") {
     val root = freshRoot("snaptorn")
     Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
