@@ -441,6 +441,17 @@ object PlanAudit {
         |footer-per-file planning cost is the argument for caching the
         |union schema in the manifest, which this protocol's metadata
         |file already centralizes.""".stripMargin,
+    "sql_time_travel" ->
+      """VERSION AS OF SQL (r9): the statement substitutes each
+        |RelationTimeTravel node with that version's pinned manifest
+        |read and re-enters Spark's analyzer — expect a plain UNION of
+        |two aggregated scans, v1's scan planning over ONLY the first
+        |commit's files while the head scan covers all three eras'
+        |files, each side map-side-combined before its exchange. Time
+        |travel adds NO operator of its own: history is a different
+        |file list, so a today-vs-last-week audit at 100 TB costs two
+        |ordinary pruned scans + one small manifest read per version —
+        |never a restore, never a second copy of the table.""".stripMargin,
     "snapshot_partition_prune" ->
       """Manifest-level partition pruning (r9): orders committed
         |.partitionBy(o_orderpriority) across two eras, read back for 2

@@ -493,6 +493,52 @@ object WarehouseOps {
       .orderBy($"nationkey")
   }
 
+  /** `VERSION AS OF` SQL — the time-travel STATEMENT surface
+    * ([[snapshotTimeTravel]] is the API form): one SELECT compares two
+    * eras of the store, `FROM graft_orders VERSION AS OF 1` against the
+    * bare head reference, through
+    * [[graft.plans.TimeTravelSql]] — Spark's parser produces
+    * `RelationTimeTravel` nodes (executable only against a v2 catalog,
+    * the same gap as MERGE/UPDATE/DELETE), and the executor
+    * substitutes each with that version's pinned manifest read, then
+    * hands the rewritten tree back to Spark's own analyzer — so joins
+    * across versions, unions of eras, and subqueries all work
+    * unmodified.
+    *
+    * Scale: each version resolves with one small manifest read; the
+    * query then plans ordinary pruned scans over immutable files —
+    * a today-vs-last-week audit costs two scans + the query itself,
+    * never a restore. */
+  val sqlTimeTravel: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("ttsql", dir)
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    // capture the committed version: on a repeatedly-run surface the
+    // store already holds earlier (possibly vacuumed) history, so the
+    // statement must name THIS cycle's first version, not literal 1
+    val v1 = Snapshots.commit(root)(out =>
+      o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 3 === 2).write.mode("append").parquet(out))
+    Snapshots.vacuum(root, keepLast = 3)
+    graft.plans.TimeTravelSql.sql(s,
+      s"""SELECT 'v1' AS era, o_orderpriority, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+         |FROM graft_orders VERSION AS OF $v1
+         |GROUP BY o_orderpriority
+         |UNION ALL
+         |SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+         |FROM graft_orders
+         |GROUP BY o_orderpriority
+         |ORDER BY era, o_orderpriority""".stripMargin,
+      Map("graft_orders" -> root))
+  }
+
   /** STREAMING INGEST into the snapshot store, exactly-once: each
     * micro-batch lands as one idempotent append commit through the
     * SAME `foreachBatch` binding a production stream passes to
@@ -615,6 +661,7 @@ object WarehouseOps {
     "snapshot_schema_evolution" -> snapshotSchemaEvolution,
     "sql_update_delete" -> sqlUpdateDelete,
     "sql_delete_mor" -> sqlDeleteMor,
+    "sql_time_travel" -> sqlTimeTravel,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
@@ -734,6 +781,20 @@ object WarehouseOps {
       FROM customer
       WHERE NOT (c_acctbal < 0.0) AND NOT (c_nationkey = 13)
       GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // Both eras recomputed from the ORIGINAL table via the slice
+    // predicates: a stale version resolution, a leaked era, or a
+    // substitution running the wrong version hash-mismatches.
+    "sql_time_travel" -> """
+      SELECT 'v1' AS era, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY era, o_orderpriority""",
     // Two of five priorities recomputed from the ORIGINAL table: a
     // pruned read dropping a matching file (either era) or leaking a
     // non-matching partition hash-mismatches.

@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.GraftSqlBridge
+
+/** `VERSION AS OF` SQL for the snapshot-commit store — the time-travel
+  * statement surface completing [[MergeSql]]/[[RowSql]]'s SQL parity.
+  *
+  * Spark's parser understands the full time-travel grammar
+  * (`FROM t VERSION AS OF 3`) and produces [[RelationTimeTravel]]
+  * nodes, but executing them needs a v2 catalog — same gap as MERGE /
+  * UPDATE / DELETE. Instead of interpreting the whole SELECT, this
+  * executor SUBSTITUTES: every `RelationTimeTravel` over a known
+  * snapshot table becomes the logical plan of
+  * [[Snapshots.readAt]] (that version's pinned, immutable file list),
+  * every bare reference to a known snapshot table becomes the head
+  * read, and the rewritten tree goes back through Spark's own
+  * analyzer/optimizer — so arbitrary SQL (joins ACROSS versions,
+  * unions of eras, subqueries) works unmodified, and Catalyst plans
+  * it like any other query.
+  *
+  * Scale: resolving a version is one small manifest read; the
+  * substituted scans are ordinary pruned parquet scans over that
+  * version's files. Cross-version queries (today-vs-last-week) cost
+  * two scans + whatever the query does — history itself is free
+  * because committed files are immutable. `TIMESTAMP AS OF` would
+  * need a commit-time index the manifest could carry; it raises a
+  * clear unsupported error here.
+  */
+object TimeTravelSql {
+
+  /** Parse and run one SELECT whose FROM clauses may reference
+    * snapshot tables, optionally with `VERSION AS OF n`. `tables` maps
+    * table names to snapshot roots; names not in the map are left to
+    * the session catalog (temp views etc.). */
+  def sql(spark: SparkSession, query: String,
+      tables: Map[String, String]): DataFrame = {
+    def tableName(p: LogicalPlan): Option[String] = p match {
+      case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+      case _ => None
+    }
+    def planOf(df: DataFrame): LogicalPlan = df.queryExecution.logical
+    val substituted = spark.sessionState.sqlParser.parsePlan(query).transformUp {
+      case tt @ RelationTimeTravel(rel, ts, ver) =>
+        tableName(rel).filter(tables.contains) match {
+          case None => tt // not ours — let the analyzer complain
+          case Some(name) =>
+            require(ts.isEmpty, "TIMESTAMP AS OF is not supported " +
+              "(the manifest carries no commit-time index); use VERSION AS OF")
+            val v = ver.getOrElse(throw new IllegalArgumentException(
+              s"time travel over $name needs VERSION AS OF")).toLong
+            planOf(Snapshots.readAt(spark, tables(name), v))
+        }
+      case u: UnresolvedRelation if tableName(u).exists(tables.contains) =>
+        planOf(Snapshots.read(spark, tables(u.multipartIdentifier.last)))
+    }
+    GraftSqlBridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], substituted)
+  }
+}

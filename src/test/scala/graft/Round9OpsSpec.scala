@@ -335,6 +335,28 @@ class Round9OpsSpec extends SparkSpec {
       (2L to 7L).toSet)
   }
 
+  test("VERSION AS OF SQL: a cross-version join in one statement; TIMESTAMP AS OF refused") {
+    import graft.plans.TimeTravelSql
+    val root = freshRoot("ttsqlspec")
+    Snapshots.commit(root)(out =>
+      spark.range(5).select($"id", lit("a").as("tag"))
+        .write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      spark.range(5, 8).select($"id", lit("b").as("tag"))
+        .write.mode("append").parquet(out))
+    // "what landed since v1" — head anti-joined to v1, in ONE statement
+    val added = TimeTravelSql.sql(spark,
+      """SELECT h.id FROM t h LEFT JOIN t VERSION AS OF 1 o ON h.id = o.id
+        |WHERE o.id IS NULL ORDER BY h.id""".stripMargin,
+      Map("t" -> root))
+    assert(added.as[Long].collect().toSeq == Seq(5L, 6L, 7L))
+    val exTs = intercept[IllegalArgumentException] {
+      TimeTravelSql.sql(spark,
+        "SELECT * FROM t TIMESTAMP AS OF '2026-01-01'", Map("t" -> root))
+    }
+    assert(exTs.getMessage.contains("TIMESTAMP AS OF"))
+  }
+
   test("a crashed writer's leftover tmp manifest never resolves and never blocks the next commit") {
     val root = freshRoot("snaptorn")
     Snapshots.commit(root)(writeTagged(_, tag = 1, rows = 10))
