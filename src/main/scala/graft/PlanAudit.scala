@@ -441,6 +441,18 @@ object PlanAudit {
         |footer-per-file planning cost is the argument for caching the
         |union schema in the manifest, which this protocol's metadata
         |file already centralizes.""".stripMargin,
+    "sql_update_mor" ->
+      """Merge-on-read UPDATE (r9) — the Hudi upsert shape: ONE atomic
+        |commit stages the rewritten rows plus a delete file SCOPED to
+        |pre-existing files (DeleteFile.coversBelow, Iceberg v2's
+        |equality-delete sequence rule), then a MOR DELETE stacks on
+        |the post-update values. Expect the head read to group files by
+        |era — the base files anti-join BOTH delete sets while the
+        |upsert's own rows anti-join only the later delete — unioned,
+        |then the agg; every anti join is a broadcast of O(touched
+        |keys). Update cost is O(matching rows) written at any table
+        |size; the COW twin (sql_update_delete) pays a full table pass
+        |instead and the oracle pins both to the same answer.""".stripMargin,
     "sql_time_travel" ->
       """VERSION AS OF SQL (r9): the statement substitutes each
         |RelationTimeTravel node with that version's pinned manifest

@@ -493,6 +493,41 @@ object WarehouseOps {
       .orderBy($"nationkey")
   }
 
+  /** MERGE-ON-READ UPDATE — the Hudi-style upsert completing the
+    * write-amplification spectrum (`sql_update_delete` = COW pass,
+    * `sql_delete_mor` = MOR delete): ONE atomic commit stages the
+    * rewritten rows plus a delete file SCOPED to the pre-existing
+    * files ([[graft.sources.Snapshots.commitUpsert]]), so the touched
+    * rows' old versions vanish and the new versions shine through
+    * while untouched files never move. A MOR DELETE then runs on the
+    * POST-update values — its scope covers the upsert's new rows too,
+    * so the oracle has teeth against scoping errors in BOTH
+    * directions: an upsert whose delete hides its own new rows drops
+    * every updated group; a delete that fails to cover the upsert's
+    * rows leaves negative balances alive. Final state must equal the
+    * copy-on-write `sql_update_delete`'s — same statements, opposite
+    * cost model. */
+  val sqlUpdateMor: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("morupd", dir)
+    Snapshots.commit(root)(out =>
+      Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("custkey"), $"c_nationkey".as("nationkey"),
+          $"c_acctbal".as("acctbal"))
+        .write.mode("append").parquet(out))
+    graft.plans.RowSql.updateMergeOnRead(s,
+      "UPDATE graft_cust SET acctbal = acctbal + 100.0 WHERE nationkey < 10",
+      Map("graft_cust" -> root), "custkey")
+    val after = graft.plans.RowSql.deleteMergeOnRead(s,
+      "DELETE FROM graft_cust WHERE acctbal < 0.0",
+      Map("graft_cust" -> root), "custkey")
+    Snapshots.vacuum(root, keepLast = 4)
+    after.groupBy($"nationkey")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"acctbal").as("total"))
+      .orderBy($"nationkey")
+  }
+
   /** `VERSION AS OF` SQL — the time-travel STATEMENT surface
     * ([[snapshotTimeTravel]] is the API form): one SELECT compares two
     * eras of the store, `FROM graft_orders VERSION AS OF 1` against the
@@ -661,6 +696,7 @@ object WarehouseOps {
     "snapshot_schema_evolution" -> snapshotSchemaEvolution,
     "sql_update_delete" -> sqlUpdateDelete,
     "sql_delete_mor" -> sqlDeleteMor,
+    "sql_update_mor" -> sqlUpdateMor,
     "sql_time_travel" -> sqlTimeTravel,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "profile_table" -> profileTable,
@@ -781,6 +817,19 @@ object WarehouseOps {
       FROM customer
       WHERE NOT (c_acctbal < 0.0) AND NOT (c_nationkey = 13)
       GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // Identical statements to sql_update_delete, MOR execution: the
+    // same ANSI replay must hold through the scoped delete-file path —
+    // an upsert hiding its own rows or a delete missing the upsert's
+    // era hash-mismatches.
+    "sql_update_mor" -> s"""
+      WITH u AS (
+        SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+               CASE WHEN c_nationkey < 10 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS acctbal
+        FROM customer),
+      d AS (SELECT * FROM u WHERE NOT (acctbal < 0.0))
+      SELECT nationkey, COUNT(*) AS n, ${Qx.dsumSql("acctbal")} AS total
+      FROM d GROUP BY nationkey ORDER BY nationkey""",
     // Both eras recomputed from the ORIGINAL table via the slice
     // predicates: a stale version resolution, a leaked era, or a
     // substitution running the wrong version hash-mismatches.

@@ -119,6 +119,48 @@ object RowSql {
     Snapshots.read(spark, root)
   }
 
+  /** Execute one UPDATE statement MERGE-ON-READ (the Hudi upsert
+    * shape): ONE atomic commit stages the rewritten rows as new data
+    * plus their keys as a delete file scoped to the pre-existing files
+    * — old versions of the touched rows vanish and the new versions
+    * shine through, while untouched rows' files never move. The
+    * statement costs O(matching rows) I/O regardless of table size
+    * (contrast [[execute]]'s copy-on-write full pass); the read-side
+    * rent is the broadcast anti join until a rewrite commit absorbs
+    * the deletes. `keyCol` must identify rows (a primary key). An
+    * UPDATE matching nothing commits nothing. */
+  def updateMergeOnRead(spark: SparkSession, sql: String,
+      tables: Map[String, String], keyCol: String): DataFrame = {
+    val (rel, assignments, cond) =
+      spark.sessionState.sqlParser.parsePlan(sql) match {
+        case UpdateTable(r, a, c) => (r, a, c)
+        case other => throw new IllegalArgumentException(
+          s"not an UPDATE statement: ${other.getClass.getSimpleName}")
+      }
+    def unwrap(p: LogicalPlan): (String, Option[String]) = p match {
+      case SubqueryAlias(id, child) => (unwrap(child)._1, Some(id.name))
+      case u: UnresolvedRelation => (u.multipartIdentifier.last, None)
+      case other => throw new IllegalArgumentException(
+        s"unsupported relation shape: ${other.getClass.getSimpleName}")
+    }
+    val (name, alias) = unwrap(rel)
+    val root = tables.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown snapshot table $name (known: ${tables.keys.mkString(", ")})"))
+    val target = Snapshots.read(spark, root)
+    val hitRows = target.alias(alias.getOrElse(name))
+      .filter(cond.map(isTrue).getOrElse(lit(true)))
+    if (!hitRows.isEmpty) {
+      // assignments applied unconditionally to the hit rows only
+      val newRows = lowerUpdate(hitRows, target.columns.toSeq, assignments, None)
+      Snapshots.commitUpsert(root, keyCol) { dir =>
+        newRows.write.mode("append").parquet(dir)
+        hitRows.select(keyCol).distinct()
+          .write.mode("append").parquet(s"$dir/${Snapshots.upsertDelSubdir}")
+      }
+    }
+    Snapshots.read(spark, root)
+  }
+
   /** predicate is TRUE (not null, not false) — three-valued logic */
   private def isTrue(c: Expression): Column =
     coalesce(GraftSqlBridge.column(c), lit(false))

@@ -53,11 +53,20 @@ import scala.jdk.CollectionConverters._
   */
 object Snapshots {
 
+  /** A pending MERGE-ON-READ delete file: `path`'s parquet holds the
+    * deleted values of `keyCol`, and the delete COVERS only base files
+    * staged at a version < `coversBelow` (the version the delete
+    * committed at) — files appended later are NOT covered, so a
+    * deleted key can be legitimately re-inserted by a later append or
+    * upsert. This is the sequence-number scoping Iceberg v2 gives its
+    * equality deletes. */
+  final case class DeleteFile(keyCol: String, path: String, coversBelow: Long)
+
   /** A resolved table version: the immutable file set of one commit,
-    * plus any pending MERGE-ON-READ delete files — `(keyCol, path)`
-    * pairs whose parquet holds the deleted key values ([[commitDelete]]). */
+    * plus any pending merge-on-read delete files ([[commitDelete]],
+    * [[commitUpsert]]). */
   final case class Snapshot(version: Long, files: Seq[String],
-      deletes: Seq[(String, String)] = Nil)
+      deletes: Seq[DeleteFile] = Nil)
 
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
 
@@ -132,38 +141,85 @@ object Snapshots {
     if (!Files.exists(m)) throw new IllegalStateException(
       s"version $version of $root is not committed or is beyond retention")
     // lines starting with '#' are metadata headers: the #txn tag of an
-    // idempotent streaming append, and #del:<keyCol>:<path> lines
-    // recording merge-on-read delete files
+    // idempotent streaming append, and #del:@<coversBelow>:<keyCol>:
+    // <path> lines recording scoped merge-on-read delete files (the
+    // version-less legacy form #del:<keyCol>:<path> covers everything)
     val lines = Files.readAllLines(m, UTF_8).asScala.toSeq.filter(_.nonEmpty)
     val dels = lines.collect { case l if l.startsWith(delPrefix) =>
       val body = l.stripPrefix(delPrefix)
-      val sep = body.indexOf(':')
-      (body.substring(0, sep), body.substring(sep + 1))
+      if (body.startsWith("@")) {
+        val Array(v, k, p) = body.stripPrefix("@").split(":", 3)
+        DeleteFile(k, p, v.toLong)
+      } else {
+        val sep = body.indexOf(':')
+        DeleteFile(body.substring(0, sep), body.substring(sep + 1), Long.MaxValue)
+      }
     }
     Snapshot(version, lines.filterNot(_.startsWith("#")), dels)
   }
 
   private val delPrefix = "#del:"
 
-  /** Apply a snapshot's pending merge-on-read deletes: one broadcast
-    * LEFT ANTI join per delete key column against the union of that
-    * column's delete-key files. Delete files are O(deleted keys) —
-    * tiny next to the base — so the anti join broadcasts and the base
-    * never shuffles; a no-delete snapshot pays nothing. */
-  private def applyDeletes(spark: SparkSession, base: DataFrame,
-      deletes: Seq[(String, String)]): DataFrame =
-    deletes.groupBy(_._1).foldLeft(base) { case (df, (keyCol, dels)) =>
-      val keys = spark.read.parquet(dels.map(_._2): _*).select(keyCol).distinct()
-      df.join(org.apache.spark.sql.functions.broadcast(keys),
-        Seq(keyCol), "left_anti")
+  private def delLine(d: DeleteFile): String =
+    s"$delPrefix@${d.coversBelow}:${d.keyCol}:${d.path}"
+
+  private val fileVersionRe = """.*/v(\d{8})_[^/]*/.*""".r
+
+  /** The version a data file was staged (= committed) at, parsed from
+    * its `v########_writer` dir segment; 0 if unrecognizable (treated
+    * as oldest, i.e. covered by every delete). */
+  private def fileVersion(path: String): Long = path match {
+    case fileVersionRe(v) => v.toLong
+    case _                => 0L
+  }
+
+  /** One broadcast LEFT ANTI join per delete key column against the
+    * union of that column's delete-key files. Delete files are
+    * O(deleted keys) — tiny next to the base — so the anti join
+    * broadcasts and the base never shuffles. */
+  private def antiJoinDeletes(spark: SparkSession, base: DataFrame,
+      dels: Seq[DeleteFile]): DataFrame =
+    dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) {
+      case (df, (keyCol, ds)) =>
+        val keys = spark.read.parquet(ds.map(_.path).sorted: _*)
+          .select(keyCol).distinct()
+        df.join(org.apache.spark.sql.functions.broadcast(keys),
+          Seq(keyCol), "left_anti")
     }
 
+  /** Read a pinned file set with its pending merge-on-read deletes
+    * applied, SCOPED by version: a delete covers only files staged
+    * before it committed ([[DeleteFile.coversBelow]]), so rows
+    * appended after the delete — including an upsert's rewritten rows
+    * and a re-inserted key — stay visible. Fast paths: no deletes →
+    * one plain scan; every delete covers every file (no post-delete
+    * appends) → one scan + the anti joins. Otherwise files group by
+    * their applicable delete set (one group per era between deletes —
+    * a handful, never per-file) and the groups union. */
+  private def readWithDeletes(spark: SparkSession, files: Seq[String],
+      deletes: Seq[DeleteFile], mergeSchema: Boolean = false): DataFrame = {
+    def scan(fs: Seq[String]): DataFrame = {
+      val r = spark.read
+      (if (mergeSchema) r.option("mergeSchema", "true") else r).parquet(fs: _*)
+    }
+    if (deletes.isEmpty) scan(files)
+    else {
+      val maxV = files.map(fileVersion).max
+      if (deletes.forall(_.coversBelow > maxV)) antiJoinDeletes(spark, scan(files), deletes)
+      else files
+        .groupBy(f => deletes.filter(d => fileVersion(f) < d.coversBelow))
+        .toSeq.sortBy(_._2.min)
+        .map { case (applicable, fs) => antiJoinDeletes(spark, scan(fs), applicable) }
+        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    }
+  }
+
   /** Read the current head through its manifest (merge-on-read deletes
-    * applied — see [[commitDelete]]). */
+    * applied with version scoping — see [[commitDelete]]). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
-    applyDeletes(spark, spark.read.parquet(snap.files: _*), snap.deletes)
+    readWithDeletes(spark, snap.files, snap.deletes)
   }
 
   /** Time travel: read version `v` through ITS manifest — the same
@@ -172,7 +228,7 @@ object Snapshots {
     * AFTER it do not, exactly like any other later commit. */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val snap = resolveAt(root, version)
-    applyDeletes(spark, spark.read.parquet(snap.files: _*), snap.deletes)
+    readWithDeletes(spark, snap.files, snap.deletes)
   }
 
   /** PARTITION-PRUNED head read: keep only the manifest files whose
@@ -190,6 +246,9 @@ object Snapshots {
       partCol: String, values: Seq[String]): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
+    require(snap.deletes.isEmpty,
+      s"partition-pruned reads over a table with pending merge-on-read " +
+        s"deletes are not supported — run a rewrite commit on $root first")
     val wanted = values.map(v => s"/$partCol=$v/").toSet
     val kept = snap.files.filter(f => wanted.exists(f.contains))
     require(kept.nonEmpty,
@@ -217,9 +276,7 @@ object Snapshots {
   def readMerged(spark: SparkSession, root: String): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
-    applyDeletes(spark,
-      spark.read.option("mergeSchema", "true").parquet(snap.files: _*),
-      snap.deletes)
+    readWithDeletes(spark, snap.files, snap.deletes, mergeSchema = true)
   }
 
   /** File-level change feed between two committed versions: the files
@@ -293,14 +350,32 @@ object Snapshots {
     * publishes no `#del` lines, so it absorbs and clears pending
     * deletes once the survivors are materialized.
     *
-    * Contract: `keyCol` must identify rows (a primary key). A key
-    * deleted here stays invisible even if a later APPEND re-adds it —
-    * re-inserting a deleted key requires a rewrite commit first (the
-    * standard key-based merge-on-read caveat; position-based delete
-    * vectors are the per-file refinement of the same idea). */
+    * Contract: `keyCol` must identify rows (a primary key). The delete
+    * is SCOPED to the files present when it committed
+    * ([[DeleteFile.coversBelow]], the sequence-number rule of Iceberg
+    * v2 equality deletes): a later append or [[commitUpsert]] that
+    * re-adds the key IS visible — no rewrite needed first. */
   def commitDelete(root: String, keyCol: String)(write: String => Unit): Long =
     commitImpl(root, carryForward = true, txn = None,
       stagedAsDeletes = Some(keyCol))(write)
+
+  /** Subdirectory an upsert's writer stages its delete-key parquet
+    * under (the rest of the staging dir is the new data). */
+  val upsertDelSubdir = "_delkeys"
+
+  /** MERGE-ON-READ UPSERT, one atomic commit (the Hudi upsert shape):
+    * `write(stagingDir)` stages the REWRITTEN ROWS as data and the
+    * rewritten keys as a delete-key parquet under
+    * `stagingDir/_delkeys/`. The published manifest carries the
+    * parent's files + the new data files, plus a scoped `#del` line
+    * hiding the keys' OLD versions — the delete covers only files
+    * staged before this commit, so the new rows (staged AT this
+    * commit's version) shine through. Readers see pre- or post-upsert
+    * state, never a mix, and the upsert costs O(touched rows), never
+    * a table rewrite. */
+  def commitUpsert(root: String, keyCol: String)(write: String => Unit): Long =
+    commitImpl(root, carryForward = true, txn = None,
+      upsertKey = Some(keyCol))(write)
 
   /** Highest epoch committed for `appId` among retained manifests
     * (-1 = none): one small header line read per manifest, metadata-only. */
@@ -326,7 +401,8 @@ object Snapshots {
 
   private def commitImpl(root: String, carryForward: Boolean,
       txn: Option[(String, Long)],
-      stagedAsDeletes: Option[String] = None)(write: String => Unit): Long = {
+      stagedAsDeletes: Option[String] = None,
+      upsertKey: Option[String] = None)(write: String => Unit): Long = {
     Files.createDirectories(commitsDir(root))
     var attempt = 0
     while (true) {
@@ -351,17 +427,30 @@ object Snapshots {
         if (v > 1L && (carryForward || stagedAsDeletes.isDefined))
           Some(resolveAt(root, v - 1))
         else None
+      // upsert staging splits on the _delkeys subdir: delete keys
+      // there, new data everywhere else in the staged dir
+      val (stagedDelKeys, stagedData) =
+        staged.partition(_.contains(s"/$upsertDelSubdir/"))
       val files = stagedAsDeletes match {
         case Some(_) => parent.getOrElse(throw new IllegalStateException(
           s"merge-on-read delete needs a committed table under $root")).files
-        case None => parent.map(_.files).getOrElse(Nil) ++ staged
+        case None => parent.map(_.files).getOrElse(Nil) ++ stagedData
       }
-      // pending deletes carry forward on append/delete commits; a full
-      // rewrite (carryForward = false) clears them — the rewrite
-      // materializes the surviving rows
-      val delLines =
-        parent.map(_.deletes).getOrElse(Nil).map { case (k, f) => s"$delPrefix$k:$f" } ++
-          stagedAsDeletes.toSeq.flatMap(k => staged.map(f => s"$delPrefix$k:$f"))
+      // pending deletes carry forward on append/delete/upsert commits;
+      // a full rewrite (carryForward = false) clears them — the
+      // rewrite materializes the surviving rows. New delete lines are
+      // SCOPED to this commit: they cover only files staged at
+      // versions < v, so an upsert's own rewritten rows (and any later
+      // append of a deleted key) stay visible.
+      val newDelFiles = stagedAsDeletes match {
+        case Some(k) => staged.map(DeleteFile(k, _, v))
+        case None => upsertKey.toSeq.flatMap(k => stagedDelKeys.map(DeleteFile(k, _, v)))
+      }
+      upsertKey.foreach { _ =>
+        require(stagedDelKeys.nonEmpty && stagedData.nonEmpty,
+          s"an upsert must stage both new rows and $upsertDelSubdir/ keys in $dataDir")
+      }
+      val delLines = (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine)
       val tmp = commitsDir(root).resolve(
         s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
       val header = txn.map { case (a, e) => s"#txn:$a:$e\n" }.getOrElse("")
@@ -419,7 +508,7 @@ object Snapshots {
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap { v =>
         val s = resolveAt(root, v)
-        s.files ++ s.deletes.map(_._2) // pending delete files are live too
+        s.files ++ s.deletes.map(_.path) // pending delete files are live too
       }.toSet
     (1L until oldest).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     // sweep data dirs staged below the retention floor — expired

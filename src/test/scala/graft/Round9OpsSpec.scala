@@ -304,7 +304,7 @@ class Round9OpsSpec extends SparkSpec {
     RowSql.deleteMergeOnRead(spark, "DELETE FROM t WHERE id >= 8", Map("t" -> root), "id")
     val snap2 = Snapshots.resolve(root).get
     assert(snap2.files == baseFiles, "MOR delete must not touch base files")
-    assert(snap2.deletes.nonEmpty && snap2.deletes.forall(_._1 == "id"))
+    assert(snap2.deletes.nonEmpty && snap2.deletes.forall(_.keyCol == "id"))
     assert(Snapshots.read(spark, root).count() == 8)
     assert(Snapshots.readAt(spark, root, v1).count() == 10,
       "time travel to the pre-delete version must see every row")
@@ -333,6 +333,42 @@ class Round9OpsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() == 6)
     assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet ==
       (2L to 7L).toSet)
+  }
+
+  test("merge-on-read upsert: one atomic commit, old versions hidden, re-inserted keys visible") {
+    import graft.plans.RowSql
+    val root = freshRoot("morupspec")
+    val v1 = Snapshots.commit(root)(out =>
+      spark.range(10).select($"id", lit(1.0).as("v"))
+        .write.mode("append").parquet(out))
+    val baseFiles = Snapshots.resolve(root).get.files
+    RowSql.updateMergeOnRead(spark,
+      "UPDATE t SET v = 2.0 WHERE id < 3", Map("t" -> root), "id")
+    // exactly ONE commit happened, base files still pinned
+    val snap = Snapshots.resolve(root).get
+    assert(snap.version == v1 + 1, "an upsert is one atomic commit")
+    assert(baseFiles.forall(snap.files.contains), "base files must not move")
+    val head = Snapshots.read(spark, root)
+    assert(head.count() == 10, "upsert must not change the row count")
+    assert(head.filter($"v" === 2.0).count() == 3)
+    assert(head.filter($"v" === 1.0).count() == 7)
+    assert(Snapshots.readAt(spark, root, v1).filter($"v" === 2.0).count() == 0,
+      "time travel must see the pre-upsert values")
+    // an UPDATE matching nothing commits nothing
+    RowSql.updateMergeOnRead(spark,
+      "UPDATE t SET v = 9.9 WHERE id > 100", Map("t" -> root), "id")
+    assert(Snapshots.maxCommitted(root) == snap.version)
+    // scoping: delete a key, then APPEND it back — the re-insert is
+    // visible because the delete covers only the files before it
+    RowSql.deleteMergeOnRead(spark,
+      "DELETE FROM t WHERE id = 5", Map("t" -> root), "id")
+    assert(Snapshots.read(spark, root).count() == 9)
+    Snapshots.commitAppend(root)(out =>
+      Seq((5L, 9.0)).toDF("id", "v").write.mode("append").parquet(out))
+    val reRead = Snapshots.read(spark, root)
+    assert(reRead.count() == 10, "a re-inserted key must be visible")
+    assert(reRead.filter($"id" === 5).select($"v").as[Double].collect().toSeq
+      == Seq(9.0), "the re-insert must carry the NEW value, not the deleted one")
   }
 
   test("VERSION AS OF SQL: a cross-version join in one statement; TIMESTAMP AS OF refused") {
