@@ -196,11 +196,32 @@ object Snapshots {
     * appends) → one scan + the anti joins. Otherwise files group by
     * their applicable delete set (one group per era between deletes —
     * a handful, never per-file) and the groups union. */
+  private val baseDirRe = """(.*?/v\d{8}_[^/]*)/.*""".r
+
+  /** The version (staging) dir a committed file lives under — the
+    * `basePath` that lets Spark re-derive `col=value` partition
+    * columns from the path segments below it. */
+  private def baseDirOf(f: String): String = f match {
+    case baseDirRe(b) => b
+    case _            => Paths.get(f).getParent.toString
+  }
+
   private def readWithDeletes(spark: SparkSession, files: Seq[String],
       deletes: Seq[DeleteFile], mergeSchema: Boolean = false): DataFrame = {
     def scan(fs: Seq[String]): DataFrame = {
-      val r = spark.read
-      (if (mergeSchema) r.option("mergeSchema", "true") else r).parquet(fs: _*)
+      def rd = {
+        val r = spark.read
+        if (mergeSchema) r.option("mergeSchema", "true") else r
+      }
+      // files staged through .partitionBy carry col=value path
+      // segments under their version dir; reading them per era with
+      // that era's basePath recovers the partition columns (a flat
+      // layout takes the single-scan path untouched)
+      val partitioned = fs.exists(f => f.drop(baseDirOf(f).length).contains("="))
+      if (!partitioned) rd.parquet(fs: _*)
+      else fs.groupBy(baseDirOf).toSeq.sortBy(_._1).map { case (b, bfs) =>
+        rd.option("basePath", b).parquet(bfs: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     }
     if (deletes.isEmpty) scan(files)
     else {

@@ -371,6 +371,26 @@ class Round9OpsSpec extends SparkSpec {
       == Seq(9.0), "the re-insert must carry the NEW value, not the deleted one")
   }
 
+  test("partition-pruned reads refuse a table with pending merge-on-read deletes") {
+    import graft.plans.RowSql
+    val root = freshRoot("snapprudel")
+    Snapshots.commit(root)(out =>
+      spark.range(10).select($"id", ($"id" % 2).cast("string").as("p"))
+        .write.partitionBy("p").mode("append").parquet(out))
+    RowSql.deleteMergeOnRead(spark,
+      "DELETE FROM t WHERE id = 3", Map("t" -> root), "id")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.readPartitionPruned(spark, root, "p", Seq("1"))
+    }
+    assert(ex.getMessage.contains("merge-on-read"),
+      s"want the clear rewrite-first error, got: $ex")
+    // a rewrite commit absorbs the delete and pruning works again
+    Snapshots.commit(root)(out =>
+      Snapshots.read(spark, root).write.partitionBy("p").mode("append").parquet(out))
+    val pruned = Snapshots.readPartitionPruned(spark, root, "p", Seq("1"))
+    assert(pruned.count() == 4) // odd ids minus the deleted 3
+  }
+
   test("VERSION AS OF SQL: a cross-version join in one statement; TIMESTAMP AS OF refused") {
     import graft.plans.TimeTravelSql
     val root = freshRoot("ttsqlspec")
