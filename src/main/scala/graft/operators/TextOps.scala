@@ -264,6 +264,12 @@ object TextOps {
       labels = next.drop("chg")
       iter += 1
     }
+    // An unconverged exit must be a signal, not a silent wrong answer:
+    // a component with diameter beyond the iteration cap would otherwise
+    // emit non-fixpoint labels that only an external oracle could catch.
+    require(changed == 0,
+      s"dedup_cluster_keeper: label propagation did not converge after $iter " +
+        s"iterations ($changed labels still changing) — raise the iteration cap")
     labels.select($"doc_id", $"comp".as("keeper_doc"),
         ($"doc_id" === $"comp").as("is_keeper"))
       .orderBy($"doc_id")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRe
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction}
 import org.apache.spark.sql.classic.GraftSqlBridge
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE INTO SQL surface for the snapshot-commit store.
@@ -29,6 +30,12 @@ import org.apache.spark.sql.functions._
   *     matched          → UPDATE assignment / DELETE drop / fallthrough keep
   *     not matched      → INSERT values / fallthrough drop
   *     not matched by source → UPDATE / DELETE / fallthrough keep
+  *
+  * The SQL MERGE cardinality rule is enforced: a target row matched by
+  * more than one source row raises `MERGE cardinality violation`
+  * (window count over a per-target-row id, fused into the keep filter)
+  * instead of silently duplicating the target row — the same error
+  * Delta and Iceberg raise on an ambiguous source.
   *
   * The write-back is COPY-ON-WRITE against [[Snapshots]]: the merged
   * result lands in a fresh versioned dir and publishes with one atomic
@@ -75,9 +82,12 @@ object MergeSql {
 
     val tMark = "__graft_t_exists"
     val sMark = "__graft_s_exists"
+    val tId = "__graft_t_id"
     val target = Snapshots.read(spark, root)
     val targetCols = target.columns.toSeq
-    val t = target.withColumn(tMark, lit(true)).alias(targetAlias.getOrElse(targetName))
+    val t = target.withColumn(tMark, lit(true))
+      .withColumn(tId, monotonically_increasing_id())
+      .alias(targetAlias.getOrElse(targetName))
     val s = spark.table(sourceName).withColumn(sMark, lit(true))
       .alias(sourceAlias.getOrElse(sourceName))
     val joined = t.join(s, GraftSqlBridge.column(m.mergeCondition), "full_outer")
@@ -136,8 +146,31 @@ object MergeSql {
         .otherwise(chainValue(m.notMatchedBySourceActions, c, target(c)))
         .as(c)
     }
-    val merged = joined
-      .select(outCols :+ keep.as("__graft_keep"): _*)
+    // MERGE cardinality contract (SQL standard; Delta/Iceberg raise the
+    // same error): if more than one source row matches a single target
+    // row, the statement is ambiguous — this lowering would otherwise
+    // silently fan the target row out into one output per matched
+    // source row. Count matched pairs per target row identity with a
+    // window (an extra exchange on the row id, the same cost Delta pays
+    // for its cardinality-check job) and raise in the keep filter, which
+    // every row passes through, so the guard cannot be pruned. Source-
+    // only rows get a unique synthetic key (negative, disjoint from the
+    // non-negative target ids) so the window never piles all inserts
+    // into one partition. The ids are materialized in a Project first —
+    // nondeterministic expressions are not legal in a window spec.
+    val wKey = "__graft_w_key"
+    val mCnt = "__graft_m_cnt"
+    val counted = joined
+      .withColumn(wKey, coalesce(col(tId), -(monotonically_increasing_id() + 1)))
+      .withColumn(mCnt,
+        count(when(matched, lit(1))).over(Window.partitionBy(col(wKey))))
+    val keepGuarded = when(matched && col(mCnt) > 1,
+        raise_error(lit("MERGE cardinality violation: a target row matched " +
+          "more than one source row; deduplicate the source on the merge " +
+          "keys or tighten the ON condition")).cast("boolean"))
+      .otherwise(keep)
+    val merged = counted
+      .select(outCols :+ keepGuarded.as("__graft_keep"): _*)
       .filter(col("__graft_keep"))
       .drop("__graft_keep")
 

@@ -55,6 +55,44 @@ class MergeSqlSpec extends SparkSpec {
       "the head must be the post-merge table")
   }
 
+  test("a source with duplicate merge keys raises MERGE cardinality violation") {
+    import graft.plans.MergeSql
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("mergecard", sf("0.001"))
+    Snapshots.commit(root)(out => Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .write.mode("append").parquet(out))
+    // two source rows match target k=1 — the SQL contract requires an
+    // error, not a silent fan-out into two updated copies of the row
+    Seq((1L, 11.0), (1L, 12.0), (3L, 30.0)).toDF("k", "v")
+      .createOrReplaceTempView("merge_card_dup_s")
+    val ex = intercept[Exception] {
+      MergeSql.mergeInto(spark,
+        """MERGE INTO merge_card_t t USING merge_card_dup_s s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin,
+        Map("merge_card_t" -> root)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("MERGE cardinality violation")),
+      s"expected the cardinality error, got: $ex")
+    // the failed statement must not have committed anything: the head
+    // still reads the pristine 2-row base
+    assert(Snapshots.read(spark, root).count() == 2,
+      "a cardinality-violating MERGE must leave the table untouched")
+
+    // the same statement with a deduplicated source commits cleanly
+    Seq((1L, 11.0), (3L, 30.0)).toDF("k", "v")
+      .createOrReplaceTempView("merge_card_ok_s")
+    val after = MergeSql.mergeInto(spark,
+      """MERGE INTO merge_card_t t USING merge_card_ok_s s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin,
+      Map("merge_card_t" -> root))
+    assert(after.orderBy($"k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sameElements(Array((1L, 11.0), (2L, 20.0), (3L, 30.0))))
+  }
+
   test("star forms and non-MERGE statements raise clear unsupported errors") {
     import graft.plans.MergeSql
     import graft.sources.Snapshots
