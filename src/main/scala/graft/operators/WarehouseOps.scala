@@ -528,6 +528,60 @@ object WarehouseOps {
       .orderBy($"nationkey")
   }
 
+  /** PARTITION PRUNING over PENDING MERGE-ON-READ DELETES — the
+    * composition of the store's two flagship read paths, which round 9
+    * refused (`rewrite first`): at 100 TB, MOR deletes are
+    * near-permanently pending and pruned reads are the default read
+    * path, so the combination IS the production read. The fixture
+    * stacks the hard cases: two partitioned eras, a delete covering
+    * both, a RE-INSERT of a subset of the deleted keys (staged after
+    * the delete — version scoping must keep it visible, with shifted
+    * prices so the oracle can tell WHICH copy survived), then a second
+    * stacked delete covering everything before it. The pruned read
+    * must return exactly the delete-applied rows of the two requested
+    * priorities: a delete leaking into the wrong era, a re-insert
+    * hidden by an over-scoped delete, or a pruned-out partition's rows
+    * surviving all hash-mismatch.
+    *
+    * Scale shape: pruning filters the manifest file list before any
+    * I/O (2-of-5 priorities plan over ~2/5 of the files); the delete
+    * application stays O(deleted keys) broadcast anti joins grouped by
+    * era — the delete-key files are small and NOT partition-aligned,
+    * exactly Iceberg v2's equality-delete shape. */
+  val snapshotPruneMor: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("snappmor", dir)
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    Snapshots.commit(root)(out =>
+      o.filter($"o_orderkey" % 2 === 0)
+        .write.partitionBy("o_orderpriority").mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 2 === 1)
+        .write.partitionBy("o_orderpriority").mode("append").parquet(out))
+    // MOR delete 1: covers both eras above
+    Snapshots.commitDelete(root, "o_orderkey")(out =>
+      o.filter($"o_orderkey" % 5 === 0).select($"o_orderkey")
+        .write.mode("append").parquet(out))
+    // re-insert a subset of the deleted keys with shifted prices —
+    // staged AFTER the delete, so version scoping keeps them visible
+    Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 10 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+        .write.partitionBy("o_orderpriority").mode("append").parquet(out))
+    // MOR delete 2: stacked, covers every file below it incl. the re-insert
+    Snapshots.commitDelete(root, "o_orderkey")(out =>
+      o.filter($"o_orderkey" % 7 === 3).select($"o_orderkey")
+        .write.mode("append").parquet(out))
+    Snapshots.vacuum(root, keepLast = 5)
+    Snapshots.readPartitionPruned(s, root, "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** `VERSION AS OF` SQL — the time-travel STATEMENT surface
     * ([[snapshotTimeTravel]] is the API form): one SELECT compares two
     * eras of the store, `FROM graft_orders VERSION AS OF 1` against the
@@ -699,6 +753,7 @@ object WarehouseOps {
     "sql_update_mor" -> sqlUpdateMor,
     "sql_time_travel" -> sqlTimeTravel,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
+    "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
     "sink_parquet_zordered" -> sinkParquetZordered)
@@ -851,6 +906,26 @@ object WarehouseOps {
       SELECT o_orderpriority, COUNT(*) AS n,
              ${Qx.dsumSql("o_totalprice")} AS total
       FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // The MOR state replayed as plain SQL over the ORIGINAL table:
+    // base rows survive both stacked deletes; the re-inserted rows
+    // (shifted prices — the oracle can tell which copy won) survive
+    // only the second. Wrong delete scoping in EITHER direction, a
+    // delete skipped on the pruned path, or a leaked partition all
+    // hash-mismatch.
+    "snapshot_prune_mor" -> s"""
+      WITH live AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 3
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+               o_orderpriority FROM orders
+        WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3
+      )
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM live
       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // The whole events table, read ONCE: the three micro-batch appends

@@ -262,26 +262,37 @@ object Snapshots {
     * relists the table, and non-matching partitions cost zero I/O.
     * Reads group by version dir so Spark re-derives the partition
     * column from each era's own `basePath` (append commits may span
-    * several version dirs). */
+    * several version dirs).
+    *
+    * Pending MERGE-ON-READ deletes COMPOSE with pruning: the kept
+    * files go through the same version-scoped delete application as a
+    * full [[read]] ([[DeleteFile.coversBelow]] era grouping + broadcast
+    * anti joins), so a pruned read over a table with stacked pending
+    * deletes returns exactly the delete-applied rows of the requested
+    * partitions. The delete-key scans stay O(deleted keys) — they are
+    * not pruned, because equality-delete files are not partition-
+    * aligned (Iceberg v2 has the same shape: partition-scoped delete
+    * files are an optimization, not a correctness requirement). At
+    * 100 TB this matters: MOR deletes are near-permanently pending,
+    * and pruned reads are the default read path — refusing the
+    * combination would force a table rewrite before every pruned read.
+    *
+    * Partition values are matched AS SPARK WRITES THEM: `partitionBy`
+    * escapes special characters in path segments (space, ':', '%', …
+    * via `ExternalCatalogUtils.escapePathName`), so the wanted set is
+    * built from the escaped form — a raw-value match would silently
+    * drop every partition whose value needs escaping. */
   def readPartitionPruned(spark: SparkSession, root: String,
       partCol: String, values: Seq[String]): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
-    require(snap.deletes.isEmpty,
-      s"partition-pruned reads over a table with pending merge-on-read " +
-        s"deletes are not supported — run a rewrite commit on $root first")
-    val wanted = values.map(v => s"/$partCol=$v/").toSet
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val wanted = values
+      .map(v => s"/${escapePathName(partCol)}=${escapePathName(v)}/").toSet
     val kept = snap.files.filter(f => wanted.exists(f.contains))
     require(kept.nonEmpty,
       s"no files match $partCol in ${values.mkString("{", ",", "}")} under $root")
-    val byBase = kept.groupBy { f =>
-      // basePath = the version dir: root-relative first segment v########_*
-      val rel = Paths.get(root).relativize(Paths.get(f))
-      Paths.get(root).resolve(rel.getName(0)).toString
-    }
-    byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
-      spark.read.option("basePath", base).parquet(fs: _*)
-    }.reduce(_ unionByName _)
+    readWithDeletes(spark, kept, snap.deletes)
   }
 
   /** Read the head with parquet schema MERGING — schema evolution:

@@ -371,7 +371,7 @@ class Round9OpsSpec extends SparkSpec {
       == Seq(9.0), "the re-insert must carry the NEW value, not the deleted one")
   }
 
-  test("partition-pruned reads refuse a table with pending merge-on-read deletes") {
+  test("partition-pruned reads compose with pending merge-on-read deletes, version-scoped") {
     import graft.plans.RowSql
     val root = freshRoot("snapprudel")
     Snapshots.commit(root)(out =>
@@ -379,16 +379,46 @@ class Round9OpsSpec extends SparkSpec {
         .write.partitionBy("p").mode("append").parquet(out))
     RowSql.deleteMergeOnRead(spark,
       "DELETE FROM t WHERE id = 3", Map("t" -> root), "id")
-    val ex = intercept[IllegalArgumentException] {
-      Snapshots.readPartitionPruned(spark, root, "p", Seq("1"))
-    }
-    assert(ex.getMessage.contains("merge-on-read"),
-      s"want the clear rewrite-first error, got: $ex")
-    // a rewrite commit absorbs the delete and pruning works again
-    Snapshots.commit(root)(out =>
-      Snapshots.read(spark, root).write.partitionBy("p").mode("append").parquet(out))
+    // pruned read with the delete pending: delete-applied rows of ONLY
+    // the requested partition — no rewrite-first required
     val pruned = Snapshots.readPartitionPruned(spark, root, "p", Seq("1"))
-    assert(pruned.count() == 4) // odd ids minus the deleted 3
+    // inputFiles spans the base scan AND the delete-key scans (the
+    // anti-join side carries no partition segment) — the pin is that
+    // no OTHER partition's data file leaks into the plan
+    assert(!pruned.inputFiles.toSeq.exists(_.contains("/p=0/")),
+      "pruning must still drop non-matching partitions with deletes pending")
+    assert(pruned.inputFiles.toSeq.exists(_.contains("/p=1/")))
+    assert(pruned.select($"id").as[Long].collect().toSet ==
+      Set(1L, 5L, 7L, 9L), "the pending delete must apply to the pruned read")
+    // version scoping survives pruning: re-append id=3 AFTER the delete
+    // — the delete covers only older files, so the new row is visible
+    Snapshots.commitAppend(root)(out =>
+      spark.range(3, 4).select($"id", lit("1").as("p"))
+        .write.partitionBy("p").mode("append").parquet(out))
+    // a second stacked delete hides id=7 everywhere below its version
+    RowSql.deleteMergeOnRead(spark,
+      "DELETE FROM t WHERE id = 7", Map("t" -> root), "id")
+    val stacked = Snapshots.readPartitionPruned(spark, root, "p", Seq("1"))
+    assert(stacked.select($"id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L, 9L),
+      "re-inserted key visible, both stacked deletes applied, only p=1 rows")
+    // the untouched partition reads delete-applied too
+    assert(Snapshots.readPartitionPruned(spark, root, "p", Seq("0"))
+      .select($"id").as[Long].collect().toSet == Set(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("partition pruning matches values Spark escapes in path segments") {
+    val root = freshRoot("snappruesc")
+    // ':' and ' ' are escaped by partitionBy (e.g. ':' → '%3A'); a
+    // raw-value match would find no files and throw
+    Snapshots.commit(root)(out =>
+      spark.range(6)
+        .select($"id", when($"id" % 2 === 0, lit("a:b c")).otherwise(lit("plain")).as("p"))
+        .write.partitionBy("p").mode("append").parquet(out))
+    val pruned = Snapshots.readPartitionPruned(spark, root, "p", Seq("a:b c"))
+    assert(pruned.select($"id").as[Long].collect().toSet == Set(0L, 2L, 4L))
+    assert(pruned.select($"p").distinct().as[String].collect().toSeq == Seq("a:b c"),
+      "the partition column must round-trip the unescaped value")
   }
 
   test("VERSION AS OF SQL: a cross-version join in one statement; TIMESTAMP AS OF refused") {
