@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Table loaders + shared determinism helpers.
   *
@@ -21,15 +21,27 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir) else
       spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively; read it as a long (legacy conf) and convert to a µs
-    * timestamp. Lossless: the generated data is µs-exact (ns%1000==0,
-    * verified 2026-08-12), and DuckDB's CAST(ts_ns AS TIMESTAMP) yields
-    * the same µs values, so oracle SQL can use ts directly. */
+  /** events.ts has shipped under three parquet logical types across data
+    * regenerations: TIMESTAMP(NANOS) (read as a nanos long under the
+    * legacy conf), timestamp[us] with no timezone (Spark 4 reads
+    * TIMESTAMP_NTZ), and plain UTC-adjusted timestamp[us]. A real engine
+    * reads whatever the footer declares, so dispatch on the read schema
+    * and normalize every variant to TimestampType — the session TZ is
+    * UTC, so the NTZ→TZ cast is value-preserving and every downstream
+    * query and oracle twin sees identical µs-exact values. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long; data is µs-exact (ns%1000==0)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-declared type $other " +
+          "(expected int64-nanos, timestamp_ntz, or timestamp)")
+    }
   }
 
   /** Register every table as a temp view for the SQL-centric surface
