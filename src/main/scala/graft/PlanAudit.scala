@@ -464,6 +464,17 @@ object PlanAudit {
         |file list, so a today-vs-last-week audit at 100 TB costs two
         |ordinary pruned scans + one small manifest read per version —
         |never a restore, never a second copy of the table.""".stripMargin,
+    "sql_time_travel_ts" ->
+      """TIMESTAMP AS OF SQL (r12): every commit stamps a strictly-
+        |monotonic #ts:<µs> header into its manifest, and resolution is
+        |newest-commit-<=-literal (Delta's rule) — one header line per
+        |retained manifest, metadata-only, independent of data size.
+        |After resolution the plan is IDENTICAL to VERSION AS OF: a
+        |UNION of two aggregated scans, the as-of side planning over
+        |only the first two commits' files. The monotonic clamp (parent
+        |ts + 1 under clock skew) is what keeps audit queries
+        |deterministic under concurrent writers at 100 TB — commit
+        |order and timestamp order can never disagree.""".stripMargin,
     "snapshot_partition_prune" ->
       """Manifest-level partition pruning (r9): orders committed
         |.partitionBy(o_orderpriority) across two eras, read back for 2

@@ -628,6 +628,53 @@ object WarehouseOps {
       Map("graft_orders" -> root))
   }
 
+  /** `TIMESTAMP AS OF` SQL — the audit form of [[sqlTimeTravel]]:
+    * "what did the table say just before the third commit landed?".
+    * Every commit stamps a strictly-monotonic `#ts:` µs header into
+    * its manifest, and resolution is Delta's rule — newest commit at
+    * or before the literal ([[graft.sources.Snapshots
+    * .versionAtTimestamp]]). The query asks for 1 µs before v3's
+    * commit time, which must resolve to exactly the v2 era (slices
+    * %3 ∈ {0,1}); the oracle recomputes that era from the ORIGINAL
+    * table, so resolving to the wrong version — off-by-one in the
+    * <= rule, a non-monotonic stamp, a header misparse — changes
+    * the row set and hash-mismatches.
+    *
+    * Scale: resolution reads one header line per retained manifest
+    * (metadata-only, independent of data size); the query then plans
+    * the same pinned-file-list scans as any VERSION AS OF. */
+  val sqlTimeTravelTs: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("ttts", dir)
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.commit(root)(out =>
+      o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
+    val v3 = Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 3 === 2).write.mode("append").parquet(out))
+    val justBeforeV3 = Snapshots.commitTimestamp(root, v3).get - 1L
+    val lit = java.time.Instant
+      .ofEpochSecond(justBeforeV3 / 1000000L, (justBeforeV3 % 1000000L) * 1000L)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    graft.plans.TimeTravelSql.sql(s,
+      s"""SELECT 'asof_v2' AS era, o_orderpriority, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+         |FROM graft_orders TIMESTAMP AS OF '$lit'
+         |GROUP BY o_orderpriority
+         |UNION ALL
+         |SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+         |FROM graft_orders
+         |GROUP BY o_orderpriority
+         |ORDER BY era, o_orderpriority""".stripMargin,
+      Map("graft_orders" -> root))
+  }
+
   /** STREAMING INGEST into the snapshot store, exactly-once: each
     * micro-batch lands as one idempotent append commit through the
     * SAME `foreachBatch` binding a production stream passes to
@@ -752,6 +799,7 @@ object WarehouseOps {
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_update_mor" -> sqlUpdateMor,
     "sql_time_travel" -> sqlTimeTravel,
+    "sql_time_travel_ts" -> sqlTimeTravelTs,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
@@ -892,6 +940,21 @@ object WarehouseOps {
       SELECT 'v1' AS era, o_orderpriority, COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY era, o_orderpriority""",
+    // The as-of era recomputed from the ORIGINAL table via the slice
+    // predicates: a wrong timestamp resolution (off-by-one in the
+    // newest-<= rule, non-monotonic commit stamps) lands on v1 or v3
+    // and hash-mismatches.
+    "sql_time_travel_ts" -> """
+      SELECT 'asof_v2' AS era, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
       GROUP BY o_orderpriority
       UNION ALL
       SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,

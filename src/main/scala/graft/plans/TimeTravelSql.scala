@@ -26,9 +26,10 @@ import org.apache.spark.sql.classic.GraftSqlBridge
   * substituted scans are ordinary pruned parquet scans over that
   * version's files. Cross-version queries (today-vs-last-week) cost
   * two scans + whatever the query does — history itself is free
-  * because committed files are immutable. `TIMESTAMP AS OF` would
-  * need a commit-time index the manifest could carry; it raises a
-  * clear unsupported error here.
+  * because committed files are immutable. `TIMESTAMP AS OF <lit>`
+  * resolves through the manifest's `#ts:` commit-time header
+  * ([[Snapshots.versionAtTimestamp]]: newest commit <= the literal,
+  * Delta's rule) and then takes the same pinned-file-list path.
   */
 object TimeTravelSql {
 
@@ -48,10 +49,13 @@ object TimeTravelSql {
         tableName(rel).filter(tables.contains) match {
           case None => tt // not ours — let the analyzer complain
           case Some(name) =>
-            require(ts.isEmpty, "TIMESTAMP AS OF is not supported " +
-              "(the manifest carries no commit-time index); use VERSION AS OF")
-            val v = ver.getOrElse(throw new IllegalArgumentException(
-              s"time travel over $name needs VERSION AS OF")).toLong
+            val v = (ts, ver) match {
+              case (Some(t), _) =>
+                Snapshots.versionAtTimestamp(tables(name), evalTsMicros(spark, t))
+              case (None, Some(vv)) => vv.toLong
+              case (None, None) => throw new IllegalArgumentException(
+                s"time travel over $name needs VERSION AS OF or TIMESTAMP AS OF")
+            }
             planOf(Snapshots.readAt(spark, tables(name), v))
         }
       case u: UnresolvedRelation if tableName(u).exists(tables.contains) =>
@@ -59,5 +63,25 @@ object TimeTravelSql {
     }
     GraftSqlBridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], substituted)
+  }
+
+  /** Evaluate a `TIMESTAMP AS OF` operand (a foldable literal like
+    * `'2026-08-13 12:00:00'` or `TIMESTAMP'...'`) to epoch µs in the
+    * session time zone — the same cast semantics a WHERE-clause
+    * comparison against a timestamp column would get. */
+  private def evalTsMicros(spark: SparkSession,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    require(e.foldable, s"TIMESTAMP AS OF needs a literal, got: ${e.sql}")
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.TimestampType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone))
+    // ANSI cast raises on a malformed literal; surface one clear error
+    // shape for both that and a NULL-producing legacy cast
+    val evaled = try Option(cast.eval()) catch {
+      case _: Exception => None
+    }
+    evaled.map(_.asInstanceOf[Long]).getOrElse(
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF operand does not parse as a timestamp: ${e.sql}"))
   }
 }

@@ -159,6 +159,39 @@ object Snapshots {
   }
 
   private val delPrefix = "#del:"
+  private val tsPrefix = "#ts:"
+
+  /** Commit timestamp (µs since epoch, UTC) of a committed version, read
+    * from its manifest's `#ts:` header; None for pre-header manifests.
+    * One small metadata read — no data I/O. */
+  def commitTimestamp(root: String, version: Long): Option[Long] = {
+    val m = manifestPath(root, version)
+    if (!Files.exists(m)) None
+    else {
+      val r = Files.newBufferedReader(m, UTF_8)
+      try Iterator.continually(r.readLine())
+        .takeWhile(l => l != null && l.startsWith("#"))
+        .collectFirst { case l if l.startsWith(tsPrefix) =>
+          l.stripPrefix(tsPrefix).toLong }
+      finally r.close()
+    }
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the newest committed version whose
+    * commit timestamp is <= `tsMicros` (Delta's rule). Commit timestamps
+    * are strictly monotonic per table ([[commitImpl]] clamps), so the
+    * answer is unique. Fails clearly when the timestamp predates every
+    * retained commit — same contract as a vacuumed `VERSION AS OF`.
+    * Cost: one header line per retained manifest, metadata-only. */
+  def versionAtTimestamp(root: String, tsMicros: Long): Long = {
+    val head = maxCommitted(root)
+    val hit = (1L to head)
+      .flatMap(v => commitTimestamp(root, v).filter(_ <= tsMicros).map(_ => v))
+      .lastOption
+    hit.getOrElse(throw new IllegalStateException(
+      s"no commit at or before timestamp $tsMicros under $root " +
+        "(predates retained history)"))
+  }
 
   private def delLine(d: DeleteFile): String =
     s"$delPrefix@${d.coversBelow}:${d.keyCol}:${d.path}"
@@ -485,7 +518,14 @@ object Snapshots {
       val delLines = (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine)
       val tmp = commitsDir(root).resolve(
         s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-      val header = txn.map { case (a, e) => s"#txn:$a:$e\n" }.getOrElse("")
+      // commit-time header (µs since epoch), clamped strictly above the
+      // parent's so per-version timestamps are monotonic even under
+      // clock skew — TIMESTAMP AS OF resolution stays deterministic
+      val parentTs = if (v > 1L) commitTimestamp(root, v - 1).getOrElse(-1L) else -1L
+      val commitTs = math.max(
+        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+      val header = txn.map { case (a, e) => s"#txn:$a:$e\n" }.getOrElse("") +
+        s"$tsPrefix$commitTs\n"
       val delBlock = if (delLines.isEmpty) "" else delLines.mkString("", "\n", "\n")
       Files.write(tmp, (header + delBlock + files.mkString("\n")).getBytes(UTF_8))
       try {

@@ -42,10 +42,7 @@ class MergeSqlSpec extends SparkSpec {
     val root = Qx.tmpOut("mergetbl", dir)
     graft.operators.CdcOps.cdcMergeSql(spark, dir).collect() // ensures >=2 versions
     val head = Snapshots.resolve(root).get
-    val prev = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
-      root, "_commits", f"${head.version - 1}%08d.manifest"))
-    import scala.jdk.CollectionConverters._
-    val base = spark.read.parquet(prev.asScala.toSeq: _*)
+    val base = Snapshots.readAt(spark, root, head.version - 1)
     // the pre-merge version is exactly the pristine slice: no inserts
     // beyond the snapshot window, original balances intact
     assert(base.agg(min($"custkey"), max($"custkey")).head().getLong(0) >= 50)

@@ -421,7 +421,7 @@ class Round9OpsSpec extends SparkSpec {
       "the partition column must round-trip the unescaped value")
   }
 
-  test("VERSION AS OF SQL: a cross-version join in one statement; TIMESTAMP AS OF refused") {
+  test("VERSION AS OF SQL: a cross-version join in one statement") {
     import graft.plans.TimeTravelSql
     val root = freshRoot("ttsqlspec")
     Snapshots.commit(root)(out =>
@@ -436,11 +436,37 @@ class Round9OpsSpec extends SparkSpec {
         |WHERE o.id IS NULL ORDER BY h.id""".stripMargin,
       Map("t" -> root))
     assert(added.as[Long].collect().toSeq == Seq(5L, 6L, 7L))
-    val exTs = intercept[IllegalArgumentException] {
+  }
+
+  test("TIMESTAMP AS OF SQL resolves newest-commit-<=-literal; pre-history errors") {
+    import graft.plans.TimeTravelSql
+    val root = freshRoot("ttasofts")
+    val v1 = Snapshots.commit(root)(out =>
+      spark.range(5).select($"id").write.mode("append").parquet(out))
+    val v2 = Snapshots.commitAppend(root)(out =>
+      spark.range(5, 8).select($"id").write.mode("append").parquet(out))
+    val t1 = Snapshots.commitTimestamp(root, v1).get
+    val t2 = Snapshots.commitTimestamp(root, v2).get
+    assert(t1 < t2, "commit timestamps must be strictly monotonic")
+    def litOf(us: Long): String = java.time.Instant
+      .ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    def countAsOf(us: Long): Long = TimeTravelSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '${litOf(us)}'",
+      Map("t" -> root)).as[Long].head()
+    assert(countAsOf(t1) == 5L, "exactly v1's commit instant pins v1")
+    assert(countAsOf(t2 - 1) == 5L, "between commits resolves backward, not forward")
+    assert(countAsOf(t2) == 8L, "at v2's instant the append is visible")
+    assert(countAsOf(t2 + 1000000L) == 8L, "after the head sees the head")
+    val ex = intercept[IllegalStateException](countAsOf(t1 - 1))
+    assert(ex.getMessage.contains("predates retained history"))
+    val exExpr = intercept[IllegalArgumentException] {
       TimeTravelSql.sql(spark,
-        "SELECT * FROM t TIMESTAMP AS OF '2026-01-01'", Map("t" -> root))
+        "SELECT * FROM t TIMESTAMP AS OF 'not a timestamp'", Map("t" -> root))
     }
-    assert(exTs.getMessage.contains("TIMESTAMP AS OF"))
+    assert(exExpr.getMessage.contains("does not parse"))
   }
 
   test("a crashed writer's leftover tmp manifest never resolves and never blocks the next commit") {
