@@ -675,6 +675,47 @@ object WarehouseOps {
       Map("graft_orders" -> root))
   }
 
+  /** NAMED-TAG time travel — `VERSION AS OF '<tag>'`: Iceberg-style
+    * refs over the snapshot store. A release pipeline tags the commit
+    * it validated (`audit_pass`, `training_cut_v3`) and every
+    * downstream query names the REF, not a version number nobody
+    * remembers — the tag is one tiny metadata file, re-pointed
+    * atomically. The statement surface rides the existing grammar:
+    * Spark parses a STRING version, and [[graft.plans.TimeTravelSql]]
+    * resolves a non-numeric one through `Snapshots.tagVersion`. The
+    * query tags the two-slice era and unions it with the head; the
+    * oracle recomputes that era from the ORIGINAL table, so a
+    * mis-pointed or stale tag hash-mismatches.
+    *
+    * Scale: a tag read is one metadata-file read + the same pinned
+    * manifest resolution as any VERSION AS OF — history stays free. */
+  val sqlTimeTravelTag: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("tttag", dir)
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.commit(root)(out =>
+      o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
+    val v2 = Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 3 === 2).write.mode("append").parquet(out))
+    Snapshots.tag(root, "audit_cut", v2)
+    graft.plans.TimeTravelSql.sql(s,
+      s"""SELECT 'tagged' AS era, o_orderpriority, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+         |FROM graft_orders VERSION AS OF 'audit_cut'
+         |GROUP BY o_orderpriority
+         |UNION ALL
+         |SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+         |FROM graft_orders
+         |GROUP BY o_orderpriority
+         |ORDER BY era, o_orderpriority""".stripMargin,
+      Map("graft_orders" -> root))
+  }
+
   /** STREAMING INGEST into the snapshot store, exactly-once: each
     * micro-batch lands as one idempotent append commit through the
     * SAME `foreachBatch` binding a production stream passes to
@@ -800,6 +841,7 @@ object WarehouseOps {
     "sql_update_mor" -> sqlUpdateMor,
     "sql_time_travel" -> sqlTimeTravel,
     "sql_time_travel_ts" -> sqlTimeTravelTs,
+    "sql_time_travel_tag" -> sqlTimeTravelTag,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
@@ -960,6 +1002,21 @@ object WarehouseOps {
       SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY era, o_orderpriority""",
+    // The tagged era recomputed from the ORIGINAL table: a tag
+    // pointing at the wrong version (stale pointer, bad re-tag, a
+    // numeric/string resolution mixup) changes the row set and
+    // hash-mismatches.
+    "sql_time_travel_tag" -> """
+      SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'tagged' AS era, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
       GROUP BY o_orderpriority
       ORDER BY era, o_orderpriority""",
     // Two of five priorities recomputed from the ORIGINAL table: a

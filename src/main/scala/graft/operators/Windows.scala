@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Qx, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -209,6 +209,36 @@ object Windows {
       .orderBy($"cohort_wk", $"week_no")
   }
 
+  /** Batch sessionization: per-user session indexes cut at a
+    * 30-minute inactivity gap, then one row of aggregates per
+    * session — the session-scoped unit every log-derived training
+    * pipeline groups by ([[graft.streaming.Streamy]]'s
+    * `stream_session` is the streaming twin of the same semantics).
+    * Classic two-pass window: flag rows whose gap from the previous
+    * event exceeds the timeout (a first event flags too), running-sum
+    * the flags into a dense per-user session index, aggregate by
+    * (user, session). The lag and the running sum share ONE window
+    * spec — one shuffle on user_id, one sort per partition — and the
+    * final group-by is keyed on (user_id, session_idx), so nothing
+    * ever sees more than a single user's ordered events at once: the
+    * shape holds when events is the 100 TB side. Total order inside a
+    * user is (ts, event_id) on both engines — duplicate timestamps
+    * cannot flip the session cut. */
+  val tsSessionize: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_s", ($"prev_us".isNull ||
+        unix_micros($"ts") - $"prev_us" > 1800L * 1000000L).cast("long"))
+      .withColumn("session_idx", sum($"new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"), Qx.dsum($"value").as("total_value"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
   /** Gaps-and-islands: longest consecutive-day activity streak per
     * user. The island key is `day − row_number` (constant within a
     * consecutive run — the classic trick), so streaks fall out of one
@@ -347,6 +377,7 @@ object Windows {
     "win_streak" -> winStreak,
     "ts_funnel" -> tsFunnel,
     "ts_gap_fill" -> tsGapFill,
+    "ts_sessionize" -> tsSessionize,
     "ts_retention_cohort" -> tsRetentionCohort,
     "win_nth_value" -> winNthValue,
     "win_rank_topk" -> winRankTopk,
@@ -464,6 +495,29 @@ object Windows {
              COUNT(DISTINCT e.user_id) AS n_users
       FROM e JOIN c USING (user_id)
       GROUP BY 1, 2 ORDER BY cohort_wk, week_no""",
+    // Same total order (ts, event_id) and the same epoch-µs gap test
+    // on both engines; a flipped session cut, a lost first-event flag,
+    // or a non-dense index changes the row set and hash-mismatches.
+    "ts_sessionize" -> s"""
+      WITH f AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP))
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM f)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events, ${Qx.dsumSql("value")} AS total_value
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx""",
     "ts_gap_fill" -> """
       WITH hourly AS (SELECT user_id,
                              date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

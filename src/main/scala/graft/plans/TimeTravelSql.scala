@@ -52,7 +52,11 @@ object TimeTravelSql {
             val v = (ts, ver) match {
               case (Some(t), _) =>
                 Snapshots.versionAtTimestamp(tables(name), evalTsMicros(spark, t))
-              case (None, Some(vv)) => vv.toLong
+              case (None, Some(vv)) if vv.forall(_.isDigit) => vv.toLong
+              case (None, Some(tagName)) => // VERSION AS OF 'tag' — a named ref
+                Snapshots.tagVersion(tables(name), tagName).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"no tag '$tagName' on $name"))
               case (None, None) => throw new IllegalArgumentException(
                 s"time travel over $name needs VERSION AS OF or TIMESTAMP AS OF")
             }

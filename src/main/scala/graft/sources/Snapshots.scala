@@ -177,6 +177,36 @@ object Snapshots {
     }
   }
 
+  /** NAMED TAG (Iceberg-style): pin a human name to a committed
+    * version under `_commits/<name>.tag`. Re-tagging replaces the
+    * pointer atomically (ATOMIC_MOVE — tags are mutable refs, unlike
+    * manifests); the tagged version's manifest must exist at tag time.
+    * A tag is one tiny metadata file: it pins nothing against
+    * [[vacuum]] — reading a tag whose version fell out of retention
+    * fails with the same clear error as any expired `VERSION AS OF`
+    * (Iceberg's retain-refs nuance is a policy layer this protocol
+    * leaves to the caller). */
+  def tag(root: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"tag name must be [A-Za-z0-9_-]+: $name")
+    if (!Files.exists(manifestPath(root, version)))
+      throw new IllegalStateException(
+        s"cannot tag $name: version $version of $root is not committed")
+    val tmp = commitsDir(root).resolve(
+      s".tmp_tag_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+    Files.write(tmp, version.toString.getBytes(UTF_8))
+    Files.move(tmp, commitsDir(root).resolve(s"$name.tag"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The version a tag points at, or None if the tag doesn't exist. */
+  def tagVersion(root: String, name: String): Option[Long] = {
+    val p = commitsDir(root).resolve(s"$name.tag")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), UTF_8).trim.toLong)
+  }
+
   /** `TIMESTAMP AS OF` resolution: the newest committed version whose
     * commit timestamp is <= `tsMicros` (Delta's rule). Commit timestamps
     * are strictly monotonic per table ([[commitImpl]] clamps), so the

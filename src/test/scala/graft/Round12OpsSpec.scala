@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 operator semantics against hand-computed fixtures. */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ts_sessionize cuts sessions at the 30-minute gap, hand-checked") {
+    // user 1: events at t0, +10m, +40m10s (gap 30m10s → new session),
+    //         +41m (same session). user 2: one event (one session).
+    // A duplicate timestamp inside a session (distinct event_id) must
+    // not open a new session.
+    val t0 = 1704067200000000L // 2024-01-01 00:00:00 UTC, µs
+    val m = 60L * 1000000L
+    val rows = Seq(
+      (10L, t0, 1L, "view", 1.0, "{}"),
+      (11L, t0 + 10 * m, 1L, "click", 2.0, "{}"),
+      (12L, t0 + 10 * m, 1L, "view", 3.0, "{}"), // dup ts, same session
+      (13L, t0 + 40 * m + 10000000L, 1L, "view", 4.0, "{}"),
+      (14L, t0 + 41 * m, 1L, "purchase", 5.0, "{}"),
+      (20L, t0, 2L, "view", 7.0, "{}"))
+    val dir = s"${Qx.tmpOut("sessfix", sf())}/fix"
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = graft.operators.Windows.tsSessionize(spark, dir)
+      .select($"user_id", $"session_idx", unix_micros($"session_start"),
+        unix_micros($"session_end"), $"n_events", $"total_value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, t0, t0 + 10 * m, 3L, 6.0),
+      (1L, 2L, t0 + 40 * m + 10000000L, t0 + 41 * m, 2L, 9.0),
+      (2L, 1L, t0, t0, 1L, 7.0)))
+  }
+
+  test("ts_sessionize: a gap of exactly 30 minutes stays in-session") {
+    val t0 = 1704067200000000L
+    val rows = Seq(
+      (1L, t0, 5L, "view", 1.0, "{}"),
+      (2L, t0 + 1800L * 1000000L, 5L, "view", 1.0, "{}")) // == threshold
+    val dir = s"${Qx.tmpOut("sessfix2", sf())}/fix"
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Windows.tsSessionize(spark, dir)
+    assert(got.count() == 1, "strict > threshold: boundary stays in-session")
+  }
+
+  test("named tags: VERSION AS OF 'tag' resolves, retag re-points, errors are clear") {
+    import graft.sources.Snapshots
+    import graft.plans.TimeTravelSql
+    val root = s"${Qx.tmpOut("tagspec", sf())}/store"
+    val v1 = Snapshots.commit(root)(out =>
+      spark.range(5).select($"id").write.mode("append").parquet(out))
+    val v2 = Snapshots.commitAppend(root)(out =>
+      spark.range(5, 8).select($"id").write.mode("append").parquet(out))
+    Snapshots.tag(root, "cut", v1)
+    def countAt(ref: String): Long = TimeTravelSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM t VERSION AS OF $ref", Map("t" -> root))
+      .as[Long].head()
+    assert(countAt("'cut'") == 5L, "tag resolves to v1")
+    assert(countAt(v2.toString) == 8L, "numeric versions still resolve directly")
+    Snapshots.tag(root, "cut", v2) // mutable ref: re-point
+    assert(countAt("'cut'") == 8L, "retag re-points the same name")
+    val exMissing = intercept[IllegalArgumentException](countAt("'nope'"))
+    assert(exMissing.getMessage.contains("no tag 'nope'"))
+    val exUncommitted = intercept[IllegalStateException](
+      Snapshots.tag(root, "future", v2 + 7))
+    assert(exUncommitted.getMessage.contains("not committed"))
+    val exBadName = intercept[IllegalArgumentException](
+      Snapshots.tag(root, "bad/name", v1))
+    assert(exBadName.getMessage.contains("tag name"))
+  }
+}
