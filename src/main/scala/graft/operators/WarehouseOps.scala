@@ -675,6 +675,42 @@ object WarehouseOps {
       Map("graft_orders" -> root))
   }
 
+  /** RESTORE — roll the head BACK to an audited version without
+    * touching a data file (Delta's `RESTORE TABLE`): after three
+    * commits the store restores to the two-slice version, so the head
+    * reads slices {0,1} while the rolled-back-over third commit stays
+    * time-travelable (history rolls forward — the restore is itself a
+    * new commit). The output unions the restored head with the
+    * pre-restore version; the oracle recomputes BOTH eras from the
+    * ORIGINAL table, so a restore that drops a file, leaks the third
+    * slice into the head, or destroys the rolled-over version
+    * hash-mismatches.
+    *
+    * Scale: restore is ONE manifest write referencing the old
+    * version's immutable files — rolling back a 100 TB table costs
+    * kilobytes, and no reader ever sees a mix. */
+  val snapshotRestore: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("restore", dir)
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.commit(root)(out =>
+      o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
+    val v2 = Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
+    val v3 = Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 3 === 2).write.mode("append").parquet(out))
+    Snapshots.restore(root, v2)
+    def agg(df: org.apache.spark.sql.DataFrame, era: String) =
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))
+        .select(lit(era).as("era"), $"o_orderpriority", $"n", $"total")
+    agg(Snapshots.read(s, root), "head")
+      .unionByName(agg(Snapshots.readAt(s, root, v3), "pre"))
+      .orderBy($"era", $"o_orderpriority")
+  }
+
   /** NAMED-TAG time travel — `VERSION AS OF '<tag>'`: Iceberg-style
     * refs over the snapshot store. A release pipeline tags the commit
     * it validated (`audit_pass`, `training_cut_v3`) and every
@@ -842,6 +878,7 @@ object WarehouseOps {
     "sql_time_travel" -> sqlTimeTravel,
     "sql_time_travel_ts" -> sqlTimeTravelTs,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
+    "snapshot_restore" -> snapshotRestore,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
@@ -1001,6 +1038,20 @@ object WarehouseOps {
       UNION ALL
       SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY era, o_orderpriority""",
+    // Both eras recomputed from the ORIGINAL table: the restored head
+    // must be exactly slices {0,1} and the rolled-over version exactly
+    // {0,1,2} — a leak in either direction hash-mismatches.
+    "snapshot_restore" -> s"""
+      SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'pre' AS era, o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY era, o_orderpriority""",

@@ -472,6 +472,48 @@ object Snapshots {
     commitImpl(root, carryForward = true, txn = None,
       upsertKey = Some(keyCol))(write)
 
+  /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): publish a
+    * NEW commit whose file list (and pending-delete lines) are exactly
+    * those of `version` — the head rolls back, history rolls forward.
+    * No data file moves: the restore is one manifest write referencing
+    * the old version's immutable files, so restoring a 100 TB table
+    * costs the same few kilobytes as any commit. The rolled-back-over
+    * versions stay readable via time travel until vacuum expires them
+    * (their files are still referenced by *their* manifests), and the
+    * restore itself is a version like any other — re-restoring forward
+    * works the same way. Races with concurrent writers resolve through
+    * the same atomic create-if-absent commit point. */
+  def restore(root: String, version: Long): Long = {
+    val snap = resolveAt(root, version) // throws clearly if expired
+    var attempt = 0
+    while (true) {
+      val v = maxCommitted(root) + 1
+      val delBlock =
+        if (snap.deletes.isEmpty) ""
+        else snap.deletes.map(delLine).mkString("", "\n", "\n")
+      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
+      val commitTs = math.max(
+        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+      val tmp = commitsDir(root).resolve(
+        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+      Files.write(tmp,
+        (s"$tsPrefix$commitTs\n" + delBlock + snap.files.mkString("\n"))
+          .getBytes(UTF_8))
+      try {
+        Files.createLink(manifestPath(root, v), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt > 5) throw new IllegalStateException(
+            s"lost the restore race $attempt times under $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Highest epoch committed for `appId` among retained manifests
     * (-1 = none): one small header line read per manifest, metadata-only. */
   def lastTxn(root: String, appId: String): Long = {

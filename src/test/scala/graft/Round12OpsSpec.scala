@@ -75,4 +75,44 @@ class Round12OpsSpec extends SparkSpec {
       Snapshots.tag(root, "bad/name", v1))
     assert(exBadName.getMessage.contains("tag name"))
   }
+
+  test("restore rolls the head back as a new commit; history rolls forward") {
+    import graft.sources.Snapshots
+    val root = s"${Qx.tmpOut("restspec", sf())}/store"
+    val v1 = Snapshots.commit(root)(out =>
+      spark.range(5).select($"id").write.mode("append").parquet(out))
+    val v2 = Snapshots.commitAppend(root)(out =>
+      spark.range(5, 8).select($"id").write.mode("append").parquet(out))
+    val v3 = Snapshots.restore(root, v1)
+    assert(v3 == v2 + 1, "restore is an ordinary new version")
+    assert(Snapshots.read(spark, root).count() == 5, "head rolled back to v1")
+    assert(Snapshots.readAt(spark, root, v2).count() == 8,
+      "the rolled-back-over version stays time-travelable")
+    // restore FORWARD to the rolled-over version works the same way
+    Snapshots.restore(root, v2)
+    assert(Snapshots.read(spark, root).count() == 8)
+    // monotonic commit timestamps survive restores
+    val ts = (1L to Snapshots.maxCommitted(root))
+      .flatMap(Snapshots.commitTimestamp(root, _))
+    assert(ts == ts.sorted && ts.distinct.size == ts.size)
+  }
+
+  test("restore carries a version's pending MOR deletes with it") {
+    import graft.sources.Snapshots
+    import graft.plans.RowSql
+    val root = s"${Qx.tmpOut("restmor", sf())}/store"
+    Snapshots.commit(root)(out =>
+      spark.range(10).select($"id", ($"id" * 2).as("v"))
+        .write.mode("append").parquet(out))
+    RowSql.deleteMergeOnRead(spark,
+      "DELETE FROM t WHERE id >= 7", Map("t" -> root), "id")
+    val vDel = Snapshots.maxCommitted(root)
+    Snapshots.commitAppend(root)(out =>
+      spark.range(20, 23).select($"id", ($"id" * 2).as("v"))
+        .write.mode("append").parquet(out))
+    Snapshots.restore(root, vDel)
+    assert(Snapshots.read(spark, root).select($"id")
+      .as[Long].collect().toSet == (0L until 7L).toSet,
+      "restored head re-applies the pending delete, drops the later append")
+  }
 }

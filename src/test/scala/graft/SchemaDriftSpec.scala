@@ -98,7 +98,7 @@ class SchemaDriftSpec extends SparkSpec {
       "embedding" -> ArrayType(FloatType, containsNull = true),
       "label" -> IntegerType))
 
-  for (sfDir <- Seq("0.001", "0.01")) {
+  for (sfDir <- Seq("0.001", "0.01", "0.1")) {
     test(s"every table loads with the pinned post-load schema at sf$sfDir") {
       assert(Tables.names.toSet === pinned.keySet, "table inventory drift")
       val drift = Tables.names.flatMap { t =>
