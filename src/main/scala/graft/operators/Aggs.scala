@@ -383,6 +383,31 @@ object Aggs {
       .orderBy($"l_returnflag")
   }
 
+  /** Shannon entropy of each user's event-type distribution — the
+    * diversity/quality metric a training-mix pipeline computes per
+    * source or per shard (a user whose events are all one type scores
+    * 0; uniform over k types scores ln k). Counts collapse to the
+    * (user, type) grid by a map-side-combined agg (≤ 5 types per user
+    * here; bounded by the type vocabulary at any scale), the per-user
+    * total joins back on the SAME user_id partitioning (no extra
+    * shuffle — hash(user_id) satisfies both aggs), and the entropy
+    * sum runs over grid rows. ROUND(4) on both engines absorbs the
+    * ulp difference between their ln/summation orders (the
+    * ts_anomaly_zscore precedent). */
+  val aggEntropy: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy($"user_id")
+      .agg(sum($"n").as("tot"), count(lit(1)).as("n_types"))
+    counts.join(tot, "user_id")
+      .select($"user_id", $"tot", $"n_types",
+        ($"n".cast("double") / $"tot".cast("double")).as("p"))
+      .groupBy($"user_id", $"tot".as("n_events"), $"n_types")
+      .agg(round(-sum($"p" * log($"p")), 4).as("entropy"))
+      .orderBy($"user_id")
+  }
+
   /** Equi-width histogram of l_extendedprice (20 bins over the data's
     * own [min, max]) — the distribution profile behind optimizer
     * selectivity estimates and data-quality dashboards, and the natural
@@ -412,6 +437,7 @@ object Aggs {
   }
 
   val queries: Map[String, Q] = Map(
+    "agg_entropy" -> aggEntropy,
     "agg_histogram" -> aggHistogram,
     "agg_hll_partial_merge" -> aggHllPartialMerge,
     "agg_approx_topk" -> aggApproxTopk,
@@ -470,6 +496,21 @@ object Aggs {
       FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
       WHERE c.cum * 2 >= t.tw
       GROUP BY 1, 2 ORDER BY 1""",
+    // Same grid → total → -Σ p ln p algebra; ROUND(4) on both engines
+    // absorbs ln/summation-order ulps (ts_anomaly_zscore precedent).
+    "agg_entropy" -> """
+      WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT user_id, SUM(n) AS tot, COUNT(*) AS n_types
+            FROM c GROUP BY user_id)
+      SELECT c.user_id, CAST(t.tot AS BIGINT) AS n_events,
+             CAST(t.n_types AS BIGINT) AS n_types,
+             ROUND(-SUM((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                        * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 4)
+               AS entropy
+      FROM c JOIN t ON c.user_id = t.user_id
+      GROUP BY c.user_id, t.tot, t.n_types
+      ORDER BY c.user_id""",
     "agg_mode" -> """
       WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n_occ
                  FROM lineitem GROUP BY 1, 2),

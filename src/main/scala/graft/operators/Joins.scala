@@ -547,7 +547,39 @@ object Joins {
       .orderBy($"o_orderkey")
   }
 
+  /** As-of join with a TOLERANCE bound — the feature-store join
+    * ("the latest price, but not staler than 90 days"): the native
+    * as-of merge finds the most recent prior order per customer, then
+    * a projection NULLs matches older than the bound — pandas
+    * `merge_asof(tolerance=...)` semantics: the left row survives,
+    * the too-stale match does not. Composition, not a new operator:
+    * tolerance is a post-condition on the single match the as-of
+    * already picked (filtering inside the join would wrongly promote
+    * the second-newest row into range). Same one-merge-join cost as
+    * `join_asof_native`; the tolerance adds no shuffle. */
+  val joinAsofTolerance: Q = (s, dir) => {
+    import s.implicits._
+    val cur = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val prev = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("p_okey"), $"o_custkey".as("p_cust"),
+        $"o_orderdate".as("p_date"))
+    val tolDays = 90
+    val inTol = $"p_date".isNotNull &&
+      datediff($"o_orderdate", $"p_date") <= tolDays
+    graft.plans.AsOf.joinPrev(cur, prev,
+        Seq("o_custkey"), Seq("p_cust"), "o_orderdate", "p_date",
+        rightTiebreak = Seq("p_okey"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        when(inTol, $"p_okey").as("prev_orderkey"),
+        when(inTol, $"p_date").as("prev_date"),
+        when(inTol, datediff($"o_orderdate", $"p_date"))
+          .as("staleness_days"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_asof_nearest" -> joinAsofNearest,
     "join_asof_forward_native" -> joinAsofForwardNative,
     "join_asof_native" -> joinAsofNative,
@@ -571,6 +603,30 @@ object Joins {
     "join_asof" -> joinAsof)
 
   val oracle: Map[String, String] = Map(
+    // Same window-form as-of as join_asof's oracle, with the tolerance
+    // applied AFTER the rn=1 pick (the pandas contract): a too-stale
+    // match nulls out, it is never replaced by an in-range older row —
+    // an engine filtering inside the join would hash-mismatch here.
+    "join_asof_tolerance" -> """
+      WITH j AS (
+        SELECT cur.o_orderkey, cur.o_custkey, cur.o_orderdate,
+               prev.o_orderkey AS p_okey, prev.o_orderdate AS p_date,
+               ROW_NUMBER() OVER (PARTITION BY cur.o_orderkey
+                 ORDER BY prev.o_orderdate DESC NULLS LAST,
+                          prev.o_orderkey DESC NULLS LAST) AS rn
+        FROM orders cur LEFT JOIN orders prev
+          ON cur.o_custkey = prev.o_custkey
+         AND prev.o_orderdate < cur.o_orderdate)
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CASE WHEN date_diff('day', p_date, o_orderdate) <= 90
+                  THEN p_okey END AS prev_orderkey,
+             CASE WHEN date_diff('day', p_date, o_orderdate) <= 90
+                  THEN p_date END AS prev_date,
+             CASE WHEN date_diff('day', p_date, o_orderdate) <= 90
+                  THEN CAST(date_diff('day', p_date, o_orderdate) AS INTEGER)
+                  END AS staleness_days
+      FROM j WHERE rn = 1
+      ORDER BY o_orderkey""",
     "join_asof_nearest" -> """
       WITH p AS (
         SELECT o_orderkey, prev_orderkey, prev_date FROM (
