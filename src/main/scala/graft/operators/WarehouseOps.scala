@@ -675,6 +675,57 @@ object WarehouseOps {
       Map("graft_orders" -> root))
   }
 
+  /** WRITE-AUDIT-PUBLISH — the Iceberg WAP pattern end to end: the
+    * risky batch (slice 1) lands in a STAGING root, an audit gate
+    * validates it there (row-count + null-key checks — main has never
+    * seen the batch), and only then does `Snapshots.publishFrom`
+    * append the audited files into main BY REFERENCE — one manifest
+    * write, zero bytes of data moved. A second staged batch
+    * deliberately FAILS its audit (empty after a too-strict filter)
+    * and is never published. The output unions main's pre-publish
+    * version with the post-publish head; the oracle recomputes both
+    * from the ORIGINAL table, so a publish that copies/loses rows,
+    * double-publishes, or leaks the failed batch hash-mismatches.
+    *
+    * Scale: the audit runs against staging at full parallelism while
+    * main serves readers untouched; publish cost is one manifest
+    * write regardless of batch size — the pattern that makes "never
+    * let unvalidated data into the serving table" affordable at
+    * 100 TB ingest rates. */
+  val snapshotWapPublish: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val main = Qx.tmpOut("wapmain", dir)
+    val staging = Qx.tmpOut("wapstage", dir)
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    Snapshots.commit(main)(out =>
+      o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
+    val vPre = Snapshots.maxCommitted(main)
+    Snapshots.commit(staging)(out =>
+      o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
+    // audit gate, against STAGING only
+    val audited = Snapshots.read(s, staging)
+    require(audited.filter($"o_orderkey".isNull).isEmpty &&
+      !audited.isEmpty, "audit failed: staged batch is empty or has null keys")
+    Snapshots.publishFrom(main, staging)
+    // a second batch fails its audit (a corrupted extract carrying
+    // only one priority class) and must never reach main
+    Snapshots.commit(staging)(out =>
+      o.filter($"o_orderkey" % 3 === 2 && $"o_orderpriority" === "1-URGENT")
+        .write.mode("append").parquet(out))
+    val distinctPrios = Snapshots.read(s, staging)
+      .select($"o_orderpriority").distinct().count()
+    if (distinctPrios >= 2) Snapshots.publishFrom(main, staging)
+    def agg(df: org.apache.spark.sql.DataFrame, era: String) =
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))
+        .select(lit(era).as("era"), $"o_orderpriority", $"n", $"total")
+    agg(Snapshots.readAt(s, main, vPre), "pre")
+      .unionByName(agg(Snapshots.read(s, main), "published"))
+      .orderBy($"era", $"o_orderpriority")
+  }
+
   /** RESTORE — roll the head BACK to an audited version without
     * touching a data file (Delta's `RESTORE TABLE`): after three
     * commits the store restores to the two-slice version, so the head
@@ -879,6 +930,7 @@ object WarehouseOps {
     "sql_time_travel_ts" -> sqlTimeTravelTs,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "snapshot_restore" -> snapshotRestore,
+    "snapshot_wap_publish" -> snapshotWapPublish,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
@@ -1039,6 +1091,21 @@ object WarehouseOps {
       SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY era, o_orderpriority""",
+    // Both eras recomputed from the ORIGINAL table: pre-publish main
+    // is exactly slice {0}, post-publish exactly {0,1} — a lost or
+    // doubled row through the by-reference publish, or the failed
+    // batch (slice-2 1-URGENT rows) leaking in, hash-mismatches.
+    "snapshot_wap_publish" -> s"""
+      SELECT 'pre' AS era, o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'published' AS era, o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
       GROUP BY o_orderpriority
       ORDER BY era, o_orderpriority""",
     // Both eras recomputed from the ORIGINAL table: the restored head

@@ -514,6 +514,76 @@ object Snapshots {
     throw new IllegalStateException("unreachable")
   }
 
+  /** WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern): append the AUDITED
+    * head of a staging root into `mainRoot` as one atomic commit, BY
+    * REFERENCE — the published manifest lists the staging files in
+    * place, so publishing a validated batch moves zero bytes of data
+    * no matter its size. The staging root stays independently
+    * readable (its own manifests still pin its files), and a failed
+    * audit simply never publishes — main never saw the batch.
+    *
+    * Contract: the staging head must be delete-free (audit against
+    * the final rewritten state, then publish), and the staging root
+    * must not be vacuumed below the published version while main
+    * retains the publish commit — cross-root references are pinned by
+    * main's manifest, not by staging's retention (the same lifetime
+    * rule Iceberg applies to WAP-staged files before cherry-pick). */
+  def publishFrom(mainRoot: String, stagingRoot: String): Long = {
+    val snap = resolve(stagingRoot).getOrElse(throw new IllegalStateException(
+      s"nothing committed under staging root $stagingRoot"))
+    require(snap.deletes.isEmpty,
+      s"staging head of $stagingRoot carries pending merge-on-read deletes; " +
+        "rewrite (compact) before publishing")
+    // version-scoped deletes compare the v######## segment of file
+    // paths, which is root-RELATIVE: staging files would look "old" to
+    // main's pending deletes and be wrongly covered. Publish only into
+    // a delete-free head (rewrite main first) — the cross-root
+    // equivalent of Iceberg's same-table sequence-number rule.
+    resolve(mainRoot).foreach(m => require(m.deletes.isEmpty,
+      s"main head of $mainRoot carries pending merge-on-read deletes; " +
+        "rewrite (compact) before publishing into it"))
+    Files.createDirectories(commitsDir(mainRoot))
+    appendManifest(mainRoot, snap.files, "publish")
+  }
+
+  /** Publish a manifest at the next version of `root` whose file list
+    * is the parent's plus `newFiles` (by reference — no staging, no
+    * data movement), with the usual monotonic `#ts:` header and
+    * atomic create-if-absent commit point. Shared by [[restore]]-style
+    * metadata-only commits. */
+  private def appendManifest(root: String, newFiles: Seq[String],
+      what: String): Long = {
+    var attempt = 0
+    while (true) {
+      val v = maxCommitted(root) + 1
+      val parent = if (v > 1L) Some(resolveAt(root, v - 1)) else None
+      val files = parent.map(_.files).getOrElse(Nil) ++ newFiles
+      val delLines = parent.map(_.deletes).getOrElse(Nil).map(delLine)
+      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
+      val commitTs = math.max(
+        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+      val delBlock =
+        if (delLines.isEmpty) "" else delLines.mkString("", "\n", "\n")
+      val tmp = commitsDir(root).resolve(
+        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+      Files.write(tmp,
+        (s"$tsPrefix$commitTs\n" + delBlock + files.mkString("\n"))
+          .getBytes(UTF_8))
+      try {
+        Files.createLink(manifestPath(root, v), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt > 5) throw new IllegalStateException(
+            s"lost the $what race $attempt times under $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Highest epoch committed for `appId` among retained manifests
     * (-1 = none): one small header line read per manifest, metadata-only. */
   def lastTxn(root: String, appId: String): Long = {

@@ -115,4 +115,43 @@ class Round12OpsSpec extends SparkSpec {
       .as[Long].collect().toSet == (0L until 7L).toSet,
       "restored head re-applies the pending delete, drops the later append")
   }
+
+  test("WAP publish appends staged files by reference; guards refuse MOR-pending heads") {
+    import graft.sources.Snapshots
+    import graft.plans.RowSql
+    val base = Qx.tmpOut("wapspec", sf())
+    val main = s"$base/main"
+    val staging = s"$base/staging"
+    Snapshots.commit(main)(out =>
+      spark.range(5).select($"id").write.mode("append").parquet(out))
+    Snapshots.commit(staging)(out =>
+      spark.range(100, 103).select($"id").write.mode("append").parquet(out))
+    val stagedFiles = Snapshots.resolve(staging).get.files.toSet
+    Snapshots.publishFrom(main, staging)
+    assert(Snapshots.read(spark, main).select($"id").as[Long].collect().toSet
+      == ((0L until 5L) ++ (100L until 103L)).toSet)
+    assert(stagedFiles.subsetOf(Snapshots.resolve(main).get.files.toSet),
+      "publish is by reference: main's manifest lists the staging files in place")
+    assert(Snapshots.read(spark, staging).count() == 3,
+      "staging stays independently readable")
+    // a delete-pending MAIN refuses the publish (cross-root version
+    // scoping would misread staging paths)
+    RowSql.deleteMergeOnRead(spark,
+      "DELETE FROM t WHERE id = 1", Map("t" -> main), "id")
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.publishFrom(main, staging))
+    assert(ex.getMessage.contains("merge-on-read deletes"))
+    // and a delete-pending STAGING head refuses too
+    val staging2 = s"$base/staging2"
+    Snapshots.commit(staging2)(out =>
+      spark.range(200, 205).select($"id").write.mode("append").parquet(out))
+    RowSql.deleteMergeOnRead(spark,
+      "DELETE FROM t WHERE id = 201", Map("t" -> staging2), "id")
+    val main2 = s"$base/main2"
+    Snapshots.commit(main2)(out =>
+      spark.range(3).select($"id").write.mode("append").parquet(out))
+    val ex2 = intercept[IllegalArgumentException](
+      Snapshots.publishFrom(main2, staging2))
+    assert(ex2.getMessage.contains("merge-on-read deletes"))
+  }
 }
