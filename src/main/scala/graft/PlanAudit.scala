@@ -464,6 +464,24 @@ object PlanAudit {
         |file list, so a today-vs-last-week audit at 100 TB costs two
         |ordinary pruned scans + one small manifest read per version —
         |never a restore, never a second copy of the table.""".stripMargin,
+    "ts_sessionize" ->
+      """Batch sessionization (r12): gap-flag lag and running-sum
+        |session index share ONE window spec — expect a single
+        |Exchange(user_id) + Sort feeding BOTH Window nodes
+        |back-to-back, then the per-session HashAggregate pair with NO
+        |exchange between window and aggregate: hashpartitioning on
+        |user_id already clusters the (user_id, session_idx) group
+        |keys. The whole operator is one data shuffle; no task ever
+        |holds more than one user's ordered events, so the shape is
+        |flat at 100 TB.""".stripMargin,
+    "snapshot_wap_publish" ->
+      """Write-audit-publish (r12): the staged batch commits to its own
+        |root, the audit gate runs there (main untouched), and
+        |publishFrom appends the audited files into main BY REFERENCE —
+        |expect the post-publish head scan to list BOTH roots' files in
+        |one FileScan with zero copy jobs between them; the failed
+        |second batch appears in no main scan. Publish cost is one
+        |manifest write at any batch size.""".stripMargin,
     "sql_time_travel_ts" ->
       """TIMESTAMP AS OF SQL (r12): every commit stamps a strictly-
         |monotonic #ts:<µs> header into its manifest, and resolution is
