@@ -154,4 +154,41 @@ class Round12OpsSpec extends SparkSpec {
       Snapshots.publishFrom(main2, staging2))
     assert(ex2.getMessage.contains("merge-on-read deletes"))
   }
+
+  test("racing publish and append: both commits land, no rows lost") {
+    import graft.sources.Snapshots
+    val base = Qx.tmpOut("waprace", sf())
+    val main = s"$base/main"
+    val staging = s"$base/staging"
+    Snapshots.commit(main)(out =>
+      spark.range(5).select($"id").write.mode("append").parquet(out))
+    Snapshots.commit(staging)(out =>
+      spark.range(100, 103).select($"id").write.mode("append").parquet(out))
+    // the loser of the manifest race must retry onto the winner's head
+    Qx.inParallel(Seq(
+      () => Snapshots.publishFrom(main, staging),
+      () => Snapshots.commitAppend(main)(out =>
+        spark.range(200, 204).select($"id").write.mode("append").parquet(out))
+    ), width = 2)(_.apply())
+    assert(Snapshots.maxCommitted(main) == 3L, "both commits landed")
+    assert(Snapshots.read(spark, main).select($"id").as[Long].collect().toSet
+      == ((0L until 5L) ++ (100L until 103L) ++ (200L until 204L)).toSet,
+      "base, published, and appended rows all present whatever the order")
+  }
+
+  test("vacuum after restore keeps the restored head's (old) files alive") {
+    import graft.sources.Snapshots
+    val root = s"${Qx.tmpOut("restvac", sf())}/store"
+    val v1 = Snapshots.commit(root)(out =>
+      spark.range(5).select($"id").write.mode("append").parquet(out))
+    val v2 = Snapshots.commitAppend(root)(out =>
+      spark.range(5, 8).select($"id").write.mode("append").parquet(out))
+    Snapshots.restore(root, v1)
+    Snapshots.vacuum(root, keepLast = 1)
+    // the head references v1-era files; vacuum must keep them even
+    // though v1's own manifest is expired
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet
+      == (0L until 5L).toSet, "restored head survives retention")
+    intercept[IllegalStateException](Snapshots.readAt(spark, root, v2))
+  }
 }
