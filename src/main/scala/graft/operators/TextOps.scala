@@ -147,6 +147,46 @@ object TextOps {
       .orderBy($"keeper_doc")
   }
 
+  /** INCREMENTAL dedup — the shape a 100 TB corpus actually runs:
+    * never re-dedup the corpus, check only the NEW batch against it.
+    * The fixture splits documents into an existing corpus (even
+    * doc_ids) and an incoming crawl batch (odd doc_ids plus re-crawled
+    * COPIES of every 10th corpus doc under fresh ids — the dup mass an
+    * incremental pipeline exists to catch); survivors are batch rows
+    * whose normalized text is not already in the corpus.
+    *
+    * Scale shape: ONE anti join keyed on `md5(normalized text)` — the
+    * corpus side reduces to its distinct fingerprints (map-side
+    * combined; at 100 TB this is the persisted fingerprint INDEX a
+    * production pipeline maintains, O(corpus docs) fixed-width rows,
+    * never the text bytes), the batch side shuffles fixed-width
+    * (hash, id) pairs, and full text rides only on the surviving
+    * rows. Text equality backs the hash inside the join condition, so
+    * an md5 collision cannot silently drop a unique doc (the same
+    * belt-and-braces as [[exactPairs]]); the oracle is a plain
+    * text-equality anti join. */
+  val dedupIncremental: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val norm = lower(trim($"text"))
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+      .select(md5(norm.cast("binary")).as("c_hash"), norm.as("c_text"))
+      .distinct()
+    val recrawled = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text",
+        lit("recrawl").as("source"))
+    val batch = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text", $"source")
+      .unionByName(recrawled)
+    batch
+      .withColumn("b_hash", md5(norm.cast("binary")))
+      .withColumn("b_text", norm)
+      .join(corpus, $"b_hash" === $"c_hash" && $"b_text" === $"c_text",
+        "left_anti")
+      .select($"doc_id", $"source", length($"text").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
   /** Candidate same-bigram doc pairs (d1 < d2), EXACT under 64-bit
     * hashing. The hot self-join stays keyed on the xxhash64 fold `h`
     * (narrow (long, long) shuffle rows — at 100 TB this join is
@@ -765,6 +805,7 @@ object TextOps {
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "dedup_exact" -> dedupExact,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_cluster_keeper" -> dedupClusterKeeper,
     "split_train_holdout" -> splitTrainHoldout,
@@ -913,6 +954,24 @@ object TextOps {
       SELECT md5(lower(trim(text))) AS text_hash, MIN(doc_id) AS keeper_doc,
              COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keeper_doc""",
+    // Plain text-equality anti join — the hash-keyed Spark plan must
+    // produce exactly the same survivor set (a collision-dropped doc
+    // or a leaked re-crawl hash-mismatches).
+    "dedup_incremental" -> """
+      WITH corpus AS (
+        SELECT DISTINCT lower(trim(text)) AS c_text
+        FROM documents WHERE doc_id % 2 = 0),
+      batch AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 1000000, text, 'recrawl' AS source
+        FROM documents WHERE doc_id % 10 = 0)
+      SELECT b.doc_id, b.source,
+             CAST(length(b.text) AS INTEGER) AS n_chars
+      FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                        WHERE c.c_text = lower(trim(b.text)))
+      ORDER BY b.doc_id""",
     "pipeline_curate" -> """
       WITH kept AS (
         SELECT doc_id, text, source, n_chars,
