@@ -464,6 +464,16 @@ object PlanAudit {
         |file list, so a today-vs-last-week audit at 100 TB costs two
         |ordinary pruned scans + one small manifest read per version —
         |never a restore, never a second copy of the table.""".stripMargin,
+    "dedup_incremental" ->
+      """Incremental corpus dedup (r12): the crawl batch anti-joins the
+        |corpus's DISTINCT fingerprint set — expect the corpus side to
+        |collapse through a map-side-combined HashAggregate on
+        |(md5, text) BEFORE the join (the persisted index shape: O(corpus
+        |docs) fixed-width rows, never re-scanned text), one LeftAnti
+        |join keyed on the hash with text equality backing it, and full
+        |text projected only above the join. At 100 TB the corpus never
+        |re-dedups; each batch pays O(batch) + one probe of the
+        |index.""".stripMargin,
     "ts_sessionize" ->
       """Batch sessionization (r12): gap-flag lag and running-sum
         |session index share ONE window spec — expect a single
