@@ -60,8 +60,11 @@ object VectorExprs {
   /** Register `vec_dot(arr<double>, arr<double>) -> double` in the
     * session's function registry (idempotent — check-before-register,
     * so repeated query construction doesn't spam "function replaced"
-    * WARNs into the logs) so plans can use it via expr("vec_dot(a, b)"). */
-  def register(spark: SparkSession): Unit = {
+    * WARNs into the logs) so plans can use it via expr("vec_dot(a, b)").
+    * The check-then-register pair is synchronized: concurrent query
+    * construction (the 8-wide verify driver) would otherwise race the
+    * guard and spam "replaced a previously registered function" WARNs. */
+  def register(spark: SparkSession): Unit = registerLock.synchronized {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
     if (!reg.functionExists(id)) {
@@ -69,4 +72,6 @@ object VectorExprs {
         "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     }
   }
+
+  private val registerLock = new Object
 }

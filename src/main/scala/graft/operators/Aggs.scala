@@ -215,7 +215,16 @@ object Aggs {
   }
 
   /** Exact interpolated median / p95 per group (README.md:8-9). Spark
-    * `percentile` and DuckDB `quantile_cont` both linearly interpolate. */
+    * `percentile` and DuckDB `quantile_cont` both linearly interpolate.
+    *
+    * CARDINALITY CONTRACT: exact percentile buffers every group's
+    * values in executor memory (Spark's `Percentile` is a holistic
+    * aggregate — no map-side reduction of the value set). Safe here (3
+    * groups, bounded domain); at 100 TB with large groups use the
+    * mergeable sketch twin `agg_approx_percentile`
+    * ([[aggApproxPercentile]]) — single-pass KLL-style, constant
+    * memory per group — and keep the exact form for bounded-group
+    * audits only. */
   val aggPercentile: Q = (s, dir) => {
     import s.implicits._
     Tables.load(s, dir, "lineitem")
@@ -404,7 +413,11 @@ object Aggs {
       .select($"user_id", $"tot", $"n_types",
         ($"n".cast("double") / $"tot".cast("double")).as("p"))
       .groupBy($"user_id", $"tot".as("n_events"), $"n_types")
-      .agg(round(-sum($"p" * log($"p")), 4).as("entropy"))
+      // + 0.0 normalizes IEEE -0.0 (a single-type user: -sum(0*ln 1))
+      // BEFORE round — Spark's round maps -0.0 → 0.0 via BigDecimal but
+      // DuckDB's preserves the sign, so without the nudge a one-type
+      // user would hash-mismatch (mirrored in the oracle SQL)
+      .agg(round(-sum($"p" * log($"p")) + 0.0, 4).as("entropy"))
       .orderBy($"user_id")
   }
 
@@ -506,7 +519,7 @@ object Aggs {
       SELECT c.user_id, CAST(t.tot AS BIGINT) AS n_events,
              CAST(t.n_types AS BIGINT) AS n_types,
              ROUND(-SUM((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
-                        * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 4)
+                        * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) + 0.0, 4)
                AS entropy
       FROM c JOIN t ON c.user_id = t.user_id
       GROUP BY c.user_id, t.tot, t.n_types

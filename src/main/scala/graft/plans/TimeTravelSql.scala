@@ -80,9 +80,13 @@ object TimeTravelSql {
       e, org.apache.spark.sql.types.TimestampType,
       Some(spark.sessionState.conf.sessionLocalTimeZone))
     // ANSI cast raises on a malformed literal; surface one clear error
-    // shape for both that and a NULL-producing legacy cast
+    // shape for both that and a NULL-producing legacy cast. Catch ONLY
+    // the date-time parse family (SparkDateTimeException extends
+    // java.time.DateTimeException) — a genuine internal error (analysis
+    // bug, unexpected expression type) must propagate, not masquerade
+    // as "does not parse as a timestamp".
     val evaled = try Option(cast.eval()) catch {
-      case _: Exception => None
+      case _: java.time.DateTimeException => None
     }
     evaled.map(_.asInstanceOf[Long]).getOrElse(
       throw new IllegalArgumentException(

@@ -64,9 +64,18 @@ object Snapshots {
 
   /** A resolved table version: the immutable file set of one commit,
     * plus any pending merge-on-read delete files ([[commitDelete]],
-    * [[commitUpsert]]). */
+    * [[commitUpsert]]). `fileSeq` maps CROSS-ROOT files (published by
+    * reference from another root, [[publishFrom]]) to their EFFECTIVE
+    * sequence number in THIS root — the version the publish committed
+    * at. A published file's own `v########` path segment carries the
+    * *staging* root's counter, which is meaningless against this
+    * root's delete scoping; the manifest-recorded seq is what
+    * [[DeleteFile.coversBelow]] compares against (Iceberg's
+    * data-sequence-number rule, applied cross-root). Files absent from
+    * the map use their path-parsed version as before. */
   final case class Snapshot(version: Long, files: Seq[String],
-      deletes: Seq[DeleteFile] = Nil)
+      deletes: Seq[DeleteFile] = Nil,
+      fileSeq: Map[String, Long] = Map.empty)
 
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
 
@@ -141,9 +150,11 @@ object Snapshots {
     if (!Files.exists(m)) throw new IllegalStateException(
       s"version $version of $root is not committed or is beyond retention")
     // lines starting with '#' are metadata headers: the #txn tag of an
-    // idempotent streaming append, and #del:@<coversBelow>:<keyCol>:
-    // <path> lines recording scoped merge-on-read delete files (the
-    // version-less legacy form #del:<keyCol>:<path> covers everything)
+    // idempotent streaming append, #del:@<coversBelow>:<keyCol>:<path>
+    // lines recording scoped merge-on-read delete files (the
+    // version-less legacy form #del:<keyCol>:<path> covers everything),
+    // and #seq:<v>:<path> lines pinning a cross-root published file's
+    // effective sequence number in this root
     val lines = Files.readAllLines(m, UTF_8).asScala.toSeq.filter(_.nonEmpty)
     val dels = lines.collect { case l if l.startsWith(delPrefix) =>
       val body = l.stripPrefix(delPrefix)
@@ -155,11 +166,27 @@ object Snapshots {
         DeleteFile(body.substring(0, sep), body.substring(sep + 1), Long.MaxValue)
       }
     }
-    Snapshot(version, lines.filterNot(_.startsWith("#")), dels)
+    val seqs = lines.collect { case l if l.startsWith(seqPrefix) =>
+      val Array(v, p) = l.stripPrefix(seqPrefix).split(":", 2)
+      p -> v.toLong
+    }.toMap
+    Snapshot(version, lines.filterNot(_.startsWith("#")), dels, seqs)
   }
 
   private val delPrefix = "#del:"
   private val tsPrefix = "#ts:"
+  private val seqPrefix = "#seq:"
+
+  private def seqLine(path: String, v: Long): String = s"$seqPrefix$v:$path"
+
+  /** The carried-forward `#seq:` lines of a parent snapshot, restricted
+    * to the files actually retained in `files` — a rewrite that drops a
+    * published file drops its seq pin with it. */
+  private def seqLines(fileSeq: Map[String, Long], files: Seq[String]): Seq[String] = {
+    val keep = files.toSet
+    fileSeq.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
+      .map { case (p, v) => seqLine(p, v) }
+  }
 
   /** Commit timestamp (µs since epoch, UTC) of a committed version, read
     * from its manifest's `#ts:` header; None for pre-header manifests.
@@ -189,6 +216,12 @@ object Snapshots {
   def tag(root: String, name: String, version: Long): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"tag name must be [A-Za-z0-9_-]+: $name")
+    // an all-digit name would be UNREACHABLE through SQL: `VERSION AS
+    // OF 2024` routes to numeric version resolution before tag lookup,
+    // so the tag could never be addressed — reject it at creation
+    require(name.exists(!_.isDigit),
+      s"tag name must contain a non-digit (all-digit names collide with " +
+        s"numeric VERSION AS OF resolution): $name")
     if (!Files.exists(manifestPath(root, version)))
       throw new IllegalStateException(
         s"cannot tag $name: version $version of $root is not committed")
@@ -212,11 +245,27 @@ object Snapshots {
     * are strictly monotonic per table ([[commitImpl]] clamps), so the
     * answer is unique. Fails clearly when the timestamp predates every
     * retained commit — same contract as a vacuumed `VERSION AS OF`.
-    * Cost: one header line per retained manifest, metadata-only. */
+    * Cost: one header line per retained manifest, metadata-only.
+    *
+    * Legacy manifests (committed before the `#ts:` header existed)
+    * fall back to the manifest FILE's modification time — Delta's own
+    * rule for header-less log entries — so a literal between two
+    * legacy commits still resolves instead of throwing "predates
+    * retained history" past readable versions. Monotonicity across the
+    * legacy/stamped boundary holds because stamped commits clamp
+    * strictly above their parent, and a manifest's mtime can't exceed
+    * its successor's creation. */
   def versionAtTimestamp(root: String, tsMicros: Long): Long = {
     val head = maxCommitted(root)
+    def tsOf(v: Long): Option[Long] =
+      commitTimestamp(root, v).orElse {
+        val m = manifestPath(root, v)
+        if (Files.exists(m))
+          Some(Files.getLastModifiedTime(m).toMillis * 1000L)
+        else None
+      }
     val hit = (1L to head)
-      .flatMap(v => commitTimestamp(root, v).filter(_ <= tsMicros).map(_ => v))
+      .flatMap(v => tsOf(v).filter(_ <= tsMicros).map(_ => v))
       .lastOption
     hit.getOrElse(throw new IllegalStateException(
       s"no commit at or before timestamp $tsMicros under $root " +
@@ -236,19 +285,42 @@ object Snapshots {
     case _                => 0L
   }
 
-  /** One broadcast LEFT ANTI join per delete key column against the
-    * union of that column's delete-key files. Delete files are
-    * O(deleted keys) — tiny next to the base — so the anti join
-    * broadcasts and the base never shuffles. */
+  /** One LEFT ANTI join per delete key column against the union of
+    * that column's delete-key files. The broadcast hint is SIZE-GATED:
+    * delete files are usually O(deleted keys) — tiny next to the base —
+    * so the common case broadcasts and the base never shuffles. But a
+    * GDPR-scale purge or a bulk upsert touching 1% of a 100 TB table is
+    * billions of keys, and a forced hint would bypass
+    * `autoBroadcastJoinThreshold` entirely (driver OOM, no degrade
+    * path). The gate sums the delete files' on-disk bytes — already
+    * known without opening them — and above the session threshold
+    * leaves the join un-hinted so AQE picks shuffle vs broadcast from
+    * runtime stats. */
   private def antiJoinDeletes(spark: SparkSession, base: DataFrame,
       dels: Seq[DeleteFile]): DataFrame =
     dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) {
       case (df, (keyCol, ds)) =>
         val keys = spark.read.parquet(ds.map(_.path).sorted: _*)
           .select(keyCol).distinct()
-        df.join(org.apache.spark.sql.functions.broadcast(keys),
-          Seq(keyCol), "left_anti")
+        val delBytes = ds.map { d =>
+          try Files.size(Paths.get(d.path)) catch { case _: Exception => Long.MaxValue / 4096 }
+        }.sum
+        val hinted =
+          if (delBytes <= broadcastThresholdBytes(spark))
+            org.apache.spark.sql.functions.broadcast(keys)
+          else keys
+        df.join(hinted, Seq(keyCol), "left_anti")
     }
+
+  /** The session's `spark.sql.autoBroadcastJoinThreshold` in bytes
+    * (-1 = broadcast disabled → gate everything to un-hinted). Parses
+    * both plain-number and "10MB"-suffix forms. */
+  private def broadcastThresholdBytes(spark: SparkSession): Long = {
+    val s = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (s.startsWith("-")) -1L
+    else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+    catch { case _: Exception => 10L * 1024 * 1024 }
+  }
 
   /** Read a pinned file set with its pending merge-on-read deletes
     * applied, SCOPED by version: a delete covers only files staged
@@ -270,7 +342,11 @@ object Snapshots {
   }
 
   private def readWithDeletes(spark: SparkSession, files: Seq[String],
-      deletes: Seq[DeleteFile], mergeSchema: Boolean = false): DataFrame = {
+      deletes: Seq[DeleteFile], mergeSchema: Boolean = false,
+      fileSeq: Map[String, Long] = Map.empty): DataFrame = {
+    // a cross-root published file's delete scoping uses its
+    // manifest-pinned effective seq, not the foreign path's counter
+    def effVersion(f: String): Long = fileSeq.getOrElse(f, fileVersion(f))
     def scan(fs: Seq[String]): DataFrame = {
       def rd = {
         val r = spark.read
@@ -288,10 +364,10 @@ object Snapshots {
     }
     if (deletes.isEmpty) scan(files)
     else {
-      val maxV = files.map(fileVersion).max
+      val maxV = files.map(effVersion).max
       if (deletes.forall(_.coversBelow > maxV)) antiJoinDeletes(spark, scan(files), deletes)
       else files
-        .groupBy(f => deletes.filter(d => fileVersion(f) < d.coversBelow))
+        .groupBy(f => deletes.filter(d => effVersion(f) < d.coversBelow))
         .toSeq.sortBy(_._2.min)
         .map { case (applicable, fs) => antiJoinDeletes(spark, scan(fs), applicable) }
         .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
@@ -303,7 +379,7 @@ object Snapshots {
   def read(spark: SparkSession, root: String): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
-    readWithDeletes(spark, snap.files, snap.deletes)
+    readWithDeletes(spark, snap.files, snap.deletes, fileSeq = snap.fileSeq)
   }
 
   /** Time travel: read version `v` through ITS manifest — the same
@@ -312,7 +388,7 @@ object Snapshots {
     * AFTER it do not, exactly like any other later commit. */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val snap = resolveAt(root, version)
-    readWithDeletes(spark, snap.files, snap.deletes)
+    readWithDeletes(spark, snap.files, snap.deletes, fileSeq = snap.fileSeq)
   }
 
   /** PARTITION-PRUNED head read: keep only the manifest files whose
@@ -355,7 +431,7 @@ object Snapshots {
     val kept = snap.files.filter(f => wanted.exists(f.contains))
     require(kept.nonEmpty,
       s"no files match $partCol in ${values.mkString("{", ",", "}")} under $root")
-    readWithDeletes(spark, kept, snap.deletes)
+    readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq)
   }
 
   /** Read the head with parquet schema MERGING — schema evolution:
@@ -371,7 +447,8 @@ object Snapshots {
   def readMerged(spark: SparkSession, root: String): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
-    readWithDeletes(spark, snap.files, snap.deletes, mergeSchema = true)
+    readWithDeletes(spark, snap.files, snap.deletes, mergeSchema = true,
+      fileSeq = snap.fileSeq)
   }
 
   /** File-level change feed between two committed versions: the files
@@ -488,9 +565,11 @@ object Snapshots {
     var attempt = 0
     while (true) {
       val v = maxCommitted(root) + 1
+      val headerLines = snap.deletes.map(delLine) ++
+        seqLines(snap.fileSeq, snap.files)
       val delBlock =
-        if (snap.deletes.isEmpty) ""
-        else snap.deletes.map(delLine).mkString("", "\n", "\n")
+        if (headerLines.isEmpty) ""
+        else headerLines.mkString("", "\n", "\n")
       val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
       val commitTs = math.max(
         java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
@@ -527,38 +606,45 @@ object Snapshots {
     * must not be vacuumed below the published version while main
     * retains the publish commit — cross-root references are pinned by
     * main's manifest, not by staging's retention (the same lifetime
-    * rule Iceberg applies to WAP-staged files before cherry-pick). */
+    * rule Iceberg applies to WAP-staged files before cherry-pick).
+    *
+    * Delete interplay, both directions correct via `#seq:` pinning:
+    * the publish records each staging file's EFFECTIVE sequence number
+    * in main (= the publish commit's version), so a main-side MOR
+    * delete pending BEFORE the publish does NOT cover the published
+    * rows (they weren't in the table when it committed), and a delete
+    * committed AFTER the publish DOES — the staging root's own
+    * `v########` counters never leak into main's scoping. */
   def publishFrom(mainRoot: String, stagingRoot: String): Long = {
     val snap = resolve(stagingRoot).getOrElse(throw new IllegalStateException(
       s"nothing committed under staging root $stagingRoot"))
     require(snap.deletes.isEmpty,
       s"staging head of $stagingRoot carries pending merge-on-read deletes; " +
         "rewrite (compact) before publishing")
-    // version-scoped deletes compare the v######## segment of file
-    // paths, which is root-RELATIVE: staging files would look "old" to
-    // main's pending deletes and be wrongly covered. Publish only into
-    // a delete-free head (rewrite main first) — the cross-root
-    // equivalent of Iceberg's same-table sequence-number rule.
-    resolve(mainRoot).foreach(m => require(m.deletes.isEmpty,
-      s"main head of $mainRoot carries pending merge-on-read deletes; " +
-        "rewrite (compact) before publishing into it"))
     Files.createDirectories(commitsDir(mainRoot))
-    appendManifest(mainRoot, snap.files, "publish")
+    appendManifest(mainRoot, snap.files, "publish", seqPinNew = true)
   }
 
   /** Publish a manifest at the next version of `root` whose file list
     * is the parent's plus `newFiles` (by reference — no staging, no
     * data movement), with the usual monotonic `#ts:` header and
     * atomic create-if-absent commit point. Shared by [[restore]]-style
-    * metadata-only commits. */
+    * metadata-only commits. With `seqPinNew`, each new file gets a
+    * `#seq:` line pinning its effective sequence number to the
+    * committed version (cross-root publishes, where the path's own
+    * version segment belongs to a foreign counter). */
   private def appendManifest(root: String, newFiles: Seq[String],
-      what: String): Long = {
+      what: String, seqPinNew: Boolean = false): Long = {
     var attempt = 0
     while (true) {
       val v = maxCommitted(root) + 1
       val parent = if (v > 1L) Some(resolveAt(root, v - 1)) else None
       val files = parent.map(_.files).getOrElse(Nil) ++ newFiles
-      val delLines = parent.map(_.deletes).getOrElse(Nil).map(delLine)
+      val parentSeqs = parent
+        .map(p => seqLines(p.fileSeq, p.files)).getOrElse(Nil)
+      val newSeqs = if (seqPinNew) newFiles.map(seqLine(_, v)) else Nil
+      val delLines = parent.map(_.deletes).getOrElse(Nil).map(delLine) ++
+        parentSeqs ++ newSeqs
       val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
       val commitTs = math.max(
         java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
@@ -579,6 +665,102 @@ object Snapshots {
           attempt += 1
           if (attempt > 5) throw new IllegalStateException(
             s"lost the $what race $attempt times under $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Writer-unique staging dir for the DataSource-V2 write path, where
+    * executors materialize files BEFORE the commit's version is known
+    * (a v2 `BatchWrite` stages during the job, commits at the end —
+    * the reverse of [[commit]]'s write-inside-callback shape). The
+    * `v00000000_` prefix keeps the dir inside [[vacuum]]'s sweep
+    * discipline (version 0 = below every retention floor, reclaimed
+    * once unreferenced); delete scoping NEVER trusts the path version
+    * of these files — [[commitRewriteStaged]]/[[commitStagedDelta]]
+    * pin each one with a `#seq:` line at its true commit version. */
+  def newStagingDir(root: String): String =
+    s"$root/${versionPrefix(0L)}dsv2_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}"
+
+  /** Publish PRE-STAGED files as a FULL-REWRITE commit: the manifest
+    * lists exactly `files` (no parent carry, pending deletes cleared —
+    * the rewrite materialized the surviving rows), each pinned with a
+    * `#seq:` line at the committed version so later MOR deletes scope
+    * correctly over them. The v2 copy-on-write commit point
+    * (`ReplaceData`). */
+  def commitRewriteStaged(root: String, files: Seq[String]): Long = {
+    require(files.nonEmpty, s"rewrite staged no files under $root")
+    Files.createDirectories(commitsDir(root))
+    var attempt = 0
+    while (true) {
+      val v = maxCommitted(root) + 1
+      val header = files.sorted.map(seqLine(_, v))
+      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
+      val commitTs = math.max(
+        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+      val tmp = commitsDir(root).resolve(
+        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+      Files.write(tmp,
+        (s"$tsPrefix$commitTs\n" + header.mkString("", "\n", "\n") +
+          files.sorted.mkString("\n")).getBytes(UTF_8))
+      try {
+        Files.createLink(manifestPath(root, v), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt > 5) throw new IllegalStateException(
+            s"lost the staged-rewrite race $attempt times under $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Publish a PRE-STAGED merge-on-read delta as ONE atomic commit —
+    * the v2 delta-write commit point (`WriteDelta`): the manifest
+    * carries the parent's files plus `dataFiles` (new/updated rows),
+    * a scoped `#del` line per `delKeyFiles` entry hiding the touched
+    * keys' OLD versions, and `#seq:` pins placing the new data files
+    * AT this commit's version so the delete lines (coversBelow = this
+    * version) hide only pre-existing rows — the staged files' own
+    * `v00000000` path segment is never trusted. Cost: O(touched rows)
+    * I/O whatever the table size, the Hudi/Iceberg-v2 upsert shape. */
+  def commitStagedDelta(root: String, keyCol: String,
+      dataFiles: Seq[String], delKeyFiles: Seq[String]): Long = {
+    if (dataFiles.isEmpty && delKeyFiles.isEmpty) return maxCommitted(root)
+    Files.createDirectories(commitsDir(root))
+    var attempt = 0
+    while (true) {
+      val v = maxCommitted(root) + 1
+      val parent = if (v > 1L) Some(resolveAt(root, v - 1)) else None
+      require(parent.isDefined || delKeyFiles.isEmpty,
+        s"a merge-on-read delta needs a committed table under $root")
+      val files = parent.map(_.files).getOrElse(Nil) ++ dataFiles.sorted
+      val dels = parent.map(_.deletes).getOrElse(Nil) ++
+        delKeyFiles.sorted.map(DeleteFile(keyCol, _, v))
+      val header = dels.map(delLine) ++
+        parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil) ++
+        dataFiles.sorted.map(seqLine(_, v))
+      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
+      val commitTs = math.max(
+        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+      val tmp = commitsDir(root).resolve(
+        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+      Files.write(tmp,
+        (s"$tsPrefix$commitTs\n" + header.mkString("", "\n", "\n") +
+          files.mkString("\n")).getBytes(UTF_8))
+      try {
+        Files.createLink(manifestPath(root, v), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt > 5) throw new IllegalStateException(
+            s"lost the staged-delta race $attempt times under $root")
       }
     }
     throw new IllegalStateException("unreachable")
@@ -657,7 +839,10 @@ object Snapshots {
         require(stagedDelKeys.nonEmpty && stagedData.nonEmpty,
           s"an upsert must stage both new rows and $upsertDelSubdir/ keys in $dataDir")
       }
-      val delLines = (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine)
+      // seq pins for carried cross-root (published) files survive every
+      // carry-forward commit; a full rewrite drops them with the files
+      val delLines = (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine) ++
+        parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil)
       val tmp = commitsDir(root).resolve(
         s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
       // commit-time header (µs since epoch), clamped strictly above the

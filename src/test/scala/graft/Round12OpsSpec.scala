@@ -116,7 +116,7 @@ class Round12OpsSpec extends SparkSpec {
       "restored head re-applies the pending delete, drops the later append")
   }
 
-  test("WAP publish appends staged files by reference; guards refuse MOR-pending heads") {
+  test("WAP publish appends staged files by reference; MOR deletes scope correctly around publishes") {
     import graft.sources.Snapshots
     import graft.plans.RowSql
     val base = Qx.tmpOut("wapspec", sf())
@@ -134,14 +134,29 @@ class Round12OpsSpec extends SparkSpec {
       "publish is by reference: main's manifest lists the staging files in place")
     assert(Snapshots.read(spark, staging).count() == 3,
       "staging stays independently readable")
-    // a delete-pending MAIN refuses the publish (cross-root version
-    // scoping would misread staging paths)
+    // publishing into a delete-pending MAIN is allowed and CORRECT:
+    // the published files' #seq: pins give them an effective sequence
+    // number ABOVE the pending delete's coversBelow, so they escape a
+    // delete that predates them — while the delete still covers main's
+    // own older files (r12's cross-root misread, fixed via seq pinning)
     RowSql.deleteMergeOnRead(spark,
       "DELETE FROM t WHERE id = 1", Map("t" -> main), "id")
-    val ex = intercept[IllegalArgumentException](
-      Snapshots.publishFrom(main, staging))
-    assert(ex.getMessage.contains("merge-on-read deletes"))
-    // and a delete-pending STAGING head refuses too
+    val staging3 = s"$base/staging3"
+    Snapshots.commit(staging3)(out =>
+      spark.range(300, 302).select($"id").write.mode("append").parquet(out))
+    Snapshots.publishFrom(main, staging3)
+    assert(Snapshots.read(spark, main).select($"id").as[Long].collect().toSet
+      == (Set(0L, 2L, 3L, 4L) ++ (100L until 103L) ++ (300L until 302L)),
+      "pre-publish delete still applies to old files; published rows escape it")
+    // ...and a delete committed AFTER a publish covers the published
+    // rows (the r12 advisory bug: staging's own v-counter used to leak
+    // into main's scoping and let published rows escape later deletes)
+    RowSql.deleteMergeOnRead(spark,
+      "DELETE FROM t WHERE id = 301", Map("t" -> main), "id")
+    assert(Snapshots.read(spark, main).select($"id").as[Long].collect().toSet
+      == (Set(0L, 2L, 3L, 4L) ++ (100L until 103L) ++ Set(300L)),
+      "post-publish delete covers the published batch via its #seq pin")
+    // a delete-pending STAGING head still refuses
     val staging2 = s"$base/staging2"
     Snapshots.commit(staging2)(out =>
       spark.range(200, 205).select($"id").write.mode("append").parquet(out))
