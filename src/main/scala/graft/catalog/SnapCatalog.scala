@@ -1,0 +1,251 @@
+package graft.catalog
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+import java.util.Collections
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 `TableCatalog` over the [[Snapshots]] commit store —
+  * the surface that lets a user type plain SQL against versioned
+  * tables and have SPARK'S OWN analyzer execute it, with no
+  * parsed-tree interception:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.snap", classOf[GraftCatalog].getName)
+  *   spark.sql("CREATE TABLE snap.default.t AS SELECT ...")
+  *   spark.sql("INSERT INTO snap.default.t SELECT ...")
+  *   spark.sql("UPDATE snap.default.t SET ...")         // copy-on-write
+  *   spark.sql("DELETE FROM snap.default.t WHERE ...")  //   or merge-on-read
+  *   spark.sql("MERGE INTO snap.default.t USING s ON ...")
+  *   spark.sql("SELECT * FROM snap.default.t VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM snap.default.t TIMESTAMP AS OF '...'")
+  * }}}
+  *
+  * Layout: one snapshot root per table at `<warehouse>/<ns>/<name>`;
+  * everything inside the root is [[Snapshots]]' versioned-manifest
+  * protocol unchanged, so catalog tables and direct-API tables are the
+  * same on-disk thing (a table built with `Snapshots.commit` can be
+  * read through the catalog and vice versa — the fixtures do both).
+  * The declared schema and table properties live in
+  * `<root>/_table.properties`, written once at create; a table that
+  * was never CREATEd (direct-API root) infers its schema from the head
+  * snapshot's parquet footers instead.
+  *
+  * The warehouse path is read LIVE from the session conf
+  * (`spark.sql.catalog.<name>.warehouse`) with the initialize-time
+  * options as fallback — catalog instances are cached per session, and
+  * a pinned warehouse would freeze the first value forever.
+  *
+  * Time travel binds to Spark's native resolution:
+  * `loadTable(ident, version)` serves `VERSION AS OF` (numeric version
+  * or named tag — Spark hands the literal through as a string) and
+  * `loadTable(ident, micros)` serves `TIMESTAMP AS OF` (Spark converts
+  * the literal to epoch micros in the session zone); both return a
+  * [[GraftTable]] pinned to the resolved snapshot, so arbitrary SQL
+  * over mixed versions plans like any other multi-table query.
+  *
+  * Scale: every catalog call is metadata-only — a manifest read, a
+  * properties file, a directory listing of `_commits`. Nothing here
+  * touches data; scans and writes are planned by [[GraftTable]].
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = "snap"
+  private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    initOptions = options
+  }
+
+  override def name(): String = catName
+
+  /** Live warehouse resolution (see class doc). The default is a
+    * pid-scoped tmp dir so concurrent JVMs (Bench and Verify in
+    * parallel) never share table roots. */
+  private def warehouse: String = {
+    val key = s"spark.sql.catalog.$catName.warehouse"
+    val live = try Option(SparkSession.active.conf.get(key, null)) catch { case _: Exception => None }
+    live.filter(_ != null).filter(_.nonEmpty)
+      .orElse(Option(initOptions.get("warehouse")))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_snapcat_${ProcessHandle.current().pid()}")
+  }
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  /** The on-disk snapshot root of a catalog table — the bridge for
+    * code (fixtures, maintenance ops) that drives the same table
+    * through the direct [[Snapshots]] API. */
+  def tableRoot(ident: Identifier): String = rootOf(ident)
+
+  private def exists(root: String): Boolean =
+    Files.isDirectory(Paths.get(root, "_commits")) ||
+      Files.exists(Paths.get(root, GraftTable.metaFile))
+
+  override def tableExists(ident: Identifier): Boolean = exists(rootOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
+    val ls = Files.list(nsDir)
+    try ls.iterator().asScala
+      .filter(p => exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally ls.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    new GraftTable(ident.toString, root, pinned = None)
+  }
+
+  /** `VERSION AS OF <v>`: a digit string is a version number, anything
+    * else is a named tag ([[Snapshots.tag]] — all-digit tag names are
+    * rejected at creation precisely so this dispatch is total). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    val v =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else Snapshots.tagVersion(root, version).getOrElse(
+        throw new IllegalArgumentException(s"no tag '$version' on ${ident.toString}"))
+    new GraftTable(ident.toString, root, pinned = Some(Snapshots.resolveAt(root, v)))
+  }
+
+  /** `TIMESTAMP AS OF <ts>`: Spark hands epoch MICROS in the session
+    * zone; resolution is Delta's rule — newest commit at or before the
+    * literal ([[Snapshots.versionAtTimestamp]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    val v = Snapshots.versionAtTimestamp(root, timestamp)
+    new GraftTable(ident.toString, root, pinned = Some(Snapshots.resolveAt(root, v)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft snapshot-catalog tables are unpartitioned (the store's file-level " +
+        "layout ops — zorder, partitionBy staging — run through the direct API)")
+    val root = rootOf(ident)
+    if (exists(root)) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(Paths.get(root))
+    GraftTable.writeMeta(root, schema, properties.asScala.toMap)
+    new GraftTable(ident.toString, root, pinned = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on snapshot-catalog tables: schema evolution is commit-level " +
+        "(append with new columns + readMerged); property changes are not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = Paths.get(rootOf(ident))
+    if (!exists(root.toString)) false
+    else {
+      deleteRecursively(root)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = Paths.get(rootOf(oldIdent))
+    val to = Paths.get(rootOf(newIdent))
+    if (!exists(from.toString)) throw new NoSuchTableException(oldIdent)
+    if (exists(to.toString)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // -- namespaces: single-level, directory-backed -------------------------
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val w = Paths.get(warehouse)
+    if (!Files.isDirectory(w)) Array(Array("default"))
+    else {
+      val ls = Files.list(w)
+      try {
+        val found = ls.iterator().asScala.filter(Files.isDirectory(_))
+          .map(p => Array(p.getFileName.toString)).toArray
+        if (found.exists(_.sameElements(Array("default")))) found
+        else found :+ Array("default")
+      } finally ls.close()
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && (namespace.head == "default" ||
+      Files.isDirectory(Paths.get(warehouse, namespace.head)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace)) Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1, "only single-level namespaces")
+    Files.createDirectories(Paths.get(warehouse, namespace.head))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = Paths.get(warehouse, namespace.mkString("/"))
+    if (!Files.isDirectory(p)) false
+    else {
+      val ls = Files.list(p)
+      val empty = try !ls.iterator().hasNext finally ls.close()
+      if (!empty && !cascade) throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+      deleteRecursively(p)
+      true
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+}
+
+object GraftCatalog {
+  /** Register the catalog under `name` on a session (idempotent) and
+    * return it. Conf-only — Spark instantiates the class lazily on
+    * first reference to `<name>.<ns>.<table>`. */
+  def register(spark: SparkSession, name: String = "snap",
+      warehouse: Option[String] = None): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    warehouse.foreach(w => spark.conf.set(s"spark.sql.catalog.$name.warehouse", w))
+  }
+
+  /** The snapshot root the catalog would use for `<name>.<ns>.<table>`
+    * on this session — for fixtures that mix catalog SQL with direct
+    * [[Snapshots]] API calls (vacuum, tags, maintenance). */
+  def tableRoot(spark: SparkSession, name: String, ns: String, table: String): String = {
+    val key = s"spark.sql.catalog.$name.warehouse"
+    val w = Option(spark.conf.get(key, null)).filter(_ != null).filter(_.nonEmpty)
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_snapcat_${ProcessHandle.current().pid()}")
+    s"$w/$ns/$table"
+  }
+}

@@ -152,11 +152,33 @@ object DomainQueries {
       .orderBy($"med_id")
   }
 
+  /** Therapy diversification (README.md:3 — the one feature phrase
+    * with no named operator until round 13) through the domain API:
+    * patients whose sampled regimen holds ≥3 distinct meds of one
+    * brand-class get the cheapest same-type different-class
+    * alternative they don't already take
+    * ([[MedRules.diversifyTherapy]]). The oracle replays the
+    * concentration agg, the type-matched candidate join, the
+    * clinical-history anti join, and the deterministic argmin in ANSI
+    * SQL — a rule that over/under-concentrates, leaks an
+    * already-taken drug, or breaks the (price, cui) tiebreak
+    * hash-mismatches. */
+  val domainDiversify: Q = (s, dir) => {
+    import s.implicits._
+    val catalog = Tables.load(s, dir, "part")
+      .select(concat(lit("CUI"), $"p_partkey").as("rxnorm_cui"),
+        $"p_brand".as("drug_class"), $"p_type".as("drug_type"),
+        $"p_retailprice".as("price"))
+    MedRules.diversifyTherapy(medsFrom(s, dir, sampled = true), catalog)
+      .orderBy($"patient_id", $"drug_class")
+  }
+
   val queries: Map[String, Q] = Map(
     "domain_ep1_recommend" -> domainEp1Recommend,
     "domain_overlap" -> domainOverlap,
     "domain_formulary" -> domainFormulary,
-    "domain_conditions" -> domainConditions)
+    "domain_conditions" -> domainConditions,
+    "domain_diversify" -> domainDiversify)
 
   val oracle: Map[String, String] = Map(
     "domain_overlap" -> s"""
@@ -287,5 +309,45 @@ object DomainQueries {
                                   AND c.condition_code = x.condition_code))
       SELECT med_id, patient_id, rxnorm_cui, drug_name FROM meds
       WHERE med_id NOT IN (SELECT med_id FROM blocked)
-      ORDER BY med_id""")
+      ORDER BY med_id""",
+    "domain_diversify" -> s"""
+      WITH meds AS (SELECT DISTINCT $medIdSql AS med_id,
+                      o_custkey AS patient_id,
+                      'CUI' || l_partkey AS rxnorm_cui
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN part ON l_partkey = p_partkey
+               WHERE o_custkey % 5 = 0),
+      catalog AS (SELECT 'CUI' || p_partkey AS rxnorm_cui,
+                         p_brand AS drug_class, p_type AS drug_type,
+                         p_retailprice AS price
+                  FROM part),
+      classed AS (SELECT m.patient_id, m.med_id, m.rxnorm_cui,
+                         c.drug_class, c.drug_type
+                  FROM meds m JOIN catalog c USING (rxnorm_cui)),
+      conc AS (SELECT patient_id, drug_class,
+                      COUNT(DISTINCT med_id) AS n_meds
+               FROM classed GROUP BY patient_id, drug_class
+               HAVING COUNT(DISTINCT med_id) >= 3),
+      ptypes AS (SELECT DISTINCT cl.patient_id, cl.drug_class, cl.drug_type
+                 FROM classed cl
+                 JOIN conc USING (patient_id, drug_class)),
+      cand AS (SELECT DISTINCT p.patient_id, p.drug_class,
+                      c.rxnorm_cui AS alt_cui, c.drug_class AS alt_class,
+                      c.price AS alt_price
+               FROM ptypes p
+               JOIN catalog c ON c.drug_type = p.drug_type
+                             AND c.drug_class <> p.drug_class
+               WHERE NOT EXISTS (SELECT 1 FROM meds m
+                                 WHERE m.patient_id = p.patient_id
+                                   AND m.rxnorm_cui = c.rxnorm_cui)),
+      best AS (SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY patient_id, drug_class
+                 ORDER BY alt_price, alt_cui) AS rn
+               FROM cand)
+      SELECT b.patient_id, b.drug_class, n.n_meds,
+             b.alt_cui, b.alt_class, b.alt_price
+      FROM best b JOIN conc n USING (patient_id, drug_class)
+      WHERE b.rn = 1
+      ORDER BY b.patient_id, b.drug_class""")
 }

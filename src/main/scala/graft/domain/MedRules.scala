@@ -127,6 +127,65 @@ object MedRules {
       .select(col("med_id"), col("patient_id"), col("rxnorm_cui"), col("drug_name"))
   }
 
+  /** THERAPY DIVERSIFICATION (README.md:3 — "diversifies therapy based
+    * on the patient's clinical history"): when a patient's regimen
+    * concentrates ≥ `threshold` distinct meds in ONE drug class, the
+    * rule proposes the cheapest alternative drug that
+    *
+    *  1. shares a therapeutic TYPE with one of the concentrated meds
+    *     (same mechanism family — a real alternative, not a random
+    *     drug),
+    *  2. belongs to a DIFFERENT class (the diversification), and
+    *  3. the patient does not already take (anti join on the
+    *     clinical history — the "based on the patient's clinical
+    *     history" clause).
+    *
+    * Inputs: `meds` as elsewhere; `catalog(rxnorm_cui, drug_class,
+    * drug_type, price)` — the drug knowledge base. Returns one row per
+    * concentrated (patient, class): the concentration count plus the
+    * suggested alternative.
+    *
+    * Shape at 100 TB: the patient-side flows through ONE hash
+    * partition on patient keys (concentration agg, candidate build,
+    * history anti join); the catalog is the bounded knowledge base and
+    * broadcasts (same contract as [[therapeuticOverlap]]'s class
+    * table). The per-group argmin is a window over (patient, class) —
+    * bounded groups, deterministic tiebreak on (price, cui). */
+  def diversifyTherapy(meds: DataFrame, catalog: DataFrame,
+      threshold: Int = 3): DataFrame = {
+    val cat = broadcast(catalog.select(col("rxnorm_cui"), col("drug_class"),
+      col("drug_type"), col("price")))
+    val classed = meds.join(cat, Seq("rxnorm_cui"))
+    val concentrated = classed.groupBy(col("patient_id"), col("drug_class"))
+      .agg(countDistinct(col("med_id")).as("n_meds"))
+      .filter(col("n_meds") >= threshold)
+    // the concentrated meds' therapeutic types — what an alternative
+    // must share to count as one
+    val ptypes = classed
+      .join(concentrated.select(col("patient_id"), col("drug_class")),
+        Seq("patient_id", "drug_class"), "left_semi")
+      .select(col("patient_id"), col("drug_class"), col("drug_type"))
+      .distinct()
+    val alts = cat.select(col("rxnorm_cui").as("alt_cui"),
+      col("drug_class").as("alt_class"), col("drug_type").as("alt_type"),
+      col("price").as("alt_price"))
+    val candidates = ptypes
+      .join(alts, col("drug_type") === col("alt_type") &&
+        col("drug_class") =!= col("alt_class"))
+      .join(meds.select(col("patient_id"),
+          col("rxnorm_cui").as("alt_cui")).distinct(),
+        Seq("patient_id", "alt_cui"), "left_anti")
+      .select(col("patient_id"), col("drug_class"),
+        col("alt_cui"), col("alt_class"), col("alt_price"))
+      .distinct()
+    val w = Window.partitionBy(col("patient_id"), col("drug_class"))
+      .orderBy(col("alt_price").asc, col("alt_cui").asc)
+    candidates.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(concentrated, Seq("patient_id", "drug_class"))
+      .select(col("patient_id"), col("drug_class"), col("n_meds"),
+        col("alt_cui"), col("alt_class"), col("alt_price"))
+  }
+
   /** Formulary placement for each med under the patient's payer(s)
     * active at `asOf` (README.md:9,25): tier + prior-auth flag, null
     * tier = off-formulary. */

@@ -226,44 +226,45 @@ object CdcOps {
 
   /** The SQL-STATEMENT form of [[cdcMergeApply]]: the identical merge
     * (tombstones DELETE, matches UPDATE, new keys INSERT) written as a
-    * literal `MERGE INTO` statement, parsed by Spark's own SQL parser,
-    * and executed by [[graft.plans.MergeSql]] against a snapshot-commit
-    * table — copy-on-write with an atomic manifest publish, so readers
+    * literal `MERGE INTO` statement and executed NATIVELY — the target
+    * is a DataSourceV2 catalog table
+    * ([[graft.catalog.GraftCatalog]], `SupportsRowLevelOperations`),
+    * so Spark's OWN `RewriteMergeIntoTable` plans the statement (full
+    * clause semantics, cardinality check, the works) and the commit is
+    * the catalog's atomic copy-on-write manifest publish — readers
     * interleaved with the merge see pre- or post-merge state, never a
-    * mix. Closes the SQL-parity story for the CDC family (stock Spark 4
-    * refuses MERGE INTO on any default-catalog table — probe quoted in
-    * MergeSql's scaladoc and PLANS.md).
+    * mix. This closes the round-12 gap: the statement a real user
+    * types now runs with zero graft-side tree interception (the
+    * [[graft.plans.MergeSql]] lowering interpreter stays for
+    * catalog-less sessions, spec-pinned in MergeSqlSpec).
     *
-    * Each invocation re-commits the pristine snapshot slice before
+    * Each invocation DROP + re-CREATEs the pristine slice before
     * merging, so the statement is deterministic on a repeatedly-run
-    * surface (Bench warm + timed passes); vacuum bounds the retained
-    * versions. The oracle replays the same semantics in ANSI SQL over
-    * the ORIGINAL tables — lossless through the versioned write. */
+    * surface (Bench warm + timed passes). The oracle replays the same
+    * semantics in ANSI SQL over the ORIGINAL tables — lossless through
+    * the versioned write. */
   val cdcMergeSql: Q = (s, dir) => {
     import s.implicits._
-    val root = Qx.tmpOut("mergetbl", dir)
-    graft.sources.Snapshots.commit(root) { out =>
-      Tables.load(s, dir, "customer")
-        .filter($"c_custkey" >= 50 && $"c_custkey" < 300)
-        .select($"c_custkey".as("custkey"), $"c_name".as("name"),
-          $"c_acctbal".as("acctbal"))
-        .write.mode("append").parquet(out)
-    }
+    val (t, _) = SnapCat.table(s, "merge_cust", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+             |FROM parquet.`$dir/customer.parquet`
+             |WHERE c_custkey >= 50 AND c_custkey < 300""".stripMargin)
+    val view = s"graft_merge_changes_${math.abs(dir.hashCode.toLong)}"
     latestPerUser(s, dir)
       .select($"user_id", $"event_type".as("chg_type"), $"value".as("chg_value"))
-      .createOrReplaceTempView("graft_merge_changes")
-    val merged = graft.plans.MergeSql.mergeInto(s,
-      """MERGE INTO graft_customer t
-        |USING graft_merge_changes s
-        |ON t.custkey = s.user_id
-        |WHEN MATCHED AND s.chg_type = 'error' THEN DELETE
-        |WHEN MATCHED THEN UPDATE SET acctbal = s.chg_value
-        |WHEN NOT MATCHED THEN INSERT (custkey, name, acctbal)
-        |  VALUES (s.user_id, concat('Customer#new', s.user_id), s.chg_value)
-        |""".stripMargin,
-      Map("graft_customer" -> root))
-    graft.sources.Snapshots.vacuum(root, keepLast = 4)
-    merged.orderBy($"custkey")
+      .createOrReplaceTempView(view)
+    s.sql(
+      s"""MERGE INTO $t t
+         |USING $view s
+         |ON t.custkey = s.user_id
+         |WHEN MATCHED AND s.chg_type = 'error' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET acctbal = s.chg_value
+         |WHEN NOT MATCHED THEN INSERT (custkey, name, acctbal)
+         |  VALUES (s.user_id, concat('Customer#new', s.user_id), s.chg_value)
+         |""".stripMargin)
+    s.table(t).orderBy($"custkey")
   }
 
   val queries: Map[String, Q] = Map(

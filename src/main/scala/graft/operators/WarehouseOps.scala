@@ -384,40 +384,36 @@ object WarehouseOps {
   }
 
   /** UPDATE / DELETE SQL statements against the snapshot store — the
-    * row-level companions to `cdc_merge_sql`, executed by
-    * [[graft.plans.RowSql]]: Spark's own parser produces the
-    * `UpdateTable` / `DeleteFromTable` tree (stock Spark 4 refuses to
-    * execute either on a default-catalog table, same probe family as
-    * MERGE), and the interpreter lowers each onto ONE
-    * embarrassingly-parallel scan→project/filter→write — zero
-    * exchanges — with copy-on-write write-back through the atomic
-    * manifest commit. The statement pair here updates one slice and
-    * then deletes on the POST-update values, so the oracle catches an
-    * interpreter that runs the statements out of order, misses
-    * three-valued WHERE semantics, or loses rows in the versioned
-    * write-back.
+    * row-level companions to `cdc_merge_sql`, executed NATIVELY: the
+    * table comes from the DataSourceV2 catalog
+    * ([[graft.catalog.GraftCatalog]], `SupportsRowLevelOperations`),
+    * so Spark's OWN analyzer rewrites each statement (no graft-side
+    * tree interception — the round-12 gap, closed). Copy-on-write
+    * mode: the rewrite plan computes the full survivor set (UPDATE is
+    * a zero-exchange scan→CASE-project; DELETE a scan→filter),
+    * executors stage parquet, and the commit is ONE atomic
+    * full-rewrite manifest — readers interleaved with a statement see
+    * pre- or post-statement state, never a mix. The statement pair
+    * updates one slice and then deletes on the POST-update values, so
+    * the oracle catches out-of-order execution, broken three-valued
+    * WHERE semantics, or rows lost in the versioned write-back.
     *
-    * Each invocation re-commits the pristine slice first (the
-    * statements are destructive by design), keeping the key
-    * deterministic across repeated Bench/Verify passes; vacuum bounds
-    * retention. */
+    * Each invocation DROP + re-CREATEs the table (the statements are
+    * destructive by design), keeping the key deterministic across
+    * repeated Bench/Verify passes. The legacy lowering interpreter
+    * ([[graft.plans.RowSql]]) stays for catalog-less sessions and its
+    * plan-shape contract is still spec-pinned (RowSqlSpec). */
   val sqlUpdateDelete: Q = (s, dir) => {
     import s.implicits._
-    import graft.sources.Snapshots
-    val root = Qx.tmpOut("rowsqltbl", dir)
-    Snapshots.commit(root)(out =>
-      Tables.load(s, dir, "customer")
-        .select($"c_custkey".as("custkey"), $"c_nationkey".as("nationkey"),
-          $"c_acctbal".as("acctbal"))
-        .write.mode("append").parquet(out))
-    graft.plans.RowSql.execute(s,
-      "UPDATE graft_cust SET acctbal = acctbal + 100.0 WHERE nationkey < 10",
-      Map("graft_cust" -> root))
-    val after = graft.plans.RowSql.execute(s,
-      "DELETE FROM graft_cust WHERE acctbal < 0.0",
-      Map("graft_cust" -> root))
-    Snapshots.vacuum(root, keepLast = 4)
-    after.groupBy($"nationkey")
+    val (t, _) = SnapCat.table(s, "cow_cust", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+             |       c_acctbal AS acctbal
+             |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    s.sql(s"UPDATE $t SET acctbal = acctbal + 100.0 WHERE nationkey < 10")
+    s.sql(s"DELETE FROM $t WHERE acctbal < 0.0")
+    s.table(t).groupBy($"nationkey")
       .agg(count(lit(1)).as("n"), Qx.dsum($"acctbal").as("total"))
       .orderBy($"nationkey")
   }
@@ -458,50 +454,52 @@ object WarehouseOps {
   }
 
   /** MERGE-ON-READ DELETE — the other half of the DELETE story
-    * ([[sqlUpdateDelete]] is copy-on-write): two DELETE statements
-    * execute by committing tiny delete-key files (`#del` manifest
-    * lines, [[graft.sources.Snapshots.commitDelete]]) while the base
-    * files never move; the head read applies them as one broadcast
-    * anti join. Statement cost is O(matching rows) written regardless
-    * of table size — at 100 TB, deleting a user's rows costs kilobytes
-    * of delete file, not a table rewrite; the read-side anti join is
+    * ([[sqlUpdateDelete]] is copy-on-write), executed NATIVELY through
+    * the catalog's delta row-level path
+    * ([[graft.catalog.GraftDeltaOperation]], Spark's own
+    * `RewriteDeleteFromTable`): each statement commits tiny
+    * deleted-key files (`#del` manifest lines) while the base files
+    * never move; reads apply them in the delete-aware catalog scan.
+    * Statement cost is O(matching rows) written regardless of table
+    * size — at 100 TB, deleting a user's rows costs kilobytes of
+    * delete file, not a table rewrite; the read-side application is
     * the rent until the next rewrite commit absorbs the deletes
-    * (spec-pinned in Round9OpsSpec, with time travel and vacuum
-    * retention of delete files).
+    * (store-level composition spec-pinned in Round9OpsSpec).
     *
     * The second statement deletes on values the FIRST already hides
     * (nation-13 rows with negative balances are gone after delete 1),
     * so the oracle also checks that stacked delete files compose. */
   val sqlDeleteMor: Q = (s, dir) => {
     import s.implicits._
-    import graft.sources.Snapshots
-    val root = Qx.tmpOut("mortbl", dir)
-    Snapshots.commit(root)(out =>
-      Tables.load(s, dir, "customer")
-        .select($"c_custkey".as("custkey"), $"c_nationkey".as("nationkey"),
-          $"c_acctbal".as("acctbal"))
-        .write.mode("append").parquet(out))
-    graft.plans.RowSql.deleteMergeOnRead(s,
-      "DELETE FROM graft_cust WHERE acctbal < 0.0",
-      Map("graft_cust" -> root), "custkey")
-    val after = graft.plans.RowSql.deleteMergeOnRead(s,
-      "DELETE FROM graft_cust WHERE nationkey = 13",
-      Map("graft_cust" -> root), "custkey")
-    Snapshots.vacuum(root, keepLast = 4)
-    after.groupBy($"nationkey")
+    val (t, _) = SnapCat.table(s, "mor_cust", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    // 'graft.mor.key' switches the table's native row-level ops to
+    // MERGE-ON-READ: Spark's delta rewrite feeds only the touched rows
+    // to the writer, which stages deleted-key parquet — base files
+    // never move (asserted in CatalogSpec), the Iceberg-v2/Hudi shape
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.mor.key' = 'custkey') AS
+             |SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+             |       c_acctbal AS acctbal
+             |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE acctbal < 0.0")
+    s.sql(s"DELETE FROM $t WHERE nationkey = 13")
+    s.table(t).groupBy($"nationkey")
       .agg(count(lit(1)).as("n"), Qx.dsum($"acctbal").as("total"))
       .orderBy($"nationkey")
   }
 
   /** MERGE-ON-READ UPDATE — the Hudi-style upsert completing the
     * write-amplification spectrum (`sql_update_delete` = COW pass,
-    * `sql_delete_mor` = MOR delete): ONE atomic commit stages the
-    * rewritten rows plus a delete file SCOPED to the pre-existing
-    * files ([[graft.sources.Snapshots.commitUpsert]]), so the touched
-    * rows' old versions vanish and the new versions shine through
-    * while untouched files never move. A MOR DELETE then runs on the
-    * POST-update values — its scope covers the upsert's new rows too,
-    * so the oracle has teeth against scoping errors in BOTH
+    * `sql_delete_mor` = MOR delete), executed NATIVELY: Spark's
+    * `RewriteUpdateTable` splits each touched row into delete+insert
+    * (`representUpdateAsDeleteAndInsert`), the delta writer stages
+    * rewritten rows + their keys, and
+    * [[graft.sources.Snapshots.commitStagedDelta]] publishes ONE
+    * atomic commit whose delete lines are SCOPED below it — old
+    * versions vanish, the new rows (seq-pinned at the commit) shine
+    * through, untouched files never move. A MOR DELETE then runs on
+    * the POST-update values — its scope covers the upsert's new rows
+    * too, so the oracle has teeth against scoping errors in BOTH
     * directions: an upsert whose delete hides its own new rows drops
     * every updated group; a delete that fails to cover the upsert's
     * rows leaves negative balances alive. Final state must equal the
@@ -509,21 +507,21 @@ object WarehouseOps {
     * cost model. */
   val sqlUpdateMor: Q = (s, dir) => {
     import s.implicits._
-    import graft.sources.Snapshots
-    val root = Qx.tmpOut("morupd", dir)
-    Snapshots.commit(root)(out =>
-      Tables.load(s, dir, "customer")
-        .select($"c_custkey".as("custkey"), $"c_nationkey".as("nationkey"),
-          $"c_acctbal".as("acctbal"))
-        .write.mode("append").parquet(out))
-    graft.plans.RowSql.updateMergeOnRead(s,
-      "UPDATE graft_cust SET acctbal = acctbal + 100.0 WHERE nationkey < 10",
-      Map("graft_cust" -> root), "custkey")
-    val after = graft.plans.RowSql.deleteMergeOnRead(s,
-      "DELETE FROM graft_cust WHERE acctbal < 0.0",
-      Map("graft_cust" -> root), "custkey")
-    Snapshots.vacuum(root, keepLast = 4)
-    after.groupBy($"nationkey")
+    val (t, _) = SnapCat.table(s, "morupd_cust", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.mor.key' = 'custkey') AS
+             |SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+             |       c_acctbal AS acctbal
+             |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    // native delta UPDATE: one atomic commit staging the rewritten
+    // rows + their keys as a scoped delete — old versions vanish, new
+    // rows (pinned at the commit version) shine through
+    s.sql(s"UPDATE $t SET acctbal = acctbal + 100.0 WHERE nationkey < 10")
+    // the stacked DELETE scans the DELTA-APPLIED state (the catalog's
+    // MOR scan), so it sees post-update balances — scoping errors in
+    // either direction hash-mismatch
+    s.sql(s"DELETE FROM $t WHERE acctbal < 0.0")
+    s.table(t).groupBy($"nationkey")
       .agg(count(lit(1)).as("n"), Qx.dsum($"acctbal").as("total"))
       .orderBy($"nationkey")
   }
@@ -583,49 +581,41 @@ object WarehouseOps {
   }
 
   /** `VERSION AS OF` SQL — the time-travel STATEMENT surface
-    * ([[snapshotTimeTravel]] is the API form): one SELECT compares two
-    * eras of the store, `FROM graft_orders VERSION AS OF 1` against the
-    * bare head reference, through
-    * [[graft.plans.TimeTravelSql]] — Spark's parser produces
-    * `RelationTimeTravel` nodes (executable only against a v2 catalog,
-    * the same gap as MERGE/UPDATE/DELETE), and the executor
-    * substitutes each with that version's pinned manifest read, then
-    * hands the rewritten tree back to Spark's own analyzer — so joins
-    * across versions, unions of eras, and subqueries all work
-    * unmodified.
+    * ([[snapshotTimeTravel]] is the API form), executed NATIVELY: the
+    * table comes from the DataSourceV2 catalog, so Spark's analyzer
+    * resolves `RelationTimeTravel` itself via
+    * `loadTable(ident, version)` ([[graft.catalog.GraftCatalog]]) —
+    * no tree substitution — and joins across versions, unions of
+    * eras, and subqueries all plan like any other multi-table query.
+    * One SELECT compares the first-commit era against the head.
     *
     * Scale: each version resolves with one small manifest read; the
     * query then plans ordinary pruned scans over immutable files —
     * a today-vs-last-week audit costs two scans + the query itself,
     * never a restore. */
   val sqlTimeTravel: Q = (s, dir) => {
-    import s.implicits._
-    import graft.sources.Snapshots
-    val root = Qx.tmpOut("ttsql", dir)
-    val o = Tables.load(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
-    // capture the committed version: on a repeatedly-run surface the
-    // store already holds earlier (possibly vacuumed) history, so the
-    // statement must name THIS cycle's first version, not literal 1
-    val v1 = Snapshots.commit(root)(out =>
-      o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
-    Snapshots.commitAppend(root)(out =>
-      o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
-    Snapshots.commitAppend(root)(out =>
-      o.filter($"o_orderkey" % 3 === 2).write.mode("append").parquet(out))
-    Snapshots.vacuum(root, keepLast = 3)
-    graft.plans.TimeTravelSql.sql(s,
+    val (t, _) = SnapCat.table(s, "tt_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    // DROP + CREATE per invocation → versions are deterministic (CTAS
+    // commits v1, each INSERT appends one version)
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 1""".stripMargin)
+    s.sql(s"""INSERT INTO $t SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 2""".stripMargin)
+    s.sql(
       s"""SELECT 'v1' AS era, o_orderpriority, COUNT(*) AS n,
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
-         |FROM graft_orders VERSION AS OF $v1
+         |FROM $t VERSION AS OF 1
          |GROUP BY o_orderpriority
          |UNION ALL
          |SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
-         |FROM graft_orders
+         |FROM $t
          |GROUP BY o_orderpriority
-         |ORDER BY era, o_orderpriority""".stripMargin,
-      Map("graft_orders" -> root))
+         |ORDER BY era, o_orderpriority""".stripMargin)
   }
 
   /** `TIMESTAMP AS OF` SQL — the audit form of [[sqlTimeTravel]]:
@@ -644,35 +634,33 @@ object WarehouseOps {
     * (metadata-only, independent of data size); the query then plans
     * the same pinned-file-list scans as any VERSION AS OF. */
   val sqlTimeTravelTs: Q = (s, dir) => {
-    import s.implicits._
     import graft.sources.Snapshots
-    val root = Qx.tmpOut("ttts", dir)
-    val o = Tables.load(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
-    Snapshots.commit(root)(out =>
-      o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
-    Snapshots.commitAppend(root)(out =>
-      o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
-    val v3 = Snapshots.commitAppend(root)(out =>
-      o.filter($"o_orderkey" % 3 === 2).write.mode("append").parquet(out))
-    val justBeforeV3 = Snapshots.commitTimestamp(root, v3).get - 1L
+    val (t, root) = SnapCat.table(s, "ttts_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 1""".stripMargin)
+    s.sql(s"""INSERT INTO $t SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 2""".stripMargin)
+    val justBeforeV3 = Snapshots.commitTimestamp(root, 3L).get - 1L
     val lit = java.time.Instant
       .ofEpochSecond(justBeforeV3 / 1000000L, (justBeforeV3 % 1000000L) * 1000L)
       .atZone(java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
-    graft.plans.TimeTravelSql.sql(s,
+    s.sql(
       s"""SELECT 'asof_v2' AS era, o_orderpriority, COUNT(*) AS n,
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
-         |FROM graft_orders TIMESTAMP AS OF '$lit'
+         |FROM $t TIMESTAMP AS OF '$lit'
          |GROUP BY o_orderpriority
          |UNION ALL
          |SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
-         |FROM graft_orders
+         |FROM $t
          |GROUP BY o_orderpriority
-         |ORDER BY era, o_orderpriority""".stripMargin,
-      Map("graft_orders" -> root))
+         |ORDER BY era, o_orderpriority""".stripMargin)
   }
 
   /** WRITE-AUDIT-PUBLISH — the Iceberg WAP pattern end to end: the
@@ -767,9 +755,10 @@ object WarehouseOps {
     * it validated (`audit_pass`, `training_cut_v3`) and every
     * downstream query names the REF, not a version number nobody
     * remembers — the tag is one tiny metadata file, re-pointed
-    * atomically. The statement surface rides the existing grammar:
-    * Spark parses a STRING version, and [[graft.plans.TimeTravelSql]]
-    * resolves a non-numeric one through `Snapshots.tagVersion`. The
+    * atomically. The statement surface is NATIVE: Spark parses a
+    * STRING version and hands it to the catalog's
+    * `loadTable(ident, version)`, which resolves a non-numeric one
+    * through `Snapshots.tagVersion` ([[graft.catalog.GraftCatalog]]). The
     * query tags the two-slice era and unions it with the head; the
     * oracle recomputes that era from the ORIGINAL table, so a
     * mis-pointed or stale tag hash-mismatches.
@@ -777,30 +766,28 @@ object WarehouseOps {
     * Scale: a tag read is one metadata-file read + the same pinned
     * manifest resolution as any VERSION AS OF — history stays free. */
   val sqlTimeTravelTag: Q = (s, dir) => {
-    import s.implicits._
     import graft.sources.Snapshots
-    val root = Qx.tmpOut("tttag", dir)
-    val o = Tables.load(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
-    Snapshots.commit(root)(out =>
-      o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
-    val v2 = Snapshots.commitAppend(root)(out =>
-      o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
-    Snapshots.commitAppend(root)(out =>
-      o.filter($"o_orderkey" % 3 === 2).write.mode("append").parquet(out))
-    Snapshots.tag(root, "audit_cut", v2)
-    graft.plans.TimeTravelSql.sql(s,
+    val (t, root) = SnapCat.table(s, "tttag_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 1""".stripMargin)
+    s.sql(s"""INSERT INTO $t SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 2""".stripMargin)
+    Snapshots.tag(root, "audit_cut", 2L)
+    s.sql(
       s"""SELECT 'tagged' AS era, o_orderpriority, COUNT(*) AS n,
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
-         |FROM graft_orders VERSION AS OF 'audit_cut'
+         |FROM $t VERSION AS OF 'audit_cut'
          |GROUP BY o_orderpriority
          |UNION ALL
          |SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
-         |FROM graft_orders
+         |FROM $t
          |GROUP BY o_orderpriority
-         |ORDER BY era, o_orderpriority""".stripMargin,
-      Map("graft_orders" -> root))
+         |ORDER BY era, o_orderpriority""".stripMargin)
   }
 
   /** STREAMING INGEST into the snapshot store, exactly-once: each

@@ -688,8 +688,13 @@ object Snapshots {
     * `#seq:` line at the committed version so later MOR deletes scope
     * correctly over them. The v2 copy-on-write commit point
     * (`ReplaceData`). */
-  def commitRewriteStaged(root: String, files: Seq[String]): Long = {
-    require(files.nonEmpty, s"rewrite staged no files under $root")
+  def commitRewriteStaged(root: String, files: Seq[String],
+      allowEmpty: Boolean = false): Long = {
+    // a direct-API empty rewrite is almost always a bug (a write job
+    // that produced nothing) — but a catalog DELETE matching every row
+    // legitimately replaces the table with zero files, so the v2 path
+    // opts in explicitly
+    require(allowEmpty || files.nonEmpty, s"rewrite staged no files under $root")
     Files.createDirectories(commitsDir(root))
     var attempt = 0
     while (true) {

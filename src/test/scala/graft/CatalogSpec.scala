@@ -1,0 +1,176 @@
+package graft
+
+import graft.catalog.GraftCatalog
+import graft.sources.Snapshots
+import org.apache.spark.sql.DataFrame
+
+/** The DataSourceV2 catalog: every statement here executes through
+  * SPARK'S OWN analyzer — no graft-side parsed-tree interception. The
+  * negative probes pinned in MergeSqlSpec/RowSqlSpec (stock Spark
+  * refusing MERGE/UPDATE/DELETE on default-catalog tables) flip to
+  * positive paths once the table comes from [[GraftCatalog]]. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = {
+    val dir = Qx.tmpOut("catwh", sf())
+    GraftCatalog.register(spark, "snap", Some(dir))
+    dir
+  }
+
+  private def rootOf(name: String): String = s"$wh/default/$name"
+
+  private def sqlDf(q: String): DataFrame = { wh; spark.sql(q) }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trips through native SQL") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.t1")
+    sqlDf("CREATE TABLE snap.default.t1 (k BIGINT, v STRING)")
+    sqlDf("INSERT INTO snap.default.t1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sqlDf("INSERT INTO snap.default.t1 VALUES (4, 'd')")
+    assert(sqlDf("SELECT * FROM snap.default.t1").count() == 4)
+    assert(sqlDf("SELECT v FROM snap.default.t1 WHERE k = 2")
+      .as[String].collect().toSeq == Seq("b"))
+    // two appends = two commits
+    assert(Snapshots.maxCommitted(rootOf("t1")) == 2L)
+  }
+
+  test("CTAS + INSERT OVERWRITE (truncate) replace atomically") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.t2")
+    sqlDf("CREATE TABLE snap.default.t2 AS SELECT id AS k, id * 2 AS dbl FROM range(10)")
+    assert(sqlDf("SELECT sum(dbl) FROM snap.default.t2").as[Long].head() == 90L)
+    sqlDf("INSERT OVERWRITE snap.default.t2 SELECT id AS k, id * 3 AS dbl FROM range(5)")
+    assert(sqlDf("SELECT count(*) FROM snap.default.t2").as[Long].head() == 5L)
+    assert(sqlDf("SELECT sum(dbl) FROM snap.default.t2").as[Long].head() == 30L)
+    // the overwrite is a new version; the CTAS state is still readable
+    val v1 = sqlDf("SELECT sum(dbl) FROM snap.default.t2 VERSION AS OF 1")
+    assert(v1.as[Long].head() == 90L)
+  }
+
+  test("native VERSION AS OF / TIMESTAMP AS OF / tag resolution") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.tt")
+    sqlDf("CREATE TABLE snap.default.tt AS SELECT id FROM range(3)")
+    sqlDf("INSERT INTO snap.default.tt SELECT id FROM range(3, 10)")
+    assert(sqlDf("SELECT count(*) FROM snap.default.tt VERSION AS OF 1")
+      .as[Long].head() == 3L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.tt VERSION AS OF 2")
+      .as[Long].head() == 10L)
+    // tag → served through loadTable(ident, version-string)
+    Snapshots.tag(rootOf("tt"), "first_load", 1L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.tt VERSION AS OF 'first_load'")
+      .as[Long].head() == 3L)
+    // timestamp of commit 1 (µs header) resolves to version 1
+    val ts1 = Snapshots.commitTimestamp(rootOf("tt"), 1L).get
+    val lit = java.time.Instant.ofEpochMilli(ts1 / 1000L).toString.replace("Z", "")
+    assert(sqlDf(
+      s"SELECT count(*) FROM snap.default.tt TIMESTAMP AS OF '$lit'")
+      .as[Long].head() == 3L)
+  }
+
+  test("native DELETE (copy-on-write) rewrites survivors atomically") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.cow")
+    sqlDf("CREATE TABLE snap.default.cow AS SELECT id AS k, id % 5 AS m FROM range(100)")
+    sqlDf("DELETE FROM snap.default.cow WHERE m = 3")
+    assert(sqlDf("SELECT count(*) FROM snap.default.cow").as[Long].head() == 80L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.cow WHERE m = 3")
+      .as[Long].head() == 0L)
+    // COW: no pending delete files; pre-delete version intact
+    assert(Snapshots.resolve(rootOf("cow")).get.deletes.isEmpty)
+    assert(sqlDf("SELECT count(*) FROM snap.default.cow VERSION AS OF 1")
+      .as[Long].head() == 100L)
+  }
+
+  test("native UPDATE (copy-on-write) applies assignments, NULL-safe WHERE") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.cowu")
+    sqlDf("CREATE TABLE snap.default.cowu AS " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS bal FROM range(10)")
+    sqlDf("UPDATE snap.default.cowu SET bal = bal + 100.0 WHERE k < 5")
+    val out = sqlDf("SELECT sum(bal) FROM snap.default.cowu").as[Double].head()
+    assert(out == (0 until 10).map(_.toDouble).sum + 500.0)
+  }
+
+  test("native MERGE INTO (copy-on-write): update + delete + insert clauses") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.mt")
+    sqlDf("CREATE TABLE snap.default.mt AS " +
+      "SELECT id AS k, CAST(10 AS BIGINT) AS v FROM range(5)") // k=0..4, v=10
+    Seq((3L, 100L), (4L, 200L), (7L, 300L), (8L, 400L))
+      .toDF("k", "nv").createOrReplaceTempView("merge_src")
+    sqlDf("""
+      MERGE INTO snap.default.mt t USING merge_src s ON t.k = s.k
+      WHEN MATCHED AND s.nv >= 200 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+    """)
+    val rows = sqlDf("SELECT k, v FROM snap.default.mt ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 100L,
+      7L -> 300L, 8L -> 400L))
+  }
+
+  test("native DELETE on a merge-on-read table writes delete files, not a rewrite") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.mor")
+    sqlDf("CREATE TABLE snap.default.mor (k BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('graft.mor.key' = 'k')")
+    sqlDf("INSERT INTO snap.default.mor SELECT id, id % 5 FROM range(100)")
+    val filesBefore = Snapshots.resolve(rootOf("mor")).get.files.toSet
+    sqlDf("DELETE FROM snap.default.mor WHERE m = 3")
+    val snap = Snapshots.resolve(rootOf("mor")).get
+    // MOR: base files untouched, a pending delete landed
+    assert(snap.files.toSet == filesBefore, "base files must not move")
+    assert(snap.deletes.nonEmpty, "a #del line must be pending")
+    // the catalog scan applies it
+    assert(sqlDf("SELECT count(*) FROM snap.default.mor").as[Long].head() == 80L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.mor WHERE m = 3")
+      .as[Long].head() == 0L)
+    // column pruning across the forced key col: k not selected
+    assert(sqlDf("SELECT sum(m) FROM snap.default.mor").as[Long].head() ==
+      (0 until 100).map(_ % 5).filter(_ != 3).sum)
+  }
+
+  test("native UPDATE on a merge-on-read table is one atomic delta commit") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.moru")
+    sqlDf("CREATE TABLE snap.default.moru (k BIGINT, bal DOUBLE) " +
+      "TBLPROPERTIES ('graft.mor.key' = 'k')")
+    sqlDf("INSERT INTO snap.default.moru SELECT id, CAST(id AS DOUBLE) - 5.0 FROM range(10)")
+    val vBefore = Snapshots.maxCommitted(rootOf("moru"))
+    sqlDf("UPDATE snap.default.moru SET bal = bal + 100.0 WHERE bal < 0.0")
+    assert(Snapshots.maxCommitted(rootOf("moru")) == vBefore + 1, "one commit")
+    // rows 0..4 had bal -5..-1 → now +95..+99; rows 5..9 keep 0..4
+    val total = sqlDf("SELECT sum(bal) FROM snap.default.moru").as[Double].head()
+    assert(total == (95 to 99).sum.toDouble + (0 to 4).sum.toDouble)
+    assert(sqlDf("SELECT count(*) FROM snap.default.moru").as[Long].head() == 10L)
+    // stacked statement over the delta state: DELETE sees post-update rows
+    sqlDf("DELETE FROM snap.default.moru WHERE bal >= 95.0")
+    assert(sqlDf("SELECT count(*) FROM snap.default.moru").as[Long].head() == 5L)
+    assert(sqlDf("SELECT sum(bal) FROM snap.default.moru").as[Double].head() ==
+      (0 to 4).sum.toDouble)
+  }
+
+  test("DELETE matching every row leaves a readable empty table (COW)") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.wipe")
+    sqlDf("CREATE TABLE snap.default.wipe AS SELECT id FROM range(7)")
+    sqlDf("DELETE FROM snap.default.wipe WHERE id >= 0")
+    assert(sqlDf("SELECT count(*) FROM snap.default.wipe").as[Long].head() == 0L)
+    // and the table accepts new inserts afterwards
+    sqlDf("INSERT INTO snap.default.wipe VALUES (42)")
+    assert(sqlDf("SELECT * FROM snap.default.wipe").as[Long].collect().toSeq == Seq(42L))
+  }
+
+  test("a direct-API root reads through the catalog (schema inferred from footers)") {
+    val root = rootOf("direct")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Snapshots.commit(root)(out =>
+      spark.range(20).select($"id", ($"id" * 2).as("d"))
+        .write.mode("append").parquet(out))
+    assert(sqlDf("SELECT sum(d) FROM snap.default.direct").as[Long].head() == 380L)
+  }
+
+  test("catalog DDL surface: EXISTS, SHOW TABLES, DROP") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.ddl1")
+    sqlDf("CREATE TABLE snap.default.ddl1 (x INT)")
+    val listed = sqlDf("SHOW TABLES IN snap.default").select("tableName")
+      .as[String].collect().toSet
+    assert(listed.contains("ddl1"))
+    sqlDf("DROP TABLE snap.default.ddl1")
+    assert(!spark.catalog.tableExists("snap.default.ddl1"))
+  }
+}

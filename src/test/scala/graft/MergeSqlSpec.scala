@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
 class MergeSqlSpec extends SparkSpec {
   import spark.implicits._
 
-  test("stock Spark 4 refuses MERGE INTO on a default-catalog table (the gap MergeSql fills)") {
+  // The refusal below is WHY the lowering interpreter exists for
+  // catalog-less sessions; the productized answer is the DataSourceV2
+  // catalog, where the identical statement executes natively through
+  // Spark's own analyzer (positive paths pinned in CatalogSpec).
+  test("stock Spark 4 refuses MERGE INTO on a default-catalog table (GraftCatalog is the native path; MergeSql the fallback)") {
     Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.mode("overwrite")
       .option("path", Qx.tmpOut("mergeprobe", "t")).saveAsTable("merge_probe_t")
     Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v")
@@ -39,7 +43,9 @@ class MergeSqlSpec extends SparkSpec {
   test("the merge commit is atomic: a pre-merge pinned reader keeps the base table") {
     import graft.sources.Snapshots
     val dir = sf("0.001")
-    val root = Qx.tmpOut("mergetbl", dir)
+    // cdc_merge_sql runs natively against its catalog table: DROP +
+    // CTAS (v1) + MERGE (v2), so the pre-head version is the pristine slice
+    val root = graft.operators.SnapCat.table(spark, "merge_cust", dir)._2
     graft.operators.CdcOps.cdcMergeSql(spark, dir).collect() // ensures >=2 versions
     val head = Snapshots.resolve(root).get
     val base = Snapshots.readAt(spark, root, head.version - 1)

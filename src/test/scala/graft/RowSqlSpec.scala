@@ -24,7 +24,11 @@ class RowSqlSpec extends SparkSpec {
     root
   }
 
-  test("stock Spark 4 refuses UPDATE/DELETE on a default-catalog table (the gap RowSql fills)") {
+  // The refusal below is WHY the lowering interpreter exists for
+  // catalog-less sessions; the productized answer is the DataSourceV2
+  // catalog, where the identical statements execute natively through
+  // Spark's own analyzer (positive paths pinned in CatalogSpec).
+  test("stock Spark 4 refuses UPDATE/DELETE on a default-catalog table (GraftCatalog is the native path; RowSql the fallback)") {
     Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.mode("overwrite")
       .option("path", Qx.tmpOut("rowsqlprobe", "t")).saveAsTable("rowsql_probe_t")
     val exU = intercept[Exception] {
