@@ -663,6 +663,99 @@ object WarehouseOps {
          |ORDER BY era, o_orderpriority""".stripMargin)
   }
 
+  /** PARTITION EVOLUTION (`snapshot_partition_evolution`) — the
+    * partition spec CHANGES across commits and pruned reads stay
+    * correct over both eras (Iceberg's add-partition-field): era A
+    * stages orders `.partitionBy(o_orderpriority)`, era B appends the
+    * other half `.partitionBy(o_orderpriority, o_band)` (band derived
+    * from the price). A read filtered on (priority, band) prunes
+    * per-spec — priority prunes BOTH eras; band prunes only era-B
+    * files, because an era-A file carries no `o_band=` segment and
+    * cannot be proven non-matching from metadata
+    * ([[graft.sources.Snapshots.readPartitionPrunedEvolved]]). The
+    * query then re-derives the band for pre-evolution rows from its
+    * source column (Iceberg's transform-on-read) and re-applies the
+    * residual predicate — pruning is an I/O optimization, never the
+    * correctness carrier. File-level pruning per era is spec-pinned
+    * via inputFiles (Round14OpsSpec); the oracle recomputes the
+    * (priority, band) slice from the ORIGINAL table, so a pruned-away
+    * matching file, a leaked band=lo file, or a broken band
+    * re-derivation hash-mismatches. */
+  val snapshotPartitionEvolution: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("snappevo", dir)
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    val band = when($"o_totalprice" > 150000, "hi").otherwise("lo")
+    Snapshots.commit(root)(out =>
+      o.filter($"o_orderkey" % 2 === 0)
+        .write.partitionBy("o_orderpriority").mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      o.filter($"o_orderkey" % 2 === 1).withColumn("o_band", band)
+        .write.partitionBy("o_orderpriority", "o_band").mode("append").parquet(out))
+    Snapshots.vacuum(root, keepLast = 2)
+    Snapshots.readPartitionPrunedEvolved(s, root, Map(
+        "o_orderpriority" -> Seq("1-URGENT", "2-HIGH"), "o_band" -> Seq("hi")))
+      .withColumn("band_eff", coalesce($"o_band", band))
+      .filter($"band_eff" === "hi" &&
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** DELETE-FILE COMPACTION (`rewrite_deletes`) — the maintenance op
+    * that keeps merge-on-read sustainable: pending delete files stack
+    * one per statement until a full rewrite absorbs them, and at
+    * 100 TB (rewrites rare, GDPR deletes frequent) reads pay one
+    * key-scan per pending file forever.
+    * [[graft.sources.Snapshots.compactDeletes]] collapses them into
+    * the fewest files that preserve EXACT scoping semantics — deletes
+    * merge only within scope-equivalence classes (no data file staged
+    * between their cover versions), so a re-insert between two deletes
+    * blocks their merge and stays visible. The commit moves
+    * O(deleted keys) bytes and zero table data.
+    *
+    * The fixture stacks the hard case: two mergeable deletes, a
+    * re-insert of the deleted nation-13 rows at +1000, then a third
+    * delete (even custkeys) that covers the re-insert era — so its
+    * class must stay separate. The oracle replays the scoping in
+    * ANSI SQL: an over-merge (third delete folded in → every nation-13
+    * re-insert vanishes) or under-coverage hash-mismatches. The
+    * file-count reduction itself (3 delete files → 2) and untouched
+    * data files are spec-pinned (Round14OpsSpec). */
+  val rewriteDeletes: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("delcompact", dir)
+    val base = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("custkey"), $"c_nationkey".as("nationkey"),
+        $"c_acctbal".as("acctbal"))
+    Snapshots.commit(root)(out => base.write.mode("append").parquet(out))
+    Snapshots.commitDelete(root, "custkey")(out =>
+      base.filter($"acctbal" < 0.0).select($"custkey")
+        .write.mode("append").parquet(out))
+    Snapshots.commitDelete(root, "custkey")(out =>
+      base.filter($"nationkey" === 13).select($"custkey")
+        .write.mode("append").parquet(out))
+    // re-insert the deleted nation-13 rows, shifted — staged AFTER the
+    // deletes, version scoping keeps them visible
+    Snapshots.commitAppend(root)(out =>
+      base.filter($"nationkey" === 13)
+        .withColumn("acctbal", $"acctbal" + 1000.0)
+        .write.mode("append").parquet(out))
+    // covers the re-insert era: even-custkey nation-13 rows vanish again
+    Snapshots.commitDelete(root, "custkey")(out =>
+      base.filter($"nationkey" === 13 && $"custkey" % 2 === 0)
+        .select($"custkey").write.mode("append").parquet(out))
+    Snapshots.compactDeletes(s, root)
+    Snapshots.vacuum(root, keepLast = 6)
+    Snapshots.read(s, root).groupBy($"nationkey")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"acctbal").as("total"))
+      .orderBy($"nationkey")
+  }
+
   /** WRITE-AUDIT-PUBLISH — the Iceberg WAP pattern end to end: the
     * risky batch (slice 1) lands in a STAGING root, an audit gate
     * validates it there (row-count + null-key checks — main has never
@@ -917,6 +1010,8 @@ object WarehouseOps {
     "sql_time_travel_ts" -> sqlTimeTravelTs,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "snapshot_restore" -> snapshotRestore,
+    "rewrite_deletes" -> rewriteDeletes,
+    "snapshot_partition_evolution" -> snapshotPartitionEvolution,
     "snapshot_wap_publish" -> snapshotWapPublish,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_prune_mor" -> snapshotPruneMor,
@@ -1038,6 +1133,36 @@ object WarehouseOps {
       FROM customer
       WHERE NOT (c_acctbal < 0.0) AND NOT (c_nationkey = 13)
       GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // The (priority, band) slice recomputed from the ORIGINAL table:
+    // band is price-derived on BOTH eras, so a pruned-away matching
+    // era-A file (band unprovable from its spec), a leaked band=lo
+    // era-B file, or a broken band re-derivation all change the
+    // row set and hash-mismatch.
+    "snapshot_partition_evolution" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND o_totalprice > 150000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // The post-compaction read replayed era by era from the ORIGINAL
+    // table: base rows survive deletes 1+2; re-inserted nation-13 rows
+    // (staged after them) survive unless the third delete (even
+    // custkeys, covering the re-insert era) hides them. An over-merged
+    // compaction (third delete folded into the first two → coversBelow
+    // leaks over the re-insert) or a lost delete hash-mismatches.
+    "rewrite_deletes" -> s"""
+      WITH live AS (
+        SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+               c_acctbal AS acctbal
+        FROM customer
+        WHERE NOT (c_acctbal < 0.0) AND c_nationkey <> 13
+        UNION ALL
+        SELECT c_custkey, c_nationkey, c_acctbal + 1000.0
+        FROM customer
+        WHERE c_nationkey = 13 AND c_custkey % 2 = 1)
+      SELECT nationkey, COUNT(*) AS n, ${Qx.dsumSql("acctbal")} AS total
+      FROM live GROUP BY nationkey ORDER BY nationkey""",
     // Identical statements to sql_update_delete, MOR execution: the
     // same ANSI replay must hold through the scoped delete-file path —
     // an upsert hiding its own rows or a delete missing the upsert's

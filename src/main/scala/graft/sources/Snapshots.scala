@@ -434,6 +434,47 @@ object Snapshots {
     readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq)
   }
 
+  /** PARTITION-EVOLVED pruned read — the multi-spec generalization of
+    * [[readPartitionPruned]] (Iceberg's partition-spec evolution): a
+    * table's partition layout may CHANGE across commits (era A staged
+    * `.partitionBy(priority)`, era B `.partitionBy(priority, band)`),
+    * and a pruned read must stay correct over both. The rule, per
+    * Iceberg: a filter on a partition column prunes exactly the files
+    * whose own spec carries that column — a file with NO `col=` path
+    * segment predates the column's introduction, cannot be proven
+    * non-matching from metadata, and is KEPT for scanning. So:
+    *
+    *   keep(file) = ∀ (col, values): file has no `col=` segment
+    *                OR file carries `col=<one of values>`
+    *
+    * The caller re-applies the residual predicate on the rows (for
+    * pre-evolution files the partition value is derived from its
+    * source column, exactly Iceberg's transform-on-read) — pruning is
+    * an I/O optimization, never the correctness carrier. Reads merge
+    * schemas across eras, so pre-evolution rows surface the new
+    * partition column as null; pending MOR deletes compose as in every
+    * other read path. Cost: metadata-only filtering of the manifest
+    * list, zero I/O for provably-non-matching files. */
+  def readPartitionPrunedEvolved(spark: SparkSession, root: String,
+      filters: Map[String, Seq[String]]): DataFrame = {
+    val snap = resolve(root).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot under $root"))
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val wanted = filters.map { case (c, vs) =>
+      s"/${escapePathName(c)}=" ->
+        vs.map(v => s"/${escapePathName(c)}=${escapePathName(v)}/").toSet
+    }
+    val kept = snap.files.filter { f =>
+      wanted.forall { case (seg, vals) =>
+        !f.contains(seg) || vals.exists(f.contains)
+      }
+    }
+    require(kept.nonEmpty,
+      s"no files can match ${filters.mkString(", ")} under $root")
+    readWithDeletes(spark, kept, snap.deletes, mergeSchema = true,
+      fileSeq = snap.fileSeq)
+  }
+
   /** Read the head with parquet schema MERGING — schema evolution:
     * later commits may add columns, and the merged read resolves the
     * union schema, nulling the added columns in pre-evolution files.
@@ -766,6 +807,102 @@ object Snapshots {
           attempt += 1
           if (attempt > 5) throw new IllegalStateException(
             s"lost the staged-delta race $attempt times under $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** DELETE-FILE COMPACTION (`rewrite_deletes`): collapse the pending
+    * merge-on-read delete files into the fewest files that preserve
+    * EXACT read semantics, without touching a byte of table data. MOR
+    * deletes stack until a full rewrite absorbs them — at 100 TB,
+    * where rewrites are rare and deletes frequent (GDPR streams), the
+    * pending set grows one file per statement and every read pays one
+    * key-scan per file. This commit re-groups them:
+    *
+    *  - deletes group by key column, then by SCOPE-EQUIVALENCE: two
+    *    pending deletes with coversBelow v₁ < v₂ are equivalent iff NO
+    *    data file is staged at a version in [v₁, v₂) — then nothing
+    *    distinguishes their coverage, and the merged file safely
+    *    carries v₂. A re-insert between them (the era boundary) blocks
+    *    the merge: collapsing across it would wrongly hide the
+    *    re-inserted keys. The check is metadata-only (manifest file
+    *    versions + `#seq` pins).
+    *  - each equivalence class unions + dedups its key parquets into
+    *    ONE staged file (O(deleted keys) I/O, the only data this
+    *    commit moves).
+    *
+    * The published manifest carries the parent's data files UNCHANGED
+    * (seq pins preserved) and the compacted `#del` lines. Readers
+    * before the commit use the old delete files (still referenced by
+    * their manifests — vacuum's liveness rule keeps them until those
+    * versions expire); readers after see identical rows from fewer
+    * files. Returns the committed version (the parent's version when
+    * there was nothing to compact). Races with concurrent writers
+    * re-resolve and re-stage inside the retry loop. */
+  def compactDeletes(spark: SparkSession, root: String): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = resolve(root).getOrElse(throw new IllegalStateException(
+        s"no committed snapshot under $root"))
+      def effVersion(f: String): Long =
+        snap.fileSeq.getOrElse(f, fileVersion(f))
+      val fileVersions = snap.files.map(effVersion).toSet
+      // scope-equivalence classes per key column: sort by coversBelow,
+      // split where a data-file version falls inside the gap
+      val classes: Seq[(String, Seq[DeleteFile])] =
+        snap.deletes.groupBy(_.keyCol).toSeq.sortBy(_._1).flatMap {
+          case (keyCol, ds) =>
+            val sorted = ds.sortBy(_.coversBelow)
+            val grouped = sorted.tail.foldLeft(
+              Vector(Vector(sorted.head))) { (acc, d) =>
+              val prev = acc.last.last.coversBelow
+              val boundary = fileVersions.exists(v => prev <= v && v < d.coversBelow)
+              if (boundary) acc :+ Vector(d) else acc.init :+ (acc.last :+ d)
+            }
+            grouped.map(g => keyCol -> (g: Seq[DeleteFile]))
+        }
+      if (classes.lengthCompare(snap.deletes.size) == 0) return snap.version
+      val v = maxCommitted(root) + 1
+      if (v != snap.version + 1) { attempt += 1; if (attempt > 5)
+        throw new IllegalStateException(s"lost the delete-compaction race under $root")
+        // a commit landed between resolve and here — re-plan
+      } else {
+        val stage = newDataDir(root, v)
+        Files.createDirectories(Paths.get(stage))
+        val newDels = classes.zipWithIndex.map { case ((keyCol, ds), i) =>
+          if (ds.size == 1) ds.head // nothing to merge, reference in place
+          else {
+            val out = s"$stage/delkeys-$i"
+            spark.read.parquet(ds.map(_.path).sorted: _*)
+              .select(keyCol).distinct()
+              .coalesce(1).write.mode("append").parquet(out)
+            val staged = listParquet(out)
+            require(staged.size == 1, s"compaction staged ${staged.size} files")
+            DeleteFile(keyCol, staged.head, ds.map(_.coversBelow).max)
+          }
+        }
+        val header = newDels.map(delLine) ++ seqLines(snap.fileSeq, snap.files)
+        val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
+        val commitTs = math.max(
+          java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+        val tmp = commitsDir(root).resolve(
+          s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+        Files.write(tmp,
+          (s"$tsPrefix$commitTs\n" + header.mkString("", "\n", "\n") +
+            snap.files.mkString("\n")).getBytes(UTF_8))
+        try {
+          Files.createLink(manifestPath(root, v), tmp)
+          Files.delete(tmp)
+          return v
+        } catch {
+          case _: FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+            deleteRecursively(Paths.get(stage))
+            attempt += 1
+            if (attempt > 5) throw new IllegalStateException(
+              s"lost the delete-compaction race $attempt times under $root")
+        }
       }
     }
     throw new IllegalStateException("unreachable")

@@ -1,0 +1,125 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Round-13/14 store maintenance: delete-file compaction semantics —
+  * the query-level read is oracle-checked (`rewrite_deletes`); these
+  * pin what the oracle can't see: the manifest shrinking, the data
+  * files not moving, and scope-equivalence refusing unsafe merges. */
+class Round14OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(prefix: String): String = {
+    val root = s"${Qx.tmpOut(prefix, sf())}/store"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+    root
+  }
+
+  test("compactDeletes merges scope-equivalent delete files and touches no data") {
+    val root = freshRoot("dcmerge")
+    Snapshots.commit(root)(out =>
+      spark.range(100).select($"id", ($"id" % 7).as("m"))
+        .write.mode("append").parquet(out))
+    Snapshots.commitDelete(root, "id")(out =>
+      spark.range(0, 10).select($"id").write.mode("append").parquet(out))
+    Snapshots.commitDelete(root, "id")(out =>
+      spark.range(20, 30).select($"id").write.mode("append").parquet(out))
+    Snapshots.commitDelete(root, "id")(out =>
+      spark.range(40, 50).select($"id").write.mode("append").parquet(out))
+    val before = Snapshots.resolve(root).get
+    // each statement staged one file per write partition — the
+    // realistic stacking shape compaction exists for
+    assert(before.deletes.size >= 3)
+
+    val v = Snapshots.compactDeletes(spark, root)
+    val after = Snapshots.resolveAt(root, v)
+    // no data file staged between the three deletes → ONE merged file
+    assert(after.deletes.size == 1,
+      s"expected one compacted delete file, got ${after.deletes}")
+    assert(after.files == before.files, "data files must not move")
+    val expected = ((10L until 20L) ++ (30L until 40L) ++ (50L until 100L)).toSet
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet
+      == expected)
+    // pre-compaction version still readable with its own delete files
+    assert(Snapshots.readAt(spark, root, before.version)
+      .select($"id").as[Long].collect().toSet == expected)
+  }
+
+  test("compactDeletes refuses to merge across a re-insert era boundary") {
+    val root = freshRoot("dcera")
+    Snapshots.commit(root)(out =>
+      spark.range(50).select($"id").write.mode("append").parquet(out))
+    Snapshots.commitDelete(root, "id")(out =>
+      spark.range(0, 10).select($"id").write.mode("append").parquet(out))
+    // re-insert half the deleted keys — an era boundary
+    Snapshots.commitAppend(root)(out =>
+      spark.range(0, 5).select($"id").write.mode("append").parquet(out))
+    Snapshots.commitDelete(root, "id")(out =>
+      spark.range(30, 40).select($"id").write.mode("append").parquet(out))
+    val v = Snapshots.compactDeletes(spark, root)
+    val after = Snapshots.resolveAt(root, v)
+    // the two deletes straddle the re-insert: classes must stay apart
+    assert(after.deletes.size == 2,
+      s"era-straddling deletes must not merge: ${after.deletes}")
+    val expected = ((0L until 5L) ++ (10L until 30L) ++ (40L until 50L)).toSet
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet
+      == expected, "re-inserted keys must stay visible after compaction")
+  }
+
+  test("partition evolution prunes per-spec: era-A files kept, era-B band=lo pruned") {
+    val root = freshRoot("pevo")
+    val base = spark.range(100).select($"id",
+      ($"id" % 5).cast("string").as("prio"),
+      (($"id" % 2) * 1000).as("price"))
+    Snapshots.commit(root)(out =>
+      base.filter($"id" < 50)
+        .write.partitionBy("prio").mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      base.filter($"id" >= 50)
+        .withColumn("band", org.apache.spark.sql.functions
+          .when($"price" > 0, "hi").otherwise("lo"))
+        .write.partitionBy("prio", "band").mode("append").parquet(out))
+    val pruned = Snapshots.readPartitionPrunedEvolved(spark, root,
+      Map("prio" -> Seq("1", "2"), "band" -> Seq("hi")))
+    val files = pruned.inputFiles.toSeq
+    assert(files.nonEmpty)
+    // priority pruning reaches BOTH eras
+    assert(files.forall(f => f.contains("/prio=1/") || f.contains("/prio=2/")),
+      s"non-matching priority leaked: $files")
+    // band pruning applies only where the spec carries the column
+    assert(!files.exists(_.contains("/band=lo/")),
+      s"provably-non-matching band=lo file leaked: $files")
+    assert(files.exists(f => !f.contains("/band=")),
+      "era-A files (no band in their spec) must be kept for scanning")
+    // correctness end-to-end: residual re-derivation over era A
+    import org.apache.spark.sql.functions._
+    val got = pruned
+      .withColumn("band_eff", coalesce($"band", when($"price" > 0, "hi").otherwise("lo")))
+      .filter($"band_eff" === "hi")
+      .select($"id").as[Long].collect().toSet
+    val want = (0L until 100L)
+      .filter(i => (i % 5 == 1 || i % 5 == 2) && i % 2 == 1).toSet
+    assert(got == want)
+  }
+
+  test("compactDeletes is a no-op when nothing can merge") {
+    val root = freshRoot("dcnoop")
+    Snapshots.commit(root)(out =>
+      spark.range(20).select($"id").write.mode("append").parquet(out))
+    Snapshots.commitDelete(root, "id")(out =>
+      spark.range(0, 3).select($"id").coalesce(1)
+        .write.mode("append").parquet(out))
+    val head = Snapshots.maxCommitted(root)
+    assert(Snapshots.compactDeletes(spark, root) == head,
+      "a single single-file pending delete compacts to itself without a new commit")
+    assert(Snapshots.maxCommitted(root) == head)
+  }
+}
