@@ -145,10 +145,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(ident.toString, root, pinned = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on snapshot-catalog tables: schema evolution is commit-level " +
-        "(append with new columns + readMerged); property changes are not supported")
+  /** `ALTER TABLE ADD COLUMN(S)` + SET/UNSET TBLPROPERTIES — native
+    * schema evolution, the Delta/Iceberg add-column contract: the
+    * declared schema grows METADATA-ONLY (one properties-file
+    * rewrite); history is never touched. Reads resolve pre-evolution
+    * files by name, surfacing the added column as NULL (the parquet
+    * reader's missing-column rule), and a time-travel read of a
+    * pre-evolution version presents exactly the schema its files
+    * carried ([[GraftTable.schema]] infers pinned schemas from that
+    * version's footers). Added columns must be top-level and nullable
+    * — a non-null column would instantly invalidate every existing
+    * row. Drops/renames/type changes are rejected: they need
+    * column-id indirection (Iceberg) or rewrite, out of scope. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    val (schema, props) = GraftTable.readMeta(root).getOrElse {
+      // a direct-API root never CREATEd: materialize its inferred
+      // schema as the declared baseline, then evolve it
+      (new GraftTable(ident.toString, root, None).schema(), Map.empty[String, String])
+    }
+    val (newSchema, newProps) = changes.foldLeft((schema, props)) {
+      case ((sc, pr), add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          s"only top-level ADD COLUMN is supported: ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames()(0)
+        require(!sc.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists")
+        require(add.isNullable,
+          s"added column $name must be nullable (pre-evolution rows surface NULL)")
+        (sc.add(org.apache.spark.sql.types.StructField(name, add.dataType(),
+          nullable = true)), pr)
+      case ((sc, pr), set: TableChange.SetProperty) =>
+        (sc, pr + (set.property() -> set.value()))
+      case ((sc, pr), rm: TableChange.RemoveProperty) =>
+        (sc, pr - rm.property())
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}: " +
+          "drops/renames/type changes need column-id indirection or a rewrite")
+    }
+    GraftTable.writeMeta(root, newSchema, newProps)
+    new GraftTable(ident.toString, root, pinned = None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = Paths.get(rootOf(ident))

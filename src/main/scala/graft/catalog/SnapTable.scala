@@ -64,11 +64,19 @@ class GraftTable(tableName: String, val root: String,
   override def name(): String = tableName
 
   override def schema(): StructType = {
-    val declared = meta.map(_._1).getOrElse {
-      val files = snap.map(_.files).getOrElse(Nil)
-      require(files.nonEmpty,
-        s"table $tableName has no declared schema and no committed data")
-      spark.read.parquet(files: _*).schema
+    // a time-travel-pinned read presents the schema AS OF that version
+    // (inferred from its own footers, merged across its eras) — the
+    // other half of the add-column evolution contract; the declared
+    // meta schema governs the head
+    val declared = pinned.filter(_.files.nonEmpty) match {
+      case Some(p) =>
+        spark.read.option("mergeSchema", "true").parquet(p.files: _*).schema
+      case None => meta.map(_._1).getOrElse {
+        val files = snap.map(_.files).getOrElse(Nil)
+        require(files.nonEmpty,
+          s"table $tableName has no declared schema and no committed data")
+        spark.read.parquet(files: _*).schema
+      }
     }
     // a merge-on-read key is a primary key: Spark's delta rewrites
     // require the row-id attribute non-nullable (same contract as
@@ -89,7 +97,8 @@ class GraftTable(tableName: String, val root: String,
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** The merge-on-read key column, when this table is configured for
     * delta (Hudi/Iceberg-v2-style) row-level writes:
@@ -106,7 +115,7 @@ class GraftTable(tableName: String, val root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
       s"cannot write to a time-travel-pinned read of $tableName")
-    new GraftV1WriteBuilder(root)
+    new GraftV1WriteBuilder(root, info)
   }
 
   override def newRowLevelOperationBuilder(
@@ -131,8 +140,16 @@ object GraftTable {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     p.setProperty(schemaKey, schema.json)
-    val out = Files.newBufferedWriter(Paths.get(root, metaFile), UTF_8)
+    // temp + ATOMIC_MOVE: ALTER TABLE rewrites this file while readers
+    // may be loading the table — they must see old or new meta, never
+    // a torn write
+    val tmp = Paths.get(root,
+      s".tmp_meta_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    val out = Files.newBufferedWriter(tmp, UTF_8)
     try p.store(out, null) finally out.close()
+    Files.move(tmp, Paths.get(root, metaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def readMeta(root: String): Option[(StructType, Map[String, String])] = {
@@ -156,8 +173,15 @@ object GraftTable {
   * staging dir, then publishes atomically. Append → the manifest
   * carries the parent's files plus the staged ones (no data moves);
   * truncate/overwrite → a full-rewrite commit (pending MOR deletes
-  * absorbed, exactly the store's rewrite contract). */
-private[catalog] class GraftV1WriteBuilder(root: String)
+  * absorbed, exactly the store's rewrite contract).
+  *
+  * The SAME builder serves `writeStream.toTable(...)`: `toStreaming`
+  * returns an exactly-once epoch-append sink — executors stage each
+  * micro-batch's parquet ([[GraftStreamingWrite]]) and the epoch
+  * commit is one idempotent `#txn`-tagged manifest publish
+  * ([[Snapshots.commitAppendStagedTxn]]), so a crash-replayed batch
+  * no-ops instead of double-appending. */
+private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -172,9 +196,65 @@ private[catalog] class GraftV1WriteBuilder(root: String)
         else
           Snapshots.commitAppend(root)(out => data.write.mode("append").parquet(out))
       }
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwrite,
+        "streaming writes into snapshot-catalog tables are append-only")
+      new GraftStreamingWrite(root, info.schema(), info.queryId())
+    }
     override def description(): String =
       s"graft-snapshot ${if (overwrite) "overwrite" else "append"} $root"
   }
+}
+
+/** Exactly-once Structured Streaming sink for a snapshot-catalog
+  * table: per-epoch, executors write their partitions' rows as parquet
+  * into a writer-unique staging dir (the same
+  * [[ParquetRowDataWriter]] path the row-level writes use), and the
+  * driver publishes the epoch with ONE idempotent txn-tagged append
+  * commit keyed on (streaming queryId, epochId). A replayed epoch
+  * finds its tag and no-ops; its re-staged files are orphans vacuum
+  * reclaims. Cost per micro-batch: the batch's files + one manifest —
+  * O(delta), never O(table) — and incremental consumers tail the
+  * store via `Snapshots.readChanges`. */
+private[catalog] class GraftStreamingWrite(root: String,
+    schema: org.apache.spark.sql.types.StructType, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val stagingDir = Snapshots.newStagingDir(root)
+  Files.createDirectories(Paths.get(stagingDir))
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val conf = ExecParquet.writerConf(schema)
+    val dir = stagingDir
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+        new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+          private val w = new ParquetRowDataWriter(
+            f"$dir/epoch-$epochId-part-$partitionId%05d-$taskId.parquet",
+            conf.value, partitionId, taskId)
+          override def write(row: InternalRow): Unit = w.write(row)
+          override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+            StagedFilesMessage(w.finish().toSeq, Nil)
+          override def abort(): Unit = w.abort()
+          override def close(): Unit = ()
+        }
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val files = messages.collect { case StagedFilesMessage(d, _) => d }.flatten.toSeq
+    Snapshots.commitAppendStagedTxn(root, s"dsv2-$queryId", epochId, files)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.collect { case StagedFilesMessage(d, _) => d }.flatten
+      .foreach(f => Files.deleteIfExists(Paths.get(f)))
 }
 
 /** Scan construction for [[GraftTable]] — three shapes:

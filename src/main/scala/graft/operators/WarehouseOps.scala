@@ -663,6 +663,78 @@ object WarehouseOps {
          |ORDER BY era, o_orderpriority""".stripMargin)
   }
 
+  /** NATIVE SCHEMA EVOLUTION (`sql_schema_evolution`) — `ALTER TABLE
+    * ADD COLUMN` through the DataSourceV2 catalog
+    * ([[graft.catalog.GraftCatalog.alterTable]]): the declared schema
+    * grows METADATA-ONLY (one properties-file rewrite — zero data
+    * movement at any table size), the post-evolution INSERT carries
+    * the new column, and the head read resolves pre-evolution files
+    * by name with the added column surfacing NULL (the Delta/Iceberg
+    * add-column contract; `snapshot_schema_evolution` is the
+    * store-level mergeSchema form). Time travel to the pre-evolution
+    * version presents exactly the old schema (CatalogSpec pins it).
+    * The oracle recomputes both eras from the ORIGINAL table, so a
+    * lost row, a mis-nulled column, or an evolution that rewrites
+    * history hash-mismatches. */
+  val sqlSchemaEvolution: Q = (s, dir) => {
+    import s.implicits._
+    val (t, _) = SnapCat.table(s, "evo_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"ALTER TABLE $t ADD COLUMN o_band STRING")
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderpriority, o_totalprice,
+             |       CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1""".stripMargin)
+    s.table(t)
+      .groupBy($"o_orderpriority", coalesce($"o_band", lit("none")).as("band"))
+      .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority", $"band")
+  }
+
+  /** NATIVE STREAMING SINK (`stream_catalog_sink`) — a real Structured
+    * Streaming query lands micro-batches in a snapshot-catalog table
+    * through `writeStream.toTable` ([[graft.catalog.GraftStreamingWrite]]):
+    * executors stage each epoch's parquet, and the epoch commit is ONE
+    * idempotent `#txn`-tagged manifest publish
+    * ([[graft.sources.Snapshots.commitAppendStagedTxn]]) — a
+    * crash-replayed micro-batch finds its tag and no-ops, the
+    * exactly-once contract (replay pinned in CatalogSpec; the
+    * `foreachBatch` store-level binding is `stream_snapshot_append`).
+    * The fixture stages an events slice as files, tails it with a
+    * file-source stream under `Trigger.AvailableNow`, and aggregates
+    * the landed table; the oracle reads the same slice from the
+    * ORIGINAL events table — a dropped batch, doubled epoch, or lost
+    * row hash-mismatches.
+    *
+    * Scale: per micro-batch cost is the batch's files + one manifest —
+    * O(delta), never O(table); downstream consumers tail the store
+    * incrementally via `Snapshots.readChanges`. */
+  val streamCatalogSink: Q = (s, dir) => {
+    import s.implicits._
+    val (t, _) = SnapCat.table(s, "strm_events", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (event_type STRING, value DOUBLE)")
+    val src = Qx.tmpOut("strmsrc", dir)
+    val ckpt = Qx.tmpOut("strmckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    Tables.load(s, dir, "events").select($"event_type", $"value")
+      .write.mode("overwrite").parquet(src)
+    val q = s.readStream
+      .schema("event_type STRING, value DOUBLE")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    q.awaitTermination()
+    s.table(t).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"value").as("total"))
+      .orderBy($"event_type")
+  }
+
   /** PARTITION EVOLUTION (`snapshot_partition_evolution`) — the
     * partition spec CHANGES across commits and pruned reads stay
     * correct over both eras (Iceberg's add-partition-field): era A
@@ -1012,6 +1084,8 @@ object WarehouseOps {
     "snapshot_restore" -> snapshotRestore,
     "rewrite_deletes" -> rewriteDeletes,
     "snapshot_partition_evolution" -> snapshotPartitionEvolution,
+    "sql_schema_evolution" -> sqlSchemaEvolution,
+    "stream_catalog_sink" -> streamCatalogSink,
     "snapshot_wap_publish" -> snapshotWapPublish,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_prune_mor" -> snapshotPruneMor,
@@ -1133,6 +1207,27 @@ object WarehouseOps {
       FROM customer
       WHERE NOT (c_acctbal < 0.0) AND NOT (c_nationkey = 13)
       GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // Both eras recomputed from the ORIGINAL table via the slice
+    // predicates — a lost row, a mis-nulled evolved column, or an
+    // evolution that rewrites history hash-mismatches.
+    "sql_schema_evolution" -> s"""
+      WITH rows AS (
+        SELECT o_orderpriority, o_totalprice, 'none' AS band
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice,
+               CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+        FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT o_orderpriority, band, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM rows GROUP BY o_orderpriority, band
+      ORDER BY o_orderpriority, band""",
+    // The landed table must equal the ORIGINAL events slice exactly —
+    // a dropped micro-batch, a doubled epoch, or a lost row changes
+    // the counts/sums and hash-mismatches.
+    "stream_catalog_sink" -> s"""
+      SELECT event_type, COUNT(*) AS n, ${Qx.dsumSql("value")} AS total
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // The (priority, band) slice recomputed from the ORIGINAL table:
     // band is price-derived on BOTH eras, so a pruned-away matching
     // era-A file (band unprovable from its spec), a leaked band=lo

@@ -812,6 +812,54 @@ object Snapshots {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Publish PRE-STAGED files as one IDEMPOTENT append commit — the
+    * DataSourceV2 STREAMING-sink commit point: executors stage an
+    * epoch's files during the micro-batch ([[newStagingDir]]), and the
+    * epoch commit publishes them with a `#txn:<appId>:<epoch>` header
+    * plus `#seq:` pins at the committed version (the staged paths'
+    * `v00000000` segment is never trusted for delete scoping). A
+    * replayed epoch — crash between this commit and the checkpoint
+    * write, then restart — finds its txn tag retained and NO-OPS,
+    * which is what makes the sink exactly-once (Delta's
+    * txnAppId/txnVersion, same rule as [[commitAppendTxn]]); the
+    * replay's re-staged files are unreferenced orphans that vacuum
+    * reclaims. Empty epochs commit nothing and leave no tag. */
+  def commitAppendStagedTxn(root: String, appId: String, epoch: Long,
+      files: Seq[String]): Long = {
+    if (files.isEmpty) return maxCommitted(root)
+    Files.createDirectories(commitsDir(root))
+    var attempt = 0
+    while (true) {
+      if (lastTxn(root, appId) >= epoch) return maxCommitted(root)
+      val v = maxCommitted(root) + 1
+      val parent = if (v > 1L) Some(resolveAt(root, v - 1)) else None
+      val all = parent.map(_.files).getOrElse(Nil) ++ files.sorted
+      val header = parent.map(_.deletes).getOrElse(Nil).map(delLine) ++
+        parent.map(p => seqLines(p.fileSeq, all)).getOrElse(Nil) ++
+        files.sorted.map(seqLine(_, v))
+      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
+      val commitTs = math.max(
+        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+      val tmp = commitsDir(root).resolve(
+        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+      Files.write(tmp,
+        (s"#txn:$appId:$epoch\n$tsPrefix$commitTs\n" +
+          header.mkString("", "\n", "\n") + all.mkString("\n")).getBytes(UTF_8))
+      try {
+        Files.createLink(manifestPath(root, v), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt > 5) throw new IllegalStateException(
+            s"lost the staged-append race $attempt times under $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** DELETE-FILE COMPACTION (`rewrite_deletes`): collapse the pending
     * merge-on-read delete files into the fewest files that preserve
     * EXACT read semantics, without touching a byte of table data. MOR

@@ -164,6 +164,65 @@ class CatalogSpec extends SparkSpec {
     assert(sqlDf("SELECT sum(d) FROM snap.default.direct").as[Long].head() == 380L)
   }
 
+  test("native ALTER TABLE ADD COLUMN: metadata-only evolution, time travel keeps the old schema") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.evo")
+    sqlDf("CREATE TABLE snap.default.evo AS SELECT id AS k FROM range(5)")
+    sqlDf("ALTER TABLE snap.default.evo ADD COLUMN v STRING")
+    sqlDf("INSERT INTO snap.default.evo VALUES (100, 'new')")
+    val rows = sqlDf("SELECT k, v FROM snap.default.evo ORDER BY k")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(rows.toSeq == Seq((0L, null), (1L, null), (2L, null), (3L, null),
+      (4L, null), (100L, "new")),
+      "pre-evolution rows must surface NULL for the added column")
+    assert(sqlDf("SELECT count(*) FROM snap.default.evo WHERE v = 'new'")
+      .as[Long].head() == 1L)
+    // time travel to the pre-evolution version: its schema has no v
+    assert(sqlDf("SELECT * FROM snap.default.evo VERSION AS OF 1")
+      .columns.toSeq == Seq("k"))
+    // property changes ride the same path
+    sqlDf("ALTER TABLE snap.default.evo SET TBLPROPERTIES ('pipeline' = 'graft')")
+    // rejected shapes stay rejected
+    intercept[Exception](sqlDf("ALTER TABLE snap.default.evo DROP COLUMN v"))
+  }
+
+  test("writeStream.toTable lands exactly-once epoch appends in the catalog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sqlDf("DROP TABLE IF EXISTS snap.default.strm")
+    sqlDf("CREATE TABLE snap.default.strm (v BIGINT)")
+    val ms = MemoryStream[Long]
+    val ckpt = Qx.tmpOut("catstrmckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = ms.toDF().toDF("v").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .toTable("snap.default.strm")
+    try {
+      ms.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      ms.addData(10L, 20L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sqlDf("SELECT sum(v) FROM snap.default.strm").as[Long].head() == 36L)
+    // two non-empty micro-batches = two txn-tagged commits after CREATE
+    val root = rootOf("strm")
+    assert(Snapshots.maxCommitted(root) == 2L)
+    // the txn tags make a replayed epoch a no-op: re-committing epoch 1's
+    // files through the same appId must not advance the head
+    val before = Snapshots.maxCommitted(root)
+    val appId = {
+      // find the tag the sink wrote (dsv2-<queryId>)
+      val m = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(root, "_commits", "00000001.manifest"))
+      m.get(0).stripPrefix("#txn:").split(":")(0)
+    }
+    Snapshots.commitAppendStagedTxn(root, appId, 0L,
+      Seq("/nonexistent.parquet"))
+    assert(Snapshots.maxCommitted(root) == before,
+      "replayed epoch must no-op on the retained txn tag")
+  }
+
   test("catalog DDL surface: EXISTS, SHOW TABLES, DROP") {
     sqlDf("DROP TABLE IF EXISTS snap.default.ddl1")
     sqlDf("CREATE TABLE snap.default.ddl1 (x INT)")
