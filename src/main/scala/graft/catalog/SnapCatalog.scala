@@ -106,7 +106,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
-    if (!exists(root)) throw new NoSuchTableException(ident)
+    if (!exists(root)) {
+      // `snap.default.t.history` parses as namespace [default, t] +
+      // name `history` — route the reserved suffixes to the table's
+      // metadata tables (Iceberg's pattern) when the parent exists
+      if (ident.namespace().length >= 2 && SnapMetaTables.names(ident.name())) {
+        val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+        val proot = rootOf(parent)
+        if (exists(proot))
+          return SnapMetaTables(ident.toString, proot, ident.name())
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftTable(ident.toString, root, pinned = None)
   }
 

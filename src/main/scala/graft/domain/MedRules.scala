@@ -177,13 +177,25 @@ object MedRules {
         Seq("patient_id", "alt_cui"), "left_anti")
       .select(col("patient_id"), col("drug_class"),
         col("alt_cui"), col("alt_class"), col("alt_price"))
-      .distinct()
-    val w = Window.partitionBy(col("patient_id"), col("drug_class"))
-      .orderBy(col("alt_price").asc, col("alt_cui").asc)
-    candidates.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .join(concentrated, Seq("patient_id", "drug_class"))
+    // the per-(patient, class) argmin is a MIN_BY aggregation, NOT a
+    // distinct + window: the broadcast type-join EXPLODES its input
+    // ~|catalog|/|types|-fold (and AQE may have coalesced the small
+    // pre-join side to few partitions), so any shape that buffers the
+    // exploded rows — a distinct's hash map, a window's sort — spills
+    // pathologically right where the data is thickest. min_by folds
+    // each partition to ≤ one row per group in a single streaming
+    // pass (map-side combine), shuffles only group-sized partials,
+    // and duplicate candidate rows (one per shared type) collapse for
+    // free. Tiebreak (price, cui) is total — cui is unique.
+    val best = candidates
+      .groupBy(col("patient_id"), col("drug_class"))
+      .agg(min_by(
+        struct(col("alt_cui"), col("alt_class"), col("alt_price")),
+        struct(col("alt_price"), col("alt_cui"))).as("alt"))
+    best.join(concentrated, Seq("patient_id", "drug_class"))
       .select(col("patient_id"), col("drug_class"), col("n_meds"),
-        col("alt_cui"), col("alt_class"), col("alt_price"))
+        col("alt.alt_cui").as("alt_cui"), col("alt.alt_class").as("alt_class"),
+        col("alt.alt_price").as("alt_price"))
   }
 
   /** Formulary placement for each med under the patient's payer(s)

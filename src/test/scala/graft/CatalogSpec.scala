@@ -223,6 +223,41 @@ class CatalogSpec extends SparkSpec {
       "replayed epoch must no-op on the retained txn tag")
   }
 
+  test("metadata tables: history / files / deletes / tags as SQL") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.mt2")
+    sqlDf("CREATE TABLE snap.default.mt2 TBLPROPERTIES ('graft.mor.key' = 'id') " +
+      "AS SELECT id FROM range(10)")
+    sqlDf("INSERT INTO snap.default.mt2 SELECT id FROM range(10, 20)")
+    sqlDf("DELETE FROM snap.default.mt2 WHERE id < 3")
+    Snapshots.tag(rootOf("mt2"), "cut_a", 2L)
+
+    val hist = sqlDf("SELECT version, n_files, n_deletes FROM snap.default.mt2.history ORDER BY version")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L), s"history versions: $hist")
+    assert(hist.last._3 >= 1, "head must show pending delete file(s)")
+    assert(hist(1)._3 == 0, "pre-delete version has no pending deletes")
+
+    val nFiles = sqlDf("SELECT count(*) FROM snap.default.mt2.files").as[Long].head()
+    assert(nFiles == hist.last._2.toLong)
+    assert(sqlDf("SELECT min(seq) FROM snap.default.mt2.files").as[Long].head() >= 1L)
+
+    val dels = sqlDf("SELECT key_col, covers_below FROM snap.default.mt2.deletes")
+      .as[(String, Long)].collect().toSeq
+    assert(dels.nonEmpty && dels.forall(_ == ("id", 3L)), s"deletes: $dels")
+
+    val tags = sqlDf("SELECT name, version FROM snap.default.mt2.tags")
+      .as[(String, Long)].collect().toSeq
+    assert(tags == Seq(("cut_a", 2L)))
+
+    // metadata tables join with time travel like any other relation
+    val joined = sqlDf("""
+      SELECT h.version, count(*) AS rows_at
+      FROM snap.default.mt2.history h
+      JOIN snap.default.mt2 VERSION AS OF 1 t ON true
+      WHERE h.version = 1 GROUP BY h.version""").as[(Long, Long)].head()
+    assert(joined == (1L, 10L))
+  }
+
   test("catalog DDL surface: EXISTS, SHOW TABLES, DROP") {
     sqlDf("DROP TABLE IF EXISTS snap.default.ddl1")
     sqlDf("CREATE TABLE snap.default.ddl1 (x INT)")
