@@ -149,6 +149,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "graft snapshot-catalog tables are unpartitioned (the store's file-level " +
         "layout ops — zorder, partitionBy staging — run through the direct API)")
+    // single-level namespaces only (matching createNamespace): a deeper
+    // identifier like `default.t.history` would nest a table root
+    // INSIDE t's snapshot root — shadowing the reserved metadata-table
+    // route in loadTable, and putting its data in the path of t's
+    // vacuum sweep
+    require(ident.namespace().length == 1,
+      s"only single-level namespaces: ${ident.namespace().mkString(".")}." +
+        s"${ident.name()} would nest inside another table's root")
+    require(!SnapMetaTables.names(ident.name()),
+      s"'${ident.name()}' is a reserved metadata-table name " +
+        s"(${SnapMetaTables.names.mkString(", ")})")
     val root = rootOf(ident)
     if (exists(root)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(Paths.get(root))
@@ -156,18 +167,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(ident.toString, root, pinned = None)
   }
 
-  /** `ALTER TABLE ADD COLUMN(S)` + SET/UNSET TBLPROPERTIES — native
-    * schema evolution, the Delta/Iceberg add-column contract: the
-    * declared schema grows METADATA-ONLY (one properties-file
-    * rewrite); history is never touched. Reads resolve pre-evolution
-    * files by name, surfacing the added column as NULL (the parquet
-    * reader's missing-column rule), and a time-travel read of a
-    * pre-evolution version presents exactly the schema its files
-    * carried ([[GraftTable.schema]] infers pinned schemas from that
-    * version's footers). Added columns must be top-level and nullable
-    * — a non-null column would instantly invalidate every existing
-    * row. Drops/renames/type changes are rejected: they need
-    * column-id indirection (Iceberg) or rewrite, out of scope. */
+  /** `ALTER TABLE ADD / RENAME / DROP COLUMN` + SET/UNSET
+    * TBLPROPERTIES — native schema evolution, all METADATA-ONLY (one
+    * properties-file rewrite; history is never touched):
+    *
+    *  - ADD (Delta/Iceberg contract): reads resolve pre-evolution
+    *    files by name, surfacing the added column as NULL.
+    *  - RENAME: the declared field changes name and the OLD name is
+    *    recorded as a prior physical name
+    *    (`graft.col.prior.<current>`, oldest→newest). Head reads
+    *    resolve the column across eras by coalescing the current name
+    *    with its priors ([[RenameAwareScanBuilder]]) — exact because a
+    *    name can only mean one column: targets colliding with any
+    *    live, prior, or dropped name are rejected, so no file ever
+    *    carries two spellings of the column or a stale column under a
+    *    reused name. The Iceberg equivalent is field-id indirection;
+    *    the prior-name ledger is the same information keyed by
+    *    name-history instead of ids, which parquet written without
+    *    field ids can actually resolve.
+    *  - DROP: the field leaves the declared schema and its name (plus
+    *    its whole prior-name history) enters the tombstone ledger
+    *    (`graft.cols.dropped`) — file data stays, unreferenced, and
+    *    the ledger stops a later ADD/RENAME from resurrecting it.
+    *
+    * A time-travel read of a pre-evolution version presents exactly
+    * the schema (and names) its files carried ([[GraftTable.schema]]
+    * infers pinned schemas from that version's footers) and never
+    * applies the prior-name map. Rename/drop on a merge-on-read table
+    * (or of a pending-delete key) is rejected — the delete-key ledger
+    * is keyed by physical name and must not be re-pointed under it.
+    * Type changes remain out of scope. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
@@ -176,24 +205,85 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // schema as the declared baseline, then evolve it
       (new GraftTable(ident.toString, root, None).schema(), Map.empty[String, String])
     }
+    // every physical name that has ever meant something in this table:
+    // adding or renaming onto one would make old files' bytes resurface
+    // under the wrong meaning
+    def usedNames(pr: Map[String, String], sc: StructType): Set[String] =
+      (sc.fieldNames.toSeq ++
+        GraftTable.priorsOf(pr).flatMap { case (c, ps) => c +: ps } ++
+        GraftTable.droppedOf(pr)).map(_.toLowerCase).toSet
+    def requireFresh(pr: Map[String, String], sc: StructType, name: String,
+        what: String): Unit =
+      require(!usedNames(pr, sc).contains(name.toLowerCase),
+        s"$what '$name' collides with a live, renamed-away, or dropped " +
+          "column name of this table; reusing it would resurface stale " +
+          "file data under the new meaning")
+    // pending MOR delete files are keyed by physical column name —
+    // renaming/dropping under them would silently unscope the deletes
+    lazy val pendingDeleteKeys: Set[String] =
+      Snapshots.resolve(root).map(_.deletes.map(_.keyCol).toSet)
+        .getOrElse(Set.empty)
     val (newSchema, newProps) = changes.foldLeft((schema, props)) {
       case ((sc, pr), add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
           s"only top-level ADD COLUMN is supported: ${add.fieldNames().mkString(".")}")
         val name = add.fieldNames()(0)
-        require(!sc.fieldNames.exists(_.equalsIgnoreCase(name)),
-          s"column $name already exists")
+        requireFresh(pr, sc, name, "added column")
         require(add.isNullable,
           s"added column $name must be nullable (pre-evolution rows surface NULL)")
         (sc.add(org.apache.spark.sql.types.StructField(name, add.dataType(),
           nullable = true)), pr)
+      case ((sc, pr), ren: TableChange.RenameColumn) =>
+        require(ren.fieldNames().length == 1,
+          s"only top-level RENAME COLUMN is supported: ${ren.fieldNames().mkString(".")}")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        require(sc.fieldNames.contains(from), s"no column '$from' to rename")
+        require(!pr.contains(GraftTable.morKeyProp),
+          "RENAME COLUMN on a merge-on-read table is not supported " +
+            "(the delete-key ledger is keyed by physical column name); " +
+            "compact and unset graft.mor.key first")
+        require(!pendingDeleteKeys.contains(from),
+          s"column '$from' keys pending merge-on-read delete files; " +
+            "compact (full rewrite) before renaming it")
+        requireFresh(pr, sc, to, "rename target")
+        val priorKey = s"${GraftTable.colPriorPrefix}$from"
+        val history = pr.get(priorKey).map(_ + ",").getOrElse("") + from
+        val pr2 = pr - priorKey + (s"${GraftTable.colPriorPrefix}$to" -> history)
+        (StructType(sc.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)), pr2)
+      case ((sc, pr), del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          s"only top-level DROP COLUMN is supported: ${del.fieldNames().mkString(".")}")
+        val name = del.fieldNames()(0)
+        if (!sc.fieldNames.contains(name)) {
+          require(del.ifExists(), s"no column '$name' to drop")
+          (sc, pr)
+        } else {
+          require(sc.fields.length > 1, "cannot drop the last column")
+          require(!pr.get(GraftTable.morKeyProp).contains(name),
+            s"cannot drop merge-on-read key column '$name'")
+          require(!pendingDeleteKeys.contains(name),
+            s"column '$name' keys pending merge-on-read delete files; " +
+              "compact (full rewrite) before dropping it")
+          val priorKey = s"${GraftTable.colPriorPrefix}$name"
+          val tombs = GraftTable.droppedOf(pr).toSeq ++
+            pr.get(priorKey).toSeq.flatMap(_.split(',')) :+ name
+          val pr2 = pr - priorKey +
+            (GraftTable.droppedProp -> tombs.distinct.mkString(","))
+          (StructType(sc.fields.filterNot(_.name == name)), pr2)
+        }
       case ((sc, pr), set: TableChange.SetProperty) =>
+        require(set.property() != GraftTable.morKeyProp ||
+          GraftTable.priorsOf(pr).isEmpty,
+          "cannot enable merge-on-read on a table with renamed columns " +
+            "(delete-key scoping is keyed by physical column name)")
         (sc, pr + (set.property() -> set.value()))
       case ((sc, pr), rm: TableChange.RemoveProperty) =>
         (sc, pr - rm.property())
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}: " +
-          "drops/renames/type changes need column-id indirection or a rewrite")
+          "type changes need a rewrite")
     }
     GraftTable.writeMeta(root, newSchema, newProps)
     new GraftTable(ident.toString, root, pinned = None)

@@ -75,7 +75,13 @@ private[catalog] class GraftGroupOperation(cmd: RowLevelOperation.Command,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftRewriteBatchWrite(table.root, info.schema())
+          // the statement's survivor set is computed against the
+          // version this table instance resolved (Spark re-loads the
+          // table per statement, so `snap` IS the scanned head; 0 = an
+          // empty root) — threaded to the commit as its write-conflict
+          // gate
+          new GraftRewriteBatchWrite(table.root, info.schema(),
+            basedOn = table.snap.map(_.version).getOrElse(0L))
         override def description(): String =
           s"graft copy-on-write $cmd → ${table.root}"
       }
@@ -225,8 +231,13 @@ private[catalog] final case class StagedFilesMessage(dataFiles: Seq[String],
 /** COPY-ON-WRITE commit: executors stage the full replacement row set;
   * `commit` publishes ONE full-rewrite manifest (pending deletes
   * absorbed, every file seq-pinned at the new version). A statement
-  * that deletes every row publishes an empty rewrite. */
-private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType)
+  * that deletes every row publishes an empty rewrite. `basedOn` is the
+  * version the survivor set was scanned from — the publish REFUSES
+  * (java.util.ConcurrentModificationException) if the head has moved
+  * past it, because the staged list would silently drop rows a
+  * concurrent commit added (see [[Snapshots.commitRewriteStaged]]). */
+private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
+    basedOn: Long)
   extends BatchWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
@@ -272,7 +283,8 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case StagedFilesMessage(d, _) => d }.flatten.toSeq
-    Snapshots.commitRewriteStaged(root, files, allowEmpty = true)
+    Snapshots.commitRewriteStaged(root, files, allowEmpty = true,
+      basedOn = Some(basedOn))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

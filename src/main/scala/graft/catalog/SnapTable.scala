@@ -109,8 +109,16 @@ class GraftTable(tableName: String, val root: String,
   private def morKeyOf(m: Option[(StructType, Map[String, String])]): Option[String] =
     m.flatMap(_._2.get(GraftTable.morKeyProp))
 
+  /** Prior physical names per current column (RENAME COLUMN ledger) —
+    * applied to HEAD reads only: a time-travel-pinned read infers its
+    * schema from that version's own footers and must present (and
+    * resolve) the historical names as-is. */
+  private def priors: Map[String, Seq[String]] =
+    if (pinned.isDefined) Map.empty
+    else meta.map(m => GraftTable.priorsOf(m._2)).getOrElse(Map.empty)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    GraftScans.builder(spark, schema(), snap, options)
+    GraftScans.builder(spark, schema(), snap, options, priors)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
@@ -134,7 +142,25 @@ class GraftTable(tableName: String, val root: String,
 object GraftTable {
   val metaFile = "_table.properties"
   val morKeyProp = "graft.mor.key"
+  /** Prior-physical-name ledger for RENAME COLUMN evolution: one
+    * property `graft.col.prior.<currentName>` per renamed column,
+    * value = comma-joined prior names oldest→newest (see
+    * [[GraftCatalog.alterTable]]). */
+  val colPriorPrefix = "graft.col.prior."
+  /** Tombstoned physical names of DROPped columns (comma-joined) —
+    * blocks ADD/RENAME from resurrecting their file data. */
+  val droppedProp = "graft.cols.dropped"
   private val schemaKey = "graft.schema.json"
+
+  /** current column name → its prior physical names, oldest→newest. */
+  def priorsOf(props: Map[String, String]): Map[String, Seq[String]] =
+    props.collect { case (k, v) if k.startsWith(colPriorPrefix) =>
+      k.stripPrefix(colPriorPrefix) -> v.split(',').toSeq.filter(_.nonEmpty)
+    }
+
+  def droppedOf(props: Map[String, String]): Set[String] =
+    props.get(droppedProp).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty).toSet
 
   def writeMeta(root: String, schema: StructType, props: Map[String, String]): Unit = {
     val p = new java.util.Properties()
@@ -282,15 +308,28 @@ private[catalog] class GraftStreamingWrite(root: String,
 private[catalog] object GraftScans {
 
   def builder(spark: SparkSession, tableSchema: StructType,
-      snap: Option[Snapshot], options: CaseInsensitiveStringMap): ScanBuilder = {
+      snap: Option[Snapshot], options: CaseInsensitiveStringMap,
+      priors: Map[String, Seq[String]] = Map.empty): ScanBuilder = {
     val files = snap.map(_.files).getOrElse(Nil)
     if (files.isEmpty) new EmptyScanBuilder(tableSchema)
     else {
       val deletes = snap.map(_.deletes).getOrElse(Nil)
-      if (deletes.isEmpty)
-        parquetBuilder(spark, files, tableSchema, options)
-      else
+      if (deletes.isEmpty) {
+        if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options)
+        else new RenameAwareScanBuilder(spark, tableSchema, priors,
+          files, options)
+      } else {
+        // unreachable through catalog SQL: ALTER TABLE rejects renames
+        // on MOR tables / under pending delete keys, and enabling MOR
+        // on a renamed table is rejected too — only a direct-API
+        // commitDelete against a catalog-renamed root can get here
+        require(priors.isEmpty,
+          "this table has renamed columns AND pending merge-on-read " +
+            "delete files (a state only reachable by mixing direct-API " +
+            "deletes with catalog renames); compact the table before " +
+            "catalog reads")
         new MorScanBuilder(spark, tableSchema, snap.get, options)
+      }
     }
   }
 
@@ -317,6 +356,88 @@ private[catalog] class EmptyScanBuilder(schema: StructType)
     override def createReaderFactory(): PartitionReaderFactory =
       (_: InputPartition) => throw new IllegalStateException("empty scan has no partitions")
     override def description(): String = "graft-snapshot empty table"
+  }
+}
+
+/** RENAME-COLUMN-aware head scan: resolves each renamed column across
+  * file eras WITHOUT rewriting history. Files written before a rename
+  * carry the column under a prior physical name; the scan reads the
+  * UNION of current + prior names (the parquet reader surfaces a name
+  * absent from a file as NULL) and emits, per output column,
+  * `coalesce(current, prior_newest, …, prior_oldest)`. Exact, because
+  * the ALTER TABLE ledger guarantees a physical name is never reused:
+  * every file carries AT MOST ONE spelling of each logical column, so
+  * the coalesce picks that spelling's value and legitimate NULLs stay
+  * NULL (all other spellings are absent → NULL in that file).
+  *
+  * Cost model: column pruning forwards (plus the prior spellings of
+  * surviving columns — bounded by rename count); filter pushdown is
+  * traded away like the MOR scan's (Spark re-applies every predicate
+  * above the scan, so correctness never depends on it). A full rewrite
+  * (compact) re-materializes current names, after which the prior-name
+  * properties can be unset to restore the plain pushdown scan. */
+private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
+    tableSchema: StructType, priors: Map[String, Seq[String]],
+    files: Seq[String], options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var requested: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    requested = requiredSchema
+
+  override def build(): Scan = {
+    // physical read schema: each requested column followed by its prior
+    // spellings (same type, nullable — pre-rename files carry them)
+    val physFields = requested.fields.flatMap { f =>
+      f +: priors.getOrElse(f.name, Nil).reverse.map(p =>
+        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)).toArray
+    }
+    val physSchema = StructType(physFields)
+    val b = GraftScans.parquetBuilder(spark, files, physSchema, options)
+    b.pruneColumns(physSchema)
+    val delegate = b.build()
+    // per output column: coalesce over (current, newest prior, …)
+    val exprs = requested.fields.map { f =>
+      val ords = (f.name +: priors.getOrElse(f.name, Nil).reverse)
+        .map(physSchema.fieldIndex)
+      val refs = ords.map(o => BoundReference(o, f.dataType, nullable = true)
+        : org.apache.spark.sql.catalyst.expressions.Expression)
+      if (refs.size == 1) refs.head
+      else org.apache.spark.sql.catalyst.expressions.Coalesce(refs)
+    }
+    new RenameScan(delegate, requested, exprs)
+  }
+}
+
+/** The coalescing wrapper around the physical-schema parquet scan. */
+private[catalog] class RenameScan(delegate: Scan, requested: StructType,
+    exprs: Array[org.apache.spark.sql.catalyst.expressions.Expression])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = requested
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot rename-aware scan over (${delegate.description()})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    delegate.toBatch.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = delegate.toBatch.createReaderFactory()
+    val localExprs = exprs
+    new PartitionReaderFactory {
+      override def supportColumnarReads(partition: InputPartition): Boolean = false
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val d = inner.createReader(partition)
+        val proj = UnsafeProjection.create(localExprs)
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = d.next()
+          override def get(): InternalRow = proj(d.get())
+          override def close(): Unit = d.close()
+        }
+      }
+    }
   }
 }
 

@@ -145,12 +145,17 @@ object MedRules {
     * concentrated (patient, class): the concentration count plus the
     * suggested alternative.
     *
-    * Shape at 100 TB: the patient-side flows through ONE hash
-    * partition on patient keys (concentration agg, candidate build,
-    * history anti join); the catalog is the bounded knowledge base and
-    * broadcasts (same contract as [[therapeuticOverlap]]'s class
-    * table). The per-group argmin is a window over (patient, class) —
-    * bounded groups, deterministic tiebreak on (price, cui). */
+    * Shape at 100 TB: the patient-side flows through hash partitions
+    * on patient keys (concentration agg, per-type regimen counts,
+    * candidate build, history anti join); the catalog is the bounded
+    * knowledge base and broadcasts (same contract as
+    * [[therapeuticOverlap]]'s class table). The candidate space is
+    * pruned EXACTLY before it exists (see the inline proof): each
+    * (patient, class, type) row joins only the head of a pre-ranked
+    * per-(type, excluded-class) alternative list, never the full
+    * catalog slice, so the pre-argmin row count is
+    * Σ (n_taken(patient, type) + 1) — regimen-bounded — instead of
+    * |groups|·|catalog|/|types|. */
   def diversifyTherapy(meds: DataFrame, catalog: DataFrame,
       threshold: Int = 3): DataFrame = {
     val cat = broadcast(catalog.select(col("rxnorm_cui"), col("drug_class"),
@@ -160,42 +165,87 @@ object MedRules {
       .agg(countDistinct(col("med_id")).as("n_meds"))
       .filter(col("n_meds") >= threshold)
     // the concentrated meds' therapeutic types — what an alternative
-    // must share to count as one
+    // must share to count as one. The concentration count rides along
+    // (n_meds is functionally determined by the (patient, class) key),
+    // so no re-join against `concentrated` is needed after the argmin.
     val ptypes = classed
-      .join(concentrated.select(col("patient_id"), col("drug_class")),
-        Seq("patient_id", "drug_class"), "left_semi")
-      .select(col("patient_id"), col("drug_class"), col("drug_type"))
-      .distinct()
-    val alts = cat.select(col("rxnorm_cui").as("alt_cui"),
-      col("drug_class").as("alt_class"), col("drug_type").as("alt_type"),
-      col("price").as("alt_price"))
-    val candidates = ptypes
-      .join(alts, col("drug_type") === col("alt_type") &&
-        col("drug_class") =!= col("alt_class"))
-      .join(meds.select(col("patient_id"),
-          col("rxnorm_cui").as("alt_cui")).distinct(),
-        Seq("patient_id", "alt_cui"), "left_anti")
-      .select(col("patient_id"), col("drug_class"),
-        col("alt_cui"), col("alt_class"), col("alt_price"))
-    // the per-(patient, class) argmin is a MIN_BY aggregation, NOT a
-    // distinct + window: the broadcast type-join EXPLODES its input
-    // ~|catalog|/|types|-fold (and AQE may have coalesced the small
-    // pre-join side to few partitions), so any shape that buffers the
-    // exploded rows — a distinct's hash map, a window's sort — spills
-    // pathologically right where the data is thickest. min_by folds
-    // each partition to ≤ one row per group in a single streaming
-    // pass (map-side combine), shuffles only group-sized partials,
-    // and duplicate candidate rows (one per shared type) collapse for
-    // free. Tiebreak (price, cui) is total — cui is unique.
-    val best = candidates
-      .groupBy(col("patient_id"), col("drug_class"))
-      .agg(min_by(
-        struct(col("alt_cui"), col("alt_class"), col("alt_price")),
-        struct(col("alt_price"), col("alt_cui"))).as("alt"))
-    best.join(concentrated, Seq("patient_id", "drug_class"))
+      .join(concentrated, Seq("patient_id", "drug_class"))
       .select(col("patient_id"), col("drug_class"), col("n_meds"),
-        col("alt.alt_cui").as("alt_cui"), col("alt.alt_class").as("alt_class"),
-        col("alt.alt_price").as("alt_price"))
+        col("drug_type"))
+      .distinct()
+    // EXACT candidate pruning — the scale move of this rule. The naive
+    // type-match join multiplies every (patient, class, type) row by
+    // the type's FULL alternative list (~|catalog|/|types|: 150M
+    // intermediate rows at sf0.1) and the argmin then discards all but
+    // one per group. Instead, candidates are drawn from a pre-ranked
+    // list that already encodes BOTH structural filters:
+    //
+    //   rankedAlts: for each (drug_type t, excluded class c), the
+    //   type-t alternatives OUTSIDE class c ranked by the argmin's own
+    //   (price, cui) order. Catalog-side work: |catalog|·|classes|
+    //   rows through one window — bounded by the knowledge base,
+    //   independent of patients.
+    //
+    // For a (patient p, class c, type t) row, the only candidates the
+    // remaining rule (not-already-taken) can strike from that list are
+    // p's own type-t drugs — at most n_taken(p, t) of them — so the
+    // group's type-t argmin sits within the list's first
+    // n_taken(p, t) + 1 entries, and deeper entries can never win
+    // (any survivor there is dominated by a survivor in the prefix).
+    // The per-row bound joins from the per-(patient, type) regimen
+    // counts (one patient-keyed aggregate); the broadcast side is
+    // pre-cut to the per-type worst case max(n_taken) + 1. Both cuts
+    // are exact — a pathological regimen only widens its own rows'
+    // prefix. The pre-argmin row count falls from |ptypes|·|type
+    // slice| to Σ (n_taken + 1) ≈ |regimen rows| — the same order as
+    // the input itself.
+    val ptc = classed.groupBy(col("patient_id"), col("drug_type"))
+      .agg(countDistinct(col("rxnorm_cui")).as("n_taken"))
+    val maxTaken = ptc.groupBy(col("drug_type").as("alt_type"))
+      .agg(max(col("n_taken")).as("max_taken"))
+    val exclClasses = cat.select(col("drug_class").as("excl_class")).distinct()
+    val rankedAlts = cat.select(col("rxnorm_cui").as("alt_cui"),
+        col("drug_class").as("alt_class"), col("drug_type").as("alt_type"),
+        col("price").as("alt_price"))
+      .join(exclClasses, col("alt_class") =!= col("excl_class"))
+      .withColumn("type_rank", row_number().over(
+        Window.partitionBy(col("alt_type"), col("excl_class"))
+          .orderBy(col("alt_price").asc, col("alt_cui").asc)))
+      .join(maxTaken, Seq("alt_type"))
+      .filter(col("type_rank") <= col("max_taken") + lit(1L))
+      .select(col("alt_cui"), col("alt_class"), col("alt_type"),
+        col("alt_price"), col("excl_class"), col("type_rank"))
+    // The clinical-history anti side: the patient's distinct drug set.
+    // Bounded by regimen sizes per patient; broadcast here (the
+    // candidate stream never shuffles for it) — at a scale where it
+    // stops fitting, drop the hint and both sides shuffle on the
+    // (patient, drug) key they already carry.
+    val hist = meds.select(col("patient_id"), col("rxnorm_cui").as("alt_cui"))
+      .distinct()
+    val candidates = ptypes
+      .join(ptc.select(col("patient_id"), col("drug_type"),
+        col("n_taken")), Seq("patient_id", "drug_type"), "left")
+      .join(broadcast(rankedAlts), col("drug_type") === col("alt_type") &&
+        col("excl_class") === col("drug_class"))
+      .filter(col("type_rank") <= coalesce(col("n_taken"), lit(0L)) + lit(1L))
+      .join(broadcast(hist), Seq("patient_id", "alt_cui"), "left_anti")
+      .select(col("patient_id"), col("drug_class"), col("n_meds"),
+        col("alt_cui"), col("alt_class"), col("alt_price"))
+    // the per-(patient, class) argmin runs through the native
+    // TopKPerGroup(k=1) operator, NOT min_by(struct, struct) and NOT a
+    // window: a struct-buffered min_by falls off HashAggregate onto
+    // SortAggregate (struct agg buffers aren't mutable), which SORTS
+    // the candidate set on both sides of the exchange. The heap
+    // operator is the scale shape: the map side folds each partition
+    // to ≤1 row per group in one streaming pass (no sort, same
+    // map-side-combine property), and the exchange moves only
+    // group-sized partials of the already-pruned candidate set.
+    // Tiebreak (price, cui) is total — cui is unique per group.
+    val best = graft.plans.TopK.perGroup(candidates, 1,
+      Seq("patient_id", "drug_class"),
+      Seq(("alt_price", false), ("alt_cui", false)))
+    best.select(col("patient_id"), col("drug_class"), col("n_meds"),
+      col("alt_cui"), col("alt_class"), col("alt_price"))
   }
 
   /** Formulary placement for each med under the patient's payer(s)

@@ -694,6 +694,40 @@ object WarehouseOps {
       .orderBy($"o_orderpriority", $"band")
   }
 
+  /** COLUMN RENAME + DROP EVOLUTION (`sql_rename_evolution`) — `ALTER
+    * TABLE RENAME COLUMN` / `DROP COLUMN` through the DataSourceV2
+    * catalog, both METADATA-ONLY (one properties-file rewrite; zero
+    * data movement at any table size): the rename records the old
+    * spelling in the prior-name ledger
+    * ([[graft.catalog.GraftCatalog.alterTable]]) and the head read
+    * resolves the column ACROSS eras — pre-rename files still carry
+    * `o_totalprice`, post-rename inserts carry `price_usd`, and the
+    * rename-aware scan coalesces the spellings per file
+    * ([[graft.catalog.RenameAwareScanBuilder]]); the dropped column
+    * simply leaves the declared schema, its bytes dead in place. Time
+    * travel to the pre-rename version still presents the ORIGINAL
+    * names (CatalogSpec pins it). The oracle recomputes both eras from
+    * the original table under the FINAL names, so a rename that loses
+    * pre-rename values (the silent-null failure), resurrects the
+    * dropped column, or rewrites history hash-mismatches. */
+  val sqlRenameEvolution: Q = (s, dir) => {
+    import s.implicits._
+    val (t, _) = SnapCat.table(s, "ren_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT o_orderpriority, o_totalprice, o_orderstatus
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"ALTER TABLE $t RENAME COLUMN o_totalprice TO price_usd")
+    s.sql(s"ALTER TABLE $t DROP COLUMN o_orderstatus")
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderpriority, o_totalprice
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1""".stripMargin)
+    s.table(t)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"price_usd").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** NATIVE STREAMING SINK (`stream_catalog_sink`) — a real Structured
     * Streaming query lands micro-batches in a snapshot-catalog table
     * through `writeStream.toTable` ([[graft.catalog.GraftStreamingWrite]]):
@@ -1085,6 +1119,7 @@ object WarehouseOps {
     "rewrite_deletes" -> rewriteDeletes,
     "snapshot_partition_evolution" -> snapshotPartitionEvolution,
     "sql_schema_evolution" -> sqlSchemaEvolution,
+    "sql_rename_evolution" -> sqlRenameEvolution,
     "stream_catalog_sink" -> streamCatalogSink,
     "snapshot_wap_publish" -> snapshotWapPublish,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
@@ -1222,6 +1257,21 @@ object WarehouseOps {
              ${Qx.dsumSql("o_totalprice")} AS total
       FROM rows GROUP BY o_orderpriority, band
       ORDER BY o_orderpriority, band""",
+    // Both eras recomputed from the ORIGINAL table under the FINAL
+    // column names: a rename that nulls pre-rename values, a lost row,
+    // or history rewritten by the metadata-only evolution
+    // hash-mismatches.
+    "sql_rename_evolution" -> s"""
+      WITH rows AS (
+        SELECT o_orderpriority, o_totalprice AS price_usd
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("price_usd")} AS total
+      FROM rows GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     // The landed table must equal the ORIGINAL events slice exactly —
     // a dropped micro-batch, a doubled epoch, or a lost row changes
     // the counts/sums and hash-mismatches.

@@ -728,9 +728,24 @@ object Snapshots {
     * the rewrite materialized the surviving rows), each pinned with a
     * `#seq:` line at the committed version so later MOR deletes scope
     * correctly over them. The v2 copy-on-write commit point
-    * (`ReplaceData`). */
+    * (`ReplaceData`).
+    *
+    * `basedOn` is the WRITE-CONFLICT gate: the version the survivor
+    * set was computed against. A full rewrite REPLACES the table, so
+    * any commit that lands between that scan and this publish — a
+    * concurrent INSERT, streaming append, another statement — holds
+    * rows the staged file list has never seen, and publishing over it
+    * would silently drop them. When the head has advanced past
+    * `basedOn`, the statement aborts with a concurrent-modification
+    * error (Delta/Iceberg's serializable-rewrite rule) instead of
+    * retrying at a higher version with the stale list; the caller
+    * re-runs the whole statement against the new head. Append commits
+    * ([[commit]]/[[appendManifest]]) keep their optimistic retry —
+    * they re-derive the parent file list inside the loop, so they
+    * compose with any interleaving; only the replace path must
+    * fail. */
   def commitRewriteStaged(root: String, files: Seq[String],
-      allowEmpty: Boolean = false): Long = {
+      allowEmpty: Boolean = false, basedOn: Option[Long] = None): Long = {
     // a direct-API empty rewrite is almost always a bug (a write job
     // that produced nothing) — but a catalog DELETE matching every row
     // legitimately replaces the table with zero files, so the v2 path
@@ -740,6 +755,13 @@ object Snapshots {
     var attempt = 0
     while (true) {
       val v = maxCommitted(root) + 1
+      basedOn.foreach { b =>
+        if (v != b + 1) throw new java.util.ConcurrentModificationException(
+          s"copy-on-write rewrite of $root was planned against version $b " +
+            s"but the table head is now ${v - 1}: a concurrent commit added " +
+            "rows the staged survivor set does not contain. Re-run the " +
+            "statement against the current head.")
+      }
       val header = files.sorted.map(seqLine(_, v))
       val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
       val commitTs = math.max(

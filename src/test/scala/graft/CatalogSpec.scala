@@ -181,8 +181,63 @@ class CatalogSpec extends SparkSpec {
       .columns.toSeq == Seq("k"))
     // property changes ride the same path
     sqlDf("ALTER TABLE snap.default.evo SET TBLPROPERTIES ('pipeline' = 'graft')")
-    // rejected shapes stay rejected
-    intercept[Exception](sqlDf("ALTER TABLE snap.default.evo DROP COLUMN v"))
+    // rejected shapes stay rejected (type changes need a rewrite)
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.evo ALTER COLUMN k TYPE STRING"))
+  }
+
+  test("native RENAME/DROP COLUMN: head resolves across eras, time travel keeps old names") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.ren")
+    sqlDf("""CREATE TABLE snap.default.ren AS
+            |SELECT id AS k, CAST(id * 10 AS DOUBLE) AS amount,
+            |       CONCAT('c', id) AS note
+            |FROM range(5)""".stripMargin)
+    sqlDf("ALTER TABLE snap.default.ren RENAME COLUMN amount TO price")
+    sqlDf("INSERT INTO snap.default.ren VALUES (100, 999.0, 'post')")
+    // head: pre-rename files resolve `price` from the old spelling
+    val rows = sqlDf("SELECT k, price FROM snap.default.ren ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((0L, 0.0), (1L, 10.0), (2L, 20.0), (3L, 30.0),
+      (4L, 40.0), (100L, 999.0)),
+      "pre-rename rows must surface their values under the NEW name")
+    // filters and aggregates over the coalesced column work
+    assert(sqlDf("SELECT sum(price) FROM snap.default.ren WHERE price >= 20")
+      .as[Double].head() == 1089.0)
+    // a second rename chains the prior-name history
+    sqlDf("ALTER TABLE snap.default.ren RENAME COLUMN price TO price_usd")
+    sqlDf("INSERT INTO snap.default.ren VALUES (200, 1.0, 'post2')")
+    assert(sqlDf("SELECT sum(price_usd) FROM snap.default.ren")
+      .as[Double].head() == 1100.0,
+      "values must resolve across ALL three spellings' eras")
+    // DROP COLUMN: metadata-only, bytes stay dead in place
+    sqlDf("ALTER TABLE snap.default.ren DROP COLUMN note")
+    assert(sqlDf("SELECT * FROM snap.default.ren").columns.toSeq
+      == Seq("k", "price_usd"))
+    // time travel to the pre-rename version presents the ORIGINAL names
+    assert(sqlDf("SELECT * FROM snap.default.ren VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "amount", "note"))
+    assert(sqlDf("SELECT sum(amount) FROM snap.default.ren VERSION AS OF 1")
+      .as[Double].head() == 100.0)
+    // name-reuse is tombstoned: old bytes must not resurface
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.ren ADD COLUMN note STRING"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.ren ADD COLUMN amount DOUBLE"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.ren RENAME COLUMN price_usd TO amount"))
+    // copy-on-write statements run over the rename-aware scan
+    sqlDf("DELETE FROM snap.default.ren WHERE price_usd > 500")
+    assert(sqlDf("SELECT sum(price_usd) FROM snap.default.ren")
+      .as[Double].head() == 101.0)
+  }
+
+  test("createTable rejects nested namespaces and reserved metadata names") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.nst")
+    sqlDf("CREATE TABLE snap.default.nst AS SELECT id FROM range(3)")
+    intercept[Exception](
+      sqlDf("CREATE TABLE snap.default.nst.extra AS SELECT id FROM range(3)"))
+    intercept[Exception](
+      sqlDf("CREATE TABLE snap.default.history AS SELECT id FROM range(3)"))
   }
 
   test("writeStream.toTable lands exactly-once epoch appends in the catalog") {

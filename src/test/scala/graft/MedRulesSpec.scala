@@ -93,4 +93,56 @@ class MedRulesSpec extends SparkSpec {
     assert(m1.getAs[String]("generic_cui") == "statin_gen")
     assert(m1.getAs[Double]("saving") == 108.0)
   }
+
+  // diversifyTherapy fixture: class A holds two therapeutic types, class
+  // B offers two same-priced T1 alternatives (the tiebreak pair), class
+  // C shares no type with A (never a candidate).
+  private lazy val divCatalog = Seq(
+    ("a1", "A", "T1", 10.0), ("a2", "A", "T1", 20.0), ("a3", "A", "T2", 30.0),
+    ("b1", "B", "T1", 5.0), ("b2", "B", "T1", 5.0),
+    ("c1", "C", "T3", 1.0)
+  ).toDF("rxnorm_cui", "drug_class", "drug_type", "price")
+
+  test("diversifyTherapy: threshold boundary — 3 meds concentrate, 2 do not") {
+    val meds = Seq(
+      (10L, 1L, "a1", "A1"), (11L, 1L, "a2", "A2"), (12L, 1L, "a3", "A3"),
+      (20L, 2L, "a1", "A1"), (21L, 2L, "a2", "A2")
+    ).toDF("med_id", "patient_id", "rxnorm_cui", "drug_name")
+    val out = MedRules.diversifyTherapy(meds, divCatalog).collect()
+    assert(out.map(_.getAs[Long]("patient_id")).toSeq == Seq(1L),
+      "only patient 1 (3 distinct class-A meds) crosses threshold=3")
+    assert(out.head.getAs[Long]("n_meds") == 3L)
+  }
+
+  test("diversifyTherapy: equal-price candidates break ties on cui") {
+    val meds = Seq(
+      (10L, 1L, "a1", "A1"), (11L, 1L, "a2", "A2"), (12L, 1L, "a3", "A3")
+    ).toDF("med_id", "patient_id", "rxnorm_cui", "drug_name")
+    val out = MedRules.diversifyTherapy(meds, divCatalog).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // b1 and b2 both cost 5.0 and share type T1 with the concentrated
+    // meds; (price, cui) must pick b1 deterministically.
+    assert(r.getAs[String]("alt_cui") == "b1", s"got ${r.getAs[String]("alt_cui")}")
+    assert(r.getAs[String]("alt_class") == "B")
+    assert(r.getAs[Double]("alt_price") == 5.0)
+  }
+
+  test("diversifyTherapy: patient already taking every same-type alternative → no row") {
+    val meds = Seq(
+      (30L, 3L, "a1", "A1"), (31L, 3L, "a2", "A2"), (32L, 3L, "a3", "A3"),
+      (33L, 3L, "b1", "B1"), (34L, 3L, "b2", "B2")
+    ).toDF("med_id", "patient_id", "rxnorm_cui", "drug_name")
+    // class A is concentrated (3 meds) but both T1 alternatives outside
+    // the class are already in the regimen; class B sits below threshold.
+    assert(MedRules.diversifyTherapy(meds, divCatalog).count() == 0L)
+  }
+
+  test("diversifyTherapy: single-class catalog yields no cross-class candidate") {
+    val oneClass = divCatalog.filter($"drug_class" === "A")
+    val meds = Seq(
+      (10L, 1L, "a1", "A1"), (11L, 1L, "a2", "A2"), (12L, 1L, "a3", "A3")
+    ).toDF("med_id", "patient_id", "rxnorm_cui", "drug_name")
+    assert(MedRules.diversifyTherapy(meds, oneClass).count() == 0L)
+  }
 }

@@ -110,6 +110,48 @@ class Round14OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("commitRewriteStaged refuses to publish over a concurrent commit") {
+    val root = freshRoot("cowconflict")
+    Snapshots.commit(root)(out =>
+      spark.range(100).select($"id").write.mode("append").parquet(out))
+    val plannedAgainst = Snapshots.maxCommitted(root)
+    // stage a survivor set computed against v1
+    val stagingDir = Snapshots.newStagingDir(root)
+    spark.range(50).select($"id").coalesce(1)
+      .write.mode("overwrite").parquet(stagingDir)
+    val staged = new java.io.File(stagingDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    // a concurrent append lands between the scan and the publish
+    Snapshots.commitAppend(root)(out =>
+      spark.range(100, 110).select($"id").write.mode("append").parquet(out))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commitRewriteStaged(root, staged,
+        basedOn = Some(plannedAgainst))
+    }
+    assert(e.getMessage.contains("planned against version"))
+    // the table is untouched: head still holds all 110 rows
+    assert(Snapshots.read(spark, root).count() == 110L)
+    // re-planned against the new head, the rewrite publishes fine
+    val v = Snapshots.commitRewriteStaged(root, staged,
+      basedOn = Some(Snapshots.maxCommitted(root)))
+    assert(v == Snapshots.maxCommitted(root))
+    assert(Snapshots.read(spark, root).count() == 50L)
+  }
+
+  test("SQL DELETE on a COW catalog table still works (conflict gate pass-through)") {
+    val (cat, db) = ("snap_r14cow", "default")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Qx.tmpOut("r14cowsql", sf()))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$db.t14")
+    spark.sql(s"CREATE TABLE $cat.$db.t14 (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.$db.t14 SELECT id, CAST(id AS STRING) FROM range(20)")
+    spark.sql(s"DELETE FROM $cat.$db.t14 WHERE id < 5")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.$db.t14").as[Long].head() == 15L)
+    spark.sql(s"UPDATE $cat.$db.t14 SET v = 'x' WHERE id = 7")
+    assert(spark.sql(s"SELECT v FROM $cat.$db.t14 WHERE id = 7").as[String].head() == "x")
+  }
+
   test("compactDeletes is a no-op when nothing can merge") {
     val root = freshRoot("dcnoop")
     Snapshots.commit(root)(out =>
