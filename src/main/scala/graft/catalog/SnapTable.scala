@@ -297,13 +297,15 @@ private[catalog] class GraftStreamingWrite(root: String,
   *     is not forwarded in this transient mode — Spark re-applies all
   *     predicates above the scan, so correctness never depends on it.
   *
-  * The delete-key sets are loaded driver-side into in-memory hash sets
-  * — the same per-task-memory shape Iceberg uses for equality deletes.
-  * They are O(deleted keys) and bounded by the session broadcast
-  * threshold; a table carrying more pending delete bytes than that
-  * should be compacted (rewritten) before catalog reads, and the error
-  * says so. The store-level [[Snapshots.read]] path handles unbounded
-  * deletes via shuffle anti joins for maintenance access.
+  * The delete-key sets are in-memory hash sets — the per-JVM-memory
+  * shape Iceberg uses for equality deletes. Small sets (on-disk bytes
+  * ≤ `spark.graft.mor.inlineDeleteBytes`) load once on the driver and
+  * ship inline with the plan; larger sets stay as file paths and each
+  * EXECUTOR loads them lazily through a soft cache
+  * ([[DeleteKeyCache]]) — the read always proceeds and the memory
+  * lands on the executors doing the filtering, O(keys) per JVM. The
+  * store-level [[Snapshots.read]] path applies the same deletes as
+  * size-gated anti joins for DataFrame-level access.
   */
 private[catalog] object GraftScans {
 
@@ -335,12 +337,37 @@ private[catalog] object GraftScans {
 
   private[catalog] def parquetBuilder(spark: SparkSession, files: Seq[String],
       schema: StructType, options: CaseInsensitiveStringMap): ParquetScanBuilder = {
+    // a direct-API root staged with .partitionBy carries col=value path
+    // segments whose columns exist ONLY in the path — this flat scan
+    // (PartitionSpec.emptySpec, schema from footers) would silently
+    // return the table minus its partition columns, so refuse loudly;
+    // Snapshots.read recovers them via per-era basePath grouping
+    files.find(partitionedLayout).foreach { f =>
+      throw new UnsupportedOperationException(
+        s"this snapshot root contains .partitionBy-staged files (e.g. $f) " +
+          "whose partition columns live in the path, not the footers; the " +
+          "catalog's flat scan would silently drop them — read this root " +
+          "through Snapshots.read / Snapshots.readPartitionPruned instead")
+    }
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index = new InMemoryFileIndex(classic,
       files.map(f => new org.apache.hadoop.fs.Path(f)),
       Map.empty[String, String], Some(schema), NoopCache,
       Some(PartitionSpec.emptySpec), None)
     ParquetScanBuilder(classic, index, schema, schema, options)
+  }
+
+  private val baseDirRe = """(.*?/v\d{8}_[^/]*)/.*""".r
+
+  /** True when `f` sits below `col=value` partition segments inside its
+    * version (staging) dir — the layout [[graft.sources.Snapshots]]'
+    * own read path resolves with per-era basePath. */
+  private def partitionedLayout(f: String): Boolean = {
+    val base = f match {
+      case baseDirRe(b) => b
+      case _ => Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
+    }
+    f.drop(base.length).contains("=")
   }
 }
 
@@ -442,10 +469,97 @@ private[catalog] class RenameScan(delegate: Scan, requested: StructType,
 }
 
 /** One delete group ready for executor-side application: the key
-  * column's ordinal/type in the era's read schema plus the key set in
-  * CATALYST form (UTF8String/Long/…), so row values compare directly. */
-private[catalog] final case class MorDeleteSet(keyOrdinal: Int,
-    keyType: DataType, keys: scala.collection.immutable.Set[Any])
+  * columns' ordinals/types in the era's read schema plus the key set
+  * in CATALYST form (UTF8String/Long/…), so row values compare
+  * directly. Composite keys store `List(v1, v2, …)` elements. The set
+  * is either INLINE (small deletes, loaded on the driver at plan time)
+  * or LAZY (`paths` non-empty): each executor loads it on first use
+  * through [[DeleteKeyCache]] — memory lands on the executors, O(keys)
+  * per JVM, never on the driver. */
+private[catalog] final case class MorDeleteSet(keyOrdinals: Seq[Int],
+    keyTypes: Seq[DataType], inline: Option[scala.collection.immutable.Set[Any]],
+    paths: Seq[String], keyNames: Seq[String]) {
+
+  def keys: scala.collection.immutable.Set[Any] =
+    inline.getOrElse(DeleteKeyCache.load(paths, keyNames, keyTypes))
+
+  /** The row's key value in set form — null when ANY component is null
+    * (SQL equality: a null key never matches a delete, same as the
+    * anti-join path). */
+  def keyOf(row: InternalRow): Any =
+    if (keyOrdinals.length == 1) {
+      if (row.isNullAt(keyOrdinals.head)) null
+      else row.get(keyOrdinals.head, keyTypes.head)
+    } else {
+      var i = 0
+      val b = List.newBuilder[Any]
+      while (i < keyOrdinals.length) {
+        if (row.isNullAt(keyOrdinals(i))) return null
+        b += row.get(keyOrdinals(i), keyTypes(i))
+        i += 1
+      }
+      b.result()
+    }
+}
+
+/** Executor-side loader for oversized delete-key sets: reads the
+  * delete parquet with parquet-hadoop's example Group API (no Spark
+  * session on executors) into catalyst-form values matching what the
+  * driver's inline loader produces, soft-cached per JVM so a table's
+  * many tasks load each delete file once. Unsupported key types fail
+  * with a compact-first message — the set of supported types matches
+  * what [[graft.sources.Snapshots]]' own writers stage as keys. */
+private[catalog] object DeleteKeyCache {
+  import org.apache.spark.sql.types._
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[scala.collection.immutable.Set[Any]]]()
+
+  def load(paths: Seq[String], cols: Seq[String],
+      types: Seq[DataType]): scala.collection.immutable.Set[Any] = {
+    val key = paths.sorted.mkString("|") + "#" + cols.mkString(",")
+    val hit = Option(cache.get(key)).flatMap(r => Option(r.get()))
+    hit.getOrElse {
+      val s: scala.collection.immutable.Set[Any] =
+        paths.iterator.flatMap(p => readFile(p, cols, types)).toSet
+      cache.put(key, new java.lang.ref.SoftReference(s))
+      s
+    }
+  }
+
+  private def readFile(path: String, cols: Seq[String],
+      types: Seq[DataType]): Iterator[Any] = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .build()
+    Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+      val vals = cols.indices.map(i => convert(g, cols(i), types(i)))
+      if (vals.size == 1) vals.head else vals.toList
+    } // reader closed by exhaustion: takeWhile stops at null = EOF
+  }
+
+  private def convert(g: org.apache.parquet.example.data.Group,
+      col: String, dt: DataType): Any = {
+    val idx = g.getType.getFieldIndex(col)
+    if (g.getFieldRepetitionCount(idx) == 0) null
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType => g.getLong(idx, 0)
+      case IntegerType | DateType => g.getInteger(idx, 0)
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(g.getString(idx, 0))
+      case DoubleType => g.getDouble(idx, 0)
+      case FloatType => g.getFloat(idx, 0)
+      case BooleanType => g.getBoolean(idx, 0)
+      case ShortType => g.getInteger(idx, 0).toShort
+      case ByteType => g.getInteger(idx, 0).toByte
+      case other => throw new UnsupportedOperationException(
+        s"delete-key type $other is not supported by the executor-side " +
+          "loader; compact the table (full rewrite) to absorb the deletes")
+    }
+  }
+}
 
 /** Merge-on-read catalog scan (shape 3 in [[GraftScans]]). */
 private[catalog] class MorScanBuilder(spark: SparkSession,
@@ -460,24 +574,27 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
   override def build(): Scan = {
     def effVersion(f: String): Long =
       snap.fileSeq.getOrElse(f, MorScanBuilder.fileVersion(f))
-    // guard against unbounded pending-delete memory (class doc)
+    // Inline-vs-lazy gate (dedicated conf, NOT the broadcast
+    // threshold): small delete sets load once on the driver and ship
+    // inside the plan (zero per-task I/O); past the gate the sets stay
+    // as paths and each EXECUTOR loads them lazily via
+    // [[DeleteKeyCache]] — the read always proceeds, memory lands
+    // where the work is, per-JVM not per-row (the Iceberg
+    // equality-delete shape). On-disk parquet bytes understate the
+    // in-memory set, so the default is deliberately modest.
     val delBytes = snap.deletes.map { d =>
       try Files.size(Paths.get(d.path)) catch { case _: Exception => 0L }
     }.sum
-    val thresholdStr =
-      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
-    val threshold =
-      if (thresholdStr.startsWith("-")) Long.MaxValue // broadcast disabled ≠ unreadable
-      else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thresholdStr)
-      catch { case _: Exception => 10L * 1024 * 1024 }
-    require(delBytes <= threshold,
-      s"pending merge-on-read delete files total $delBytes bytes (> $thresholdStr); " +
-        "compact the table (full rewrite) before catalog reads, or read through " +
-        "Snapshots.read which applies deletes as shuffle anti joins")
+    val gateStr = spark.conf.get(MorScanBuilder.InlineDeleteBytesKey,
+      MorScanBuilder.InlineDeleteBytesDefault)
+    val gate =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(gateStr.trim)
+      catch { case _: Exception => 8L * 1024 * 1024 }
+    val inlineMode = delBytes <= gate
 
     // the read schema must carry every delete key column even when the
     // query pruned it away; the wrapped readers project back down
-    val keyCols = snap.deletes.map(_.keyCol).distinct
+    val keyCols = snap.deletes.flatMap(_.keyCols).distinct
     val readSchema = StructType(requested.fields ++
       keyCols.filterNot(k => requested.fieldNames.contains(k))
         .map(k => tableSchema(k)))
@@ -488,22 +605,32 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
       .groupBy(f => snap.deletes.filter(d => effVersion(f) < d.coversBelow))
       .toSeq.sortBy(_._2.min).map { case (dels, fs) => (fs, dels) }
 
-    // load each distinct delete-key file once, in catalyst form
-    val loaded: Map[String, Set[Any]] = snap.deletes.map(_.path).distinct.map { p =>
-      val keyCol = snap.deletes.find(_.path == p).get.keyCol
-      val dt = tableSchema(keyCol).dataType
-      val conv = CatalystTypeConverters.createToCatalystConverter(dt)
-      val vals = spark.read.parquet(p).select(keyCol).collect()
-        .map(r => conv(r.get(0))).toSet
-      p -> vals
-    }.toMap
+    // inline mode: load each distinct (path, keyCols) once, catalyst form
+    val loaded: Map[String, Set[Any]] =
+      if (!inlineMode) Map.empty
+      else snap.deletes.map(d => (d.path, d.keyCols)).distinct.map { case (p, kcs) =>
+        val convs = kcs.map(k =>
+          CatalystTypeConverters.createToCatalystConverter(tableSchema(k).dataType))
+        val vals = spark.read.parquet(p)
+          .select(kcs.map(org.apache.spark.sql.functions.col): _*).collect()
+          .map { r =>
+            val cv = kcs.indices.map(i => convs(i)(r.get(i)))
+            if (cv.size == 1) cv.head else cv.toList
+          }.toSet
+        p -> vals
+      }.toMap
 
     val eraScans = eras.map { case (fs, dels) =>
       val b = GraftScans.parquetBuilder(spark, fs, tableSchema, options)
       b.pruneColumns(readSchema)
-      val delSets = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (kc, ds) =>
-        MorDeleteSet(readSchema.fieldIndex(kc), tableSchema(kc).dataType,
-          ds.flatMap(d => loaded(d.path)).toSet)
+      val delSets = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (_, ds) =>
+        val kcs = ds.head.keyCols
+        MorDeleteSet(
+          kcs.map(readSchema.fieldIndex),
+          kcs.map(tableSchema(_).dataType),
+          if (inlineMode) Some(ds.flatMap(d => loaded(d.path)).toSet) else None,
+          if (inlineMode) Nil else ds.map(_.path),
+          kcs)
       }
       (b.build(), delSets)
     }
@@ -517,6 +644,12 @@ private[catalog] object MorScanBuilder {
     case fileVersionRe(v) => v.toLong
     case _                => 0L
   }
+
+  /** On-disk delete-file bytes up to which the key sets are loaded
+    * driver-side and shipped inline with the plan; above, executors
+    * load them lazily ([[DeleteKeyCache]]). */
+  val InlineDeleteBytesKey = "spark.graft.mor.inlineDeleteBytes"
+  val InlineDeleteBytesDefault = "8m"
 }
 
 /** The delete-applying scan: per-era delegate parquet scans, rows
@@ -576,14 +709,20 @@ private[catalog] class MorReaderFactory(
             .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]))
         r => proj(r)
       }
+    // resolve each group's key set ONCE per task — inline sets are
+    // already in hand; lazy sets load through the executor-wide cache
+    val keySets = dels.map(_.keys)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (delegate.next()) {
           val row = delegate.get()
-          val deleted = dels.exists { d =>
-            !row.isNullAt(d.keyOrdinal) &&
-              d.keys.contains(row.get(d.keyOrdinal, d.keyType))
+          var deleted = false
+          var i = 0
+          while (!deleted && i < dels.length) {
+            val k = dels(i).keyOf(row)
+            deleted = k != null && keySets(i).contains(k)
+            i += 1
           }
           if (!deleted) { current = project(row); return true }
         }

@@ -694,6 +694,39 @@ object WarehouseOps {
       .orderBy($"o_orderpriority", $"band")
   }
 
+  /** COMPOSITE-KEY MERGE-ON-READ DELETE (`snapshot_delete_composite`)
+    * — the delete-key file carries (l_orderkey, l_linenumber) PAIRS,
+    * the natural key of a table with no single-column key: a row is
+    * hidden only when BOTH components match, so order 6k's lines 4-7
+    * survive while its lines 1-3 vanish — a reader that collapsed the
+    * key to one column would drop them and hash-mismatch. Version
+    * scoping is unchanged: the post-delete append re-inserts a subset
+    * of the deleted pairs (quantity +1000 as the marker) and stays
+    * visible. Cost model identical to the single-key delete: O(deleted
+    * pairs) written, base files untouched, the read applies one anti
+    * join on the composite key. */
+  val snapshotDeleteComposite: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("snapdelcomp", dir)
+    val slice = Tables.load(s, dir, "lineitem")
+      .filter($"l_orderkey" % 3 === 0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    Snapshots.commit(root)(out => slice.write.mode("append").parquet(out))
+    Snapshots.commitDelete(root, Seq("l_orderkey", "l_linenumber"))(out =>
+      slice.filter($"l_orderkey" % 6 === 0 && $"l_linenumber" <= 3)
+        .select($"l_orderkey", $"l_linenumber").distinct()
+        .write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      slice.filter($"l_orderkey" % 12 === 0 && $"l_linenumber" <= 2)
+        .withColumn("l_quantity", $"l_quantity" + 1000)
+        .write.mode("append").parquet(out))
+    Snapshots.read(s, root)
+      .groupBy($"l_linenumber")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"l_quantity").as("total"))
+      .orderBy($"l_linenumber")
+  }
+
   /** COLUMN RENAME + DROP EVOLUTION (`sql_rename_evolution`) — `ALTER
     * TABLE RENAME COLUMN` / `DROP COLUMN` through the DataSourceV2
     * catalog, both METADATA-ONLY (one properties-file rewrite; zero
@@ -1120,6 +1153,7 @@ object WarehouseOps {
     "snapshot_partition_evolution" -> snapshotPartitionEvolution,
     "sql_schema_evolution" -> sqlSchemaEvolution,
     "sql_rename_evolution" -> sqlRenameEvolution,
+    "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
     "snapshot_wap_publish" -> snapshotWapPublish,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
@@ -1257,6 +1291,23 @@ object WarehouseOps {
              ${Qx.dsumSql("o_totalprice")} AS total
       FROM rows GROUP BY o_orderpriority, band
       ORDER BY o_orderpriority, band""",
+    // The composite-key delete replayed as a pair predicate over the
+    // ORIGINAL table: a reader that matches on one key component alone
+    // (dropping order-6k lines 4+), loses the re-inserted pairs, or
+    // unscopes the delete hash-mismatches.
+    "snapshot_delete_composite" -> s"""
+      WITH slice AS (
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_orderkey % 3 = 0),
+      rows AS (
+        SELECT * FROM slice
+        WHERE NOT (l_orderkey % 6 = 0 AND l_linenumber <= 3)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity + 1000
+        FROM slice WHERE l_orderkey % 12 = 0 AND l_linenumber <= 2)
+      SELECT l_linenumber, COUNT(*) AS n, ${Qx.dsumSql("l_quantity")} AS total
+      FROM rows GROUP BY l_linenumber
+      ORDER BY l_linenumber""",
     // Both eras recomputed from the ORIGINAL table under the FINAL
     // column names: a rename that nulls pre-rename values, a lost row,
     // or history rewritten by the metadata-only evolution

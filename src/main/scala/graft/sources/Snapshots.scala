@@ -54,13 +54,18 @@ import scala.jdk.CollectionConverters._
 object Snapshots {
 
   /** A pending MERGE-ON-READ delete file: `path`'s parquet holds the
-    * deleted values of `keyCol`, and the delete COVERS only base files
-    * staged at a version < `coversBelow` (the version the delete
-    * committed at) — files appended later are NOT covered, so a
+    * deleted values of `keyCol` — a single column name, or a
+    * COMMA-JOINED composite key (`"l_orderkey,l_linenumber"` for a
+    * table with no single-column key; [[keyCols]] splits it) whose
+    * file carries one column per component. The delete COVERS only
+    * base files staged at a version < `coversBelow` (the version the
+    * delete committed at) — files appended later are NOT covered, so a
     * deleted key can be legitimately re-inserted by a later append or
     * upsert. This is the sequence-number scoping Iceberg v2 gives its
     * equality deletes. */
-  final case class DeleteFile(keyCol: String, path: String, coversBelow: Long)
+  final case class DeleteFile(keyCol: String, path: String, coversBelow: Long) {
+    def keyCols: Seq[String] = keyCol.split(',').toSeq
+  }
 
   /** A resolved table version: the immutable file set of one commit,
     * plus any pending merge-on-read delete files ([[commitDelete]],
@@ -300,8 +305,9 @@ object Snapshots {
       dels: Seq[DeleteFile]): DataFrame =
     dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) {
       case (df, (keyCol, ds)) =>
+        val cols = ds.head.keyCols
         val keys = spark.read.parquet(ds.map(_.path).sorted: _*)
-          .select(keyCol).distinct()
+          .select(cols.map(org.apache.spark.sql.functions.col): _*).distinct()
         val delBytes = ds.map { d =>
           try Files.size(Paths.get(d.path)) catch { case _: Exception => Long.MaxValue / 4096 }
         }.sum
@@ -309,7 +315,7 @@ object Snapshots {
           if (delBytes <= broadcastThresholdBytes(spark))
             org.apache.spark.sql.functions.broadcast(keys)
           else keys
-        df.join(hinted, Seq(keyCol), "left_anti")
+        df.join(hinted, cols, "left_anti")
     }
 
   /** The session's `spark.sql.autoBroadcastJoinThreshold` in bytes
@@ -569,8 +575,19 @@ object Snapshots {
     * v2 equality deletes): a later append or [[commitUpsert]] that
     * re-adds the key IS visible — no rewrite needed first. */
   def commitDelete(root: String, keyCol: String)(write: String => Unit): Long =
+    commitDelete(root, Seq(keyCol))(write)
+
+  /** Composite-key form of [[commitDelete]] for tables with no
+    * single-column key (e.g. lineitem's (l_orderkey, l_linenumber)):
+    * the staged parquet carries one column per key component and a row
+    * is deleted when ALL components match. Same version scoping. */
+  def commitDelete(root: String, keyCols: Seq[String])(write: String => Unit): Long = {
+    require(keyCols.nonEmpty, "commitDelete needs at least one key column")
+    keyCols.foreach(c => require(!c.contains(',') && !c.contains(':'),
+      s"delete key column name must not contain ',' or ':' (manifest syntax): $c"))
     commitImpl(root, carryForward = true, txn = None,
-      stagedAsDeletes = Some(keyCol))(write)
+      stagedAsDeletes = Some(keyCols.mkString(",")))(write)
+  }
 
   /** Subdirectory an upsert's writer stages its delete-key parquet
     * under (the rest of the staging dir is the new data). */
@@ -945,7 +962,8 @@ object Snapshots {
           else {
             val out = s"$stage/delkeys-$i"
             spark.read.parquet(ds.map(_.path).sorted: _*)
-              .select(keyCol).distinct()
+              .select(ds.head.keyCols
+                .map(org.apache.spark.sql.functions.col): _*).distinct()
               .coalesce(1).write.mode("append").parquet(out)
             val staged = listParquet(out)
             require(staged.size == 1, s"compaction staged ${staged.size} files")

@@ -152,6 +152,79 @@ class Round14OpsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT v FROM $cat.$db.t14 WHERE id = 7").as[String].head() == "x")
   }
 
+  test("composite-key MOR delete: both components must match, scoping per era") {
+    val root = freshRoot("compkey")
+    val base = spark.range(40).select(($"id" / 10).cast("long").as("g"),
+      ($"id" % 10).as("line"), ($"id" * 1.0).as("v"))
+    Snapshots.commit(root)(out => base.write.mode("append").parquet(out))
+    // delete pairs (g=1, line<=4) — g=1 lines 5..9 must SURVIVE
+    Snapshots.commitDelete(root, Seq("g", "line"))(out =>
+      base.filter($"g" === 1 && $"line" <= 4).select($"g", $"line")
+        .write.mode("append").parquet(out))
+    val got = Snapshots.read(spark, root)
+      .select($"g", $"line").as[(Long, Long)].collect().toSet
+    val want = (0L until 40L).map(i => (i / 10, i % 10))
+      .filterNot { case (g, l) => g == 1 && l <= 4 }.toSet
+    assert(got == want, "only exact (g, line) pairs may vanish")
+    // scoping: re-append two deleted pairs — visible (staged later)
+    Snapshots.commitAppend(root)(out =>
+      base.filter($"g" === 1 && $"line" <= 1)
+        .write.mode("append").parquet(out))
+    assert(Snapshots.read(spark, root).filter($"g" === 1).count() == 7L)
+    // compaction path handles composite keys too
+    Snapshots.commitDelete(root, Seq("g", "line"))(out =>
+      base.filter($"g" === 2 && $"line" === 0).select($"g", $"line")
+        .write.mode("append").parquet(out))
+    Snapshots.compactDeletes(spark, root)
+    assert(Snapshots.read(spark, root).count() == 40L - 5 + 2 - 1)
+  }
+
+  test("catalog MOR read past the inline gate degrades to executor-side loading") {
+    val (cat, db) = ("snap_r14lazy", "default")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", Qx.tmpOut("r14lazy", sf()))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$db.big")
+    spark.sql(s"CREATE TABLE $cat.$db.big (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.mor.key' = 'id')")
+    spark.sql(s"INSERT INTO $cat.$db.big SELECT id, CAST(id AS STRING) FROM range(1000)")
+    spark.sql(s"DELETE FROM $cat.$db.big WHERE id % 3 = 0")
+    val expect = (0L until 1000L).filterNot(_ % 3 == 0).sum
+    // force the lazy path: a 1-byte gate makes EVERY delete oversized
+    val old = spark.conf.getOption("spark.graft.mor.inlineDeleteBytes")
+    spark.conf.set("spark.graft.mor.inlineDeleteBytes", "1")
+    try {
+      assert(spark.sql(s"SELECT sum(id) FROM $cat.$db.big").as[Long].head() == expect,
+        "over-gate delete sets must still read correctly (executor-side load)")
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.mor.inlineDeleteBytes", v)
+      case None => spark.conf.unset("spark.graft.mor.inlineDeleteBytes")
+    }
+    // and the inline path agrees
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.$db.big").as[Long].head() == expect)
+  }
+
+  test("catalog read of a partitionBy-staged direct-API root refuses loudly") {
+    val wh = Qx.tmpOut("r14partwh", sf())
+    val root = s"$wh/default/pdirect"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val base = spark.range(20).select($"id",
+      ($"id" % 2).cast("string").as("side"))
+    Snapshots.commit(root)(out =>
+      base.write.partitionBy("side").mode("append").parquet(out))
+    // store path recovers the partition column
+    assert(Snapshots.read(spark, root).columns.contains("side"))
+    val cat = "snap_r14part"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.default.pdirect").collect()
+    }
+    def rootCauses(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: rootCauses(x.getCause))
+    assert(rootCauses(e).exists(m => m != null && m.contains("partitionBy-staged")),
+      s"expected the loud partition-column refusal, got: ${e.getMessage}")
+  }
+
   test("compactDeletes is a no-op when nothing can merge") {
     val root = freshRoot("dcnoop")
     Snapshots.commit(root)(out =>
