@@ -556,6 +556,94 @@ object PlanAudit {
         |metadata-only: one header line per retained manifest. The live
         |checkpointed stream form (stop/restart between feeds, zombie
         |replay, idle restart) is pinned in Round9OpsSpec.""".stripMargin,
+    "domain_diversify" ->
+      """Therapy diversification (r13; REPLANNED r14 — the round's
+        |headline fix, 34.6s → ~2.8s at sf0.1). Three moves: (1) the
+        |type-match join no longer explodes |ptypes|·|type slice| rows
+        |(151M at sf0.1) — candidates come from a pre-ranked
+        |per-(type, excluded-class) alternative list cut to each row's
+        |n_taken(patient, type)+1 prefix, an EXACT bound (only the
+        |patient's own type-t drugs can strike list entries), so the
+        |pre-argmin set is regimen-sized (~8M → ~400k); (2) the argmin
+        |is the native TopKPerGroup k=1 heap — expect TopKPerGroup
+        |partial/final and NO SortAggregate anywhere (min_by's struct
+        |buffer fell off HashAggregate and sorted the candidate set
+        |twice); (3) the shared sampled-meds subtree is guard-persisted
+        |(InMemoryTableScan in all four domain queries). The catalog
+        |side (rank window over |catalog|·|classes| rows) is bounded by
+        |the knowledge base, independent of patient scale, and
+        |broadcasts pre-cut to the per-type max(n_taken)+1 worst
+        |case.""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """N-gram Jaccard near-dup (audited r14): shingle explode →
+        |per-doc gram sets, pair generation keyed on xxhash64-folded
+        |gram longs (8-byte shuffle keys, never gram strings), exact
+        |Jaccard re-check above the candidate join — collision-exact.
+        |The cost (2.8s at sf0.1) IS the gram-set shuffle; no all-pairs
+        |stage exists, fan-in per gram is its duplicate count.""".stripMargin,
+    "rewrite_deletes" ->
+      """Delete-file compaction (r13): scope-equivalence classes merge
+        |stacked delete files — expect the compaction commit to move
+        |O(deleted keys) (the distinct-union of the mergeable delete
+        |parquets, coalesced to one file) and ZERO table data; the
+        |post-compaction read plans the SAME era structure with fewer
+        |anti-join inputs. Era-straddling deletes (a re-insert between
+        |them) must stay apart — merging across the boundary would
+        |re-hide re-inserted keys (Round14OpsSpec pins it, now for
+        |composite keys too).""".stripMargin,
+    "snapshot_partition_evolution" ->
+      """Partition-spec evolution (r13): era A partitioned on priority,
+        |era B on (priority, band). Pruning is per-spec and METADATA-
+        |ONLY (manifest path-segment match before Spark lists anything):
+        |priority prunes both eras, band prunes only era-B files, era-A
+        |files are kept (band unprovable from their spec) and the
+        |residual predicate re-derives band from the price column —
+        |Iceberg's transform-on-read. Expect per-era scans unioned, the
+        |band filter above the union, and file counts pinned via
+        |inputFiles in Round14OpsSpec.""".stripMargin,
+    "sql_schema_evolution" ->
+      """ALTER TABLE ADD COLUMN through the v2 catalog (r13): the
+        |declared schema grows by one properties-file write; expect ONE
+        |scan whose ReadSchema carries the evolved column, pre-evolution
+        |files null-filling at the reader (parquet missing-column rule),
+        |then the usual two-phase agg. Time travel to v1 presents the
+        |pre-evolution schema. Zero data movement at any table size —
+        |the add-column contract Delta/Iceberg give.""".stripMargin,
+    "sql_rename_evolution" ->
+      """ALTER TABLE RENAME/DROP COLUMN (r14): metadata-only like
+        |add-column, but resolution is the interesting half — the head
+        |scan reads the UNION of current + prior physical names and
+        |coalesces per output column (RenameAwareScanBuilder), exact
+        |because the tombstone ledger forbids name reuse, so no file
+        |ever carries two spellings. Expect one scan whose ReadSchema
+        |lists both spellings of the renamed column and a row-level
+        |projection above it; filter pushdown is traded away until a
+        |rewrite re-materializes current names (the MOR-scan trade).
+        |Time travel presents historical names (footer-inferred).""".stripMargin,
+    "snapshot_delete_composite" ->
+      """Composite-key merge-on-read delete (r14): the delete file
+        |carries (l_orderkey, l_linenumber) PAIRS — the natural key of a
+        |table with no single-column key. Expect the head read to apply
+        |ONE LeftAnti join on BOTH key columns (a single-column
+        |collapse would also hide order-6k's lines 4+, which must
+        |survive — the oracle pins it), version scoping unchanged (the
+        |post-delete re-insert of deleted pairs stays visible). Cost
+        |model identical to the single-key form: O(deleted pairs)
+        |written, base untouched.""".stripMargin,
+    "stream_catalog_sink" ->
+      """Streaming sink into the catalog (r13): writeStream.toTable
+        |lands each micro-batch as staged parquet + ONE #txn-tagged
+        |manifest commit — idempotent on replay (exactly-once). Expect
+        |the landed-table read to be a plain manifest-pinned scan +
+        |two-phase agg; the streaming side's per-batch cost is
+        |O(micro-batch) + one metadata write, never O(table).""".stripMargin,
+    "snapshot_prune_mor" ->
+      """Partition pruning COMPOSED with pending MOR deletes (r13):
+        |manifest-level partition pruning first (metadata string match),
+        |then the delete anti joins over only the surviving files'
+        |eras. Expect pruned per-era scans and broadcast anti joins —
+        |the delete never un-prunes a partition, and the pruned read
+        |applies exactly the deletes whose scope covers it.""".stripMargin,
     "cdc_merge_sql" ->
       """MERGE INTO as a SQL statement (r9). Stock Spark 4 parses MERGE
         |but refuses to execute it on any default-catalog table — the

@@ -199,8 +199,17 @@ object MedRules {
     // prefix. The pre-argmin row count falls from |ptypes|·|type
     // slice| to Σ (n_taken + 1) ≈ |regimen rows| — the same order as
     // the input itself.
-    val ptc = classed.groupBy(col("patient_id"), col("drug_type"))
-      .agg(countDistinct(col("rxnorm_cui")).as("n_taken"))
+    // one distinct pass serves BOTH the per-(patient, type) regimen
+    // counts and the clinical-history anti side below: (patient, cui)
+    // is unique within it (the catalog maps a cui to exactly one
+    // type), so the counts are exact and the history projection is
+    // duplicate-free without a second aggregate. Restricting the
+    // history to CATALOGED drugs is safe — every candidate comes from
+    // the catalog, so an uncataloged med can never collide with one.
+    val pcui = classed.select(col("patient_id"), col("rxnorm_cui"),
+      col("drug_type")).distinct()
+    val ptc = pcui.groupBy(col("patient_id"), col("drug_type"))
+      .agg(count(lit(1)).as("n_taken"))
     val maxTaken = ptc.groupBy(col("drug_type").as("alt_type"))
       .agg(max(col("n_taken")).as("max_taken"))
     val exclClasses = cat.select(col("drug_class").as("excl_class")).distinct()
@@ -215,13 +224,13 @@ object MedRules {
       .filter(col("type_rank") <= col("max_taken") + lit(1L))
       .select(col("alt_cui"), col("alt_class"), col("alt_type"),
         col("alt_price"), col("excl_class"), col("type_rank"))
-    // The clinical-history anti side: the patient's distinct drug set.
-    // Bounded by regimen sizes per patient; broadcast here (the
-    // candidate stream never shuffles for it) — at a scale where it
-    // stops fitting, drop the hint and both sides shuffle on the
-    // (patient, drug) key they already carry.
-    val hist = meds.select(col("patient_id"), col("rxnorm_cui").as("alt_cui"))
-      .distinct()
+    // The clinical-history anti side: the patient's distinct drug set
+    // (the pcui projection — already duplicate-free). Bounded by
+    // regimen sizes per patient; broadcast here (the candidate stream
+    // never shuffles for it) — at a scale where it stops fitting, drop
+    // the hint and both sides shuffle on the (patient, drug) key they
+    // already carry.
+    val hist = pcui.select(col("patient_id"), col("rxnorm_cui").as("alt_cui"))
     val candidates = ptypes
       .join(ptc.select(col("patient_id"), col("drug_type"),
         col("n_taken")), Seq("patient_id", "drug_type"), "left")

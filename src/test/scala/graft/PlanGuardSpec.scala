@@ -54,7 +54,11 @@ class PlanGuardSpec extends SparkSpec {
     * row_number form is kept only as the oracle/parity twin). */
   private val mustUseNativeTopK =
     Seq("win_rank_topk", "sim_cosine_topk", "topk_per_group_native",
-      "sample_stratified", "topk_sql_rewrite")
+      "sample_stratified", "topk_sql_rewrite",
+      // r14: the diversify argmin must stay on the heap operator — a
+      // regression to min_by(struct, struct) re-plans as SortAggregate
+      // over the candidate set (the r13 34s scale-killer)
+      "domain_diversify")
 
   mustUseNativeTopK.foreach { name =>
     test(s"native top-k routing: $name") {
