@@ -193,10 +193,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * A time-travel read of a pre-evolution version presents exactly
     * the schema (and names) its files carried ([[GraftTable.schema]]
     * infers pinned schemas from that version's footers) and never
-    * applies the prior-name map. Rename/drop on a merge-on-read table
-    * (or of a pending-delete key) is rejected — the delete-key ledger
-    * is keyed by physical name and must not be re-pointed under it.
-    * Type changes remain out of scope. */
+    * applies the prior-name map. Non-key renames compose with
+    * merge-on-read (the MOR scan coalesces prior spellings before its
+    * delete filter); only the MOR key column and pending-delete key
+    * columns must keep their physical names — the delete-key ledger is
+    * keyed by them. A full copy-on-write rewrite clears the
+    * prior/tombstone ledgers (every surviving row re-materializes
+    * under current names), restoring the plain pushdown scan. Type
+    * changes remain out of scope. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
@@ -239,8 +243,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val from = ren.fieldNames()(0)
         val to = ren.newName()
         require(sc.fieldNames.contains(from), s"no column '$from' to rename")
-        require(!pr.contains(GraftTable.morKeyProp),
-          "RENAME COLUMN on a merge-on-read table is not supported " +
+        // non-key renames compose with merge-on-read (the MOR scan
+        // coalesces prior spellings before the delete filter); only the
+        // columns the delete-key ledger is keyed by must keep their
+        // physical names
+        require(!pr.get(GraftTable.morKeyProp).contains(from),
+          s"cannot rename merge-on-read key column '$from' " +
             "(the delete-key ledger is keyed by physical column name); " +
             "compact and unset graft.mor.key first")
         require(!pendingDeleteKeys.contains(from),
@@ -275,9 +283,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
       case ((sc, pr), set: TableChange.SetProperty) =>
         require(set.property() != GraftTable.morKeyProp ||
-          GraftTable.priorsOf(pr).isEmpty,
-          "cannot enable merge-on-read on a table with renamed columns " +
-            "(delete-key scoping is keyed by physical column name)")
+          !GraftTable.priorsOf(pr).contains(set.value()),
+          s"cannot key merge-on-read on renamed column '${set.value()}' " +
+            "(delete-key scoping is keyed by physical column name); " +
+            "compact (full rewrite) first")
         (sc, pr + (set.property() -> set.value()))
       case ((sc, pr), rm: TableChange.RemoveProperty) =>
         (sc, pr - rm.property())

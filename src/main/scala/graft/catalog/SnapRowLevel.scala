@@ -285,6 +285,20 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     val files = messages.collect { case StagedFilesMessage(d, _) => d }.flatten.toSeq
     Snapshots.commitRewriteStaged(root, files, allowEmpty = true,
       basedOn = Some(basedOn))
+    // A full rewrite re-materializes every live row under the CURRENT
+    // column names, so the rename ledger (prior spellings) and the
+    // dropped-name tombstones no longer protect anything the head can
+    // see — clear them, restoring the plain pushdown parquet scan
+    // (the rename-aware coalescing scan trades pushdown away; this is
+    // where that rent stops). Time-travel reads are unaffected: pinned
+    // versions infer their schemas from their own files' footers, not
+    // from the ledger. Best-effort: the data commit above is already
+    // atomic and correct with the ledger still in place.
+    try GraftTable.readMeta(root).foreach { case (sc, props) =>
+      val stale = props.keys.filter(k =>
+        k.startsWith(GraftTable.colPriorPrefix) || k == GraftTable.droppedProp)
+      if (stale.nonEmpty) GraftTable.writeMeta(root, sc, props -- stale)
+    } catch { case _: Exception => () }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

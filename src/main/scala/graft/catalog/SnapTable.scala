@@ -321,16 +321,12 @@ private[catalog] object GraftScans {
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
           files, options)
       } else {
-        // unreachable through catalog SQL: ALTER TABLE rejects renames
-        // on MOR tables / under pending delete keys, and enabling MOR
-        // on a renamed table is rejected too — only a direct-API
-        // commitDelete against a catalog-renamed root can get here
-        require(priors.isEmpty,
-          "this table has renamed columns AND pending merge-on-read " +
-            "delete files (a state only reachable by mixing direct-API " +
-            "deletes with catalog renames); compact the table before " +
-            "catalog reads")
-        new MorScanBuilder(spark, tableSchema, snap.get, options)
+        // renames compose with pending deletes: ALTER TABLE guarantees
+        // the delete KEY columns themselves are never renamed under
+        // pending deletes, so the MOR scan resolves non-key renamed
+        // columns by the same prior-name coalesce and filters deletes
+        // on current-name key ordinals
+        new MorScanBuilder(spark, tableSchema, snap.get, options, priors)
       }
     }
   }
@@ -561,9 +557,16 @@ private[catalog] object DeleteKeyCache {
   }
 }
 
-/** Merge-on-read catalog scan (shape 3 in [[GraftScans]]). */
+/** Merge-on-read catalog scan (shape 3 in [[GraftScans]]). `priors`
+  * composes RENAME COLUMN evolution into the same scan: renamed
+  * NON-KEY columns resolve across file eras by the prior-name coalesce
+  * ([[RenameAwareScanBuilder]]'s rule) before the delete filter runs —
+  * delete key columns are guaranteed un-renamed while deletes are
+  * pending (ALTER TABLE enforces it), so key ordinals always bind to
+  * current physical names. */
 private[catalog] class MorScanBuilder(spark: SparkSession,
-    tableSchema: StructType, snap: Snapshot, options: CaseInsensitiveStringMap)
+    tableSchema: StructType, snap: Snapshot, options: CaseInsensitiveStringMap,
+    priors: Map[String, Seq[String]] = Map.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var requested: StructType = tableSchema
@@ -620,9 +623,30 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
         p -> vals
       }.toMap
 
+    // rename composition: the files are read under the PHYSICAL union
+    // schema (each readSchema column followed by its prior spellings)
+    // and a per-column coalesce projects it back to readSchema before
+    // the delete filter — identical rule to RenameAwareScanBuilder; an
+    // un-renamed table has no priors and the projection is elided
+    val physSchema = StructType(readSchema.fields.flatMap { f =>
+      f +: priors.getOrElse(f.name, Nil).reverse.map(p =>
+        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)).toArray
+    })
+    val coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] =
+      if (priors.forall { case (c, ps) =>
+        ps.isEmpty || !readSchema.fieldNames.contains(c) }) None
+      else Some(readSchema.fields.map { f =>
+        val ords = (f.name +: priors.getOrElse(f.name, Nil).reverse)
+          .map(physSchema.fieldIndex)
+        val refs = ords.map(o => BoundReference(o, f.dataType, nullable = true)
+          : org.apache.spark.sql.catalyst.expressions.Expression)
+        if (refs.size == 1) refs.head
+        else org.apache.spark.sql.catalyst.expressions.Coalesce(refs)
+      })
+
     val eraScans = eras.map { case (fs, dels) =>
       val b = GraftScans.parquetBuilder(spark, fs, tableSchema, options)
-      b.pruneColumns(readSchema)
+      b.pruneColumns(if (coalesceExprs.isDefined) physSchema else readSchema)
       val delSets = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (_, ds) =>
         val kcs = ds.head.keyCols
         MorDeleteSet(
@@ -634,7 +658,7 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
       }
       (b.build(), delSets)
     }
-    new MorScan(eraScans, requested, readSchema)
+    new MorScan(eraScans, requested, readSchema, coalesceExprs)
   }
 }
 
@@ -657,7 +681,9 @@ private[catalog] object MorScanBuilder {
   * requested schema. Row-based (no columnar batches) — the documented
   * transient degrade while deletes are pending. */
 private[catalog] class MorScan(eras: Seq[(Scan, Seq[MorDeleteSet])],
-    requested: StructType, readSchema: StructType) extends Scan with Batch {
+    requested: StructType, readSchema: StructType,
+    coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
+  extends Scan with Batch {
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
@@ -676,7 +702,7 @@ private[catalog] class MorScan(eras: Seq[(Scan, Seq[MorDeleteSet])],
     val outOrdinals = requested.fields.map(f => readSchema.fieldIndex(f.name))
     val readFields = readSchema.fields
     new MorReaderFactory(eraFactories, eraDeletes, outOrdinals,
-      readFields.map(_.dataType), readFields.map(_.nullable))
+      readFields.map(_.dataType), readFields.map(_.nullable), coalesceExprs)
   }
 }
 
@@ -688,7 +714,9 @@ private[catalog] class MorReaderFactory(
     eraFactories: Array[PartitionReaderFactory],
     eraDeletes: Array[Array[MorDeleteSet]],
     outOrdinals: Array[Int], readTypes: Array[DataType],
-    readNullable: Array[Boolean]) extends PartitionReaderFactory {
+    readNullable: Array[Boolean],
+    coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
+  extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
@@ -697,7 +725,20 @@ private[catalog] class MorReaderFactory(
       case EraPartition(p, e) => (p, e)
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
-    val delegate = eraFactories(era).createReader(inner)
+    val rawDelegate = eraFactories(era).createReader(inner)
+    // rename composition: fold the physical row to the readSchema shape
+    // (per-column coalesce over current + prior spellings) BEFORE the
+    // delete filter — key ordinals below bind to readSchema
+    val delegate = coalesceExprs match {
+      case None => rawDelegate
+      case Some(exprs) =>
+        val proj = UnsafeProjection.create(exprs)
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = rawDelegate.next()
+          override def get(): InternalRow = proj(rawDelegate.get())
+          override def close(): Unit = rawDelegate.close()
+        }
+    }
     val dels = eraDeletes(era)
     val identity = outOrdinals.length == readTypes.length &&
       outOrdinals.zipWithIndex.forall { case (o, i) => o == i }

@@ -229,6 +229,19 @@ class CatalogSpec extends SparkSpec {
     sqlDf("DELETE FROM snap.default.ren WHERE price_usd > 500")
     assert(sqlDf("SELECT sum(price_usd) FROM snap.default.ren")
       .as[Double].head() == 101.0)
+    // the rewrite re-materialized every row under current names → the
+    // prior-name ledger and tombstones are cleared (pushdown scan is
+    // back) and previously-tombstoned names become addable again
+    val props = graft.catalog.GraftTable
+      .readMeta(graft.catalog.GraftCatalog.tableRoot(spark, "snap", "default", "ren"))
+      .get._2
+    assert(!props.keys.exists(_.startsWith("graft.col.prior.")),
+      s"rename ledger must clear after a full rewrite: $props")
+    assert(!props.contains("graft.cols.dropped"))
+    sqlDf("ALTER TABLE snap.default.ren ADD COLUMN amount DOUBLE")
+    assert(sqlDf("SELECT sum(coalesce(amount, 0)) FROM snap.default.ren")
+      .as[Double].head() == 0.0,
+      "re-added name must NOT resurrect pre-rewrite bytes")
   }
 
   test("createTable rejects nested namespaces and reserved metadata names") {

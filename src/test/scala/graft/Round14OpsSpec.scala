@@ -225,6 +225,29 @@ class Round14OpsSpec extends SparkSpec {
       s"expected the loud partition-column refusal, got: ${e.getMessage}")
   }
 
+  test("non-key RENAME COLUMN composes with pending merge-on-read deletes") {
+    val (cat, db) = ("snap_r14morren", "default")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", Qx.tmpOut("r14morren", sf()))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$db.mr")
+    spark.sql(s"CREATE TABLE $cat.$db.mr (id BIGINT, amount DOUBLE) " +
+      "TBLPROPERTIES ('graft.mor.key' = 'id')")
+    spark.sql(s"INSERT INTO $cat.$db.mr SELECT id, id * 1.0 FROM range(100)")
+    // pending MOR delete, THEN a non-key rename — both must apply
+    spark.sql(s"DELETE FROM $cat.$db.mr WHERE id % 10 = 0")
+    spark.sql(s"ALTER TABLE $cat.$db.mr RENAME COLUMN amount TO price")
+    spark.sql(s"INSERT INTO $cat.$db.mr VALUES (1000, 7.5)")
+    // pre-rename files resolve `price` from `amount`; deleted ids stay hidden
+    val expect = (0L until 100L).filterNot(_ % 10 == 0).map(_ * 1.0).sum + 7.5
+    assert(spark.sql(s"SELECT sum(price) FROM $cat.$db.mr").as[Double].head()
+      == expect)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.$db.mr WHERE price < 5")
+      .as[Long].head() == 4L, "ids 1..4 survive, 0 deleted")
+    // the key column itself stays rename-protected
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.$db.mr RENAME COLUMN id TO pk"))
+  }
+
   test("compactDeletes is a no-op when nothing can merge") {
     val root = freshRoot("dcnoop")
     Snapshots.commit(root)(out =>
