@@ -225,6 +225,45 @@ class Round14OpsSpec extends SparkSpec {
       s"expected the loud partition-column refusal, got: ${e.getMessage}")
   }
 
+  test("executor-side delete loading handles string keys and composite keys") {
+    val (cat, db) = ("snap_r14str", "default")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", Qx.tmpOut("r14str", sf()))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$db.sk")
+    spark.sql(s"CREATE TABLE $cat.$db.sk (k STRING, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mor.key' = 'k')")
+    spark.sql(s"INSERT INTO $cat.$db.sk SELECT CONCAT('k', id), id FROM range(200)")
+    spark.sql(s"DELETE FROM $cat.$db.sk WHERE v % 4 = 1")
+    val expect = (0L until 200L).filterNot(_ % 4 == 1).sum
+    val old = spark.conf.getOption("spark.graft.mor.inlineDeleteBytes")
+    spark.conf.set("spark.graft.mor.inlineDeleteBytes", "1")
+    try {
+      // string keys through the parquet-hadoop Group loader (UTF8String
+      // catalyst form must match the row values)
+      assert(spark.sql(s"SELECT sum(v) FROM $cat.$db.sk").as[Long].head() == expect)
+      // composite (long, long) keys through the same loader, direct API
+      val root = freshRoot("lazycomp")
+      val base = spark.range(60).select(($"id" / 10).cast("long").as("a"),
+        ($"id" % 10).as("b"), $"id".as("v"))
+      Snapshots.commit(root)(out => base.write.mode("append").parquet(out))
+      Snapshots.commitDelete(root, Seq("a", "b"))(out =>
+        base.filter($"a" === 2 && $"b" <= 4).select($"a", $"b")
+          .write.mode("append").parquet(out))
+      // catalog read of the direct root exercises MorScan's lazy sets
+      val cat2 = "snap_r14lzc"
+      spark.conf.set(s"spark.sql.catalog.$cat2", "graft.catalog.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat2.warehouse",
+        new java.io.File(root).getParentFile.getParent + "")
+      val ns = new java.io.File(root).getParentFile.getName
+      val nm = new java.io.File(root).getName
+      val got = spark.sql(s"SELECT count(*) FROM $cat2.`$ns`.`$nm`").as[Long].head()
+      assert(got == 55L, s"5 (a=2, b<=4) rows must vanish, got $got")
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.mor.inlineDeleteBytes", v)
+      case None => spark.conf.unset("spark.graft.mor.inlineDeleteBytes")
+    }
+  }
+
   test("non-key RENAME COLUMN composes with pending merge-on-read deletes") {
     val (cat, db) = ("snap_r14morren", "default")
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
