@@ -225,7 +225,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // pending MOR delete files are keyed by physical column name —
     // renaming/dropping under them would silently unscope the deletes
     lazy val pendingDeleteKeys: Set[String] =
-      Snapshots.resolve(root).map(_.deletes.map(_.keyCol).toSet)
+      Snapshots.resolve(root).map(_.deletes.flatMap(_.keyCols).toSet)
         .getOrElse(Set.empty)
     val (newSchema, newProps) = changes.foldLeft((schema, props)) {
       case ((sc, pr), add: TableChange.AddColumn) =>

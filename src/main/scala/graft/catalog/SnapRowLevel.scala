@@ -81,7 +81,8 @@ private[catalog] class GraftGroupOperation(cmd: RowLevelOperation.Command,
           // empty root) — threaded to the commit as its write-conflict
           // gate
           new GraftRewriteBatchWrite(table.root, info.schema(),
-            basedOn = table.snap.map(_.version).getOrElse(0L))
+            basedOn = table.snap.map(_.version).getOrElse(0L),
+            propsAtPlan = GraftTable.readMeta(table.root).map(_._2))
         override def description(): String =
           s"graft copy-on-write $cmd → ${table.root}"
       }
@@ -237,7 +238,7 @@ private[catalog] final case class StagedFilesMessage(dataFiles: Seq[String],
   * past it, because the staged list would silently drop rows a
   * concurrent commit added (see [[Snapshots.commitRewriteStaged]]). */
 private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
-    basedOn: Long)
+    basedOn: Long, propsAtPlan: Option[Map[String, String]] = None)
   extends BatchWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
@@ -292,12 +293,17 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     // (the rename-aware coalescing scan trades pushdown away; this is
     // where that rent stops). Time-travel reads are unaffected: pinned
     // versions infer their schemas from their own files' footers, not
-    // from the ledger. Best-effort: the data commit above is already
-    // atomic and correct with the ledger still in place.
+    // from the ledger. GUARDED best-effort: the clear runs only while
+    // the properties still read exactly as they did when this
+    // statement was planned — a concurrent ALTER (e.g. a rename whose
+    // fresh prior entry this clear would erase, silently nulling the
+    // column) skips the optimization; the data commit above is atomic
+    // and correct with the ledger still in place either way.
     try GraftTable.readMeta(root).foreach { case (sc, props) =>
       val stale = props.keys.filter(k =>
         k.startsWith(GraftTable.colPriorPrefix) || k == GraftTable.droppedProp)
-      if (stale.nonEmpty) GraftTable.writeMeta(root, sc, props -- stale)
+      if (stale.nonEmpty && propsAtPlan.contains(props))
+        GraftTable.writeMeta(root, sc, props -- stale)
     } catch { case _: Exception => () }
   }
 

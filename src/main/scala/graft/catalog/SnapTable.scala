@@ -63,14 +63,48 @@ class GraftTable(tableName: String, val root: String,
 
   override def name(): String = tableName
 
+  /** Pinned (time-travel) name resolution: the footer-merged schema of
+    * the pinned files with each RENAME chain collapsed to its newest
+    * spelling present among those files, plus the prior-spelling map
+    * the scan needs to coalesce the older ones into it. A version
+    * whose files all predate a rename presents the historical name
+    * untouched (empty map); a version whose files STRADDLE a rename
+    * presents the newest spelling its own files carry, fully populated
+    * — never a union schema with the column's values split across
+    * half-null spellings. */
+  private lazy val pinnedResolution: Option[(StructType, Map[String, Seq[String]])] =
+    pinned.filter(_.files.nonEmpty).map { p =>
+      val merged =
+        spark.read.option("mergeSchema", "true").parquet(p.files: _*).schema
+      val present = merged.fieldNames.toSet
+      // full spelling history per chain, oldest → newest (ledger from
+      // the CURRENT meta — renames are metadata-only, so the ledger is
+      // the only record of which names are spellings of one column)
+      val chains = meta.map(m => GraftTable.priorsOf(m._2)).getOrElse(Map.empty)
+        .map { case (cur, ps) => ps :+ cur }
+        .map(chain => chain.filter(present))
+        .filter(_.length >= 2)
+      if (chains.isEmpty) (merged, Map.empty[String, Seq[String]])
+      else {
+        val newestOf = chains.map(c => c.head -> c.last).toMap // firstPresent → newest
+        val laterSpellings = chains.flatMap(_.tail).toSet
+        val collapsed = StructType(merged.fields.flatMap { f =>
+          if (laterSpellings.contains(f.name)) None // folded into the first occurrence
+          else if (newestOf.contains(f.name)) Some(f.copy(name = newestOf(f.name)))
+          else Some(f)
+        })
+        val prior = chains.map(c => c.last -> c.init).toMap
+        (collapsed, prior)
+      }
+    }
+
   override def schema(): StructType = {
     // a time-travel-pinned read presents the schema AS OF that version
-    // (inferred from its own footers, merged across its eras) — the
-    // other half of the add-column evolution contract; the declared
-    // meta schema governs the head
-    val declared = pinned.filter(_.files.nonEmpty) match {
-      case Some(p) =>
-        spark.read.option("mergeSchema", "true").parquet(p.files: _*).schema
+    // (inferred from its own footers, merged across its eras, rename
+    // chains collapsed — see [[pinnedResolution]]); the declared meta
+    // schema governs the head
+    val declared = pinnedResolution match {
+      case Some((sc, _)) => sc
       case None => meta.map(_._1).getOrElse {
         val files = snap.map(_.files).getOrElse(Nil)
         require(files.nonEmpty,
@@ -109,13 +143,17 @@ class GraftTable(tableName: String, val root: String,
   private def morKeyOf(m: Option[(StructType, Map[String, String])]): Option[String] =
     m.flatMap(_._2.get(GraftTable.morKeyProp))
 
-  /** Prior physical names per current column (RENAME COLUMN ledger) —
-    * applied to HEAD reads only: a time-travel-pinned read infers its
-    * schema from that version's own footers and must present (and
-    * resolve) the historical names as-is. */
+  /** Prior physical names per presented column. HEAD reads use the
+    * full RENAME ledger; a time-travel-pinned read presents that
+    * version's own (historical) names and needs the map only when its
+    * files straddle a rename — then the older present spellings
+    * coalesce into the newest one ([[pinnedResolution]]). */
   private def priors: Map[String, Seq[String]] =
-    if (pinned.isDefined) Map.empty
-    else meta.map(m => GraftTable.priorsOf(m._2)).getOrElse(Map.empty)
+    pinnedResolution match {
+      case Some((_, pr)) => pr
+      case None if pinned.isDefined => Map.empty
+      case None => meta.map(m => GraftTable.priorsOf(m._2)).getOrElse(Map.empty)
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     GraftScans.builder(spark, schema(), snap, options, priors)
@@ -365,6 +403,42 @@ private[catalog] object GraftScans {
     }
     f.drop(base.length).contains("=")
   }
+
+  /** THE rename-resolution rule, shared by the head scan
+    * ([[RenameAwareScanBuilder]]) and the MOR scan ([[MorScanBuilder]])
+    * so they can never diverge: the physical union schema (each output
+    * column followed by its prior spellings, newest first) and the
+    * per-output-column coalesce expressions folding it back. */
+  private[catalog] def renamePlan(schema: StructType,
+      priors: Map[String, Seq[String]])
+      : (StructType, Array[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    val phys = StructType(schema.fields.flatMap { f =>
+      f +: priors.getOrElse(f.name, Nil).reverse.map(p =>
+        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)).toArray
+    })
+    val exprs = schema.fields.map { f =>
+      val ords = (f.name +: priors.getOrElse(f.name, Nil).reverse)
+        .map(phys.fieldIndex)
+      val refs = ords.map(o => BoundReference(o, f.dataType, nullable = true)
+        : org.apache.spark.sql.catalyst.expressions.Expression)
+      if (refs.size == 1) refs.head
+      else org.apache.spark.sql.catalyst.expressions.Coalesce(refs)
+    }
+    (phys, exprs)
+  }
+
+  /** Row reader wrapped with a projection (rename coalesce / schema
+    * narrowing) — shared by both rename-aware read paths. */
+  private[catalog] def projectingReader(d: PartitionReader[InternalRow],
+      exprs: Array[org.apache.spark.sql.catalyst.expressions.Expression])
+      : PartitionReader[InternalRow] = {
+    val proj = UnsafeProjection.create(exprs)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = d.next()
+      override def get(): InternalRow = proj(d.get())
+      override def close(): Unit = d.close()
+    }
+  }
 }
 
 /** Zero-partition scan for a created-but-never-written table. */
@@ -410,26 +484,12 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
     requested = requiredSchema
 
   override def build(): Scan = {
-    // physical read schema: each requested column followed by its prior
-    // spellings (same type, nullable — pre-rename files carry them)
-    val physFields = requested.fields.flatMap { f =>
-      f +: priors.getOrElse(f.name, Nil).reverse.map(p =>
-        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)).toArray
-    }
-    val physSchema = StructType(physFields)
+    // physical read schema (each requested column + its prior
+    // spellings) and the folding coalesce — the shared rule
+    val (physSchema, exprs) = GraftScans.renamePlan(requested, priors)
     val b = GraftScans.parquetBuilder(spark, files, physSchema, options)
     b.pruneColumns(physSchema)
-    val delegate = b.build()
-    // per output column: coalesce over (current, newest prior, …)
-    val exprs = requested.fields.map { f =>
-      val ords = (f.name +: priors.getOrElse(f.name, Nil).reverse)
-        .map(physSchema.fieldIndex)
-      val refs = ords.map(o => BoundReference(o, f.dataType, nullable = true)
-        : org.apache.spark.sql.catalyst.expressions.Expression)
-      if (refs.size == 1) refs.head
-      else org.apache.spark.sql.catalyst.expressions.Coalesce(refs)
-    }
-    new RenameScan(delegate, requested, exprs)
+    new RenameScan(b.build(), requested, exprs)
   }
 }
 
@@ -451,15 +511,8 @@ private[catalog] class RenameScan(delegate: Scan, requested: StructType,
     val localExprs = exprs
     new PartitionReaderFactory {
       override def supportColumnarReads(partition: InputPartition): Boolean = false
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val d = inner.createReader(partition)
-        val proj = UnsafeProjection.create(localExprs)
-        new PartitionReader[InternalRow] {
-          override def next(): Boolean = d.next()
-          override def get(): InternalRow = proj(d.get())
-          override def close(): Unit = d.close()
-        }
-      }
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        GraftScans.projectingReader(inner.createReader(partition), localExprs)
     }
   }
 }
@@ -524,16 +577,25 @@ private[catalog] object DeleteKeyCache {
   }
 
   private def readFile(path: String, cols: Seq[String],
-      types: Seq[DataType]): Iterator[Any] = {
+      types: Seq[DataType]): Seq[Any] = {
     val reader = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
         new org.apache.hadoop.fs.Path(path))
       .withConf(new org.apache.hadoop.conf.Configuration())
       .build()
-    Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
-      val vals = cols.indices.map(i => convert(g, cols(i), types(i)))
-      if (vals.size == 1) vals.head else vals.toList
-    } // reader closed by exhaustion: takeWhile stops at null = EOF
+    // materialize eagerly under try/finally: a lazy iterator would leak
+    // the open file handle when convert throws mid-stream (unsupported
+    // type, corrupt file)
+    try {
+      val out = Vector.newBuilder[Any]
+      var g = reader.read()
+      while (g != null) {
+        val vals = cols.indices.map(i => convert(g, cols(i), types(i)))
+        out += (if (vals.size == 1) vals.head else vals.toList)
+        g = reader.read()
+      }
+      out.result()
+    } finally reader.close()
   }
 
   private def convert(g: org.apache.parquet.example.data.Group,
@@ -541,7 +603,35 @@ private[catalog] object DeleteKeyCache {
     val idx = g.getType.getFieldIndex(col)
     if (g.getFieldRepetitionCount(idx) == 0) null
     else dt match {
-      case LongType | TimestampType | TimestampNTZType => g.getLong(idx, 0)
+      case LongType => g.getLong(idx, 0)
+      case TimestampType | TimestampNTZType =>
+        // catalyst form is epoch MICROS; the file may carry INT96
+        // (Spark's default parquet timestamp physical type) or
+        // annotated INT64 in any unit — decode per the footer type
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val pt = g.getType.getType(idx).asPrimitiveType()
+        pt.getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT96 =>
+            val buf = java.nio.ByteBuffer.wrap(g.getInt96(idx, 0).getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanosOfDay = buf.getLong
+            val julianDay = buf.getInt
+            (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+          case PrimitiveTypeName.INT64 =>
+            val v = g.getLong(idx, 0)
+            pt.getLogicalTypeAnnotation match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+                  case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS => v
+                  case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+                }
+              case _ => v
+            }
+          case other => throw new UnsupportedOperationException(
+            s"timestamp delete key stored as $other is not supported; " +
+              "compact the table (full rewrite) to absorb the deletes")
+        }
       case IntegerType | DateType => g.getInteger(idx, 0)
       case StringType =>
         org.apache.spark.unsafe.types.UTF8String.fromString(g.getString(idx, 0))
@@ -626,23 +716,12 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     // rename composition: the files are read under the PHYSICAL union
     // schema (each readSchema column followed by its prior spellings)
     // and a per-column coalesce projects it back to readSchema before
-    // the delete filter — identical rule to RenameAwareScanBuilder; an
-    // un-renamed table has no priors and the projection is elided
-    val physSchema = StructType(readSchema.fields.flatMap { f =>
-      f +: priors.getOrElse(f.name, Nil).reverse.map(p =>
-        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)).toArray
-    })
+    // the delete filter — the SAME rule as the head scan
+    // (GraftScans.renamePlan); an un-renamed table has no priors and
+    // the projection is elided
+    val (physSchema, exprs) = GraftScans.renamePlan(readSchema, priors)
     val coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] =
-      if (priors.forall { case (c, ps) =>
-        ps.isEmpty || !readSchema.fieldNames.contains(c) }) None
-      else Some(readSchema.fields.map { f =>
-        val ords = (f.name +: priors.getOrElse(f.name, Nil).reverse)
-          .map(physSchema.fieldIndex)
-        val refs = ords.map(o => BoundReference(o, f.dataType, nullable = true)
-          : org.apache.spark.sql.catalyst.expressions.Expression)
-        if (refs.size == 1) refs.head
-        else org.apache.spark.sql.catalyst.expressions.Coalesce(refs)
-      })
+      if (physSchema.length == readSchema.length) None else Some(exprs)
 
     val eraScans = eras.map { case (fs, dels) =>
       val b = GraftScans.parquetBuilder(spark, fs, tableSchema, options)
@@ -731,13 +810,7 @@ private[catalog] class MorReaderFactory(
     // delete filter — key ordinals below bind to readSchema
     val delegate = coalesceExprs match {
       case None => rawDelegate
-      case Some(exprs) =>
-        val proj = UnsafeProjection.create(exprs)
-        new PartitionReader[InternalRow] {
-          override def next(): Boolean = rawDelegate.next()
-          override def get(): InternalRow = proj(rawDelegate.get())
-          override def close(): Unit = rawDelegate.close()
-        }
+      case Some(exprs) => GraftScans.projectingReader(rawDelegate, exprs)
     }
     val dels = eraDeletes(era)
     val identity = outOrdinals.length == readTypes.length &&

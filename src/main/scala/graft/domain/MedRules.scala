@@ -225,11 +225,12 @@ object MedRules {
       .select(col("alt_cui"), col("alt_class"), col("alt_type"),
         col("alt_price"), col("excl_class"), col("type_rank"))
     // The clinical-history anti side: the patient's distinct drug set
-    // (the pcui projection — already duplicate-free). Bounded by
-    // regimen sizes per patient; broadcast here (the candidate stream
-    // never shuffles for it) — at a scale where it stops fitting, drop
-    // the hint and both sides shuffle on the (patient, drug) key they
-    // already carry.
+    // (the pcui projection — already duplicate-free). PATIENT-SCALED,
+    // so no broadcast hint: a forced hint would collect the whole
+    // per-patient drug history on the driver at any scale. AQE
+    // broadcasts it while its runtime size fits the threshold (the
+    // bench shape) and keeps the shuffled anti join — both sides
+    // already keyed on (patient, drug) — when a 100× history doesn't.
     val hist = pcui.select(col("patient_id"), col("rxnorm_cui").as("alt_cui"))
     val candidates = ptypes
       .join(ptc.select(col("patient_id"), col("drug_type"),
@@ -237,7 +238,7 @@ object MedRules {
       .join(broadcast(rankedAlts), col("drug_type") === col("alt_type") &&
         col("excl_class") === col("drug_class"))
       .filter(col("type_rank") <= coalesce(col("n_taken"), lit(0L)) + lit(1L))
-      .join(broadcast(hist), Seq("patient_id", "alt_cui"), "left_anti")
+      .join(hist, Seq("patient_id", "alt_cui"), "left_anti")
       .select(col("patient_id"), col("drug_class"), col("n_meds"),
         col("alt_cui"), col("alt_class"), col("alt_price"))
     // the per-(patient, class) argmin runs through the native

@@ -209,6 +209,16 @@ class CatalogSpec extends SparkSpec {
     assert(sqlDf("SELECT sum(price_usd) FROM snap.default.ren")
       .as[Double].head() == 1100.0,
       "values must resolve across ALL three spellings' eras")
+    // a STRADDLING version (files on both sides of a rename) presents
+    // the newest spelling its own files carry, fully populated — never
+    // a union schema with the values split across half-null columns
+    assert(sqlDf("SELECT * FROM snap.default.ren VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "price", "note"))
+    assert(sqlDf("SELECT sum(price) FROM snap.default.ren VERSION AS OF 2")
+      .as[Double].head() == 1099.0,
+      "pre-rename rows must be populated under the straddling version's name")
+    assert(sqlDf("SELECT * FROM snap.default.ren VERSION AS OF 3")
+      .columns.toSeq == Seq("k", "price_usd", "note"))
     // DROP COLUMN: metadata-only, bytes stay dead in place
     sqlDf("ALTER TABLE snap.default.ren DROP COLUMN note")
     assert(sqlDf("SELECT * FROM snap.default.ren").columns.toSeq
