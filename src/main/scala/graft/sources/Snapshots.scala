@@ -280,6 +280,66 @@ object Snapshots {
   private def delLine(d: DeleteFile): String =
     s"$delPrefix@${d.coversBelow}:${d.keyCol}:${d.path}"
 
+  /** THE commit point, shared by every manifest publisher (plain/append
+    * commits, staged rewrites and deltas, txn-tagged appends, restore,
+    * by-reference publish, delete compaction): per attempt it takes the
+    * next version, lets `gate` veto or short-circuit, has `build`
+    * produce that attempt's manifest content FRESH (a lost race means
+    * the parent changed — content must re-derive, never replay), stamps
+    * the `#ts:` header clamped strictly above the parent's (TIMESTAMP
+    * AS OF stays monotonic under clock skew), writes a writer-unique
+    * tmp file, and publishes it with an atomic hard-link
+    * create-if-absent. NOT a rename: POSIX rename(2) silently REPLACES
+    * an existing target, so a racing loser would overwrite the winner's
+    * manifest; link creation is the primitive that atomically fails
+    * (EEXIST) when the target exists, and the link appears only fully
+    * formed — readers can never see a partial manifest.
+    *
+    *  - `gate(v)`: runs first each attempt at candidate version `v`;
+    *    return false to no-op with the current head (txn idempotence),
+    *    throw to abort the statement (write-conflict `basedOn`).
+    *  - `build(v)`: (pre-ts header lines, del/seq header lines, file
+    *    lines) for version `v`; may stage data as a side effect.
+    *  - `onLost()`: cleanup after a lost race, before the retry
+    *    (discard the attempt's own staged dir — never anyone else's).
+    */
+  private def publishManifest(root: String, what: String,
+      gate: Long => Boolean = _ => true,
+      onLost: () => Unit = () => ())(
+      build: Long => (Seq[String], Seq[String], Seq[String])): Long = {
+    Files.createDirectories(commitsDir(root))
+    var attempt = 0
+    while (true) {
+      val head = maxCommitted(root)
+      if (!gate(head + 1)) return head
+      val v = head + 1
+      val (preTs, header, fileLines) = build(v)
+      val parentTs = if (v > 1L) commitTimestamp(root, v - 1).getOrElse(-1L) else -1L
+      val commitTs = math.max(
+        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+      val tmp = commitsDir(root).resolve(
+        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+      val content = preTs.map(_ + "\n").mkString +
+        s"$tsPrefix$commitTs\n" +
+        (if (header.isEmpty) "" else header.mkString("", "\n", "\n")) +
+        fileLines.mkString("\n")
+      Files.write(tmp, content.getBytes(UTF_8))
+      try {
+        Files.createLink(manifestPath(root, v), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          onLost()
+          attempt += 1
+          if (attempt > 5) throw new IllegalStateException(
+            s"lost the $what race $attempt times under $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private val fileVersionRe = """.*/v(\d{8})_[^/]*/.*""".r
 
   /** The version a data file was staged (= committed) at, parsed from
@@ -347,9 +407,42 @@ object Snapshots {
     case _            => Paths.get(f).getParent.toString
   }
 
+  /** Declared schema of a catalog-CREATEd root (the `graft.schema.json`
+    * key [[graft.catalog.GraftTable.writeMeta]] pins in
+    * `_table.properties`) — what lets a ZERO-FILE snapshot read as an
+    * empty frame instead of failing schema inference. */
+  private def declaredSchema(root: String): Option[org.apache.spark.sql.types.StructType] = {
+    val f = Paths.get(root, "_table.properties")
+    if (!Files.exists(f)) None
+    else try {
+      val p = new java.util.Properties()
+      val in = Files.newBufferedReader(f, UTF_8)
+      try p.load(in) finally in.close()
+      Option(p.getProperty("graft.schema.json")).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } catch { case _: Exception => None }
+  }
+
+  /** Empty frame for a zero-file snapshot — a LEGITIMATE state (a
+    * catalog DELETE matching every row publishes an empty rewrite). */
+  private def emptyFrame(spark: SparkSession, root: String): DataFrame =
+    declaredSchema(root) match {
+      case Some(sc) =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)
+      case None => throw new IllegalStateException(
+        s"snapshot under $root has zero data files and no declared schema " +
+          "(_table.properties) to shape an empty result")
+    }
+
   private def readWithDeletes(spark: SparkSession, files: Seq[String],
       deletes: Seq[DeleteFile], mergeSchema: Boolean = false,
-      fileSeq: Map[String, Long] = Map.empty): DataFrame = {
+      fileSeq: Map[String, Long] = Map.empty,
+      root: String = ""): DataFrame = {
+    // a zero-file snapshot (e.g. a DELETE-all rewrite) reads as an
+    // empty frame — schema inference has no footers and deletes have
+    // nothing to hide
+    if (files.isEmpty) return emptyFrame(spark, root)
     // a cross-root published file's delete scoping uses its
     // manifest-pinned effective seq, not the foreign path's counter
     def effVersion(f: String): Long = fileSeq.getOrElse(f, fileVersion(f))
@@ -385,7 +478,8 @@ object Snapshots {
   def read(spark: SparkSession, root: String): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
-    readWithDeletes(spark, snap.files, snap.deletes, fileSeq = snap.fileSeq)
+    readWithDeletes(spark, snap.files, snap.deletes, fileSeq = snap.fileSeq,
+      root = root)
   }
 
   /** Time travel: read version `v` through ITS manifest — the same
@@ -394,7 +488,8 @@ object Snapshots {
     * AFTER it do not, exactly like any other later commit. */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val snap = resolveAt(root, version)
-    readWithDeletes(spark, snap.files, snap.deletes, fileSeq = snap.fileSeq)
+    readWithDeletes(spark, snap.files, snap.deletes, fileSeq = snap.fileSeq,
+      root = root)
   }
 
   /** PARTITION-PRUNED head read: keep only the manifest files whose
@@ -435,9 +530,14 @@ object Snapshots {
     val wanted = values
       .map(v => s"/${escapePathName(partCol)}=${escapePathName(v)}/").toSet
     val kept = snap.files.filter(f => wanted.exists(f.contains))
-    require(kept.nonEmpty,
-      s"no files match $partCol in ${values.mkString("{", ",", "}")} under $root")
-    readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq)
+    // zero matching partitions is a VALID empty result, not an error —
+    // shape it from the unpruned file set (limit 0 folds to an empty
+    // local relation before any data I/O)
+    if (kept.isEmpty)
+      readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
+        root = root).limit(0)
+    else readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq,
+      root = root)
   }
 
   /** PARTITION-EVOLVED pruned read — the multi-spec generalization of
@@ -475,10 +575,13 @@ object Snapshots {
         !f.contains(seg) || vals.exists(f.contains)
       }
     }
-    require(kept.nonEmpty,
-      s"no files can match ${filters.mkString(", ")} under $root")
-    readWithDeletes(spark, kept, snap.deletes, mergeSchema = true,
-      fileSeq = snap.fileSeq)
+    // zero matching files is a valid empty result (see
+    // readPartitionPruned)
+    if (kept.isEmpty)
+      readWithDeletes(spark, snap.files, Nil, mergeSchema = true,
+        fileSeq = snap.fileSeq, root = root).limit(0)
+    else readWithDeletes(spark, kept, snap.deletes, mergeSchema = true,
+      fileSeq = snap.fileSeq, root = root)
   }
 
   /** Read the head with parquet schema MERGING — schema evolution:
@@ -495,7 +598,7 @@ object Snapshots {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
     readWithDeletes(spark, snap.files, snap.deletes, mergeSchema = true,
-      fileSeq = snap.fileSeq)
+      fileSeq = snap.fileSeq, root = root)
   }
 
   /** File-level change feed between two committed versions: the files
@@ -518,10 +621,21 @@ object Snapshots {
     resolveAt(root, toVersion).files.filterNot(before)
   }
 
-  /** Read only the files added in `(fromVersion, toVersion]`. */
+  /** Read only the files added in `(fromVersion, toVersion]`. A range
+    * that added no files (delete-only, compaction, restore — all
+    * metadata-only commits) reads as an EMPTY frame shaped by the
+    * to-version's schema, so an incremental consumer's tail loop
+    * survives every valid commit kind. */
   def readChanges(spark: SparkSession, root: String,
-      fromVersion: Long, toVersion: Long): DataFrame =
-    spark.read.parquet(changedFiles(root, fromVersion, toVersion): _*)
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val changed = changedFiles(root, fromVersion, toVersion)
+    if (changed.nonEmpty) spark.read.parquet(changed: _*)
+    else {
+      val toFiles = resolveAt(root, toVersion).files
+      if (toFiles.nonEmpty) spark.read.parquet(toFiles: _*).limit(0)
+      else emptyFrame(spark, root)
+    }
+  }
 
   /** Commit one new table version: `write(stagingDir)` materializes the
     * full new file set (any number of Spark writes into that dir), then
@@ -583,11 +697,18 @@ object Snapshots {
     * is deleted when ALL components match. Same version scoping. */
   def commitDelete(root: String, keyCols: Seq[String])(write: String => Unit): Long = {
     require(keyCols.nonEmpty, "commitDelete needs at least one key column")
-    keyCols.foreach(c => require(!c.contains(',') && !c.contains(':'),
-      s"delete key column name must not contain ',' or ':' (manifest syntax): $c"))
+    keyCols.foreach(requireKeyName)
     commitImpl(root, carryForward = true, txn = None,
       stagedAsDeletes = Some(keyCols.mkString(",")))(write)
   }
+
+  /** Every `#del:@<v>:<key>:<path>` writer must reject names that
+    * break the line's 3-way split — shared by [[commitDelete]],
+    * [[commitUpsert]] and [[commitStagedDelta]] so a ':'-bearing key
+    * (legal SQL via backticks) can never silently corrupt a manifest. */
+  private def requireKeyName(c: String): Unit =
+    require(!c.contains(',') && !c.contains(':'),
+      s"delete key column name must not contain ',' or ':' (manifest syntax): $c")
 
   /** Subdirectory an upsert's writer stages its delete-key parquet
     * under (the rest of the staging dir is the new data). */
@@ -603,9 +724,11 @@ object Snapshots {
     * commit's version) shine through. Readers see pre- or post-upsert
     * state, never a mix, and the upsert costs O(touched rows), never
     * a table rewrite. */
-  def commitUpsert(root: String, keyCol: String)(write: String => Unit): Long =
+  def commitUpsert(root: String, keyCol: String)(write: String => Unit): Long = {
+    requireKeyName(keyCol)
     commitImpl(root, carryForward = true, txn = None,
       upsertKey = Some(keyCol))(write)
+  }
 
   /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): publish a
     * NEW commit whose file list (and pending-delete lines) are exactly
@@ -620,35 +743,11 @@ object Snapshots {
     * the same atomic create-if-absent commit point. */
   def restore(root: String, version: Long): Long = {
     val snap = resolveAt(root, version) // throws clearly if expired
-    var attempt = 0
-    while (true) {
-      val v = maxCommitted(root) + 1
-      val headerLines = snap.deletes.map(delLine) ++
-        seqLines(snap.fileSeq, snap.files)
-      val delBlock =
-        if (headerLines.isEmpty) ""
-        else headerLines.mkString("", "\n", "\n")
-      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
-      val commitTs = math.max(
-        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
-      val tmp = commitsDir(root).resolve(
-        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-      Files.write(tmp,
-        (s"$tsPrefix$commitTs\n" + delBlock + snap.files.mkString("\n"))
-          .getBytes(UTF_8))
-      try {
-        Files.createLink(manifestPath(root, v), tmp)
-        Files.delete(tmp)
-        return v
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempt += 1
-          if (attempt > 5) throw new IllegalStateException(
-            s"lost the restore race $attempt times under $root")
-      }
+    publishManifest(root, "restore") { _ =>
+      (Nil,
+        snap.deletes.map(delLine) ++ seqLines(snap.fileSeq, snap.files),
+        snap.files)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern): append the AUDITED
@@ -692,41 +791,17 @@ object Snapshots {
     * committed version (cross-root publishes, where the path's own
     * version segment belongs to a foreign counter). */
   private def appendManifest(root: String, newFiles: Seq[String],
-      what: String, seqPinNew: Boolean = false): Long = {
-    var attempt = 0
-    while (true) {
-      val v = maxCommitted(root) + 1
+      what: String, seqPinNew: Boolean = false): Long =
+    publishManifest(root, what) { v =>
+      // parent re-resolved per attempt: after a lost race the parent
+      // is the winner's head, not the one this writer started from
       val parent = if (v > 1L) Some(resolveAt(root, v - 1)) else None
       val files = parent.map(_.files).getOrElse(Nil) ++ newFiles
-      val parentSeqs = parent
-        .map(p => seqLines(p.fileSeq, p.files)).getOrElse(Nil)
-      val newSeqs = if (seqPinNew) newFiles.map(seqLine(_, v)) else Nil
-      val delLines = parent.map(_.deletes).getOrElse(Nil).map(delLine) ++
-        parentSeqs ++ newSeqs
-      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
-      val commitTs = math.max(
-        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
-      val delBlock =
-        if (delLines.isEmpty) "" else delLines.mkString("", "\n", "\n")
-      val tmp = commitsDir(root).resolve(
-        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-      Files.write(tmp,
-        (s"$tsPrefix$commitTs\n" + delBlock + files.mkString("\n"))
-          .getBytes(UTF_8))
-      try {
-        Files.createLink(manifestPath(root, v), tmp)
-        Files.delete(tmp)
-        return v
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempt += 1
-          if (attempt > 5) throw new IllegalStateException(
-            s"lost the $what race $attempt times under $root")
-      }
+      val header = parent.map(_.deletes).getOrElse(Nil).map(delLine) ++
+        parent.map(p => seqLines(p.fileSeq, p.files)).getOrElse(Nil) ++
+        (if (seqPinNew) newFiles.map(seqLine(_, v)) else Nil)
+      (Nil, header, files)
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   /** Writer-unique staging dir for the DataSource-V2 write path, where
     * executors materialize files BEFORE the commit's version is known
@@ -768,39 +843,19 @@ object Snapshots {
     // legitimately replaces the table with zero files, so the v2 path
     // opts in explicitly
     require(allowEmpty || files.nonEmpty, s"rewrite staged no files under $root")
-    Files.createDirectories(commitsDir(root))
-    var attempt = 0
-    while (true) {
-      val v = maxCommitted(root) + 1
-      basedOn.foreach { b =>
-        if (v != b + 1) throw new java.util.ConcurrentModificationException(
-          s"copy-on-write rewrite of $root was planned against version $b " +
-            s"but the table head is now ${v - 1}: a concurrent commit added " +
-            "rows the staged survivor set does not contain. Re-run the " +
-            "statement against the current head.")
-      }
-      val header = files.sorted.map(seqLine(_, v))
-      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
-      val commitTs = math.max(
-        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
-      val tmp = commitsDir(root).resolve(
-        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-      Files.write(tmp,
-        (s"$tsPrefix$commitTs\n" + header.mkString("", "\n", "\n") +
-          files.sorted.mkString("\n")).getBytes(UTF_8))
-      try {
-        Files.createLink(manifestPath(root, v), tmp)
-        Files.delete(tmp)
-        return v
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempt += 1
-          if (attempt > 5) throw new IllegalStateException(
-            s"lost the staged-rewrite race $attempt times under $root")
-      }
+    publishManifest(root, "staged-rewrite",
+      gate = { v =>
+        basedOn.foreach { b =>
+          if (v != b + 1) throw new java.util.ConcurrentModificationException(
+            s"copy-on-write rewrite of $root was planned against version $b " +
+              s"but the table head is now ${v - 1}: a concurrent commit added " +
+              "rows the staged survivor set does not contain. Re-run the " +
+              "statement against the current head.")
+        }
+        true
+      }) { v =>
+      (Nil, files.sorted.map(seqLine(_, v)), files.sorted)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Publish a PRE-STAGED merge-on-read delta as ONE atomic commit —
@@ -814,11 +869,9 @@ object Snapshots {
     * I/O whatever the table size, the Hudi/Iceberg-v2 upsert shape. */
   def commitStagedDelta(root: String, keyCol: String,
       dataFiles: Seq[String], delKeyFiles: Seq[String]): Long = {
+    requireKeyName(keyCol)
     if (dataFiles.isEmpty && delKeyFiles.isEmpty) return maxCommitted(root)
-    Files.createDirectories(commitsDir(root))
-    var attempt = 0
-    while (true) {
-      val v = maxCommitted(root) + 1
+    publishManifest(root, "staged-delta") { v =>
       val parent = if (v > 1L) Some(resolveAt(root, v - 1)) else None
       require(parent.isDefined || delKeyFiles.isEmpty,
         s"a merge-on-read delta needs a committed table under $root")
@@ -828,27 +881,8 @@ object Snapshots {
       val header = dels.map(delLine) ++
         parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil) ++
         dataFiles.sorted.map(seqLine(_, v))
-      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
-      val commitTs = math.max(
-        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
-      val tmp = commitsDir(root).resolve(
-        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-      Files.write(tmp,
-        (s"$tsPrefix$commitTs\n" + header.mkString("", "\n", "\n") +
-          files.mkString("\n")).getBytes(UTF_8))
-      try {
-        Files.createLink(manifestPath(root, v), tmp)
-        Files.delete(tmp)
-        return v
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempt += 1
-          if (attempt > 5) throw new IllegalStateException(
-            s"lost the staged-delta race $attempt times under $root")
-      }
+      (Nil, header, files)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Publish PRE-STAGED files as one IDEMPOTENT append commit — the
@@ -866,37 +900,18 @@ object Snapshots {
   def commitAppendStagedTxn(root: String, appId: String, epoch: Long,
       files: Seq[String]): Long = {
     if (files.isEmpty) return maxCommitted(root)
-    Files.createDirectories(commitsDir(root))
-    var attempt = 0
-    while (true) {
-      if (lastTxn(root, appId) >= epoch) return maxCommitted(root)
-      val v = maxCommitted(root) + 1
+    publishManifest(root, "staged-append",
+      // idempotence gate, re-checked every attempt: a replayed epoch
+      // (crash-restart, or a zombie losing the race to its twin) finds
+      // its txn tag already committed and no-ops
+      gate = _ => lastTxn(root, appId) < epoch) { v =>
       val parent = if (v > 1L) Some(resolveAt(root, v - 1)) else None
       val all = parent.map(_.files).getOrElse(Nil) ++ files.sorted
       val header = parent.map(_.deletes).getOrElse(Nil).map(delLine) ++
         parent.map(p => seqLines(p.fileSeq, all)).getOrElse(Nil) ++
         files.sorted.map(seqLine(_, v))
-      val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
-      val commitTs = math.max(
-        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
-      val tmp = commitsDir(root).resolve(
-        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-      Files.write(tmp,
-        (s"#txn:$appId:$epoch\n$tsPrefix$commitTs\n" +
-          header.mkString("", "\n", "\n") + all.mkString("\n")).getBytes(UTF_8))
-      try {
-        Files.createLink(manifestPath(root, v), tmp)
-        Files.delete(tmp)
-        return v
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempt += 1
-          if (attempt > 5) throw new IllegalStateException(
-            s"lost the staged-append race $attempt times under $root")
-      }
+      (Seq(s"#txn:$appId:$epoch"), header, all)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** DELETE-FILE COMPACTION (`rewrite_deletes`): collapse the pending
@@ -928,72 +943,56 @@ object Snapshots {
     * there was nothing to compact). Races with concurrent writers
     * re-resolve and re-stage inside the retry loop. */
   def compactDeletes(spark: SparkSession, root: String): Long = {
-    var attempt = 0
-    while (true) {
-      val snap = resolve(root).getOrElse(throw new IllegalStateException(
-        s"no committed snapshot under $root"))
-      def effVersion(f: String): Long =
-        snap.fileSeq.getOrElse(f, fileVersion(f))
-      val fileVersions = snap.files.map(effVersion).toSet
-      // scope-equivalence classes per key column: sort by coversBelow,
-      // split where a data-file version falls inside the gap
-      val classes: Seq[(String, Seq[DeleteFile])] =
-        snap.deletes.groupBy(_.keyCol).toSeq.sortBy(_._1).flatMap {
-          case (keyCol, ds) =>
-            val sorted = ds.sortBy(_.coversBelow)
-            val grouped = sorted.tail.foldLeft(
-              Vector(Vector(sorted.head))) { (acc, d) =>
-              val prev = acc.last.last.coversBelow
-              val boundary = fileVersions.exists(v => prev <= v && v < d.coversBelow)
-              if (boundary) acc :+ Vector(d) else acc.init :+ (acc.last :+ d)
-            }
-            grouped.map(g => keyCol -> (g: Seq[DeleteFile]))
-        }
-      if (classes.lengthCompare(snap.deletes.size) == 0) return snap.version
-      val v = maxCommitted(root) + 1
-      if (v != snap.version + 1) { attempt += 1; if (attempt > 5)
-        throw new IllegalStateException(s"lost the delete-compaction race under $root")
-        // a commit landed between resolve and here — re-plan
-      } else {
-        val stage = newDataDir(root, v)
-        Files.createDirectories(Paths.get(stage))
-        val newDels = classes.zipWithIndex.map { case ((keyCol, ds), i) =>
-          if (ds.size == 1) ds.head // nothing to merge, reference in place
-          else {
-            val out = s"$stage/delkeys-$i"
-            spark.read.parquet(ds.map(_.path).sorted: _*)
-              .select(ds.head.keyCols
-                .map(org.apache.spark.sql.functions.col): _*).distinct()
-              .coalesce(1).write.mode("append").parquet(out)
-            val staged = listParquet(out)
-            require(staged.size == 1, s"compaction staged ${staged.size} files")
-            DeleteFile(keyCol, staged.head, ds.map(_.coversBelow).max)
+    // re-planned per attempt through the gate: a lost race means the
+    // delete set may have changed, and a post-race no-op (nothing left
+    // to merge) short-circuits instead of publishing a redundant commit
+    var planned: Seq[(String, Seq[DeleteFile])] = Nil
+    var snapAtPlan: Snapshot = null
+    var stage: String = null
+    publishManifest(root, "delete-compaction",
+      gate = { _ =>
+        val snap = resolve(root).getOrElse(throw new IllegalStateException(
+          s"no committed snapshot under $root"))
+        def effVersion(f: String): Long =
+          snap.fileSeq.getOrElse(f, fileVersion(f))
+        val fileVersions = snap.files.map(effVersion).toSet
+        // scope-equivalence classes per key column: sort by coversBelow,
+        // split where a data-file version falls inside the gap
+        val classes: Seq[(String, Seq[DeleteFile])] =
+          snap.deletes.groupBy(_.keyCol).toSeq.sortBy(_._1).flatMap {
+            case (keyCol, ds) =>
+              val sorted = ds.sortBy(_.coversBelow)
+              val grouped = sorted.tail.foldLeft(
+                Vector(Vector(sorted.head))) { (acc, d) =>
+                val prev = acc.last.last.coversBelow
+                val boundary = fileVersions.exists(v => prev <= v && v < d.coversBelow)
+                if (boundary) acc :+ Vector(d) else acc.init :+ (acc.last :+ d)
+              }
+              grouped.map(g => keyCol -> (g: Seq[DeleteFile]))
           }
-        }
-        val header = newDels.map(delLine) ++ seqLines(snap.fileSeq, snap.files)
-        val parentTs = commitTimestamp(root, v - 1).getOrElse(-1L)
-        val commitTs = math.max(
-          java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
-        val tmp = commitsDir(root).resolve(
-          s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-        Files.write(tmp,
-          (s"$tsPrefix$commitTs\n" + header.mkString("", "\n", "\n") +
-            snap.files.mkString("\n")).getBytes(UTF_8))
-        try {
-          Files.createLink(manifestPath(root, v), tmp)
-          Files.delete(tmp)
-          return v
-        } catch {
-          case _: FileAlreadyExistsException =>
-            Files.deleteIfExists(tmp)
-            deleteRecursively(Paths.get(stage))
-            attempt += 1
-            if (attempt > 5) throw new IllegalStateException(
-              s"lost the delete-compaction race $attempt times under $root")
+        if (classes.lengthCompare(snap.deletes.size) == 0) false
+        else { planned = classes; snapAtPlan = snap; true }
+      },
+      onLost = () =>
+        if (stage != null) deleteRecursively(Paths.get(stage))) { v =>
+      stage = newDataDir(root, v)
+      Files.createDirectories(Paths.get(stage))
+      val newDels = planned.zipWithIndex.map { case ((keyCol, ds), i) =>
+        if (ds.size == 1) ds.head // nothing to merge, reference in place
+        else {
+          val out = s"$stage/delkeys-$i"
+          spark.read.parquet(ds.map(_.path).sorted: _*)
+            .select(ds.head.keyCols
+              .map(org.apache.spark.sql.functions.col): _*).distinct()
+            .coalesce(1).write.mode("append").parquet(out)
+          val staged = listParquet(out)
+          require(staged.size == 1, s"compaction staged ${staged.size} files")
+          DeleteFile(keyCol, staged.head, ds.map(_.coversBelow).max)
         }
       }
+      (Nil, newDels.map(delLine) ++ seqLines(snapAtPlan.fileSeq, snapAtPlan.files),
+        snapAtPlan.files)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Highest epoch committed for `appId` among retained manifests
@@ -1022,21 +1021,21 @@ object Snapshots {
       txn: Option[(String, Long)],
       stagedAsDeletes: Option[String] = None,
       upsertKey: Option[String] = None)(write: String => Unit): Long = {
-    Files.createDirectories(commitsDir(root))
-    var attempt = 0
-    while (true) {
+    // the attempt's own staging dir, discarded (and only it) on a lost
+    // race before the retry re-stages
+    var dataDir: String = null
+    publishManifest(root, "commit",
       // idempotence gate, re-checked on every attempt: a replayed epoch
       // (crash-restart, or a zombie writer losing the race to its own
       // twin) finds its txn tag already committed and no-ops
-      txn.foreach { case (appId, epoch) =>
-        if (lastTxn(root, appId) >= epoch) return maxCommitted(root)
-      }
-      val v = maxCommitted(root) + 1
+      gate = _ => txn.forall { case (appId, epoch) =>
+        lastTxn(root, appId) < epoch },
+      onLost = () => deleteRecursively(Paths.get(dataDir))) { v =>
       // writer-unique staging dir: a racing writer at the same version
       // stages elsewhere, so no cross-writer list/append/delete is
       // possible; a crashed writer's dir is an orphan no manifest ever
       // references, invisible to readers and reclaimed by [[vacuum]]
-      val dataDir = newDataDir(root, v)
+      dataDir = newDataDir(root, v)
       write(dataDir)
       val staged = listParquet(dataDir)
       require(staged.nonEmpty, s"commit produced no data files in $dataDir")
@@ -1071,41 +1070,10 @@ object Snapshots {
       }
       // seq pins for carried cross-root (published) files survive every
       // carry-forward commit; a full rewrite drops them with the files
-      val delLines = (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine) ++
+      val header = (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine) ++
         parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil)
-      val tmp = commitsDir(root).resolve(
-        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-      // commit-time header (µs since epoch), clamped strictly above the
-      // parent's so per-version timestamps are monotonic even under
-      // clock skew — TIMESTAMP AS OF resolution stays deterministic
-      val parentTs = if (v > 1L) commitTimestamp(root, v - 1).getOrElse(-1L) else -1L
-      val commitTs = math.max(
-        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
-      val header = txn.map { case (a, e) => s"#txn:$a:$e\n" }.getOrElse("") +
-        s"$tsPrefix$commitTs\n"
-      val delBlock = if (delLines.isEmpty) "" else delLines.mkString("", "\n", "\n")
-      Files.write(tmp, (header + delBlock + files.mkString("\n")).getBytes(UTF_8))
-      try {
-        // COMMIT POINT — a true atomic create-if-absent. NOT a rename:
-        // POSIX rename(2) (= Files.move + ATOMIC_MOVE) silently
-        // REPLACES an existing target, so a racing loser would
-        // overwrite the winner's manifest and its commit would vanish.
-        // A hard-link create is the POSIX primitive that atomically
-        // fails (EEXIST) when the target exists, and the link appears
-        // only fully formed — readers can never see a partial manifest.
-        Files.createLink(manifestPath(root, v), tmp)
-        Files.delete(tmp)
-        return v
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          deleteRecursively(Paths.get(dataDir)) // own dir only
-          attempt += 1
-          if (attempt > 5) throw new IllegalStateException(
-            s"lost the commit race $attempt times under $root")
-      }
+      (txn.map { case (a, e) => s"#txn:$a:$e" }.toSeq, header, files)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** The `foreachBatch` binding of [[commitAppendTxn]] — pass
@@ -1129,7 +1097,8 @@ object Snapshots {
     * deletes its manifest but only those of its data files that no
     * RETAINED manifest still references (Delta's VACUUM rule: expire
     * log entries freely, delete a data file only when unreferenced). */
-  def vacuum(root: String, keepLast: Int): Unit = {
+  def vacuum(root: String, keepLast: Int,
+      stagingGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepLast >= 1, "must keep at least the head")
     val head = maxCommitted(root)
     val oldest = math.max(1L, head - keepLast + 1)
@@ -1145,13 +1114,44 @@ object Snapshots {
     // (with its _SUCCESS/.crc debris) once no retained manifest
     // references any of its files; in a part-referenced dir (append
     // carry) only the unreferenced files go. Dirs at >= `oldest` are
-    // never touched: an in-flight writer stages at >= head, so the
+    // never touched: a version-staged writer stages at >= head, so the
     // floor keeps vacuum clear of live staging (the standard retention
     // caveat — don't vacuum to keepLast=1 under writers mid-stage).
+    //
+    // EXCEPTION — `v00000000_dsv2_*` dirs ([[newStagingDir]]): DSV2
+    // writes stage there BEFORE their commit version exists, so their
+    // files are unreferenced BY DESIGN while the write is in flight,
+    // and version 0 sits below every retention floor. Reclaiming one
+    // mid-write would corrupt the commit it's about to publish.
+    // They're swept only after `stagingGraceMs` of quiet (dir mtime —
+    // file creation bumps it), the uncommitted-file retention rule
+    // Delta/Iceberg vacuum applies.
+    val now = System.currentTimeMillis()
+    def quiet(p: Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis > stagingGraceMs
+      catch { case _: Exception => false }
     dataDirsBelow(root, oldest).foreach { dir =>
-      val fs = listParquet(dir.toString)
-      fs.filterNot(referenced).foreach(f => Files.deleteIfExists(Paths.get(f)))
-      if (fs.forall(!referenced(_))) deleteRecursively(dir)
+      val inFlightStaging =
+        dir.getFileName.toString.startsWith(versionPrefix(0L)) && !quiet(dir)
+      if (!inFlightStaging) {
+        val fs = listParquet(dir.toString)
+        fs.filterNot(referenced).foreach(f => Files.deleteIfExists(Paths.get(f)))
+        if (fs.forall(!referenced(_))) deleteRecursively(dir)
+      }
+    }
+    // crashed writers can also leave `.tmp_*` manifest files in
+    // _commits (death between staging the bytes and the createLink
+    // commit point); nothing references them, so reclaim after the
+    // same grace window — without this the _commits listing every
+    // maxCommitted/resolve scans grows without bound under crashes
+    val cd = commitsDir(root)
+    if (Files.isDirectory(cd)) {
+      val ls = Files.list(cd)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".tmp_"))
+        .filter(quiet)
+        .foreach(Files.deleteIfExists(_))
+      finally ls.close()
     }
   }
 

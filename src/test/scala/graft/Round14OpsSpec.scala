@@ -287,6 +287,73 @@ class Round14OpsSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $cat.$db.mr RENAME COLUMN id TO pk"))
   }
 
+  test("empty-result reads: delete-only change range, unmatched partition, DELETE-all table") {
+    // delete-only commit adds no files → readChanges is EMPTY, not an error
+    val root = freshRoot("emptyreads")
+    spark.range(30).select($"id", ($"id" % 3).cast("string").as("p"))
+      .createOrReplaceTempView("er_base")
+    Snapshots.commit(root)(out =>
+      spark.table("er_base").write.mode("append").parquet(out))
+    val v1 = Snapshots.maxCommitted(root)
+    Snapshots.commitDelete(root, "id")(out =>
+      spark.range(5).select($"id").write.mode("append").parquet(out))
+    val v2 = Snapshots.maxCommitted(root)
+    val changes = Snapshots.readChanges(spark, root, v1, v2)
+    assert(changes.count() == 0L && changes.columns.contains("id"),
+      "a delete-only range must read as an empty frame, schema intact")
+    // a partition selection matching nothing is a valid empty result
+    val proot = freshRoot("emptyprune")
+    Snapshots.commit(proot)(out =>
+      spark.table("er_base").write.partitionBy("p").mode("append").parquet(out))
+    val pruned = Snapshots.readPartitionPruned(spark, proot, "p", Seq("nope"))
+    assert(pruned.count() == 0L && pruned.columns.contains("id"))
+    assert(Snapshots.readPartitionPrunedEvolved(spark, proot,
+      Map("p" -> Seq("nope"))).count() == 0L)
+    // a catalog DELETE matching every row leaves a ZERO-FILE snapshot —
+    // the direct-API read must shape an empty frame from the declared
+    // schema instead of failing parquet schema inference
+    val (cat, db) = ("snap_r14empty", "default")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", Qx.tmpOut("r14empty", sf()))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$db.wiped")
+    spark.sql(s"CREATE TABLE $cat.$db.wiped (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.$db.wiped SELECT id, 'x' FROM range(10)")
+    spark.sql(s"DELETE FROM $cat.$db.wiped WHERE id >= 0")
+    val wroot = graft.catalog.GraftCatalog.tableRoot(spark, cat, db, "wiped")
+    val direct = Snapshots.read(spark, wroot)
+    assert(direct.count() == 0L && direct.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("vacuum spares in-flight dsv2 staging and reclaims stale staging + tmp manifests") {
+    val root = freshRoot("vacgrace")
+    Snapshots.commit(root)(out =>
+      spark.range(10).select($"id").write.mode("append").parquet(out))
+    Snapshots.commit(root)(out =>
+      spark.range(10).select($"id").write.mode("append").parquet(out))
+    // a fresh (in-flight) DSV2 staging dir: version 0 sits below every
+    // retention floor, but vacuum must NOT touch it inside the grace
+    val fresh = Snapshots.newStagingDir(root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fresh))
+    spark.range(3).select($"id").coalesce(1).write.mode("append").parquet(fresh)
+    Snapshots.vacuum(root, keepLast = 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(fresh)),
+      "vacuum must not reclaim an in-flight staging dir inside the grace window")
+    // age the dir past the grace → reclaimed (crashed writer cleanup)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(fresh), old)
+    // a stale orphaned manifest tmp file goes with it
+    val tmp = java.nio.file.Paths.get(root, "_commits", ".tmp_dead_1")
+    java.nio.file.Files.write(tmp, "zombie".getBytes)
+    java.nio.file.Files.setLastModifiedTime(tmp, old)
+    Snapshots.vacuum(root, keepLast = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(fresh)),
+      "a quiet-past-grace staging dir is a crashed writer's orphan")
+    assert(!java.nio.file.Files.exists(tmp),
+      "stale manifest tmp files must be reclaimed")
+    assert(Snapshots.read(spark, root).count() == 10L, "table unharmed")
+  }
+
   test("compactDeletes is a no-op when nothing can merge") {
     val root = freshRoot("dcnoop")
     Snapshots.commit(root)(out =>
