@@ -292,6 +292,19 @@ object AsOf {
       }
     val lp = l.queryExecution.analyzed
     val rp = r.queryExecution.analyzed
+    // Self-join guard: when left and right share lineage their outputs
+    // carry the SAME expression ids, and the key/time attributes this
+    // node captures cannot say which side they bind to —
+    // DeduplicateRelations regenerates the right subtree's ids but has
+    // no way to re-point a custom node's captured references. Built-in
+    // joins solve this with dataset-id metadata; here the honest
+    // contract is a clear error instead of wrong-side binding.
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    require(shared.isEmpty,
+      s"as-of join sides share lineage (common attributes: " +
+        s"${shared.map(_.name).mkString(", ")}); materialize or re-derive " +
+        "one side first, e.g. right.select(cols.map(col): _*) from a fresh " +
+        "read, so its column identities are distinct")
     classic.GraftSqlBridge.ofRows(spark, AsOfJoin(
       leftKeys.map(attr(lp, _): Expression), rightKeys.map(attr(rp, _): Expression),
       attr(lp, leftTime), attr(rp, rightTime),

@@ -69,22 +69,35 @@ object MergeSql {
     }
     require(!m.withSchemaEvolution, "WITH SCHEMA EVOLUTION is not supported")
 
-    def unwrap(p: LogicalPlan): (String, Option[String]) = p match {
-      case SubqueryAlias(id, child) => (unwrap(child)._1, Some(id.name))
-      case u: UnresolvedRelation => (u.multipartIdentifier.last, None)
-      case other => throw new IllegalArgumentException(
-        s"unsupported MERGE relation shape: ${other.getClass.getSimpleName}")
-    }
-    val (targetName, targetAlias) = unwrap(m.targetTable)
-    val (sourceName, sourceAlias) = unwrap(m.sourceTable)
-    val root = tables.getOrElse(targetName, throw new IllegalArgumentException(
-      s"unknown snapshot table $targetName (known: ${tables.keys.mkString(", ")})"))
+    val (targetName, targetAlias) = RowSql.unwrapTarget(m.targetTable)
+    val (sourceName, sourceAlias) = RowSql.unwrapTarget(m.sourceTable)
+    val root = RowSql.rootIn(tables, targetName)
 
     val tMark = "__graft_t_exists"
     val sMark = "__graft_s_exists"
     val tId = "__graft_t_id"
     val target = Snapshots.read(spark, root)
     val targetCols = target.columns.toSeq
+
+    // every UPDATE SET / INSERT column must name a real target column —
+    // a misspelled name silently matching nothing would keep the old
+    // value (no-op UPDATE) or NULL-fill the INSERT instead of erroring
+    // like any engine
+    def checkAssignment(a: Assignment): Unit = a.key match {
+      case k: UnresolvedAttribute =>
+        require(targetCols.exists(_.equalsIgnoreCase(k.nameParts.last)),
+          s"MERGE assignment references unknown target column " +
+            s"'${k.nameParts.mkString(".")}' (target columns: " +
+            s"${targetCols.mkString(", ")})")
+      case other => throw new IllegalArgumentException(
+        s"unsupported assignment key shape: $other")
+    }
+    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .foreach {
+        case UpdateAction(_, assigns, _) => assigns.foreach(checkAssignment)
+        case InsertAction(_, assigns) => assigns.foreach(checkAssignment)
+        case _ => ()
+      }
     val t = target.withColumn(tMark, lit(true))
       .withColumn(tId, monotonically_increasing_id())
       .alias(targetAlias.getOrElse(targetName))
@@ -160,15 +173,26 @@ object MergeSql {
     // nondeterministic expressions are not legal in a window spec.
     val wKey = "__graft_w_key"
     val mCnt = "__graft_m_cnt"
+    val mRn = "__graft_m_rn"
+    val perTarget = Window.partitionBy(col(wKey))
     val counted = joined
       .withColumn(wKey, coalesce(col(tId), -(monotonically_increasing_id() + 1)))
-      .withColumn(mCnt,
-        count(when(matched, lit(1))).over(Window.partitionBy(col(wKey))))
-    val keepGuarded = when(matched && col(mCnt) > 1,
+      .withColumn(mCnt, count(when(matched, lit(1))).over(perTarget))
+      .withColumn(mRn, row_number().over(perTarget.orderBy(col(wKey))))
+    // Cardinality: the SQL (and Delta/Iceberg) violation applies only
+    // when a MATCHED ACTION would consume the ambiguous match — with no
+    // WHEN MATCHED clauses at all (insert-only merges), duplicate
+    // source matches are legal and the full-outer fan-out is collapsed
+    // back to ONE copy of the target row (all copies carry identical
+    // target values, so which survives is immaterial).
+    val keepGuarded =
+      if (m.matchedActions.isEmpty)
+        when(matched && col(mRn) > 1, lit(false)).otherwise(keep)
+      else when(matched && col(mCnt) > 1,
         raise_error(lit("MERGE cardinality violation: a target row matched " +
           "more than one source row; deduplicate the source on the merge " +
           "keys or tighten the ON condition")).cast("boolean"))
-      .otherwise(keep)
+        .otherwise(keep)
     val merged = counted
       .select(outCols :+ keepGuarded.as("__graft_keep"): _*)
       .filter(col("__graft_keep"))

@@ -45,21 +45,27 @@ import org.apache.spark.sql.functions._
   */
 object RowSql {
 
+  /** Target-relation unwrap shared by every interpreter entry here and
+    * in [[MergeSql]]: the statement's (table name, optional alias). */
+  private[plans] def unwrapTarget(p: LogicalPlan): (String, Option[String]) = p match {
+    case SubqueryAlias(id, child) => (unwrapTarget(child)._1, Some(id.name))
+    case u: UnresolvedRelation => (u.multipartIdentifier.last, None)
+    case other => throw new IllegalArgumentException(
+      s"unsupported relation shape: ${other.getClass.getSimpleName}")
+  }
+
+  private[plans] def rootIn(tables: Map[String, String], name: String): String =
+    tables.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown snapshot table $name (known: ${tables.keys.mkString(", ")})"))
+
   /** Parse and execute one UPDATE or DELETE statement. `tables` maps
     * the statement's target table name to its snapshot root. Returns
     * the post-statement table read through the new snapshot head. */
   def execute(spark: SparkSession, sql: String,
       tables: Map[String, String]): DataFrame = {
 
-    def unwrap(p: LogicalPlan): (String, Option[String]) = p match {
-      case SubqueryAlias(id, child) => (unwrap(child)._1, Some(id.name))
-      case u: UnresolvedRelation => (u.multipartIdentifier.last, None)
-      case other => throw new IllegalArgumentException(
-        s"unsupported relation shape: ${other.getClass.getSimpleName}")
-    }
-    def rootOf(name: String): String =
-      tables.getOrElse(name, throw new IllegalArgumentException(
-        s"unknown snapshot table $name (known: ${tables.keys.mkString(", ")})"))
+    def unwrap(p: LogicalPlan) = unwrapTarget(p)
+    def rootOf(name: String): String = rootIn(tables, name)
     def aliased(df: DataFrame, name: String, alias: Option[String]): DataFrame =
       df.alias(alias.getOrElse(name))
     spark.sessionState.sqlParser.parsePlan(sql) match {
@@ -102,20 +108,21 @@ object RowSql {
       case other => throw new IllegalArgumentException(
         s"not a DELETE statement: ${other.getClass.getSimpleName}")
     }
-    def unwrap(p: LogicalPlan): (String, Option[String]) = p match {
-      case SubqueryAlias(id, child) => (unwrap(child)._1, Some(id.name))
-      case u: UnresolvedRelation => (u.multipartIdentifier.last, None)
-      case other => throw new IllegalArgumentException(
-        s"unsupported relation shape: ${other.getClass.getSimpleName}")
-    }
-    val (name, alias) = unwrap(rel)
-    val root = tables.getOrElse(name, throw new IllegalArgumentException(
-      s"unknown snapshot table $name (known: ${tables.keys.mkString(", ")})"))
+    val (name, alias) = unwrapTarget(rel)
+    val root = rootIn(tables, name)
     val target = Snapshots.read(spark, root).alias(alias.getOrElse(name))
     val doomedKeys = target.filter(isTrue(cond)).select(keyCol).distinct()
-    if (!doomedKeys.isEmpty)
-      Snapshots.commitDelete(root, keyCol)(out =>
-        doomedKeys.write.mode("append").parquet(out))
+    // ONE evaluation of the predicate: the keys are materialized into a
+    // staging dir first, then published (or discarded when nothing
+    // matched) — an isEmpty pre-check would re-run the filter scan, and
+    // under a nondeterministic predicate could even disagree with the
+    // committed key set
+    val stage = Snapshots.newStagingDir(root)
+    doomedKeys.write.mode("overwrite").parquet(stage)
+    val staged = Snapshots.listParquet(stage)
+    if (staged.nonEmpty && spark.read.parquet(staged: _*).head(1).nonEmpty)
+      Snapshots.commitStagedDelta(root, keyCol, Nil, staged)
+    else org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
     Snapshots.read(spark, root)
   }
 
@@ -137,27 +144,37 @@ object RowSql {
         case other => throw new IllegalArgumentException(
           s"not an UPDATE statement: ${other.getClass.getSimpleName}")
       }
-    def unwrap(p: LogicalPlan): (String, Option[String]) = p match {
-      case SubqueryAlias(id, child) => (unwrap(child)._1, Some(id.name))
-      case u: UnresolvedRelation => (u.multipartIdentifier.last, None)
-      case other => throw new IllegalArgumentException(
-        s"unsupported relation shape: ${other.getClass.getSimpleName}")
-    }
-    val (name, alias) = unwrap(rel)
-    val root = tables.getOrElse(name, throw new IllegalArgumentException(
-      s"unknown snapshot table $name (known: ${tables.keys.mkString(", ")})"))
+    val (name, alias) = unwrapTarget(rel)
+    val root = rootIn(tables, name)
+    // updating the key column itself is delete-old-key + insert-new-key
+    // territory — reject it rather than scope the delete to the wrong
+    // side (matches Delta's primary-key-update restriction for upserts)
+    require(!assignments.exists {
+      case Assignment(k: UnresolvedAttribute, _) =>
+        k.nameParts.last.equalsIgnoreCase(keyCol)
+      case _ => false
+    }, s"UPDATE must not assign the merge-on-read key column '$keyCol'")
     val target = Snapshots.read(spark, root)
     val hitRows = target.alias(alias.getOrElse(name))
       .filter(cond.map(isTrue).getOrElse(lit(true)))
-    if (!hitRows.isEmpty) {
-      // assignments applied unconditionally to the hit rows only
-      val newRows = lowerUpdate(hitRows, target.columns.toSeq, assignments, None)
-      Snapshots.commitUpsert(root, keyCol) { dir =>
-        newRows.write.mode("append").parquet(dir)
-        hitRows.select(keyCol).distinct()
-          .write.mode("append").parquet(s"$dir/${Snapshots.upsertDelSubdir}")
-      }
-    }
+    // ONE evaluation of the hit predicate: the rewritten rows are
+    // materialized first, and the delete keys derive from the WRITTEN
+    // bytes (key column unassigned ⇒ identical to the hit rows' keys) —
+    // a second filter pass could disagree under a nondeterministic
+    // predicate, committing delete keys whose replacement rows were
+    // never staged (permanent row loss)
+    val newRows = lowerUpdate(hitRows, target.columns.toSeq, assignments, None)
+    val stage = Snapshots.newStagingDir(root)
+    newRows.write.mode("overwrite").parquet(stage)
+    val stagedData = Snapshots.listParquet(stage)
+    if (stagedData.nonEmpty &&
+        spark.read.parquet(stagedData: _*).head(1).nonEmpty) {
+      val keyDir = s"$stage/${Snapshots.upsertDelSubdir}"
+      spark.read.parquet(stagedData: _*).select(keyCol).distinct()
+        .write.mode("overwrite").parquet(keyDir)
+      Snapshots.commitStagedDelta(root, keyCol,
+        stagedData, Snapshots.listParquet(keyDir))
+    } else org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
     Snapshots.read(spark, root)
   }
 
@@ -175,6 +192,17 @@ object RowSql {
   private[graft] def lowerUpdate(t: DataFrame, targetCols: Seq[String],
       assignments: Seq[Assignment], cond: Option[Expression]): DataFrame = {
     val hit = cond.map(isTrue).getOrElse(lit(true))
+    // every SET column must name exactly one target column — a
+    // misspelled name silently matching nothing would commit a no-op
+    // (or NULL-fill an INSERT) instead of erroring like any engine
+    assignments.foreach {
+      case Assignment(k: UnresolvedAttribute, _) =>
+        require(targetCols.exists(_.equalsIgnoreCase(k.nameParts.last)),
+          s"assignment references unknown column '${k.nameParts.mkString(".")}' " +
+            s"(target columns: ${targetCols.mkString(", ")})")
+      case a => throw new IllegalArgumentException(
+        s"unsupported assignment key shape: ${a.key}")
+    }
     def assigned(colName: String): Option[Column] = assignments.collectFirst {
       case Assignment(k: UnresolvedAttribute, v)
           if k.nameParts.last.equalsIgnoreCase(colName) =>

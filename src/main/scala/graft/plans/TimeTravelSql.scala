@@ -36,17 +36,46 @@ object TimeTravelSql {
   /** Parse and run one SELECT whose FROM clauses may reference
     * snapshot tables, optionally with `VERSION AS OF n`. `tables` maps
     * table names to snapshot roots; names not in the map are left to
-    * the session catalog (temp views etc.). */
+    * the session catalog (temp views etc.).
+    *
+    * Substitution scope, precisely: only BARE single-part references
+    * (`FROM sales`, not `FROM prod.sales` — a qualified name is the
+    * session catalog's, never collapsed to its last part) that are not
+    * shadowed by a CTE of the same name (`WITH sales AS ...` binds
+    * tighter, exactly as it would against a real catalog table), and
+    * the rewrite descends into expression-embedded subqueries
+    * (IN/EXISTS/scalar) — `transformUpWithSubqueries`, not plain
+    * transformUp, or those references would silently miss. */
   def sql(spark: SparkSession, query: String,
       tables: Map[String, String]): DataFrame = {
-    def tableName(p: LogicalPlan): Option[String] = p match {
-      case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    // CTE-bound names shadow snapshot tables (standard SQL scoping):
+    // collect them BEFORE substitution so `WITH sales AS (...)` keeps
+    // referring to the CTE even when a snapshot table is named sales.
+    // (Conservative: CTE names are scoped per WITH clause, but a
+    // same-named CTE anywhere in the statement makes the bare name
+    // ambiguous enough that deferring to the CTE is the safe read.)
+    val cteNames: Set[String] = {
+      val b = Set.newBuilder[String]
+      parsed.foreach {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.cteRelations.foreach { case (name, _, _) => b += name.toLowerCase }
+        case _ => ()
+      }
+      b.result()
+    }
+    val resolver = spark.sessionState.conf.resolver
+    def mapped(p: LogicalPlan): Option[String] = p match {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+        val name = u.multipartIdentifier.head
+        if (cteNames.contains(name.toLowerCase)) None
+        else tables.keys.find(resolver(_, name))
       case _ => None
     }
     def planOf(df: DataFrame): LogicalPlan = df.queryExecution.logical
-    val substituted = spark.sessionState.sqlParser.parsePlan(query).transformUp {
+    val substituted = parsed.transformUpWithSubqueries {
       case tt @ RelationTimeTravel(rel, ts, ver) =>
-        tableName(rel).filter(tables.contains) match {
+        mapped(rel) match {
           case None => tt // not ours — let the analyzer complain
           case Some(name) =>
             val v = (ts, ver) match {
@@ -62,8 +91,8 @@ object TimeTravelSql {
             }
             planOf(Snapshots.readAt(spark, tables(name), v))
         }
-      case u: UnresolvedRelation if tableName(u).exists(tables.contains) =>
-        planOf(Snapshots.read(spark, tables(u.multipartIdentifier.last)))
+      case u: UnresolvedRelation if mapped(u).isDefined =>
+        planOf(Snapshots.read(spark, tables(mapped(u).get)))
     }
     GraftSqlBridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], substituted)

@@ -522,18 +522,33 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+  /** Arity check producing Spark's standard wrong-number-of-arguments
+    * analysis error instead of an IndexOutOfBoundsException escaping
+    * the builder lambda. */
+  private def twoArgs(name: String, exprs: Seq[Expression]): Unit =
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name,
+          "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private[plans] val vecDot =
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "vec_dot"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.DotProduct(exprs.head, exprs(1)): Expression)
+      (exprs: Seq[Expression]) => {
+        twoArgs("vec_dot", exprs)
+        graft.functions.DotProduct(exprs.head, exprs(1)): Expression
+      })
 
   private[plans] val interleaveBits =
     (FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[graft.functions.InterleaveBits].getName,
         "interleave_bits"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.InterleaveBits(exprs.head, exprs(1)): Expression)
+      (exprs: Seq[Expression]) => {
+        twoArgs("interleave_bits", exprs)
+        graft.functions.InterleaveBits(exprs.head, exprs(1)): Expression
+      })
 }
 
 object TopK {

@@ -1159,7 +1159,9 @@ object Snapshots {
     * write stages its files inside `col=value/` subdirectories, and the
     * manifest must pin those leaf files (their paths carry the
     * partition value, which is what [[readPartitionPruned]] prunes on). */
-  private def listParquet(dir: String): Seq[String] = {
+  /** Recursive parquet listing of a staging dir (skips `_`-prefixed
+    * metadata) — shared with the SQL interpreters' staged MOR writes. */
+  private[graft] def listParquet(dir: String): Seq[String] = {
     val d = Paths.get(dir)
     val walk = Files.walk(d)
     try walk.iterator().asScala

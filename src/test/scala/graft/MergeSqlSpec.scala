@@ -96,6 +96,51 @@ class MergeSqlSpec extends SparkSpec {
       .sameElements(Array((1L, 11.0), (2L, 20.0), (3L, 30.0))))
   }
 
+  test("insert-only MERGE tolerates duplicate source matches (no matched action consumes them)") {
+    import graft.plans.MergeSql
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("mergeinsonly", sf("0.001"))
+    Snapshots.commit(root)(out => Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .write.mode("append").parquet(out))
+    // k=1 matches TWICE, but the merge has no WHEN MATCHED clause — the
+    // SQL (and Delta) contract is: matched rows pass through unchanged,
+    // exactly once; only k=3 inserts
+    Seq((1L, 11.0), (1L, 12.0), (3L, 30.0)).toDF("k", "v")
+      .createOrReplaceTempView("merge_insonly_s")
+    val after = MergeSql.mergeInto(spark,
+      """MERGE INTO merge_io_t t USING merge_insonly_s s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin,
+      Map("merge_io_t" -> root))
+    assert(after.orderBy($"k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sameElements(Array((1L, 10.0), (2L, 20.0), (3L, 30.0))),
+      "target rows must survive exactly once, insert applied once")
+  }
+
+  test("misspelled assignment/insert columns raise instead of silently no-oping") {
+    import graft.plans.MergeSql
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("mergebadcol", sf("0.001"))
+    Snapshots.commit(root)(out => Seq((1L, 10.0)).toDF("k", "v")
+      .write.mode("append").parquet(out))
+    Seq((1L, 11.0), (3L, 30.0)).toDF("k", "v")
+      .createOrReplaceTempView("merge_badcol_s")
+    val exUpd = intercept[IllegalArgumentException] {
+      MergeSql.mergeInto(spark,
+        """MERGE INTO merge_bc_t t USING merge_badcol_s s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET vee = s.v""".stripMargin,
+        Map("merge_bc_t" -> root))
+    }
+    assert(exUpd.getMessage.contains("unknown target column"))
+    val exIns = intercept[IllegalArgumentException] {
+      MergeSql.mergeInto(spark,
+        """MERGE INTO merge_bc_t t USING merge_badcol_s s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (kk, v) VALUES (s.k, s.v)""".stripMargin,
+        Map("merge_bc_t" -> root))
+    }
+    assert(exIns.getMessage.contains("unknown target column"))
+    assert(Snapshots.read(spark, root).count() == 1, "nothing committed")
+  }
+
   test("star forms and non-MERGE statements raise clear unsupported errors") {
     import graft.plans.MergeSql
     import graft.sources.Snapshots

@@ -124,4 +124,43 @@ class RowSqlSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("not an UPDATE or DELETE"))
   }
+
+  test("UPDATE with a misspelled SET column raises instead of committing a no-op") {
+    val root = freshRoot("rowsqlbadcol")
+    Snapshots.commit(root)(out =>
+      Seq((1L, 5.0)).toDF("k", "v").write.mode("append").parquet(out))
+    val before = Snapshots.maxCommitted(root)
+    val ex = intercept[IllegalArgumentException] {
+      RowSql.execute(spark, "UPDATE t SET vee = 9.0", Map("t" -> root))
+    }
+    assert(ex.getMessage.contains("unknown column"))
+    assert(Snapshots.maxCommitted(root) == before,
+      "a rejected statement must not commit a version")
+  }
+
+  test("merge-on-read UPDATE/DELETE: empty hit sets commit nothing, key assignment rejected") {
+    val root = freshRoot("rowsqlmor2")
+    Snapshots.commit(root)(out =>
+      Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v").write.mode("append").parquet(out))
+    val v0 = Snapshots.maxCommitted(root)
+    // no row matches → NO commit, no empty delete files
+    RowSql.deleteMergeOnRead(spark, "DELETE FROM t WHERE v > 100.0",
+      Map("t" -> root), "k")
+    RowSql.updateMergeOnRead(spark, "UPDATE t SET v = 0.0 WHERE v > 100.0",
+      Map("t" -> root), "k")
+    assert(Snapshots.maxCommitted(root) == v0,
+      "statements matching nothing must not advance the head")
+    // assigning the MOR key column is delete+insert territory — rejected
+    val ex = intercept[IllegalArgumentException] {
+      RowSql.updateMergeOnRead(spark, "UPDATE t SET k = k + 10",
+        Map("t" -> root), "k")
+    }
+    assert(ex.getMessage.contains("key column"))
+    // the happy path still lands one atomic delta commit
+    val after = RowSql.updateMergeOnRead(spark, "UPDATE t SET v = v + 1 WHERE k = 1",
+      Map("t" -> root), "k")
+    assert(after.orderBy($"k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sameElements(Array((1L, 6.0), (2L, 6.0))))
+    assert(Snapshots.maxCommitted(root) == v0 + 1)
+  }
 }
