@@ -44,9 +44,16 @@ object StreamDemo {
     // would land waves 2-3 behind the wave-1-advanced watermark and be
     // (correctly) dropped as late; time-ordered waves exercise multiple
     // micro-batches with every event on time.
-    val Array(tMin, tMax) = events
+    val boundsRow = events
       .agg(unix_micros(min($"ts")), unix_micros(max($"ts")))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      .collect().head
+    // a null min means zero events — fail fast with the real problem
+    // instead of null.asInstanceOf[Long] silently unboxing to 0 and
+    // producing three degenerate empty waves
+    require(!boundsRow.isNullAt(0),
+      s"no events found under the given sf dir — wrong path?")
+    val Array(tMin, tMax) =
+      boundsRow.toSeq.map(_.asInstanceOf[Long]).toArray
     val third = (tMax - tMin) / 3
     val bounds = Seq(
       $"ts" < timestamp_micros(lit(tMin + third)),

@@ -18,13 +18,12 @@ object StreamRunner {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
 
-  /** Full-precision intra-batch event-time sort key. Timestamp.getTime
-    * is millisecond-truncated — two same-user events in one micro-batch
-    * within the same ms but different µs would sort by event_id instead
-    * of true time, diverging from the µs-ordered (unix_micros) batch
-    * twins the oracle checks. (seconds, nanos, event_id) is exact. */
-  private def evKey(e: Ev): (Long, Int, Long) =
-    (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos, e.event_id)
+  /** The per-row total order every processor sorts and checks by —
+    * ONE definition on the same microsecond basis the stored state
+    * carries (Spark timestamps are micro-precision; a second
+    * nano-based key here once let the sort and the ordering checks
+    * disagree on paper). */
+  private def evKey(e: Ev): (Long, Long) = (tsMicros(e), e.event_id)
   case class PurchaseUpdate(user_id: Long, event_id: Long, n_so_far: Long,
                             cum_cents: Long)
   case class PurchaseState(n: Long, cents: Long)
@@ -45,10 +44,7 @@ object StreamRunner {
     * a bounded filter over the agg's update stream, so foreachBatch /
     * sink-then-select is the standard production shape. */
   def windowTopkCounts(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    tumblingWithWatermark(events)
 
   /** Stage 2: native TopKPerGroup over one micro-batch (or the sink
     * table) of [[windowTopkCounts]] output. */
@@ -89,7 +85,9 @@ object StreamRunner {
           cur = PurchaseState(cur.n + 1, cur.cents + math.round(e.value * 100.0))
           PurchaseUpdate(uid, e.event_id, cur.n, cur.cents)
         }
-      st.update(cur)
+      // write state only when a purchase moved it: an unfiltered
+      // caller's view-only keys must not materialize empty state rows
+      if (out.nonEmpty) st.update(cur)
       out.iterator
     }
   }
@@ -127,9 +125,10 @@ object StreamRunner {
   class AsOfQuoteProcessor extends StatefulProcessor[Long, Ev, TradeQuote] {
     // quotes (0) before trades (1) at equal timestamps — the inclusive
     // tie contract above; event_id last for full determinism.
-    private def tickKey(e: Ev): (Long, Int, Int, Long) =
-      (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos,
-        if (e.event_type == "quote") 0 else 1, e.event_id)
+    private def tickKey(e: Ev): (Long, Int, Long) =
+      (tsMicros(e), if (e.event_type == "quote") 0 else 1, e.event_id)
+    private def quoteKey(q: LastQuote): (Long, Int, Long) =
+      (q.sec * 1000000L + q.nanos / 1000L, 0, q.event_id)
     @transient private var last: ValueState[LastQuote] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -142,8 +141,16 @@ object StreamRunner {
       val out = rows.toSeq.sortBy(tickKey).flatMap { e =>
         e.event_type match {
           case "quote" =>
-            cur = Some(LastQuote(Math.floorDiv(e.ts.getTime, 1000L),
-              e.ts.getNanos, e.event_id, e.value))
+            // max-key-wins guard: a cross-batch out-of-order (or
+            // replayed) OLDER quote must not regress the prevailing
+            // quote backward in time — later trades would silently
+            // match a stale price. It can't retroactively re-match
+            // earlier trades either way, so ignoring it is exact.
+            val k = tickKey(e)
+            if (cur.forall(q => implicitly[Ordering[(Long, Int, Long)]]
+                .lt(quoteKey(q), k)))
+              cur = Some(LastQuote(Math.floorDiv(e.ts.getTime, 1000L),
+                e.ts.getNanos, e.event_id, e.value))
             None
           case "trade" =>
             Some(TradeQuote(sym, e.event_id,
@@ -229,10 +236,22 @@ object StreamRunner {
           .cast("long").as("secs_before"))
   }
 
-  case class GapSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+  // sum carries DECIMAL semantics (scale 6, the same quantization the
+  // oracle-checked batch twin's Qx.dsum applies) so the streaming and
+  // batch session sums are BIT-identical, not merely close: a
+  // double-fold accumulation diverges from the twin's exact decimal
+  // sum in the last ulps on long sessions.
+  case class GapSession(startUs: Long, endUs: Long, n: Long,
+      sum: scala.math.BigDecimal)
   case class SessionClose(user_id: Long, session_start: java.sql.Timestamp,
                           session_end: java.sql.Timestamp, n_events: Long,
                           value_sum: Double)
+
+  /** A double quantized exactly as Spark's cast to DECIMAL(38,6)
+    * quantizes it (shortest-repr BigDecimal, HALF_UP at scale 6) —
+    * the per-value step of the batch twins' Qx.dsum. */
+  private def dec6(v: Double): scala.math.BigDecimal =
+    scala.math.BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
 
   private def tsMicros(e: Ev): Long =
     Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
@@ -262,7 +281,8 @@ object StreamRunner {
 
     private def expiryMs(s: GapSession): Long = (s.endUs + gapUs) / 1000L
     private def close(uid: Long, s: GapSession): SessionClose =
-      SessionClose(uid, microsToTs(s.startUs), microsToTs(s.endUs), s.n, s.sum)
+      SessionClose(uid, microsToTs(s.startUs), microsToTs(s.endUs), s.n,
+        s.sum.toDouble)
 
     override def handleInputRows(uid: Long, rows: Iterator[Ev],
         timers: TimerValues): Iterator[SessionClose] = {
@@ -274,12 +294,12 @@ object StreamRunner {
         cur match {
           case Some(s) if t - s.endUs >= gapUs =>
             out += close(uid, s)
-            cur = Some(GapSession(t, t, 1L, e.value))
+            cur = Some(GapSession(t, t, 1L, dec6(e.value)))
           case Some(s) =>
             cur = Some(GapSession(s.startUs, math.max(s.endUs, t),
-              s.n + 1L, s.sum + e.value))
+              s.n + 1L, s.sum + dec6(e.value)))
           case None =>
-            cur = Some(GapSession(t, t, 1L, e.value))
+            cur = Some(GapSession(t, t, 1L, dec6(e.value)))
         }
       }
       cur.foreach { s =>
@@ -349,6 +369,17 @@ object StreamRunner {
         LastChange(tsMicros(e), e.event_id, e.event_type, e.value))
         .maxByOption(c => (c.us, c.event_id))
       val prior = if (cur.exists()) Some(cur.get()) else None
+      // a redelivery of the current winner (same (ts, event_id)) must
+      // be byte-identical to be the idempotent no-op; carrying a
+      // DIFFERENT value/type is a contradictory upstream correction and
+      // silently keeping the stale winner would lose it with no signal
+      // — the same fail-loud contract Scd2Processor enforces
+      for (p <- prior; i <- incoming)
+        if (i.us == p.us && i.event_id == p.event_id && i != p)
+          throw new IllegalStateException(
+            s"upsertLatest conflict for key $uid: arrival (ts_us=${i.us}, " +
+              s"event_id=${i.event_id}) redelivers the current winner with " +
+              s"conflicting payload (${i.typ}, ${i.value}) != (${p.typ}, ${p.value})")
       val winner = (prior.toSeq ++ incoming.toSeq)
         .maxByOption(c => (c.us, c.event_id))
       winner match {

@@ -157,6 +157,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of tick join: an out-of-order older quote cannot regress the prevailing quote") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.asofQuotes(ms.toDF().as[Ev])
+      .writeStream.format("memory").queryName("asofq_oo").outputMode("append").start()
+    try {
+      ms.addData(Seq(Ev(20L, ts(25), 1L, "quote", 9.5)))
+      q.processAllAvailable()
+      // a replayed/out-of-order OLDER quote arrives in a later batch;
+      // the stored quote@25 must keep prevailing for the trade@30
+      ms.addData(Seq(
+        Ev(19L, ts(10), 1L, "quote", 9.0),
+        Ev(21L, ts(30), 1L, "trade", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("asofq_oo")
+        .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+      assert(got == Set((1L, 21L, Some(20L), Some(9.5))),
+        s"stale quote must not regress state: $got")
+    } finally q.stop()
+  }
+
+  test("streaming CDC upsert: a conflicting redelivery of the winner fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamRunner.upsertLatest(ms.toDS())
+      .writeStream.format("memory").queryName("upsert_conflict")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(Ev(30L, ts(10), 7L, "update", 1.0)))
+      q.processAllAvailable()
+      // byte-identical redelivery: idempotent no-op
+      ms.addData(Seq(Ev(30L, ts(10), 7L, "update", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("upsert_conflict").count() == 1)
+      // same (ts, event_id) with a DIFFERENT value: contradictory
+      // correction — must abort the batch, not silently keep the stale
+      // winner
+      ms.addData(Seq(Ev(30L, ts(10), 7L, "update", 2.0)))
+      val ex = intercept[Exception](q.processAllAvailable())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("conflicting payload")),
+        s"expected the loud conflict, got: $ex")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
