@@ -91,13 +91,7 @@ object BitExprs {
   /** Register `interleave_bits(bigint, bigint) -> bigint` in the
     * session's function registry (idempotent — check-before-register so
     * repeated query construction doesn't spam "function replaced" WARNs). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("interleave_bits")
-    if (!reg.functionExists(id)) {
-      reg.createOrReplaceTempFunction(
-        "interleave_bits",
-        exprs => InterleaveBits(exprs.head, exprs(1)), "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    Registry.ensure(spark, "interleave_bits", arity = 2,
+      exprs => InterleaveBits(exprs.head, exprs(1)))
 }

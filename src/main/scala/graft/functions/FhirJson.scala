@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * here rather than hand-rolling the struct.
   */
 object FhirJson {
-  /** resourceType/id/status/subject header + ordered extra fields. */
+  /** resourceType/id/status/subject header + ordered extra fields.
+    * `ignoreNullFields=false`: to_json's default silently DROPS null
+    * fields, which would break the pinned-field-order byte contract the
+    * moment an extra (e.g. a null denial score) is null — a resource
+    * must carry every declared field, null spelled out, so the golden
+    * files and string-concat oracles stay byte-comparable. */
   def medicationRequest(id: Column, subjectRef: Column,
       extras: (String, Column)*): Column =
     to_json(struct(
@@ -20,5 +25,6 @@ object FhirJson {
         id.as("id"),
         lit("draft").as("status"),
         struct(subjectRef.as("reference")).as("subject")) ++
-        extras.map { case (name, c) => c.as(name) }): _*))
+        extras.map { case (name, c) => c.as(name) }): _*),
+      Map("ignoreNullFields" -> "false"))
 }

@@ -30,14 +30,21 @@ object HashExprs {
   val planes: Array[Array[Double]] =
     Array.tabulate(8, 64)((p, d) => math.sin((p * 64 + d + 1).toDouble))
 
-  /** Interpreted twin of the generated hyperplane-bucket loop. */
-  def hyperBucket(a: ArrayData): Int = {
+  /** Interpreted twin of the generated hyperplane-bucket loop. A null
+    * ELEMENT nulls the bucket (same contract as [[DotProduct]]) —
+    * reading it as 0.0 would route the row to a well-defined bucket
+    * computed from corrupt data, silently pairing it with wrong LSH
+    * candidates; a NULL bucket drops out of the candidate join
+    * instead. */
+  def hyperBucket(a: ArrayData): Any = {
+    val n = math.min(a.numElements(), 64)
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
     var bucket = 0
     var p = 0
     while (p < 8) {
       var acc = 0.0
-      var i = 0
-      val n = math.min(a.numElements(), 64)
+      i = 0
       while (i < n) { acc += a.getDouble(i) * planes(p)(i); i += 1 }
       if (acc > 0) bucket |= (1 << p)
       p += 1
@@ -79,19 +86,14 @@ object HashExprs {
     out
   }
 
-  /** Register both as session SQL functions (idempotent, like
-    * [[VectorExprs.register]]): `lsh_bucket8(arr<double>) -> int`,
+  /** Register both as session SQL functions (locked + arity-checked
+    * through [[Registry]]): `lsh_bucket8(arr<double>) -> int`,
     * `simhash64(arr<string>) -> bigint`. */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("lsh_bucket8"))) {
-      reg.createOrReplaceTempFunction(
-        "lsh_bucket8", exprs => HyperplaneBucket(exprs.head), "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("simhash64"))) {
-      reg.createOrReplaceTempFunction(
-        "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    }
+    Registry.ensure(spark, "lsh_bucket8", arity = 1,
+      exprs => HyperplaneBucket(exprs.head))
+    Registry.ensure(spark, "simhash64", arity = 1,
+      exprs => SimHash64(exprs.head))
   }
 }
 
@@ -99,11 +101,21 @@ object HashExprs {
   * the result is the sign of `v · plane(p)` over the first 64 dims. The
   * plane table rides along as a codegen reference object (512 doubles,
   * hoisted once per stage — never recomputed per row). */
-case class HyperplaneBucket(child: Expression) extends UnaryExpression {
+case class HyperplaneBucket(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def prettyName: String = "lsh_bucket8"
 
   override def dataType: DataType = IntegerType
+
+  /** Typed analysis: the stored embedding column is array<float> — an
+    * undeclared input type would let the raw column through and misread
+    * float slots as doubles (wrong-but-plausible buckets). */
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+
+  override def nullable: Boolean = true // null ELEMENT nulls the bucket
 
   override def nullSafeEval(input: Any): Any =
     HashExprs.hyperBucket(input.asInstanceOf[ArrayData])
@@ -119,12 +131,17 @@ case class HyperplaneBucket(child: Expression) extends UnaryExpression {
       s"""
          |int $bucket = 0;
          |int $n = java.lang.Math.min($a.numElements(), 64);
-         |for (int $p = 0; $p < 8; $p++) {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $a.getDouble($i) * $planes[$p][$i];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  for (int $p = 0; $p < 8; $p++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $a.getDouble($i) * $planes[$p][$i];
+         |    }
+         |    if ($acc > 0) $bucket |= (1 << $p);
          |  }
-         |  if ($acc > 0) $bucket |= (1 << $p);
          |}
          |${ev.value} = $bucket;
        """.stripMargin
@@ -139,11 +156,16 @@ case class HyperplaneBucket(child: Expression) extends UnaryExpression {
   * down; the sign vector is the fingerprint. The vote buffer is
   * per-stage mutable state (one 64-int array reused across rows — the
   * former UDF allocated it per row). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def prettyName: String = "simhash64"
 
   override def dataType: DataType = LongType
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
 
   // interpreted path allocates its scratch per call (rare: only when
   // codegen is disabled or falls back)

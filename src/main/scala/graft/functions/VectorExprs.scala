@@ -19,9 +19,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * dominating it.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
+
+  /** Typed analysis instead of runtime garbage: the embeddings table
+    * stores array<float>, and without declared input types a raw-column
+    * call would pass analysis and misread 4-byte float slots as
+    * doubles. ImplicitCastInputTypes inserts the float→double cast. */
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(DoubleType))
+
+  /** A null ELEMENT nulls the product (the `aggregate(zip_with(...))`
+    * HOF twin's propagation) — reading the slot as 0.0 would silently
+    * fabricate a plausible number from corrupt data. */
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -29,7 +43,11 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -45,6 +63,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;
@@ -64,14 +83,7 @@ object VectorExprs {
     * The check-then-register pair is synchronized: concurrent query
     * construction (the 8-wide verify driver) would otherwise race the
     * guard and spam "replaced a previously registered function" WARNs. */
-  def register(spark: SparkSession): Unit = registerLock.synchronized {
-    val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
-    if (!reg.functionExists(id)) {
-      reg.createOrReplaceTempFunction(
-        "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    }
-  }
-
-  private val registerLock = new Object
+  def register(spark: SparkSession): Unit =
+    Registry.ensure(spark, "vec_dot", arity = 2,
+      exprs => DotProduct(exprs.head, exprs(1)))
 }
