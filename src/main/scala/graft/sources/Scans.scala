@@ -151,16 +151,23 @@ object Scans {
     // try_element_at on fields too: a TRUNCATED segment ("PID|1") must
     // null its missing fields, not throw
     def f(c: String, i: Int): Column = try_element_at(col(c), lit(i))
+    // try_cast, not cast: these fields come from UNTRUSTED message text,
+    // and under Spark 4's default ANSI mode a present-but-non-numeric
+    // field (e.g. "PID|1|abc|...") in a plain cast throws
+    // CAST_INVALID_INPUT and kills the whole batch/stream — the exact
+    // failure the try_element_at hardening above exists to prevent; the
+    // null field is the dead-letterable signal instead
+    def fl(c: String, i: Int): Column = f(c, i).try_cast("long")
     segs.select(seg("MSH").as("msh"), seg("PID").as("pid"), seg("RXE").as("rxe"))
       .select(
-        f("msh", 7).cast("long").as("msg_id"),
-        f("pid", 3).cast("long").as("patient_id"),
+        fl("msh", 7).as("msg_id"),
+        fl("pid", 3).as("patient_id"),
         f("pid", 4).as("patient_name"),
         f("pid", 5).as("segment"),
         f("rxe", 3).as("rxnorm_cui"),
         f("rxe", 4).as("drug_name"),
-        f("rxe", 5).cast("long").as("qty"),
-        f("rxe", 6).cast("long").as("price_cents"))
+        fl("rxe", 5).as("qty"),
+        fl("rxe", 6).as("price_cents"))
   }
 
   val scanHl7Message: Q = (s, dir) => {
@@ -246,12 +253,21 @@ object Scans {
     bundles
       .select(from_json(col("bundle"), schema).as("b"))
       .select(
+        col("b"),
         // try_element_at: a bundle with no Patient entry (malformed
         // input) carries null patient fields instead of failing the run
         try_element_at(filter(col("b.entry.resource"),
           r => r.getField("resourceType") === "Patient"), lit(1)).as("pat"),
-        explode(filter(col("b.entry.resource"),
+        explode_outer(filter(col("b.entry.resource"),
           r => r.getField("resourceType") === "MedicationRequest")).as("m"))
+      // an UNDECODABLE bundle surfaces as ONE all-null dead-letter row
+      // — the ingest monitor's corrupt-record signal, matching hl7Rows.
+      // from_json in permissive mode yields a struct of NULL FIELDS for
+      // corrupt input (never a null struct), so the signal is a null
+      // entry array — every decoded bundle carries one, possibly empty.
+      // A valid bundle with zero med entries still emits nothing
+      // (explode_outer's null med is filtered when entry decoded).
+      .filter(col("m").isNotNull || col("b.entry").isNull)
       .select(col("m.okey").as("order_key"),
         col("pat.id").as("patient_ref"),
         col("pat.name").as("patient_name"),
@@ -419,6 +435,24 @@ object Scans {
     "stream_fhir_ingest" -> streamFhirIngest,
     "register_view_sql" -> registerViewSql)
 
+  /** The HL7 message-construction CTE shared VERBATIM by the
+    * scan_hl7_message and stream_hl7_ingest oracles — one copy, so an
+    * edit to the message shape (or the o_orderkey cap, mirrored from
+    * [[hl7Messages]]) can never silently diverge between them. */
+  private val hl7OracleCte = """      WITH src AS (
+        SELECT concat(
+          'MSH|^~\&|PHARMACY|SIGMA|RX|SITE|', o_orderkey, chr(10),
+          'PID|1|', o_custkey, '|', c_name, '|', c_mktsegment, chr(10),
+          'RXE|1|CUI', l_partkey, '|', p_name, '|',
+          CAST(l_quantity AS BIGINT), '|',
+          CAST(round(l_extendedprice * 100) AS BIGINT)) AS msg
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey AND l_linenumber = 1
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderkey <= 4000),
+      seg AS (SELECT string_split(msg, chr(10)) AS segs FROM src)"""
+
   val oracle: Map[String, String] = Map(
     "scan_parquet" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_csv_badrecords" -> """
@@ -442,20 +476,8 @@ object Scans {
                      c_mktsegment), '|') AS p
             FROM customer)
       ORDER BY custkey""",
-    "scan_hl7_message" -> """
-      WITH src AS (
-        SELECT concat(
-          'MSH|^~\&|PHARMACY|SIGMA|RX|SITE|', o_orderkey, chr(10),
-          'PID|1|', o_custkey, '|', c_name, '|', c_mktsegment, chr(10),
-          'RXE|1|CUI', l_partkey, '|', p_name, '|',
-          CAST(l_quantity AS BIGINT), '|',
-          CAST(round(l_extendedprice * 100) AS BIGINT)) AS msg
-        FROM orders
-        JOIN customer ON o_custkey = c_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey AND l_linenumber = 1
-        JOIN part ON l_partkey = p_partkey
-        WHERE o_orderkey <= 4000),
-      seg AS (SELECT string_split(msg, chr(10)) AS segs FROM src),
+    "scan_hl7_message" -> s"""
+      $hl7OracleCte,
       f AS (SELECT
           string_split(list_filter(segs, x -> x LIKE 'MSH%')[1], '|') AS msh,
           string_split(list_filter(segs, x -> x LIKE 'PID%')[1], '|') AS pid,
@@ -470,20 +492,8 @@ object Scans {
              CAST(rxe[5] AS BIGINT) AS qty,
              CAST(rxe[6] AS BIGINT) AS price_cents
       FROM f ORDER BY msg_id, rxnorm_cui, qty, price_cents""",
-    "stream_hl7_ingest" -> """
-      WITH src AS (
-        SELECT concat(
-          'MSH|^~\&|PHARMACY|SIGMA|RX|SITE|', o_orderkey, chr(10),
-          'PID|1|', o_custkey, '|', c_name, '|', c_mktsegment, chr(10),
-          'RXE|1|CUI', l_partkey, '|', p_name, '|',
-          CAST(l_quantity AS BIGINT), '|',
-          CAST(round(l_extendedprice * 100) AS BIGINT)) AS msg
-        FROM orders
-        JOIN customer ON o_custkey = c_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey AND l_linenumber = 1
-        JOIN part ON l_partkey = p_partkey
-        WHERE o_orderkey <= 4000),
-      seg AS (SELECT string_split(msg, chr(10)) AS segs FROM src),
+    "stream_hl7_ingest" -> s"""
+      $hl7OracleCte,
       f AS (SELECT
           string_split(list_filter(segs, x -> x LIKE 'PID%')[1], '|') AS pid,
           string_split(list_filter(segs, x -> x LIKE 'RXE%')[1], '|') AS rxe

@@ -152,25 +152,38 @@ class EdgeCaseSpec extends SparkSpec {
       "MSH|^~\\&|PHARMACY|SIGMA|RX|SITE|42",      // header only
       "PID|1|7|Name|SEG",                          // no MSH/RXE
       "garbage with no pipes",
-      "").toDF("msg")
+      "",
+      // PRESENT but non-numeric id fields — under Spark 4's default
+      // ANSI mode a plain cast would throw CAST_INVALID_INPUT and kill
+      // the batch; try_cast degrades them to null like everything else
+      "MSH|^~\\&|PHARMACY|SIGMA|RX|SITE|xyz\nPID|1|abc|Name|SEG")
+      .toDF("msg")
     val out = graft.sources.Scans.hl7Rows(df).collect()
-    assert(out.length == 4)
+    assert(out.length == 5)
     assert(out(0).getLong(0) == 42L && out(0).isNullAt(1) && out(0).isNullAt(7))
     assert(out(1).isNullAt(0) && out(1).getLong(1) == 7L)
     assert(out(2).isNullAt(0) && out(2).isNullAt(1))
     assert(out(3).isNullAt(0))
+    assert(out(4).isNullAt(0) && out(4).isNullAt(1) &&
+      out(4).getString(3) == "SEG",
+      "non-numeric id fields null out; the rest of the row survives")
   }
 
-  test("fhirBundleRows on malformed bundles emits nothing or null fields, never throws") {
+  test("fhirBundleRows: undecodable bundle dead-letters, med-less bundle emits nothing") {
     val df = Seq(
+      // UNDECODABLE: from_json -> null; must surface as ONE all-null
+      // dead-letter row (the ingest monitor's corrupt-record signal,
+      // matching hl7Rows) — not vanish and silently corrupt counts
       "not json at all",
-      """{"resourceType":"Bundle","id":"b1","entry":[]}""",   // no resources
+      // valid but med-less: still emits nothing (no fabricated rows)
+      """{"resourceType":"Bundle","id":"b1","entry":[]}""",
       // med without a patient entry: row emitted, patient fields null
       """{"resourceType":"Bundle","id":"b2","entry":[{"resource":{"resourceType":"MedicationRequest","id":"rx-1","okey":9,"status":"O"}}]}""")
       .toDF("bundle")
     val out = graft.sources.Scans.fhirBundleRows(df).collect()
-    // rows come only from med entries; the orphan med keeps null patient
-    assert(out.length == 1)
-    assert(out(0).getLong(0) == 9L && out(0).isNullAt(1) && out(0).getString(4) == "O")
+    assert(out.length == 2, s"dead-letter + orphan-med expected: ${out.toSeq}")
+    val (dead, med) = (out.find(_.isNullAt(4)).get, out.find(!_.isNullAt(4)).get)
+    assert((0 until 5).forall(dead.isNullAt), "corrupt bundle → all-null row")
+    assert(med.getLong(0) == 9L && med.isNullAt(1) && med.getString(4) == "O")
   }
 }
