@@ -573,7 +573,12 @@ object PlanAudit {
         |side (rank window over |catalog|·|classes| rows) is bounded by
         |the knowledge base, independent of patient scale, and
         |broadcasts pre-cut to the per-type max(n_taken)+1 worst
-        |case.""".stripMargin,
+        |case. The clinical-history anti join is deliberately UNHINTED
+        |— the history is patient-scaled, so a forced broadcast would
+        |collect it on the driver at any scale; the initial plan below
+        |shows the safe SortMergeJoin LeftAnti shape and AQE converts
+        |it to broadcast at runtime while the measured side fits
+        |(bench-verified: same ~2.8s warm as the hinted form).""".stripMargin,
     "dedup_ngram_jaccard" ->
       """N-gram Jaccard near-dup (audited r14): shingle explode →
         |per-doc gram sets, pair generation keyed on xxhash64-folded
