@@ -31,14 +31,27 @@ object SimOps {
     * vector — pair joins then do a single 64-element fold per pair
     * instead of three (dot + two norms): ~3× less arithmetic on the
     * O(n²)-ish hot path, same bit-for-bit cosine as the oracle
-    * (dot / (n1*n2), not pre-normalized components). */
+    * (dot / (n1*n2), not pre-normalized components).
+    *
+    * ZERO-NORM GUARD: an all-zero vector (a failed-embed artifact) has
+    * no direction, and its raw cosine is NaN — which Spark AND DuckDB
+    * order GREATER than every number, so a single such vector would
+    * pass every `cosine >= t` near-dup filter (flooding the dedup
+    * cluster graph) and rank FIRST in every top-k window. Nulling the
+    * norm makes every cosine against it NULL instead: filtered by any
+    * threshold, ranked last by `desc` (nulls-last), and dropped from
+    * argmax cell assignment — degenerate vectors fall out of
+    * similarity instead of dominating it. (The generated fixture has
+    * no zero vectors, so oracle parity is unaffected.) */
   private def vectorsWithNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     VectorExprs.register(s)
     Tables.load(s, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(call_function("vec_dot", $"v", $"v")))
+      .withColumn("nrm2", call_function("vec_dot", $"v", $"v"))
+      .withColumn("nrm", when($"nrm2" > 0.0, sqrt($"nrm2")))
+      .drop("nrm2")
   }
 
   /** Brute-force cosine top-k: 10 probe vectors against the whole table.
@@ -273,9 +286,17 @@ object SimOps {
     val sigCols = (0 until nHashes).map(k => min(xxhash64(lit(k), $"tok")).as(s"mh$k"))
     val mh = tok.groupBy($"doc_id", $"source").agg(sigCols.head, sigCols.tail: _*)
     // 4 bands × 2 rows: candidates = pairs agreeing on any full band.
+    // The band VALUE is the raw (mh_2b, mh_2b+1) pair, not a hash of
+    // it: joining on a folded 64-bit digest would admit a pair whose
+    // band signatures differ but collide in the digest — violating the
+    // "agree on a full band" rule with no oracle to catch it (this op
+    // is rows-only) — and the struct key costs nothing more to shuffle
+    // than the digest did. Same collision-exactness discipline as the
+    // hash-folded-but-rechecked dedup_ngram_jaccard keys.
     val bandCols = (0 until nHashes / 2).map(b =>
       struct(lit(b).as("band_idx"),
-        xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_val")))
+        struct(col(s"mh${2 * b}").as("lo"),
+          col(s"mh${2 * b + 1}").as("hi")).as("band_val")))
     val bands = mh.select($"doc_id", $"source", explode(array(bandCols: _*)).as("band"))
       .select($"doc_id", $"source", $"band.band_idx", $"band.band_val")
     // candidates co-keyed on (band, source): source blocking bounds the

@@ -322,11 +322,20 @@ object TextOps {
     * corpus growth (a doc never migrates between splits when new data
     * arrives — unlike row_number- or rand-based splits). Emits
     * per-split per-language stats for a leakage-free size audit. */
+  /** THE deterministic train-split membership predicate — first md5
+    * hex nibble of the doc id <= 'd' (14/16 ~ 87.5% train) — shared by
+    * splitTrainHoldout, decontaminateEval and pipelinePretrain so the
+    * published split, the decontamination audit, and the corpus build
+    * can never silently run against different splits. The oracle twin
+    * is the same expression in DuckDB SQL, interpolated per query. */
+  private def isTrain(docId: Column): Column =
+    substring(md5(docId.cast("string").cast("binary")), 1, 1) <= "d"
+
   val splitTrainHoldout: Q = (s, dir) => {
     import s.implicits._
-    val nibble = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
     Tables.load(s, dir, "documents")
-      .withColumn("split", when(nibble <= "d", "train").otherwise("holdout"))
+      .withColumn("split",
+        when(isTrain($"doc_id"), "train").otherwise("holdout"))
       .groupBy($"split", $"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
       .orderBy($"split", $"lang")
@@ -380,7 +389,7 @@ object TextOps {
     val hk = md5(col("doc_id").cast("string").cast("binary"))
     val docs = Tables.load(s, dir, "documents")
       .select($"doc_id", $"lang", $"text", hk.as("hk"),
-        (substring(hk, 1, 1) <= "d").as("is_train"))
+        isTrain($"doc_id").as("is_train"))
     // Eval candidates: deterministic 20-per-lang sample of the holdout
     // split, selected by the native TopKPerGroup operator.
     val evalDocs = graft.plans.TopK.perGroup(
@@ -514,7 +523,14 @@ object TextOps {
     val carryDf = carryRows.toDF("lang", "bkt", "carry")
     val w = Window.partitionBy($"lang", $"bkt").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    b.join(broadcast(carryDf), Seq("lang", "bkt"))
+    // null-safe lang equality: an equi join would silently DROP rows
+    // with NULL lang while the oracle's PARTITION BY lang window keeps
+    // them as a group (SQL groups nulls) — the only lang-keyed op here
+    // not going through groupBy, so the hazard is unique to this join
+    b.join(broadcast(carryDf
+        .withColumnRenamed("lang", "c_lang").withColumnRenamed("bkt", "c_bkt")),
+        $"lang" <=> $"c_lang" && $"bkt" === $"c_bkt")
+      .drop("c_lang", "c_bkt")
       .withColumn("pfx", coalesce(sum($"n_tokens").over(w), lit(0L)) + $"carry")
       .select($"lang", $"doc_id", $"n_tokens",
         floor($"pfx" / budget).cast("long").as("seq_id"),
@@ -616,6 +632,12 @@ object TextOps {
     * [[textRepetitionFilter]] (which just adds the output sort) and
     * [[pipelinePretrain]] (which joins it as a gate; no trailing sort
     * to drag into the composed plan). */
+  /** Coverage note: a doc with fewer than two tokens has no bigram row
+    * and drops out of the metrics via the ws⋈bs inner join — MIRRORED
+    * in the oracle (same inner join), so the two engines agree; in
+    * [[pipelinePretrain]] the `n_tokens >= 10` gate subsumes such docs
+    * anyway. A production variant auditing degenerate docs explicitly
+    * would left-join bs + coalesce the bigram metrics to 0. */
   private def repetitionMetrics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
@@ -674,8 +696,7 @@ object TextOps {
     val keepers = gated.groupBy(md5($"text".cast("binary")).as("h"))
       .agg(min($"doc_id").as("doc_id"))
     val deduped = gated.join(keepers.select($"doc_id"), Seq("doc_id"), "left_semi")
-    val train = deduped.filter(
-      substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) <= "d")
+    val train = deduped.filter(isTrain($"doc_id"))
     train.groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("total_tokens"),
