@@ -204,6 +204,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
+    // the whole read→fold→write cycle holds the per-root meta lock:
+    // two concurrent ALTERs (or an ALTER racing the post-rewrite
+    // ledger clear) must serialize, or the loser's readMeta-to-
+    // writeMeta window silently clobbers the winner's change
+    GraftTable.withMetaLock(root) {
     val (schema, props) = GraftTable.readMeta(root).getOrElse {
       // a direct-API root never CREATEd: materialize its inferred
       // schema as the declared baseline, then evolve it
@@ -277,8 +282,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           val priorKey = s"${GraftTable.colPriorPrefix}$name"
           val tombs = GraftTable.droppedOf(pr).toSeq ++
             pr.get(priorKey).toSeq.flatMap(_.split(',')) :+ name
-          val pr2 = pr - priorKey +
-            (GraftTable.droppedProp -> tombs.distinct.mkString(","))
+          // a renamed-then-dropped column keeps its chain STRUCTURE
+          // (dropchain key) beside the flat tombstone list: pinned
+          // time-travel reads straddling the rename still need to
+          // coalesce its spellings ([[GraftTable.pinnedResolution]])
+          val pr2 = pr.get(priorKey).foldLeft(
+            pr - priorKey +
+              (GraftTable.droppedProp -> tombs.distinct.mkString(","))) {
+            (m, chain) => m + (s"${GraftTable.droppedChainPrefix}$name" -> chain)
+          }
           (StructType(sc.fields.filterNot(_.name == name)), pr2)
         }
       case ((sc, pr), set: TableChange.SetProperty) =>
@@ -296,6 +308,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     GraftTable.writeMeta(root, newSchema, newProps)
     new GraftTable(ident.toString, root, pinned = None)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {

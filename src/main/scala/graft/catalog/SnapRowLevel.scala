@@ -293,17 +293,24 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     // (the rename-aware coalescing scan trades pushdown away; this is
     // where that rent stops). Time-travel reads are unaffected: pinned
     // versions infer their schemas from their own files' footers, not
-    // from the ledger. GUARDED best-effort: the clear runs only while
-    // the properties still read exactly as they did when this
-    // statement was planned — a concurrent ALTER (e.g. a rename whose
-    // fresh prior entry this clear would erase, silently nulling the
-    // column) skips the optimization; the data commit above is atomic
-    // and correct with the ledger still in place either way.
-    try GraftTable.readMeta(root).foreach { case (sc, props) =>
-      val stale = props.keys.filter(k =>
-        k.startsWith(GraftTable.colPriorPrefix) || k == GraftTable.droppedProp)
-      if (stale.nonEmpty && propsAtPlan.contains(props))
-        GraftTable.writeMeta(root, sc, props -- stale)
+    // from the ledger. ATOMIC w.r.t. ALTER TABLE: the read-check-write
+    // runs under the same per-root meta lock alterTable's fold holds
+    // ([[GraftTable.withMetaLock]]), so an ALTER can never land inside
+    // this window and be clobbered by the re-write; the propsAtPlan
+    // guard then skips the clear when anything changed since the
+    // statement was planned (a rename whose fresh prior entry this
+    // clear would erase, silently nulling the column). The data commit
+    // above is atomic and correct with the ledger still in place
+    // either way — skipping is always safe.
+    try GraftTable.withMetaLock(root) {
+      GraftTable.readMeta(root).foreach { case (sc, props) =>
+        val stale = props.keys.filter(k =>
+          k.startsWith(GraftTable.colPriorPrefix) ||
+            k.startsWith(GraftTable.droppedChainPrefix) ||
+            k == GraftTable.droppedProp)
+        if (stale.nonEmpty && propsAtPlan.contains(props))
+          GraftTable.writeMeta(root, sc, props -- stale)
+      }
     } catch { case _: Exception => () }
   }
 

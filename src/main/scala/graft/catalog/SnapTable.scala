@@ -79,8 +79,13 @@ class GraftTable(tableName: String, val root: String,
       val present = merged.fieldNames.toSet
       // full spelling history per chain, oldest → newest (ledger from
       // the CURRENT meta — renames are metadata-only, so the ledger is
-      // the only record of which names are spellings of one column)
-      val chains = meta.map(m => GraftTable.priorsOf(m._2)).getOrElse(Map.empty)
+      // the only record of which names are spellings of one column).
+      // DROPPED columns keep their chains too (droppedChainPrefix): a
+      // pinned version predating the drop still owns the column, and
+      // if its files straddle the column's earlier rename the same
+      // coalesce rule applies — never a union schema.
+      val chains = (meta.map(m => GraftTable.priorsOf(m._2)).getOrElse(Map.empty) ++
+        meta.map(m => GraftTable.droppedChainsOf(m._2)).getOrElse(Map.empty))
         .map { case (cur, ps) => ps :+ cur }
         .map(chain => chain.filter(present))
         .filter(_.length >= 2)
@@ -188,7 +193,36 @@ object GraftTable {
   /** Tombstoned physical names of DROPped columns (comma-joined) —
     * blocks ADD/RENAME from resurrecting their file data. */
   val droppedProp = "graft.cols.dropped"
+  /** Chain-STRUCTURED record of a dropped column's spelling history:
+    * `graft.col.dropchain.<finalName>` = comma-joined prior names
+    * oldest→newest (the colPriorPrefix value shape, preserved at DROP
+    * time instead of flattened). The flat [[droppedProp]] list stays
+    * the name-collision ledger; this keyed form is what a time-travel
+    * pinned read needs to coalesce a dropped column's spellings when
+    * the pinned version's files STRADDLE its rename — without it the
+    * column would present split across two half-null spellings,
+    * breaking the never-a-union-schema contract. */
+  val droppedChainPrefix = "graft.col.dropchain."
   private val schemaKey = "graft.schema.json"
+
+  /** Per-root monitor serializing metadata READ-MODIFY-WRITE cycles —
+    * ALTER TABLE's fold ([[GraftCatalog.alterTable]]) and the
+    * post-rewrite ledger clear ([[GraftRewriteBatchWrite.commit]]).
+    * Without it, a clear racing an ALTER between its readMeta and
+    * writeMeta would republish the pre-ALTER schema and silently lose
+    * the user's change. Metadata mutations run on the DRIVER — one JVM
+    * per deployment — so a JVM-level stripe is the correct local
+    * binding (the same reason the manifest commit point binds to an
+    * atomic local link create); a multi-driver store would make
+    * [[writeMeta]] a conditional PUT on a meta version stamp instead. */
+  private val metaLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withMetaLock[T](root: String)(f: => T): T = {
+    val key =
+      try Paths.get(root).toAbsolutePath.normalize.toString
+      catch { case _: Exception => root }
+    metaLocks.computeIfAbsent(key, _ => new Object).synchronized(f)
+  }
 
   /** current column name → its prior physical names, oldest→newest. */
   def priorsOf(props: Map[String, String]): Map[String, Seq[String]] =
@@ -199,6 +233,13 @@ object GraftTable {
   def droppedOf(props: Map[String, String]): Set[String] =
     props.get(droppedProp).toSeq
       .flatMap(_.split(',')).filter(_.nonEmpty).toSet
+
+  /** Dropped column's final name → its prior physical names,
+    * oldest→newest (the preserved rename chains of dropped columns). */
+  def droppedChainsOf(props: Map[String, String]): Map[String, Seq[String]] =
+    props.collect { case (k, v) if k.startsWith(droppedChainPrefix) =>
+      k.stripPrefix(droppedChainPrefix) -> v.split(',').toSeq.filter(_.nonEmpty)
+    }
 
   def writeMeta(root: String, schema: StructType, props: Map[String, String]): Unit = {
     val p = new java.util.Properties()
@@ -698,8 +739,12 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
       .groupBy(f => snap.deletes.filter(d => effVersion(f) < d.coversBelow))
       .toSeq.sortBy(_._2.min).map { case (dels, fs) => (fs, dels) }
 
-    // inline mode: load each distinct (path, keyCols) once, catalyst form
-    val loaded: Map[String, Set[Any]] =
+    // inline mode: load each distinct (path, keyCols) once, catalyst
+    // form — keyed by the SAME tuple the distinct uses: a manifest that
+    // ever carried two #del lines for one parquet path under different
+    // key-column sets must resolve each group's own column projection,
+    // not whichever loaded last
+    val loaded: Map[(String, Seq[String]), Set[Any]] =
       if (!inlineMode) Map.empty
       else snap.deletes.map(d => (d.path, d.keyCols)).distinct.map { case (p, kcs) =>
         val convs = kcs.map(k =>
@@ -710,7 +755,7 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
             val cv = kcs.indices.map(i => convs(i)(r.get(i)))
             if (cv.size == 1) cv.head else cv.toList
           }.toSet
-        p -> vals
+        (p, kcs) -> vals
       }.toMap
 
     // rename composition: the files are read under the PHYSICAL union
@@ -731,7 +776,7 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
         MorDeleteSet(
           kcs.map(readSchema.fieldIndex),
           kcs.map(tableSchema(_).dataType),
-          if (inlineMode) Some(ds.flatMap(d => loaded(d.path)).toSet) else None,
+          if (inlineMode) Some(ds.flatMap(d => loaded((d.path, d.keyCols))).toSet) else None,
           if (inlineMode) Nil else ds.map(_.path),
           kcs)
       }

@@ -55,9 +55,15 @@ object TimeTravelSql {
     // (Conservative: CTE names are scoped per WITH clause, but a
     // same-named CTE anywhere in the statement makes the bare name
     // ambiguous enough that deferring to the CTE is the safe read.)
+    // collection must cover the SAME tree the substitution walks:
+    // substitution uses transformUpWithSubqueries (descends into
+    // IN/EXISTS/scalar-subquery plans), so CTE names are gathered with
+    // the subquery-aware foreach — a CTE defined INSIDE an expression-
+    // embedded subquery that shares a snapshot table's name would
+    // otherwise be missed here and wrongly substituted there
     val cteNames: Set[String] = {
       val b = Set.newBuilder[String]
-      parsed.foreach {
+      parsed.foreachWithSubqueries {
         case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
           w.cteRelations.foreach { case (name, _, _) => b += name.toLowerCase }
         case _ => ()

@@ -1,0 +1,88 @@
+package graft
+
+import graft.catalog.GraftCatalog
+import graft.sources.Snapshots
+
+/** Round-15 hardening pins: the dropped-column chain ledger (a
+  * rename-then-drop must not split a straddling time-travel read into
+  * half-null spellings), and subquery-aware CTE shadowing in the
+  * VERSION AS OF substitution. */
+class Round15OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = {
+    val dir = Qx.tmpOut("r15wh", sf())
+    GraftCatalog.register(spark, "snap", Some(dir))
+    dir
+  }
+
+  private def sqlDf(q: String) = { wh; spark.sql(q) }
+
+  test("rename-then-DROP keeps the chain: straddling time travel still coalesces") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.rdrop")
+    sqlDf("""CREATE TABLE snap.default.rdrop AS
+            |SELECT id AS k, CAST(id * 10 AS DOUBLE) AS amount FROM range(5)""".stripMargin)
+    sqlDf("ALTER TABLE snap.default.rdrop RENAME COLUMN amount TO price")
+    // version 2 STRADDLES the rename: files carry both spellings
+    sqlDf("INSERT INTO snap.default.rdrop VALUES (100, 999.0)")
+    sqlDf("ALTER TABLE snap.default.rdrop DROP COLUMN price")
+    // head: the column is gone
+    assert(sqlDf("SELECT * FROM snap.default.rdrop").columns.toSeq == Seq("k"))
+    // the straddling version still owns the column; its files carry
+    // `amount` (pre-rename) and `price` (post) — the dropped chain must
+    // coalesce them under the newest spelling, never a union schema
+    val v2 = sqlDf("SELECT * FROM snap.default.rdrop VERSION AS OF 2")
+    assert(v2.columns.toSeq == Seq("k", "price"),
+      s"straddling version must present ONE spelling, got ${v2.columns.toSeq}")
+    assert(sqlDf("SELECT sum(price) FROM snap.default.rdrop VERSION AS OF 2")
+      .as[Double].head() == 1099.0,
+      "pre-rename rows must stay populated after the column is dropped at head")
+    // pre-rename version unaffected: original name, original values
+    assert(sqlDf("SELECT sum(amount) FROM snap.default.rdrop VERSION AS OF 1")
+      .as[Double].head() == 100.0)
+    // the tombstone still blocks resurrection of every spelling
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.rdrop ADD COLUMN amount DOUBLE"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.rdrop ADD COLUMN price DOUBLE"))
+    // a full copy-on-write rewrite clears the dropchain ledger with the
+    // rest (DELETE routes through the row-level rewrite commit, which
+    // owns the ledger clear)
+    sqlDf("DELETE FROM snap.default.rdrop WHERE k >= 100")
+    val props = graft.catalog.GraftTable
+      .readMeta(GraftCatalog.tableRoot(spark, "snap", "default", "rdrop")).get._2
+    assert(!props.keys.exists(_.startsWith("graft.col.dropchain.")),
+      s"dropchain ledger must clear after a full rewrite: $props")
+  }
+
+  test("VERSION AS OF substitution: a CTE inside an IN-subquery shadows the snapshot name") {
+    import graft.plans.TimeTravelSql
+    val root = s"${Qx.tmpOut("r15cte", sf())}/store"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+    Snapshots.commit(root)(out =>
+      spark.range(10).select($"id").write.mode("append").parquet(out))
+    spark.range(100, 103).select($"id".as("k")).createOrReplaceTempView("r15_probe")
+    // the CTE named `sales` lives INSIDE the IN-subquery; it must shadow
+    // the snapshot table there — a collection that misses expression-
+    // embedded subqueries would substitute the store read (ids 0..9)
+    // and return zero rows
+    val out = TimeTravelSql.sql(spark,
+      """SELECT k FROM r15_probe
+        |WHERE k IN (WITH sales AS (SELECT 101 AS s) SELECT s FROM sales)""".stripMargin,
+      Map("sales" -> root)).as[Long].collect().toSeq
+    assert(out == Seq(101L),
+      s"CTE inside the subquery must win over the snapshot table: got $out")
+    // and a genuine snapshot reference inside a subquery still resolves
+    val out2 = TimeTravelSql.sql(spark,
+      "SELECT k FROM r15_probe WHERE k - 95 IN (SELECT id FROM sales)",
+      Map("sales" -> root)).as[Long].collect().toSeq.sorted
+    assert(out2 == Seq(100L, 101L, 102L))
+  }
+}
