@@ -1,0 +1,376 @@
+package graft.catalog
+
+import graft.sources.Snapshots
+import graft.sources.Snapshots.Snapshot
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Stream offset for the snapshot store: the highest COMMITTED VERSION
+  * the consumer has fully processed. Versions are the store's native
+  * epochs — totally ordered, immutable once committed, resolvable to an
+  * explicit file list — so they are exactly what a replayable offset
+  * must be: re-planning any (start, end] range after a crash yields the
+  * same files, because manifests never change. */
+final case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** NATIVE STREAMING SOURCE over a snapshot-catalog table — the read
+  * half of the exactly-once pair whose write half is
+  * [[GraftStreamingWrite]]: `spark.readStream.table("snap.ns.t")` tails
+  * the store's commits the way Delta/Iceberg sources tail their logs.
+  *
+  *  - OFFSETS are committed versions ([[VersionOffset]]). A micro-batch
+  *    (start, end] reads, per version step, the manifest SET-DIFFERENCE
+  *    `files(v) -- files(v-1)` — the same metadata-only delta
+  *    [[Snapshots.changedFiles]] hands batch consumers; nothing ever
+  *    re-lists or re-scans the base data, so a micro-batch over a
+  *    100 TB table costs O(new files) planning + O(new rows) I/O.
+  *  - The INITIAL batch (offset 0) is the full snapshot at the oldest
+  *    retained version, then per-version tailing — Delta's
+  *    initial-snapshot-then-tail shape. `startingVersion` skips the
+  *    initial snapshot ("only changes after v").
+  *  - RATE LIMIT: `maxFilesPerTrigger` caps the files admitted per
+  *    batch through [[SupportsAdmissionControl]]. Offsets are version-
+  *    granular, so a single version's files are admitted atomically —
+  *    the cap rounds UP to the next version boundary (at least one
+  *    version per batch, so the stream always progresses).
+  *  - CHANGE COMMITS (a rewrite/DELETE/UPDATE/upsert: files removed or
+  *    delete lines added) are NOT appends: by default the stream FAILS
+  *    on one with a clear error; `skipChangeCommits=true` skips them
+  *    entirely (Delta's option of the same name). Append-only commits
+  *    — INSERT INTO, the streaming sink's epochs, WAP publishes — flow
+  *    through exactly once.
+  *  - REPLAY SAFETY: offsets live in the query checkpoint; versions are
+  *    immutable; a restarted query re-plans its last range
+  *    deterministically. Retention contract: vacuum must keep at least
+  *    the versions an active consumer still has to read — a stream
+  *    whose checkpointed offset fell below retention fails with the
+  *    same clear error as any expired time travel.
+  */
+private[catalog] class GraftMicroBatchStream(root: String,
+    tableSchema: StructType, readSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+
+  private val maxFilesPerTrigger: Option[Int] = {
+    val v = Option(options.get(GraftMicroBatchStream.MaxFilesOption))
+    v.map(_.trim.toInt).map { n =>
+      require(n > 0, s"${GraftMicroBatchStream.MaxFilesOption} must be positive: $n")
+      n
+    }
+  }
+
+  private val skipChangeCommits: Boolean =
+    options.getBoolean(GraftMicroBatchStream.SkipChangesOption, false)
+
+  private val startingVersion: Long =
+    Option(options.get(GraftMicroBatchStream.StartingVersionOption))
+      .map(_.trim.toLong).getOrElse(0L)
+
+  /** Trigger.AvailableNow pins the end of available data at prepare
+    * time, so the run drains a FIXED range and terminates even under a
+    * concurrent writer. */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(Snapshots.maxCommitted(root))
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles(_)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
+
+  override def reportLatestOffset(): Offset =
+    VersionOffset(Snapshots.maxCommitted(root))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[VersionOffset].version
+    val head = availableNowEnd.getOrElse(Snapshots.maxCommitted(root))
+    if (head <= s0) return VersionOffset(s0)
+    limit match {
+      case f: ReadMaxFiles =>
+        // admit whole versions until the file cap is crossed; always at
+        // least one version, or a single oversized commit would stall
+        // the stream forever
+        var end = s0
+        var count = 0
+        val it = steps(s0, head).iterator
+        var full = false
+        while (!full && it.hasNext) {
+          val st = it.next()
+          val emit = if (st.isChange && skipChangeCommits) 0 else st.added.size
+          if (end > s0 && count + emit > f.maxFiles()) full = true
+          else { end = st.version; count += emit }
+        }
+        VersionOffset(end)
+      case _ => VersionOffset(head)
+    }
+  }
+
+  /** One version's worth of tailed change: the data files it ADDED
+    * (manifest set-difference against its parent) and whether it
+    * changed pre-existing data (removed files or new delete lines). */
+  private case class Step(version: Long, added: Seq[String], isChange: Boolean)
+
+  /** The per-version additions in (s0, e], initial-load aware. Vacuum
+    * expires manifests as a prefix, so inside the retained suffix every
+    * parent manifest exists; the only special cases are the two ends:
+    * offset 0 against a partially-vacuumed history reads the oldest
+    * retained version as one full initial chunk, and an offset that
+    * fell BELOW retention (the consumer lagged past vacuum) fails with
+    * the retention contract's error. */
+  private def steps(s0: Long, e: Long): Seq[Step] = {
+    if (e <= s0) return Nil
+    val oldest = Snapshots.minCommitted(root)
+    require(oldest > 0, s"no committed snapshot under $root")
+    val (init, from) =
+      if (s0 >= oldest || (s0 == 0 && oldest == 1)) (Nil, s0)
+      else if (s0 == 0) {
+        // initial load over vacuumed history: the oldest retained
+        // manifest IS the accumulated state of everything before it
+        val snap0 = Snapshots.resolveAt(root, oldest)
+        requireNoPendingDeletes(snap0, "the initial snapshot")
+        (Seq(Step(oldest, snap0.files, isChange = false)), oldest)
+      } else throw new IllegalStateException(
+        s"stream offset $s0 of $root is beyond retention (oldest retained " +
+          s"version is $oldest): the consumer lagged past vacuum — restart " +
+          "from a fresh checkpoint")
+    val tail = ((from + 1) to e).map { v =>
+      val cur = Snapshots.resolveAt(root, v)
+      val prev = if (v == 1) Snapshot(0, Nil) else Snapshots.resolveAt(root, v - 1)
+      val prevF = prev.files.toSet
+      val curF = cur.files.toSet
+      val added = cur.files.filterNot(prevF)
+      val removed = prev.files.exists(!curF(_))
+      val prevDel = prev.deletes.toSet
+      val newDel = cur.deletes.exists(!prevDel(_))
+      Step(v, added, removed || newDel)
+    }
+    init ++ tail
+  }
+
+  /** A snapshot with PENDING merge-on-read deletes cannot be tailed as
+    * raw files — the emitted rows would include deleted ones. Appends
+    * after the stream started are delete-free by construction (a new
+    * delete is a change commit); only the initial chunk needs this
+    * guard. */
+  private def requireNoPendingDeletes(snap: Snapshot, what: String): Unit =
+    require(snap.deletes.isEmpty,
+      s"$what of $root carries pending merge-on-read deletes; compact the " +
+        "table (full rewrite) before streaming from it, or use " +
+        s"${GraftMicroBatchStream.StartingVersionOption} to start after a rewrite")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[VersionOffset].version
+    val e = end.asInstanceOf[VersionOffset].version
+    val files = steps(s0, e).flatMap { st =>
+      if (!st.isChange) st.added
+      else if (skipChangeCommits) Nil
+      else throw new IllegalStateException(
+        s"version ${st.version} of $root is a data-changing commit (rewrite, " +
+          "DELETE/UPDATE, or upsert) — a streaming read tails appends only. " +
+          s"Set ${GraftMicroBatchStream.SkipChangesOption}=true to skip change " +
+          "commits, or restart from a fresh checkpoint to re-read the " +
+          "rewritten state as a new initial snapshot")
+    }
+    if (files.isEmpty) Array.empty
+    else scanOver(files).toBatch.planInputPartitions()
+  }
+
+  /** A fresh vectorized parquet scan over exactly `files`, pruned to
+    * the stream's read schema — the same planning path as a batch read
+    * of the same manifest slice. */
+  private def scanOver(files: Seq[String]): Scan = {
+    val b = GraftScans.parquetBuilder(spark, files, tableSchema, options)
+    b.pruneColumns(readSchema)
+    b.build()
+  }
+
+  /** The parquet reader factory captures schema + conf only — it is
+    * file-list independent, so one factory (planned over the head's
+    * current files, possibly none) serves every micro-batch's
+    * partitions. */
+  private lazy val readerFactory: PartitionReaderFactory = {
+    val head = Snapshots.resolve(root).map(_.files).getOrElse(Nil)
+    scanOver(head).toBatch.createReaderFactory()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
+
+  override def toString: String = s"GraftMicroBatchStream($root)"
+}
+
+private[catalog] object GraftMicroBatchStream {
+  val MaxFilesOption = "maxFilesPerTrigger"
+  val SkipChangesOption = "skipChangeCommits"
+  val StartingVersionOption = "startingVersion"
+}
+
+/** Transparent ScanBuilder wrapper that makes every [[GraftTable]] scan
+  * STREAMABLE without costing the batch path anything: all pushdown
+  * interfaces the inner builders speak (column pruning, catalyst filter
+  * pushdown, aggregate pushdown, variant extraction) forward verbatim,
+  * and `build()` wraps the produced scan in [[GraftScanFacade]] — which
+  * forwards batch execution, runtime filtering, and statistics to the
+  * inner scan and adds only `toMicroBatchStream`. */
+private[catalog] class GraftStreamableScanBuilder(
+    delegate: org.apache.spark.sql.connector.read.ScanBuilder,
+    root: String, tableSchema: StructType,
+    priors: Map[String, Seq[String]], pinned: Boolean,
+    snap: Option[Snapshot], options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  /** The pruned ROW schema — what the stream emits (aggregate pushdown
+    * never applies to the streaming path). */
+  private var requested: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requested = requiredSchema
+    delegate match {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        p.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = delegate match {
+    case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+      f.pushFilters(filters)
+    case _ => filters // nothing pushed; Spark re-applies them all above
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        f.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.pushAggregation(aggregation)
+      case _ => false
+    }
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
+
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = delegate match {
+    case v: org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions =>
+      v.pushVariantExtractions(extractions)
+    case _ => new Array[Boolean](extractions.length) // none pushed
+  }
+
+  override def build(): Scan =
+    new GraftScanFacade(delegate.build(), root, tableSchema, requested,
+      priors, pinned, snap, options)
+}
+
+/** The scan produced by [[GraftStreamableScanBuilder]]: batch reads,
+  * runtime (DPP) filtering, statistics, and metrics all forward to the
+  * inner scan untouched — the ONLY addition is `toMicroBatchStream`,
+  * the snapshot-tailing source. Inner scans that report no statistics
+  * (the MOR and rename-aware wrappers) fall back to the manifest's
+  * file sizes — already known without touching data — so joins against
+  * evolved snap tables still get real broadcast decisions. */
+private[catalog] class GraftScanFacade(inner: Scan, root: String,
+    tableSchema: StructType, requested: StructType,
+    priors: Map[String, Seq[String]], pinned: Boolean,
+    snap: Option[Snapshot], options: CaseInsensitiveStringMap)
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => GraftScanFacade.manifestStats(snap)
+    }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filterAttributes()
+      case _ => Array.empty
+    }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filter(predicates)
+      case _ => ()
+    }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!pinned, s"cannot stream a time-travel-pinned read of $root")
+    require(priors.isEmpty,
+      s"streaming from the rename-evolved table at $root is unsupported: " +
+        "pre-rename files would surface NULLs under current names — compact " +
+        "(full rewrite) to re-materialize current names, then start the stream")
+    new GraftMicroBatchStream(root, tableSchema, requested, options)
+  }
+}
+
+private[catalog] object GraftScanFacade {
+  /** Size statistics from the manifest's file list alone — the on-disk
+    * bytes are already known without opening anything (an upper bound
+    * under pending MOR deletes, which is the safe direction for
+    * broadcast decisions). */
+  def manifestStats(snap: Option[Snapshot]): org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = snap.map(_.files.map { f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      catch { case _: Exception => 0L }
+    }.sum).getOrElse(0L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+}

@@ -134,6 +134,7 @@ class GraftTable(tableName: String, val root: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
@@ -160,8 +161,15 @@ class GraftTable(tableName: String, val root: String,
       case None => meta.map(m => GraftTable.priorsOf(m._2)).getOrElse(Map.empty)
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    GraftScans.builder(spark, schema(), snap, options, priors)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sc = schema()
+    // the streamable wrapper forwards every pushdown interface to the
+    // inner builder and adds only toMicroBatchStream on the built scan
+    // (plus manifest-size statistics where the inner scan reports none)
+    new GraftStreamableScanBuilder(
+      GraftScans.builder(spark, sc, snap, options, priors),
+      root, sc, priors, pinned.isDefined, snap, options)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,

@@ -802,6 +802,55 @@ object WarehouseOps {
       .orderBy($"event_type")
   }
 
+  /** NATIVE STREAMING SOURCE (`stream_snapshot_source`) — the read
+    * half of the exactly-once pair whose write half is
+    * `stream_catalog_sink`: a real Structured Streaming query TAILS a
+    * snapshot-catalog table with `spark.readStream.table`
+    * ([[graft.catalog.GraftMicroBatchStream]]). Offsets are committed
+    * VERSIONS; each micro-batch plans the manifest set-difference of
+    * its (start, end] range — the same metadata-only delta batch
+    * consumers get from `Snapshots.readChanges` — and
+    * `maxFilesPerTrigger=1` paces the drain so the AvailableNow run
+    * takes one micro-batch per commit (multi-batch progress, restart
+    * safety, and change-commit policy are pinned in Round15OpsSpec).
+    * The fixture lands the events table in three INSERT commits, tails
+    * the table through the source into a parquet sink, and aggregates
+    * the sink; the oracle reads the ORIGINAL events table once — a
+    * dropped commit, a doubled batch, or base files leaking into a
+    * delta all hash-mismatch.
+    *
+    * Scale: planning cost per micro-batch is O(new files) manifest
+    * arithmetic — the 100 TB base is never re-listed; reading is the
+    * same vectorized pruned parquet scan a batch read of those files
+    * would plan. */
+  val streamSnapshotSource: Q = (s, dir) => {
+    import s.implicits._
+    val (t, _) = SnapCat.table(s, "snapsrc_events", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (event_type STRING, value DOUBLE)")
+    val base = Tables.load(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    (0 to 2).foreach { m =>
+      base.filter($"event_id" % 3 === m).drop("event_id").coalesce(4)
+        .writeTo(t).append()
+    }
+    val sink = Qx.tmpOut("snapsrcsink", dir)
+    val ckpt = Qx.tmpOut("snapsrcckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = s.readStream
+      .option("maxFilesPerTrigger", "1")
+      .table(t)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"value").as("total"))
+      .orderBy($"event_type")
+  }
+
   /** PARTITION EVOLUTION (`snapshot_partition_evolution`) — the
     * partition spec CHANGES across commits and pruned reads stay
     * correct over both eras (Iceberg's add-partition-field): era A
@@ -1155,6 +1204,7 @@ object WarehouseOps {
     "sql_rename_evolution" -> sqlRenameEvolution,
     "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
+    "stream_snapshot_source" -> streamSnapshotSource,
     "snapshot_wap_publish" -> snapshotWapPublish,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_prune_mor" -> snapshotPruneMor,
@@ -1327,6 +1377,13 @@ object WarehouseOps {
     // a dropped micro-batch, a doubled epoch, or a lost row changes
     // the counts/sums and hash-mismatches.
     "stream_catalog_sink" -> s"""
+      SELECT event_type, COUNT(*) AS n, ${Qx.dsumSql("value")} AS total
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    // The tailed table must equal the ORIGINAL events table exactly: a
+    // commit the source missed, a micro-batch emitted twice across the
+    // paced drain, or base files re-read into a later delta all change
+    // the counts/sums and hash-mismatch.
+    "stream_snapshot_source" -> s"""
       SELECT event_type, COUNT(*) AS n, ${Qx.dsumSql("value")} AS total
       FROM events GROUP BY event_type ORDER BY event_type""",
     // The (priority, band) slice recomputed from the ORIGINAL table:

@@ -136,6 +136,32 @@ object Snapshots {
     }
   }
 
+  /** True iff `version` is committed AND retained (its manifest still
+    * exists) — one metadata existence check. */
+  def committed(root: String, version: Long): Boolean =
+    version >= 1 && Files.exists(manifestPath(root, version))
+
+  /** Oldest RETAINED committed version (0 = nothing committed).
+    * [[vacuum]] expires manifests as a PREFIX of history, so the
+    * retained set is always the contiguous suffix
+    * [minCommitted, maxCommitted] — the streaming source leans on this
+    * to know every per-version delta inside that range is resolvable. */
+  def minCommitted(root: String): Long = {
+    val cd = commitsDir(root)
+    if (!Files.isDirectory(cd)) 0L
+    else {
+      val ls = Files.list(cd)
+      val min =
+        try ls.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.endsWith(".manifest") =>
+            s.stripSuffix(".manifest").toLong }
+          .foldLeft(Long.MaxValue)(math.min)
+        finally ls.close()
+      if (min == Long.MaxValue) 0L else min
+    }
+  }
+
   /** Resolve the current head to its pinned file list, or None if no
     * commit has ever succeeded. The returned snapshot stays readable
     * even if later commits land (files are immutable; only [[vacuum]]

@@ -55,6 +55,91 @@ class Round15OpsSpec extends SparkSpec {
       s"dropchain ledger must clear after a full rewrite: $props")
   }
 
+  test("readStream.table tails snapshot commits exactly-once across restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    sqlDf("DROP TABLE IF EXISTS snap.default.r15src")
+    sqlDf("CREATE TABLE snap.default.r15src (k BIGINT, v STRING)")
+    sqlDf("INSERT INTO snap.default.r15src VALUES (1,'a'), (2,'b')")
+    sqlDf("INSERT INTO snap.default.r15src VALUES (3,'c')")
+    val out = Qx.tmpOut("r15srcout", sf())
+    val ckpt = Qx.tmpOut("r15srcckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def run(extra: Map[String, String] = Map.empty) = {
+      val q = spark.readStream.options(extra).table("snap.default.r15src")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q
+    }
+    // paced initial drain: one version per micro-batch
+    val q1 = run(Map("maxFilesPerTrigger" -> "1"))
+    assert(spark.read.parquet(out).count() == 3)
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+      "maxFilesPerTrigger=1 must split the two commits into separate batches")
+    // tail: new commits arrive, the restarted stream delivers exactly them
+    sqlDf("INSERT INTO snap.default.r15src VALUES (4,'d')")
+    sqlDf("INSERT INTO snap.default.r15src VALUES (5,'e')")
+    run()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"),
+      "restart must deliver exactly the new commits — no loss, no dupes")
+    // a data-changing commit (COW rewrite) fails the stream by default...
+    sqlDf("DELETE FROM snap.default.r15src WHERE k = 1")
+    sqlDf("INSERT INTO snap.default.r15src VALUES (6,'f')")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("data-changing commit")),
+      s"expected the change-commit error, got: ${messages(ex)}")
+    // ...and skipChangeCommits skips it and keeps tailing the appends
+    run(Map("skipChangeCommits" -> "true"))
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e", 6L -> "f"),
+      "skipChangeCommits must skip the rewrite and deliver the later append")
+  }
+
+  test("streaming source refuses pinned reads and tables with pending MOR deletes") {
+    import org.apache.spark.sql.streaming.Trigger
+    sqlDf("DROP TABLE IF EXISTS snap.default.r15mor")
+    sqlDf("""CREATE TABLE snap.default.r15mor (k BIGINT, v STRING)
+            |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r15mor VALUES (1,'a'), (2,'b')")
+    sqlDf("DELETE FROM snap.default.r15mor WHERE k = 1") // pending MOR delete
+    val ckpt = Qx.tmpOut("r15morckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val ex = intercept[Exception] {
+      val q = spark.readStream.table("snap.default.r15mor")
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("pending merge-on-read deletes") ||
+        m.contains("data-changing commit")),
+      s"expected the pending-deletes refusal, got: ${messages(ex)}")
+  }
+
+  test("the streamable scan facade preserves filter pushdown, DPP attrs, and broadcast stats") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r15pd")
+    sqlDf("CREATE TABLE snap.default.r15pd AS SELECT id AS k, id * 2 AS dbl FROM range(1000)")
+    val df = sqlDf("SELECT k FROM snap.default.r15pd WHERE k = 7")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(k,7)"),
+      s"pushed filter must reach the parquet scan through the facade:\n$plan")
+    assert(df.as[Long].collect().toSeq == Seq(7L))
+    // scan-level statistics still flow: a small snap table on the build
+    // side of a join must broadcast, not sort-merge
+    val big = spark.range(200000).select($"id".as("k"))
+    val joined = big.join(sqlDf("SELECT k, dbl FROM snap.default.r15pd"), "k")
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small snap table must broadcast (facade forwards estimateStatistics)")
+    assert(joined.count() == 1000)
+  }
+
   test("VERSION AS OF substitution: a CTE inside an IN-subquery shadows the snapshot name") {
     import graft.plans.TimeTravelSql
     val root = s"${Qx.tmpOut("r15cte", sf())}/store"
