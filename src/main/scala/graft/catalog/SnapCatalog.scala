@@ -199,8 +199,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * columns must keep their physical names — the delete-key ledger is
     * keyed by them. A full copy-on-write rewrite clears the
     * prior/tombstone ledgers (every surviving row re-materializes
-    * under current names), restoring the plain pushdown scan. Type
-    * changes remain out of scope. */
+    * under current names), restoring the plain pushdown scan.
+    *
+    *  - ALTER COLUMN TYPE: safe WIDENINGS only (int→bigint,
+    *    float→double, decimal precision growth — Iceberg's promotion
+    *    matrix), metadata-only: the declared field widens and reads
+    *    upcast narrow files natively; anything lossy is rejected with
+    *    a compact-first message. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
@@ -293,6 +298,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           }
           (StructType(sc.fields.filterNot(_.name == name)), pr2)
         }
+      case ((sc, pr), upd: TableChange.UpdateColumnType) =>
+        // ALTER COLUMN <c> TYPE <wider> — metadata-only under the safe-
+        // promotion matrix ([[GraftTable.widensTo]]): the declared field
+        // widens, history is untouched, and reads upcast the narrow
+        // physical type natively (Spark's parquet readers support the
+        // promotion when the declared schema is wider). A pinned
+        // time-travel read of a pre-widening version presents the
+        // narrow type its own footers carry; a straddling version
+        // merges under the same matrix ([[GraftTable.mergeWiden]]).
+        require(upd.fieldNames().length == 1,
+          s"only top-level ALTER COLUMN TYPE is supported: ${upd.fieldNames().mkString(".")}")
+        val name = upd.fieldNames()(0)
+        require(sc.fieldNames.contains(name), s"no column '$name' to alter")
+        val from = sc(name).dataType
+        val to = upd.newDataType()
+        require(GraftTable.widensTo(from, to),
+          s"ALTER COLUMN type change ${from.simpleString} -> ${to.simpleString} " +
+            "is not a safe widening (int->bigint, float->double, decimal " +
+            "precision growth at fixed scale); narrowing or re-typing needs " +
+            "a full rewrite")
+        // the delete-key machinery compares/loads key values by the
+        // DECLARED type — widening a column that keys PENDING delete
+        // files would read those staged narrow keys as the wrong type
+        // (a delete-free MOR key may widen: every later delete file is
+        // staged at, and loaded by, the widened type)
+        require(!pendingDeleteKeys.contains(name),
+          s"column '$name' keys pending merge-on-read delete files; " +
+            "compact (full rewrite) before widening it")
+        (StructType(sc.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)), pr)
       case ((sc, pr), set: TableChange.SetProperty) =>
         require(set.property() != GraftTable.morKeyProp ||
           !GraftTable.priorsOf(pr).contains(set.value()),

@@ -75,7 +75,17 @@ class GraftTable(tableName: String, val root: String,
   private lazy val pinnedResolution: Option[(StructType, Map[String, Seq[String]])] =
     pinned.filter(_.files.nonEmpty).map { p =>
       val merged =
-        spark.read.option("mergeSchema", "true").parquet(p.files: _*).schema
+        try spark.read.option("mergeSchema", "true").parquet(p.files: _*).schema
+        catch {
+          case e: org.apache.spark.SparkException
+              if e.getMessage != null && e.getMessage.contains("CANNOT_MERGE") =>
+            // the pinned version's files straddle an ALTER COLUMN
+            // widening — parquet's merge refuses INT-vs-BIGINT footers;
+            // re-merge under the safe-promotion matrix (fallback-only
+            // path: one footer read per file, driver-side, and only for
+            // time travel into a widening boundary)
+            GraftTable.mergeWiden(p.files.map(f => spark.read.parquet(f).schema))
+        }
       val present = merged.fieldNames.toSet
       // full spelling history per chain, oldest → newest (ledger from
       // the CURRENT meta — renames are metadata-only, so the ledger is
@@ -247,6 +257,52 @@ object GraftTable {
   def droppedChainsOf(props: Map[String, String]): Map[String, Seq[String]] =
     props.collect { case (k, v) if k.startsWith(droppedChainPrefix) =>
       k.stripPrefix(droppedChainPrefix) -> v.split(',').toSeq.filter(_.nonEmpty)
+    }
+
+  /** Iceberg's safe type-promotion matrix — the set of ALTER COLUMN
+    * type changes that are metadata-only because every narrower value
+    * maps losslessly into the wider type AND Spark's parquet readers
+    * (vectorized included) natively upcast the narrow physical type
+    * when the declared schema is wider: int→bigint, float→double,
+    * decimal precision growth at fixed scale. Everything else (a
+    * narrowing, a scale change, a re-type) needs a rewrite. */
+  def widensTo(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
+  }
+
+  /** Widening-aware schema merge for pinned (time-travel) reads whose
+    * files STRADDLE an ALTER COLUMN widening: parquet's own mergeSchema
+    * refuses to merge INT with BIGINT footers, so the conflict resolves
+    * here under the [[widensTo]] matrix — the straddling version
+    * presents the WIDER type and the scan's native upcast populates the
+    * narrow files' values under it. Field order is first-occurrence,
+    * matching mergeSchema's. */
+  def mergeWiden(schemas: Seq[StructType]): StructType =
+    schemas.reduceLeft { (a, b) =>
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.StructField]
+      a.fields.foreach(f => out(f.name) = f)
+      b.fields.foreach { f =>
+        out.get(f.name) match {
+          case None => out(f.name) = f
+          case Some(g) if widensTo(g.dataType, f.dataType) =>
+            out(f.name) = f.copy(nullable = g.nullable || f.nullable)
+          case Some(g) if widensTo(f.dataType, g.dataType) =>
+            out(f.name) = g.copy(nullable = g.nullable || f.nullable)
+          case Some(g) => throw new IllegalStateException(
+            s"cannot merge pinned footer types for column '${f.name}': " +
+              s"${g.dataType.simpleString} vs ${f.dataType.simpleString} is not " +
+              "a safe widening")
+        }
+      }
+      StructType(out.values.toSeq)
     }
 
   def writeMeta(root: String, schema: StructType, props: Map[String, String]): Unit = {

@@ -802,6 +802,61 @@ object WarehouseOps {
       .orderBy($"event_type")
   }
 
+  /** TYPE WIDENING (`sql_type_widening`) — `ALTER TABLE ... ALTER
+    * COLUMN <c> TYPE <wider>` as a METADATA-ONLY evolution under the
+    * safe-promotion matrix (int→bigint, float→double, decimal
+    * precision growth — Iceberg's rule): history is never rewritten;
+    * reads upcast the narrow physical type natively because Spark's
+    * parquet readers accept a wider declared schema for exactly these
+    * promotions. The fixture CTASes an orders slice with an INT key
+    * and FLOAT price, widens both columns, INSERTs a post-widening
+    * (wide) slice, and reads the head (both eras under the wide
+    * types) plus the pre-widening version via time travel (its own
+    * narrow footer schema). The oracle replays both eras from the
+    * ORIGINAL table with the same float round-trip, so a mis-typed
+    * upcast, a lost era, or a widening that rewrites history
+    * hash-mismatches. Unsafe promotions (narrowing, re-types) are
+    * rejected — pinned in Round15OpsSpec.
+    *
+    * Scale: the ALTER is one properties-file write; no data moves and
+    * the scan stays the plain pushdown-vectorized parquet read — the
+    * evolution a 100 TB table can afford weekly. */
+  val sqlTypeWidening: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "widen_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT CAST(o_orderkey AS INT) AS k,
+             |       CAST(o_totalprice AS FLOAT) AS price,
+             |       o_orderpriority
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE BIGINT")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN price TYPE DOUBLE")
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1""".stripMargin)
+    // aggregates chosen midpoint-free: float-derived values are dyadic
+    // rationals that land EXACTLY on decimal midpoints, where Spark
+    // (HALF_UP) and DuckDB (HALF_EVEN) round apart — so the check uses
+    // counts, integer key sums, a threshold count, and MIN/MAX of the
+    // raw doubles (bit-exact in both engines), never a rounded sum of
+    // the float-era column
+    s.sql(
+      s"""SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
+         |       SUM(CAST(k AS BIGINT)) AS key_sum,
+         |       COUNT(CASE WHEN price > 150000 THEN 1 END) AS n_hi,
+         |       MIN(CAST(price AS DOUBLE)) AS min_p,
+         |       MAX(CAST(price AS DOUBLE)) AS max_p
+         |FROM $t GROUP BY o_orderpriority
+         |UNION ALL
+         |SELECT 'v1' AS era, o_orderpriority, COUNT(*) AS n,
+         |       SUM(CAST(k AS BIGINT)) AS key_sum,
+         |       COUNT(CASE WHEN price > 150000 THEN 1 END) AS n_hi,
+         |       MIN(CAST(price AS DOUBLE)) AS min_p,
+         |       MAX(CAST(price AS DOUBLE)) AS max_p
+         |FROM $t VERSION AS OF 1 GROUP BY o_orderpriority
+         |ORDER BY era, o_orderpriority""".stripMargin)
+  }
+
   /** NATIVE STREAMING SOURCE (`stream_snapshot_source`) — the read
     * half of the exactly-once pair whose write half is
     * `stream_catalog_sink`: a real Structured Streaming query TAILS a
@@ -1202,6 +1257,7 @@ object WarehouseOps {
     "snapshot_partition_evolution" -> snapshotPartitionEvolution,
     "sql_schema_evolution" -> sqlSchemaEvolution,
     "sql_rename_evolution" -> sqlRenameEvolution,
+    "sql_type_widening" -> sqlTypeWidening,
     "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
     "stream_snapshot_source" -> streamSnapshotSource,
@@ -1379,6 +1435,32 @@ object WarehouseOps {
     "stream_catalog_sink" -> s"""
       SELECT event_type, COUNT(*) AS n, ${Qx.dsumSql("value")} AS total
       FROM events GROUP BY event_type ORDER BY event_type""",
+    // Both eras recomputed from the ORIGINAL table with the same
+    // float round-trip (even keys rode through FLOAT storage, odd keys
+    // stayed DOUBLE): a wrong upcast (value drift), a lost era, or a
+    // widening that rewrote history hash-mismatches. The v1 era reads
+    // the pre-widening version — its values are the float-era slice.
+    "sql_type_widening" -> """
+      WITH rows AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price,
+               o_orderpriority, 'both' AS src
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority, 'head'
+        FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
+             SUM(k) AS key_sum,
+             COUNT(CASE WHEN price > 150000 THEN 1 END) AS n_hi,
+             MIN(price) AS min_p, MAX(price) AS max_p
+      FROM rows GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'v1' AS era, o_orderpriority, COUNT(*) AS n,
+             SUM(k) AS key_sum,
+             COUNT(CASE WHEN price > 150000 THEN 1 END) AS n_hi,
+             MIN(price) AS min_p, MAX(price) AS max_p
+      FROM rows WHERE src = 'both' GROUP BY o_orderpriority
+      ORDER BY era, o_orderpriority""",
     // The tailed table must equal the ORIGINAL events table exactly: a
     // commit the source missed, a micro-batch emitted twice across the
     // paced drain, or base files re-read into a later delta all change

@@ -55,6 +55,68 @@ class Round15OpsSpec extends SparkSpec {
       s"dropchain ledger must clear after a full rewrite: $props")
   }
 
+  test("ALTER COLUMN type widening: head upcasts, time travel keeps narrow types, unsafe rejected") {
+    import org.apache.spark.sql.types._
+    sqlDf("DROP TABLE IF EXISTS snap.default.r15w")
+    sqlDf("""CREATE TABLE snap.default.r15w AS
+            |SELECT CAST(id AS INT) AS k, CAST(id * 1.5 AS FLOAT) AS f,
+            |       CAST(id AS DECIMAL(5,2)) AS d
+            |FROM range(5)""".stripMargin)
+    sqlDf("ALTER TABLE snap.default.r15w ALTER COLUMN k TYPE BIGINT")
+    sqlDf("ALTER TABLE snap.default.r15w ALTER COLUMN f TYPE DOUBLE")
+    sqlDf("ALTER TABLE snap.default.r15w ALTER COLUMN d TYPE DECIMAL(12,2)")
+    sqlDf("INSERT INTO snap.default.r15w VALUES (100, 2.5, 42.00)")
+    val head = sqlDf("SELECT * FROM snap.default.r15w")
+    assert(head.schema.map(_.dataType) ==
+      Seq(LongType, DoubleType, DecimalType(12, 2)))
+    assert(sqlDf("SELECT sum(k) FROM snap.default.r15w").as[Long].head() == 110L)
+    assert(sqlDf("SELECT sum(f) FROM snap.default.r15w").as[Double].head() == 17.5)
+    // filters over the widened column still push down and match
+    assert(sqlDf("SELECT k FROM snap.default.r15w WHERE k = 3").as[Long].head() == 3L)
+    // pre-widening version presents its own (narrow) footer schema
+    val v1 = sqlDf("SELECT * FROM snap.default.r15w VERSION AS OF 1")
+    assert(v1.schema.map(_.dataType) ==
+      Seq(IntegerType, FloatType, DecimalType(5, 2)),
+      s"pre-widening version must keep narrow types: ${v1.schema.simpleString}")
+    // a STRADDLING version (narrow + wide files) presents the wide type
+    val v2 = sqlDf("SELECT * FROM snap.default.r15w VERSION AS OF 2")
+    assert(v2.schema.map(_.dataType) ==
+      Seq(LongType, DoubleType, DecimalType(12, 2)),
+      s"straddling version must widen: ${v2.schema.simpleString}")
+    assert(sqlDf("SELECT sum(k) FROM snap.default.r15w VERSION AS OF 2")
+      .as[Long].head() == 110L)
+    // unsafe promotions are rejected
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r15w ALTER COLUMN k TYPE INT"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r15w ALTER COLUMN f TYPE FLOAT"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r15w ALTER COLUMN d TYPE DECIMAL(12,4)"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r15w ALTER COLUMN k TYPE STRING"))
+  }
+
+  test("type widening composes with RENAME; pending MOR delete keys refuse widening") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r15wr")
+    sqlDf("""CREATE TABLE snap.default.r15wr AS
+            |SELECT CAST(id AS INT) AS amount FROM range(5)""".stripMargin)
+    sqlDf("ALTER TABLE snap.default.r15wr RENAME COLUMN amount TO price")
+    sqlDf("ALTER TABLE snap.default.r15wr ALTER COLUMN price TYPE BIGINT")
+    sqlDf("INSERT INTO snap.default.r15wr VALUES (1000)")
+    // pre-rename narrow files coalesce under the new name AND upcast
+    assert(sqlDf("SELECT sum(price) FROM snap.default.r15wr").as[Long].head() == 1010L)
+    // a column keying PENDING merge-on-read deletes must not widen
+    sqlDf("DROP TABLE IF EXISTS snap.default.r15wm")
+    sqlDf("""CREATE TABLE snap.default.r15wm (k INT, v STRING)
+            |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r15wm VALUES (1,'a'), (2,'b')")
+    sqlDf("DELETE FROM snap.default.r15wm WHERE k = 1")
+    val ex = intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r15wm ALTER COLUMN k TYPE BIGINT"))
+    assert(ex.getMessage.contains("pending merge-on-read delete"),
+      s"got: ${ex.getMessage}")
+  }
+
   test("readStream.table tails snapshot commits exactly-once across restart") {
     import org.apache.spark.sql.streaming.Trigger
     sqlDf("DROP TABLE IF EXISTS snap.default.r15src")
