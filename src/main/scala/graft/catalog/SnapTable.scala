@@ -30,9 +30,11 @@ import scala.jdk.CollectionConverters._
   * carries pending merge-on-read deletes, the scan switches to the
   * delete-applying wrapper ([[MorScan]]): per-era parquet scans with
   * the delete-key sets applied row-level in the readers — column
-  * pruning still forwards, filter pushdown is traded away until the
-  * next rewrite absorbs the deletes (the same transient degrade
-  * Iceberg v2 accepts for equality deletes).
+  * pruning forwards, and era-invariant predicates forward to the
+  * per-era parquet builders for scan-level skipping (every predicate
+  * is still re-applied above the scan); only the batches come back
+  * row-based until the next rewrite absorbs the deletes (the same
+  * transient degrade Iceberg v2 accepts for equality deletes).
   *
   * WRITE: INSERT INTO / CTAS / INSERT OVERWRITE go through a
   * [[org.apache.spark.sql.connector.write.V1Write]] fallback — the
@@ -436,9 +438,10 @@ private[catalog] class GraftStreamingWrite(root: String,
   *     by their applicable delete set (version-scoped, same eras as
   *     [[Snapshots]]' own read path), one parquet scan per era, and
   *     the delete-key sets apply ROW-LEVEL in wrapped readers. Column
-  *     pruning forwards (plus the forced key columns); filter pushdown
-  *     is not forwarded in this transient mode — Spark re-applies all
-  *     predicates above the scan, so correctness never depends on it.
+  *     pruning forwards (plus the forced key columns); era-invariant
+  *     predicates forward to each era's parquet builder for scan-level
+  *     skipping, while Spark re-applies all predicates above the scan,
+  *     so correctness never depends on the forwarded subset.
   *
   * The delete-key sets are in-memory hash sets — the per-JVM-memory
   * shape Iceberg uses for equality deletes. Small sets (on-disk bytes
@@ -572,33 +575,81 @@ private[catalog] class EmptyScanBuilder(schema: StructType)
   * the coalesce picks that spelling's value and legitimate NULLs stay
   * NULL (all other spellings are absent → NULL in that file).
   *
-  * Cost model: column pruning forwards (plus the prior spellings of
-  * surviving columns — bounded by rename count); filter pushdown is
-  * traded away like the MOR scan's (Spark re-applies every predicate
-  * above the scan, so correctness never depends on it). A full rewrite
-  * (compact) re-materializes current names, after which the prior-name
-  * properties can be unset to restore the plain pushdown scan. */
+  * Cost model — the evolution tax is scoped to what actually evolved:
+  *
+  *  - a query touching NO renamed column takes the PLAIN pushdown
+  *    vectorized parquet scan (the coalescing wrapper is elided
+  *    entirely when the pruned schema needs no priors);
+  *  - predicates on ERA-INVARIANT columns (no prior spellings) forward
+  *    to the inner parquet builder for scan-level skipping — row-group
+  *    stats, dictionary filtering — while Spark still re-applies every
+  *    predicate above the scan, so correctness never depends on the
+  *    forwarded subset. Predicates touching renamed columns are not
+  *    forwarded: an old file lacks the current spelling, and a
+  *    row-group stats decision on an absent column is undefined.
+  *  - coalescing itself runs COLUMNAR for atomic/array/map columns
+  *    ([[CoalescingColumnVector]] — a lazy first-non-null view over the
+  *    spelling vectors, zero copies); only struct/interval coalesces
+  *    (whose accessors are row-independent by API shape) drop to the
+  *    row-based projecting reader.
+  *
+  * A full rewrite (compact) re-materializes current names and clears
+  * the ledger, removing even the residual view. */
 private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
     tableSchema: StructType, priors: Map[String, Seq[String]],
     files: Seq[String], options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  // the inner builder is created EAGERLY over the full physical union
+  // schema (every column + every prior spelling) so filter pushdown can
+  // forward before column pruning settles; pruning narrows it at build
+  private val inner = GraftScans.parquetBuilder(spark, files,
+    GraftScans.renamePlan(tableSchema, priors)._1, options)
 
   private var requested: StructType = tableSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     requested = requiredSchema
 
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val renamed = priors.keySet.map(_.toLowerCase)
+    val eraInvariant = filters.filter(f => f.deterministic &&
+      f.references.forall(a => !renamed.contains(a.name.toLowerCase)))
+    inner.pushFilters(eraInvariant)
+    // EVERYTHING stays residual: the forwarded subset buys scan-level
+    // skipping only, and Spark re-applies all predicates above
+    filters
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
   override def build(): Scan = {
     // physical read schema (each requested column + its prior
     // spellings) and the folding coalesce — the shared rule
     val (physSchema, exprs) = GraftScans.renamePlan(requested, priors)
-    val b = GraftScans.parquetBuilder(spark, files, physSchema, options)
-    b.pruneColumns(physSchema)
-    new RenameScan(b.build(), requested, exprs)
+    if (physSchema == requested) {
+      // no requested column is renamed → the wrapper is pure overhead;
+      // hand back Spark's own vectorized pushdown scan untouched
+      inner.pruneColumns(requested)
+      inner.build()
+    } else {
+      inner.pruneColumns(physSchema)
+      new RenameScan(inner.build(), requested, exprs)
+    }
   }
 }
 
-/** The coalescing wrapper around the physical-schema parquet scan. */
+/** The coalescing wrapper around the physical-schema parquet scan.
+  * Columnar-first: batches pass through with each renamed column
+  * replaced by a [[CoalescingColumnVector]] view (no copy, no row
+  * materialization); pass-through columns keep their original vectors.
+  * Falls back to the row-based projecting reader when the delegate
+  * partition is row-based or a coalesced column's type needs
+  * row-independent child access (struct/interval/variant). */
 private[catalog] class RenameScan(delegate: Scan, requested: StructType,
     exprs: Array[org.apache.spark.sql.catalyst.expressions.Expression])
   extends Scan with Batch {
@@ -611,15 +662,118 @@ private[catalog] class RenameScan(delegate: Scan, requested: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     delegate.toBatch.planInputPartitions()
 
+  /** Per-output-column physical ordinals (head = newest spelling) —
+    * recovered from the shared coalesce expressions so the columnar
+    * and row paths can never disagree. */
+  private def ordinalsOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Int] = e match {
+    case BoundReference(o, _, _) => Array(o)
+    case c: org.apache.spark.sql.catalyst.expressions.Coalesce =>
+      c.children.map { case BoundReference(o, _, _) => o }.toArray
+    case other => throw new IllegalStateException(s"unexpected rename expr $other")
+  }
+
+  /** Columnar coalescing is exact only for types whose accessors are
+    * row-addressed; struct (getChild), interval, and variant accessors
+    * are row-independent by API shape and drop to the row path. */
+  private def columnarCoalesceable(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.StructType => false
+    case _: org.apache.spark.sql.types.CalendarIntervalType => false
+    case _: org.apache.spark.sql.types.VariantType => false
+    case _ => true
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.toBatch.createReaderFactory()
     val localExprs = exprs
+    val ordinals = exprs.map(ordinalsOf)
+    val types = requested.fields.map(_.dataType)
+    val columnarOk = ordinals.zip(types).forall { case (ords, dt) =>
+      ords.length == 1 || columnarCoalesceable(dt)
+    }
     new PartitionReaderFactory {
-      override def supportColumnarReads(partition: InputPartition): Boolean = false
+      override def supportColumnarReads(partition: InputPartition): Boolean =
+        columnarOk && inner.supportColumnarReads(partition)
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         GraftScans.projectingReader(inner.createReader(partition), localExprs)
+      override def createColumnarReader(partition: InputPartition)
+          : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+        val d = inner.createColumnarReader(partition)
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          override def next(): Boolean = d.next()
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+            val b = d.get()
+            val cols = ordinals.zip(types).map { case (ords, dt) =>
+              if (ords.length == 1) b.column(ords(0))
+              else new CoalescingColumnVector(dt, ords.map(b.column))
+            }
+            val out = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              cols.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+            out.setNumRows(b.numRows())
+            out
+          }
+          // the view batch borrows the delegate's vectors — closing the
+          // delegate is the single ownership point
+          override def close(): Unit = d.close()
+        }
+      }
     }
   }
+}
+
+/** Lazy first-non-null view over a renamed column's spelling vectors:
+  * `coalesce(current, prior_newest, …)` evaluated per access, zero
+  * copies. The ALTER ledger guarantees each FILE carries at most one
+  * spelling, so within one batch at most one child is non-null per row
+  * — the pick is a short null-scan, not a semantic merge. */
+private[catalog] final class CoalescingColumnVector(dt: DataType,
+    children: Array[org.apache.spark.sql.vectorized.ColumnVector])
+  extends org.apache.spark.sql.vectorized.ColumnVector(dt) {
+
+  private def pick(i: Int): org.apache.spark.sql.vectorized.ColumnVector = {
+    var j = 0
+    while (j < children.length) {
+      if (!children(j).isNullAt(i)) return children(j)
+      j += 1
+    }
+    null
+  }
+
+  /** Children belong to the delegate batch; it owns their lifecycle. */
+  override def close(): Unit = ()
+
+  /** A row is null iff EVERY spelling is null there — so any null-free
+    * child makes the view null-free; otherwise report conservatively. */
+  override def hasNull: Boolean = children.forall(_.hasNull)
+
+  /** No exec-path consumer reads numNulls (they drive isNullAt);
+    * report a cheap lower bound consistent with hasNull. */
+  override def numNulls(): Int = if (!hasNull) 0 else children.map(_.numNulls()).min
+
+  override def isNullAt(i: Int): Boolean = pick(i) == null
+
+  override def getBoolean(i: Int): Boolean = pick(i).getBoolean(i)
+  override def getByte(i: Int): Byte = pick(i).getByte(i)
+  override def getShort(i: Int): Short = pick(i).getShort(i)
+  override def getInt(i: Int): Int = pick(i).getInt(i)
+  override def getLong(i: Int): Long = pick(i).getLong(i)
+  override def getFloat(i: Int): Float = pick(i).getFloat(i)
+  override def getDouble(i: Int): Double = pick(i).getDouble(i)
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    pick(i).getArray(i)
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    pick(i).getMap(i)
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    pick(i).getDecimal(i, precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    pick(i).getUTF8String(i)
+  override def getBinary(i: Int): Array[Byte] = pick(i).getBinary(i)
+
+  /** Struct children need row-independent access — those types are
+    * routed to the row-based reader before this view is ever built. */
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    throw new UnsupportedOperationException(
+      "struct coalescing runs on the row-based path")
 }
 
 /** One delete group ready for executor-side application: the key
@@ -762,16 +916,48 @@ private[catalog] object DeleteKeyCache {
 private[catalog] class MorScanBuilder(spark: SparkSession,
     tableSchema: StructType, snap: Snapshot, options: CaseInsensitiveStringMap,
     priors: Map[String, Seq[String]] = Map.empty)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private var requested: StructType = tableSchema
+
+  private def effVersion(f: String): Long =
+    snap.fileSeq.getOrElse(f, MorScanBuilder.fileVersion(f))
+
+  // group files into eras by applicable delete set (version scoping,
+  // identical to Snapshots.readWithDeletes) — eager, so the per-era
+  // parquet builders exist when filter pushdown arrives
+  private val eras: Seq[(Seq[String], Seq[DeleteFile])] = snap.files
+    .groupBy(f => snap.deletes.filter(d => effVersion(f) < d.coversBelow))
+    .toSeq.sortBy(_._2.min).map { case (dels, fs) => (fs, dels) }
+
+  private val eraBuilders = eras.map { case (fs, _) =>
+    GraftScans.parquetBuilder(spark, fs, tableSchema, options)
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     requested = requiredSchema
 
+  /** Era-invariant predicates (deterministic, touching no renamed
+    * column) forward to EVERY era's parquet builder for scan-level
+    * skipping — the delete filter above only removes MORE rows, so a
+    * pushed skip can never surface a row the un-pushed scan would
+    * hide. All predicates stay residual; Spark re-applies them above
+    * the scan, so correctness never rides on the forwarded subset. */
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val renamed = priors.keySet.map(_.toLowerCase)
+    val eraInvariant = filters.filter(f => f.deterministic &&
+      f.references.forall(a => !renamed.contains(a.name.toLowerCase)))
+    eraBuilders.foreach(_.pushFilters(eraInvariant))
+    filters
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    eraBuilders.headOption.map(_.pushedFilters).getOrElse(Array.empty)
+
   override def build(): Scan = {
-    def effVersion(f: String): Long =
-      snap.fileSeq.getOrElse(f, MorScanBuilder.fileVersion(f))
     // Inline-vs-lazy gate (dedicated conf, NOT the broadcast
     // threshold): small delete sets load once on the driver and ship
     // inside the plan (zero per-task I/O); past the gate the sets stay
@@ -796,12 +982,6 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     val readSchema = StructType(requested.fields ++
       keyCols.filterNot(k => requested.fieldNames.contains(k))
         .map(k => tableSchema(k)))
-
-    // group files into eras by applicable delete set (version scoping,
-    // identical to Snapshots.readWithDeletes)
-    val eras: Seq[(Seq[String], Seq[DeleteFile])] = snap.files
-      .groupBy(f => snap.deletes.filter(d => effVersion(f) < d.coversBelow))
-      .toSeq.sortBy(_._2.min).map { case (dels, fs) => (fs, dels) }
 
     // inline mode: load each distinct (path, keyCols) once, catalyst
     // form — keyed by the SAME tuple the distinct uses: a manifest that
@@ -832,8 +1012,7 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     val coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] =
       if (physSchema.length == readSchema.length) None else Some(exprs)
 
-    val eraScans = eras.map { case (fs, dels) =>
-      val b = GraftScans.parquetBuilder(spark, fs, tableSchema, options)
+    val eraScans = eras.zip(eraBuilders).map { case ((_, dels), b) =>
       b.pruneColumns(if (coalesceExprs.isDefined) physSchema else readSchema)
       val delSets = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (_, ds) =>
         val kcs = ds.head.keyCols
@@ -876,7 +1055,8 @@ private[catalog] class MorScan(eras: Seq[(Scan, Seq[MorDeleteSet])],
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-snapshot MOR scan (${eras.size} era(s), delete-applying)"
+    s"graft-snapshot MOR scan (${eras.size} era(s), delete-applying) " +
+      s"over (${eras.head._1.description()})"
 
   override def planInputPartitions(): Array[InputPartition] =
     eras.zipWithIndex.flatMap { case ((scan, _), i) =>

@@ -55,6 +55,58 @@ class Round15OpsSpec extends SparkSpec {
       s"dropchain ledger must clear after a full rewrite: $props")
   }
 
+  test("evolved scans keep pushdown and vectorization: plain scan off renamed columns, columnar coalesce on them") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r15ev")
+    sqlDf("""CREATE TABLE snap.default.r15ev AS
+            |SELECT id AS k, CAST(id * 10 AS DOUBLE) AS amount,
+            |       CASE WHEN id = 3 THEN CAST(NULL AS STRING)
+            |            ELSE CONCAT('n', id) END AS note
+            |FROM range(5)""".stripMargin)
+    sqlDf("ALTER TABLE snap.default.r15ev RENAME COLUMN amount TO price")
+    sqlDf("INSERT INTO snap.default.r15ev VALUES (100, 999.0, 'post')")
+    // 1. a query touching NO renamed column elides the wrapper: plain
+    //    vectorized parquet scan, predicate pushed
+    val q1 = sqlDf("SELECT k, note FROM snap.default.r15ev WHERE k >= 3")
+    val p1 = q1.queryExecution.executedPlan.toString
+    assert(!p1.contains("rename-aware"),
+      s"no renamed column requested → no wrapper:\n$p1")
+    assert(p1.contains("GreaterThanOrEqual(k,3)"),
+      s"predicate must push to the parquet scan:\n$p1")
+    assert(q1.count() == 3)
+    // 2. touching the renamed column: the wrapper engages, stays
+    //    COLUMNAR, and the era-invariant predicate still pushes
+    val q2 = sqlDf("SELECT k, price, note FROM snap.default.r15ev WHERE k >= 1")
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(p2.contains("rename-aware"), p2)
+    assert(p2.contains("GreaterThanOrEqual(k,1)"),
+      s"era-invariant predicate must push through the rename wrapper:\n$p2")
+    assert(p2.contains("ColumnarToRow"),
+      s"the coalescing read must stay columnar:\n$p2")
+    val rows = q2.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq(
+      (1L, 10.0, Some("n1")), (2L, 20.0, Some("n2")), (3L, 30.0, None),
+      (4L, 40.0, Some("n4")), (100L, 999.0, Some("post"))),
+      s"columnar coalesce must fold eras exactly (incl. legit NULLs): $rows")
+    // 3. a predicate ON the renamed column is NOT forwarded (old files
+    //    lack the spelling) but still answers exactly
+    assert(sqlDf("SELECT sum(price) FROM snap.default.r15ev WHERE price >= 20")
+      .as[Double].head() == 1089.0)
+    // 4. MOR path: pending deletes + pushed era-invariant predicate
+    sqlDf("DROP TABLE IF EXISTS snap.default.r15evm")
+    sqlDf("""CREATE TABLE snap.default.r15evm (k BIGINT, v DOUBLE)
+            |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r15evm SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    sqlDf("DELETE FROM snap.default.r15evm WHERE k < 2")
+    val q3 = sqlDf("SELECT k, v FROM snap.default.r15evm WHERE v >= 5.0")
+    val p3 = q3.queryExecution.executedPlan.toString
+    assert(p3.contains("MOR scan"), p3)
+    assert(p3.contains("GreaterThanOrEqual(v,5.0)"),
+      s"era-invariant predicate must push into the MOR era scans:\n$p3")
+    assert(q3.as[(Long, Double)].collect().toSet ==
+      (5L until 10L).map(i => i -> i.toDouble).toSet)
+  }
+
   test("ALTER COLUMN type widening: head upcasts, time travel keeps narrow types, unsafe rejected") {
     import org.apache.spark.sql.types._
     sqlDf("DROP TABLE IF EXISTS snap.default.r15w")
