@@ -802,6 +802,40 @@ object WarehouseOps {
       .orderBy($"event_type")
   }
 
+  /** FILE-SKIPPING ON COLUMN STATS (`snapshot_stats_prune`) — the
+    * manifest records per-file [min, max, nullCount] column bounds at
+    * commit time (one footer read per staged file, the Delta/Iceberg
+    * data-skipping shape), and `Snapshots.readStatsPruned` drops files
+    * a range predicate provably cannot match BEFORE anything is
+    * listed, opened, or footer-read — one level above parquet's
+    * row-group zone maps. The fixture stages lineitem range-clustered
+    * on l_partkey (tight per-file bounds), reads a selective partkey
+    * window stats-pruned, and re-applies the residual predicate (the
+    * documented contract: pruning is I/O optimization, never the
+    * correctness carrier). The oracle recomputes the window from the
+    * ORIGINAL table, so an over-pruned file (lost rows) or a leaked
+    * one surviving the residual filter wrongly hash-mismatches; the
+    * file-count shrink itself is pinned in Round15OpsSpec.
+    *
+    * Scale: the prune is manifest-header arithmetic — a 100 TB table
+    * with 1M files decides from megabytes of metadata, and a 0.1%
+    * window opens ~0.1% of the files. */
+  val snapshotStatsPrune: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("statsprune", dir)
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    Snapshots.commit(root)(out =>
+      li.repartitionByRange(8, $"l_partkey").sortWithinPartitions($"l_partkey")
+        .write.mode("append").parquet(out))
+    Snapshots.readStatsPruned(s, root, "l_partkey", Some(20L), Some(119L))
+      .filter($"l_partkey" >= 20 && $"l_partkey" < 120)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"l_quantity").as("qty"))
+      .orderBy($"l_suppkey")
+  }
+
   /** TYPE WIDENING (`sql_type_widening`) — `ALTER TABLE ... ALTER
     * COLUMN <c> TYPE <wider>` as a METADATA-ONLY evolution under the
     * safe-promotion matrix (int→bigint, float→double, decimal
@@ -1263,6 +1297,7 @@ object WarehouseOps {
     "stream_snapshot_source" -> streamSnapshotSource,
     "snapshot_wap_publish" -> snapshotWapPublish,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
+    "snapshot_stats_prune" -> snapshotStatsPrune,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
@@ -1435,6 +1470,16 @@ object WarehouseOps {
     "stream_catalog_sink" -> s"""
       SELECT event_type, COUNT(*) AS n, ${Qx.dsumSql("value")} AS total
       FROM events GROUP BY event_type ORDER BY event_type""",
+    // The partkey window recomputed from the ORIGINAL table: a file
+    // wrongly pruned (bounds computed or compared wrong) loses rows;
+    // a leaked file is caught by the residual filter, so the hash
+    // pins the PRUNE-side mistakes — the skip itself is spec-pinned
+    // via inputFiles in Round15OpsSpec.
+    "snapshot_stats_prune" -> s"""
+      SELECT l_suppkey, COUNT(*) AS n, ${Qx.dsumSql("l_quantity")} AS qty
+      FROM lineitem
+      WHERE l_partkey >= 20 AND l_partkey < 120
+      GROUP BY l_suppkey ORDER BY l_suppkey""",
     // Both eras recomputed from the ORIGINAL table with the same
     // float round-trip (even keys rode through FLOAT storage, odd keys
     // stayed DOUBLE): a wrong upcast (value drift), a lost era, or a

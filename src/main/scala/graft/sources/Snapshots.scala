@@ -77,10 +77,14 @@ object Snapshots {
     * root's delete scoping; the manifest-recorded seq is what
     * [[DeleteFile.coversBelow]] compares against (Iceberg's
     * data-sequence-number rule, applied cross-root). Files absent from
-    * the map use their path-parsed version as before. */
+    * the map use their path-parsed version as before. `statsRaw` maps
+    * a data file to its `#stats:` header's JSON body (per-file column
+    * bounds recorded at commit time — [[readStatsPruned]] parses them
+    * on demand; files without recorded stats are never pruned). */
   final case class Snapshot(version: Long, files: Seq[String],
       deletes: Seq[DeleteFile] = Nil,
-      fileSeq: Map[String, Long] = Map.empty)
+      fileSeq: Map[String, Long] = Map.empty,
+      statsRaw: Map[String, String] = Map.empty)
 
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
 
@@ -201,12 +205,17 @@ object Snapshots {
       val Array(v, p) = l.stripPrefix(seqPrefix).split(":", 2)
       p -> v.toLong
     }.toMap
-    Snapshot(version, lines.filterNot(_.startsWith("#")), dels, seqs)
+    val stats = lines.collect { case l if l.startsWith(statsPrefix) =>
+      val body = l.stripPrefix(statsPrefix)
+      statsPathOf(body).map(_ -> body)
+    }.flatten.toMap
+    Snapshot(version, lines.filterNot(_.startsWith("#")), dels, seqs, stats)
   }
 
   private val delPrefix = "#del:"
   private val tsPrefix = "#ts:"
   private val seqPrefix = "#seq:"
+  private val statsPrefix = "#stats:"
 
   private def seqLine(path: String, v: Long): String = s"$seqPrefix$v:$path"
 
@@ -217,6 +226,199 @@ object Snapshots {
     val keep = files.toSet
     fileSeq.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
       .map { case (p, v) => seqLine(p, v) }
+  }
+
+  // --- per-file column statistics (file-skipping metadata) ----------------
+  //
+  // Every data-file-adding commit records, per staged file, the file's
+  // top-level column bounds as one `#stats:` header line — JSON of the
+  // form {"p":path,"rows":N,"cols":{c:{"min":v,"max":v,"nc":n}}} —
+  // aggregated from the parquet footer's row-group statistics: ONE
+  // small footer read per new file, of a footer the writer just wrote
+  // (Delta/Iceberg record the same numbers from their writer tasks).
+  // Carry-forward commits (appends, deltas, restore, delete
+  // compaction) re-emit retained files' lines verbatim; a rewrite
+  // drops replaced files' stats with the files. [[readStatsPruned]]
+  // uses the bounds to skip files a range predicate provably cannot
+  // match — metadata-only, before any listing or footer I/O, the level
+  // ABOVE parquet's own row-group zone maps.
+
+  /** The `"p"` path of a stats JSON body, without a full parse. */
+  private def statsPathOf(body: String): Option[String] =
+    try {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(body) \ "p" match {
+        case JString(p) => Some(p)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Stats header line for one freshly staged file: footer row-group
+    * stats aggregated to file-level [min, max, nullCount] per SUPPORTED
+    * top-level column (integral, floating, UTF8 string — decimals,
+    * INT96, nested and annotated-exotic types are skipped, which only
+    * costs pruning opportunity). Returns None (no line, file never
+    * pruned) on any read/shape trouble — stats are an optimization and
+    * must never fail a commit. */
+  private def statsLine(path: String): Option[String] =
+    try {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.json4s._
+      import org.json4s.JsonDSL._
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.conf.Configuration())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        val blocks = footer.getBlocks.asScala
+        val rows = blocks.map(_.getRowCount).sum
+        // per top-level primitive column: fold row-group stats
+        val cols: Seq[(String, JObject)] = schema.getFields.asScala.toSeq.flatMap { f =>
+          if (!f.isPrimitive) None
+          else {
+            val pt = f.asPrimitiveType()
+            val name = f.getName
+            val chunks = blocks.flatMap(_.getColumns.asScala.find(c =>
+              c.getPath.size() == 1 && c.getPath.toDotString == name))
+            if (chunks.isEmpty || chunks.exists(c =>
+              c.getStatistics == null || !c.getStatistics.isNumNullsSet)) None
+            else {
+              val nc = chunks.map(_.getStatistics.getNumNulls).sum
+              val withVals = chunks.filter(_.getStatistics.hasNonNullValue)
+              def jval(v: Any): Option[JValue] = v match {
+                case i: java.lang.Integer => Some(JLong(i.longValue()))
+                case l: java.lang.Long => Some(JLong(l))
+                case f: java.lang.Float if java.lang.Float.isFinite(f) =>
+                  Some(JDouble(f.doubleValue()))
+                case d: java.lang.Double if java.lang.Double.isFinite(d) =>
+                  Some(JDouble(d))
+                case b: org.apache.parquet.io.api.Binary
+                    if pt.getLogicalTypeAnnotation != null &&
+                      pt.getLogicalTypeAnnotation.isInstanceOf[
+                        org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  Some(JString(b.toStringUsingUTF8))
+                case _ => None
+              }
+              // DECIMAL-annotated ints and other exotica are excluded:
+              // their raw physical values don't compare as the column
+              val plain = pt.getPrimitiveTypeName match {
+                case INT32 | INT64 =>
+                  pt.getLogicalTypeAnnotation == null ||
+                    pt.getLogicalTypeAnnotation.isInstanceOf[
+                      org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+                    pt.getLogicalTypeAnnotation.isInstanceOf[
+                      org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+                    pt.getLogicalTypeAnnotation.isInstanceOf[
+                      org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+                case FLOAT | DOUBLE => true
+                case BINARY => true // jval gates on the String annotation
+                case _ => false
+              }
+              if (!plain) None
+              else if (withVals.isEmpty) Some(name -> (("nc" -> JLong(nc)): JObject))
+              else for {
+                mn <- withVals.flatMap(c => jval(c.getStatistics.genericGetMin))
+                  .reduceOption((a, b) => if (statsCmp(a, b) <= 0) a else b)
+                mx <- withVals.flatMap(c => jval(c.getStatistics.genericGetMax))
+                  .reduceOption((a, b) => if (statsCmp(a, b) >= 0) a else b)
+                // a column whose chunks ALL lacked convertible values
+                // after some had non-null rows → skip rather than lie
+                if withVals.forall(c => jval(c.getStatistics.genericGetMin).isDefined)
+              } yield name -> (("min" -> mn) ~ ("max" -> mx) ~ ("nc" -> JLong(nc)))
+            }
+          }
+        }
+        val json: JObject = ("p" -> path) ~ ("rows" -> rows) ~
+          ("cols" -> JObject(cols.toList))
+        Some(statsPrefix + org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(json)))
+      } finally reader.close()
+    } catch { case _: Exception => None }
+
+  /** Stats lines for freshly staged data files (never delete-key
+    * files). */
+  private def newStatsLines(files: Seq[String]): Seq[String] =
+    files.sorted.flatMap(statsLine)
+
+  /** The carried-forward `#stats:` lines of a parent snapshot,
+    * restricted to the files retained in `files` — mirrors
+    * [[seqLines]]. */
+  private def statsLines(statsRaw: Map[String, String], files: Seq[String]): Seq[String] = {
+    val keep = files.toSet
+    statsRaw.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
+      .map { case (_, body) => statsPrefix + body }
+  }
+
+  /** Total order used for both stats folding and pruning: integral
+    * values compare exactly as longs, mixed numerics through
+    * BigDecimal (no double-precision lies on large longs), strings in
+    * UTF8 byte order (parquet's min/max order for annotated strings).
+    * Incomparable pairs compare equal — the caller treats that as
+    * overlap, i.e. keeps the file. */
+  private def statsCmp(a: Any, b: Any): Int = {
+    import org.json4s._
+    def unwrap(v: Any): Any = v match {
+      case JLong(l) => l
+      case JInt(i) => i.longValue
+      case JDouble(d) => d
+      case JDecimal(d) => d.bigDecimal
+      case JString(s) => s
+      case other => other
+    }
+    (unwrap(a), unwrap(b)) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Number, y: Number) =>
+        new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case _ => 0
+    }
+  }
+
+  /** STATS-PRUNED head read: keep only the manifest files whose
+    * recorded `[min, max]` for `col` intersects `[lower, upper]`
+    * (either bound optional, both inclusive — SQL comparison
+    * semantics, so an all-null file never matches a bounded range and
+    * is pruned too). Files with NO recorded stats for the column are
+    * always KEPT: pruning is an I/O optimization, never the
+    * correctness carrier — the caller re-applies the real predicate on
+    * the rows, exactly like [[readPartitionPruned]]. The decision is
+    * METADATA-ONLY (manifest header lines; zero file I/O), one level
+    * above parquet's row-group zone maps: at 100 TB a selective
+    * non-partition predicate skips whole files before anything is
+    * listed, opened, or footer-read. Pending merge-on-read deletes
+    * compose on the kept files as in every other read path. */
+  def readStatsPruned(spark: SparkSession, root: String, col: String,
+      lower: Option[Any], upper: Option[Any]): DataFrame = {
+    val snap = resolve(root).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot under $root"))
+    import org.json4s._
+    def keep(f: String): Boolean = snap.statsRaw.get(f).forall { body =>
+      try {
+        val cols = org.json4s.jackson.JsonMethods.parse(body) \ "cols"
+        cols \ col match {
+          case JNothing => true // no stats for the column → never prune
+          case cstats =>
+            (cstats \ "min", cstats \ "max") match {
+              case (JNothing, _) | (_, JNothing) =>
+                // stats present but no values: the column is all-null
+                // in this file — a bounded range can't match it
+                lower.isEmpty && upper.isEmpty
+              case (mn, mx) =>
+                upper.forall(u => statsCmp(mn, u) <= 0) &&
+                  lower.forall(l => statsCmp(mx, l) >= 0)
+            }
+        }
+      } catch { case _: Exception => true }
+    }
+    val kept = snap.files.filter(keep)
+    if (kept.isEmpty)
+      readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
+        root = root).limit(0)
+    else readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq,
+      root = root)
   }
 
   /** Commit timestamp (µs since epoch, UTC) of a committed version, read
@@ -771,7 +973,8 @@ object Snapshots {
     val snap = resolveAt(root, version) // throws clearly if expired
     publishManifest(root, "restore") { _ =>
       (Nil,
-        snap.deletes.map(delLine) ++ seqLines(snap.fileSeq, snap.files),
+        snap.deletes.map(delLine) ++ seqLines(snap.fileSeq, snap.files) ++
+          statsLines(snap.statsRaw, snap.files),
         snap.files)
     }
   }
@@ -825,7 +1028,9 @@ object Snapshots {
       val files = parent.map(_.files).getOrElse(Nil) ++ newFiles
       val header = parent.map(_.deletes).getOrElse(Nil).map(delLine) ++
         parent.map(p => seqLines(p.fileSeq, p.files)).getOrElse(Nil) ++
-        (if (seqPinNew) newFiles.map(seqLine(_, v)) else Nil)
+        (if (seqPinNew) newFiles.map(seqLine(_, v)) else Nil) ++
+        parent.map(p => statsLines(p.statsRaw, files)).getOrElse(Nil) ++
+        newStatsLines(newFiles)
       (Nil, header, files)
     }
 
@@ -880,7 +1085,7 @@ object Snapshots {
         }
         true
       }) { v =>
-      (Nil, files.sorted.map(seqLine(_, v)), files.sorted)
+      (Nil, files.sorted.map(seqLine(_, v)) ++ newStatsLines(files), files.sorted)
     }
   }
 
@@ -906,7 +1111,9 @@ object Snapshots {
         delKeyFiles.sorted.map(DeleteFile(keyCol, _, v))
       val header = dels.map(delLine) ++
         parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil) ++
-        dataFiles.sorted.map(seqLine(_, v))
+        dataFiles.sorted.map(seqLine(_, v)) ++
+        parent.map(p => statsLines(p.statsRaw, files)).getOrElse(Nil) ++
+        newStatsLines(dataFiles)
       (Nil, header, files)
     }
   }
@@ -935,7 +1142,9 @@ object Snapshots {
       val all = parent.map(_.files).getOrElse(Nil) ++ files.sorted
       val header = parent.map(_.deletes).getOrElse(Nil).map(delLine) ++
         parent.map(p => seqLines(p.fileSeq, all)).getOrElse(Nil) ++
-        files.sorted.map(seqLine(_, v))
+        files.sorted.map(seqLine(_, v)) ++
+        parent.map(p => statsLines(p.statsRaw, all)).getOrElse(Nil) ++
+        newStatsLines(files)
       (Seq(s"#txn:$appId:$epoch"), header, all)
     }
   }
@@ -1016,7 +1225,8 @@ object Snapshots {
           DeleteFile(keyCol, staged.head, ds.map(_.coversBelow).max)
         }
       }
-      (Nil, newDels.map(delLine) ++ seqLines(snapAtPlan.fileSeq, snapAtPlan.files),
+      (Nil, newDels.map(delLine) ++ seqLines(snapAtPlan.fileSeq, snapAtPlan.files) ++
+        statsLines(snapAtPlan.statsRaw, snapAtPlan.files),
         snapAtPlan.files)
     }
   }
@@ -1097,7 +1307,9 @@ object Snapshots {
       // seq pins for carried cross-root (published) files survive every
       // carry-forward commit; a full rewrite drops them with the files
       val header = (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine) ++
-        parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil)
+        parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil) ++
+        parent.map(p => statsLines(p.statsRaw, files)).getOrElse(Nil) ++
+        (if (stagedAsDeletes.isDefined) Nil else newStatsLines(stagedData))
       (txn.map { case (a, e) => s"#txn:$a:$e" }.toSeq, header, files)
     }
   }

@@ -55,6 +55,56 @@ class Round15OpsSpec extends SparkSpec {
       s"dropchain ledger must clear after a full rewrite: $props")
   }
 
+  test("per-file stats pruning: inputFiles shrinks, results identical, stats carry forward") {
+    import org.apache.spark.sql.functions._
+    val root = s"${Qx.tmpOut("r15stats", sf())}/store"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+    // 8 range-clustered files with tight disjoint k-bounds
+    Snapshots.commit(root)(out =>
+      spark.range(800).select($"id".as("k"),
+        concat(lit("s"), lpad($"id".cast("string"), 4, "0")).as("s"),
+        ($"id" * 1.5).as("v"))
+        .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+        .write.mode("append").parquet(out))
+    val full = Snapshots.read(spark, root)
+    val pruned = Snapshots.readStatsPruned(spark, root, "k", Some(110L), Some(180L))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"selective range must skip files: ${pruned.inputFiles.length} of ${full.inputFiles.length}")
+    assert(pruned.filter($"k".between(110, 180)).select($"k").as[Long].collect().sorted.toSeq
+      == (110L to 180L),
+      "pruning must never lose a matching row")
+    // string bounds prune in UTF8 order too
+    val sp = Snapshots.readStatsPruned(spark, root, "s", Some("s0110"), Some("s0180"))
+    assert(sp.inputFiles.length < full.inputFiles.length)
+    assert(sp.filter($"s" >= "s0110" && $"s" <= "s0180").count() == 71)
+    // a column with no recorded stats never prunes
+    assert(Snapshots.readStatsPruned(spark, root, "nope", Some(1L), Some(2L))
+      .inputFiles.length == full.inputFiles.length)
+    // stats survive an append (carried lines) and compose with the new
+    // commit's own stats
+    Snapshots.commitAppend(root)(out =>
+      spark.range(800, 1000).select($"id".as("k"),
+        concat(lit("s"), lpad($"id".cast("string"), 4, "0")).as("s"),
+        ($"id" * 1.5).as("v"))
+        .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+        .write.mode("append").parquet(out))
+    val pruned2 = Snapshots.readStatsPruned(spark, root, "k", Some(850L), None)
+    assert(pruned2.inputFiles.length < Snapshots.read(spark, root).inputFiles.length)
+    assert(pruned2.filter($"k" >= 850).count() == 150)
+    // MOR deletes compose on the kept files
+    Snapshots.commitDelete(root, "k")(out =>
+      spark.range(900, 910).select($"id".as("k")).write.mode("append").parquet(out))
+    assert(Snapshots.readStatsPruned(spark, root, "k", Some(850L), None)
+      .filter($"k" >= 850).count() == 140)
+  }
+
   test("evolved scans keep pushdown and vectorization: plain scan off renamed columns, columnar coalesce on them") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r15ev")
     sqlDf("""CREATE TABLE snap.default.r15ev AS
