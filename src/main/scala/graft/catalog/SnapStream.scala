@@ -357,20 +357,37 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
 }
 
 private[catalog] object GraftScanFacade {
-  /** Size statistics from the manifest's file list alone — the on-disk
-    * bytes are already known without opening anything (an upper bound
-    * under pending MOR deletes, which is the safe direction for
-    * broadcast decisions). */
+  /** Size statistics from the manifest alone — on-disk bytes are
+    * already known without opening anything, and when every file
+    * carries a `#stats:` header the row count sums from those lines
+    * too. Both are upper bounds under pending MOR deletes, the safe
+    * direction for broadcast decisions. */
   def manifestStats(snap: Option[Snapshot]): org.apache.spark.sql.connector.read.Statistics = {
     val bytes = snap.map(_.files.map { f =>
       try java.nio.file.Files.size(java.nio.file.Paths.get(f))
       catch { case _: Exception => 0L }
     }.sum).getOrElse(0L)
+    val rows: Option[Long] = snap.flatMap { s =>
+      val perFile = s.files.map(f => s.statsRaw.get(f).flatMap(rowsOf))
+      if (perFile.nonEmpty && perFile.forall(_.isDefined))
+        Some(perFile.flatten.sum)
+      else None
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
     }
   }
+
+  private def rowsOf(body: String): Option[Long] =
+    try {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(body) \ "rows" match {
+        case JLong(n) => Some(n)
+        case JInt(n) => Some(n.longValue)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
 }

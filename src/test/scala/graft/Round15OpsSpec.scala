@@ -302,6 +302,19 @@ class Round15OpsSpec extends SparkSpec {
     assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "small snap table must broadcast (facade forwards estimateStatistics)")
     assert(joined.count() == 1000)
+    // a MOR scan reports no inner statistics — the facade's manifest
+    // fallback (file sizes + #stats row counts) must still broadcast it
+    sqlDf("DROP TABLE IF EXISTS snap.default.r15st")
+    sqlDf("""CREATE TABLE snap.default.r15st (k BIGINT, v DOUBLE)
+            |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r15st SELECT id, CAST(id AS DOUBLE) FROM range(500)")
+    sqlDf("DELETE FROM snap.default.r15st WHERE k < 10") // pending MOR delete
+    val j2 = big.join(sqlDf("SELECT k, v FROM snap.default.r15st"), "k")
+    val p2 = j2.queryExecution.executedPlan.toString
+    assert(p2.contains("MOR scan"), p2)
+    assert(p2.contains("BroadcastHashJoin"),
+      s"MOR snap table must broadcast from manifest stats:\n$p2")
+    assert(j2.count() == 490)
   }
 
   test("VERSION AS OF substitution: a CTE inside an IN-subquery shadows the snapshot name") {
