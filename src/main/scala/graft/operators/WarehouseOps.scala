@@ -802,6 +802,50 @@ object WarehouseOps {
       .orderBy($"event_type")
   }
 
+  /** ROW-LEVEL CHANGE FEED ACROSS A REWRITE (`snapshot_cdf_rows`) —
+    * the documented CDF caveat on `snapshot_incremental_read` closed:
+    * a range whose commits are append-only streams as O(delta) insert
+    * rows (the file-level fast path), but a range CROSSING a rewrite
+    * republished every surviving row, so per-file attribution is
+    * meaningless there — `Snapshots.readChangesRows` detects the
+    * rewrite from the manifest diff and falls back to a row-level
+    * comparison of the two pinned states (one co-partitioned
+    * full-outer join on the key), emitting insert / delete /
+    * update_pre / update_post rows (Delta CDF's semantics without
+    * per-row tracking). The fixture commits a customer slice, appends
+    * a second, then applies a rewrite that deletes some rows and
+    * updates others; the feed spans all three commits. The oracle
+    * replays the same logic as plain SQL over the ORIGINAL table — a
+    * missed delete, a doubled update image, or an insert mis-attributed
+    * through the rewrite hash-mismatches.
+    *
+    * Scale: append-only tails stay metadata + new-file I/O; only a
+    * range that actually crosses a rewrite pays the join, and it is
+    * key-partitioned — the 100 TB-safe shape for exact row diffs
+    * without per-row metadata. */
+  val snapshotCdfRows: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = Qx.tmpOut("cdfrows", dir)
+    val c = Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+    Snapshots.commit(root)(out =>
+      c.filter($"c_custkey" % 3 =!= 2).write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      c.filter($"c_custkey" % 3 === 2).write.mode("append").parquet(out))
+    // the rewrite: drop custkey % 7 = 0, bump low-nation balances
+    val post = Snapshots.read(s, root)
+      .filter($"c_custkey" % 7 =!= 0)
+      .withColumn("c_acctbal",
+        when($"c_nationkey" < 5, $"c_acctbal" + 100.0).otherwise($"c_acctbal"))
+    val v3 = Snapshots.commit(root)(out =>
+      post.write.mode("append").parquet(out))
+    Snapshots.readChangesRows(s, root, 1L, v3, Seq("c_custkey"))
+      .groupBy($"_change_type", $"c_nationkey")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"c_acctbal").as("total"))
+      .orderBy($"_change_type", $"c_nationkey")
+  }
+
   /** FILE-SKIPPING ON COLUMN STATS (`snapshot_stats_prune`) — the
     * manifest records per-file [min, max, nullCount] column bounds at
     * commit time (one footer read per staged file, the Delta/Iceberg
@@ -1298,6 +1342,7 @@ object WarehouseOps {
     "snapshot_wap_publish" -> snapshotWapPublish,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_stats_prune" -> snapshotStatsPrune,
+    "snapshot_cdf_rows" -> snapshotCdfRows,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
@@ -1470,6 +1515,38 @@ object WarehouseOps {
     "stream_catalog_sink" -> s"""
       SELECT event_type, COUNT(*) AS n, ${Qx.dsumSql("value")} AS total
       FROM events GROUP BY event_type ORDER BY event_type""",
+    // The four change kinds replayed as plain SQL over the ORIGINAL
+    // table: inserts are the appended slice surviving the rewrite,
+    // deletes the rewrite's victims at their PRE values, update images
+    // the changed rows at pre and post values respectively — a feed
+    // that re-emits rewrite-republished rows as inserts (the file-level
+    // caveat this closes), drops a delete, or doubles an image
+    // hash-mismatches.
+    "snapshot_cdf_rows" -> s"""
+      WITH pre AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey % 3 <> 2),
+      post AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_nationkey < 5 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 7 <> 0),
+      feed AS (
+        SELECT 'insert' AS _change_type, c_nationkey, c_acctbal
+        FROM post WHERE c_custkey % 3 = 2
+        UNION ALL
+        SELECT 'delete', c_nationkey, c_acctbal
+        FROM pre WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT 'update_pre', c_nationkey, c_acctbal
+        FROM pre WHERE c_custkey % 7 <> 0 AND c_nationkey < 5
+        UNION ALL
+        SELECT 'update_post', c_nationkey, c_acctbal
+        FROM post WHERE c_custkey % 3 <> 2 AND c_nationkey < 5)
+      SELECT _change_type, c_nationkey, COUNT(*) AS n,
+             ${Qx.dsumSql("c_acctbal")} AS total
+      FROM feed GROUP BY _change_type, c_nationkey
+      ORDER BY _change_type, c_nationkey""",
     // The partkey window recomputed from the ORIGINAL table: a file
     // wrongly pruned (bounds computed or compared wrong) loses rows;
     // a leaked file is caught by the residual filter, so the hash

@@ -55,6 +55,54 @@ class Round15OpsSpec extends SparkSpec {
       s"dropchain ledger must clear after a full rewrite: $props")
   }
 
+  test("readChangesRows: append-only fast path, exact row diff across rewrite and MOR delete") {
+    import org.apache.spark.sql.functions._
+    val root = s"${Qx.tmpOut("r15cdf", sf())}/store"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+    def df(r: Range, bump: Long = 0) =
+      spark.range(r.start, r.end).select($"id".as("k"), ($"id" * 10 + bump).as("v"))
+    Snapshots.commit(root)(out => df(0 until 5).write.mode("append").parquet(out))
+    val v2 = Snapshots.commitAppend(root)(out =>
+      df(5 until 8).write.mode("append").parquet(out))
+    // append-only range: fast path, pure inserts, O(delta) input
+    val fast = Snapshots.readChangesRows(spark, root, 1L, v2, Seq("k"))
+    assert(fast.select($"_change_type").distinct().as[String].collect().toSeq
+      == Seq("insert"))
+    assert(fast.select($"k").as[Long].collect().sorted.toSeq == (5L until 8L))
+    val added = Snapshots.changedFiles(root, 1L, v2).toSet
+    assert(fast.inputFiles.forall(f => added.contains(f.stripPrefix("file://"))),
+      s"append-only feed must read only the added files: ${fast.inputFiles.toSeq} vs $added")
+    // rewrite: delete k<2, update v for k>=6
+    val post = Snapshots.read(spark, root).filter($"k" >= 2)
+      .withColumn("v", when($"k" >= 6, $"v" + 1).otherwise($"v"))
+    val v3 = Snapshots.commit(root)(out => post.write.mode("append").parquet(out))
+    val feed = Snapshots.readChangesRows(spark, root, v2, v3, Seq("k"))
+      .select($"_change_type", $"k", $"v").as[(String, Long, Long)].collect().toSet
+    assert(feed == Set(
+      ("delete", 0L, 0L), ("delete", 1L, 10L),
+      ("update_pre", 6L, 60L), ("update_post", 6L, 61L),
+      ("update_pre", 7L, 70L), ("update_post", 7L, 71L)),
+      s"rewrite-spanning feed must be the exact row diff: $feed")
+    // a MOR delete commit adds no files but IS a change: row-level path
+    val v4 = Snapshots.commitDelete(root, "k")(out =>
+      spark.range(2, 4).select($"id".as("k")).write.mode("append").parquet(out))
+    val feed2 = Snapshots.readChangesRows(spark, root, v3, v4, Seq("k"))
+      .select($"_change_type", $"k").as[(String, Long)].collect().toSet
+    assert(feed2 == Set(("delete", 2L), ("delete", 3L)),
+      s"MOR delete range must surface the deleted rows: $feed2")
+    // spanning everything from 0: pure insert view of the final state
+    val all = Snapshots.readChangesRows(spark, root, 0L, v4, Seq("k"))
+    assert(all.filter($"_change_type" =!= "insert").isEmpty)
+    assert(all.count() == 4) // k in 4..7 survive
+  }
+
   test("per-file stats pruning: inputFiles shrinks, results identical, stats carry forward") {
     import org.apache.spark.sql.functions._
     val root = s"${Qx.tmpOut("r15stats", sf())}/store"
