@@ -924,6 +924,13 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
   private def effVersion(f: String): Long =
     snap.fileSeq.getOrElse(f, MorScanBuilder.fileVersion(f))
 
+  /** prior physical spelling → current column name (identity for
+    * un-renamed names) — the delete-key indirection. */
+  private val toCurrent: Map[String, String] =
+    priors.flatMap { case (cur, ps) => ps.map(_ -> cur) }
+
+  private def currentName(phys: String): String = toCurrent.getOrElse(phys, phys)
+
   // group files into eras by applicable delete set (version scoping,
   // identical to Snapshots.readWithDeletes) — eager, so the per-era
   // parquet builders exist when filter pushdown arrives
@@ -977,8 +984,12 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     val inlineMode = delBytes <= gate
 
     // the read schema must carry every delete key column even when the
-    // query pruned it away; the wrapped readers project back down
-    val keyCols = snap.deletes.flatMap(_.keyCols).distinct
+    // query pruned it away; the wrapped readers project back down.
+    // Delete files are keyed by the PHYSICAL spelling at delete-commit
+    // time — the rename ledger resolves each to its CURRENT name (the
+    // name-history equivalent of Iceberg's field-id indirection), so a
+    // key column renamed AFTER the delete still scopes exactly
+    val keyCols = snap.deletes.flatMap(_.keyCols).map(currentName).distinct
     val readSchema = StructType(requested.fields ++
       keyCols.filterNot(k => requested.fieldNames.contains(k))
         .map(k => tableSchema(k)))
@@ -991,8 +1002,11 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     val loaded: Map[(String, Seq[String]), Set[Any]] =
       if (!inlineMode) Map.empty
       else snap.deletes.map(d => (d.path, d.keyCols)).distinct.map { case (p, kcs) =>
+        // the delete parquet carries the spelling of ITS commit time
+        // (kcs); the value type comes from the CURRENT column
         val convs = kcs.map(k =>
-          CatalystTypeConverters.createToCatalystConverter(tableSchema(k).dataType))
+          CatalystTypeConverters.createToCatalystConverter(
+            tableSchema(currentName(k)).dataType))
         val vals = spark.read.parquet(p)
           .select(kcs.map(org.apache.spark.sql.functions.col): _*).collect()
           .map { r =>
@@ -1015,10 +1029,14 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     val eraScans = eras.zip(eraBuilders).map { case ((_, dels), b) =>
       b.pruneColumns(if (coalesceExprs.isDefined) physSchema else readSchema)
       val delSets = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (_, ds) =>
+        // file-physical spellings load the staged parquet; CURRENT
+        // names bind the row-side ordinals/types — the two sides of
+        // the rename indirection
         val kcs = ds.head.keyCols
+        val curs = kcs.map(currentName)
         MorDeleteSet(
-          kcs.map(readSchema.fieldIndex),
-          kcs.map(tableSchema(_).dataType),
+          curs.map(readSchema.fieldIndex),
+          curs.map(tableSchema(_).dataType),
           if (inlineMode) Some(ds.flatMap(d => loaded((d.path, d.keyCols))).toSet) else None,
           if (inlineMode) Nil else ds.map(_.path),
           kcs)
