@@ -105,9 +105,30 @@ class GraftTable(tableName: String, val root: String,
       else {
         val newestOf = chains.map(c => c.head -> c.last).toMap // firstPresent → newest
         val laterSpellings = chains.flatMap(_.tail).toSet
+        // the collapsed field's TYPE is the widest among the chain's
+        // present spellings, not the oldest spelling's: a version whose
+        // files straddle a RENAME and a later ALTER COLUMN widening
+        // (amount INT → price, then price INT→BIGINT) merges under
+        // distinct names, and the post-widening files physically carry
+        // the wide type under the newest spelling — presenting the
+        // narrow type would make the scan read int64 pages as INT
+        val mergedByName = merged.fields.map(f => f.name -> f).toMap
+        val chainField = chains.map { c =>
+          val widest = c.map(mergedByName).reduceLeft { (a, b) =>
+            if (GraftTable.widensTo(a.dataType, b.dataType))
+              b.copy(nullable = a.nullable || b.nullable)
+            else if (GraftTable.widensTo(b.dataType, a.dataType))
+              a.copy(nullable = a.nullable || b.nullable)
+            else throw new IllegalStateException(
+              s"cannot collapse rename chain ${c.mkString("->")}: " +
+                s"${a.dataType.simpleString} vs ${b.dataType.simpleString} " +
+                "is not a safe widening")
+          }
+          c.head -> widest.copy(name = c.last)
+        }.toMap
         val collapsed = StructType(merged.fields.flatMap { f =>
           if (laterSpellings.contains(f.name)) None // folded into the first occurrence
-          else if (newestOf.contains(f.name)) Some(f.copy(name = newestOf(f.name)))
+          else if (newestOf.contains(f.name)) Some(chainField(f.name))
           else Some(f)
         })
         val prior = chains.map(c => c.last -> c.init).toMap
@@ -1074,7 +1095,7 @@ private[catalog] class MorScan(eras: Seq[(Scan, Seq[MorDeleteSet])],
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-snapshot MOR scan (${eras.size} era(s), delete-applying) " +
-      s"over (${eras.head._1.description()})"
+      s"over (${eras.headOption.map(_._1.description()).getOrElse("empty")})"
 
   override def planInputPartitions(): Array[InputPartition] =
     eras.zipWithIndex.flatMap { case ((scan, _), i) =>

@@ -1572,13 +1572,13 @@ object WarehouseOps {
         SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority, 'head'
         FROM orders WHERE o_orderkey % 2 = 1)
       SELECT 'head' AS era, o_orderpriority, COUNT(*) AS n,
-             SUM(k) AS key_sum,
+             CAST(SUM(k) AS BIGINT) AS key_sum,
              COUNT(CASE WHEN price > 150000 THEN 1 END) AS n_hi,
              MIN(price) AS min_p, MAX(price) AS max_p
       FROM rows GROUP BY o_orderpriority
       UNION ALL
       SELECT 'v1' AS era, o_orderpriority, COUNT(*) AS n,
-             SUM(k) AS key_sum,
+             CAST(SUM(k) AS BIGINT) AS key_sum,
              COUNT(CASE WHEN price > 150000 THEN 1 END) AS n_hi,
              MIN(price) AS min_p, MAX(price) AS max_p
       FROM rows WHERE src = 'both' GROUP BY o_orderpriority

@@ -322,9 +322,12 @@ object Snapshots {
                   .reduceOption((a, b) => if (statsCmp(a, b) <= 0) a else b)
                 mx <- withVals.flatMap(c => jval(c.getStatistics.genericGetMax))
                   .reduceOption((a, b) => if (statsCmp(a, b) >= 0) a else b)
-                // a column whose chunks ALL lacked convertible values
-                // after some had non-null rows → skip rather than lie
-                if withVals.forall(c => jval(c.getStatistics.genericGetMin).isDefined)
+                // a column where ANY chunk's bound failed to convert
+                // (non-finite float/double, exotic type) → skip rather
+                // than lie: a dropped +Inf/NaN max would understate the
+                // file max and let pruning lose matching rows
+                if withVals.forall(c => jval(c.getStatistics.genericGetMin).isDefined &&
+                  jval(c.getStatistics.genericGetMax).isDefined)
               } yield name -> (("min" -> mn) ~ ("max" -> mx) ~ ("nc" -> JLong(nc)))
             }
           }
