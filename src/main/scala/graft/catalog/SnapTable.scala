@@ -483,10 +483,11 @@ private[catalog] object GraftScans {
     if (files.isEmpty) new EmptyScanBuilder(tableSchema)
     else {
       val deletes = snap.map(_.deletes).getOrElse(Nil)
+      val statsRaw = snap.map(_.statsRaw).getOrElse(Map.empty[String, String])
       if (deletes.isEmpty) {
-        if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options)
+        if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options, statsRaw)
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
-          files, options)
+          files, options, statsRaw)
       } else {
         // renames compose with pending deletes: ALTER TABLE guarantees
         // the delete KEY columns themselves are never renamed under
@@ -499,7 +500,8 @@ private[catalog] object GraftScans {
   }
 
   private[catalog] def parquetBuilder(spark: SparkSession, files: Seq[String],
-      schema: StructType, options: CaseInsensitiveStringMap): ParquetScanBuilder = {
+      schema: StructType, options: CaseInsensitiveStringMap,
+      statsRaw: Map[String, String] = Map.empty): ParquetScanBuilder = {
     // a direct-API root staged with .partitionBy carries col=value path
     // segments whose columns exist ONLY in the path — this flat scan
     // (PartitionSpec.emptySpec, schema from footers) would silently
@@ -513,11 +515,107 @@ private[catalog] object GraftScans {
           "through Snapshots.read / Snapshots.readPartitionPruned instead")
     }
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val index = new InMemoryFileIndex(classic,
-      files.map(f => new org.apache.hadoop.fs.Path(f)),
-      Map.empty[String, String], Some(schema), NoopCache,
-      Some(PartitionSpec.emptySpec), None)
+    val index =
+      if (statsRaw.isEmpty)
+        new InMemoryFileIndex(classic,
+          files.map(f => new org.apache.hadoop.fs.Path(f)),
+          Map.empty[String, String], Some(schema), NoopCache,
+          Some(PartitionSpec.emptySpec), None)
+      else new StatsPruningIndex(classic,
+        files.map(f => new org.apache.hadoop.fs.Path(f)),
+        schema, statsRaw)
     ParquetScanBuilder(classic, index, schema, schema, options)
+  }
+
+  /** File-level DATA-SKIPPING for the catalog scan: the manifest's
+    * per-file column bounds ([[Snapshots]] `#stats:` lines) prune files
+    * whose recorded `[min, max]` cannot satisfy the PUSHED data
+    * predicates — the same keep-rule as `Snapshots.readStatsPruned`,
+    * wired into [[InMemoryFileIndex.listFiles]] so it composes with
+    * every scan shape built on [[parquetBuilder]] (plain, rename-aware,
+    * per-era MOR) and with all of [[ParquetScanBuilder]]'s pushdown
+    * interfaces untouched. The decision is metadata-only (manifest
+    * header lines already in memory; zero file I/O) and one level above
+    * parquet's row-group zone maps: at 100 TB a selective non-partition
+    * predicate skips whole files before any footer is read. Files with
+    * no recorded stats for a referenced column are always KEPT, and
+    * Spark re-applies every predicate above the scan — pruning is an
+    * I/O optimization, never the correctness carrier. */
+  private[catalog] class StatsPruningIndex(
+      classic: org.apache.spark.sql.classic.SparkSession,
+      paths: Seq[org.apache.hadoop.fs.Path], schema: StructType,
+      statsRaw: Map[String, String])
+    extends InMemoryFileIndex(classic, paths, Map.empty[String, String],
+      Some(schema), NoopCache, Some(PartitionSpec.emptySpec), None) {
+
+    // manifest keys are plain local paths; listed statuses carry a
+    // scheme — normalize both sides to the URI path
+    private lazy val statsByPath: Map[String, String] = statsRaw.map {
+      case (k, v) => new org.apache.hadoop.fs.Path(k).toUri.getPath -> v
+    }
+
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+      val base = super.listFiles(partitionFilters, dataFilters)
+      if (dataFilters.isEmpty || statsByPath.isEmpty) base
+      else base.map { pd =>
+        pd.copy(files = pd.files.filter { f =>
+          statsByPath.get(f.getPath.toUri.getPath).forall(body =>
+            dataFilters.forall(statsAdmits(body, _)))
+        })
+      }
+    }
+  }
+
+  /** Can a file whose stats line is `body` contain a row satisfying
+    * `e`? Conservative three-valued logic collapsed to keep-on-unknown:
+    * only shapes the recorded bounds can refute return `false`. Strict
+    * comparisons use the inclusive range rule (admits a superset —
+    * safe). */
+  private[catalog] def statsAdmits(body: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def value(v: Any): Option[Any] = v match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case i: java.lang.Integer => Some(i)
+      case l: java.lang.Long => Some(l)
+      case f: java.lang.Float => Some(f)
+      case d: java.lang.Double => Some(d)
+      case s: java.lang.Short => Some(s)
+      case b: java.lang.Byte => Some(b)
+      case _ => None // decimal/binary/bool → no stats recorded for these
+    }
+    def range(col: String, v: Any, lower: Boolean, upper: Boolean): Boolean =
+      value(v).forall(x => Snapshots.statsAdmitsRange(body, col,
+        if (lower) Some(x) else None, if (upper) Some(x) else None))
+    e match {
+      case And(l, r) => statsAdmits(body, l) && statsAdmits(body, r)
+      case Or(l, r) => statsAdmits(body, l) || statsAdmits(body, r)
+      case EqualTo(a: Attribute, Literal(v, _)) => range(a.name, v, lower = true, upper = true)
+      case EqualTo(Literal(v, _), a: Attribute) => range(a.name, v, lower = true, upper = true)
+      case GreaterThan(a: Attribute, Literal(v, _)) => range(a.name, v, lower = true, upper = false)
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => range(a.name, v, lower = true, upper = false)
+      case LessThan(a: Attribute, Literal(v, _)) => range(a.name, v, lower = false, upper = true)
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) => range(a.name, v, lower = false, upper = true)
+      case GreaterThan(Literal(v, _), a: Attribute) => range(a.name, v, lower = false, upper = true)
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) => range(a.name, v, lower = false, upper = true)
+      case LessThan(Literal(v, _), a: Attribute) => range(a.name, v, lower = true, upper = false)
+      case LessThanOrEqual(Literal(v, _), a: Attribute) => range(a.name, v, lower = true, upper = false)
+      case EqualNullSafe(a: Attribute, Literal(v, _)) =>
+        if (v == null) Snapshots.statsAdmitsNull(body, a.name)
+        else range(a.name, v, lower = true, upper = true)
+      case EqualNullSafe(Literal(v, _), a: Attribute) =>
+        if (v == null) Snapshots.statsAdmitsNull(body, a.name)
+        else range(a.name, v, lower = true, upper = true)
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, _) => range(a.name, v, lower = true, upper = true) }
+      case IsNull(a: Attribute) => Snapshots.statsAdmitsNull(body, a.name)
+      case IsNotNull(a: Attribute) => Snapshots.statsAdmitsNotNull(body, a.name)
+      case _ => true // unknown shape → keep the file
+    }
   }
 
   private val baseDirRe = """(.*?/v\d{8}_[^/]*)/.*""".r
@@ -618,7 +716,8 @@ private[catalog] class EmptyScanBuilder(schema: StructType)
   * the ledger, removing even the residual view. */
 private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
     tableSchema: StructType, priors: Map[String, Seq[String]],
-    files: Seq[String], options: CaseInsensitiveStringMap)
+    files: Seq[String], options: CaseInsensitiveStringMap,
+    statsRaw: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -626,7 +725,7 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
   // schema (every column + every prior spelling) so filter pushdown can
   // forward before column pruning settles; pruning narrows it at build
   private val inner = GraftScans.parquetBuilder(spark, files,
-    GraftScans.renamePlan(tableSchema, priors)._1, options)
+    GraftScans.renamePlan(tableSchema, priors)._1, options, statsRaw)
 
   private var requested: StructType = tableSchema
 
@@ -960,7 +1059,7 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     .toSeq.sortBy(_._2.min).map { case (dels, fs) => (fs, dels) }
 
   private val eraBuilders = eras.map { case (fs, _) =>
-    GraftScans.parquetBuilder(spark, fs, tableSchema, options)
+    GraftScans.parquetBuilder(spark, fs, tableSchema, options, snap.statsRaw)
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =

@@ -880,6 +880,38 @@ object WarehouseOps {
       .orderBy($"l_suppkey")
   }
 
+  /** CATALOG-SCAN FILE SKIPPING (`snapshot_stats_prune_sql`) — the
+    * same manifest column bounds, reached the way a USER reaches them:
+    * a plain `WHERE` on a `snap.*` table. The DSv2 scan's file index
+    * ([[graft.catalog]] `StatsPruningIndex`) evaluates the PUSHED data
+    * predicates against each file's recorded [min, max, nullCount]
+    * inside `listFiles` and drops non-intersecting files before any
+    * partition is planned — no explicit API call, and it composes
+    * with rename-aware and per-era merge-on-read scans because all
+    * three build on the same index. The fixture CTASes lineitem
+    * range-clustered on l_partkey (tight disjoint per-file bounds via
+    * the REPARTITION_BY_RANGE hint), then runs a selective partkey
+    * window through SQL only. The oracle recomputes the window from
+    * the ORIGINAL table, so an over-pruned file (lost rows) or a
+    * mis-evaluated bound hash-mismatches; the planned-file shrink
+    * itself is pinned in Round16OpsSpec.
+    *
+    * Scale: this is the path a 100 TB BI query takes — the prune
+    * costs manifest-header arithmetic already resident on the driver,
+    * and a 0.1% predicate window opens ~0.1% of the files. */
+  val snapshotStatsPruneSql: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "statsprune_sql", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT /*+ REPARTITION_BY_RANGE(8, l_partkey) */
+             |       l_partkey, l_suppkey, l_quantity
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+    s.sql(s"""SELECT l_suppkey, COUNT(*) AS n,
+             |       ${Qx.dsumSql("l_quantity")} AS qty
+             |FROM $t WHERE l_partkey BETWEEN 20 AND 119
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+  }
+
   /** TYPE WIDENING (`sql_type_widening`) — `ALTER TABLE ... ALTER
     * COLUMN <c> TYPE <wider>` as a METADATA-ONLY evolution under the
     * safe-promotion matrix (int→bigint, float→double, decimal
@@ -1342,6 +1374,7 @@ object WarehouseOps {
     "snapshot_wap_publish" -> snapshotWapPublish,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_stats_prune" -> snapshotStatsPrune,
+    "snapshot_stats_prune_sql" -> snapshotStatsPruneSql,
     "snapshot_cdf_rows" -> snapshotCdfRows,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
@@ -1556,6 +1589,15 @@ object WarehouseOps {
       SELECT l_suppkey, COUNT(*) AS n, ${Qx.dsumSql("l_quantity")} AS qty
       FROM lineitem
       WHERE l_partkey >= 20 AND l_partkey < 120
+      GROUP BY l_suppkey ORDER BY l_suppkey""",
+    // Same window recomputed from the ORIGINAL table: a file the
+    // catalog scan's stats index over-pruned (lost rows) or a
+    // mis-evaluated pushed bound hash-mismatches; the planned-file
+    // shrink is spec-pinned in Round16OpsSpec.
+    "snapshot_stats_prune_sql" -> s"""
+      SELECT l_suppkey, COUNT(*) AS n, ${Qx.dsumSql("l_quantity")} AS qty
+      FROM lineitem
+      WHERE l_partkey BETWEEN 20 AND 119
       GROUP BY l_suppkey ORDER BY l_suppkey""",
     // Both eras recomputed from the ORIGINAL table with the same
     // float round-trip (even keys rode through FLOAT storage, odd keys

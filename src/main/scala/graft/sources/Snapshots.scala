@@ -380,6 +380,58 @@ object Snapshots {
     }
   }
 
+  /** The per-file stats admission rule, shared by [[readStatsPruned]]
+    * and the catalog scan's stats-pruning file index: does the file's
+    * recorded `[min, max]` for `col` intersect `[lower, upper]` (both
+    * bounds optional, inclusive)? `true` on missing/undecodable stats —
+    * pruning is an I/O optimization, never the correctness carrier. */
+  private[graft] def statsAdmitsRange(body: String, col: String,
+      lower: Option[Any], upper: Option[Any]): Boolean = try {
+    import org.json4s._
+    val cols = org.json4s.jackson.JsonMethods.parse(body) \ "cols"
+    cols \ col match {
+      case JNothing => true // no stats for the column → never prune
+      case cstats =>
+        (cstats \ "min", cstats \ "max") match {
+          case (JNothing, _) | (_, JNothing) =>
+            // stats present but no values: the column is all-null
+            // in this file — a bounded range can't match it
+            lower.isEmpty && upper.isEmpty
+          case (mn, mx) =>
+            upper.forall(u => statsCmp(mn, u) <= 0) &&
+              lower.forall(l => statsCmp(mx, l) >= 0)
+        }
+    }
+  } catch { case _: Exception => true }
+
+  /** May the file contain a NULL in `col`? `true` unless recorded
+    * stats prove the null count is zero. */
+  private[graft] def statsAdmitsNull(body: String, col: String): Boolean = try {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(body) \ "cols" \ col \ "nc" match {
+      case JLong(n) => n > 0
+      case JInt(n) => n > 0
+      case _ => true
+    }
+  } catch { case _: Exception => true }
+
+  /** May the file contain a non-NULL in `col`? `false` only when the
+    * recorded null count equals the file's row count — airtight even
+    * when min/max were omitted for convertibility reasons. */
+  private[graft] def statsAdmitsNotNull(body: String, col: String): Boolean = try {
+    import org.json4s._
+    def asLong(j: JValue): Option[Long] = j match {
+      case JLong(n) => Some(n)
+      case JInt(n) => Some(n.longValue)
+      case _ => None
+    }
+    val j = org.json4s.jackson.JsonMethods.parse(body)
+    (asLong(j \ "rows"), asLong(j \ "cols" \ col \ "nc")) match {
+      case (Some(rows), Some(nc)) => nc < rows
+      case _ => true
+    }
+  } catch { case _: Exception => true }
+
   /** STATS-PRUNED head read: keep only the manifest files whose
     * recorded `[min, max]` for `col` intersects `[lower, upper]`
     * (either bound optional, both inclusive — SQL comparison
@@ -397,26 +449,8 @@ object Snapshots {
       lower: Option[Any], upper: Option[Any]): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
-    import org.json4s._
-    def keep(f: String): Boolean = snap.statsRaw.get(f).forall { body =>
-      try {
-        val cols = org.json4s.jackson.JsonMethods.parse(body) \ "cols"
-        cols \ col match {
-          case JNothing => true // no stats for the column → never prune
-          case cstats =>
-            (cstats \ "min", cstats \ "max") match {
-              case (JNothing, _) | (_, JNothing) =>
-                // stats present but no values: the column is all-null
-                // in this file — a bounded range can't match it
-                lower.isEmpty && upper.isEmpty
-              case (mn, mx) =>
-                upper.forall(u => statsCmp(mn, u) <= 0) &&
-                  lower.forall(l => statsCmp(mx, l) >= 0)
-            }
-        }
-      } catch { case _: Exception => true }
-    }
-    val kept = snap.files.filter(keep)
+    val kept = snap.files.filter(f =>
+      snap.statsRaw.get(f).forall(statsAdmitsRange(_, col, lower, upper)))
     if (kept.isEmpty)
       readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
         root = root).limit(0)
