@@ -56,7 +56,17 @@ import scala.jdk.CollectionConverters._
   * properties file, a directory listing of `_commits`. Nothing here
   * touches data; scans and writes are planned by [[GraftTable]].
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
+
+  /** SQL-first maintenance: `CALL <cat>.system.compact('default.t')`,
+    * `compact_deletes`, `vacuum` — see [[SnapProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapProcedures.list()
 
   private var catName: String = "snap"
   private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
@@ -232,11 +242,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"$what '$name' collides with a live, renamed-away, or dropped " +
           "column name of this table; reusing it would resurface stale " +
           "file data under the new meaning")
-    // pending MOR delete files are keyed by physical column name —
-    // renaming/dropping under them would silently unscope the deletes
-    lazy val pendingDeleteKeys: Set[String] =
-      Snapshots.resolve(root).map(_.deletes.flatMap(_.keyCols).toSet)
+    // CURRENT names of columns keying pending MOR delete files —
+    // `#del` lines keep their commit-time spelling, so resolve each
+    // through the rename ledger before comparing against a DDL target.
+    // Dropping such a column stays refused (the deletes would become
+    // unscopeable); rename and widening compose via the scan-side
+    // indirection. Concurrency note: DDL runs under the meta lock but
+    // data commits do not — the drop guard assumes the documented
+    // single-writer-DDL discipline for the instant between this read
+    // and writeMeta.
+    lazy val pendingDeleteKeys: Set[String] = {
+      val toCurrent = GraftTable.priorsOf(props)
+        .flatMap { case (cur, ps) => ps.map(_ -> cur) }
+      Snapshots.resolve(root)
+        .map(_.deletes.flatMap(_.keyCols).map(k => toCurrent.getOrElse(k, k)).toSet)
         .getOrElse(Set.empty)
+    }
     val (newSchema, newProps) = changes.foldLeft((schema, props)) {
       case ((sc, pr), add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -253,21 +274,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val from = ren.fieldNames()(0)
         val to = ren.newName()
         require(sc.fieldNames.contains(from), s"no column '$from' to rename")
-        // non-key renames compose with merge-on-read (the MOR scan
-        // coalesces prior spellings before the delete filter); only the
-        // columns the delete-key ledger is keyed by must keep their
-        // physical names
-        require(!pr.get(GraftTable.morKeyProp).contains(from),
-          s"cannot rename merge-on-read key column '$from' " +
-            "(the delete-key ledger is keyed by physical column name); " +
-            "compact and unset graft.mor.key first")
-        require(!pendingDeleteKeys.contains(from),
-          s"column '$from' keys pending merge-on-read delete files; " +
-            "compact (full rewrite) before renaming it")
         requireFresh(pr, sc, to, "rename target")
         val priorKey = s"${GraftTable.colPriorPrefix}$from"
         val history = pr.get(priorKey).map(_ + ",").getOrElse("") + from
-        val pr2 = pr - priorKey + (s"${GraftTable.colPriorPrefix}$to" -> history)
+        // renaming composes with merge-on-read EVEN ON KEY COLUMNS:
+        // pending `#del` lines keep the spelling of their commit time
+        // and the scan resolves it through this rename ledger (the
+        // name-history equivalent of Iceberg's field-id indirection —
+        // sound because requireFresh forbids spelling reuse). The
+        // graft.mor.key property follows the rename so later DELETEs
+        // stage under the new spelling.
+        val pr2 = (pr - priorKey + (s"${GraftTable.colPriorPrefix}$to" -> history)) match {
+          case m if m.get(GraftTable.morKeyProp).contains(from) =>
+            m + (GraftTable.morKeyProp -> to)
+          case m => m
+        }
         (StructType(sc.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)), pr2)
       case ((sc, pr), del: TableChange.DeleteColumn) =>
@@ -318,22 +339,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "is not a safe widening (int->bigint, float->double, decimal " +
             "precision growth at fixed scale); narrowing or re-typing needs " +
             "a full rewrite")
-        // the delete-key machinery compares/loads key values by the
-        // DECLARED type — widening a column that keys PENDING delete
-        // files would read those staged narrow keys as the wrong type
-        // (a delete-free MOR key may widen: every later delete file is
-        // staged at, and loaded by, the widened type)
-        require(!pendingDeleteKeys.contains(name),
-          s"column '$name' keys pending merge-on-read delete files; " +
-            "compact (full rewrite) before widening it")
+        // widening composes with PENDING merge-on-read delete files:
+        // both loaders upcast staged narrow key values to the declared
+        // type at load time (driver inline loader casts on read, the
+        // executor loader dispatches on each file's footer physical
+        // type), so key sets and row values always compare at the
+        // declared width regardless of when each delete committed
+        // relative to the ALTER
         (StructType(sc.fields.map(f =>
           if (f.name == name) f.copy(dataType = to) else f)), pr)
       case ((sc, pr), set: TableChange.SetProperty) =>
-        require(set.property() != GraftTable.morKeyProp ||
-          !GraftTable.priorsOf(pr).contains(set.value()),
-          s"cannot key merge-on-read on renamed column '${set.value()}' " +
-            "(delete-key scoping is keyed by physical column name); " +
-            "compact (full rewrite) first")
+        // a renamed column may key merge-on-read: new delete files
+        // stage under the current spelling, and base files carrying a
+        // prior spelling resolve through the rename-ledger coalesce
+        // BEFORE the delete filter (MorReaderFactory)
         (sc, pr + (set.property() -> set.value()))
       case ((sc, pr), rm: TableChange.RemoveProperty) =>
         (sc, pr - rm.property())

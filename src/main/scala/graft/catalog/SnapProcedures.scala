@@ -1,0 +1,212 @@
+package graft.catalog
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** SQL-first MAINTENANCE surface: the snapshot store's maintenance
+  * operations exposed as DataSourceV2 stored procedures (Spark 4's
+  * `ProcedureCatalog` — the Iceberg `CALL catalog.system.…` shape), so
+  * the operational story is SQL like everything else:
+  *
+  * {{{
+  *   CALL snap.system.compact('default.t')          -- bin-pack full rewrite,
+  *                                                  -- absorbs pending MOR deletes
+  *   CALL snap.system.compact_deletes('default.t')  -- merge delete files only
+  *   CALL snap.system.vacuum('default.t', 4)        -- expire old versions
+  * }}}
+  *
+  * `compact` reads the CURRENT table through the catalog scan (so
+  * renames, widenings, and pending merge-on-read deletes all resolve),
+  * bin-packs to ~128 MB target files, and publishes ONE atomic
+  * rewrite commit stamped `#rowsunchanged` ([[Snapshots
+  * .commitCompaction]]'s marker through [[Snapshots
+  * .commitRewriteStaged]]) — change feeds stay O(delta) across it and
+  * streams pass over it. The rewrite is guarded by `basedOn`: a
+  * concurrent commit between planning and publish aborts with the
+  * serializable-rewrite error instead of losing it. After the commit
+  * the rename/tombstone ledgers are cleared under the meta lock when
+  * unchanged since planning (same rule as the COW row-level writer) —
+  * every surviving row re-materialized under current names.
+  *
+  * Each call returns a one-row report (versions, file/delete counts)
+  * as a driver-local scan — metadata-sized, never data. */
+private[catalog] object SnapProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def list(): Array[Identifier] =
+    Array("compact", "compact_deletes", "vacuum")
+      .map(Identifier.of(Namespace, _))
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "compact" => new CompactProcedure(cat)
+      case "compact_deletes" => new CompactDeletesProcedure(cat)
+      case "vacuum" => new VacuumProcedure(cat)
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure: ${cat.name()}.system.$other " +
+          "(available: compact, compact_deletes, vacuum)")
+    }
+  }
+
+  /** `'default.t'` (or `'t'`, default namespace) → catalog identifier. */
+  private def identOf(table: String): Identifier = {
+    val parts = table.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table argument: '$table'")
+    if (parts.length == 1) Identifier.of(Array("default"), parts.head)
+    else Identifier.of(parts.init, parts.last)
+  }
+
+  private def row(vals: Any*): InternalRow = new GenericInternalRow(vals.toArray)
+
+  private def report(schema: StructType, r: InternalRow): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(r)
+      override def description(): String = "graft maintenance report"
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  private abstract class OneTableProc(cat: GraftCatalog, procName: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def rootOf(table: String): String = cat.tableRoot(identOf(table))
+    protected def qualified(table: String): String = {
+      val i = identOf(table)
+      (cat.name() +: i.namespace().toSeq :+ i.name())
+        .map(p => s"`$p`").mkString(".")
+    }
+  }
+
+  private final class CompactProcedure(cat: GraftCatalog)
+    extends OneTableProc(cat, "compact") {
+
+    override def description(): String =
+      "bin-pack full rewrite of a snapshot table; absorbs pending " +
+        "merge-on-read deletes; commits atomically with the " +
+        "rows-unchanged marker"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name, e.g. 'default.t'").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false),
+      StructField("deletes_absorbed", IntegerType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val root = rootOf(table)
+      val spark = SparkSession.active
+      val before = Snapshots.resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val propsAtPlan = GraftTable.readMeta(root).map(_._2)
+      // through the CATALOG scan: renames coalesce, deletes apply,
+      // widened columns present at declared width
+      val df = spark.table(qualified(table))
+      val bytes = before.files.map { f =>
+        try Files.size(Paths.get(f)) catch { case _: Exception => 0L }
+      }.sum
+      val targetFileBytes = 128L * 1024 * 1024
+      val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val stage = Snapshots.newStagingDir(root)
+      Files.createDirectories(Paths.get(stage))
+      df.repartition(parts).write.mode("append").parquet(stage)
+      val staged = {
+        val walk = Files.walk(Paths.get(stage))
+        try walk.iterator().asScala.map(_.toString)
+          .filter(f => f.endsWith(".parquet") && !f.contains("/."))
+          .toList.sorted
+        finally walk.close()
+      }
+      val v = Snapshots.commitRewriteStaged(root, staged,
+        allowEmpty = true, basedOn = Some(before.version),
+        rowsUnchanged = true)
+      // the rewrite re-materialized every row under CURRENT names —
+      // clear the rename/tombstone ledgers when nothing changed since
+      // planning (the COW row-level writer's rule)
+      try GraftTable.withMetaLock(root) {
+        GraftTable.readMeta(root).foreach { case (sc, props) =>
+          val stale = props.keys.filter(k =>
+            k.startsWith(GraftTable.colPriorPrefix) ||
+              k.startsWith(GraftTable.droppedChainPrefix) ||
+              k == GraftTable.droppedProp)
+          if (stale.nonEmpty && propsAtPlan.contains(props))
+            GraftTable.writeMeta(root, sc, props -- stale)
+        }
+      } catch { case _: Exception => () }
+      report(outSchema, row(v, before.files.size, staged.size,
+        before.deletes.size))
+    }
+  }
+
+  private final class CompactDeletesProcedure(cat: GraftCatalog)
+    extends OneTableProc(cat, "compact_deletes") {
+
+    override def description(): String =
+      "merge scope-equivalent pending merge-on-read delete files; " +
+        "touches no data files"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name, e.g. 'default.t'").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("deletes_before", IntegerType, nullable = false),
+      StructField("deletes_after", IntegerType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val root = rootOf(table)
+      val before = Snapshots.resolve(root).map(_.deletes.size).getOrElse(0)
+      val v = Snapshots.compactDeletes(SparkSession.active, root)
+      val after = Snapshots.resolve(root).map(_.deletes.size).getOrElse(0)
+      report(outSchema, row(v, before, after))
+    }
+  }
+
+  private final class VacuumProcedure(cat: GraftCatalog)
+    extends OneTableProc(cat, "vacuum") {
+
+    override def description(): String =
+      "expire versions below the retention floor and reclaim " +
+        "unreferenced data files (time-travel retention contract)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name, e.g. 'default.t'").build(),
+      ProcedureParameter.in("keep_last", IntegerType)
+        .comment("number of trailing versions to retain (>= 1)").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("head", LongType, nullable = false),
+      StructField("oldest_retained", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val keepLast = input.getInt(1)
+      val root = rootOf(table)
+      Snapshots.vacuum(root, keepLast)
+      report(outSchema,
+        row(Snapshots.maxCommitted(root), Snapshots.minCommitted(root)))
+    }
+  }
+}

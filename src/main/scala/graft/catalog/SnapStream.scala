@@ -70,9 +70,40 @@ private[catalog] class GraftMicroBatchStream(root: String,
   private val skipChangeCommits: Boolean =
     options.getBoolean(GraftMicroBatchStream.SkipChangesOption, false)
 
-  private val startingVersion: Long =
-    Option(options.get(GraftMicroBatchStream.StartingVersionOption))
-      .map(_.trim.toLong).getOrElse(0L)
+  /** The stream's initial offset (EXCLUSIVE): 0 = full initial
+    * snapshot then tail; `startingVersion` v = only changes after v;
+    * `startingTimestamp` resolves to the newest version committed at
+    * or before the literal ([[Snapshots.versionAtTimestamp]] — the
+    * `TIMESTAMP AS OF` rule), so the stream delivers exactly the
+    * commits after that instant. A timestamp predating retained
+    * history starts from the initial snapshot (everything qualifies,
+    * Delta's startingTimestamp rule). Catch-up ingest never replays
+    * commits at or before the start point. */
+  private val startingVersion: Long = {
+    val sv = Option(options.get(GraftMicroBatchStream.StartingVersionOption))
+      .map(_.trim.toLong)
+    val st = Option(options.get(GraftMicroBatchStream.StartingTimestampOption))
+      .map { lit =>
+        val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(lit.trim),
+          org.apache.spark.sql.types.TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))
+        val micros = try Option(cast.eval()) catch {
+          case _: java.time.DateTimeException => None
+        }
+        micros.map(_.asInstanceOf[Long]).getOrElse(
+          throw new IllegalArgumentException(
+            s"${GraftMicroBatchStream.StartingTimestampOption} does not " +
+              s"parse as a timestamp: $lit"))
+      }
+    require(sv.isEmpty || st.isEmpty,
+      s"set at most one of ${GraftMicroBatchStream.StartingVersionOption} / " +
+        GraftMicroBatchStream.StartingTimestampOption)
+    sv.orElse(st.map { ts =>
+      try Snapshots.versionAtTimestamp(root, ts)
+      catch { case _: IllegalStateException => 0L } // predates history
+    }).getOrElse(0L)
+  }
 
   /** Trigger.AvailableNow pins the end of available data at prepare
     * time, so the run drains a FIXED range and terminates even under a
@@ -154,15 +185,23 @@ private[catalog] class GraftMicroBatchStream(root: String,
           s"version is $oldest): the consumer lagged past vacuum — restart " +
           "from a fresh checkpoint")
     val tail = ((from + 1) to e).map { v =>
-      val cur = Snapshots.resolveAt(root, v)
-      val prev = if (v == 1) Snapshot(0, Nil) else Snapshots.resolveAt(root, v - 1)
-      val prevF = prev.files.toSet
-      val curF = cur.files.toSet
-      val added = cur.files.filterNot(prevF)
-      val removed = prev.files.exists(!curF(_))
-      val prevDel = prev.deletes.toSet
-      val newDel = cur.deletes.exists(!prevDel(_))
-      Step(v, added, removed || newDel)
+      // a writer-marked rows-unchanged commit (compaction, z-order,
+      // delete-file merge — Snapshots.commitCompaction) relocated
+      // bytes without changing the row set: the stream passes over it
+      // silently instead of refusing, the same way Delta treats
+      // dataChange=false actions
+      if (Snapshots.rowsUnchangedAt(root, v)) Step(v, Nil, isChange = false)
+      else {
+        val cur = Snapshots.resolveAt(root, v)
+        val prev = if (v == 1) Snapshot(0, Nil) else Snapshots.resolveAt(root, v - 1)
+        val prevF = prev.files.toSet
+        val curF = cur.files.toSet
+        val added = cur.files.filterNot(prevF)
+        val removed = prev.files.exists(!curF(_))
+        val prevDel = prev.deletes.toSet
+        val newDel = cur.deletes.exists(!prevDel(_))
+        Step(v, added, removed || newDel)
+      }
     }
     init ++ tail
   }
@@ -222,6 +261,7 @@ private[catalog] object GraftMicroBatchStream {
   val MaxFilesOption = "maxFilesPerTrigger"
   val SkipChangesOption = "skipChangeCommits"
   val StartingVersionOption = "startingVersion"
+  val StartingTimestampOption = "startingTimestamp"
 }
 
 /** Transparent ScanBuilder wrapper that makes every [[GraftTable]] scan

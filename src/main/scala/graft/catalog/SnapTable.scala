@@ -640,7 +640,12 @@ private[catalog] object GraftScans {
       priors: Map[String, Seq[String]])
       : (StructType, Array[org.apache.spark.sql.catalyst.expressions.Expression]) = {
     val phys = StructType(schema.fields.flatMap { f =>
-      f +: priors.getOrElse(f.name, Nil).reverse.map(p =>
+      // a RENAMED column is physically absent from pre-rename files, so
+      // its current spelling must be nullable in the UNION schema even
+      // when the presented field is pinned non-null (the MOR key pin) —
+      // the coalesce below restores the value from the prior spelling
+      val cur = if (priors.getOrElse(f.name, Nil).nonEmpty) f.copy(nullable = true) else f
+      cur +: priors.getOrElse(f.name, Nil).reverse.map(p =>
         org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)).toArray
     })
     val exprs = schema.fields.map { f =>
@@ -982,7 +987,15 @@ private[catalog] object DeleteKeyCache {
     val idx = g.getType.getFieldIndex(col)
     if (g.getFieldRepetitionCount(idx) == 0) null
     else dt match {
-      case LongType => g.getLong(idx, 0)
+      case LongType =>
+        // a delete file staged BEFORE an int→bigint widening carries
+        // INT32 physically — upcast by the footer type, mirroring the
+        // native upcast the data scan applies to narrow base files
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => g.getInteger(idx, 0).toLong
+          case _ => g.getLong(idx, 0)
+        }
       case TimestampType | TimestampNTZType =>
         // catalyst form is epoch MICROS; the file may carry INT96
         // (Spark's default parquet timestamp physical type) or
@@ -1014,7 +1027,13 @@ private[catalog] object DeleteKeyCache {
       case IntegerType | DateType => g.getInteger(idx, 0)
       case StringType =>
         org.apache.spark.unsafe.types.UTF8String.fromString(g.getString(idx, 0))
-      case DoubleType => g.getDouble(idx, 0)
+      case DoubleType =>
+        // float→double widening: pre-widening delete files carry FLOAT
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.FLOAT => g.getFloat(idx, 0).toDouble
+          case _ => g.getDouble(idx, 0)
+        }
       case FloatType => g.getFloat(idx, 0)
       case BooleanType => g.getBoolean(idx, 0)
       case ShortType => g.getInteger(idx, 0).toShort
@@ -1028,11 +1047,13 @@ private[catalog] object DeleteKeyCache {
 
 /** Merge-on-read catalog scan (shape 3 in [[GraftScans]]). `priors`
   * composes RENAME COLUMN evolution into the same scan: renamed
-  * NON-KEY columns resolve across file eras by the prior-name coalesce
-  * ([[RenameAwareScanBuilder]]'s rule) before the delete filter runs —
-  * delete key columns are guaranteed un-renamed while deletes are
-  * pending (ALTER TABLE enforces it), so key ordinals always bind to
-  * current physical names. */
+  * columns — INCLUDING delete-key columns — resolve across file eras
+  * by the prior-name coalesce ([[RenameAwareScanBuilder]]'s rule)
+  * before the delete filter runs, and each `#del` line's commit-time
+  * spelling resolves to its current name through the same ledger, so
+  * key ordinals always bind to the presented schema. ALTER COLUMN
+  * widening composes too: both key loaders upcast narrow staged key
+  * values to the declared type. */
 private[catalog] class MorScanBuilder(spark: SparkSession,
     tableSchema: StructType, snap: Snapshot, options: CaseInsensitiveStringMap,
     priors: Map[String, Seq[String]] = Map.empty)
@@ -1123,12 +1144,16 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
       if (!inlineMode) Map.empty
       else snap.deletes.map(d => (d.path, d.keyCols)).distinct.map { case (p, kcs) =>
         // the delete parquet carries the spelling of ITS commit time
-        // (kcs); the value type comes from the CURRENT column
+        // (kcs); the value type comes from the CURRENT column — the
+        // explicit cast upcasts keys staged BEFORE an ALTER COLUMN
+        // widening to the declared width, so set and row values always
+        // compare at the same type
         val convs = kcs.map(k =>
           CatalystTypeConverters.createToCatalystConverter(
             tableSchema(currentName(k)).dataType))
         val vals = spark.read.parquet(p)
-          .select(kcs.map(org.apache.spark.sql.functions.col): _*).collect()
+          .select(kcs.map(k => org.apache.spark.sql.functions.col(k)
+            .cast(tableSchema(currentName(k)).dataType)): _*).collect()
           .map { r =>
             val cv = kcs.indices.map(i => convs(i)(r.get(i)))
             if (cv.size == 1) cv.head else cv.toList

@@ -248,7 +248,9 @@ object WarehouseOps {
     }
     val head = Snapshots.read(s, root)
       .withColumn("z", expr("interleave_bits(l_partkey, l_suppkey)"))
-    Snapshots.commit(root) { out =>
+    // the compaction relocates rows without changing them — stamped
+    // rows-unchanged so change feeds stay O(delta) across it
+    Snapshots.commitCompaction(root) { out =>
       head.repartitionByRange(4, $"z")
         .sortWithinPartitions($"z")
         .drop("z")
@@ -967,6 +969,81 @@ object WarehouseOps {
          |ORDER BY era, o_orderpriority""".stripMargin)
   }
 
+  /** EVOLUTION × MERGE-ON-READ (`sql_evolution_mor`) — the composition
+    * Iceberg needs field-ids for, here carried by the rename ledger
+    * (sound because spelling reuse is refused): a merge-on-read KEY
+    * column is renamed AND widened while delete files are pending.
+    * Pending `#del` lines keep their commit-time spelling and resolve
+    * through the ledger; both key loaders upcast the narrow staged
+    * keys to the declared type; `graft.mor.key` follows the rename so
+    * the post-evolution DELETE stages under the new spelling at the
+    * wide type. The oracle recomputes the surviving row set from the
+    * ORIGINAL table — an unscoped (lost) delete, a double-applied one,
+    * or a mis-typed key comparison all change the set and
+    * hash-mismatch.
+    *
+    * Scale: nothing here rewrites data — two metadata ALTERs and two
+    * O(deleted keys) delete files on a table that stays scan-pruned;
+    * the read-side rent is the documented MOR anti-join/filter until
+    * the next compaction absorbs the deletes. */
+  val sqlEvolutionMor: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "evmor_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.mor.key'='k') AS
+             |SELECT CAST(o_orderkey AS INT) AS k, o_orderpriority,
+             |       CAST(o_totalprice AS DOUBLE) AS price
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE k % 10 = 0") // pending, narrow, spelling `k`
+    s.sql(s"ALTER TABLE $t RENAME COLUMN k TO ok")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN ok TYPE BIGINT")
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE)
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE ok % 7 = 0") // pending, wide, spelling `ok`
+    s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n,
+             |       CAST(SUM(ok) AS BIGINT) AS key_sum,
+             |       ${Qx.dsumSql("price")} AS total
+             |FROM $t GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** SQL-FIRST MAINTENANCE (`sql_maintenance`) — the operational story
+    * as stored procedures (Spark 4's `ProcedureCatalog`, the Iceberg
+    * `CALL catalog.system.…` shape, [[graft.catalog]]
+    * `SnapProcedures`): stack two merge-on-read DELETEs, merge their
+    * delete files (`compact_deletes` — metadata-sized), absorb them
+    * with a bin-packing full rewrite (`compact` — atomic, basedOn-
+    * guarded, stamped rows-unchanged so change feeds and streams pass
+    * over it), then bound retention (`vacuum`). The final read goes
+    * through the compacted head; the oracle recomputes the surviving
+    * rows from the ORIGINAL table, so a compaction that loses, dupes,
+    * or resurrects deleted rows hash-mismatches.
+    *
+    * Scale: `compact_deletes` moves only delete-key bytes; `compact`
+    * is the amortized-maintenance rewrite every MOR table schedules
+    * anyway (and the ONLY data-moving step here); `vacuum` deletes
+    * files below the retention floor. All three are one SQL statement
+    * each — no driver-side orchestration for the operator. */
+  val sqlMaintenance: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "maint_orders", dir)
+    val arg = t.stripPrefix("snap.")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.mor.key'='o_orderkey') AS
+             |SELECT o_orderkey, o_orderpriority,
+             |       CAST(o_totalprice AS DOUBLE) AS price
+             |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE o_orderkey % 5 = 0")
+    s.sql(s"DELETE FROM $t WHERE o_orderkey % 9 = 0")
+    s.sql(s"CALL snap.system.compact_deletes('$arg')")
+    s.sql(s"CALL snap.system.compact('$arg')")
+    s.sql(s"CALL snap.system.vacuum('$arg', 2)")
+    s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n,
+             |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             |       ${Qx.dsumSql("price")} AS total
+             |FROM $t GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** NATIVE STREAMING SOURCE (`stream_snapshot_source`) — the read
     * half of the exactly-once pair whose write half is
     * `stream_catalog_sink`: a real Structured Streaming query TAILS a
@@ -1368,6 +1445,8 @@ object WarehouseOps {
     "sql_schema_evolution" -> sqlSchemaEvolution,
     "sql_rename_evolution" -> sqlRenameEvolution,
     "sql_type_widening" -> sqlTypeWidening,
+    "sql_evolution_mor" -> sqlEvolutionMor,
+    "sql_maintenance" -> sqlMaintenance,
     "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
     "stream_snapshot_source" -> streamSnapshotSource,
@@ -1599,6 +1678,34 @@ object WarehouseOps {
       FROM lineitem
       WHERE l_partkey BETWEEN 20 AND 119
       GROUP BY l_suppkey ORDER BY l_suppkey""",
+    // The post-maintenance table recomputed from the ORIGINAL rows:
+    // a compaction that loses, dupes, or resurrects deleted rows, or
+    // a vacuum that breaks the head, all hash-mismatch.
+    "sql_maintenance" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             ${Qx.dsumSql("CAST(o_totalprice AS DOUBLE)")} AS total
+      FROM orders
+      WHERE o_orderkey % 5 <> 0 AND o_orderkey % 9 <> 0
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    // The surviving row set recomputed from the ORIGINAL table: even
+    // keys minus the %10 (narrow-era) and %7 (wide-era) deletes, odd
+    // keys minus %7 — a delete unscoped by the rename, double-applied,
+    // or compared at the wrong width changes the set and
+    // hash-mismatches.
+    "sql_evolution_mor" -> s"""
+      WITH rows AS (
+        SELECT o_orderkey AS ok, o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE (o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)
+           OR (o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0))
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(ok) AS BIGINT) AS key_sum,
+             ${Qx.dsumSql("price")} AS total
+      FROM rows GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     // Both eras recomputed from the ORIGINAL table with the same
     // float round-trip (even keys rode through FLOAT storage, odd keys
     // stayed DOUBLE): a wrong upcast (value drift), a lost era, or a

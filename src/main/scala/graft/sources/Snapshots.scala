@@ -216,6 +216,21 @@ object Snapshots {
   private val tsPrefix = "#ts:"
   private val seqPrefix = "#seq:"
   private val statsPrefix = "#stats:"
+  private val rowsUnchangedLine = "#rowsunchanged:1"
+
+  /** Was version `v` committed with the ROWS-UNCHANGED marker — the
+    * writer's declaration (Delta's `dataChange=false`) that the commit
+    * relocated bytes but did not change the table's logical row set
+    * (compaction, z-order, delete-file merge)? One small metadata
+    * read; false for pre-marker manifests. Consumers use it to keep
+    * change feeds O(delta) across maintenance commits; like Delta, the
+    * declaration is trusted — stamping it on a row-changing commit is
+    * a writer bug. */
+  def rowsUnchangedAt(root: String, version: Long): Boolean = {
+    val m = manifestPath(root, version)
+    Files.exists(m) &&
+      Files.readAllLines(m, UTF_8).asScala.exists(_ == rowsUnchangedLine)
+  }
 
   private def seqLine(path: String, v: Long): String = s"$seqPrefix$v:$path"
 
@@ -631,8 +646,14 @@ object Snapshots {
     dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) {
       case (df, (keyCol, ds)) =>
         val cols = ds.head.keyCols
-        val keys = spark.read.parquet(ds.map(_.path).sorted: _*)
-          .select(cols.map(org.apache.spark.sql.functions.col): _*).distinct()
+        // per-file reads + unionByName: delete files staged on either
+        // side of an ALTER COLUMN widening carry different physical
+        // widths, which a single multi-path read would mis-bind (the
+        // union resolves them with Spark's own type coercion, and the
+        // anti join coerces keys against the base side)
+        val keys = ds.map(_.path).sorted.map(p => spark.read.parquet(p)
+            .select(cols.map(org.apache.spark.sql.functions.col): _*))
+          .reduce(_.unionByName(_)).distinct()
         val delBytes = ds.map { d =>
           try Files.size(Paths.get(d.path)) catch { case _: Exception => Long.MaxValue / 4096 }
         }.sum
@@ -910,17 +931,21 @@ object Snapshots {
     * against the STATE at `toVersion`, keyed by `keyCols` (a primary
     * key — null keys never match, the MOR delete contract).
     *
-    * Fast path: when the range removed no files and changed no pending
-    * delete set (append-only commits), the feed is exactly the added
-    * files read once, all `insert` — O(delta) I/O, never O(table).
-    * A REWRITE or MOR-delete commit in the range breaks per-file
-    * attribution (the rewrite republished every surviving row), so the
-    * feed falls back to a row-level comparison of the two pinned
-    * states: one co-partitioned full-outer join on the key — the cost
-    * Delta pays for CDF across untracked rewrites, and the honest
-    * price of exact row changes without per-row metadata. Both paths
-    * emit the same schema, so a consumer tails mixed histories with
-    * one sink. */
+    * Fast paths: (1) a range that removed no files and changed no
+    * pending delete set (append-only) is exactly the added files read
+    * once, all `insert` — O(delta) I/O, never O(table); (2) a range
+    * whose every rewriting commit carries the writer's
+    * `#rowsunchanged` marker ([[commitCompaction]] — Delta's
+    * `dataChange=false`) attributes zero row changes to those commits
+    * and stays O(delta) EVEN ACROSS the rewrite: the feed is the
+    * unmarked commits' added files. Only an UNMARKED rewrite or a
+    * MOR-delete commit in the range breaks per-file attribution (the
+    * rewrite republished every surviving row), and the feed falls
+    * back to a row-level comparison of the two pinned states: one
+    * co-partitioned full-outer join on the key — the cost Delta pays
+    * for CDF across untracked row-changing rewrites. All paths emit
+    * the same schema, so a consumer tails mixed histories with one
+    * sink. */
   def readChangesRows(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -933,10 +958,40 @@ object Snapshots {
     val toFiles = to.files.toSet
     val removed = from.files.exists(!toFiles(_))
     val delsChanged = from.deletes.toSet != to.deletes.toSet
+    // Commit-attributed fast path: when every commit in the range that
+    // removed files or touched the delete set carries the writer's
+    // `#rowsunchanged` marker (compaction, z-order, delete-file merge —
+    // Delta's dataChange=false), those commits contribute zero row
+    // changes by contract, and the logical delta is exactly the files
+    // added by the UNMARKED (append-only) commits — O(delta) I/O, no
+    // state join, even though the range crosses a rewrite. O(range)
+    // manifest reads to classify, all metadata-only.
+    lazy val attributed: Option[Seq[String]] =
+      if (fromVersion == 0L) None
+      else {
+        val perVersion = ((fromVersion + 1) to toVersion).map { v =>
+          val prev = resolveAt(root, v - 1)
+          val cur = resolveAt(root, v)
+          val curFiles = cur.files.toSet
+          if (rowsUnchangedAt(root, v)) Some(Nil)
+          else if (prev.files.forall(curFiles) &&
+            prev.deletes.toSet == cur.deletes.toSet)
+            Some(cur.files.filterNot(prev.files.toSet))
+          else None
+        }
+        if (perVersion.forall(_.isDefined)) Some(perVersion.flatMap(_.get))
+        else None
+      }
     if (!removed && !delsChanged)
       readChanges(spark, root, fromVersion, toVersion)
         .withColumn("_change_type", lit("insert"))
-    else {
+    else if (attributed.isDefined) {
+      val added = attributed.get
+      if (added.nonEmpty) spark.read.parquet(added: _*)
+        .withColumn("_change_type", lit("insert"))
+      else readAt(spark, root, toVersion).limit(0)
+        .withColumn("_change_type", lit("insert"))
+    } else {
       val pre =
         if (fromVersion == 0L) readAt(spark, root, toVersion).limit(0)
         else readAt(spark, root, fromVersion)
@@ -972,6 +1027,17 @@ object Snapshots {
     * and the write re-runs against the next version (bounded retries). */
   def commit(root: String)(write: String => Unit): Long =
     commitImpl(root, carryForward = false, txn = None)(write)
+
+  /** ROW-PRESERVING full rewrite — [[commit]] stamped with the
+    * `#rowsunchanged` marker (Delta's `dataChange=false`): the caller
+    * declares the staged files hold EXACTLY the logical rows of the
+    * parent state (compaction, z-order clustering, MOR-delete
+    * absorption). Change-feed readers then attribute zero row changes
+    * to this commit ([[readChangesRows]] stays O(delta) across it) and
+    * the streaming source passes over it instead of refusing. */
+  def commitCompaction(root: String)(write: String => Unit): Long =
+    commitImpl(root, carryForward = false, txn = None,
+      rowsUnchanged = true)(write)
 
   /** APPEND commit: like [[commit]], but the published manifest is the
     * previous head's file list PLUS the newly staged files — the table
@@ -1168,7 +1234,8 @@ object Snapshots {
     * compose with any interleaving; only the replace path must
     * fail. */
   def commitRewriteStaged(root: String, files: Seq[String],
-      allowEmpty: Boolean = false, basedOn: Option[Long] = None): Long = {
+      allowEmpty: Boolean = false, basedOn: Option[Long] = None,
+      rowsUnchanged: Boolean = false): Long = {
     // a direct-API empty rewrite is almost always a bug (a write job
     // that produced nothing) — but a catalog DELETE matching every row
     // legitimately replaces the table with zero files, so the v2 path
@@ -1185,7 +1252,8 @@ object Snapshots {
         }
         true
       }) { v =>
-      (Nil, files.sorted.map(seqLine(_, v)) ++ newStatsLines(files), files.sorted)
+      (Nil, (if (rowsUnchanged) Seq(rowsUnchangedLine) else Nil) ++
+        files.sorted.map(seqLine(_, v)) ++ newStatsLines(files), files.sorted)
     }
   }
 
@@ -1316,17 +1384,41 @@ object Snapshots {
         if (ds.size == 1) ds.head // nothing to merge, reference in place
         else {
           val out = s"$stage/delkeys-$i"
-          spark.read.parquet(ds.map(_.path).sorted: _*)
-            .select(ds.head.keyCols
-              .map(org.apache.spark.sql.functions.col): _*).distinct()
+          // files staged on either side of an ALTER COLUMN widening
+          // carry different physical widths under the same key column —
+          // a single multi-path read would bind all of them to one
+          // file's footer schema, so read per file, cast each key to
+          // the widest type present, and union
+          import org.apache.spark.sql.functions.col
+          import org.apache.spark.sql.types._
+          def wider(a: DataType, b: DataType): DataType = (a, b) match {
+            case _ if a == b => a
+            case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+            case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+            case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+              if (y.precision >= x.precision) y else x
+            case _ => throw new IllegalStateException(
+              s"delete-key files disagree on type for '$keyCol': " +
+                s"${a.simpleString} vs ${b.simpleString}")
+          }
+          val frames = ds.map(_.path).sorted.map(p =>
+            spark.read.parquet(p).select(ds.head.keyCols.map(col): _*))
+          val widest = frames.map(_.schema.fields.map(_.dataType).toSeq)
+            .reduce((x, y) => x.lazyZip(y).map(wider))
+          frames.map(f => f.select(ds.head.keyCols.lazyZip(widest).map {
+              (c, t) => col(c).cast(t) }.toSeq: _*))
+            .reduce(_.unionByName(_)).distinct()
             .coalesce(1).write.mode("append").parquet(out)
           val staged = listParquet(out)
           require(staged.size == 1, s"compaction staged ${staged.size} files")
           DeleteFile(keyCol, staged.head, ds.map(_.coversBelow).max)
         }
       }
-      (Nil, newDels.map(delLine) ++ seqLines(snapAtPlan.fileSeq, snapAtPlan.files) ++
-        statsLines(snapAtPlan.statsRaw, snapAtPlan.files),
+      // delete-file merge relocates key bytes only — the logical row
+      // set is untouched, so change feeds may pass over this commit
+      (Nil, rowsUnchangedLine +: (newDels.map(delLine) ++
+        seqLines(snapAtPlan.fileSeq, snapAtPlan.files) ++
+        statsLines(snapAtPlan.statsRaw, snapAtPlan.files)),
         snapAtPlan.files)
     }
   }
@@ -1356,7 +1448,8 @@ object Snapshots {
   private def commitImpl(root: String, carryForward: Boolean,
       txn: Option[(String, Long)],
       stagedAsDeletes: Option[String] = None,
-      upsertKey: Option[String] = None)(write: String => Unit): Long = {
+      upsertKey: Option[String] = None,
+      rowsUnchanged: Boolean = false)(write: String => Unit): Long = {
     // the attempt's own staging dir, discarded (and only it) on a lost
     // race before the retry re-stages
     var dataDir: String = null
@@ -1406,7 +1499,8 @@ object Snapshots {
       }
       // seq pins for carried cross-root (published) files survive every
       // carry-forward commit; a full rewrite drops them with the files
-      val header = (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine) ++
+      val header = (if (rowsUnchanged) Seq(rowsUnchangedLine) else Nil) ++
+        (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine) ++
         parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil) ++
         parent.map(p => statsLines(p.statsRaw, files)).getOrElse(Nil) ++
         (if (stagedAsDeletes.isDefined) Nil else newStatsLines(stagedData))

@@ -282,9 +282,15 @@ class Round14OpsSpec extends SparkSpec {
       == expect)
     assert(spark.sql(s"SELECT count(*) FROM $cat.$db.mr WHERE price < 5")
       .as[Long].head() == 4L, "ids 1..4 survive, 0 deleted")
-    // the key column itself stays rename-protected
-    intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.$db.mr RENAME COLUMN id TO pk"))
+    // r16: the KEY column renames too — pending `#del` lines keep
+    // their commit-time spelling and resolve through the rename
+    // ledger; graft.mor.key follows the rename
+    spark.sql(s"ALTER TABLE $cat.$db.mr RENAME COLUMN id TO pk")
+    assert(spark.sql(s"SELECT sum(price) FROM $cat.$db.mr").as[Double].head()
+      == expect, "renamed key must still scope the pending deletes")
+    spark.sql(s"DELETE FROM $cat.$db.mr WHERE pk = 1000")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.$db.mr").as[Long].head() == 90L,
+      "a post-rename DELETE stages under the new spelling and applies")
   }
 
   test("empty-result reads: delete-only change range, unmatched partition, DELETE-all table") {

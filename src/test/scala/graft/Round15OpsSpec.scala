@@ -246,7 +246,7 @@ class Round15OpsSpec extends SparkSpec {
       sqlDf("ALTER TABLE snap.default.r15w ALTER COLUMN k TYPE STRING"))
   }
 
-  test("type widening composes with RENAME; pending MOR delete keys refuse widening") {
+  test("type widening composes with RENAME and with pending MOR delete keys") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r15wr")
     sqlDf("""CREATE TABLE snap.default.r15wr AS
             |SELECT CAST(id AS INT) AS amount FROM range(5)""".stripMargin)
@@ -255,16 +255,23 @@ class Round15OpsSpec extends SparkSpec {
     sqlDf("INSERT INTO snap.default.r15wr VALUES (1000)")
     // pre-rename narrow files coalesce under the new name AND upcast
     assert(sqlDf("SELECT sum(price) FROM snap.default.r15wr").as[Long].head() == 1010L)
-    // a column keying PENDING merge-on-read deletes must not widen
+    // r16: a column keying PENDING merge-on-read deletes MAY widen —
+    // the loaders upcast the staged narrow keys to the declared type
     sqlDf("DROP TABLE IF EXISTS snap.default.r15wm")
     sqlDf("""CREATE TABLE snap.default.r15wm (k INT, v STRING)
             |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
     sqlDf("INSERT INTO snap.default.r15wm VALUES (1,'a'), (2,'b')")
     sqlDf("DELETE FROM snap.default.r15wm WHERE k = 1")
-    val ex = intercept[Exception](
-      sqlDf("ALTER TABLE snap.default.r15wm ALTER COLUMN k TYPE BIGINT"))
-    assert(ex.getMessage.contains("pending merge-on-read delete"),
-      s"got: ${ex.getMessage}")
+    sqlDf("ALTER TABLE snap.default.r15wm ALTER COLUMN k TYPE BIGINT")
+    assert(sqlDf("SELECT k, v FROM snap.default.r15wm").as[(Long, String)]
+      .collect().toSet == Set(2L -> "b"),
+      "the pre-widening delete must still hide k=1 after the ALTER")
+    // and a post-widening delete composes with the pre-widening one
+    sqlDf("INSERT INTO snap.default.r15wm VALUES (3000000000, 'c'), (4,'d')")
+    sqlDf("DELETE FROM snap.default.r15wm WHERE k = 3000000000")
+    assert(sqlDf("SELECT k FROM snap.default.r15wm").as[Long]
+      .collect().toSet == Set(2L, 4L),
+      "narrow- and wide-staged delete files must both scope")
   }
 
   test("readStream.table tails snapshot commits exactly-once across restart") {

@@ -85,4 +85,185 @@ class Round16OpsSpec extends SparkSpec {
       s"MOR scan must stats-prune too: ${plannedFiles(morSel).size} of ${morFull.size}")
     assert(morSel.count() == 99, "delete must still apply on the kept files")
   }
+
+  test("MOR key rename + widening compose with pending deletes, both loader paths") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16mw")
+    sqlDf("""CREATE TABLE snap.default.r16mw (k INT, v STRING)
+            |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r16mw VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    sqlDf("DELETE FROM snap.default.r16mw WHERE k = 1") // pending, narrow, spelling `k`
+    sqlDf("ALTER TABLE snap.default.r16mw RENAME COLUMN k TO pk")
+    sqlDf("ALTER TABLE snap.default.r16mw ALTER COLUMN pk TYPE BIGINT")
+    sqlDf("INSERT INTO snap.default.r16mw VALUES (3000000000, 'big'), (5,'e')")
+    sqlDf("DELETE FROM snap.default.r16mw WHERE pk = 2") // pending, wide, spelling `pk`
+    val expect = Set(3L, 4L, 5L, 3000000000L)
+    assert(sqlDf("SELECT pk FROM snap.default.r16mw").as[Long].collect().toSet
+      == expect,
+      "narrow `k`-keyed and wide `pk`-keyed pending deletes must both scope")
+    // the executor-side (over-gate) loader agrees: footer-typed upcast
+    val old = spark.conf.getOption("spark.graft.mor.inlineDeleteBytes")
+    spark.conf.set("spark.graft.mor.inlineDeleteBytes", "1")
+    try assert(sqlDf("SELECT pk FROM snap.default.r16mw").as[Long].collect().toSet
+      == expect, "lazy delete-key loading must upcast by footer type")
+    finally old match {
+      case Some(v) => spark.conf.set("spark.graft.mor.inlineDeleteBytes", v)
+      case None => spark.conf.unset("spark.graft.mor.inlineDeleteBytes")
+    }
+    // graft.mor.key followed the rename: a post-rename upsert keys on pk
+    sqlDf("UPDATE snap.default.r16mw SET v = 'E' WHERE pk = 5")
+    assert(sqlDf("SELECT v FROM snap.default.r16mw WHERE pk = 5").as[String]
+      .head() == "E")
+  }
+
+  test("compactDeletes merges delete files staged across a widening") {
+    import graft.sources.Snapshots
+    val wh = Qx.tmpOut("r16cw", sf())
+    GraftCatalog.register(spark, "snapcw", Some(wh))
+    spark.sql("DROP TABLE IF EXISTS snapcw.default.cw")
+    spark.sql("""CREATE TABLE snapcw.default.cw (k INT, v STRING)
+                |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    spark.sql("INSERT INTO snapcw.default.cw VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    spark.sql("DELETE FROM snapcw.default.cw WHERE k = 1") // INT32 delete file
+    spark.sql("ALTER TABLE snapcw.default.cw ALTER COLUMN k TYPE BIGINT")
+    spark.sql("DELETE FROM snapcw.default.cw WHERE k = 2") // INT64 delete file
+    val root = s"$wh/default/cw"
+    val before = Snapshots.resolve(root).get.deletes.size
+    assert(before == 2, s"fixture needs two pending delete files, got $before")
+    Snapshots.compactDeletes(spark, root)
+    val after = Snapshots.resolve(root).get.deletes
+    assert(after.size == 1,
+      s"scope-equivalent mixed-width delete files must merge, got ${after.size}")
+    assert(spark.sql("SELECT k FROM snapcw.default.cw").as[Long].collect().toSet
+      == Set(3L, 4L), "compacted (widened) delete keys must still scope")
+  }
+
+  test("row change feed stays O(delta) across a rows-unchanged compaction") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    val root = s"${Qx.tmpOut("r16cdf", sf())}/store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val v1 = Snapshots.commit(root)(out =>
+      spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+        .repartition(4).write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      spark.range(100, 120).select($"id".as("k"), ($"id" * 2).as("v"))
+        .write.mode("append").parquet(out))
+    // the compaction: same logical rows, fewer files, marker stamped
+    val pre = Snapshots.read(spark, root)
+    Snapshots.commitCompaction(root)(out =>
+      pre.coalesce(1).write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out =>
+      spark.range(120, 130).select($"id".as("k"), ($"id" * 2).as("v"))
+        .write.mode("append").parquet(out))
+    val vTo = Snapshots.maxCommitted(root)
+    val feed = Snapshots.readChangesRows(spark, root, v1, vTo, Seq("k"))
+    // O(delta): only the two appends' rows, all inserts — and the plan
+    // must NOT contain the full-outer state join of the fallback path
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"marked compaction must not force the state-diff join:\n$plan")
+    assert(feed.select(col("k")).as[Long].collect().sorted.toSeq ==
+      (100L until 130L), "feed must be exactly the appended rows")
+    assert(feed.select(col("_change_type")).distinct().as[String]
+      .collect().toSeq == Seq("insert"))
+    // an UNMARKED rewrite still falls back to the exact state diff
+    val pre2 = Snapshots.read(spark, root)
+    Snapshots.commit(root)(out =>
+      pre2.filter(col("k") =!= 5).coalesce(1).write.mode("append").parquet(out))
+    val vTo2 = Snapshots.maxCommitted(root)
+    val feed2 = Snapshots.readChangesRows(spark, root, v1, vTo2, Seq("k"))
+    val byType = feed2.groupBy(col("_change_type")).count().as[(String, Long)]
+      .collect().toMap
+    assert(byType("insert") == 30 && byType("delete") == 1,
+      s"unmarked rewrite must fall back to the exact diff, got $byType")
+  }
+
+  test("streaming source start controls; compaction commits pass over silently") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.streaming.Trigger
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16ss")
+    sqlDf("CREATE TABLE snap.default.r16ss (k BIGINT, v STRING)")
+    sqlDf("INSERT INTO snap.default.r16ss VALUES (1,'a')") // v1
+    sqlDf("INSERT INTO snap.default.r16ss VALUES (2,'b')") // v2
+    sqlDf("INSERT INTO snap.default.r16ss VALUES (3,'c')") // v3
+    val root = s"$wh/default/r16ss"
+    def drain(extra: Map[String, String]): Set[(Long, String)] = {
+      val out = Qx.tmpOut(s"r16ssout${extra.hashCode}", sf())
+      val ckpt = Qx.tmpOut(s"r16ssckpt${extra.hashCode}", sf())
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val q = spark.readStream.options(extra).table("snap.default.r16ss")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val files = new java.io.File(out).listFiles()
+      if (files == null || !files.exists(_.getName.endsWith(".parquet")))
+        Set.empty
+      else spark.read.parquet(out).as[(Long, String)].collect().toSet
+    }
+    // mid-history start: no replay of v1/v2
+    assert(drain(Map("startingVersion" -> "2")) == Set(3L -> "c"),
+      "startingVersion=2 must deliver exactly the commits after v2")
+    // timestamp start: resolves to the newest commit at/before the
+    // literal — v2's own ts → only v3 flows
+    val ts2 = Snapshots.commitTimestamp(root, 2L).get
+    val lit = java.time.Instant
+      .ofEpochSecond(ts2 / 1000000L, (ts2 % 1000000L) * 1000L)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    assert(drain(Map("startingTimestamp" -> lit)) == Set(3L -> "c"),
+      s"startingTimestamp '$lit' must start after v2")
+    // a rows-unchanged compaction passes over silently (no refusal,
+    // no rows), and a later append still flows
+    val pre = Snapshots.read(spark, root)
+    Snapshots.commitCompaction(root)(out =>
+      pre.coalesce(1).write.mode("append").parquet(out)) // v4
+    sqlDf("INSERT INTO snap.default.r16ss VALUES (5,'e')") // v5
+    assert(drain(Map("startingVersion" -> "3")) == Set(5L -> "e"),
+      "marked compaction must pass over; the later append must flow")
+  }
+
+  test("CALL snap.system.{compact, compact_deletes, vacuum} maintenance procedures") {
+    import graft.sources.Snapshots
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16proc")
+    sqlDf("""CREATE TABLE snap.default.r16proc (k BIGINT, v STRING)
+            |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    (0 until 4).foreach(i =>
+      sqlDf(s"INSERT INTO snap.default.r16proc SELECT id, CAST(id AS STRING) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})"))
+    sqlDf("DELETE FROM snap.default.r16proc WHERE k % 10 = 0")
+    sqlDf("DELETE FROM snap.default.r16proc WHERE k % 7 = 0")
+    val root = s"$wh/default/r16proc"
+    val preFiles = Snapshots.resolve(root).get.files.size
+    val preDels = Snapshots.resolve(root).get.deletes.size
+    assert(preDels > 1, s"fixture needs stacked delete files, got $preDels")
+    val expect = (0L until 400L).filterNot(k => k % 10 == 0 || k % 7 == 0)
+    // delete-file merge: report row returns, pending set shrinks to 1
+    val cd = sqlDf("CALL snap.system.compact_deletes('default.r16proc')")
+      .collect().head
+    assert(cd.getAs[Int]("deletes_before") == preDels &&
+      cd.getAs[Int]("deletes_after") == 1,
+      s"compact_deletes report: $cd")
+    assert(sqlDf("SELECT k FROM snap.default.r16proc").as[Long].collect().sorted
+      .toSeq == expect)
+    // full compaction: absorbs the pending deletes, bin-packs files
+    val c = sqlDf("CALL snap.system.compact('default.r16proc')").collect().head
+    assert(c.getAs[Int]("files_before") == preFiles &&
+      c.getAs[Int]("deletes_absorbed") == 1, s"compact report: $c")
+    val post = Snapshots.resolve(root).get
+    assert(post.deletes.isEmpty, "compaction must absorb pending deletes")
+    assert(post.files.size < preFiles,
+      s"bin-packing must shrink the file count: ${post.files.size} of $preFiles")
+    assert(sqlDf("SELECT k FROM snap.default.r16proc").as[Long].collect().sorted
+      .toSeq == expect, "compaction must be lossless")
+    // the compaction commit is rows-unchanged-marked
+    assert(Snapshots.rowsUnchangedAt(root, post.version))
+    // vacuum through SQL: retention floor rises, head still reads
+    val vc = sqlDf("CALL snap.system.vacuum('default.r16proc', 2)").collect().head
+    assert(vc.getAs[Long]("oldest_retained") > 1L, s"vacuum report: $vc")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r16proc").as[Long].head()
+      == expect.size)
+  }
 }
