@@ -664,7 +664,74 @@ object PlanAudit {
         |single projection, then a copy-on-write parquet write published
         |by the snapshot store's atomic manifest commit — the same
         |read-isolation guarantee a Delta MERGE gives. Spec-pinned equal
-        |to the DataFrame cdc_merge_apply row for row.""".stripMargin)
+        |to the DataFrame cdc_merge_apply row for row.""".stripMargin,
+    "snapshot_stats_prune" ->
+      """File skipping on manifest column bounds (r15), explicit API.
+        |readStatsPruned keeps only files whose recorded [min,max] for
+        |l_partkey intersects the window — metadata-only, decided before
+        |any listing or footer read — so expect a plain vectorized
+        |FileScan over the KEPT files (Round15OpsSpec pins the
+        |inputFiles shrink), the residual partkey filter re-applied
+        |above (pushed to the scan too), then the standard two-phase
+        |HashAggregate. At 100 TB with 1M files the prune is manifest
+        |arithmetic on the driver; a 0.1% window opens ~0.1% of the
+        |files.""".stripMargin,
+    "snapshot_stats_prune_sql" ->
+      """The same bounds reached the way users reach them (r16): a
+        |plain WHERE on a snap.* catalog table. The DSv2 scan's file
+        |index evaluates the PUSHED predicates against each file's
+        |stats inside listFiles, so expect a single BatchScan whose
+        |planned partitions cover only intersecting files (Round16Ops-
+        |Spec pins the planned-file shrink, including under MOR), with
+        |PushedFilters intact and whole-stage codegen above — no
+        |explicit API in sight.""".stripMargin,
+    "snapshot_cdf_rows" ->
+      """Row-level change feed whose range CROSSES an unmarked rewrite
+        |(r15). Expect the documented fallback: both pinned states
+        |packed to (key struct, row struct), ONE full-outer
+        |SortMergeJoin on the key, change rows classified by null-side
+        |and value inequality — the price Delta pays for CDF across
+        |untracked row-changing rewrites. Ranges whose rewrites carry
+        |the r16 #rowsunchanged marker never reach this join
+        |(Round16OpsSpec pins the join-free plan); append-only ranges
+        |read only the added files.""".stripMargin,
+    "stream_snapshot_source" ->
+      """Native streaming source (r15): readStream.table over the
+        |snapshot catalog, offsets = committed versions, each
+        |micro-batch planning the manifest set-difference of its
+        |(start, end] range. The audited plan is the sink-side
+        |aggregate over the tailed parquet output — the interesting
+        |property is the SOURCE cost model: per batch O(new files)
+        |planning + O(new rows) I/O, never a re-list or re-scan of the
+        |base; r16 adds startingVersion/startingTimestamp catch-up and
+        |silent pass-over of rows-unchanged maintenance commits.""".stripMargin,
+    "sql_type_widening" ->
+      """Metadata-only ALTER COLUMN widening (r15). Expect a UNION of
+        |two branches — head (both eras under the widened types, narrow
+        |files upcast natively by the vectorized reader) and VERSION AS
+        |OF 1 (its own narrow footer schema) — each a plain pushdown
+        |FileScan + two-phase HashAggregate; no rewrite anywhere in the
+        |history. The scan stays vectorized because int32→int64 /
+        |float→double promotion is native to the parquet reader.""".stripMargin,
+    "sql_evolution_mor" ->
+      """Rename + widen of a merge-on-read KEY with deletes pending
+        |(r16) — the composition Iceberg needs field-ids for, carried
+        |here by the rename ledger. Expect the MOR scan shape: per-era
+        |parquet scans under the physical union schema, the prior-name
+        |coalesce folding `k` into `ok` BEFORE the row-level delete
+        |filter, delete keys loaded once (narrow files upcast by footer
+        |type) and applied as in-memory sets, then the aggregate. The
+        |rent is row-based batches until compaction absorbs the
+        |deletes — the same transient degrade Iceberg v2 accepts.""".stripMargin,
+    "sql_maintenance" ->
+      """SQL-first maintenance (r16): CALL snap.system.compact_deletes /
+        |compact / vacuum ran before this read, so expect the PLAIN
+        |vectorized pushdown scan — no MOR wrapper, no delete sets, no
+        |rename coalesce — over the bin-packed post-compaction files:
+        |maintenance restored the fast-path plan, which is the point.
+        |The compaction commit itself is basedOn-guarded and stamped
+        |rows-unchanged, so concurrent change feeds and streams ignore
+        |it.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
