@@ -484,10 +484,12 @@ private[catalog] object GraftScans {
     else {
       val deletes = snap.map(_.deletes).getOrElse(Nil)
       val statsRaw = snap.map(_.statsRaw).getOrElse(Map.empty[String, String])
+      val blooms = snap.map(_.blooms).getOrElse(Map.empty[String, Seq[String]])
       if (deletes.isEmpty) {
-        if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options, statsRaw)
+        if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options,
+          statsRaw, blooms)
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
-          files, options, statsRaw)
+          files, options, statsRaw, blooms)
       } else {
         // renames compose with pending deletes: ALTER TABLE guarantees
         // the delete KEY columns themselves are never renamed under
@@ -501,7 +503,8 @@ private[catalog] object GraftScans {
 
   private[catalog] def parquetBuilder(spark: SparkSession, files: Seq[String],
       schema: StructType, options: CaseInsensitiveStringMap,
-      statsRaw: Map[String, String] = Map.empty): ParquetScanBuilder = {
+      statsRaw: Map[String, String] = Map.empty,
+      blooms: Map[String, Seq[String]] = Map.empty): ParquetScanBuilder = {
     // a direct-API root staged with .partitionBy carries col=value path
     // segments whose columns exist ONLY in the path — this flat scan
     // (PartitionSpec.emptySpec, schema from footers) would silently
@@ -516,14 +519,14 @@ private[catalog] object GraftScans {
     }
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index =
-      if (statsRaw.isEmpty)
+      if (statsRaw.isEmpty && blooms.isEmpty)
         new InMemoryFileIndex(classic,
           files.map(f => new org.apache.hadoop.fs.Path(f)),
           Map.empty[String, String], Some(schema), NoopCache,
           Some(PartitionSpec.emptySpec), None)
       else new StatsPruningIndex(classic,
         files.map(f => new org.apache.hadoop.fs.Path(f)),
-        schema, statsRaw)
+        schema, statsRaw, blooms)
     ParquetScanBuilder(classic, index, schema, schema, options)
   }
 
@@ -544,7 +547,8 @@ private[catalog] object GraftScans {
   private[catalog] class StatsPruningIndex(
       classic: org.apache.spark.sql.classic.SparkSession,
       paths: Seq[org.apache.hadoop.fs.Path], schema: StructType,
-      statsRaw: Map[String, String])
+      statsRaw: Map[String, String],
+      blooms: Map[String, Seq[String]] = Map.empty)
     extends InMemoryFileIndex(classic, paths, Map.empty[String, String],
       Some(schema), NoopCache, Some(PartitionSpec.emptySpec), None) {
 
@@ -553,28 +557,61 @@ private[catalog] object GraftScans {
     private lazy val statsByPath: Map[String, String] = statsRaw.map {
       case (k, v) => new org.apache.hadoop.fs.Path(k).toUri.getPath -> v
     }
+    private lazy val bloomByPath: Map[String, Set[String]] = blooms.map {
+      case (k, cols) =>
+        new org.apache.hadoop.fs.Path(k).toUri.getPath -> cols.toSet
+    }
 
     override def listFiles(
         partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
       val base = super.listFiles(partitionFilters, dataFilters)
-      if (dataFilters.isEmpty || statsByPath.isEmpty) base
+      if (dataFilters.isEmpty || (statsByPath.isEmpty && bloomByPath.isEmpty)) base
       else base.map { pd =>
         pd.copy(files = pd.files.filter { f =>
-          statsByPath.get(f.getPath.toUri.getPath).forall(body =>
-            dataFilters.forall(statsAdmits(body, _)))
+          val path = f.getPath.toUri.getPath
+          val bloomOf: String => Option[org.apache.spark.util.sketch.BloomFilter] =
+            col =>
+              if (bloomByPath.get(path).exists(_.contains(col)))
+                BloomCache.load(Snapshots.bloomSidecar(path, col))
+              else None
+          dataFilters.forall(admits(statsByPath.get(path), bloomOf, _))
         })
       }
     }
   }
 
-  /** Can a file whose stats line is `body` contain a row satisfying
-    * `e`? Conservative three-valued logic collapsed to keep-on-unknown:
-    * only shapes the recorded bounds can refute return `false`. Strict
+  /** Driver-side soft cache of deserialized bloom sidecars — one small
+    * read per (file, col) per JVM, shared across queries. */
+  private[catalog] object BloomCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.SoftReference[org.apache.spark.util.sketch.BloomFilter]]()
+    def load(path: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+      val hit = Option(cache.get(path)).flatMap(r => Option(r.get()))
+      hit.orElse {
+        try {
+          val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+          cache.put(path, new java.lang.ref.SoftReference(bf))
+          Some(bf)
+        } catch { case _: Exception => None } // missing/corrupt sidecar → no prune
+      }
+    }
+  }
+
+  /** Can a file with recorded stats `body` and per-column bloom
+    * sidecars (`bloomOf`) contain a row satisfying `e`? Conservative
+    * three-valued logic collapsed to keep-on-unknown: only shapes the
+    * recorded bounds or sketches can refute return `false`. Strict
     * comparisons use the inclusive range rule (admits a superset —
-    * safe). */
-  private[catalog] def statsAdmits(body: String,
+    * safe). Equality shapes compose BOTH refuters: the min/max
+    * interval AND — when the file carries a sketch for the column —
+    * Bloom membership of the literal's XxHash64 (the hash the writer
+    * sketched; integral widths hash identically, so the check survives
+    * int→bigint widening). */
+  private[catalog] def admits(body: Option[String],
+      bloomOf: String => Option[org.apache.spark.util.sketch.BloomFilter],
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
     def value(v: Any): Option[Any] = v match {
@@ -589,13 +626,21 @@ private[catalog] object GraftScans {
       case _ => None // decimal/binary/bool → no stats recorded for these
     }
     def range(col: String, v: Any, lower: Boolean, upper: Boolean): Boolean =
-      value(v).forall(x => Snapshots.statsAdmitsRange(body, col,
-        if (lower) Some(x) else None, if (upper) Some(x) else None))
+      body.forall(b => value(v).forall(x => Snapshots.statsAdmitsRange(b, col,
+        if (lower) Some(x) else None, if (upper) Some(x) else None)))
+    def bloomHas(col: String, v: Any, dt: org.apache.spark.sql.types.DataType): Boolean =
+      v == null || bloomOf(col).forall { bf =>
+        try bf.mightContainLong(
+          XxHash64(Seq(Literal(v, dt)), 42L).eval().asInstanceOf[Long])
+        catch { case _: Exception => true }
+      }
+    def eq(a: Attribute, v: Any, dt: org.apache.spark.sql.types.DataType): Boolean =
+      range(a.name, v, lower = true, upper = true) && bloomHas(a.name, v, dt)
     e match {
-      case And(l, r) => statsAdmits(body, l) && statsAdmits(body, r)
-      case Or(l, r) => statsAdmits(body, l) || statsAdmits(body, r)
-      case EqualTo(a: Attribute, Literal(v, _)) => range(a.name, v, lower = true, upper = true)
-      case EqualTo(Literal(v, _), a: Attribute) => range(a.name, v, lower = true, upper = true)
+      case And(l, r) => admits(body, bloomOf, l) && admits(body, bloomOf, r)
+      case Or(l, r) => admits(body, bloomOf, l) || admits(body, bloomOf, r)
+      case EqualTo(a: Attribute, Literal(v, dt)) => eq(a, v, dt)
+      case EqualTo(Literal(v, dt), a: Attribute) => eq(a, v, dt)
       case GreaterThan(a: Attribute, Literal(v, _)) => range(a.name, v, lower = true, upper = false)
       case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => range(a.name, v, lower = true, upper = false)
       case LessThan(a: Attribute, Literal(v, _)) => range(a.name, v, lower = false, upper = true)
@@ -604,16 +649,20 @@ private[catalog] object GraftScans {
       case GreaterThanOrEqual(Literal(v, _), a: Attribute) => range(a.name, v, lower = false, upper = true)
       case LessThan(Literal(v, _), a: Attribute) => range(a.name, v, lower = true, upper = false)
       case LessThanOrEqual(Literal(v, _), a: Attribute) => range(a.name, v, lower = true, upper = false)
-      case EqualNullSafe(a: Attribute, Literal(v, _)) =>
-        if (v == null) Snapshots.statsAdmitsNull(body, a.name)
-        else range(a.name, v, lower = true, upper = true)
-      case EqualNullSafe(Literal(v, _), a: Attribute) =>
-        if (v == null) Snapshots.statsAdmitsNull(body, a.name)
-        else range(a.name, v, lower = true, upper = true)
+      case EqualNullSafe(a: Attribute, Literal(v, dt)) =>
+        if (v == null) body.forall(Snapshots.statsAdmitsNull(_, a.name))
+        else eq(a, v, dt)
+      case EqualNullSafe(Literal(v, dt), a: Attribute) =>
+        if (v == null) body.forall(Snapshots.statsAdmitsNull(_, a.name))
+        else eq(a, v, dt)
       case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists { case Literal(v, _) => range(a.name, v, lower = true, upper = true) }
-      case IsNull(a: Attribute) => Snapshots.statsAdmitsNull(body, a.name)
-      case IsNotNull(a: Attribute) => Snapshots.statsAdmitsNotNull(body, a.name)
+        vs.exists { case Literal(v, dt) => eq(a, v, dt) }
+      case InSet(a: Attribute, vs) if vs.nonEmpty && vs.size <= 1000 =>
+        // set elements are already catalyst values (UTF8String/Long/…)
+        vs.exists(v => range(a.name, v, lower = true, upper = true) &&
+          bloomHas(a.name, v, a.dataType))
+      case IsNull(a: Attribute) => body.forall(Snapshots.statsAdmitsNull(_, a.name))
+      case IsNotNull(a: Attribute) => body.forall(Snapshots.statsAdmitsNotNull(_, a.name))
       case _ => true // unknown shape → keep the file
     }
   }
@@ -722,7 +771,8 @@ private[catalog] class EmptyScanBuilder(schema: StructType)
 private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
     tableSchema: StructType, priors: Map[String, Seq[String]],
     files: Seq[String], options: CaseInsensitiveStringMap,
-    statsRaw: Map[String, String] = Map.empty)
+    statsRaw: Map[String, String] = Map.empty,
+    blooms: Map[String, Seq[String]] = Map.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -730,7 +780,7 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
   // schema (every column + every prior spelling) so filter pushdown can
   // forward before column pruning settles; pruning narrows it at build
   private val inner = GraftScans.parquetBuilder(spark, files,
-    GraftScans.renamePlan(tableSchema, priors)._1, options, statsRaw)
+    GraftScans.renamePlan(tableSchema, priors)._1, options, statsRaw, blooms)
 
   private var requested: StructType = tableSchema
 
@@ -1080,7 +1130,8 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     .toSeq.sortBy(_._2.min).map { case (dels, fs) => (fs, dels) }
 
   private val eraBuilders = eras.map { case (fs, _) =>
-    GraftScans.parquetBuilder(spark, fs, tableSchema, options, snap.statsRaw)
+    GraftScans.parquetBuilder(spark, fs, tableSchema, options, snap.statsRaw,
+      snap.blooms)
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =

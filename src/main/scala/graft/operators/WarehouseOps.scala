@@ -1007,6 +1007,44 @@ object WarehouseOps {
              |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** BLOOM-FILTER FILE SKIPPING (`snapshot_bloom_prune`) — point
+    * lookups on a high-cardinality key, where min/max bounds skip
+    * NOTHING because every file spans the whole key domain. Opt-in via
+    * `TBLPROPERTIES ('graft.bloom.cols'='o_orderkey')`: each data-file
+    * commit runs one distributed pass over the NEW files aggregating a
+    * per-file Bloom sketch of the key's XxHash64 values (OR-merged, so
+    * row-order independent), written as a sidecar beside the data file
+    * and referenced by a `#bloom:` manifest line; the catalog scan's
+    * file index then refutes `k = <literal>` / IN-lists per file from
+    * the soft-cached ~90 KB sketch — the Hudi bloom-index shape. The
+    * fixture stages orders in two commits with fully overlapping key
+    * ranges (even keys, then odd) and point-looks a scattered IN-list;
+    * the oracle recomputes the same rows from the ORIGINAL table, so a
+    * sketch that wrongly refutes a present key (lost row) hash-
+    * mismatches; the planned-file shrink itself — including the
+    * zero-file absent-key plan — is pinned in Round16OpsSpec.
+    *
+    * Scale: the sketch decision is driver-side arithmetic over
+    * megabytes of soft-cached sidecars; a point lookup on a 100 TB
+    * table opens only the files that might hold the key — min/max
+    * cannot give this on interleaved keys, and parquet's own blooms
+    * sit a level lower (row-group, after the file is opened). */
+  val snapshotBloomPrune: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "bloom_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.bloom.cols'='o_orderkey') AS
+             |SELECT o_orderkey, o_orderpriority,
+             |       CAST(o_totalprice AS DOUBLE) AS price
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE)
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1""".stripMargin)
+    s.sql(s"""SELECT o_orderkey, o_orderpriority, price
+             |FROM $t
+             |WHERE o_orderkey IN (1, 2, 3, 32, 33, 322, 323, 3205, 3206)
+             |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** SQL-FIRST MAINTENANCE (`sql_maintenance`) — the operational story
     * as stored procedures (Spark 4's `ProcedureCatalog`, the Iceberg
     * `CALL catalog.system.…` shape, [[graft.catalog]]
@@ -1454,6 +1492,7 @@ object WarehouseOps {
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_stats_prune" -> snapshotStatsPrune,
     "snapshot_stats_prune_sql" -> snapshotStatsPruneSql,
+    "snapshot_bloom_prune" -> snapshotBloomPrune,
     "snapshot_cdf_rows" -> snapshotCdfRows,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
@@ -1678,6 +1717,15 @@ object WarehouseOps {
       FROM lineitem
       WHERE l_partkey BETWEEN 20 AND 119
       GROUP BY l_suppkey ORDER BY l_suppkey""",
+    // The same point-lookup rows recomputed from the ORIGINAL table:
+    // a sketch that wrongly refutes a present key (over-pruned file)
+    // loses its row and hash-mismatches.
+    "snapshot_bloom_prune" -> """
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+      WHERE o_orderkey IN (1, 2, 3, 32, 33, 322, 323, 3205, 3206)
+      ORDER BY o_orderkey""",
     // The post-maintenance table recomputed from the ORIGINAL rows:
     // a compaction that loses, dupes, or resurrects deleted rows, or
     // a vacuum that breaks the head, all hash-mismatch.

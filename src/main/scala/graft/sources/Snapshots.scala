@@ -84,7 +84,8 @@ object Snapshots {
   final case class Snapshot(version: Long, files: Seq[String],
       deletes: Seq[DeleteFile] = Nil,
       fileSeq: Map[String, Long] = Map.empty,
-      statsRaw: Map[String, String] = Map.empty)
+      statsRaw: Map[String, String] = Map.empty,
+      blooms: Map[String, Seq[String]] = Map.empty)
 
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
 
@@ -209,14 +210,139 @@ object Snapshots {
       val body = l.stripPrefix(statsPrefix)
       statsPathOf(body).map(_ -> body)
     }.flatten.toMap
-    Snapshot(version, lines.filterNot(_.startsWith("#")), dels, seqs, stats)
+    val blooms = lines.collect { case l if l.startsWith(bloomPrefix) =>
+      val body = l.stripPrefix(bloomPrefix)
+      val sep = body.indexOf(':')
+      body.substring(sep + 1) -> body.substring(0, sep) // file -> col
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    Snapshot(version, lines.filterNot(_.startsWith("#")), dels, seqs, stats,
+      blooms)
   }
 
   private val delPrefix = "#del:"
   private val tsPrefix = "#ts:"
   private val seqPrefix = "#seq:"
   private val statsPrefix = "#stats:"
+  private val bloomPrefix = "#bloom:"
   private val rowsUnchangedLine = "#rowsunchanged:1"
+
+  // --- per-file BLOOM FILTERS (point-lookup file skipping) ---------------
+  //
+  // Min/max bounds skip nothing on a high-cardinality key whose values
+  // interleave across files (every file spans the whole domain). The
+  // Hudi-bloom-index answer: an opt-in per-file Bloom filter over the
+  // key's 64-bit hashes, written as a SIDECAR beside the data file
+  // (`<file>.bloom-<col>`) and referenced by a `#bloom:<col>:<file>`
+  // manifest line, so the catalog scan can refute `key = <literal>`
+  // per file from a soft-cached ~90 KB sketch — no footer, no data
+  // I/O. Opt-in via TBLPROPERTIES ('graft.bloom.cols'='k[,c2…]');
+  // sizing via 'graft.bloom.items' (default 100k) / 'graft.bloom.fpp'
+  // (default 0.03). Hashes are Spark's XxHash64 of the column value
+  // (integral widths hash identically, so the sketch survives a later
+  // int→bigint widening); membership bits OR-merge, so the sketch is
+  // independent of row order — deterministic. The computation is ONE
+  // distributed pass over the NEWLY STAGED files only; sidecars live
+  // inside the staging dir, so vacuum reclaims them with their
+  // version. Pruning is I/O optimization, never correctness: files
+  // without a sketch are always kept, and Spark re-applies every
+  // predicate above the scan.
+
+  /** Sidecar path convention for a data file's per-column sketch. */
+  def bloomSidecar(dataFile: String, col: String): String =
+    s"$dataFile.bloom-$col"
+
+  private def bloomLine(col: String, file: String): String =
+    s"$bloomPrefix$col:$file"
+
+  /** Carried-forward `#bloom:` lines restricted to retained files. */
+  private def bloomLines(blooms: Map[String, Seq[String]],
+      files: Seq[String]): Seq[String] = {
+    val keep = files.toSet
+    blooms.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
+      .flatMap { case (f, cols) => cols.map(bloomLine(_, f)) }
+  }
+
+  /** The bloom column list a root opted into (empty = feature off). */
+  private def bloomColsOf(root: String): Seq[String] = {
+    val f = Paths.get(root, "_table.properties")
+    if (!Files.exists(f)) Nil
+    else try {
+      val p = new java.util.Properties()
+      val in = Files.newBufferedReader(f, UTF_8)
+      try p.load(in) finally in.close()
+      Option(p.getProperty("graft.bloom.cols")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    } catch { case _: Exception => Nil }
+  }
+
+  private def bloomProp(root: String, key: String, dflt: String): String = {
+    val f = Paths.get(root, "_table.properties")
+    try {
+      val p = new java.util.Properties()
+      val in = Files.newBufferedReader(f, UTF_8)
+      try p.load(in) finally in.close()
+      Option(p.getProperty(key)).getOrElse(dflt)
+    } catch { case _: Exception => dflt }
+  }
+
+  /** One distributed pass per opted-in column over the staged files:
+    * per-file XxHash64 sketches aggregated with a Dataset
+    * [[org.apache.spark.sql.expressions.Aggregator]] (OR-merge —
+    * order-independent), sidecars written beside the data files, one
+    * manifest line each. No active session (pure file-API callers) or
+    * a column absent from the staged schema → skip silently; blooms
+    * are an optimization, never load-bearing. */
+  private def newBloomLines(root: String, staged: Seq[String]): Seq[String] = {
+    val cols = bloomColsOf(root)
+    if (cols.isEmpty || staged.isEmpty) return Nil
+    val spark = SparkSession.getActiveSession.getOrElse(return Nil)
+    val items = bloomProp(root, "graft.bloom.items", "100000").toLong
+    val fpp = bloomProp(root, "graft.bloom.fpp", "0.03").toDouble
+    try {
+      val df = spark.read.parquet(staged: _*)
+      val present = df.columns.toSet
+      cols.filter(present).sorted.flatMap { c =>
+        import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+        import spark.implicits._
+        val hashed = df
+          .select(input_file_name().as("_f"), xxhash64(col(c)).as("_h"))
+          .as[(String, Long)]
+        val agg = new BloomAgg(items, fpp)
+        val perFile = hashed.groupByKey(_._1).agg(agg.toColumn).collect()
+        perFile.toSeq.map { case (uri, bytes) =>
+          val path = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+          Files.write(Paths.get(bloomSidecar(path, c)), bytes)
+          bloomLine(c, path)
+        }
+      }
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Per-file Bloom aggregation buffer: Spark's mergeable
+    * [[org.apache.spark.util.sketch.BloomFilter]] over the column's
+    * XxHash64 values. */
+  private class BloomAgg(items: Long, fpp: Double)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (String, Long), org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    override def zero: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.create(items, fpp)
+    override def reduce(b: org.apache.spark.util.sketch.BloomFilter,
+        a: (String, Long)): org.apache.spark.util.sketch.BloomFilter = {
+      b.putLong(a._2); b
+    }
+    override def merge(x: org.apache.spark.util.sketch.BloomFilter,
+        y: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.util.sketch.BloomFilter = {
+      x.mergeInPlace(y); x
+    }
+    override def finish(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos); bos.toByteArray
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[org.apache.spark.util.sketch.BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization[org.apache.spark.util.sketch.BloomFilter]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
 
   /** Was version `v` committed with the ROWS-UNCHANGED marker — the
     * writer's declaration (Delta's `dataChange=false`) that the commit
@@ -466,6 +592,47 @@ object Snapshots {
       s"no committed snapshot under $root"))
     val kept = snap.files.filter(f =>
       snap.statsRaw.get(f).forall(statsAdmitsRange(_, col, lower, upper)))
+    if (kept.isEmpty)
+      readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
+        root = root).limit(0)
+    else readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq,
+      root = root)
+  }
+
+  /** POINT-LOOKUP head read: keep only the manifest files that might
+    * contain one of `values` for `col`, refuted by BOTH the recorded
+    * `[min, max]` bounds and — when the table opted into
+    * `graft.bloom.cols` — the per-file Bloom sidecars. The direct-API
+    * twin of the catalog scan's equality pruning: metadata + sidecar
+    * sketches only, no data I/O for refuted files; files without
+    * stats or sketch are always kept and the caller re-applies the
+    * real predicate (pruning is never the correctness carrier).
+    * Values must be integral or string (the sketched types). */
+  def readPointPruned(spark: SparkSession, root: String, col: String,
+      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readPointPruned needs at least one value")
+    val snap = resolve(root).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot under $root"))
+    def hashOf(v: Any): Option[Long] = try {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      Some(XxHash64(Seq(Literal(v)), 42L).eval().asInstanceOf[Long])
+    } catch { case _: Exception => None }
+    val hashes = values.map(hashOf)
+    def keep(f: String): Boolean = {
+      val rangeAdmits = snap.statsRaw.get(f).forall(body =>
+        values.exists(v => statsAdmitsRange(body, col, Some(v), Some(v))))
+      def bloomAdmits = {
+        val hasSketch = snap.blooms.get(f).exists(_.contains(col))
+        !hasSketch || {
+          val bf = try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+            Files.readAllBytes(Paths.get(bloomSidecar(f, col)))))
+          catch { case _: Exception => None }
+          bf.forall(b => hashes.exists(_.forall(b.mightContainLong)))
+        }
+      }
+      rangeAdmits && bloomAdmits
+    }
+    val kept = snap.files.filter(keep)
     if (kept.isEmpty)
       readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
         root = root).limit(0)
@@ -1253,7 +1420,8 @@ object Snapshots {
         true
       }) { v =>
       (Nil, (if (rowsUnchanged) Seq(rowsUnchangedLine) else Nil) ++
-        files.sorted.map(seqLine(_, v)) ++ newStatsLines(files), files.sorted)
+        files.sorted.map(seqLine(_, v)) ++ newStatsLines(files) ++
+        newBloomLines(root, files.sorted), files.sorted)
     }
   }
 
@@ -1281,7 +1449,9 @@ object Snapshots {
         parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil) ++
         dataFiles.sorted.map(seqLine(_, v)) ++
         parent.map(p => statsLines(p.statsRaw, files)).getOrElse(Nil) ++
-        newStatsLines(dataFiles)
+        newStatsLines(dataFiles) ++
+        parent.map(p => bloomLines(p.blooms, files)).getOrElse(Nil) ++
+        newBloomLines(root, dataFiles.sorted)
       (Nil, header, files)
     }
   }
@@ -1312,7 +1482,9 @@ object Snapshots {
         parent.map(p => seqLines(p.fileSeq, all)).getOrElse(Nil) ++
         files.sorted.map(seqLine(_, v)) ++
         parent.map(p => statsLines(p.statsRaw, all)).getOrElse(Nil) ++
-        newStatsLines(files)
+        newStatsLines(files) ++
+        parent.map(p => bloomLines(p.blooms, all)).getOrElse(Nil) ++
+        newBloomLines(root, files.sorted)
       (Seq(s"#txn:$appId:$epoch"), header, all)
     }
   }
@@ -1418,7 +1590,8 @@ object Snapshots {
       // set is untouched, so change feeds may pass over this commit
       (Nil, rowsUnchangedLine +: (newDels.map(delLine) ++
         seqLines(snapAtPlan.fileSeq, snapAtPlan.files) ++
-        statsLines(snapAtPlan.statsRaw, snapAtPlan.files)),
+        statsLines(snapAtPlan.statsRaw, snapAtPlan.files) ++
+        bloomLines(snapAtPlan.blooms, snapAtPlan.files)),
         snapAtPlan.files)
     }
   }
@@ -1503,7 +1676,9 @@ object Snapshots {
         (parent.map(_.deletes).getOrElse(Nil) ++ newDelFiles).map(delLine) ++
         parent.map(p => seqLines(p.fileSeq, files)).getOrElse(Nil) ++
         parent.map(p => statsLines(p.statsRaw, files)).getOrElse(Nil) ++
-        (if (stagedAsDeletes.isDefined) Nil else newStatsLines(stagedData))
+        (if (stagedAsDeletes.isDefined) Nil else newStatsLines(stagedData)) ++
+        parent.map(p => bloomLines(p.blooms, files)).getOrElse(Nil) ++
+        (if (stagedAsDeletes.isDefined) Nil else newBloomLines(root, stagedData))
       (txn.map { case (a, e) => s"#txn:$a:$e" }.toSeq, header, files)
     }
   }
@@ -1567,7 +1742,16 @@ object Snapshots {
         dir.getFileName.toString.startsWith(versionPrefix(0L)) && !quiet(dir)
       if (!inFlightStaging) {
         val fs = listParquet(dir.toString)
-        fs.filterNot(referenced).foreach(f => Files.deleteIfExists(Paths.get(f)))
+        fs.filterNot(referenced).foreach { f =>
+          Files.deleteIfExists(Paths.get(f))
+          // reclaim the file's bloom sidecars with it
+          val ls = Files.list(Paths.get(f).getParent)
+          try ls.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(
+              Paths.get(f).getFileName.toString + ".bloom-"))
+            .foreach(Files.deleteIfExists(_))
+          finally ls.close()
+        }
         if (fs.forall(!referenced(_))) deleteRecursively(dir)
       }
     }

@@ -225,6 +225,64 @@ class Round16OpsSpec extends SparkSpec {
       "marked compaction must pass over; the later append must flow")
   }
 
+  test("IN-list predicates stats-prune; zero-data-file MOR snapshots explain cleanly") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16in")
+    sqlDf("CREATE TABLE snap.default.r16in (k BIGINT, v DOUBLE)")
+    sqlDf("INSERT INTO snap.default.r16in SELECT id, id * 1.0 FROM range(0, 1000)")
+    sqlDf("INSERT INTO snap.default.r16in SELECT id, id * 1.0 FROM range(50000, 51000)")
+    val full = plannedFiles(sqlDf("SELECT * FROM snap.default.r16in"))
+    val in = sqlDf("SELECT * FROM snap.default.r16in WHERE k IN (50010, 50020, 50030)")
+    assert(plannedFiles(in).nonEmpty && plannedFiles(in).size < full.size,
+      s"IN-list must prune: ${plannedFiles(in).size} of ${full.size}")
+    assert(in.count() == 3)
+    // a large IN list lowers to InSet after optimization — still prunes
+    val big = (50000 until 50400).mkString(", ")
+    val inset = sqlDf(s"SELECT * FROM snap.default.r16in WHERE k IN ($big)")
+    assert(plannedFiles(inset).size < full.size,
+      s"InSet must prune: ${plannedFiles(inset).size} of ${full.size}")
+    assert(inset.count() == 400)
+    // ADVICE r15: a snapshot carrying delete lines but ZERO data files
+    // (everything deleted) must EXPLAIN without throwing
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16z")
+    sqlDf("""CREATE TABLE snap.default.r16z (k BIGINT, v STRING)
+            |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r16z VALUES (1,'a')")
+    sqlDf("DELETE FROM snap.default.r16z WHERE k = 1")
+    val df = sqlDf("SELECT * FROM snap.default.r16z")
+    df.queryExecution.executedPlan.toString // must not throw
+    assert(df.count() == 0)
+  }
+
+  test("bloom sidecars prune point lookups where min/max cannot") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16bl")
+    sqlDf("""CREATE TABLE snap.default.r16bl (k BIGINT, v DOUBLE)
+            |TBLPROPERTIES ('graft.bloom.cols'='k')""".stripMargin)
+    // two commits with fully OVERLAPPING key ranges (evens, then odds):
+    // min/max admits every file for any in-range literal — only the
+    // membership sketch can refute
+    sqlDf("INSERT INTO snap.default.r16bl SELECT id * 2, id * 1.0 FROM range(0, 5000)")
+    sqlDf("INSERT INTO snap.default.r16bl SELECT id * 2 + 1, id * 1.0 FROM range(0, 5000)")
+    val full = plannedFiles(sqlDf("SELECT * FROM snap.default.r16bl"))
+    val even = sqlDf("SELECT * FROM snap.default.r16bl WHERE k = 4000")
+    assert(plannedFiles(even).nonEmpty && plannedFiles(even).size < full.size,
+      s"bloom must prune odd-key files: ${plannedFiles(even).size} of ${full.size}")
+    assert(even.count() == 1)
+    // absent key: every sketch refutes, zero files planned, empty result
+    val none = sqlDf("SELECT * FROM snap.default.r16bl WHERE k = 99999999")
+    assert(plannedFiles(none).isEmpty,
+      s"absent key must plan no files, got ${plannedFiles(none).size}")
+    assert(none.count() == 0)
+    // IN-lists compose: only files that might hold ANY listed key plan
+    val in = sqlDf("SELECT * FROM snap.default.r16bl WHERE k IN (4000, 4002)")
+    assert(plannedFiles(in).size < full.size)
+    assert(in.count() == 2)
+    // the sketch survives an append (carried lines) and int widening
+    // keeps hashing identically (integral widths share one hash)
+    sqlDf("INSERT INTO snap.default.r16bl VALUES (99999998, 1.0)")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r16bl WHERE k = 4000")
+      .as[Long].head() == 1)
+  }
+
   test("CALL snap.system.{compact, compact_deletes, vacuum} maintenance procedures") {
     import graft.sources.Snapshots
     sqlDf("DROP TABLE IF EXISTS snap.default.r16proc")
