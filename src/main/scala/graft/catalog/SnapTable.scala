@@ -663,7 +663,31 @@ private[catalog] object GraftScans {
           bloomHas(a.name, v, a.dataType))
       case IsNull(a: Attribute) => body.forall(Snapshots.statsAdmitsNull(_, a.name))
       case IsNotNull(a: Attribute) => body.forall(Snapshots.statsAdmitsNotNull(_, a.name))
+      case StartsWith(a: Attribute, Literal(p: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        // LIKE 'abc%' → matching strings lie in [prefix, nextPrefix):
+        // check the inclusive superset [prefix, nextPrefix] against the
+        // recorded bounds (UTF-8 order preserves code-point order, so a
+        // final-char increment is a valid upper bound; surrogate edges
+        // give up the upper side — conservative)
+        val pref = p.toString
+        body.forall(b => Snapshots.statsAdmitsRange(b, a.name,
+          Some(pref), prefixUpper(pref)))
       case _ => true // unknown shape → keep the file
+    }
+  }
+
+  /** The smallest string above every string with prefix `p` (code-point
+    * order = UTF-8 byte order): increment the last non-\uffff char,
+    * truncating after it. None when no finite bound exists or the edge
+    * touches a surrogate (keep-on-unknown). */
+  private[catalog] def prefixUpper(p: String): Option[Any] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == '\uffff') i -= 1
+    if (i < 0) None
+    else {
+      val c = p.charAt(i)
+      if (Character.isSurrogate(c) || Character.isSurrogate((c + 1).toChar)) None
+      else Some(p.substring(0, i) + (c + 1).toChar)
     }
   }
 

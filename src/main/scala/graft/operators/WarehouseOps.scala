@@ -1007,6 +1007,37 @@ object WarehouseOps {
              |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** PREFIX (LIKE) FILE SKIPPING (`snapshot_prefix_prune`) — the
+    * log-search shape: `WHERE key LIKE 'abc%'` on a string-clustered
+    * table. Matching strings lie in `[prefix, nextPrefix)` (UTF-8
+    * order preserves code-point order), so the catalog scan's file
+    * index checks that inclusive superset against each file's recorded
+    * string bounds and skips files wholly outside it — metadata-only,
+    * same keep-rules as every other pruning shape (surrogate-edge
+    * prefixes conservatively keep). The fixture CTASes orders with a
+    * synthetic zero-padded string key range-clustered across 8 files
+    * and runs a selective prefix window; the oracle recomputes the
+    * window from the ORIGINAL table, so an over-pruned boundary file
+    * hash-mismatches; the planned-file shrink (and the zero-file
+    * out-of-range prefix) is pinned in Round16OpsSpec.
+    *
+    * Scale: identical cost shape to `snapshot_stats_prune_sql` — the
+    * decision is manifest arithmetic; a selective prefix on a 100 TB
+    * sorted-key table opens only the covering files. */
+  val snapshotPrefixPrune: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "prefix_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT /*+ REPARTITION_BY_RANGE(8, sk) */ sk, pri, price FROM (
+             |  SELECT concat('k', lpad(CAST(o_orderkey AS STRING), 9, '0')) AS sk,
+             |         o_orderpriority AS pri,
+             |         CAST(o_totalprice AS DOUBLE) AS price
+             |  FROM parquet.`$dir/orders.parquet`)""".stripMargin)
+    s.sql(s"""SELECT sk, pri, ROUND(price, 2) AS price
+             |FROM $t WHERE sk LIKE 'k00000032%'
+             |ORDER BY sk""".stripMargin)
+  }
+
   /** BLOOM-FILTER FILE SKIPPING (`snapshot_bloom_prune`) — point
     * lookups on a high-cardinality key, where min/max bounds skip
     * NOTHING because every file spans the whole key domain. Opt-in via
@@ -1493,6 +1524,7 @@ object WarehouseOps {
     "snapshot_stats_prune" -> snapshotStatsPrune,
     "snapshot_stats_prune_sql" -> snapshotStatsPruneSql,
     "snapshot_bloom_prune" -> snapshotBloomPrune,
+    "snapshot_prefix_prune" -> snapshotPrefixPrune,
     "snapshot_cdf_rows" -> snapshotCdfRows,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
@@ -1717,6 +1749,15 @@ object WarehouseOps {
       FROM lineitem
       WHERE l_partkey BETWEEN 20 AND 119
       GROUP BY l_suppkey ORDER BY l_suppkey""",
+    // The same prefix window recomputed from the ORIGINAL table: an
+    // over-pruned boundary file loses rows and hash-mismatches.
+    "snapshot_prefix_prune" -> """
+      SELECT concat('k', lpad(CAST(o_orderkey AS VARCHAR), 9, '0')) AS sk,
+             o_orderpriority AS pri,
+             ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
+      FROM orders
+      WHERE concat('k', lpad(CAST(o_orderkey AS VARCHAR), 9, '0')) LIKE 'k00000032%'
+      ORDER BY sk""",
     // The same point-lookup rows recomputed from the ORIGINAL table:
     // a sketch that wrongly refutes a present key (over-pruned file)
     // loses its row and hash-mismatches.

@@ -253,6 +253,24 @@ class Round16OpsSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("LIKE-prefix predicates stats-prune on string bounds") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16pf")
+    sqlDf("CREATE TABLE snap.default.r16pf (s STRING, v BIGINT)")
+    sqlDf("""INSERT INTO snap.default.r16pf
+            |SELECT /*+ REPARTITION_BY_RANGE(4, s) */ s, v FROM (
+            |  SELECT concat('s', lpad(CAST(id AS STRING), 5, '0')) AS s, id AS v
+            |  FROM range(0, 4000))""".stripMargin)
+    val full = plannedFiles(sqlDf("SELECT * FROM snap.default.r16pf"))
+    assert(full.size >= 4)
+    val pf = sqlDf("SELECT * FROM snap.default.r16pf WHERE s LIKE 's0123%'")
+    assert(plannedFiles(pf).nonEmpty && plannedFiles(pf).size < full.size,
+      s"prefix must prune: ${plannedFiles(pf).size} of ${full.size}")
+    assert(pf.count() == 10, "s01230..s01239")
+    val none = sqlDf("SELECT * FROM snap.default.r16pf WHERE s LIKE 'z%'")
+    assert(plannedFiles(none).isEmpty, "out-of-range prefix must plan no files")
+    assert(none.count() == 0)
+  }
+
   test("bloom sidecars prune point lookups where min/max cannot") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r16bl")
     sqlDf("""CREATE TABLE snap.default.r16bl (k BIGINT, v DOUBLE)
