@@ -156,9 +156,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft snapshot-catalog tables are unpartitioned (the store's file-level " +
-        "layout ops — zorder, partitionBy staging — run through the direct API)")
+    // identity partitioning only (Hive-style col=value directories) —
+    // bucket/days/truncate transforms need transform-aware pruning
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        val fieldNames = t.references()(0).fieldNames()
+        require(fieldNames.length == 1,
+          s"only top-level partition columns: ${fieldNames.mkString(".")}")
+        val c = fieldNames(0)
+        require(schema.fieldNames.contains(c), s"no column '$c' to partition by")
+        c
+      case other => throw new UnsupportedOperationException(
+        s"only identity PARTITIONED BY columns are supported, got: $other")
+    }
+    require(partCols.isEmpty ||
+      !properties.asScala.contains(GraftTable.morKeyProp),
+      "PARTITIONED BY does not compose with graft.mor.key yet: " +
+        "merge-on-read delta writes stage flat files that would break " +
+        "the partition layout — pick one")
+    require(partCols.size == partCols.distinct.size,
+      s"duplicate partition columns: ${partCols.mkString(",")}")
     // single-level namespaces only (matching createNamespace): a deeper
     // identifier like `default.t.history` would nest a table root
     // INSIDE t's snapshot root — shadowing the reserved metadata-table
@@ -173,7 +190,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = rootOf(ident)
     if (exists(root)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(Paths.get(root))
-    GraftTable.writeMeta(root, schema, properties.asScala.toMap)
+    val props = properties.asScala.toMap ++
+      (if (partCols.isEmpty) Map.empty
+       else Map(GraftTable.partColsProp -> partCols.mkString(",")))
+    GraftTable.writeMeta(root, schema, props)
     new GraftTable(ident.toString, root, pinned = None)
   }
 
@@ -274,6 +294,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val from = ren.fieldNames()(0)
         val to = ren.newName()
         require(sc.fieldNames.contains(from), s"no column '$from' to rename")
+        require(!GraftTable.partColsOf(pr).contains(from),
+          s"cannot rename partition column '$from' (its values live in " +
+            "committed file paths)")
         requireFresh(pr, sc, to, "rename target")
         val priorKey = s"${GraftTable.colPriorPrefix}$from"
         val history = pr.get(priorKey).map(_ + ",").getOrElse("") + from
@@ -300,6 +323,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (sc, pr)
         } else {
           require(sc.fields.length > 1, "cannot drop the last column")
+          require(!GraftTable.partColsOf(pr).contains(name),
+            s"cannot drop partition column '$name'")
           require(!pr.get(GraftTable.morKeyProp).contains(name),
             s"cannot drop merge-on-read key column '$name'")
           require(!pendingDeleteKeys.contains(name),
@@ -332,6 +357,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"only top-level ALTER COLUMN TYPE is supported: ${upd.fieldNames().mkString(".")}")
         val name = upd.fieldNames()(0)
         require(sc.fieldNames.contains(name), s"no column '$name' to alter")
+        require(!GraftTable.partColsOf(pr).contains(name),
+          s"cannot change the type of partition column '$name' (committed " +
+            "path values were rendered at the old type)")
         val from = sc(name).dataType
         val to = upd.newDataType()
         require(GraftTable.widensTo(from, to),
@@ -353,6 +381,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // stage under the current spelling, and base files carrying a
         // prior spelling resolve through the rename-ledger coalesce
         // BEFORE the delete filter (MorReaderFactory)
+        require(set.property() != GraftTable.partColsProp,
+          "the partition layout is fixed at CREATE TABLE (committed files " +
+            "carry the declared col=value paths)")
+        require(set.property() != GraftTable.morKeyProp ||
+          GraftTable.partColsOf(pr).isEmpty,
+          "graft.mor.key does not compose with PARTITIONED BY yet (delta " +
+            "writes stage flat files that would break the partition layout)")
         (sc, pr + (set.property() -> set.value()))
       case ((sc, pr), rm: TableChange.RemoveProperty) =>
         (sc, pr - rm.property())

@@ -142,7 +142,14 @@ class GraftTable(tableName: String, val root: String,
     // chains collapsed — see [[pinnedResolution]]); the declared meta
     // schema governs the head
     val declared = pinnedResolution match {
-      case Some((sc, _)) => sc
+      case Some((sc, _)) =>
+        // PARTITIONED tables: the pinned footers lack the partition
+        // columns (they live in the path) — re-attach their declared
+        // fields so time travel presents the full schema
+        val missing = partCols.filterNot(sc.fieldNames.contains)
+        if (missing.isEmpty) sc
+        else StructType(sc.fields ++ missing.flatMap(c =>
+          meta.flatMap(_._1.fields.find(_.name == c))))
       case None => meta.map(_._1).getOrElse {
         val files = snap.map(_.files).getOrElse(Nil)
         require(files.nonEmpty,
@@ -179,6 +186,15 @@ class GraftTable(tableName: String, val root: String,
     * copy-on-write row-level ops. */
   def morKey: Option[String] = morKeyOf(meta)
 
+  /** Identity partition columns of a `PARTITIONED BY` table
+    * ([[GraftTable.partColsProp]]); empty for unpartitioned. */
+  def partCols: Seq[String] =
+    meta.map(m => GraftTable.partColsOf(m._2)).getOrElse(Nil)
+
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
   private def morKeyOf(m: Option[(StructType, Map[String, String])]): Option[String] =
     m.flatMap(_._2.get(GraftTable.morKeyProp))
 
@@ -196,24 +212,30 @@ class GraftTable(tableName: String, val root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val sc = schema()
+    val partSchema = StructType(partCols.flatMap(c => sc.fields.find(_.name == c)))
     // the streamable wrapper forwards every pushdown interface to the
     // inner builder and adds only toMicroBatchStream on the built scan
     // (plus manifest-size statistics where the inner scan reports none)
     new GraftStreamableScanBuilder(
-      GraftScans.builder(spark, sc, snap, options, priors),
+      GraftScans.builder(spark, sc, snap, options, priors, partSchema),
       root, sc, priors, pinned.isDefined, snap, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
       s"cannot write to a time-travel-pinned read of $tableName")
-    new GraftV1WriteBuilder(root, info)
+    new GraftV1WriteBuilder(root, info, partCols)
   }
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinned.isEmpty,
       s"cannot run ${info.command} against a time-travel-pinned read of $tableName")
+    require(partCols.isEmpty,
+      s"${info.command} on the PARTITIONED table $tableName is not supported " +
+        "yet: the copy-on-write rewrite stages flat files that would drop " +
+        "the partition layout — use INSERT OVERWRITE, or an unpartitioned " +
+        "table for row-level statements")
     () => morKey match {
       case Some(key) => new GraftDeltaOperation(info.command, this, key)
       case None      => new GraftGroupOperation(info.command, this)
@@ -226,6 +248,16 @@ class GraftTable(tableName: String, val root: String,
 object GraftTable {
   val metaFile = "_table.properties"
   val morKeyProp = "graft.mor.key"
+  /** Identity partition columns of a `CREATE TABLE … PARTITIONED BY`
+    * table (comma-joined, in declaration order). Writes stage through
+    * `partitionBy` (files carry `col=value` path segments inside their
+    * version dirs); the scan rebuilds a partition-aware file index
+    * from the manifest's paths, so partition pruning — static AND
+    * runtime (DPP) — runs through Spark's own mechanism. */
+  val partColsProp = "graft.partition.cols"
+  def partColsOf(props: Map[String, String]): Seq[String] =
+    props.get(partColsProp).toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty)
   /** Prior-physical-name ledger for RENAME COLUMN evolution: one
     * property `graft.col.prior.<currentName>` per renamed column,
     * value = comma-joined prior names oldest→newest (see
@@ -373,7 +405,8 @@ object GraftTable {
   * commit is one idempotent `#txn`-tagged manifest publish
   * ([[Snapshots.commitAppendStagedTxn]]), so a crash-replayed batch
   * no-ops instead of double-appending. */
-private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo)
+private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
+    partCols: Seq[String] = Nil)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -383,14 +416,23 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data, overwriteArg) => {
-        if (overwrite || overwriteArg)
-          Snapshots.commit(root)(out => data.write.mode("append").parquet(out))
-        else
-          Snapshots.commitAppend(root)(out => data.write.mode("append").parquet(out))
+        // a PARTITIONED table stages through partitionBy so every file
+        // carries its col=value path segments inside the version dir —
+        // what the partition-aware scan index parses back
+        def stage(out: String): Unit = {
+          val w = if (partCols.isEmpty) data.write
+                  else data.write.partitionBy(partCols: _*)
+          w.mode("append").parquet(out)
+        }
+        if (overwrite || overwriteArg) Snapshots.commit(root)(stage)
+        else Snapshots.commitAppend(root)(stage)
       }
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!overwrite,
         "streaming writes into snapshot-catalog tables are append-only")
+      require(partCols.isEmpty,
+        "streaming writes into PARTITIONED snapshot-catalog tables are " +
+          "not supported yet (the epoch writer stages flat files)")
       new GraftStreamingWrite(root, info.schema(), info.queryId())
     }
     override def description(): String =
@@ -478,7 +520,8 @@ private[catalog] object GraftScans {
 
   def builder(spark: SparkSession, tableSchema: StructType,
       snap: Option[Snapshot], options: CaseInsensitiveStringMap,
-      priors: Map[String, Seq[String]] = Map.empty): ScanBuilder = {
+      priors: Map[String, Seq[String]] = Map.empty,
+      partSchema: StructType = new StructType()): ScanBuilder = {
     val files = snap.map(_.files).getOrElse(Nil)
     if (files.isEmpty) new EmptyScanBuilder(tableSchema)
     else {
@@ -487,7 +530,7 @@ private[catalog] object GraftScans {
       val blooms = snap.map(_.blooms).getOrElse(Map.empty[String, Seq[String]])
       if (deletes.isEmpty) {
         if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options,
-          statsRaw, blooms)
+          statsRaw, blooms, partSchema)
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
           files, options, statsRaw, blooms)
       } else {
@@ -504,13 +547,15 @@ private[catalog] object GraftScans {
   private[catalog] def parquetBuilder(spark: SparkSession, files: Seq[String],
       schema: StructType, options: CaseInsensitiveStringMap,
       statsRaw: Map[String, String] = Map.empty,
-      blooms: Map[String, Seq[String]] = Map.empty): ParquetScanBuilder = {
+      blooms: Map[String, Seq[String]] = Map.empty,
+      partSchema: StructType = new StructType()): ParquetScanBuilder = {
     // a direct-API root staged with .partitionBy carries col=value path
-    // segments whose columns exist ONLY in the path — this flat scan
+    // segments whose columns exist ONLY in the path — unless the table
+    // DECLARED them (partSchema, `PARTITIONED BY`), this flat scan
     // (PartitionSpec.emptySpec, schema from footers) would silently
     // return the table minus its partition columns, so refuse loudly;
     // Snapshots.read recovers them via per-era basePath grouping
-    files.find(partitionedLayout).foreach { f =>
+    if (partSchema.isEmpty) files.find(partitionedLayout).foreach { f =>
       throw new UnsupportedOperationException(
         s"this snapshot root contains .partitionBy-staged files (e.g. $f) " +
           "whose partition columns live in the path, not the footers; the " +
@@ -518,16 +563,78 @@ private[catalog] object GraftScans {
           "through Snapshots.read / Snapshots.readPartitionPruned instead")
     }
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val spec =
+      if (partSchema.isEmpty) PartitionSpec.emptySpec
+      else partitionSpecFor(files, partSchema)
     val index =
-      if (statsRaw.isEmpty && blooms.isEmpty)
+      if (statsRaw.isEmpty && blooms.isEmpty && partSchema.isEmpty)
         new InMemoryFileIndex(classic,
           files.map(f => new org.apache.hadoop.fs.Path(f)),
           Map.empty[String, String], Some(schema), NoopCache,
-          Some(PartitionSpec.emptySpec), None)
+          Some(spec), None)
       else new StatsPruningIndex(classic,
         files.map(f => new org.apache.hadoop.fs.Path(f)),
-        schema, statsRaw, blooms)
-    ParquetScanBuilder(classic, index, schema, schema, options)
+        schema, statsRaw, blooms, spec)
+    // partition columns live in the path, not the footers: the file
+    // scan's data schema excludes them and the values re-attach from
+    // the partition directories (Spark's own mechanism, which also
+    // carries static AND runtime (DPP) partition pruning)
+    val dataSchema =
+      if (partSchema.isEmpty) schema
+      else StructType(schema.fields.filterNot(f =>
+        partSchema.fieldNames.contains(f.name)))
+    ParquetScanBuilder(classic, index, schema, dataSchema, options)
+  }
+
+  /** Partition spec rebuilt from the MANIFEST's paths: each pinned
+    * file's `col=value` segments below its version dir parse to one
+    * [[PartitionPath]] per distinct parent directory, values cast to
+    * the declared partition types. Metadata-only — the manifest IS the
+    * listing, exactly like the flat index. */
+  private def partitionSpecFor(files: Seq[String],
+      partSchema: StructType): PartitionSpec = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    // qualify like the index qualifies its leaf dirs, or the
+    // PartitionPath→children lookup misses on the scheme
+    val hadoopConf = new org.apache.hadoop.conf.Configuration()
+    def qualified(dir: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hadoopConf).makeQualified(p)
+    }
+    val partitions = files
+      .groupBy(f => Paths.get(f).getParent.toString).toSeq.sortBy(_._1)
+      .map { case (dir, _) =>
+        val rel = dir.drop(baseDirOfPath(dir).length)
+        val segs = rel.split('/').filter(_.contains('=')).map { s =>
+          val i = s.indexOf('=')
+          unescapePathName(s.substring(0, i)) -> unescapePathName(s.substring(i + 1))
+        }.toMap
+        val values = partSchema.fields.map { f =>
+          segs.get(f.name) match {
+            case None => throw new IllegalStateException(
+              s"partitioned table file dir $dir lacks a ${f.name}=<value> segment")
+            case Some(raw) if raw ==
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
+              null
+            case Some(raw) =>
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+                  org.apache.spark.sql.types.StringType),
+                f.dataType, Some("UTC")).eval()
+          }
+        }
+        org.apache.spark.sql.execution.datasources.PartitionPath(
+          InternalRow.fromSeq(values.toIndexedSeq), qualified(dir))
+      }
+    PartitionSpec(partSchema, partitions)
+  }
+
+  /** The version (staging) dir of a path — same rule as
+    * [[partitionedLayout]]'s base resolution. */
+  private def baseDirOfPath(dir: String): String = (dir + "/x") match {
+    case baseDirRe(b) => b
+    case _ => dir
   }
 
   /** File-level DATA-SKIPPING for the catalog scan: the manifest's
@@ -548,9 +655,10 @@ private[catalog] object GraftScans {
       classic: org.apache.spark.sql.classic.SparkSession,
       paths: Seq[org.apache.hadoop.fs.Path], schema: StructType,
       statsRaw: Map[String, String],
-      blooms: Map[String, Seq[String]] = Map.empty)
+      blooms: Map[String, Seq[String]] = Map.empty,
+      spec: PartitionSpec = PartitionSpec.emptySpec)
     extends InMemoryFileIndex(classic, paths, Map.empty[String, String],
-      Some(schema), NoopCache, Some(PartitionSpec.emptySpec), None) {
+      Some(schema), NoopCache, Some(spec), None) {
 
     // manifest keys are plain local paths; listed statuses carry a
     // scheme — normalize both sides to the URI path

@@ -1007,6 +1007,46 @@ object WarehouseOps {
              |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** SQL-FIRST PARTITIONED TABLES (`sql_partitioned_table`) — `CREATE
+    * TABLE … PARTITIONED BY (col)` through the DSv2 catalog: writes
+    * stage via `partitionBy` (files carry `col=value` segments inside
+    * their version dirs), and the scan rebuilds a partition-aware
+    * file index FROM THE MANIFEST's paths — so partition pruning
+    * (static and runtime/DPP) runs through Spark's own
+    * `listFiles(partitionFilters, …)` mechanism, composing with the
+    * stats/bloom data-skipping index (all one index class). Partition
+    * columns live only in paths, never in footers; the scan
+    * re-attaches their values per directory, time travel re-attaches
+    * the declared fields, and evolution guards pin partition columns
+    * (no rename/drop/re-type — their values are rendered into
+    * committed paths). The fixture CTASes orders partitioned by
+    * priority across two commits and aggregates a 2-of-5-priority
+    * slice; the oracle recomputes the slice from the ORIGINAL table,
+    * so a dropped partition dir, a mis-parsed path value, or a row
+    * leaked across partitions hash-mismatches; the only-matching-dirs
+    * plan shape is pinned in Round16OpsSpec.
+    *
+    * Scale: the manifest IS the listing — a 2-of-N-partition query
+    * over a 100 TB table plans exactly the matching dirs' files with
+    * zero directory I/O, and DPP gets the same treatment at runtime
+    * because the pruning sits in Spark's own partition-filter path. */
+  val sqlPartitionedTable: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "part_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t PARTITIONED BY (pri) AS
+             |SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+             |       o_orderpriority AS pri
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1""".stripMargin)
+    s.sql(s"""SELECT pri, COUNT(*) AS n,
+             |       CAST(SUM(k) AS BIGINT) AS key_sum,
+             |       ${Qx.dsumSql("price")} AS total
+             |FROM $t WHERE pri IN ('1-URGENT', '5-LOW')
+             |GROUP BY pri ORDER BY pri""".stripMargin)
+  }
+
   /** PREFIX (LIKE) FILE SKIPPING (`snapshot_prefix_prune`) — the
     * log-search shape: `WHERE key LIKE 'abc%'` on a string-clustered
     * table. Matching strings lie in `[prefix, nextPrefix)` (UTF-8
@@ -1525,6 +1565,7 @@ object WarehouseOps {
     "snapshot_stats_prune_sql" -> snapshotStatsPruneSql,
     "snapshot_bloom_prune" -> snapshotBloomPrune,
     "snapshot_prefix_prune" -> snapshotPrefixPrune,
+    "sql_partitioned_table" -> sqlPartitionedTable,
     "snapshot_cdf_rows" -> snapshotCdfRows,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
@@ -1749,6 +1790,16 @@ object WarehouseOps {
       FROM lineitem
       WHERE l_partkey BETWEEN 20 AND 119
       GROUP BY l_suppkey ORDER BY l_suppkey""",
+    // The 2-of-5-priority slice recomputed from the ORIGINAL table: a
+    // dropped partition dir in either commit era, a mis-parsed path
+    // value, or a row leaked across partitions hash-mismatches.
+    "sql_partitioned_table" -> s"""
+      SELECT o_orderpriority AS pri, COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             ${Qx.dsumSql("CAST(o_totalprice AS DOUBLE)")} AS total
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY o_orderpriority ORDER BY pri""",
     // The same prefix window recomputed from the ORIGINAL table: an
     // over-pruned boundary file loses rows and hash-mismatches.
     "snapshot_prefix_prune" -> """

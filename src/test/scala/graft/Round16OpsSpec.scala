@@ -253,6 +253,59 @@ class Round16OpsSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("CREATE TABLE PARTITIONED BY: writes partition, scans prune, evolution guarded") {
+    import org.apache.spark.sql.functions.col
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16pt")
+    sqlDf("""CREATE TABLE snap.default.r16pt (k BIGINT, p STRING, v DOUBLE)
+            |PARTITIONED BY (p)""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r16pt
+            |SELECT id, CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b'
+            |                ELSE 'c' END, id * 1.0
+            |FROM range(0, 300)""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r16pt VALUES (1000, 'a', 1.5)")
+    // full schema back, partition values re-attached from the paths
+    val all = sqlDf("SELECT k, p, v FROM snap.default.r16pt")
+    assert(all.count() == 301)
+    assert(all.filter(col("p") === "a").count() == 101)
+    // partition pruning: a partition predicate plans only matching dirs
+    val full = plannedFiles(sqlDf("SELECT * FROM snap.default.r16pt"))
+    val pruned = plannedFiles(
+      sqlDf("SELECT * FROM snap.default.r16pt WHERE p = 'a'"))
+    assert(pruned.nonEmpty && pruned.size < full.size,
+      s"partition predicate must prune: ${pruned.size} of ${full.size}")
+    assert(pruned.forall(_.contains("/p=a/")),
+      s"only p=a dirs may plan: $pruned")
+    // stats pruning composes on the data column within partitions
+    val both = plannedFiles(
+      sqlDf("SELECT * FROM snap.default.r16pt WHERE p = 'a' AND k >= 1000"))
+    assert(both.size < pruned.size || pruned.size == 1,
+      s"stats must compose inside the kept partitions: ${both.size} of ${pruned.size}")
+    // aggregate over one partition matches a recompute
+    assert(sqlDf("SELECT sum(k) FROM snap.default.r16pt WHERE p = 'b'")
+      .as[Long].head() == (0L until 300L).filter(_ % 3 == 1).sum)
+    // time travel presents the full schema (partition cols re-attached)
+    val v1 = sqlDf("SELECT * FROM snap.default.r16pt VERSION AS OF 1")
+    assert(v1.columns.toSet == Set("k", "p", "v"))
+    assert(v1.count() == 300)
+    // evolution guards: partition columns are pinned
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r16pt RENAME COLUMN p TO q"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r16pt DROP COLUMN p"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r16pt SET TBLPROPERTIES ('graft.mor.key'='k')"))
+    // row-level statements refuse with a clear message
+    val ex = intercept[Exception](
+      sqlDf("DELETE FROM snap.default.r16pt WHERE k = 1"))
+    assert(ex.getMessage.contains("PARTITIONED"), ex.getMessage)
+    // INSERT OVERWRITE keeps the layout and stays correct
+    sqlDf("""INSERT OVERWRITE snap.default.r16pt
+            |SELECT id, 'z', id * 2.0 FROM range(0, 10)""".stripMargin)
+    assert(sqlDf("SELECT sum(v) FROM snap.default.r16pt").as[Double].head() == 90.0)
+    assert(plannedFiles(sqlDf("SELECT * FROM snap.default.r16pt WHERE p = 'z'"))
+      .forall(_.contains("/p=z/")))
+  }
+
   test("LIKE-prefix predicates stats-prune on string bounds") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r16pf")
     sqlDf("CREATE TABLE snap.default.r16pf (s STRING, v BIGINT)")
