@@ -234,11 +234,22 @@ private[catalog] class GraftMicroBatchStream(root: String,
     else scanOver(files).toBatch.planInputPartitions()
   }
 
+  /** A PARTITIONED table's partition columns, re-read from the root's
+    * metadata: each micro-batch's scan rebuilds the partition-aware
+    * index over its own file slice, so tailing a partitioned table
+    * re-attaches partition values exactly like a batch read. */
+  private lazy val partSchema: StructType = {
+    val cols = GraftTable.readMeta(root)
+      .map(m => GraftTable.partColsOf(m._2)).getOrElse(Nil)
+    StructType(cols.flatMap(c => tableSchema.fields.find(_.name == c)))
+  }
+
   /** A fresh vectorized parquet scan over exactly `files`, pruned to
     * the stream's read schema — the same planning path as a batch read
     * of the same manifest slice. */
   private def scanOver(files: Seq[String]): Scan = {
-    val b = GraftScans.parquetBuilder(spark, files, tableSchema, options)
+    val b = GraftScans.parquetBuilder(spark, files, tableSchema, options,
+      partSchema = partSchema)
     b.pruneColumns(readSchema)
     b.build()
   }

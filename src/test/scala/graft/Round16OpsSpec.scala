@@ -354,6 +354,48 @@ class Round16OpsSpec extends SparkSpec {
       .as[Long].head() == 1)
   }
 
+  test("runtime (DPP) filtering prunes partitions of a snap table at execution") {
+    import org.apache.spark.sql.functions.col
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16dpp")
+    sqlDf("""CREATE TABLE snap.default.r16dpp (k BIGINT, p STRING, v DOUBLE)
+            |PARTITIONED BY (p)""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r16dpp
+            |SELECT id, CASE WHEN id % 4 = 0 THEN 'w' WHEN id % 4 = 1 THEN 'x'
+            |                WHEN id % 4 = 2 THEN 'y' ELSE 'z' END, id * 1.0
+            |FROM range(0, 400)""".stripMargin)
+    // the dim restricts to ONE partition only at runtime
+    spark.createDataset(Seq(("x", 1))).toDF("p", "tag")
+      .createOrReplaceTempView("r16dpp_dim")
+    val joined = sqlDf(
+      """SELECT f.k, f.v FROM snap.default.r16dpp f
+        |JOIN r16dpp_dim d ON f.p = d.p WHERE d.tag = 1""".stripMargin)
+    assert(joined.count() == 100, "only the x partition's rows")
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("RuntimeFilters") || planStr.contains("dynamicpruning"),
+      s"join on the partition column should plan runtime filtering:\n${planStr.take(2000)}")
+  }
+
+  test("streaming source tails a PARTITIONED table with values re-attached") {
+    import org.apache.spark.sql.streaming.Trigger
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16ps")
+    sqlDf("""CREATE TABLE snap.default.r16ps (k BIGINT, p STRING)
+            |PARTITIONED BY (p)""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r16ps VALUES (1, 'a'), (2, 'b')")
+    sqlDf("INSERT INTO snap.default.r16ps VALUES (3, 'a')")
+    val out = Qx.tmpOut("r16psout", sf())
+    val ckpt = Qx.tmpOut("r16psckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = spark.readStream.table("snap.default.r16ps")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "a"),
+      "tailed rows must carry their path-derived partition values")
+  }
+
   test("CALL snap.system.{compact, compact_deletes, vacuum} maintenance procedures") {
     import graft.sources.Snapshots
     sqlDf("DROP TABLE IF EXISTS snap.default.r16proc")
