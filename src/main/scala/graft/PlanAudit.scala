@@ -731,7 +731,40 @@ object PlanAudit {
         |maintenance restored the fast-path plan, which is the point.
         |The compaction commit itself is basedOn-guarded and stamped
         |rows-unchanged, so concurrent change feeds and streams ignore
-        |it.""".stripMargin)
+        |it.""".stripMargin,
+    "sql_partitioned_table" ->
+      """CREATE TABLE PARTITIONED BY through the catalog (r16). Expect
+        |a BatchScan over ONLY the two matching priorities' partition
+        |directories (the partition-aware index is rebuilt from the
+        |manifest's col=value paths, so the IN predicate prunes at
+        |listFiles time — check the scan's file count, not a
+        |post-filter), partition values re-attached per directory, and
+        |the usual two-phase HashAggregate above. Joins on the
+        |partition column additionally get runtime (DPP) filtering —
+        |spec-pinned.""".stripMargin,
+    "snapshot_bloom_prune" ->
+      """Per-file Bloom skipping (r16): evens and odds committed
+        |separately, so every file spans the whole key domain and
+        |min/max refutes nothing — the point-lookup IN plans only the
+        |files whose sketch might contain a listed key (absent keys
+        |plan ZERO files, spec-pinned). Expect a plain vectorized scan
+        |over the surviving files with the IN residual above; the
+        |sketch decision itself never appears in the plan (driver-side
+        |manifest+sidecar arithmetic).""".stripMargin,
+    "snapshot_prefix_prune" ->
+      """LIKE-prefix skipping (r16): the string key is range-clustered,
+        |so [prefix, nextPrefix] intersects few files' recorded string
+        |bounds. Expect StartsWith in PushedFilters AND a planned file
+        |count below the table's total (spec-pinned) — parquet's own
+        |row-group bounds then skip within the kept files.""".stripMargin,
+    "domain_denial_train" ->
+      """Trained denial model (r16): ONE map-side-combined aggregation
+        |computes the nine exact integer moments, the 3×3 Cramer solve
+        |is plan-level scalar algebra on the 1-row frame, and scoring
+        |broadcasts it back over the claims (BroadcastNestedLoopJoin of
+        |a single row — the documented 1-row stats-frame cross join
+        |shape). No iteration, no collect; the whole fit is two
+        |aggregations at any scale.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
