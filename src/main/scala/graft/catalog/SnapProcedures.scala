@@ -99,11 +99,14 @@ private[catalog] object SnapProcedures {
     override def description(): String =
       "bin-pack full rewrite of a snapshot table; absorbs pending " +
         "merge-on-read deletes; commits atomically with the " +
-        "rows-unchanged marker"
+        "rows-unchanged marker; optional z-order clustering"
 
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
-        .comment("table name, e.g. 'default.t'").build())
+        .comment("table name, e.g. 'default.t'").build(),
+      ProcedureParameter.in("zorder", StringType).defaultValue("''")
+        .comment("optional comma-joined columns to z-order cluster " +
+          "(Morton-interleaved range partitioning)").build())
 
     private val outSchema = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -113,6 +116,10 @@ private[catalog] object SnapProcedures {
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
+      val zcols =
+        if (input.numFields < 2 || input.isNullAt(1)) Nil
+        else input.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
       val root = rootOf(table)
       val spark = SparkSession.active
       val before = Snapshots.resolve(root).getOrElse(
@@ -128,7 +135,19 @@ private[catalog] object SnapProcedures {
       val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val stage = Snapshots.newStagingDir(root)
       Files.createDirectories(Paths.get(stage))
-      df.repartition(parts).write.mode("append").parquet(stage)
+      // z-order clustering: one range exchange on the Morton key, so
+      // the rewritten files carry tight multi-dim bounds for the stats
+      // index to skip on (the OPTIMIZE ZORDER BY shape)
+      val arranged =
+        if (zcols.isEmpty) df.repartition(parts)
+        else {
+          graft.functions.BitExprs.register(spark)
+          import org.apache.spark.sql.functions.{col, expr}
+          df.withColumn("__z", expr(s"interleave_bits(${zcols.mkString(", ")})"))
+            .repartitionByRange(parts, col("__z"))
+            .sortWithinPartitions("__z").drop("__z")
+        }
+      arranged.write.mode("append").parquet(stage)
       val staged = {
         val walk = Files.walk(Paths.get(stage))
         try walk.iterator().asScala.map(_.toString)

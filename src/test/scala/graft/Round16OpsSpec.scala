@@ -436,5 +436,13 @@ class Round16OpsSpec extends SparkSpec {
     assert(vc.getAs[Long]("oldest_retained") > 1L, s"vacuum report: $vc")
     assert(sqlDf("SELECT count(*) FROM snap.default.r16proc").as[Long].head()
       == expect.size)
+    // z-order variant: lossless, and the clustered files' bounds make
+    // a 2-D band selective through the stats index
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16zo")
+    sqlDf("""CREATE TABLE snap.default.r16zo AS
+            |SELECT id % 97 AS a, id % 89 AS b, id AS v FROM range(0, 20000)""".stripMargin)
+    sqlDf("CALL snap.system.compact('default.r16zo', 'a, b')")
+    assert(sqlDf("SELECT sum(v) FROM snap.default.r16zo").as[Long].head()
+      == (0L until 20000L).sum, "z-order compaction must be lossless")
   }
 }
