@@ -176,6 +176,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "the partition layout — pick one")
     require(partCols.size == partCols.distinct.size,
       s"duplicate partition columns: ${partCols.mkString(",")}")
+    // path-renderable types only: partition values round-trip through
+    // col=value path segments (write render ↔ scan parse)
+    partCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = schema(c).dataType
+      require(dt match {
+        case StringType | IntegerType | LongType | ShortType | ByteType |
+             DateType | BooleanType => true
+        case _ => false
+      }, s"partition column '$c' has type ${dt.simpleString}; only " +
+        "string/integral/date/boolean columns can partition (values are " +
+        "rendered into file paths)")
+    }
     // single-level namespaces only (matching createNamespace): a deeper
     // identifier like `default.t.history` would nest a table root
     // INSIDE t's snapshot root — shadowing the reserved metadata-table

@@ -82,7 +82,8 @@ private[catalog] class GraftGroupOperation(cmd: RowLevelOperation.Command,
           // gate
           new GraftRewriteBatchWrite(table.root, info.schema(),
             basedOn = table.snap.map(_.version).getOrElse(0L),
-            propsAtPlan = GraftTable.readMeta(table.root).map(_._2))
+            propsAtPlan = GraftTable.readMeta(table.root).map(_._2),
+            partCols = table.partCols)
         override def description(): String =
           s"graft copy-on-write $cmd → ${table.root}"
       }
@@ -238,20 +239,79 @@ private[catalog] final case class StagedFilesMessage(dataFiles: Seq[String],
   * past it, because the staged list would silently drop rows a
   * concurrent commit added (see [[Snapshots.commitRewriteStaged]]). */
 private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
-    basedOn: Long, propsAtPlan: Option[Map[String, String]] = None)
+    basedOn: Long, propsAtPlan: Option[Map[String, String]] = None,
+    partCols: Seq[String] = Nil)
   extends BatchWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
   Files.createDirectories(Paths.get(stagingDir))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = ExecParquet.writerConf(schema)
     val dir = stagingDir
     val localSchema = schema // avoid capturing `this` in the task closure
     val width = localSchema.length
+    val localPart = partCols
+    val dataSchema =
+      if (localPart.isEmpty) localSchema
+      else StructType(localSchema.fields.filterNot(f => localPart.contains(f.name)))
+    val conf = ExecParquet.writerConf(dataSchema)
     (partitionId: Int, taskId: Long) => new DataWriter[InternalRow] {
-      private val w = new ParquetRowDataWriter(
-        f"$dir/part-$partitionId%05d-$taskId.parquet", conf.value, partitionId, taskId)
+      // PARTITIONED tables: split each task's rows into per-partition
+      // files under col=value subdirs (Hive-style dynamic
+      // partitioning), rows projected to the DATA columns — the same
+      // layout `df.write.partitionBy` stages, so the partition-aware
+      // scan index parses it back. Unpartitioned tables keep the
+      // single-file fast path.
+      private val single: ParquetRowDataWriter =
+        if (localPart.isEmpty) new ParquetRowDataWriter(
+          f"$dir/part-$partitionId%05d-$taskId.parquet", conf.value, partitionId, taskId)
+        else null
+      private val perPartition =
+        scala.collection.mutable.LinkedHashMap.empty[String, ParquetRowDataWriter]
+      private val partOrdinals = localPart.map(localSchema.fieldIndex).toArray
+      private val partFields = partOrdinals.map(localSchema.fields)
+      private var dataProj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
+
+      private def fragmentOf(row: InternalRow): String =
+        partOrdinals.indices.map { i =>
+          val f = partFields(i)
+          val raw =
+            if (row.isNullAt(partOrdinals(i))) null
+            else row.get(partOrdinals(i), f.dataType)
+          val rendered = raw match {
+            case null =>
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            case d: java.lang.Integer if f.dataType ==
+              org.apache.spark.sql.types.DateType =>
+              java.time.LocalDate.ofEpochDay(d.longValue()).toString
+            case other =>
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .escapePathName(other.toString)
+          }
+          s"${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(f.name)}=$rendered"
+        }.mkString("/")
+
+      private def writerFor(row: InternalRow): ParquetRowDataWriter =
+        if (single != null) single
+        else {
+          if (dataProj == null)
+            dataProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+              localSchema.fields.zipWithIndex
+                .filterNot { case (f, _) => localPart.contains(f.name) }
+                .map { case (f, i) =>
+                  org.apache.spark.sql.catalyst.expressions
+                    .BoundReference(i, f.dataType, f.nullable)
+                    .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+                })
+          val frag = fragmentOf(row)
+          perPartition.getOrElseUpdate(frag, {
+            val sub = s"$dir/$frag"
+            Files.createDirectories(Paths.get(sub))
+            new ParquetRowDataWriter(
+              f"$sub/part-$partitionId%05d-$taskId.parquet", conf.value,
+              partitionId, taskId)
+          })
+        }
       // Spark's group-based rewrite prepends a `__row_operation` INT
       // marker to the query, and with no metadata projection the plain
       // writing task delivers rows UNPROJECTED — the connector strips
@@ -273,11 +333,18 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
           else require(row.numFields == width,
             s"row has ${row.numFields} fields, write schema has $width")
         }
-        w.write(if (strip == null) row else strip(row))
+        val base = if (strip == null) row else strip(row)
+        val w = writerFor(base)
+        w.write(if (single != null) base else dataProj(base))
       }
       override def commit(): WriterCommitMessage =
-        StagedFilesMessage(w.finish().toSeq, Nil)
-      override def abort(): Unit = w.abort()
+        StagedFilesMessage(
+          if (single != null) single.finish().toSeq
+          else perPartition.values.flatMap(_.finish()).toSeq, Nil)
+      override def abort(): Unit = {
+        if (single != null) single.abort()
+        perPartition.values.foreach(_.abort())
+      }
       override def close(): Unit = ()
     }
   }

@@ -231,13 +231,11 @@ class GraftTable(tableName: String, val root: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinned.isEmpty,
       s"cannot run ${info.command} against a time-travel-pinned read of $tableName")
-    require(partCols.isEmpty,
-      s"${info.command} on the PARTITIONED table $tableName is not supported " +
-        "yet: the copy-on-write rewrite stages flat files that would drop " +
-        "the partition layout — use INSERT OVERWRITE, or an unpartitioned " +
-        "table for row-level statements")
     () => morKey match {
       case Some(key) => new GraftDeltaOperation(info.command, this, key)
+      // partitioned tables take the COW path too: the rewrite writer
+      // splits each task's rows into col=value subdirs (dynamic
+      // partitioning), preserving the layout through the full rewrite
       case None      => new GraftGroupOperation(info.command, this)
     }
   }

@@ -1040,6 +1040,9 @@ object WarehouseOps {
     s.sql(s"""INSERT INTO $t
              |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
              |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1""".stripMargin)
+    // row-level DELETE on the partitioned table: the COW rewrite's
+    // dynamic-partitioning writer must keep the col=value layout
+    s.sql(s"DELETE FROM $t WHERE k % 7 = 0")
     s.sql(s"""SELECT pri, COUNT(*) AS n,
              |       CAST(SUM(k) AS BIGINT) AS key_sum,
              |       ${Qx.dsumSql("price")} AS total
@@ -1799,6 +1802,7 @@ object WarehouseOps {
              ${Qx.dsumSql("CAST(o_totalprice AS DOUBLE)")} AS total
       FROM orders
       WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND o_orderkey % 7 <> 0
       GROUP BY o_orderpriority ORDER BY pri""",
     // The same prefix window recomputed from the ORIGINAL table: an
     // over-pruned boundary file loses rows and hash-mismatches.

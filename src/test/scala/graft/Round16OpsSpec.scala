@@ -294,10 +294,22 @@ class Round16OpsSpec extends SparkSpec {
       sqlDf("ALTER TABLE snap.default.r16pt DROP COLUMN p"))
     intercept[Exception](
       sqlDf("ALTER TABLE snap.default.r16pt SET TBLPROPERTIES ('graft.mor.key'='k')"))
-    // row-level statements refuse with a clear message
-    val ex = intercept[Exception](
-      sqlDf("DELETE FROM snap.default.r16pt WHERE k = 1"))
-    assert(ex.getMessage.contains("PARTITIONED"), ex.getMessage)
+    // row-level statements preserve the layout (dynamic-partitioning
+    // COW writer): DELETE and UPDATE rewrite into col=value subdirs
+    sqlDf("DELETE FROM snap.default.r16pt WHERE k % 10 = 0 AND p = 'a'")
+    // survivors: k%3==0 minus multiples of 10 (k=1000 matches the
+    // delete too — 1000%10==0)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r16pt WHERE p = 'a'")
+      .as[Long].head() ==
+        (0L until 300L).count(i => i % 3 == 0 && i % 10 != 0),
+      "delete must remove exactly the matching rows")
+    sqlDf("UPDATE snap.default.r16pt SET v = v + 0.5 WHERE k = 2")
+    assert(sqlDf("SELECT v FROM snap.default.r16pt WHERE k = 2")
+      .as[Double].head() == 2.5)
+    val afterRewrite = plannedFiles(
+      sqlDf("SELECT * FROM snap.default.r16pt WHERE p = 'b'"))
+    assert(afterRewrite.nonEmpty && afterRewrite.forall(_.contains("/p=b/")),
+      s"the COW rewrite must keep the partition layout: $afterRewrite")
     // INSERT OVERWRITE keeps the layout and stays correct
     sqlDf("""INSERT OVERWRITE snap.default.r16pt
             |SELECT id, 'z', id * 2.0 FROM range(0, 10)""".stripMargin)
