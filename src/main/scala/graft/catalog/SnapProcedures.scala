@@ -147,7 +147,11 @@ private[catalog] object SnapProcedures {
             .repartitionByRange(parts, col("__z"))
             .sortWithinPartitions("__z").drop("__z")
         }
-      arranged.write.mode("append").parquet(stage)
+      // a PARTITIONED table's rewrite must keep the col=value layout
+      val partCols = propsAtPlan.map(GraftTable.partColsOf).getOrElse(Nil)
+      val writer = if (partCols.isEmpty) arranged.write
+                   else arranged.write.partitionBy(partCols: _*)
+      writer.mode("append").parquet(stage)
       val staged = {
         val walk = Files.walk(Paths.get(stage))
         try walk.iterator().asScala.map(_.toString)

@@ -199,6 +199,30 @@ private[catalog] object ExecParquet {
   }
 }
 
+/** Shared partition-path rendering for every dynamic-partitioning
+  * writer (COW rewrite, streaming epoch): MUST stay consistent with
+  * both `df.write.partitionBy`'s rendering and the scan index's parse
+  * (`GraftScans.partitionSpecFor`), or one value lands in two dirs. */
+private[catalog] object DynPart {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+  def fragmentOf(row: InternalRow, ordinals: Array[Int],
+      fields: Array[org.apache.spark.sql.types.StructField]): String =
+    ordinals.indices.map { i =>
+      val f = fields(i)
+      val raw =
+        if (row.isNullAt(ordinals(i))) null
+        else row.get(ordinals(i), f.dataType)
+      val rendered = raw match {
+        case null => ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        case d: java.lang.Integer if f.dataType ==
+          org.apache.spark.sql.types.DateType =>
+          java.time.LocalDate.ofEpochDay(d.longValue()).toString
+        case other => ExternalCatalogUtils.escapePathName(other.toString)
+      }
+      s"${ExternalCatalogUtils.escapePathName(f.name)}=$rendered"
+    }.mkString("/")
+}
+
 /** Lazily-opened single-file parquet writer for one task. */
 private[catalog] class ParquetRowDataWriter(path: String,
     conf: org.apache.hadoop.conf.Configuration, partitionId: Int, taskId: Long) {
@@ -273,23 +297,7 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
       private var dataProj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
 
       private def fragmentOf(row: InternalRow): String =
-        partOrdinals.indices.map { i =>
-          val f = partFields(i)
-          val raw =
-            if (row.isNullAt(partOrdinals(i))) null
-            else row.get(partOrdinals(i), f.dataType)
-          val rendered = raw match {
-            case null =>
-              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-            case d: java.lang.Integer if f.dataType ==
-              org.apache.spark.sql.types.DateType =>
-              java.time.LocalDate.ofEpochDay(d.longValue()).toString
-            case other =>
-              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .escapePathName(other.toString)
-          }
-          s"${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(f.name)}=$rendered"
-        }.mkString("/")
+        DynPart.fragmentOf(row, partOrdinals, partFields)
 
       private def writerFor(row: InternalRow): ParquetRowDataWriter =
         if (single != null) single

@@ -428,10 +428,7 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!overwrite,
         "streaming writes into snapshot-catalog tables are append-only")
-      require(partCols.isEmpty,
-        "streaming writes into PARTITIONED snapshot-catalog tables are " +
-          "not supported yet (the epoch writer stages flat files)")
-      new GraftStreamingWrite(root, info.schema(), info.queryId())
+      new GraftStreamingWrite(root, info.schema(), info.queryId(), partCols)
     }
     override def description(): String =
       s"graft-snapshot ${if (overwrite) "overwrite" else "append"} $root"
@@ -449,7 +446,8 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
   * O(delta), never O(table) — and incremental consumers tail the
   * store via `Snapshots.readChanges`. */
 private[catalog] class GraftStreamingWrite(root: String,
-    schema: org.apache.spark.sql.types.StructType, queryId: String)
+    schema: org.apache.spark.sql.types.StructType, queryId: String,
+    partCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -459,19 +457,58 @@ private[catalog] class GraftStreamingWrite(root: String,
 
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val conf = ExecParquet.writerConf(schema)
+    val localPart = partCols
+    val localSchema = schema
+    val dataSchema =
+      if (localPart.isEmpty) localSchema
+      else org.apache.spark.sql.types.StructType(
+        localSchema.fields.filterNot(f => localPart.contains(f.name)))
+    val conf = ExecParquet.writerConf(dataSchema)
     val dir = stagingDir
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
         new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-          private val w = new ParquetRowDataWriter(
-            f"$dir/epoch-$epochId-part-$partitionId%05d-$taskId.parquet",
-            conf.value, partitionId, taskId)
-          override def write(row: InternalRow): Unit = w.write(row)
+          // PARTITIONED tables: epoch rows split into col=value subdirs
+          // (same dynamic-partitioning shape as the COW rewrite writer)
+          private val name =
+            f"epoch-$epochId-part-$partitionId%05d-$taskId.parquet"
+          private val single: ParquetRowDataWriter =
+            if (localPart.isEmpty)
+              new ParquetRowDataWriter(s"$dir/$name", conf.value, partitionId, taskId)
+            else null
+          private val perPartition =
+            scala.collection.mutable.LinkedHashMap.empty[String, ParquetRowDataWriter]
+          private val partOrdinals = localPart.map(localSchema.fieldIndex).toArray
+          private val partFields = partOrdinals.map(localSchema.fields)
+          private lazy val dataProj =
+            org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+              localSchema.fields.zipWithIndex
+                .filterNot { case (f, _) => localPart.contains(f.name) }
+                .map { case (f, i) =>
+                  org.apache.spark.sql.catalyst.expressions
+                    .BoundReference(i, f.dataType, f.nullable)
+                    .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+                })
+          override def write(row: InternalRow): Unit =
+            if (single != null) single.write(row)
+            else {
+              val frag = DynPart.fragmentOf(row, partOrdinals, partFields)
+              val w = perPartition.getOrElseUpdate(frag, {
+                Files.createDirectories(Paths.get(s"$dir/$frag"))
+                new ParquetRowDataWriter(s"$dir/$frag/$name", conf.value,
+                  partitionId, taskId)
+              })
+              w.write(dataProj(row))
+            }
           override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
-            StagedFilesMessage(w.finish().toSeq, Nil)
-          override def abort(): Unit = w.abort()
+            StagedFilesMessage(
+              if (single != null) single.finish().toSeq
+              else perPartition.values.flatMap(_.finish()).toSeq, Nil)
+          override def abort(): Unit = {
+            if (single != null) single.abort()
+            perPartition.values.foreach(_.abort())
+          }
           override def close(): Unit = ()
         }
     }

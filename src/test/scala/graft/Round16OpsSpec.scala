@@ -408,6 +408,36 @@ class Round16OpsSpec extends SparkSpec {
       "tailed rows must carry their path-derived partition values")
   }
 
+  test("streaming sink + compact keep a PARTITIONED table's layout") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16pw")
+    sqlDf("""CREATE TABLE snap.default.r16pw (k BIGINT, p STRING)
+            |PARTITIONED BY (p)""".stripMargin)
+    // streaming sink: epoch rows split into col=value subdirs
+    val src = Qx.tmpOut("r16pwsrc", sf())
+    val ckpt = Qx.tmpOut("r16pwckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    spark.range(100).select($"id".as("k"),
+      (($"id" % 2).cast("string")).as("p")).write.parquet(src)
+    val q = spark.readStream.schema("k BIGINT, p STRING").parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable("snap.default.r16pw")
+    q.awaitTermination()
+    assert(sqlDf("SELECT count(*) FROM snap.default.r16pw").as[Long].head() == 100)
+    val pr = plannedFiles(sqlDf("SELECT * FROM snap.default.r16pw WHERE p = '1'"))
+    assert(pr.nonEmpty && pr.forall(_.contains("/p=1/")),
+      s"streamed epochs must land partitioned: $pr")
+    // compact keeps the layout (and the values)
+    sqlDf("CALL snap.system.compact('default.r16pw')")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r16pw WHERE p = '0'")
+      .as[Long].head() == 50)
+    val post = plannedFiles(sqlDf("SELECT * FROM snap.default.r16pw WHERE p = '0'"))
+    assert(post.nonEmpty && post.forall(_.contains("/p=0/")),
+      s"compaction must preserve the partition layout: $post")
+  }
+
   test("CALL snap.system.{compact, compact_deletes, vacuum} maintenance procedures") {
     import graft.sources.Snapshots
     sqlDf("DROP TABLE IF EXISTS snap.default.r16proc")
