@@ -66,7 +66,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     SnapProcedures.load(this, ident)
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    SnapProcedures.list()
+    // procedures live only under `system` — listing them elsewhere
+    // would advertise identifiers loadProcedure then refuses
+    if (namespace.isEmpty || namespace.sameElements(SnapProcedures.Namespace))
+      SnapProcedures.list()
+    else Array.empty
 
   private var catName: String = "snap"
   private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()

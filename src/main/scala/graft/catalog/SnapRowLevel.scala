@@ -223,6 +223,70 @@ private[catalog] object DynPart {
     }.mkString("/")
 }
 
+/** Task-local DYNAMIC-PARTITIONING writer shared by the COW rewrite
+  * and the streaming epoch writers: splits rows into `col=value`
+  * subdirs (projected to the data columns), bounding simultaneously
+  * OPEN parquet writers by LRU ROTATION — at the cap the
+  * least-recently-written partition's file is sealed, and a partition
+  * that recurs later opens a new file part. Memory stays O(cap ×
+  * row-group buffer) however many distinct partition values a task
+  * sees; the price is extra file parts under heavy interleaving
+  * (Spark's sort-based fallback pays a sort for the same bound — at
+  * scale, pre-sorting by partition columns upstream keeps one writer
+  * live here too). */
+private[catalog] class DynPartTaskWriter(dir: String,
+    schema: org.apache.spark.sql.types.StructType, partCols: Seq[String],
+    conf: org.apache.hadoop.conf.Configuration, fileName: String,
+    partitionId: Int, taskId: Long, maxOpen: Int = 64) {
+
+  private val partOrdinals = partCols.map(schema.fieldIndex).toArray
+  private val partFields = partOrdinals.map(schema.fields)
+  // LinkedHashMap + remove/re-insert = recency order; head = LRU
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[String, ParquetRowDataWriter]
+  private val closedFiles = scala.collection.mutable.ListBuffer.empty[String]
+  private var fileSeq = 0
+  private lazy val dataProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      schema.fields.zipWithIndex
+        .filterNot { case (f, _) => partCols.contains(f.name) }
+        .map { case (f, i) =>
+          org.apache.spark.sql.catalyst.expressions
+            .BoundReference(i, f.dataType, f.nullable)
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+        })
+
+  def write(row: InternalRow): Unit = {
+    val frag = DynPart.fragmentOf(row, partOrdinals, partFields)
+    val w = open.remove(frag).getOrElse {
+      if (open.size >= maxOpen) {
+        val (lruFrag, lru) = open.head
+        open.remove(lruFrag)
+        closedFiles ++= lru.finish()
+      }
+      fileSeq += 1
+      Files.createDirectories(Paths.get(s"$dir/$frag"))
+      new ParquetRowDataWriter(s"$dir/$frag/r$fileSeq-$fileName", conf,
+        partitionId, taskId)
+    }
+    open.put(frag, w) // re-insert: most recently written
+    w.write(dataProj(row))
+  }
+
+  def finish(): Seq[String] = {
+    closedFiles ++= open.values.flatMap(_.finish())
+    open.clear()
+    closedFiles.toSeq
+  }
+
+  def abort(): Unit = {
+    open.values.foreach(_.abort())
+    open.clear()
+    closedFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    closedFiles.clear()
+  }
+}
+
 /** Lazily-opened single-file parquet writer for one task. */
 private[catalog] class ParquetRowDataWriter(path: String,
     conf: org.apache.hadoop.conf.Configuration, partitionId: Int, taskId: Long) {
@@ -281,45 +345,20 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     val conf = ExecParquet.writerConf(dataSchema)
     (partitionId: Int, taskId: Long) => new DataWriter[InternalRow] {
       // PARTITIONED tables: split each task's rows into per-partition
-      // files under col=value subdirs (Hive-style dynamic
-      // partitioning), rows projected to the DATA columns — the same
-      // layout `df.write.partitionBy` stages, so the partition-aware
-      // scan index parses it back. Unpartitioned tables keep the
+      // files under col=value subdirs ([[DynPartTaskWriter]] — Hive-
+      // style dynamic partitioning, open writers LRU-bounded), rows
+      // projected to the DATA columns — the same layout
+      // `df.write.partitionBy` stages, so the partition-aware scan
+      // index parses it back. Unpartitioned tables keep the
       // single-file fast path.
       private val single: ParquetRowDataWriter =
         if (localPart.isEmpty) new ParquetRowDataWriter(
           f"$dir/part-$partitionId%05d-$taskId.parquet", conf.value, partitionId, taskId)
         else null
-      private val perPartition =
-        scala.collection.mutable.LinkedHashMap.empty[String, ParquetRowDataWriter]
-      private val partOrdinals = localPart.map(localSchema.fieldIndex).toArray
-      private val partFields = partOrdinals.map(localSchema.fields)
-      private var dataProj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
-
-      private def fragmentOf(row: InternalRow): String =
-        DynPart.fragmentOf(row, partOrdinals, partFields)
-
-      private def writerFor(row: InternalRow): ParquetRowDataWriter =
-        if (single != null) single
-        else {
-          if (dataProj == null)
-            dataProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-              localSchema.fields.zipWithIndex
-                .filterNot { case (f, _) => localPart.contains(f.name) }
-                .map { case (f, i) =>
-                  org.apache.spark.sql.catalyst.expressions
-                    .BoundReference(i, f.dataType, f.nullable)
-                    .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
-                })
-          val frag = fragmentOf(row)
-          perPartition.getOrElseUpdate(frag, {
-            val sub = s"$dir/$frag"
-            Files.createDirectories(Paths.get(sub))
-            new ParquetRowDataWriter(
-              f"$sub/part-$partitionId%05d-$taskId.parquet", conf.value,
-              partitionId, taskId)
-          })
-        }
+      private val dyn: DynPartTaskWriter =
+        if (localPart.isEmpty) null
+        else new DynPartTaskWriter(dir, localSchema, localPart, conf.value,
+          f"part-$partitionId%05d-$taskId.parquet", partitionId, taskId)
       // Spark's group-based rewrite prepends a `__row_operation` INT
       // marker to the query, and with no metadata projection the plain
       // writing task delivers rows UNPROJECTED — the connector strips
@@ -342,17 +381,13 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
             s"row has ${row.numFields} fields, write schema has $width")
         }
         val base = if (strip == null) row else strip(row)
-        val w = writerFor(base)
-        w.write(if (single != null) base else dataProj(base))
+        if (single != null) single.write(base) else dyn.write(base)
       }
       override def commit(): WriterCommitMessage =
         StagedFilesMessage(
-          if (single != null) single.finish().toSeq
-          else perPartition.values.flatMap(_.finish()).toSeq, Nil)
-      override def abort(): Unit = {
-        if (single != null) single.abort()
-        perPartition.values.foreach(_.abort())
-      }
+          if (single != null) single.finish().toSeq else dyn.finish(), Nil)
+      override def abort(): Unit =
+        if (single != null) single.abort() else dyn.abort()
       override def close(): Unit = ()
     }
   }

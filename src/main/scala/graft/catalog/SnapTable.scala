@@ -145,11 +145,24 @@ class GraftTable(tableName: String, val root: String,
       case Some((sc, _)) =>
         // PARTITIONED tables: the pinned footers lack the partition
         // columns (they live in the path) — re-attach their declared
-        // fields so time travel presents the full schema
+        // fields AT THEIR DECLARED ORDINALS, so a pinned SELECT *
+        // lines up positionally with the head read (a tail-append
+        // would silently swap columns under UNION/collect-by-index)
         val missing = partCols.filterNot(sc.fieldNames.contains)
         if (missing.isEmpty) sc
-        else StructType(sc.fields ++ missing.flatMap(c =>
-          meta.flatMap(_._1.fields.find(_.name == c))))
+        else meta.map(_._1) match {
+          case Some(ms) =>
+            val present = sc.fieldNames.toSet ++ missing
+            // declared order for every field the declared schema knows;
+            // footer-only fields (pre-declare history) keep their spot
+            val declaredOrdered = ms.fields.filter(f =>
+              present.contains(f.name)).map(f =>
+              sc.fields.find(_.name == f.name).getOrElse(f))
+            val extras = sc.fields.filterNot(f =>
+              ms.fieldNames.contains(f.name))
+            StructType(declaredOrdered ++ extras)
+          case None => StructType(sc.fields)
+        }
       case None => meta.map(_._1).getOrElse {
         val files = snap.map(_.files).getOrElse(Nil)
         require(files.nonEmpty,
@@ -470,45 +483,25 @@ private[catalog] class GraftStreamingWrite(root: String,
           epochId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
         new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
           // PARTITIONED tables: epoch rows split into col=value subdirs
-          // (same dynamic-partitioning shape as the COW rewrite writer)
+          // ([[DynPartTaskWriter]] — the same LRU-bounded dynamic
+          // partitioning the COW rewrite writer uses)
           private val name =
             f"epoch-$epochId-part-$partitionId%05d-$taskId.parquet"
           private val single: ParquetRowDataWriter =
             if (localPart.isEmpty)
               new ParquetRowDataWriter(s"$dir/$name", conf.value, partitionId, taskId)
             else null
-          private val perPartition =
-            scala.collection.mutable.LinkedHashMap.empty[String, ParquetRowDataWriter]
-          private val partOrdinals = localPart.map(localSchema.fieldIndex).toArray
-          private val partFields = partOrdinals.map(localSchema.fields)
-          private lazy val dataProj =
-            org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-              localSchema.fields.zipWithIndex
-                .filterNot { case (f, _) => localPart.contains(f.name) }
-                .map { case (f, i) =>
-                  org.apache.spark.sql.catalyst.expressions
-                    .BoundReference(i, f.dataType, f.nullable)
-                    .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
-                })
+          private val dyn: DynPartTaskWriter =
+            if (localPart.isEmpty) null
+            else new DynPartTaskWriter(dir, localSchema, localPart, conf.value,
+              name, partitionId, taskId)
           override def write(row: InternalRow): Unit =
-            if (single != null) single.write(row)
-            else {
-              val frag = DynPart.fragmentOf(row, partOrdinals, partFields)
-              val w = perPartition.getOrElseUpdate(frag, {
-                Files.createDirectories(Paths.get(s"$dir/$frag"))
-                new ParquetRowDataWriter(s"$dir/$frag/$name", conf.value,
-                  partitionId, taskId)
-              })
-              w.write(dataProj(row))
-            }
+            if (single != null) single.write(row) else dyn.write(row)
           override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
             StagedFilesMessage(
-              if (single != null) single.finish().toSeq
-              else perPartition.values.flatMap(_.finish()).toSeq, Nil)
-          override def abort(): Unit = {
-            if (single != null) single.abort()
-            perPartition.values.foreach(_.abort())
-          }
+              if (single != null) single.finish().toSeq else dyn.finish(), Nil)
+          override def abort(): Unit =
+            if (single != null) single.abort() else dyn.abort()
           override def close(): Unit = ()
         }
     }
@@ -567,7 +560,7 @@ private[catalog] object GraftScans {
         if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options,
           statsRaw, blooms, partSchema)
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
-          files, options, statsRaw, blooms)
+          files, options, statsRaw, blooms, partSchema)
       } else {
         // renames compose with pending deletes: ALTER TABLE guarantees
         // the delete KEY columns themselves are never renamed under
@@ -696,10 +689,15 @@ private[catalog] object GraftScans {
       Some(schema), NoopCache, Some(spec), None) {
 
     // manifest keys are plain local paths; listed statuses carry a
-    // scheme — normalize both sides to the URI path
-    private lazy val statsByPath: Map[String, String] = statsRaw.map {
-      case (k, v) => new org.apache.hadoop.fs.Path(k).toUri.getPath -> v
-    }
+    // scheme — normalize both sides to the URI path. Bodies decode
+    // ONCE per index (not per predicate per bound): at 1M files × a
+    // few predicates that is the difference between one JSON pass and
+    // millions per planning cycle
+    private lazy val statsByPath: Map[String, Snapshots.FileStats] =
+      statsRaw.flatMap { case (k, v) =>
+        Snapshots.parseStats(v).map(
+          new org.apache.hadoop.fs.Path(k).toUri.getPath -> _)
+      }
     private lazy val bloomByPath: Map[String, Set[String]] = blooms.map {
       case (k, cols) =>
         new org.apache.hadoop.fs.Path(k).toUri.getPath -> cols.toSet
@@ -753,7 +751,7 @@ private[catalog] object GraftScans {
     * Bloom membership of the literal's XxHash64 (the hash the writer
     * sketched; integral widths hash identically, so the check survives
     * int→bigint widening). */
-  private[catalog] def admits(body: Option[String],
+  private[catalog] def admits(body: Option[Snapshots.FileStats],
       bloomOf: String => Option[org.apache.spark.util.sketch.BloomFilter],
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -773,9 +771,22 @@ private[catalog] object GraftScans {
         if (lower) Some(x) else None, if (upper) Some(x) else None)))
     def bloomHas(col: String, v: Any, dt: org.apache.spark.sql.types.DataType): Boolean =
       v == null || bloomOf(col).forall { bf =>
-        try bf.mightContainLong(
-          XxHash64(Seq(Literal(v, dt)), 42L).eval().asInstanceOf[Long])
-        catch { case _: Exception => true }
+        try {
+          // canonical width, mirroring the writer (integral→long,
+          // float→double): XxHash64 of Int and Long differ, and the
+          // literal's type follows the CURRENT declared type while the
+          // sketch may predate a widening
+          import org.apache.spark.sql.types._
+          val (cv, cdt): (Any, DataType) = dt match {
+            case ByteType => (v.asInstanceOf[java.lang.Byte].longValue(), LongType)
+            case ShortType => (v.asInstanceOf[java.lang.Short].longValue(), LongType)
+            case IntegerType => (v.asInstanceOf[java.lang.Integer].longValue(), LongType)
+            case FloatType => (v.asInstanceOf[java.lang.Float].doubleValue(), DoubleType)
+            case _ => (v, dt)
+          }
+          bf.mightContainLong(
+            XxHash64(Seq(Literal(cv, cdt)), 42L).eval().asInstanceOf[Long])
+        } catch { case _: Exception => true }
       }
     def eq(a: Attribute, v: Any, dt: org.apache.spark.sql.types.DataType): Boolean =
       range(a.name, v, lower = true, upper = true) && bloomHas(a.name, v, dt)
@@ -939,15 +950,20 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
     tableSchema: StructType, priors: Map[String, Seq[String]],
     files: Seq[String], options: CaseInsensitiveStringMap,
     statsRaw: Map[String, String] = Map.empty,
-    blooms: Map[String, Seq[String]] = Map.empty)
+    blooms: Map[String, Seq[String]] = Map.empty,
+    partSchema: StructType = new StructType())
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   // the inner builder is created EAGERLY over the full physical union
   // schema (every column + every prior spelling) so filter pushdown can
   // forward before column pruning settles; pruning narrows it at build
+  // (partSchema: renamed non-partition columns on a PARTITIONED table
+  // still plan over the partition-aware index — partition columns
+  // themselves are rename-guarded, so they never carry priors)
   private val inner = GraftScans.parquetBuilder(spark, files,
-    GraftScans.renamePlan(tableSchema, priors)._1, options, statsRaw, blooms)
+    GraftScans.renamePlan(tableSchema, priors)._1, options, statsRaw, blooms,
+    partSchema)
 
   private var requested: StructType = tableSchema
 
@@ -970,17 +986,27 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
     inner.pushedFilters
 
   override def build(): Scan = {
+    // PARTITIONED tables: the file scan emits partition columns LAST
+    // (readDataSchema ++ partitionSchema) regardless of requested
+    // order, and the coalesce exprs bind by ORDINAL — so order the
+    // requested schema partition-last before planning, matching the
+    // delegate's actual row shape (Spark re-projects by name above)
+    val ordered =
+      if (partSchema.isEmpty) requested
+      else StructType(
+        requested.fields.filterNot(f => partSchema.fieldNames.contains(f.name)) ++
+        requested.fields.filter(f => partSchema.fieldNames.contains(f.name)))
     // physical read schema (each requested column + its prior
     // spellings) and the folding coalesce — the shared rule
-    val (physSchema, exprs) = GraftScans.renamePlan(requested, priors)
-    if (physSchema == requested) {
+    val (physSchema, exprs) = GraftScans.renamePlan(ordered, priors)
+    if (physSchema == ordered) {
       // no requested column is renamed → the wrapper is pure overhead;
       // hand back Spark's own vectorized pushdown scan untouched
-      inner.pruneColumns(requested)
+      inner.pruneColumns(ordered)
       inner.build()
     } else {
       inner.pruneColumns(physSchema)
-      new RenameScan(inner.build(), requested, exprs)
+      new RenameScan(inner.build(), ordered, exprs)
     }
   }
 }

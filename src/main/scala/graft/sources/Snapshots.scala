@@ -303,9 +303,21 @@ object Snapshots {
       val present = df.columns.toSet
       cols.filter(present).sorted.flatMap { c =>
         import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+        import org.apache.spark.sql.types._
         import spark.implicits._
+        // hash at CANONICAL width (integral→long, float→double):
+        // XxHash64 of an Int and a Long differ, so sketches built at
+        // the narrow width would wrongly refute present keys after an
+        // ALTER COLUMN widening — the read side canonicalizes the
+        // literal the same way
+        val canon = df.schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) =>
+            col(c).cast(LongType)
+          case Some(FloatType | DoubleType) => col(c).cast(DoubleType)
+          case _ => col(c)
+        }
         val hashed = df
-          .select(input_file_name().as("_f"), xxhash64(col(c)).as("_h"))
+          .select(input_file_name().as("_f"), xxhash64(canon).as("_h"))
           .as[(String, Long)]
         val agg = new BloomAgg(items, fpp)
         val perFile = hashed.groupByKey(_._1).agg(agg.toColumn).collect()
@@ -526,52 +538,77 @@ object Snapshots {
     * recorded `[min, max]` for `col` intersect `[lower, upper]` (both
     * bounds optional, inclusive)? `true` on missing/undecodable stats —
     * pruning is an I/O optimization, never the correctness carrier. */
-  private[graft] def statsAdmitsRange(body: String, col: String,
-      lower: Option[Any], upper: Option[Any]): Boolean = try {
-    import org.json4s._
-    val cols = org.json4s.jackson.JsonMethods.parse(body) \ "cols"
-    cols \ col match {
-      case JNothing => true // no stats for the column → never prune
-      case cstats =>
-        (cstats \ "min", cstats \ "max") match {
-          case (JNothing, _) | (_, JNothing) =>
-            // stats present but no values: the column is all-null
-            // in this file — a bounded range can't match it
-            lower.isEmpty && upper.isEmpty
-          case (mn, mx) =>
-            upper.forall(u => statsCmp(mn, u) <= 0) &&
-              lower.forall(l => statsCmp(mx, l) >= 0)
-        }
-    }
-  } catch { case _: Exception => true }
+  /** Decoded per-column stats of one file (min/max kept as the parsed
+    * JSON values [[statsCmp]] compares directly). */
+  private[graft] final case class ColStat(min: Option[Any], max: Option[Any],
+      nc: Option[Long])
+  private[graft] final case class FileStats(rows: Option[Long],
+      cols: Map[String, ColStat])
 
-  /** May the file contain a NULL in `col`? `true` unless recorded
-    * stats prove the null count is zero. */
-  private[graft] def statsAdmitsNull(body: String, col: String): Boolean = try {
-    import org.json4s._
-    org.json4s.jackson.JsonMethods.parse(body) \ "cols" \ col \ "nc" match {
-      case JLong(n) => n > 0
-      case JInt(n) => n > 0
-      case _ => true
-    }
-  } catch { case _: Exception => true }
-
-  /** May the file contain a non-NULL in `col`? `false` only when the
-    * recorded null count equals the file's row count — airtight even
-    * when min/max were omitted for convertibility reasons. */
-  private[graft] def statsAdmitsNotNull(body: String, col: String): Boolean = try {
+  /** Parse a `#stats:` body ONCE — callers evaluating many predicates
+    * (the scan index) decode per file, not per (predicate × bound).
+    * None on undecodable bodies (callers keep the file). */
+  private[graft] def parseStats(body: String): Option[FileStats] = try {
     import org.json4s._
     def asLong(j: JValue): Option[Long] = j match {
       case JLong(n) => Some(n)
       case JInt(n) => Some(n.longValue)
       case _ => None
     }
-    val j = org.json4s.jackson.JsonMethods.parse(body)
-    (asLong(j \ "rows"), asLong(j \ "cols" \ col \ "nc")) match {
-      case (Some(rows), Some(nc)) => nc < rows
-      case _ => true
+    val doc = org.json4s.jackson.JsonMethods.parse(body)
+    val cols = doc \ "cols" match {
+      case JObject(fields) => fields.map { case (name, cstats) =>
+        def opt(j: JValue): Option[Any] =
+          if (j == JNothing) None else Some(j)
+        name -> ColStat(opt(cstats \ "min"), opt(cstats \ "max"),
+          asLong(cstats \ "nc"))
+      }.toMap
+      case _ => Map.empty[String, ColStat]
     }
-  } catch { case _: Exception => true }
+    Some(FileStats(asLong(doc \ "rows"), cols))
+  } catch { case _: Exception => None }
+
+  private[graft] def statsAdmitsRange(fs: FileStats, col: String,
+      lower: Option[Any], upper: Option[Any]): Boolean =
+    fs.cols.get(col) match {
+      case None => true // no stats for the column → never prune
+      case Some(cs) => (cs.min, cs.max) match {
+        case (Some(mn), Some(mx)) =>
+          upper.forall(u => statsCmp(mn, u) <= 0) &&
+            lower.forall(l => statsCmp(mx, l) >= 0)
+        case _ =>
+          // no recorded bounds: the file is provably all-null for the
+          // column ONLY when the null count equals the row count —
+          // parquet also omits chunk min/max for oversized binary
+          // values while keeping null_count, and pruning on that
+          // would silently lose matching rows
+          val allNull = (for { rows <- fs.rows; nc <- cs.nc }
+            yield nc >= rows).getOrElse(false)
+          if (allNull) lower.isEmpty && upper.isEmpty else true
+      }
+    }
+
+  private[graft] def statsAdmitsRange(body: String, col: String,
+      lower: Option[Any], upper: Option[Any]): Boolean =
+    parseStats(body).forall(statsAdmitsRange(_, col, lower, upper))
+
+  /** May the file contain a NULL in `col`? `true` unless recorded
+    * stats prove the null count is zero. */
+  private[graft] def statsAdmitsNull(fs: FileStats, col: String): Boolean =
+    fs.cols.get(col).flatMap(_.nc).forall(_ > 0)
+
+  private[graft] def statsAdmitsNull(body: String, col: String): Boolean =
+    parseStats(body).forall(statsAdmitsNull(_, col))
+
+  /** May the file contain a non-NULL in `col`? `false` only when the
+    * recorded null count equals the file's row count — airtight even
+    * when min/max were omitted for convertibility reasons. */
+  private[graft] def statsAdmitsNotNull(fs: FileStats, col: String): Boolean =
+    (for { rows <- fs.rows; nc <- fs.cols.get(col).flatMap(_.nc) }
+      yield nc < rows).getOrElse(true)
+
+  private[graft] def statsAdmitsNotNull(body: String, col: String): Boolean =
+    parseStats(body).forall(statsAdmitsNotNull(_, col))
 
   /** STATS-PRUNED head read: keep only the manifest files whose
     * recorded `[min, max]` for `col` intersects `[lower, upper]`
@@ -615,7 +652,15 @@ object Snapshots {
       s"no committed snapshot under $root"))
     def hashOf(v: Any): Option[Long] = try {
       import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-      Some(XxHash64(Seq(Literal(v)), 42L).eval().asInstanceOf[Long])
+      // canonical width, mirroring the sketch writer
+      val cv: Any = v match {
+        case b: Byte => b.toLong
+        case s: Short => s.toLong
+        case i: Int => i.toLong
+        case f: Float => f.toDouble
+        case other => other
+      }
+      Some(XxHash64(Seq(Literal(cv)), 42L).eval().asInstanceOf[Long])
     } catch { case _: Exception => None }
     val hashes = values.map(hashOf)
     def keep(f: String): Boolean = {
@@ -888,6 +933,25 @@ object Snapshots {
           "(_table.properties) to shape an empty result")
     }
 
+  /** Read exactly `files`, recovering partition columns: files staged
+    * through `.partitionBy` carry `col=value` path segments under
+    * their version dir, so reading per era with that era's `basePath`
+    * re-derives them (a flat layout takes the single-scan path
+    * untouched). Shared by every manifest-pinned read, including the
+    * change feeds — all paths emit the same schema. */
+  private def scanFiles(spark: SparkSession, fs: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    def rd = {
+      val r = spark.read
+      if (mergeSchema) r.option("mergeSchema", "true") else r
+    }
+    val partitioned = fs.exists(f => f.drop(baseDirOf(f).length).contains("="))
+    if (!partitioned) rd.parquet(fs: _*)
+    else fs.groupBy(baseDirOf).toSeq.sortBy(_._1).map { case (b, bfs) =>
+      rd.option("basePath", b).parquet(bfs: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+  }
+
   private def readWithDeletes(spark: SparkSession, files: Seq[String],
       deletes: Seq[DeleteFile], mergeSchema: Boolean = false,
       fileSeq: Map[String, Long] = Map.empty,
@@ -899,21 +963,7 @@ object Snapshots {
     // a cross-root published file's delete scoping uses its
     // manifest-pinned effective seq, not the foreign path's counter
     def effVersion(f: String): Long = fileSeq.getOrElse(f, fileVersion(f))
-    def scan(fs: Seq[String]): DataFrame = {
-      def rd = {
-        val r = spark.read
-        if (mergeSchema) r.option("mergeSchema", "true") else r
-      }
-      // files staged through .partitionBy carry col=value path
-      // segments under their version dir; reading them per era with
-      // that era's basePath recovers the partition columns (a flat
-      // layout takes the single-scan path untouched)
-      val partitioned = fs.exists(f => f.drop(baseDirOf(f).length).contains("="))
-      if (!partitioned) rd.parquet(fs: _*)
-      else fs.groupBy(baseDirOf).toSeq.sortBy(_._1).map { case (b, bfs) =>
-        rd.option("basePath", b).parquet(bfs: _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
-    }
+    def scan(fs: Seq[String]): DataFrame = scanFiles(spark, fs, mergeSchema)
     if (deletes.isEmpty) scan(files)
     else {
       val maxV = files.map(effVersion).max
@@ -1082,7 +1132,7 @@ object Snapshots {
   def readChanges(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     val changed = changedFiles(root, fromVersion, toVersion)
-    if (changed.nonEmpty) spark.read.parquet(changed: _*)
+    if (changed.nonEmpty) scanFiles(spark, changed)
     else {
       val toFiles = resolveAt(root, toVersion).files
       if (toFiles.nonEmpty) spark.read.parquet(toFiles: _*).limit(0)
@@ -1154,7 +1204,7 @@ object Snapshots {
         .withColumn("_change_type", lit("insert"))
     else if (attributed.isDefined) {
       val added = attributed.get
-      if (added.nonEmpty) spark.read.parquet(added: _*)
+      if (added.nonEmpty) scanFiles(spark, added)
         .withColumn("_change_type", lit("insert"))
       else readAt(spark, root, toVersion).limit(0)
         .withColumn("_change_type", lit("insert"))

@@ -408,6 +408,52 @@ class Round16OpsSpec extends SparkSpec {
       "tailed rows must carry their path-derived partition values")
   }
 
+  test("review pins: bloom survives widening; partitioned rename/time-travel/CDF") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Snapshots
+    // 1. the sketch hashes at canonical width: an int->bigint widening
+    //    must not make point lookups lose present keys
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16bw")
+    sqlDf("""CREATE TABLE snap.default.r16bw (k INT, v STRING)
+            |TBLPROPERTIES ('graft.bloom.cols'='k')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r16bw SELECT CAST(id * 2 AS INT), 'e' FROM range(0, 2000)")
+    sqlDf("INSERT INTO snap.default.r16bw SELECT CAST(id * 2 + 1 AS INT), 'o' FROM range(0, 2000)")
+    sqlDf("ALTER TABLE snap.default.r16bw ALTER COLUMN k TYPE BIGINT")
+    assert(sqlDf("SELECT v FROM snap.default.r16bw WHERE k = 2000")
+      .as[String].collect().toSeq == Seq("e"),
+      "post-widening lookups must still find keys sketched at INT width")
+    val bw = plannedFiles(sqlDf("SELECT * FROM snap.default.r16bw WHERE k = 2000"))
+    val bwFull = plannedFiles(sqlDf("SELECT * FROM snap.default.r16bw"))
+    assert(bw.nonEmpty && bw.size < bwFull.size,
+      s"and the sketch still prunes: ${bw.size} of ${bwFull.size}")
+    // 2. renaming a DATA column of a partitioned table keeps reads alive
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16pr")
+    sqlDf("""CREATE TABLE snap.default.r16pr (k BIGINT, p STRING, v DOUBLE)
+            |PARTITIONED BY (p)""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r16pr VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    sqlDf("ALTER TABLE snap.default.r16pr RENAME COLUMN v TO w")
+    assert(sqlDf("SELECT k, p, w FROM snap.default.r16pr")
+      .as[(Long, String, Double)].collect().toSet ==
+        Set((1L, "a", 1.0), (2L, "b", 2.0)),
+      "rename-aware scan must stay partition-aware")
+    // 3. pinned reads keep the DECLARED column order (k, p, v), not
+    //    partition-cols-appended
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16po")
+    sqlDf("""CREATE TABLE snap.default.r16po (k BIGINT, p STRING, v DOUBLE)
+            |PARTITIONED BY (p)""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r16po VALUES (1, 'a', 1.0)")
+    assert(sqlDf("SELECT * FROM snap.default.r16po VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "p", "v"),
+      "pinned SELECT * must line up positionally with the head read")
+    // 4. the change feed keeps partition columns on partitioned roots
+    val root = s"$wh/default/r16po"
+    sqlDf("INSERT INTO snap.default.r16po VALUES (2, 'b', 2.0)")
+    val feed = Snapshots.readChangesRows(spark, root, 1L, 2L, Seq("k"))
+    assert(feed.columns.contains("p"), s"CDF must carry partition cols: ${feed.columns.toSeq}")
+    assert(feed.select(col("k"), col("p")).as[(Long, String)].collect().toSeq ==
+      Seq(2L -> "b"))
+  }
+
   test("streaming sink + compact keep a PARTITIONED table's layout") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions.col
