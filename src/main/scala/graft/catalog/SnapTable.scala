@@ -51,7 +51,8 @@ import scala.jdk.CollectionConverters._
   */
 class GraftTable(tableName: String, val root: String,
     val pinned: Option[Snapshot])
-  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+  with SupportsPartitionManagement {
 
   private def spark = SparkSession.active
 
@@ -207,6 +208,49 @@ class GraftTable(tableName: String, val root: String,
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
+  // --- SupportsPartitionManagement (read-only: SHOW PARTITIONS) ---------
+  //
+  // Partitions are IMPLIED by data (Delta's model): they appear with
+  // the first row written into them and vanish with the last rewrite
+  // that drops them — ADD/DROP PARTITION as metadata operations have
+  // nothing to mutate, so they refuse; the listing parses the head
+  // manifest's col=value paths, metadata-only.
+  override def partitionSchema(): StructType =
+    StructType(partCols.flatMap(c => schema().fields.find(_.name == c)))
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val ps = partitionSchema()
+    require(names.forall(ps.fieldNames.contains),
+      s"unknown partition column(s): ${names.mkString(",")}")
+    val rows = GraftScans.partitionValuesFor(
+      snap.map(_.files).getOrElse(Nil), ps)
+    val nameOrds = names.map(ps.fieldIndex)
+    rows.filter(r => nameOrds.indices.forall { i =>
+      val dt = ps.fields(nameOrds(i)).dataType
+      val a = r.get(nameOrds(i), dt)
+      val b = ident.get(i, dt)
+      (a == null && b == null) || (a != null && a == b)
+    }).toArray
+  }
+
+  override def createPartition(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partitions are implied by data — INSERT rows instead of ADD PARTITION")
+
+  override def dropPartition(ident: InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "partitions are implied by data — DELETE rows instead of DROP PARTITION")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "snapshot tables carry no per-partition metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
+    Collections.emptyMap()
 
   private def morKeyOf(m: Option[(StructType, Map[String, String])]): Option[String] =
     m.flatMap(_._2.get(GraftTable.morKeyProp))
@@ -632,31 +676,50 @@ private[catalog] object GraftScans {
     val partitions = files
       .groupBy(f => Paths.get(f).getParent.toString).toSeq.sortBy(_._1)
       .map { case (dir, _) =>
-        val rel = dir.drop(baseDirOfPath(dir).length)
-        val segs = rel.split('/').filter(_.contains('=')).map { s =>
-          val i = s.indexOf('=')
-          unescapePathName(s.substring(0, i)) -> unescapePathName(s.substring(i + 1))
-        }.toMap
-        val values = partSchema.fields.map { f =>
-          segs.get(f.name) match {
-            case None => throw new IllegalStateException(
-              s"partitioned table file dir $dir lacks a ${f.name}=<value> segment")
-            case Some(raw) if raw ==
-              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
-              null
-            case Some(raw) =>
-              org.apache.spark.sql.catalyst.expressions.Cast(
-                org.apache.spark.sql.catalyst.expressions.Literal(
-                  org.apache.spark.unsafe.types.UTF8String.fromString(raw),
-                  org.apache.spark.sql.types.StringType),
-                f.dataType, Some("UTC")).eval()
-          }
-        }
         org.apache.spark.sql.execution.datasources.PartitionPath(
-          InternalRow.fromSeq(values.toIndexedSeq), qualified(dir))
+          InternalRow.fromSeq(
+            partitionValuesOf(dir, partSchema).toIndexedSeq), qualified(dir))
       }
     PartitionSpec(partSchema, partitions)
   }
+
+  /** Parse one partition directory's `col=value` segments into typed
+    * catalyst values (declared order). */
+  private[catalog] def partitionValuesOf(dir: String,
+      partSchema: StructType): Array[Any] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    val rel = dir.drop(baseDirOfPath(dir).length)
+    val segs = rel.split('/').filter(_.contains('=')).map { s =>
+      val i = s.indexOf('=')
+      unescapePathName(s.substring(0, i)) -> unescapePathName(s.substring(i + 1))
+    }.toMap
+    partSchema.fields.map { f =>
+      segs.get(f.name) match {
+        case None => throw new IllegalStateException(
+          s"partitioned table file dir $dir lacks a ${f.name}=<value> segment")
+        case Some(raw) if raw ==
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
+          null
+        case Some(raw) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+              org.apache.spark.sql.types.StringType),
+            f.dataType, Some("UTC")).eval()
+      }
+    }
+  }
+
+  /** DISTINCT partition value tuples of a file set — `SHOW PARTITIONS`.
+    * Distinctness by the escaped fragment string (stable across eras);
+    * metadata-only, like every other manifest-derived listing. */
+  private[catalog] def partitionValuesFor(files: Seq[String],
+      partSchema: StructType): Seq[InternalRow] =
+    files.groupBy(f => Paths.get(f).getParent.toString).keys.toSeq
+      .map(dir => dir.drop(baseDirOfPath(dir).length) -> dir).toMap
+      .values.toSeq.sorted
+      .map(dir => InternalRow.fromSeq(
+        partitionValuesOf(dir, partSchema).toIndexedSeq))
 
   /** The version (staging) dir of a path — same rule as
     * [[partitionedLayout]]'s base resolution. */

@@ -408,6 +408,20 @@ class Round16OpsSpec extends SparkSpec {
       "tailed rows must carry their path-derived partition values")
   }
 
+  test("SHOW PARTITIONS lists manifest-implied partitions") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16sh")
+    sqlDf("""CREATE TABLE snap.default.r16sh (k BIGINT, p STRING)
+            |PARTITIONED BY (p)""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r16sh VALUES (1,'a'), (2,'b'), (3,'c')")
+    assert(sqlDf("SHOW PARTITIONS snap.default.r16sh").as[String]
+      .collect().sorted.toSeq == Seq("p=a", "p=b", "p=c"))
+    assert(sqlDf("SHOW PARTITIONS snap.default.r16sh PARTITION (p='b')")
+      .as[String].collect().toSeq == Seq("p=b"))
+    // partitions are implied by data: ADD/DROP refuse
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r16sh ADD PARTITION (p='zz')"))
+  }
+
   test("review pins: bloom survives widening; partitioned rename/time-travel/CDF") {
     import org.apache.spark.sql.functions.col
     import graft.sources.Snapshots
