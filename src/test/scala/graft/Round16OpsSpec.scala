@@ -420,6 +420,12 @@ class Round16OpsSpec extends SparkSpec {
     // partitions are implied by data: ADD/DROP refuse
     intercept[Exception](
       sqlDf("ALTER TABLE snap.default.r16sh ADD PARTITION (p='zz')"))
+    // NULL partition values round-trip through the Hive default dir
+    sqlDf("INSERT INTO snap.default.r16sh VALUES (4, NULL)")
+    assert(sqlDf("SELECT k FROM snap.default.r16sh WHERE p IS NULL")
+      .as[Long].collect().toSeq == Seq(4L),
+      "null partition value must round-trip through the path")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r16sh").as[Long].head() == 4)
   }
 
   test("review pins: bloom survives widening; partitioned rename/time-travel/CDF") {
