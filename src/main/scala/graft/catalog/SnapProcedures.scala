@@ -137,15 +137,51 @@ private[catalog] object SnapProcedures {
       Files.createDirectories(Paths.get(stage))
       // z-order clustering: one range exchange on the Morton key, so
       // the rewritten files carry tight multi-dim bounds for the stats
-      // index to skip on (the OPTIMIZE ZORDER BY shape)
+      // index to skip on (the OPTIMIZE ZORDER BY shape). Values are
+      // MIN/MAX-NORMALIZED into the 16-bit domain interleave_bits
+      // consumes (it masks to the low 16 bits — raw keys in the
+      // millions would cluster modulo 65536, silently meaningless);
+      // one column degenerates to plain range clustering.
       val arranged =
         if (zcols.isEmpty) df.repartition(parts)
         else {
-          graft.functions.BitExprs.register(spark)
-          import org.apache.spark.sql.functions.{col, expr}
-          df.withColumn("__z", expr(s"interleave_bits(${zcols.mkString(", ")})"))
-            .repartitionByRange(parts, col("__z"))
-            .sortWithinPartitions("__z").drop("__z")
+          import org.apache.spark.sql.functions.{col, expr, max, min}
+          import org.apache.spark.sql.types.NumericType
+          require(zcols.size <= 2,
+            s"zorder supports 1 or 2 columns, got ${zcols.size} " +
+              s"(${zcols.mkString(",")})")
+          zcols.foreach { c =>
+            require(df.columns.contains(c), s"no column '$c' to zorder by")
+            require(df.schema(c).dataType.isInstanceOf[NumericType],
+              s"zorder column '$c' must be numeric, is " +
+                df.schema(c).dataType.simpleString)
+          }
+          val zc = "__graft_zorder_key"
+          require(!df.columns.contains(zc),
+            s"table carries a column named '$zc' — rename it to zorder")
+          if (zcols.size == 1)
+            df.repartitionByRange(parts, col(zcols.head))
+              .sortWithinPartitions(zcols.head)
+          else {
+            graft.functions.BitExprs.register(spark)
+            val bounds = df.agg(
+              min(col(zcols(0))).cast("double"), max(col(zcols(0))).cast("double"),
+              min(col(zcols(1))).cast("double"), max(col(zcols(1))).cast("double"))
+              .head()
+            def scaled(i: Int, lo: Int): String =
+              if (bounds.isNullAt(lo) || bounds.isNullAt(lo + 1)) "0L" // all-null column
+              else {
+                val (mn, mx) = (bounds.getDouble(lo), bounds.getDouble(lo + 1))
+                val span = mx - mn
+                if (span <= 0) "0L"
+                else s"CAST((COALESCE(CAST(${zcols(i)} AS DOUBLE), $mn) - $mn) " +
+                  s"* 65535.0 / $span AS BIGINT)"
+              }
+            df.withColumn(zc,
+                expr(s"interleave_bits(${scaled(0, 0)}, ${scaled(1, 2)})"))
+              .repartitionByRange(parts, col(zc))
+              .sortWithinPartitions(zc).drop(zc)
+          }
         }
       // a PARTITIONED table's rewrite must keep the col=value layout
       val partCols = propsAtPlan.map(GraftTable.partColsOf).getOrElse(Nil)

@@ -213,7 +213,12 @@ private[catalog] object DynPart {
         if (row.isNullAt(ordinals(i))) null
         else row.get(ordinals(i), f.dataType)
       val rendered = raw match {
+        // Spark's own rendering maps null AND the empty string to the
+        // Hive default dir — matching it keeps one logical value in
+        // one directory (they read back as NULL, Hive's documented
+        // lossy edge, identically on both write paths)
         case null => ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        case s if s.toString.isEmpty => ExternalCatalogUtils.DEFAULT_PARTITION_NAME
         case d: java.lang.Integer if f.dataType ==
           org.apache.spark.sql.types.DateType =>
           java.time.LocalDate.ofEpochDay(d.longValue()).toString

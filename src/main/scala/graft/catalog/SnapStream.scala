@@ -238,11 +238,9 @@ private[catalog] class GraftMicroBatchStream(root: String,
     * metadata: each micro-batch's scan rebuilds the partition-aware
     * index over its own file slice, so tailing a partitioned table
     * re-attaches partition values exactly like a batch read. */
-  private lazy val partSchema: StructType = {
-    val cols = GraftTable.readMeta(root)
-      .map(m => GraftTable.partColsOf(m._2)).getOrElse(Nil)
-    StructType(cols.flatMap(c => tableSchema.fields.find(_.name == c)))
-  }
+  private lazy val partSchema: StructType =
+    GraftTable.partSchemaOf(tableSchema, GraftTable.readMeta(root)
+      .map(m => GraftTable.partColsOf(m._2)).getOrElse(Nil))
 
   /** A fresh vectorized parquet scan over exactly `files`, pruned to
     * the stream's read schema — the same planning path as a batch read

@@ -217,7 +217,7 @@ class GraftTable(tableName: String, val root: String,
   // nothing to mutate, so they refuse; the listing parses the head
   // manifest's col=value paths, metadata-only.
   override def partitionSchema(): StructType =
-    StructType(partCols.flatMap(c => schema().fields.find(_.name == c)))
+    GraftTable.partSchemaOf(schema(), partCols)
 
   override def listPartitionIdentifiers(names: Array[String],
       ident: InternalRow): Array[InternalRow] = {
@@ -269,7 +269,7 @@ class GraftTable(tableName: String, val root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val sc = schema()
-    val partSchema = StructType(partCols.flatMap(c => sc.fields.find(_.name == c)))
+    val partSchema = GraftTable.partSchemaOf(sc, partCols)
     // the streamable wrapper forwards every pushdown interface to the
     // inner builder and adds only toMicroBatchStream on the built scan
     // (plus manifest-size statistics where the inner scan reports none)
@@ -313,6 +313,11 @@ object GraftTable {
   def partColsOf(props: Map[String, String]): Seq[String] =
     props.get(partColsProp).toSeq.flatMap(_.split(','))
       .map(_.trim).filter(_.nonEmpty)
+  /** THE partition-schema rule (declared order, declared types) —
+    * shared by the table, the scan builder, and the streaming source
+    * so the three can never drift. */
+  def partSchemaOf(schema: StructType, partCols: Seq[String]): StructType =
+    StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
   /** Prior-physical-name ledger for RENAME COLUMN evolution: one
     * property `graft.col.prior.<currentName>` per renamed column,
     * value = comma-joined prior names oldest→newest (see

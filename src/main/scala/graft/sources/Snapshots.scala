@@ -210,10 +210,13 @@ object Snapshots {
       val body = l.stripPrefix(statsPrefix)
       statsPathOf(body).map(_ -> body)
     }.flatten.toMap
-    val blooms = lines.collect { case l if l.startsWith(bloomPrefix) =>
-      val body = l.stripPrefix(bloomPrefix)
-      val sep = body.indexOf(':')
-      body.substring(sep + 1) -> body.substring(0, sep) // file -> col
+    val blooms = lines.collect {
+      // only the CURRENT sketch version is trusted ([[bloomVersion]]);
+      // other versions read as sketch-less files
+      case l if l.startsWith(s"$bloomPrefix$bloomVersion:") =>
+        val body = l.stripPrefix(s"$bloomPrefix$bloomVersion:")
+        val sep = body.indexOf(':')
+        body.substring(sep + 1) -> body.substring(0, sep) // file -> col
     }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     Snapshot(version, lines.filterNot(_.startsWith("#")), dels, seqs, stats,
       blooms)
@@ -251,8 +254,16 @@ object Snapshots {
   def bloomSidecar(dataFile: String, col: String): String =
     s"$dataFile.bloom-$col"
 
+  /** Sketch-format version rendered into each `#bloom:` line: v2 =
+    * canonical-width XxHash64 (integral→long, float→double). Lines
+    * with any OTHER version are ignored by the reader (no sketch → no
+    * prune — correct, just unoptimized) and dropped from the next
+    * commit's carry-forward, so a hash-scheme change can never make an
+    * old sidecar wrongly refute a present key. */
+  private val bloomVersion = "v2"
+
   private def bloomLine(col: String, file: String): String =
-    s"$bloomPrefix$col:$file"
+    s"$bloomPrefix$bloomVersion:$col:$file"
 
   /** Carried-forward `#bloom:` lines restricted to retained files. */
   private def bloomLines(blooms: Map[String, Seq[String]],
@@ -1135,7 +1146,9 @@ object Snapshots {
     if (changed.nonEmpty) scanFiles(spark, changed)
     else {
       val toFiles = resolveAt(root, toVersion).files
-      if (toFiles.nonEmpty) spark.read.parquet(toFiles: _*).limit(0)
+      // scanFiles, not a flat read: a partitioned table's empty frame
+      // must still carry the partition columns (same-schema contract)
+      if (toFiles.nonEmpty) scanFiles(spark, toFiles).limit(0)
       else emptyFrame(spark, root)
     }
   }

@@ -544,13 +544,23 @@ class Round16OpsSpec extends SparkSpec {
     assert(vc.getAs[Long]("oldest_retained") > 1L, s"vacuum report: $vc")
     assert(sqlDf("SELECT count(*) FROM snap.default.r16proc").as[Long].head()
       == expect.size)
-    // z-order variant: lossless, and the clustered files' bounds make
-    // a 2-D band selective through the stats index
+    // z-order variant: lossless, with keys far beyond the 16-bit
+    // domain (min/max normalization feeds interleave_bits — raw
+    // million-scale keys would cluster modulo 65536)
     sqlDf("DROP TABLE IF EXISTS snap.default.r16zo")
     sqlDf("""CREATE TABLE snap.default.r16zo AS
-            |SELECT id % 97 AS a, id % 89 AS b, id AS v FROM range(0, 20000)""".stripMargin)
+            |SELECT (id % 97) * 1000000 AS a, (id % 89) * 500000 AS b, id AS v
+            |FROM range(0, 20000)""".stripMargin)
     sqlDf("CALL snap.system.compact('default.r16zo', 'a, b')")
     assert(sqlDf("SELECT sum(v) FROM snap.default.r16zo").as[Long].head()
       == (0L until 20000L).sum, "z-order compaction must be lossless")
+    // single-column variant degenerates to range clustering; bad args
+    // fail up-front with clear messages
+    sqlDf("CALL snap.system.compact('default.r16zo', 'a')")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r16zo").as[Long].head() == 20000)
+    intercept[Exception](
+      sqlDf("CALL snap.system.compact('default.r16zo', 'a, b, v')"))
+    intercept[Exception](
+      sqlDf("CALL snap.system.compact('default.r16zo', 'nope')"))
   }
 }
