@@ -408,6 +408,27 @@ class Round16OpsSpec extends SparkSpec {
       "tailed rows must carry their path-derived partition values")
   }
 
+  test("dynamic-partition writer rotates past the open-writer cap losslessly") {
+    // 150 partition values interleaved through every task — well past
+    // the 64-open-writer cap, so the LRU rotation path (seal + new
+    // part on recurrence) must carry the rewrite
+    sqlDf("DROP TABLE IF EXISTS snap.default.r16rot")
+    sqlDf("""CREATE TABLE snap.default.r16rot (k BIGINT, p STRING)
+            |PARTITIONED BY (p)""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r16rot
+            |SELECT id, CAST(id % 150 AS STRING) FROM range(0, 15000)""".stripMargin)
+    sqlDf("DELETE FROM snap.default.r16rot WHERE k % 7 = 0")
+    val expect = (0L until 15000L).filterNot(_ % 7 == 0)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r16rot").as[Long].head()
+      == expect.size, "rotation must not lose or duplicate rows")
+    assert(sqlDf("SELECT sum(k) FROM snap.default.r16rot").as[Long].head()
+      == expect.sum)
+    val files = plannedFiles(
+      sqlDf("SELECT * FROM snap.default.r16rot WHERE p = '149'"))
+    assert(files.nonEmpty && files.forall(_.contains("/p=149/")),
+      s"rotated rewrite must keep the layout: $files")
+  }
+
   test("SHOW PARTITIONS lists manifest-implied partitions") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r16sh")
     sqlDf("""CREATE TABLE snap.default.r16sh (k BIGINT, p STRING)
