@@ -204,6 +204,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!SnapMetaTables.names(ident.name()),
       s"'${ident.name()}' is a reserved metadata-table name " +
         s"(${SnapMetaTables.names.mkString(", ")})")
+    require(!Option(properties.get("graft.bloom.cols")).exists(_.contains(':')),
+      "graft.bloom.cols entries must not contain ':' (the bloom " +
+        "manifest-line delimiter)")
     val root = rootOf(ident)
     if (exists(root)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(Paths.get(root))
@@ -405,6 +408,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           GraftTable.partColsOf(pr).isEmpty,
           "graft.mor.key does not compose with PARTITIONED BY yet (delta " +
             "writes stage flat files that would break the partition layout)")
+        // ':' delimits the '#bloom:<ver>:<col>:<file>' manifest line;
+        // a bloom column named with one would corrupt the col↔file
+        // split on read — refuse the property instead
+        require(set.property() != "graft.bloom.cols" ||
+          !set.value().contains(':'),
+          "graft.bloom.cols entries must not contain ':' (the bloom " +
+            "manifest-line delimiter)")
         (sc, pr + (set.property() -> set.value()))
       case ((sc, pr), rm: TableChange.RemoveProperty) =>
         (sc, pr - rm.property())

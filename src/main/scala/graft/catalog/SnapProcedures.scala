@@ -60,11 +60,21 @@ private[catalog] object SnapProcedures {
     }
   }
 
-  /** `'default.t'` (or `'t'`, default namespace) → catalog identifier. */
+  /** `'default.t'` (or `'t'`, default namespace) → catalog identifier.
+    * Each part must be path-safe: the identifier is joined into the
+    * warehouse path, so a separator or a `..` segment in a CALL
+    * argument would resolve OUTSIDE the warehouse — and vacuum/compact
+    * act destructively on whatever snapshot-shaped directory the path
+    * lands on. Reject at parse time. */
   private def identOf(table: String): Identifier = {
     val parts = table.split('.')
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       s"bad table argument: '$table'")
+    parts.foreach { p =>
+      require(!p.contains('/') && !p.contains('\\') && p != ".." && p != ".",
+        s"bad table argument: '$table' (identifier parts must not " +
+          "contain path separators or dot segments)")
+    }
     if (parts.length == 1) Identifier.of(Array("default"), parts.head)
     else Identifier.of(parts.init, parts.last)
   }
@@ -173,7 +183,14 @@ private[catalog] object SnapProcedures {
               else {
                 val (mn, mx) = (bounds.getDouble(lo), bounds.getDouble(lo + 1))
                 val span = mx - mn
-                if (span <= 0) "0L"
+                // non-finite bounds (a NaN or ±Infinity value in the
+                // column) would render unparseable literals like 'NaN'
+                // into the expression AND NaN fails the span<=0 guard —
+                // degenerate to the all-null path (plain clustering on
+                // the other key still happens)
+                if (!java.lang.Double.isFinite(mn) ||
+                    !java.lang.Double.isFinite(mx) ||
+                    !java.lang.Double.isFinite(span) || span <= 0) "0L"
                 else s"CAST((COALESCE(CAST(${zcols(i)} AS DOUBLE), $mn) - $mn) " +
                   s"* 65535.0 / $span AS BIGINT)"
               }

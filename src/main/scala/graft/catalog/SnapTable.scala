@@ -838,23 +838,35 @@ private[catalog] object GraftScans {
       body.forall(b => value(v).forall(x => Snapshots.statsAdmitsRange(b, col,
         if (lower) Some(x) else None, if (upper) Some(x) else None)))
     def bloomHas(col: String, v: Any, dt: org.apache.spark.sql.types.DataType): Boolean =
-      v == null || bloomOf(col).forall { bf =>
-        try {
-          // canonical width, mirroring the writer (integral→long,
-          // float→double): XxHash64 of Int and Long differ, and the
-          // literal's type follows the CURRENT declared type while the
-          // sketch may predate a widening
-          import org.apache.spark.sql.types._
-          val (cv, cdt): (Any, DataType) = dt match {
-            case ByteType => (v.asInstanceOf[java.lang.Byte].longValue(), LongType)
-            case ShortType => (v.asInstanceOf[java.lang.Short].longValue(), LongType)
-            case IntegerType => (v.asInstanceOf[java.lang.Integer].longValue(), LongType)
-            case FloatType => (v.asInstanceOf[java.lang.Float].doubleValue(), DoubleType)
-            case _ => (v, dt)
+      v == null || {
+        // canonical width, mirroring the writer (integral→long,
+        // float→double, string as-is): XxHash64 of Int and Long
+        // differ, and the literal's type follows the CURRENT declared
+        // type while the sketch may predate a widening. Types WITHOUT
+        // a canonical hash never refute: XxHash64 hashes
+        // DECIMAL(<=18) as the unscaled long but wider decimals as
+        // the unscaled byte array, so a sketch written before a
+        // DECIMAL(18)→DECIMAL(19) widening would wrongly refute a
+        // present key — the writer skips those types and the reader
+        // keeps the file unconditionally.
+        import org.apache.spark.sql.types._
+        val canon: Option[(Any, DataType)] = dt match {
+          case ByteType => Some((v.asInstanceOf[java.lang.Byte].longValue(), LongType))
+          case ShortType => Some((v.asInstanceOf[java.lang.Short].longValue(), LongType))
+          case IntegerType => Some((v.asInstanceOf[java.lang.Integer].longValue(), LongType))
+          case LongType => Some((v, LongType))
+          case FloatType => Some((v.asInstanceOf[java.lang.Float].doubleValue(), DoubleType))
+          case DoubleType => Some((v, DoubleType))
+          case StringType => Some((v, StringType))
+          case _ => None // decimal/binary/bool/… → keep (no refutation)
+        }
+        canon.forall { case (cv, cdt) =>
+          bloomOf(col).forall { bf =>
+            try bf.mightContainLong(
+              XxHash64(Seq(Literal(cv, cdt)), 42L).eval().asInstanceOf[Long])
+            catch { case _: Exception => true }
           }
-          bf.mightContainLong(
-            XxHash64(Seq(Literal(cv, cdt)), 42L).eval().asInstanceOf[Long])
-        } catch { case _: Exception => true }
+        }
       }
     def eq(a: Attribute, v: Any, dt: org.apache.spark.sql.types.DataType): Boolean =
       range(a.name, v, lower = true, upper = true) && bloomHas(a.name, v, dt)

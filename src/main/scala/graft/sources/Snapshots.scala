@@ -281,8 +281,14 @@ object Snapshots {
       val p = new java.util.Properties()
       val in = Files.newBufferedReader(f, UTF_8)
       try p.load(in) finally in.close()
+      // ':' delimits the '#bloom:<ver>:<col>:<file>' manifest line
+      // (paths may contain ':'-free segments only after the col slot),
+      // so a column named with one would corrupt the col↔file split on
+      // read — the catalog refuses such properties and this reader
+      // drops them defensively for direct-API writers
       Option(p.getProperty("graft.bloom.cols")).toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .flatMap(_.split(',')).map(_.trim)
+        .filter(c => c.nonEmpty && !c.contains(':'))
     } catch { case _: Exception => Nil }
   }
 
@@ -320,22 +326,32 @@ object Snapshots {
         // XxHash64 of an Int and a Long differ, so sketches built at
         // the narrow width would wrongly refute present keys after an
         // ALTER COLUMN widening — the read side canonicalizes the
-        // literal the same way
+        // literal the same way. Types with NO canonical width are not
+        // sketched at all: e.g. XxHash64 hashes DECIMAL(<=18) as the
+        // unscaled long but wider decimals as the unscaled byte array,
+        // so a DECIMAL(18)→DECIMAL(19) widening would flip the hash
+        // scheme and a pre-widening sketch would wrongly refute
+        // present keys. The read side mirrors this: only
+        // canonicalizable types ever refute (see the catalog scan's
+        // `bloomHas` and [[readPointPruned]]).
         val canon = df.schema.fields.find(_.name == c).map(_.dataType) match {
           case Some(ByteType | ShortType | IntegerType | LongType) =>
-            col(c).cast(LongType)
-          case Some(FloatType | DoubleType) => col(c).cast(DoubleType)
-          case _ => col(c)
+            Some(col(c).cast(LongType))
+          case Some(FloatType | DoubleType) => Some(col(c).cast(DoubleType))
+          case Some(StringType) => Some(col(c))
+          case _ => None // decimal/binary/bool/… → no stable hash → no sketch
         }
-        val hashed = df
-          .select(input_file_name().as("_f"), xxhash64(canon).as("_h"))
-          .as[(String, Long)]
-        val agg = new BloomAgg(items, fpp)
-        val perFile = hashed.groupByKey(_._1).agg(agg.toColumn).collect()
-        perFile.toSeq.map { case (uri, bytes) =>
-          val path = new org.apache.hadoop.fs.Path(uri).toUri.getPath
-          Files.write(Paths.get(bloomSidecar(path, c)), bytes)
-          bloomLine(c, path)
+        canon.toSeq.flatMap { cc =>
+          val hashed = df
+            .select(input_file_name().as("_f"), xxhash64(cc).as("_h"))
+            .as[(String, Long)]
+          val agg = new BloomAgg(items, fpp)
+          val perFile = hashed.groupByKey(_._1).agg(agg.toColumn).collect()
+          perFile.toSeq.map { case (uri, bytes) =>
+            val path = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+            Files.write(Paths.get(bloomSidecar(path, c)), bytes)
+            bloomLine(c, path)
+          }
         }
       }
     } catch { case _: Exception => Nil }
@@ -641,7 +657,11 @@ object Snapshots {
     val kept = snap.files.filter(f =>
       snap.statsRaw.get(f).forall(statsAdmitsRange(_, col, lower, upper)))
     if (kept.isEmpty)
-      readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
+      // schema-shaped empty result; a legitimately zero-file head (a
+      // DELETE-all table) can't go through readWithDeletes — a zero-
+      // path parquet read throws rather than returning an empty frame
+      if (snap.files.isEmpty) emptyFrame(spark, root)
+      else readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
         root = root).limit(0)
     else readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq,
       root = root)
@@ -663,15 +683,22 @@ object Snapshots {
       s"no committed snapshot under $root"))
     def hashOf(v: Any): Option[Long] = try {
       import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-      // canonical width, mirroring the sketch writer
-      val cv: Any = v match {
-        case b: Byte => b.toLong
-        case s: Short => s.toLong
-        case i: Int => i.toLong
-        case f: Float => f.toDouble
-        case other => other
+      // canonical width, mirroring the sketch writer; values of types
+      // the writer does not sketch (decimal/binary/bool/…) hash to
+      // None → the sketch never refutes them (the writer skipped the
+      // column, but a stale/foreign sidecar must not lose rows either)
+      val cv: Option[Any] = v match {
+        case b: Byte => Some(b.toLong)
+        case s: Short => Some(s.toLong)
+        case i: Int => Some(i.toLong)
+        case l: Long => Some(l)
+        case f: Float => Some(f.toDouble)
+        case d: Double => Some(d)
+        case s: String => Some(s)
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case _ => None
       }
-      Some(XxHash64(Seq(Literal(cv)), 42L).eval().asInstanceOf[Long])
+      cv.map(c => XxHash64(Seq(Literal(c)), 42L).eval().asInstanceOf[Long])
     } catch { case _: Exception => None }
     val hashes = values.map(hashOf)
     def keep(f: String): Boolean = {
@@ -690,7 +717,10 @@ object Snapshots {
     }
     val kept = snap.files.filter(keep)
     if (kept.isEmpty)
-      readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
+      // see readStatsPruned: zero-file heads are legitimate and need
+      // the declared-schema empty frame, not a zero-path parquet read
+      if (snap.files.isEmpty) emptyFrame(spark, root)
+      else readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
         root = root).limit(0)
     else readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq,
       root = root)

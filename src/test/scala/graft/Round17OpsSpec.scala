@@ -1,0 +1,122 @@
+package graft
+
+import graft.catalog.GraftCatalog
+import graft.sources.Snapshots
+
+/** Round-17 hardening pins — the r16 ADVICE findings:
+  *  1. bloom refutation must not apply across the DECIMAL(18)→(19)
+  *     XxHash64 scheme flip (writer skips non-canonicalizable types,
+  *     reader never refutes them);
+  *  2. CALL arguments must not path-traverse out of the warehouse;
+  *  3. z-order compaction survives NaN/Infinity values in a zorder
+  *     column (degenerate normalization, not an unparseable literal);
+  *  4. stats/point-pruned direct reads of a legitimately zero-file
+  *     head return a schema-shaped empty frame, not AnalysisException;
+  *  5. bloom column names containing ':' are refused (they would
+  *     corrupt the '#bloom:<ver>:<col>:<file>' manifest-line split).
+  */
+class Round17OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = {
+    val dir = Qx.tmpOut("r17wh", sf())
+    GraftCatalog.register(spark, "snap", Some(dir))
+    dir
+  }
+
+  private def sqlDf(q: String) = { wh; spark.sql(q) }
+
+  test("decimal point lookups survive a precision widening across 18 (bloom never refutes)") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17dec")
+    sqlDf("""CREATE TABLE snap.default.r17dec
+            |TBLPROPERTIES ('graft.bloom.cols'='k') AS
+            |SELECT CAST(id AS DECIMAL(18,2)) AS k, id AS v FROM range(0, 500)
+            |""".stripMargin)
+    val root = s"$wh/default/r17dec"
+    // the writer must NOT have sketched the decimal column: XxHash64
+    // hashes DECIMAL(<=18) as the unscaled long but wider decimals as
+    // the unscaled byte array, so any sketch would refute wrongly
+    // after the widening below
+    assert(Snapshots.resolve(root).get.blooms.isEmpty,
+      "decimal columns must not be bloom-sketched (no canonical hash)")
+    sqlDf("ALTER TABLE snap.default.r17dec ALTER COLUMN k TYPE DECIMAL(19,2)")
+    sqlDf("INSERT INTO snap.default.r17dec VALUES (CAST(250 AS DECIMAL(19,2)), 9999)")
+    val hit = sqlDf(
+      "SELECT v FROM snap.default.r17dec WHERE k = CAST(250 AS DECIMAL(19,2))")
+      .as[Long].collect().sorted.toSeq
+    assert(hit == Seq(250L, 9999L),
+      s"post-widening decimal point lookup lost rows: $hit")
+    // a long-keyed sibling with the same opt-in still sketches and
+    // still prunes: canonicalizable types keep the fast path
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17long")
+    sqlDf("""CREATE TABLE snap.default.r17long
+            |TBLPROPERTIES ('graft.bloom.cols'='k') AS
+            |SELECT id AS k, id AS v FROM range(0, 500)""".stripMargin)
+    assert(Snapshots.resolve(s"$wh/default/r17long").get.blooms.nonEmpty,
+      "long columns must still be sketched")
+    assert(sqlDf("SELECT v FROM snap.default.r17long WHERE k = 42")
+      .as[Long].collect().toSeq == Seq(42L))
+  }
+
+  test("CALL arguments reject path separators and dot segments") {
+    wh
+    // create a victim table OUTSIDE the procedure's intended scope so
+    // a traversal would have something snapshot-shaped to destroy
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17victim")
+    sqlDf("CREATE TABLE snap.default.r17victim AS SELECT id FROM range(10)")
+    // NB: '\\b' in the SQL literal — Spark escape-processes string
+    // literals, so a single backslash would read back as backspace
+    Seq("default/../default/r17victim", "../default.r17victim", "..",
+      "a\\\\b.t", "default..t").foreach { bad =>
+      val e = intercept[Exception](
+        sqlDf(s"CALL snap.system.vacuum('$bad', 2)").collect())
+      assert(e.getMessage.contains("bad table argument"),
+        s"'$bad' must be rejected at parse time, got: ${e.getMessage}")
+    }
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17victim")
+      .as[Long].head() == 10L)
+  }
+
+  test("z-order compaction tolerates NaN and Infinity in a zorder column") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17nan")
+    sqlDf("""CREATE TABLE snap.default.r17nan AS
+            |SELECT CAST(CASE WHEN id = 7 THEN 'NaN'
+            |                 WHEN id = 8 THEN 'Infinity'
+            |                 ELSE CAST(id AS STRING) END AS DOUBLE) AS a,
+            |       CAST(id AS DOUBLE) AS b, id AS v
+            |FROM range(0, 1000)""".stripMargin)
+    // max(a) = NaN (NaN sorts above everything in Spark) → span is
+    // non-finite → the 'a' axis must degenerate to 0L instead of
+    // rendering an unparseable 'NaN' literal into the expression
+    sqlDf("CALL snap.system.compact('default.r17nan', 'a, b')")
+    assert(sqlDf("SELECT sum(v) FROM snap.default.r17nan").as[Long].head()
+      == (0L until 1000L).sum, "z-order with NaN bounds must be lossless")
+  }
+
+  test("stats/point-pruned reads of a zero-file head return an empty frame") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17gone")
+    sqlDf("CREATE TABLE snap.default.r17gone AS SELECT id AS k, id AS v FROM range(50)")
+    sqlDf("DELETE FROM snap.default.r17gone WHERE k >= 0") // DELETE-all
+    val root = s"$wh/default/r17gone"
+    assert(Snapshots.resolve(root).get.files.isEmpty,
+      "fixture: DELETE-all must publish a zero-file head")
+    val statsPruned = Snapshots.readStatsPruned(spark, root, "k",
+      Some(10L), Some(20L))
+    assert(statsPruned.columns.toSeq == Seq("k", "v") && statsPruned.count() == 0L)
+    val pointPruned = Snapshots.readPointPruned(spark, root, "k", Seq(10L))
+    assert(pointPruned.columns.toSeq == Seq("k", "v") && pointPruned.count() == 0L)
+  }
+
+  test("bloom column names containing ':' are refused at CREATE and ALTER") {
+    wh
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17colon")
+    val e1 = intercept[Exception](sqlDf(
+      """CREATE TABLE snap.default.r17colon (k BIGINT)
+        |TBLPROPERTIES ('graft.bloom.cols'='a:b')""".stripMargin))
+    assert(e1.getMessage.contains("graft.bloom.cols"), e1.getMessage)
+    sqlDf("CREATE TABLE snap.default.r17colon (k BIGINT)")
+    val e2 = intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r17colon SET TBLPROPERTIES ('graft.bloom.cols'='a:b')"))
+    assert(e2.getMessage.contains("graft.bloom.cols"), e2.getMessage)
+  }
+}
