@@ -251,66 +251,97 @@ object TextOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** CONNECTED COMPONENTS by the alternating large-star / small-star
+    * algorithm (the MapReduce-CC construction published for web-scale
+    * graphs): repeatedly rewrite the edge set so every node moves
+    * toward a direct edge onto its component minimum.
+    *
+    *  - large-star (over the symmetric adjacency of node u): connect
+    *    every neighbor LARGER than u to the minimum of u's closed
+    *    neighborhood;
+    *  - small-star (over edges oriented high→low at node u): connect
+    *    u and all its (smaller) neighbors to that minimum.
+    *
+    * Both steps preserve connectivity, never create a cycle, and
+    * strictly shrink a potential function, so the loop converges in
+    * O(log² n) rounds — INDEPENDENT of component diameter (min-label
+    * propagation needs diameter-many rounds; a long duplicate chain
+    * would outrun any fixed cap). At the fixpoint the graph is a
+    * disjoint union of stars, each centered at its component minimum;
+    * no iteration cap and no failure mode is needed.
+    *
+    * Input: an edge frame with columns `(d1, d2)` (any orderable
+    * type); output: `(doc_id, comp)` — one row per node that appears
+    * in an edge, labeled with its component minimum. Each round is
+    * two join+min-agg passes over the CURRENT edge set (which only
+    * ever shrinks toward one edge per non-root node), checkpointed to
+    * truncate lineage — the standard iterative-algorithm discipline.
+    * Convergence is the exact edge-set fixpoint (size + one-sided
+    * difference), not a hash heuristic. */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var cc = edges.filter($"d1" =!= $"d2")
+      .select(greatest($"d1", $"d2").as("u"), least($"d1", $"d2").as("v"))
+      .distinct().localCheckpoint(true)
+    var ccCount = cc.count()
+    var converged = ccCount == 0L
+    while (!converged) {
+      // large-star over the symmetric adjacency: m(u) = min(N(u) ∪ {u});
+      // emit (v, m) for every neighbor v > u — orientation stays
+      // canonical high→low because m ≤ u < v
+      val sym = cc.unionAll(cc.select($"v".as("u"), $"u".as("v")))
+      val minsL = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val large = sym.join(minsL, "u").filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+      // small-star on high→low edges: m(u) = min of u's smaller
+      // neighbors; re-hang u and every non-min neighbor on m
+      val minsS = large.groupBy($"u").agg(min($"v").as("m"))
+      val withM = large.join(minsS, "u")
+      val small = withM.select($"u", $"m".as("v"))
+        .unionAll(withM.filter($"v" =!= $"m").select($"v".as("u"), $"m".as("v")))
+        .distinct().localCheckpoint(true)
+      val smallCount = small.count()
+      // exact fixpoint test: same cardinality and no new edges ⇒ the
+      // (distinct, canonically oriented) sets are equal
+      converged = smallCount == ccCount &&
+        small.except(cc).isEmpty
+      cc = small
+      ccCount = smallCount
+    }
+    // fixpoint = disjoint stars: members carry exactly one edge onto
+    // their center; centers label themselves
+    cc.select($"u".as("doc_id"), $"v".as("comp"))
+      .unionAll(cc.select($"v".as("doc_id"), $"v".as("comp")))
+      .distinct()
+  }
+
   /** Multi-signal dedup CLUSTERING — the step production corpus dedup
     * runs after pair generation: near-dup edges from TWO signals
     * (lexical bigram-jaccard ≥ 0.1 and banded embedding-cosine ≥ 0.3)
     * are unioned into one graph, connected components are computed by
-    * iterative min-label propagation, and each cluster elects its
-    * minimum doc_id as the canonical keeper. The fixpoint (component
-    * minimum) is unique and order-independent, so — unusually for a
-    * graph algorithm — the whole operator stays oracle-checkable: the
-    * DuckDB twin reaches the same fixpoint through a recursive
-    * transitive-closure CTE. Scale shape: each iteration is one
-    * neighbor join + one min-agg (the simplified form of the
-    * alternating large-star/small-star CC used on web-scale corpora);
-    * iterations are bounded by cluster diameter (near-dup clusters are
-    * shallow), and the driver only ever sees a convergence count. */
+    * alternating large-star/small-star ([[connectedComponents]] —
+    * O(log² n) rounds regardless of cluster diameter), and each
+    * cluster elects its minimum doc_id as the canonical keeper. The
+    * fixpoint (component minimum) is unique and order-independent, so
+    * — unusually for a graph algorithm — the whole operator stays
+    * oracle-checkable: the DuckDB twin reaches the same fixpoint
+    * through a recursive transitive-closure CTE. */
   val dedupClusterKeeper: Q = (s, dir) => {
     import s.implicits._
     val lexical = dedupNgramJaccard(s, dir)
       .filter($"jaccard" >= 0.1).select($"d1", $"d2")
     val semantic = SimOps.dedupEmbeddingCosine(s, dir).select($"d1", $"d2")
-    val edges = lexical.unionAll(semantic).distinct()
     // The edge list is tiny (near-dup pairs) but its lineage contains
     // the full pair-generation joins — localCheckpoint truncates that
-    // lineage so each propagation iteration starts from materialized
-    // edges, never re-running bigram + cosine pair generation. (On a
-    // cluster: checkpoint to reliable storage instead.)
-    val und = edges.unionAll(edges.select($"d2".as("d1"), $"d1".as("d2")))
-      .localCheckpoint(true)
-    // Each generation of labels is eagerly localCheckpoint'ed: the
-    // loop's lineage would otherwise grow by one join per iteration and
-    // recompute from the start at every convergence count — the
-    // standard iterative-algorithm discipline (MLlib does the same
-    // between iterations). The first propagation is fused into the
-    // initialization (comp₀ = min over self ∪ neighbors), and each
-    // iteration materializes its change flag IN-ROW (left join +
-    // least), so convergence needs only a filter-count over the
-    // just-checkpointed generation — one distributed pass per
-    // iteration instead of the former union-agg + compare-join pair.
-    var labels = und.select($"d1".as("doc_id"), $"d1".as("comp"))
-      .unionAll(und.select($"d1".as("doc_id"), $"d2".as("comp")))
-      .groupBy($"doc_id").agg(min($"comp").as("comp")).localCheckpoint(true)
-    var changed = 1L
-    var iter = 1 // init already performed one propagation round
-    while (changed > 0 && iter < 10) {
-      val nbrMin = und.join(labels, und("d2") === labels("doc_id"))
-        .groupBy(und("d1").as("doc_id")).agg(min($"comp").as("nbr"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select($"doc_id", least($"comp", coalesce($"nbr", $"comp")).as("comp"),
-          ($"nbr" < $"comp").as("chg"))
-        .localCheckpoint(true)
-      changed = next.filter($"chg").count()
-      labels = next.drop("chg")
-      iter += 1
-    }
-    // An unconverged exit must be a signal, not a silent wrong answer:
-    // a component with diameter beyond the iteration cap would otherwise
-    // emit non-fixpoint labels that only an external oracle could catch.
-    require(changed == 0,
-      s"dedup_cluster_keeper: label propagation did not converge after $iter " +
-        s"iterations ($changed labels still changing) — raise the iteration cap")
-    labels.select($"doc_id", $"comp".as("keeper_doc"),
+    // lineage so the CC rounds start from materialized edges, never
+    // re-running bigram + cosine pair generation. (On a cluster:
+    // checkpoint to reliable storage instead.)
+    val edges = lexical.unionAll(semantic).distinct().localCheckpoint(true)
+    connectedComponents(edges)
+      .select($"doc_id", $"comp".as("keeper_doc"),
         ($"doc_id" === $"comp").as("is_keeper"))
       .orderBy($"doc_id")
   }

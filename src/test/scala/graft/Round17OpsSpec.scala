@@ -107,6 +107,34 @@ class Round17OpsSpec extends SparkSpec {
     assert(pointPruned.columns.toSeq == Seq("k", "v") && pointPruned.count() == 0L)
   }
 
+  test("large-star/small-star CC converges on a long duplicate chain") {
+    import org.apache.spark.sql.functions.col
+    // a 50-node PATH graph: diameter 49 — min-label propagation under
+    // the former 10-iteration cap could not converge; the alternating
+    // large-star/small-star rounds are diameter-independent
+    val chain = spark.range(0, 49).selectExpr("id AS d1", "id + 1 AS d2")
+    val labels = graft.operators.TextOps.connectedComponents(chain)
+      .select(col("doc_id").cast("long"), col("comp").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 50 && labels.values.forall(_ == 0L),
+      s"every chain node must label to the component minimum 0, got " +
+        labels.filter(_._2 != 0L).take(5).toString)
+    // several components at once, edges in arbitrary orientation
+    val multi = spark.createDataset(Seq(
+      (5L, 3L), (3L, 9L), (9L, 7L),        // comp min 3
+      (20L, 21L),                          // comp min 20
+      (31L, 30L), (32L, 31L), (30L, 33L)   // comp min 30
+    )).toDF("d1", "d2")
+    val got = graft.operators.TextOps.connectedComponents(multi)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L,
+      33L -> 30L), s"got $got")
+    // empty edge set → empty labels, no hang
+    assert(graft.operators.TextOps.connectedComponents(
+      multi.filter(col("d1") < 0)).isEmpty)
+  }
+
   test("bloom column names containing ':' are refused at CREATE and ALTER") {
     wh
     sqlDf("DROP TABLE IF EXISTS snap.default.r17colon")
