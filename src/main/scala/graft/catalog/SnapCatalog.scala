@@ -282,22 +282,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"$what '$name' collides with a live, renamed-away, or dropped " +
           "column name of this table; reusing it would resurface stale " +
           "file data under the new meaning")
-    // CURRENT names of columns keying pending MOR delete files —
-    // `#del` lines keep their commit-time spelling, so resolve each
-    // through the rename ledger before comparing against a DDL target.
-    // Dropping such a column stays refused (the deletes would become
-    // unscopeable); rename and widening compose via the scan-side
-    // indirection. Concurrency note: DDL runs under the meta lock but
-    // data commits do not — the drop guard assumes the documented
-    // single-writer-DDL discipline for the instant between this read
-    // and writeMeta.
-    lazy val pendingDeleteKeys: Set[String] = {
-      val toCurrent = GraftTable.priorsOf(props)
-        .flatMap { case (cur, ps) => ps.map(_ -> cur) }
-      Snapshots.resolve(root)
-        .map(_.deletes.flatMap(_.keyCols).map(k => toCurrent.getOrElse(k, k)).toSet)
-        .getOrElse(Set.empty)
-    }
+    // `#del` lines keep their commit-time spelling; rename, widening,
+    // AND drop all compose with pending deletes via the scan-side
+    // ledger indirection (priors / dropchain / droptype) — no DDL
+    // shape needs the pending-key set anymore.
     val (newSchema, newProps) = changes.foldLeft((schema, props)) {
       case ((sc, pr), add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -345,24 +333,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(sc.fields.length > 1, "cannot drop the last column")
           require(!GraftTable.partColsOf(pr).contains(name),
             s"cannot drop partition column '$name'")
-          require(!pr.get(GraftTable.morKeyProp).contains(name),
-            s"cannot drop merge-on-read key column '$name'")
-          require(!pendingDeleteKeys.contains(name),
-            s"column '$name' keys pending merge-on-read delete files; " +
-              "compact (full rewrite) before dropping it")
           val priorKey = s"${GraftTable.colPriorPrefix}$name"
           val tombs = GraftTable.droppedOf(pr).toSeq ++
             pr.get(priorKey).toSeq.flatMap(_.split(',')) :+ name
           // a renamed-then-dropped column keeps its chain STRUCTURE
           // (dropchain key) beside the flat tombstone list: pinned
           // time-travel reads straddling the rename still need to
-          // coalesce its spellings ([[GraftTable.pinnedResolution]])
+          // coalesce its spellings ([[GraftTable.pinnedResolution]]),
+          // and the MOR scan resolves delete files staged under a
+          // prior spelling through it. The drop-time TYPE is recorded
+          // too (droptype ledger): a column keying PENDING
+          // merge-on-read delete files may be dropped freely — the
+          // MOR scan keeps reading it as a hidden filter-only shadow
+          // field at that declared width until a rewrite absorbs the
+          // deletes (the field-id-style indirection, keyed by
+          // name-history since spellings are never reused).
           val pr2 = pr.get(priorKey).foldLeft(
             pr - priorKey +
-              (GraftTable.droppedProp -> tombs.distinct.mkString(","))) {
+              (GraftTable.droppedProp -> tombs.distinct.mkString(",")) +
+              (s"${GraftTable.dropTypePrefix}$name" ->
+                sc(name).dataType.json)) {
             (m, chain) => m + (s"${GraftTable.droppedChainPrefix}$name" -> chain)
           }
-          (StructType(sc.fields.filterNot(_.name == name)), pr2)
+          // dropping the declared merge-on-read KEY de-configures MOR:
+          // row-level statements degrade to copy-on-write (which also
+          // absorbs any pending deletes on its first full rewrite)
+          val pr3 =
+            if (pr2.get(GraftTable.morKeyProp).contains(name))
+              pr2 - GraftTable.morKeyProp
+            else pr2
+          (StructType(sc.fields.filterNot(_.name == name)), pr3)
         }
       case ((sc, pr), upd: TableChange.UpdateColumnType) =>
         // ALTER COLUMN <c> TYPE <wider> — metadata-only under the safe-

@@ -223,6 +223,7 @@ private[catalog] object SnapProcedures {
           val stale = props.keys.filter(k =>
             k.startsWith(GraftTable.colPriorPrefix) ||
               k.startsWith(GraftTable.droppedChainPrefix) ||
+              k.startsWith(GraftTable.dropTypePrefix) ||
               k == GraftTable.droppedProp)
           if (stale.nonEmpty && propsAtPlan.contains(props))
             GraftTable.writeMeta(root, sc, props -- stale)

@@ -270,11 +270,20 @@ class GraftTable(tableName: String, val root: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val sc = schema()
     val partSchema = GraftTable.partSchemaOf(sc, partCols)
+    // drop ledger (chains + types) feeds the MOR scan's shadow-field
+    // resolution for HEAD reads only: a pinned read's schema comes
+    // from its own era's footers, where a "dropped" column is still
+    // physically live — the shadow machinery would duplicate it
+    val (dropChains, dropTypes) =
+      if (pinned.isDefined) (Map.empty[String, Seq[String]], Map.empty[String, DataType])
+      else (meta.map(m => GraftTable.droppedChainsOf(m._2)).getOrElse(Map.empty),
+        meta.map(m => GraftTable.dropTypesOf(m._2)).getOrElse(Map.empty))
     // the streamable wrapper forwards every pushdown interface to the
     // inner builder and adds only toMicroBatchStream on the built scan
     // (plus manifest-size statistics where the inner scan reports none)
     new GraftStreamableScanBuilder(
-      GraftScans.builder(spark, sc, snap, options, priors, partSchema),
+      GraftScans.builder(spark, sc, snap, options, priors, partSchema,
+        dropChains, dropTypes),
       root, sc, priors, pinned.isDefined, snap, options)
   }
 
@@ -336,6 +345,14 @@ object GraftTable {
     * column would present split across two half-null spellings,
     * breaking the never-a-union-schema contract. */
   val droppedChainPrefix = "graft.col.dropchain."
+  /** Declared type of a DROPped column at drop time (DataType JSON),
+    * `graft.col.droptype.<finalName>`. Recorded so a column that keys
+    * PENDING merge-on-read delete files can still be dropped: the MOR
+    * scan keeps reading it as a hidden shadow field (filter-only,
+    * never presented) and needs its declared width — the drop-time
+    * type already includes any earlier widening, so staged narrow
+    * delete keys keep upcasting exactly as they did pre-drop. */
+  val dropTypePrefix = "graft.col.droptype."
   private val schemaKey = "graft.schema.json"
 
   /** Per-root monitor serializing metadata READ-MODIFY-WRITE cycles —
@@ -372,6 +389,12 @@ object GraftTable {
   def droppedChainsOf(props: Map[String, String]): Map[String, Seq[String]] =
     props.collect { case (k, v) if k.startsWith(droppedChainPrefix) =>
       k.stripPrefix(droppedChainPrefix) -> v.split(',').toSeq.filter(_.nonEmpty)
+    }
+
+  /** Dropped column's final name → its declared type at drop time. */
+  def dropTypesOf(props: Map[String, String]): Map[String, DataType] =
+    props.collect { case (k, v) if k.startsWith(dropTypePrefix) =>
+      k.stripPrefix(dropTypePrefix) -> DataType.fromJson(v)
     }
 
   /** Iceberg's safe type-promotion matrix — the set of ALTER COLUMN
@@ -598,7 +621,9 @@ private[catalog] object GraftScans {
   def builder(spark: SparkSession, tableSchema: StructType,
       snap: Option[Snapshot], options: CaseInsensitiveStringMap,
       priors: Map[String, Seq[String]] = Map.empty,
-      partSchema: StructType = new StructType()): ScanBuilder = {
+      partSchema: StructType = new StructType(),
+      dropChains: Map[String, Seq[String]] = Map.empty,
+      dropTypes: Map[String, DataType] = Map.empty): ScanBuilder = {
     val files = snap.map(_.files).getOrElse(Nil)
     if (files.isEmpty) new EmptyScanBuilder(tableSchema)
     else {
@@ -611,12 +636,12 @@ private[catalog] object GraftScans {
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
           files, options, statsRaw, blooms, partSchema)
       } else {
-        // renames compose with pending deletes: ALTER TABLE guarantees
-        // the delete KEY columns themselves are never renamed under
-        // pending deletes, so the MOR scan resolves non-key renamed
-        // columns by the same prior-name coalesce and filters deletes
-        // on current-name key ordinals
-        new MorScanBuilder(spark, tableSchema, snap.get, options, priors)
+        // evolution composes with pending deletes through the ledger
+        // indirection: renamed columns (key or not) coalesce prior
+        // spellings, and a DROPPED delete-key column is still read as
+        // a hidden filter-only shadow field (dropchain + droptype)
+        new MorScanBuilder(spark, tableSchema, snap.get, options, priors,
+          dropChains, dropTypes)
       }
     }
   }
@@ -1379,7 +1404,9 @@ private[catalog] object DeleteKeyCache {
   * values to the declared type. */
 private[catalog] class MorScanBuilder(spark: SparkSession,
     tableSchema: StructType, snap: Snapshot, options: CaseInsensitiveStringMap,
-    priors: Map[String, Seq[String]] = Map.empty)
+    priors: Map[String, Seq[String]] = Map.empty,
+    dropChains: Map[String, Seq[String]] = Map.empty,
+    dropTypes: Map[String, DataType] = Map.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -1388,12 +1415,27 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
   private def effVersion(f: String): Long =
     snap.fileSeq.getOrElse(f, MorScanBuilder.fileVersion(f))
 
-  /** prior physical spelling → current column name (identity for
-    * un-renamed names) — the delete-key indirection. */
+  /** prior physical spelling → current (or final dropped) column name
+    * (identity for un-renamed names) — the delete-key indirection.
+    * Dropped columns' chains participate too: a delete file staged
+    * under a pre-rename spelling of a later-DROPPED key still resolves
+    * to the dropped column's final name, whose shadow field carries
+    * the filter. */
   private val toCurrent: Map[String, String] =
-    priors.flatMap { case (cur, ps) => ps.map(_ -> cur) }
+    (priors ++ dropChains).flatMap { case (cur, ps) => ps.map(_ -> cur) }
 
   private def currentName(phys: String): String = toCurrent.getOrElse(phys, phys)
+
+  /** Declared field for a CURRENT name: live columns from the table
+    * schema; DROPPED delete-key columns from the droptype ledger (the
+    * declared width at drop time — staged narrow keys upcast exactly
+    * as pre-drop), always nullable (post-drop files lack the bytes). */
+  private def declaredField(cur: String): org.apache.spark.sql.types.StructField =
+    if (tableSchema.fieldNames.contains(cur)) tableSchema(cur)
+    else org.apache.spark.sql.types.StructField(cur, dropTypes.getOrElse(cur,
+      throw new IllegalStateException(
+        s"pending delete files key column '$cur', which is neither " +
+          "declared nor recorded in the droptype ledger")), nullable = true)
 
   // group files into eras by applicable delete set (version scoping,
   // identical to Snapshots.readWithDeletes) — eager, so the per-era
@@ -1449,15 +1491,18 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     val inlineMode = delBytes <= gate
 
     // the read schema must carry every delete key column even when the
-    // query pruned it away; the wrapped readers project back down.
-    // Delete files are keyed by the PHYSICAL spelling at delete-commit
-    // time — the rename ledger resolves each to its CURRENT name (the
-    // name-history equivalent of Iceberg's field-id indirection), so a
-    // key column renamed AFTER the delete still scopes exactly
+    // query pruned it away — including the SHADOW field of a DROPPED
+    // key column, which is never in `requested` by construction; the
+    // wrapped readers project back down. Delete files are keyed by the
+    // PHYSICAL spelling at delete-commit time — the rename ledger
+    // resolves each to its CURRENT name, and the dropchain ledger to a
+    // dropped column's FINAL name (the name-history equivalent of
+    // Iceberg's field-id indirection), so a key column renamed or
+    // dropped AFTER the delete still scopes exactly
     val keyCols = snap.deletes.flatMap(_.keyCols).map(currentName).distinct
     val readSchema = StructType(requested.fields ++
       keyCols.filterNot(k => requested.fieldNames.contains(k))
-        .map(k => tableSchema(k)))
+        .map(declaredField))
 
     // inline mode: load each distinct (path, keyCols) once, catalyst
     // form — keyed by the SAME tuple the distinct uses: a manifest that
@@ -1474,10 +1519,10 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
         // compare at the same type
         val convs = kcs.map(k =>
           CatalystTypeConverters.createToCatalystConverter(
-            tableSchema(currentName(k)).dataType))
+            declaredField(currentName(k)).dataType))
         val vals = spark.read.parquet(p)
           .select(kcs.map(k => org.apache.spark.sql.functions.col(k)
-            .cast(tableSchema(currentName(k)).dataType)): _*).collect()
+            .cast(declaredField(currentName(k)).dataType)): _*).collect()
           .map { r =>
             val cv = kcs.indices.map(i => convs(i)(r.get(i)))
             if (cv.size == 1) cv.head else cv.toList
@@ -1490,8 +1535,14 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     // and a per-column coalesce projects it back to readSchema before
     // the delete filter — the SAME rule as the head scan
     // (GraftScans.renamePlan); an un-renamed table has no priors and
-    // the projection is elided
-    val (physSchema, exprs) = GraftScans.renamePlan(readSchema, priors)
+    // the projection is elided. Shadow fields of dropped key columns
+    // coalesce through THEIR preserved chains, so a delete staged
+    // under a pre-rename spelling still filters pre-rename files
+    val shadowChains = dropChains.filter { case (fin, _) =>
+      readSchema.fieldNames.contains(fin) && !tableSchema.fieldNames.contains(fin)
+    }
+    val (physSchema, exprs) = GraftScans.renamePlan(readSchema,
+      priors ++ shadowChains)
     val coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] =
       if (physSchema.length == readSchema.length) None else Some(exprs)
 
@@ -1505,7 +1556,7 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
         val curs = kcs.map(currentName)
         MorDeleteSet(
           curs.map(readSchema.fieldIndex),
-          curs.map(tableSchema(_).dataType),
+          curs.map(declaredField(_).dataType),
           if (inlineMode) Some(ds.flatMap(d => loaded((d.path, d.keyCols))).toSet) else None,
           if (inlineMode) Nil else ds.map(_.path),
           kcs)

@@ -1007,6 +1007,44 @@ object WarehouseOps {
              |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** EVOLUTION DROP × MERGE-ON-READ (`sql_evolution_drop`) — the r16
+    * refusal, lifted: the column keying BOTH pending delete
+    * generations (one under its pre-rename spelling, one post-widening)
+    * is the declared merge-on-read key — and it DROPS anyway. The scan
+    * keeps reading it as a hidden filter-only shadow field through the
+    * dropchain + droptype ledgers (the field-id-style indirection), so
+    * every pending delete still scopes exactly; the drop also
+    * de-configures `graft.mor.key` (row-level statements degrade to
+    * copy-on-write until re-keyed). The oracle recomputes the
+    * surviving row set from the ORIGINAL table with the key column
+    * gone from the output — a lost delete, a double-applied one, or a
+    * shadow field misbound to another column's bytes all change the
+    * per-priority counts/sums and hash-mismatch.
+    *
+    * Scale: identical to [[sqlEvolutionMor]] — metadata-only DDL and
+    * O(deleted keys) delete files; the shadow field adds one pruned
+    * column to the MOR read until compaction absorbs the deletes. */
+  val sqlEvolutionDrop: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "evdrop_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.mor.key'='k') AS
+             |SELECT CAST(o_orderkey AS INT) AS k, o_orderpriority,
+             |       CAST(o_totalprice AS DOUBLE) AS price
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE k % 10 = 0") // pending, narrow, spelling `k`
+    s.sql(s"ALTER TABLE $t RENAME COLUMN k TO ok")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN ok TYPE BIGINT")
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE)
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE ok % 7 = 0") // pending, wide, spelling `ok`
+    s.sql(s"ALTER TABLE $t DROP COLUMN ok")   // keys ALL pending deletes
+    s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n,
+             |       ${Qx.dsumSql("price")} AS total
+             |FROM $t GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** SQL-FIRST PARTITIONED TABLES (`sql_partitioned_table`) — `CREATE
     * TABLE … PARTITIONED BY (col)` through the DSv2 catalog: writes
     * stage via `partitionBy` (files carry `col=value` segments inside
@@ -1558,6 +1596,7 @@ object WarehouseOps {
     "sql_rename_evolution" -> sqlRenameEvolution,
     "sql_type_widening" -> sqlTypeWidening,
     "sql_evolution_mor" -> sqlEvolutionMor,
+    "sql_evolution_drop" -> sqlEvolutionDrop,
     "sql_maintenance" -> sqlMaintenance,
     "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
@@ -1847,6 +1886,19 @@ object WarehouseOps {
            OR (o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0))
       SELECT o_orderpriority, COUNT(*) AS n,
              CAST(SUM(ok) AS BIGINT) AS key_sum,
+             ${Qx.dsumSql("price")} AS total
+      FROM rows GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    // The same surviving row set as sql_evolution_mor, but the key
+    // column is DROPPED before the read — the deletes must still scope
+    // through the hidden shadow field; output carries no key column.
+    "sql_evolution_drop" -> s"""
+      WITH rows AS (
+        SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        WHERE (o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)
+           OR (o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0))
+      SELECT o_orderpriority, COUNT(*) AS n,
              ${Qx.dsumSql("price")} AS total
       FROM rows GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",

@@ -107,6 +107,74 @@ class Round17OpsSpec extends SparkSpec {
     assert(pointPruned.columns.toSeq == Seq("k", "v") && pointPruned.count() == 0L)
   }
 
+  test("DROP COLUMN composes with pending MOR deletes (shadow-field read)") {
+    import graft.sources.Snapshots
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17drop")
+    sqlDf("""CREATE TABLE snap.default.r17drop
+            |TBLPROPERTIES ('graft.mor.key'='k') AS
+            |SELECT CAST(id AS INT) AS k, CAST(id AS STRING) AS v,
+            |       id * 10 AS w
+            |FROM range(0, 200)""".stripMargin)
+    sqlDf("DELETE FROM snap.default.r17drop WHERE k % 10 = 0") // pending, spelling k
+    sqlDf("ALTER TABLE snap.default.r17drop RENAME COLUMN k TO ok")
+    sqlDf("ALTER TABLE snap.default.r17drop ALTER COLUMN ok TYPE BIGINT")
+    sqlDf("INSERT INTO snap.default.r17drop SELECT id, CAST(id AS STRING), id * 10 FROM range(200, 300)")
+    sqlDf("DELETE FROM snap.default.r17drop WHERE ok % 7 = 0") // pending, spelling ok
+    val root = s"$wh/default/r17drop"
+    assert(Snapshots.resolve(root).get.deletes.size >= 2,
+      "fixture needs pending delete files from both eras")
+    // the drop target keys BOTH pending delete generations (one under
+    // its pre-rename spelling) AND is the declared merge-on-read key —
+    // the r16 refusal case. Now it drops: the scan keeps reading it as
+    // a hidden shadow field through the dropchain/droptype ledger.
+    sqlDf("ALTER TABLE snap.default.r17drop DROP COLUMN ok")
+    val expect = (0L until 300L).filterNot(i => (i < 200 && i % 10 == 0) || i % 7 == 0)
+    val got = sqlDf("SELECT w FROM snap.default.r17drop").as[Long].collect().sorted
+    assert(got.toSeq == expect.map(_ * 10),
+      s"post-drop read lost/kept wrong rows: ${got.length} vs ${expect.size}")
+    assert(sqlDf("SELECT * FROM snap.default.r17drop").columns.toSeq == Seq("v", "w"),
+      "dropped column must not present")
+    // dropping the declared MOR key de-configures merge-on-read: the
+    // next DELETE goes copy-on-write (and absorbs the pending deletes)
+    assert(!sqlDf("SHOW TBLPROPERTIES snap.default.r17drop")
+      .collect().exists(_.getString(0) == "graft.mor.key"))
+    sqlDf("DELETE FROM snap.default.r17drop WHERE w = 30")
+    assert(Snapshots.resolve(root).get.deletes.isEmpty,
+      "COW delete must absorb pending MOR deletes")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17drop").as[Long].head()
+      == expect.size - 1)
+    // the droptype ledger is cleared by the rewrite along with the
+    // other evolution ledgers (every surviving row re-materialized)
+    assert(!sqlDf("SHOW TBLPROPERTIES snap.default.r17drop")
+      .collect().exists(_.getString(0).startsWith("graft.col.droptype.")))
+  }
+
+  test("DROP of a non-key column with pending deletes + stats/bloom sidecars") {
+    import graft.sources.Snapshots
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17drop2")
+    sqlDf("""CREATE TABLE snap.default.r17drop2
+            |TBLPROPERTIES ('graft.mor.key'='k', 'graft.bloom.cols'='k,extra') AS
+            |SELECT id AS k, id * 2 AS extra, CAST(id AS STRING) AS v
+            |FROM range(0, 400)""".stripMargin)
+    sqlDf("DELETE FROM snap.default.r17drop2 WHERE k % 9 = 0") // pending
+    // a non-key drop while deletes are pending (and while the dropped
+    // column carries stats + a bloom sidecar) — reads stay exact and
+    // pruning on the REMAINING columns keeps working
+    sqlDf("ALTER TABLE snap.default.r17drop2 DROP COLUMN extra")
+    val expect = (0L until 400L).filterNot(_ % 9 == 0)
+    assert(sqlDf("SELECT k FROM snap.default.r17drop2").as[Long].collect().sorted
+      .toSeq == expect)
+    assert(sqlDf("SELECT k FROM snap.default.r17drop2 WHERE k = 27")
+      .as[Long].collect().isEmpty) // deleted key, bloom path engaged
+    assert(sqlDf("SELECT k FROM snap.default.r17drop2 WHERE k = 28")
+      .as[Long].collect().toSeq == Seq(28L))
+    // time travel to the pre-drop version still presents the column
+    val v1 = sqlDf("SELECT min(version) FROM snap.default.r17drop2.history")
+      .as[Long].head()
+    assert(sqlDf(s"SELECT * FROM snap.default.r17drop2 VERSION AS OF $v1")
+      .columns.contains("extra"))
+  }
+
   test("large-star/small-star CC converges on a long duplicate chain") {
     import org.apache.spark.sql.functions.col
     // a 50-node PATH graph: diameter 49 — min-label propagation under
