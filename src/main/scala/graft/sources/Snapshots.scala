@@ -1198,14 +1198,18 @@ object Snapshots {
     * `#rowsunchanged` marker ([[commitCompaction]] — Delta's
     * `dataChange=false`) attributes zero row changes to those commits
     * and stays O(delta) EVEN ACROSS the rewrite: the feed is the
-    * unmarked commits' added files. Only an UNMARKED rewrite or a
+    * unmarked commits' added files. An UNMARKED rewrite or a
     * MOR-delete commit in the range breaks per-file attribution (the
-    * rewrite republished every surviving row), and the feed falls
-    * back to a row-level comparison of the two pinned states: one
-    * co-partitioned full-outer join on the key — the cost Delta pays
-    * for CDF across untracked row-changing rewrites. All paths emit
-    * the same schema, so a consumer tails mixed histories with one
-    * sink. */
+    * rewrite republished every surviving row), and the feed compares
+    * the two states ROW-LEVEL — but scoped by the manifest file diff,
+    * O(TOUCHED) not O(table): only removed files, added files, and
+    * delta-key candidates from shared files whose delete scope
+    * changed enter the full-outer key join; untouched rows cancel by
+    * construction and are never scanned. (Delta needs materialized
+    * row tracking for this; here the manifests' explicit file lists
+    * plus the feed's key contract carry the same information.) All
+    * paths emit the same schema, so a consumer tails mixed histories
+    * with one sink. */
   def readChangesRows(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1252,10 +1256,119 @@ object Snapshots {
       else readAt(spark, root, toVersion).limit(0)
         .withColumn("_change_type", lit("insert"))
     } else {
+      // O(TOUCHED) state diff — never O(table). Rows can differ between
+      // the two states only in
+      //   (a) files REMOVED from the from-manifest (an unmarked rewrite
+      //       dropped or re-materialized their rows),
+      //   (b) files ADDED to the to-manifest,
+      //   (c) SHARED files whose applicable merge-on-read delete sets
+      //       changed — and there only rows whose DELETE KEY sits in
+      //       the symmetric difference of the two key sets (delta-sized
+      //       by construction).
+      // A row in an untouched file with unchanged delete scope is
+      // byte-identical in both states and cancels in the diff, so the
+      // join sides below scan touched files plus delta-key candidates
+      // only — the manifest file diff plays the role Delta's row
+      // tracking plays, with the caller's keyCols as the row identity
+      // (this feed is keyed by contract; Delta needs materialized ids
+      // because its CDF is not). A full unmarked rewrite still costs
+      // O(table) — correctly, since every row may have moved.
+      val fromFileSet = from.files.toSet
+      val removedFiles = from.files.filterNot(toFiles)
+      val addedFiles = to.files.filterNot(fromFileSet)
+      val sharedFiles = from.files.filter(toFiles)
+      def effAt(s: Snapshot)(f: String): Long =
+        s.fileSeq.getOrElse(f, fileVersion(f))
+      def touchedSide(files: Seq[String], s: Snapshot): Option[DataFrame] =
+        if (files.isEmpty) None
+        else Some(readWithDeletes(spark, files, s.deletes, fileSeq = s.fileSeq,
+          root = root))
+      // (c): per shared-file era, compare the applicable delete sets;
+      // where they differ, candidate rows are fetched by a semi join
+      // against the delta keys and re-checked against the FULL other
+      // set (a key can be hidden through a second delete group)
+      def keysOf(ds: Seq[DeleteFile], cols: Seq[String]): DataFrame =
+        ds.map(_.path).sorted.map(p => spark.read.parquet(p)
+            .select(cols.map(org.apache.spark.sql.functions.col): _*))
+          .reduce(_.unionByName(_)).distinct()
+      val shiftGroups = sharedFiles
+        .groupBy(f => (from.deletes.filter(d => effAt(from)(f) < d.coversBelow),
+          to.deletes.filter(d => effAt(to)(f) < d.coversBelow)))
+        .toSeq.sortBy(_._2.min)
+        .flatMap { case ((df_, dt_), fs) =>
+          if (df_.map(d => (d.keyCol, d.path)).toSet ==
+              dt_.map(d => (d.keyCol, d.path)).toSet) Nil
+          else (df_ ++ dt_).map(_.keyCol).distinct.sorted.flatMap { g =>
+            val fromG = df_.filter(_.keyCol == g)
+            val toG = dt_.filter(_.keyCol == g)
+            if (fromG.map(_.path).toSet == toG.map(_.path).toSet) Nil
+            else {
+              val kcols = (fromG ++ toG).head.keyCols
+              val empty = scanFiles(spark, fs.take(1))
+                .select(kcols.map(org.apache.spark.sql.functions.col): _*).limit(0)
+              val kf = if (fromG.isEmpty) empty else keysOf(fromG, kcols)
+              val kt = if (toG.isEmpty) empty else keysOf(toG, kcols)
+              val newlyHidden = kt.except(kf) // visible at from, gone at to
+              val unHidden = kf.except(kt)    // hidden at from, back at to
+              // FILE-prune the candidate scan against the delta keys
+              // when they are enumerable: with the manifests' per-file
+              // `#stats:` bounds (always recorded), a delta whose keys
+              // are localized plans only the files that can hold them —
+              // the feed's plan stays O(touched) even though the delete
+              // lines are table-scoped. Large/multi-column deltas fall
+              // back to scanning the era's shared files once with the
+              // semi join applied during the scan (the standard MOR
+              // read tax, never a two-state shuffle join).
+              def pruned(keysDf: DataFrame): Seq[String] =
+                if (kcols.size != 1) fs
+                else {
+                  val sample = keysDf.limit(4097).collect()
+                  if (sample.length > 4096) fs
+                  else if (sample.isEmpty) Nil
+                  else {
+                    val vals = sample.map(_.get(0)).filter(_ != null)
+                    fs.filter { f =>
+                      to.statsRaw.get(f).flatMap(parseStats) match {
+                        case None => true // no recorded stats → keep
+                        case Some(st) => vals.exists(v =>
+                          statsAdmitsRange(st, kcols.head, Some(v), Some(v)))
+                      }
+                    }
+                  }
+                }
+              def sideOf(keysDf: DataFrame, visibleUnder: Seq[DeleteFile]): Option[DataFrame] = {
+                val cand = pruned(keysDf)
+                if (cand.isEmpty) None // no candidate rows — contribute nothing
+                else Some(antiJoinDeletes(spark,
+                  scanFiles(spark, cand).join(keysDf, kcols, "left_semi"),
+                  visibleUnder))
+              }
+              Seq((sideOf(newlyHidden, df_), sideOf(unHidden, dt_)))
+            }
+          }
+        }
+      val preShift = shiftGroups.flatMap(_._1)
+      val postShift = shiftGroups.flatMap(_._2)
+      // an absent side (no touched files, no shift candidates) shapes
+      // itself from the to-state WITHOUT referencing its files in the
+      // plan (limit 0 — optimized to an empty relation); a present
+      // side references touched files only
+      def side(touched: Option[DataFrame], shifts: Seq[DataFrame]): DataFrame = {
+        val parts = touched.toSeq ++ shifts
+        if (parts.isEmpty) readAt(spark, root, toVersion).limit(0)
+        else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+      val preRaw = side(touchedSide(removedFiles, from), preShift)
+      val postRaw = side(touchedSide(addedFiles, to), postShift)
+      // a key reachable through two delete groups may surface twice in
+      // the shift union; each STATE holds at most one row per key (the
+      // feed's primary-key contract), so dedup is exact
       val pre =
         if (fromVersion == 0L) readAt(spark, root, toVersion).limit(0)
-        else readAt(spark, root, fromVersion)
-      val post = readAt(spark, root, toVersion)
+        else if (shiftGroups.size > 1) preRaw.dropDuplicates(keyCols)
+        else preRaw
+      val post =
+        if (shiftGroups.size > 1) postRaw.dropDuplicates(keyCols) else postRaw
       val cols = post.columns.toSeq
       require(keyCols.forall(cols.contains),
         s"key columns ${keyCols.mkString(",")} must exist in the table: $cols")

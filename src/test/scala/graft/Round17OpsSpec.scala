@@ -203,6 +203,59 @@ class Round17OpsSpec extends SparkSpec {
       multi.filter(col("d1") < 0)).isEmpty)
   }
 
+  test("readChangesRows across row-changing commits plans O(touched), not O(table)") {
+    import org.apache.spark.sql.functions._
+    val root = s"${Qx.tmpOut("r17cdf", sf())}/store"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+    // four single-file commits with disjoint, stats-recorded key ranges
+    def block(r: Range) = spark.range(r.start, r.end)
+      .select($"id".as("k"), ($"id" * 10).as("v")).coalesce(1)
+    Snapshots.commit(root)(out =>
+      block(0 until 100).write.mode("append").parquet(out))
+    (1 until 4).foreach(i => Snapshots.commitAppend(root)(out =>
+      block(i * 100 until (i + 1) * 100).write.mode("append").parquet(out)))
+    val v4files = Snapshots.resolveAt(root, 4L).files
+    assert(v4files.size == 4)
+    val file2 = Snapshots.changedFiles(root, 1L, 2L)
+    val untouched = v4files.toSet -- file2 // blocks 0, 2, 3
+    // v5: MOR delete of two keys inside block 1; v6: re-insert one of
+    // them with a new value — the range [v4, v6] crosses a
+    // row-changing (delete-set) commit, the former full-outer
+    // two-state diff shape
+    val v5 = Snapshots.commitDelete(root, "k")(out =>
+      spark.createDataset(Seq(150L, 160L)).toDF("k")
+        .coalesce(1).write.mode("append").parquet(out))
+    val v6 = Snapshots.commitAppend(root)(out =>
+      Seq((150L, 9999L)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(out))
+    val feed = Snapshots.readChangesRows(spark, root, 4L, v6, Seq("k"))
+    val got = feed.select($"_change_type", $"k", $"v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("update_pre", 150L, 1500L), ("update_post", 150L, 9999L),
+      ("delete", 160L, 1600L)),
+      s"feed must be the exact keyed diff: $got")
+    // THE plan shape: only the touched block (whose stats admit the
+    // delta keys), the v6 file, and the delete-key parquet enter the
+    // plan — blocks 0/2/3 are never referenced, so the former
+    // O(table) full-outer state join is gone
+    val planned = feed.inputFiles.map(_.stripPrefix("file:").stripPrefix("//"))
+      .map(f => if (f.startsWith("/")) f else s"/$f").toSet
+    val leaked = untouched.filter(u => planned.exists(_.endsWith(u)))
+    assert(leaked.isEmpty,
+      s"untouched files must not enter a rewrite-crossing feed plan: $leaked")
+    assert(file2.forall(f => planned.exists(_.endsWith(f))),
+      s"the touched block must be planned: $planned")
+    assert(v5 == 5L && v6 == 6L)
+  }
+
   test("bloom column names containing ':' are refused at CREATE and ALTER") {
     wh
     sqlDf("DROP TABLE IF EXISTS snap.default.r17colon")
