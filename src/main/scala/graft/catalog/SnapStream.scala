@@ -3,6 +3,7 @@ package graft.catalog
 import graft.sources.Snapshots
 import graft.sources.Snapshots.Snapshot
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
@@ -284,7 +285,8 @@ private[catalog] class GraftStreamableScanBuilder(
     delegate: org.apache.spark.sql.connector.read.ScanBuilder,
     root: String, tableSchema: StructType,
     priors: Map[String, Seq[String]], pinned: Boolean,
-    snap: Option[Snapshot], options: CaseInsensitiveStringMap)
+    snap: Option[Snapshot], options: CaseInsensitiveStringMap,
+    partCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -345,7 +347,7 @@ private[catalog] class GraftStreamableScanBuilder(
 
   override def build(): Scan =
     new GraftScanFacade(delegate.build(), root, tableSchema, requested,
-      priors, pinned, snap, options)
+      priors, pinned, snap, options, partCols)
 }
 
 /** The scan produced by [[GraftStreamableScanBuilder]]: batch reads,
@@ -358,13 +360,56 @@ private[catalog] class GraftStreamableScanBuilder(
 private[catalog] class GraftScanFacade(inner: Scan, root: String,
     tableSchema: StructType, requested: StructType,
     priors: Map[String, Seq[String]], pinned: Boolean,
-    snap: Option[Snapshot], options: CaseInsensitiveStringMap)
+    snap: Option[Snapshot], options: CaseInsensitiveStringMap,
+    partCols: Seq[String] = Nil)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED JOINS (Iceberg's SPJ shape): an identity-
+    * PARTITIONED table reports `KeyGroupedPartitioning` over its
+    * partition columns, with the batch re-grouped one input partition
+    * per partition VALUE (keys recovered from the manifest's col=value
+    * paths — metadata-only), so two co-partitioned snap tables joined
+    * on the partition key plan with ZERO exchange on either side.
+    * Strictly opt-in behind Spark's own
+    * `spark.sql.sources.v2.bucketing.enabled`: the per-value grouping
+    * trades split balance for alignment, which is only worth paying
+    * when the planner can actually use it. MOR-pending tables and
+    * zero-file heads fall back to unknown partitioning; runtime (DPP)
+    * filtering is disabled while key-grouped (dropping a whole value
+    * group after partitioning was reported breaks the planner's
+    * contract — the stats/partition pruning in the file index still
+    * applies at planning time). */
+  private def spjEnabled: Boolean =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    catch { case _: Exception => false }
+
+  private lazy val spjEligible: Boolean =
+    partCols.nonEmpty && spjEnabled && !pinned &&
+      snap.exists(s => s.files.nonEmpty && s.deletes.isEmpty)
+
+  private lazy val partSchema: StructType =
+    GraftTable.partSchemaOf(tableSchema, partCols)
+
+  private lazy val partitionKeys: Seq[InternalRow] =
+    GraftScans.partitionValuesFor(snap.map(_.files).getOrElse(Nil), partSchema)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjEligible)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+        partitionKeys.size)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    if (spjEligible) new KeyGroupedBatch(inner.toBatch, partSchema)
+    else inner.toBatch
   override def description(): String = inner.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
@@ -381,7 +426,8 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
     }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    inner match {
+    if (spjEligible) Array.empty // see spj scaladoc: no DPP while key-grouped
+    else inner match {
       case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
         f.filterAttributes()
       case _ => Array.empty
@@ -439,4 +485,79 @@ private[catalog] object GraftScanFacade {
         case _ => None
       }
     } catch { case _: Exception => None }
+}
+
+/** The key-grouped batch behind [[GraftScanFacade]]'s
+  * `KeyGroupedPartitioning` report: the delegate's planned file splits
+  * are re-grouped ONE input partition per partition VALUE, each
+  * wrapped with `HasPartitionKey` so Spark's storage-partitioned-join
+  * planner can align the two sides without an exchange. Keys are
+  * parsed from each file's `col=value` path segments (the manifest
+  * layout [[GraftScans.partitionValuesOf]] already decodes for the
+  * partition-aware index) rather than taken from the delegate's
+  * `PartitionedFile.partitionValues`, which carry only the PRUNED
+  * partition columns — the reported clustering always needs the full
+  * declared key. Readers delegate untouched: a grouped partition is
+  * just the delegate's `FilePartition` re-packed by value. */
+private[catalog] class KeyGroupedBatch(
+    inner: org.apache.spark.sql.connector.read.Batch,
+    partSchema: StructType)
+  extends org.apache.spark.sql.connector.read.Batch {
+
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  private lazy val grouped: Array[(InternalRow, Array[PartitionedFile])] = {
+    val files = inner.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"key-grouped scan expected file partitions, got $other")
+    }
+    files.groupBy(pf => pf.toPath.getParent.toUri.getPath)
+      .toSeq.sortBy(_._1)
+      .map { case (dir, fs) =>
+        InternalRow.fromSeq(
+          GraftScans.partitionValuesOf(dir, partSchema).toIndexedSeq) -> fs
+      }
+      // several directories can render the same value tuple (one per
+      // commit era) — merge them: KeyGroupedPartitioning requires
+      // DISTINCT keys across input partitions
+      .groupBy(_._1).toSeq
+      .map { case (k, g) => k -> g.flatMap(_._2).toArray }
+      .sortBy(_._2.headOption.map(_.urlEncodedPath).getOrElse(""))
+      .toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    grouped.zipWithIndex.map { case ((key, fs), i) =>
+      KeyedFilePartition(FilePartition(i, fs), key): InputPartition
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedReaderFactory(inner.createReaderFactory())
+}
+
+/** A delegate file split tagged with its partition-value key. */
+private[catalog] final case class KeyedFilePartition(
+    delegate: org.apache.spark.sql.execution.datasources.FilePartition,
+    key: InternalRow)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+private[catalog] class KeyedReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case KeyedFilePartition(d, _) => d
+    case other => other
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
 }

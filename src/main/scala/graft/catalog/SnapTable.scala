@@ -284,7 +284,7 @@ class GraftTable(tableName: String, val root: String,
     new GraftStreamableScanBuilder(
       GraftScans.builder(spark, sc, snap, options, priors, partSchema,
         dropChains, dropTypes),
-      root, sc, priors, pinned.isDefined, snap, options)
+      root, sc, priors, pinned.isDefined, snap, options, partCols)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -1088,6 +1088,42 @@ object WarehouseOps {
              |GROUP BY pri ORDER BY pri""".stripMargin)
   }
 
+  /** STORAGE-PARTITIONED JOIN (`join_storage_partitioned`) — Iceberg's
+    * SPJ shape on snap tables: two tables `PARTITIONED BY` the same
+    * key report `KeyGroupedPartitioning` from their manifests'
+    * col=value paths (one input split per partition VALUE, keys
+    * recovered metadata-only), so the join on that key plans with
+    * ZERO exchange on either side — at 100 TB the difference between
+    * shuffling both tables and shuffling nothing. Opt-in behind
+    * Spark's own `spark.sql.sources.v2.bucketing.enabled`, which this
+    * query enables (session-sticky; the only downstream effect on
+    * other keys is per-value split grouping on partitioned snap
+    * scans, a correctness no-op). The zero-Exchange plan shape is
+    * pinned in Round17OpsSpec; the oracle recomputes the joined
+    * aggregate from the original table, so a dropped partition group,
+    * a misaligned key row, or a reader bound to the wrong split all
+    * hash-mismatch. */
+  val joinStoragePartitioned: Q = (s, dir) => {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val (t1, _) = SnapCat.table(s, "spj_orders", dir)
+    val (t2, _) = SnapCat.table(s, "spj_weights", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t1")
+    s.sql(s"DROP TABLE IF EXISTS $t2")
+    s.sql(s"""CREATE TABLE $t1 PARTITIONED BY (pri) AS
+             |SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+             |       o_orderpriority AS pri
+             |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    s.sql(s"""CREATE TABLE $t2 PARTITIONED BY (pri) AS
+             |SELECT DISTINCT o_orderpriority AS pri,
+             |       CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS weight
+             |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    s.sql(s"""SELECT a.pri, COUNT(*) AS n,
+             |       CAST(SUM(a.k * b.weight) AS BIGINT) AS wsum,
+             |       ${Qx.dsumSql("a.price")} AS total
+             |FROM $t1 a JOIN $t2 b ON a.pri = b.pri
+             |GROUP BY a.pri ORDER BY a.pri""".stripMargin)
+  }
+
   /** PREFIX (LIKE) FILE SKIPPING (`snapshot_prefix_prune`) — the
     * log-search shape: `WHERE key LIKE 'abc%'` on a string-clustered
     * table. Matching strings lie in `[prefix, nextPrefix)` (UTF-8
@@ -1597,6 +1633,7 @@ object WarehouseOps {
     "sql_type_widening" -> sqlTypeWidening,
     "sql_evolution_mor" -> sqlEvolutionMor,
     "sql_evolution_drop" -> sqlEvolutionDrop,
+    "join_storage_partitioned" -> joinStoragePartitioned,
     "sql_maintenance" -> sqlMaintenance,
     "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
@@ -1889,6 +1926,15 @@ object WarehouseOps {
              ${Qx.dsumSql("price")} AS total
       FROM rows GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    // The joined aggregate recomputed directly from orders — the
+    // storage-partitioned plan must produce exactly the shuffled
+    // plan's rows.
+    "join_storage_partitioned" -> s"""
+      SELECT o_orderpriority AS pri, COUNT(*) AS n,
+             CAST(SUM(o_orderkey *
+               CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT)) AS BIGINT) AS wsum,
+             ${Qx.dsumSql("CAST(o_totalprice AS DOUBLE)")} AS total
+      FROM orders GROUP BY o_orderpriority ORDER BY pri""",
     // The same surviving row set as sql_evolution_mor, but the key
     // column is DROPPED before the read — the deletes must still scope
     // through the hidden shadow field; output carries no key column.

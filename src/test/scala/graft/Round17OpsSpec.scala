@@ -256,6 +256,46 @@ class Round17OpsSpec extends SparkSpec {
     assert(v5 == 5L && v6 == 6L)
   }
 
+  test("storage-partitioned join: co-partitioned snap tables join with zero exchange") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17spja")
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17spjb")
+    sqlDf("""CREATE TABLE snap.default.r17spja PARTITIONED BY (g) AS
+            |SELECT id AS k, CAST(id % 7 AS STRING) AS g FROM range(0, 2000)""".stripMargin)
+    // second commit → several dirs per value; the grouping must merge
+    sqlDf("INSERT INTO snap.default.r17spja SELECT id, CAST(id % 7 AS STRING) FROM range(2000, 3000)")
+    sqlDf("""CREATE TABLE snap.default.r17spjb PARTITIONED BY (g) AS
+            |SELECT CAST(id AS STRING) AS g, id * 100 AS w FROM range(0, 7)""".stripMargin)
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevB = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+      val df = sqlDf(
+        """SELECT a.g, count(*) AS n, sum(b.w) AS tw
+          |FROM snap.default.r17spja a JOIN snap.default.r17spjb b ON a.g = b.g
+          |GROUP BY a.g ORDER BY a.g""".stripMargin)
+      val rows = df.collect()
+      assert(rows.length == 7)
+      val n0 = rows.head.getAs[Long]("n")
+      assert(n0 == (0 until 3000).count(_ % 7 == 0),
+        s"group 0 count wrong: $n0")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-partitioned storage join must plan without a hash exchange:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fixture must actually exercise a shuffle-family join:\n$plan")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      prevB match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("bloom column names containing ':' are refused at CREATE and ALTER") {
     wh
     sqlDf("DROP TABLE IF EXISTS snap.default.r17colon")
