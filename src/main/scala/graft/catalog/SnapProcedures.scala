@@ -44,19 +44,20 @@ private[catalog] object SnapProcedures {
   val Namespace: Array[String] = Array("system")
 
   def list(): Array[Identifier] =
-    Array("compact", "compact_deletes", "vacuum")
+    Array("analyze", "compact", "compact_deletes", "vacuum")
       .map(Identifier.of(Namespace, _))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
       s"unknown procedure namespace ${ident.namespace().mkString(".")}")
     ident.name() match {
+      case "analyze" => new AnalyzeProcedure(cat)
       case "compact" => new CompactProcedure(cat)
       case "compact_deletes" => new CompactDeletesProcedure(cat)
       case "vacuum" => new VacuumProcedure(cat)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure: ${cat.name()}.system.$other " +
-          "(available: compact, compact_deletes, vacuum)")
+          "(available: analyze, compact, compact_deletes, vacuum)")
     }
   }
 
@@ -100,6 +101,59 @@ private[catalog] object SnapProcedures {
       val i = identOf(table)
       (cat.name() +: i.namespace().toSeq :+ i.name())
         .map(p => s"`$p`").mkString(".")
+    }
+  }
+
+  private final class AnalyzeProcedure(cat: GraftCatalog)
+    extends OneTableProc(cat, "analyze") {
+
+    override def description(): String =
+      "compute per-column distinct counts (one distributed pass) and " +
+        "record them in the table's NDV ledger; the scan's reported " +
+        "column statistics feed them to the cost-based optimizer " +
+        "(the ANALYZE TABLE ... FOR ALL COLUMNS equivalent)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name, e.g. 'default.t'").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("columns_analyzed", IntegerType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.functions.{approx_count_distinct, count, lit}
+      import org.apache.spark.sql.types._
+      val table = input.getUTF8String(0).toString
+      val root = rootOf(table)
+      val spark = SparkSession.active
+      val df = spark.table(qualified(table))
+      // atomic columns only: NDV over a map/array/struct has no CBO
+      // consumer, and approx_count_distinct rejects maps outright
+      val cols = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[NumericType] ||
+          f.dataType == StringType || f.dataType == DateType ||
+          f.dataType == TimestampType || f.dataType == BooleanType => f.name
+      }.toSeq
+      val r = df.agg(count(lit(1)).as("_n"),
+        cols.map(c => approx_count_distinct(org.apache.spark.sql.functions.col(c))
+          .as(s"_ndv_$c")): _*).head()
+      val rows = r.getLong(0)
+      val version = Snapshots.maxCommitted(root)
+      GraftTable.withMetaLock(root) {
+        val (sc, props) = GraftTable.readMeta(root).getOrElse(
+          throw new IllegalStateException(
+            s"analyze needs a declared table (no ${GraftTable.metaFile} under $root)"))
+        val cleared = props.filterNot(_._1.startsWith(GraftTable.ndvPrefix))
+        val entries = cols.zipWithIndex.map { case (c, i) =>
+          s"${GraftTable.ndvPrefix}$c" -> r.getLong(i + 1).toString
+        }.toMap
+        GraftTable.writeMeta(root, sc, cleared ++ entries +
+          (GraftTable.statsRowsProp -> rows.toString) +
+          (GraftTable.statsVersionProp -> version.toString))
+      }
+      report(outSchema, row(version, rows, cols.size))
     }
   }
 

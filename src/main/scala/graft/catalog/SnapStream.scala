@@ -418,12 +418,39 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     inner.reportDriverMetrics()
 
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner match {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base = inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
         s.estimateStatistics()
       case _ => GraftScanFacade.manifestStats(snap)
     }
+    // COLUMN statistics for the cost-based optimizer: min/max/nullCount
+    // aggregated from the manifest's per-file `#stats:` bounds
+    // (metadata already in memory), distinct counts from the ANALYZE
+    // ledger (`CALL snap.system.analyze`). Spark's v2-stats conversion
+    // feeds these straight into FilterEstimation/JoinEstimation, so a
+    // selective filter on a snap table gets a realistic output size —
+    // and with `spark.sql.cbo.enabled` the stats-driven broadcast flip
+    // the session-catalog ANALYZE path gets. Head reads only: a pinned
+    // read's column shapes belong to its own era.
+    if (pinned) base
+    else {
+      val colStats = GraftScanFacade.columnStatsMap(root, snap, tableSchema)
+      if (colStats.isEmpty) base
+      else new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          // the estimators refuse to use column stats without a row
+          // count; the manifest's summed `rows` fills in when the
+          // inner scan reports none
+          if (base.numRows().isPresent) base.numRows()
+          else GraftScanFacade.manifestStats(snap).numRows()
+        override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
+      }
+    }
+  }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (spjEligible) Array.empty // see spj scaladoc: no DPP while key-grouped
@@ -485,6 +512,96 @@ private[catalog] object GraftScanFacade {
         case _ => None
       }
     } catch { case _: Exception => None }
+
+  /** Per-column DSv2 statistics from metadata alone: nullCount sums
+    * and min/max fold across the manifest's per-file stats bodies
+    * (sound only when EVERY file records the column — a stats-less
+    * file could hold anything); distinctCount comes from the ANALYZE
+    * ledger. min/max are converted to the column's CATALYST value
+    * class (the v2→v1 stats conversion passes them verbatim into
+    * FilterEstimation, which casts by the attribute's type). */
+  def columnStatsMap(root: String, snap: Option[Snapshot], schema: StructType)
+      : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.types._
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    val props = GraftTable.readMeta(root).map(_._2).getOrElse(Map.empty)
+    val ndv: Map[String, Long] = props.collect {
+      case (k, v) if k.startsWith(GraftTable.ndvPrefix) =>
+        k.stripPrefix(GraftTable.ndvPrefix) -> v.toLong
+    }
+    val raw: Seq[Option[Snapshots.FileStats]] = snap.toSeq.flatMap(s =>
+      s.files.map(f => s.statsRaw.get(f).flatMap(Snapshots.parseStats)))
+    // a file without a decodable stats body could hold anything: no
+    // min/max/nullCount can be claimed (NDV from the ledger still can)
+    val perFile: Seq[Snapshots.FileStats] =
+      if (raw.nonEmpty && raw.forall(_.isDefined)) raw.map(_.get) else Nil
+    def jNum(v: Any, dt: DataType): Option[AnyRef] = {
+      import org.json4s._
+      val n: Option[Any] = v match {
+        case JLong(l) => Some(l)
+        case JInt(i) => Some(i.longValue)
+        case JDouble(d) => Some(d)
+        case other => Some(other)
+      }
+      n.collect {
+        case l: Long if dt == LongType => java.lang.Long.valueOf(l)
+        case l: Long if dt == IntegerType => java.lang.Integer.valueOf(l.toInt)
+        case l: Long if dt == ShortType => java.lang.Short.valueOf(l.toShort)
+        case l: Long if dt == ByteType => java.lang.Byte.valueOf(l.toByte)
+        case l: Long if dt == DateType => java.lang.Integer.valueOf(l.toInt)
+        case l: Long if dt == TimestampType => java.lang.Long.valueOf(l)
+        case d: Double if dt == DoubleType => java.lang.Double.valueOf(d)
+        case d: Double if dt == FloatType => java.lang.Float.valueOf(d.toFloat)
+      }
+    }
+    schema.fields.foreach { f =>
+      val entries = perFile.map(_.cols.get(f.name))
+      val allPresent = perFile.nonEmpty && entries.forall(_.isDefined)
+      val nullCount: Option[Long] =
+        if (allPresent && entries.forall(_.get.nc.isDefined))
+          Some(entries.map(_.get.nc.get).sum)
+        else None
+      // min/max fold over files WITH recorded values; files without
+      // values must be provably all-null or the fold would understate
+      def bound(sel: Snapshots.ColStat => Option[Any], keepMax: Boolean): Option[AnyRef] =
+        if (!allPresent) None
+        else {
+          val allNullOk = perFile.forall { fsb =>
+            val c = fsb.cols(f.name)
+            sel(c).isDefined ||
+              (c.nc.isDefined && fsb.rows.isDefined && c.nc.get == fsb.rows.get)
+          }
+          val vals = entries.flatMap(e => sel(e.get))
+          if (!allNullOk || vals.isEmpty) None
+          else jNum(vals.reduceLeft((a, b) =>
+            if ((Snapshots.statsCmp(a, b) >= 0) == keepMax) a else b), f.dataType)
+        }
+      val mnv = bound(_.min, keepMax = false)
+      val mxv = bound(_.max, keepMax = true)
+      val dcv = ndv.get(f.name)
+      val ncv = nullCount
+      if (ncv.isDefined || mnv.isDefined || mxv.isDefined || dcv.isDefined) {
+        val stat = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            dcv.map(java.util.OptionalLong.of(_)).getOrElse(java.util.OptionalLong.empty())
+          override def min(): java.util.Optional[Object] =
+            mnv.map(v => java.util.Optional.of(v: Object))
+              .getOrElse(java.util.Optional.empty[Object]())
+          override def max(): java.util.Optional[Object] =
+            mxv.map(v => java.util.Optional.of(v: Object))
+              .getOrElse(java.util.Optional.empty[Object]())
+          override def nullCount(): java.util.OptionalLong =
+            ncv.map(java.util.OptionalLong.of(_))
+              .getOrElse(java.util.OptionalLong.empty())
+        }
+        out.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name), stat)
+      }
+    }
+    out
+  }
 }
 
 /** The key-grouped batch behind [[GraftScanFacade]]'s

@@ -353,6 +353,14 @@ object GraftTable {
     * type already includes any earlier widening, so staged narrow
     * delete keys keep upcasting exactly as they did pre-drop. */
   val dropTypePrefix = "graft.col.droptype."
+  /** ANALYZE (NDV) ledger — `CALL snap.system.analyze` writes one
+    * `graft.stats.ndv.<col>` entry per atomic column plus the row
+    * count and the version analyzed at; the scan's reported column
+    * statistics serve them to the cost-based optimizer. Stale-but-
+    * present entries keep serving (the ANALYZE TABLE contract). */
+  val ndvPrefix = "graft.stats.ndv."
+  val statsRowsProp = "graft.stats.rows"
+  val statsVersionProp = "graft.stats.version"
   private val schemaKey = "graft.schema.json"
 
   /** Per-root monitor serializing metadata READ-MODIFY-WRITE cycles —

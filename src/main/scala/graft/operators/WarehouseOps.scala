@@ -1611,6 +1611,43 @@ object WarehouseOps {
       .orderBy($"c_mktsegment")
   }
 
+  /** ANALYZE → CBO ON SNAP TABLES (`stats_cbo_join_snap`) — the
+    * statistics loop [[statsCboJoin]] proves on session-catalog
+    * tables, now native to the snapshot catalog: `CALL
+    * snap.system.analyze` computes per-column distinct counts in one
+    * distributed pass and records them in the table's NDV ledger;
+    * the DSv2 scan reports them (plus manifest-aggregated
+    * min/max/null counts — metadata already in memory) as v2 column
+    * statistics, which Spark folds into the logical plan's attribute
+    * stats. Under `spark.sql.cbo.enabled` a selective dim filter then
+    * estimates realistically and flips the join to broadcast — the
+    * plan flip is pinned in Round17OpsSpec under a scoped conf (this
+    * query deliberately leaves the shared session's optimizer mode
+    * alone, same policy as [[statsCboJoin]]). The oracle recomputes
+    * the joined aggregate from the original tables, so the analyze
+    * pass and the stats-reporting scan can never change results, only
+    * plans. */
+  val statsCboJoinSnap: Q = (s, dir) => {
+    import s.implicits._
+    val (tc, _) = SnapCat.table(s, "cbo_customer", dir)
+    val (to, _) = SnapCat.table(s, "cbo_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $tc")
+    s.sql(s"DROP TABLE IF EXISTS $to")
+    s.sql(s"""CREATE TABLE $tc AS
+             |SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+             |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    s.sql(s"""CREATE TABLE $to AS
+             |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+             |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    s.sql(s"CALL snap.system.analyze('${tc.stripPrefix("snap.")}')")
+    s.sql(s"CALL snap.system.analyze('${to.stripPrefix("snap.")}')")
+    s.table(to)
+      .join(s.table(tc).filter($"c_acctbal" > 9000), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), Qx.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_compact" -> layoutCompact,
@@ -1649,6 +1686,7 @@ object WarehouseOps {
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
     "stats_cbo_join" -> statsCboJoin,
+    "stats_cbo_join_snap" -> statsCboJoinSnap,
     "sink_parquet_zordered" -> sinkParquetZordered)
 
   val oracle: Map[String, String] = Map(
@@ -2138,6 +2176,13 @@ object WarehouseOps {
     // twins + ANALYZE stats must be result-invisible (plans change,
     // values don't).
     "stats_cbo_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_acctbal > 9000
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "stats_cbo_join_snap" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
                AS revenue

@@ -539,7 +539,7 @@ object Snapshots {
     * UTF8 byte order (parquet's min/max order for annotated strings).
     * Incomparable pairs compare equal — the caller treats that as
     * overlap, i.e. keeps the file. */
-  private def statsCmp(a: Any, b: Any): Int = {
+  private[graft] def statsCmp(a: Any, b: Any): Int = {
     import org.json4s._
     def unwrap(v: Any): Any = v match {
       case JLong(l) => l

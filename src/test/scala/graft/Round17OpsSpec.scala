@@ -296,6 +296,74 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("snap.system.analyze feeds CBO: stats-driven broadcast flip on snap tables") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17fact")
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17dim")
+    sqlDf("""CREATE TABLE snap.default.r17fact AS
+            |SELECT id AS k, id % 1000 AS fk FROM range(0, 30000)""".stripMargin)
+    // dim: bigger than the broadcast threshold on disk (md5 padding is
+    // incompressible), but a >990 filter keeps ~1% of rows
+    sqlDf("""CREATE TABLE snap.default.r17dim AS
+            |SELECT id AS dk, CAST(id % 1000 AS DOUBLE) AS bal,
+            |       concat(md5(CAST(id AS STRING)), md5(CAST(id + 1 AS STRING)),
+            |              md5(CAST(id + 2 AS STRING))) AS pad
+            |FROM range(0, 2000)""".stripMargin)
+    val rep = sqlDf("CALL snap.system.analyze('default.r17dim')").collect().head
+    assert(rep.getAs[Long]("row_count") == 2000L &&
+      rep.getAs[Int]("columns_analyzed") == 3, s"analyze report: $rep")
+    sqlDf("CALL snap.system.analyze('default.r17fact')")
+    // the NDV ledger is recorded and visible
+    assert(sqlDf("SHOW TBLPROPERTIES snap.default.r17dim").collect()
+      .exists(r => r.getString(0) == "graft.stats.ndv.dk"))
+    val dimBytes = graft.sources.Snapshots.resolve(s"$wh/default/r17dim")
+      .get.files.map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+    val threshold = math.max(64L * 1024, dimBytes / 2)
+    assert(dimBytes > threshold, s"fixture: dim ($dimBytes B) must exceed $threshold B")
+    // pad stays in the output so column pruning cannot shrink the
+    // size-only estimate below the threshold — the flip must come
+    // from the row-count/selectivity estimate, i.e. from the stats
+    val q = """SELECT f.fk, count(*) AS n, min(d.pad) AS p0
+              |FROM snap.default.r17fact f
+              |JOIN snap.default.r17dim d ON f.fk = d.dk
+              |WHERE d.bal > 990.0 GROUP BY f.fk ORDER BY f.fk""".stripMargin
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    val prevTh = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      // AQE would flip the join from RUNTIME sizes; the point here is
+      // the STATIC stats-driven decision (at 100 TB the static flip
+      // avoids even planning the shuffle stages)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val off = sqlDf(q)
+      off.collect()
+      assert(off.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "without CBO the over-threshold dim must sort-merge: " +
+          off.queryExecution.executedPlan.toString)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val on = sqlDf(q)
+      val rows = on.collect()
+      assert(rows.length == 9, s"9 fk groups survive the >990 filter: ${rows.length}")
+      assert(on.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "with CBO + analyze stats the 1%-selective dim must broadcast: " +
+          on.queryExecution.executedPlan.toString)
+    } finally {
+      prevCbo match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      prevTh match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+  }
+
   test("bloom column names containing ':' are refused at CREATE and ALTER") {
     wh
     sqlDf("DROP TABLE IF EXISTS snap.default.r17colon")
