@@ -68,6 +68,24 @@ private[catalog] class GraftMicroBatchStream(root: String,
     }
   }
 
+  /** Byte-rate cap: admit whole versions until the summed ON-DISK size
+    * of the admitted files crosses the cap (sizes come from the local
+    * file metadata — no footer or data I/O). Composes with
+    * `maxFilesPerTrigger`; whichever cap trips first bounds the batch.
+    * Like the file cap, it rounds UP to a version boundary and always
+    * admits at least one version, so a single oversized commit slows
+    * the stream down instead of stalling it. */
+  private val maxBytesPerTrigger: Option[Long] = {
+    val v = Option(options.get(GraftMicroBatchStream.MaxBytesOption))
+    v.map(_.trim).map { s =>
+      val n = try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+      catch { case _: Exception => throw new IllegalArgumentException(
+        s"${GraftMicroBatchStream.MaxBytesOption} does not parse as a byte size: $s") }
+      require(n > 0, s"${GraftMicroBatchStream.MaxBytesOption} must be positive: $s")
+      n
+    }
+  }
+
   private val skipChangeCommits: Boolean =
     options.getBoolean(GraftMicroBatchStream.SkipChangesOption, false)
 
@@ -137,23 +155,37 @@ private[catalog] class GraftMicroBatchStream(root: String,
     val s0 = start.asInstanceOf[VersionOffset].version
     val head = availableNowEnd.getOrElse(Snapshots.maxCommitted(root))
     if (head <= s0) return VersionOffset(s0)
-    limit match {
-      case f: ReadMaxFiles =>
-        // admit whole versions until the file cap is crossed; always at
-        // least one version, or a single oversized commit would stall
-        // the stream forever
-        var end = s0
-        var count = 0
-        val it = steps(s0, head).iterator
-        var full = false
-        while (!full && it.hasNext) {
-          val st = it.next()
-          val emit = if (st.isChange && skipChangeCommits) 0 else st.added.size
-          if (end > s0 && count + emit > f.maxFiles()) full = true
-          else { end = st.version; count += emit }
-        }
-        VersionOffset(end)
-      case _ => VersionOffset(head)
+    val fileCap: Option[Int] = limit match {
+      case f: ReadMaxFiles => Some(f.maxFiles())
+      case _ => None
+    }
+    if (fileCap.isEmpty && maxBytesPerTrigger.isEmpty) VersionOffset(head)
+    else {
+      // admit whole versions until a cap is crossed; always at least
+      // one version, or a single oversized commit would stall the
+      // stream forever. A long-lagged catch-up thus paces itself in
+      // bounded batches instead of planning one giant one.
+      var end = s0
+      var count = 0
+      var bytes = 0L
+      val it = steps(s0, head).iterator
+      var full = false
+      while (!full && it.hasNext) {
+        val st = it.next()
+        val skipped = st.isChange && skipChangeCommits
+        val emit = if (skipped) 0 else st.added.size
+        val emitBytes =
+          if (skipped || maxBytesPerTrigger.isEmpty) 0L
+          else st.added.map { f =>
+            try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+            catch { case _: Exception => 0L }
+          }.sum
+        val over = fileCap.exists(c => count + emit > c) ||
+          maxBytesPerTrigger.exists(b => bytes + emitBytes > b)
+        if (end > s0 && over) full = true
+        else { end = st.version; count += emit; bytes += emitBytes }
+      }
+      VersionOffset(end)
     }
   }
 
@@ -269,6 +301,7 @@ private[catalog] class GraftMicroBatchStream(root: String,
 
 private[catalog] object GraftMicroBatchStream {
   val MaxFilesOption = "maxFilesPerTrigger"
+  val MaxBytesOption = "maxBytesPerTrigger"
   val SkipChangesOption = "skipChangeCommits"
   val StartingVersionOption = "startingVersion"
   val StartingTimestampOption = "startingTimestamp"

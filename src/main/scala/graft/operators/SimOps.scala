@@ -82,6 +82,52 @@ object SimOps {
       .orderBy($"probe_id", $"rnk")
   }
 
+  /** Exact cosine top-`k` PAIRS of the 10 probe vectors — the
+    * reference set for the ANN recall gates below (the candidate-
+    * stream shape of [[simCosineTopk]], probes broadcast, k-selection
+    * through bounded heaps). */
+  private def exactProbePairs(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val e = vectorsWithNorm(s, dir)
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("xp"), $"v".as("p_v"), $"nrm".as("p_nrm"))
+    val cands = e.select($"vec_id".as("xn"), $"v".as("c_v"), $"nrm".as("c_nrm"))
+    val pairs = cands.crossJoin(broadcast(probes))
+      .filter($"xp" =!= $"xn")
+      .select($"xp", $"xn",
+        round(dotD($"p_v", $"c_v") / ($"p_nrm" * $"c_nrm"), 4).as("xc"))
+    graft.plans.TopK.perGroup(pairs, k, Seq("xp"), Seq(("xc", true), ("xn", false)))
+      .select($"xp", $"xn")
+  }
+
+  /** RECALL GATE: the measured retrieval quality of an ANN result
+    * against the exact twin, attached to every output row as one
+    * constant column — so the driver's rows-only determinism check
+    * pins not just that the ANN output is reproducible but that its
+    * QUALITY is (a bucketing regression that silently tanked recall
+    * would change the column and fail the cross-run compare; the
+    * absolute floors are spec-asserted in Round17OpsSpec at two SFs).
+    * `ann` carries one (probe, neighbor) pair per retrieved result
+    * for the 10 probe vectors; recall = retrieved∩exact / |exact
+    * scope| (for best-neighbor ops the scope is the probe count —
+    * recall@1-in-k; for top-k ops it is the exact pair count —
+    * recall@k). Laziness preserved: the recall is a one-row aggregate
+    * cross-joined onto the output, never a driver-side action. */
+  private def withRecall(out: DataFrame, ann: DataFrame, exact: DataFrame,
+      perProbe: Boolean, colName: String): DataFrame = {
+    val s = out.sparkSession
+    import s.implicits._
+    val hits = ann.toDF("hp", "hn").join(exact,
+      $"hp" === $"xp" && $"hn" === $"xn", "left_semi")
+    val num = hits.agg(count(lit(1)).as("_hits"))
+    val den =
+      if (perProbe) exact.agg(countDistinct($"xp").as("_scope"))
+      else exact.agg(count(lit(1)).as("_scope"))
+    val recall = num.crossJoin(den).select(
+      round($"_hits".cast("double") / greatest($"_scope", lit(1L)), 4).as(colName))
+    out.crossJoin(broadcast(recall))
+  }
+
   /** Integer-exact random-hyperplane LSH bucket, engine-reproducible.
     *
     * The float-sign buckets of [[simAnnLsh]] can't face an oracle: two
@@ -145,9 +191,12 @@ object SimOps {
       .select($"d1", $"bucket", $"d2",
         round(dotD($"v1", $"v2") / ($"n1" * $"n2"), 4).as("cosine"))
     val w = Window.partitionBy($"d1").orderBy($"cosine".desc, $"d2")
-    pairs.withColumn("rnk", row_number().over(w))
+    val best = pairs.withColumn("rnk", row_number().over(w))
       .filter($"rnk" === 1)
       .select($"d1", $"bucket", $"d2".as("best_neighbor"), $"cosine")
+    withRecall(best,
+      best.filter($"d1" < 10).select($"d1", $"best_neighbor"),
+      exactProbePairs(s, dir, 5), perProbe = true, "recall_at_1")
       .orderBy($"d1")
   }
 
@@ -175,9 +224,12 @@ object SimOps {
       .select($"d1", $"d2",
         round(dotD($"v1", $"v2") / ($"n1" * $"n2"), 4).as("cosine"))
     val w = Window.partitionBy($"d1").orderBy($"cosine".desc, $"d2")
-    pairs.withColumn("rnk", row_number().over(w))
+    val best = pairs.withColumn("rnk", row_number().over(w))
       .filter($"rnk" === 1)
       .select($"d1", $"d2".as("best_neighbor"), $"cosine")
+    withRecall(best,
+      best.filter($"d1" < 10).select($"d1", $"best_neighbor"),
+      exactProbePairs(s, dir, 5), perProbe = true, "recall_at_1")
       .orderBy($"d1")
   }
 
@@ -260,9 +312,12 @@ object SimOps {
       .select($"probe_id", $"cell", $"neighbor_id",
         round(dotD($"p_v", $"c_v") / ($"p_nrm" * $"c_nrm"), 4).as("cosine"))
     val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+    val top = pairs.withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 5)
       .select($"probe_id", $"cell", $"rnk", $"neighbor_id", $"cosine")
+    withRecall(top,
+      top.select($"probe_id", $"neighbor_id"),
+      exactProbePairs(s, dir, 5), perProbe = false, "recall_at_5")
       .orderBy($"probe_id", $"rnk")
   }
 
@@ -369,36 +424,10 @@ object SimOps {
       .orderBy($"doc_id")
   }
 
-  /** Partition-wise imperative "decode" of the binary payload —
-    * the mapPartitions shape a real image/audio decoder plugs into
-    * (batched per partition, typed output schema). The decoder itself
-    * is a deterministic STUB: byte sum + 4-bucket byte histogram in
-    * place of pixel stats. Rows-only check (byte-level loop has no
-    * ANSI twin). */
-  val multimodalDecodeStub: Q = (s, dir) => {
-    import s.implicits._
-    val ds = Tables.load(s, dir, "documents")
-      .select($"doc_id", encode($"text", "utf-8").as("payload"))
-      .as[(Long, Array[Byte])]
-    ds.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        var sum = 0L
-        val hist = new Array[Long](4)
-        var i = 0
-        while (i < bytes.length) {
-          val u = bytes(i) & 0xff
-          sum += u
-          hist(u >> 6) += 1
-          i += 1
-        }
-        (id, bytes.length.toLong, sum, hist(0), hist(1), hist(2), hist(3))
-      }
-    }.toDF("doc_id", "n_bytes", "byte_sum", "h0", "h1", "h2", "h3")
-      .orderBy($"doc_id")
-  }
-
-  /** REAL multimodal decode — upgrades the [[multimodalDecodeStub]]
-    * plumbing shape to an actual binary-format decoder, end to end:
+  /** REAL multimodal decode — the typed-mapPartitions plumbing shape a
+    * real image/audio decoder (a libjpeg/ffmpeg binding) plugs into —
+    * batched per partition, typed output schema, malformed-input
+    * routing — exercised against an actual binary format end to end:
     *
     * ENCODE (pure Column work): each doc gets a raster payload in a
     * defined format — magic `0x47 0x4D` ("GM"), big-endian u16 width
@@ -511,7 +540,7 @@ object SimOps {
     "multimodal_join" -> multimodalJoin,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_decode" -> multimodalDecode,
-    "multimodal_decode_stub" -> multimodalDecodeStub)
+    )
 
   val oracle: Map[String, String] = Map(
     "embedding_quantize" -> """

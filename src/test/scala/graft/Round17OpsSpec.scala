@@ -364,6 +364,68 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("ANN outputs carry a recall column; floors hold at sf0.01 and sf0.1") {
+    // the recall-vs-exact-twin gate: attached as a constant column so
+    // the driver's determinism check pins retrieval QUALITY, not just
+    // reproducibility; absolute floors asserted here at two SFs
+    // (measured r17: lsh 0.2-0.4, multiprobe 0.6-0.7, ivf 0.2-0.3 —
+    // single-probe quality is the documented multiprobe motivation)
+    for (sfw <- Seq("0.01", "0.1")) {
+      val dir = sf(sfw)
+      def recallOf(key: String): Double = {
+        val df = graft.operators.SimOps.queries(key)(spark, dir)
+        val c = df.columns.last
+        assert(c.startsWith("recall_at_"), s"$key must carry a recall column, has $c")
+        val vals = df.select(c).distinct().collect().map(_.getDouble(0))
+        assert(vals.length == 1, s"$key recall must be one constant: ${vals.toSeq}")
+        vals.head
+      }
+      val lsh = recallOf("sim_ann_lsh")
+      val multi = recallOf("sim_ann_lsh_multiprobe")
+      val ivf = recallOf("sim_ann_ivf")
+      assert(lsh >= 0.2, s"sf$sfw sim_ann_lsh recall@1 floor: $lsh")
+      assert(multi >= 0.5, s"sf$sfw multiprobe recall@1 floor: $multi")
+      assert(multi >= lsh, s"sf$sfw multiprobe ($multi) must dominate single-probe ($lsh)")
+      assert(ivf >= 0.2, s"sf$sfw sim_ann_ivf recall@5 floor: $ivf")
+    }
+  }
+
+  test("maxBytesPerTrigger paces a long-lagged catch-up into bounded batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17rate")
+    sqlDf("CREATE TABLE snap.default.r17rate (k BIGINT, v STRING)")
+    // six append commits — a lagged consumer's catch-up backlog
+    (0 until 6).foreach(i =>
+      sqlDf(s"INSERT INTO snap.default.r17rate SELECT id, repeat('x', 100) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})"))
+    val out = Qx.tmpOut("r17rateout", sf())
+    val ckpt = Qx.tmpOut("r17rateckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    // cap below one commit's staged bytes: every batch must admit
+    // exactly one version (the at-least-one-version floor), so the
+    // catch-up drains in >= 6 micro-batches instead of one giant one
+    val q = spark.readStream.option("maxBytesPerTrigger", "1k")
+      .table("snap.default.r17rate")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 600L, "catch-up must be lossless")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 6,
+      s"a 1k byte cap must split six commits into >= 6 batches, got $batches")
+    // bad values refuse loudly
+    intercept[Exception] {
+      val bad = spark.readStream.option("maxBytesPerTrigger", "zero")
+        .table("snap.default.r17rate")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try bad.awaitTermination() finally bad.stop()
+    }
+  }
+
   test("bloom column names containing ':' are refused at CREATE and ALTER") {
     wh
     sqlDf("DROP TABLE IF EXISTS snap.default.r17colon")
