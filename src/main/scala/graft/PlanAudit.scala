@@ -764,7 +764,45 @@ object PlanAudit {
         |broadcasts it back over the claims (BroadcastNestedLoopJoin of
         |a single row — the documented 1-row stats-frame cross join
         |shape). No iteration, no collect; the whole fit is two
-        |aggregations at any scale.""".stripMargin)
+        |aggregations at any scale.""".stripMargin,
+    "sql_evolution_drop" ->
+      """DROP of the column keying every pending MOR delete (r17 — the
+        |lifted refusal). Expect the same per-era MOR row-filter scan
+        |shape as sql_evolution_mor: the dropped key is read as a
+        |hidden shadow field (dropchain-coalesced across its rename
+        |eras, droptype-width), consumed by the delete filter, never
+        |projected — the plan shows only the surviving columns above
+        |the scan. Nothing about the drop adds a join or a shuffle;
+        |the rent is one extra pruned column until compaction.""".stripMargin,
+    "join_storage_partitioned" ->
+      """Storage-partitioned join (r17): both snap tables PARTITIONED
+        |BY (pri), scans report KeyGroupedPartitioning from their
+        |manifests' col=value paths (one input split per value, keys
+        |metadata-only). Under the v2-bucketing conf the join on pri
+        |plans with ZERO exchange on either side (spec-pinned with
+        |broadcast disabled); at 100 TB that is the difference between
+        |shuffling both tables and shuffling nothing. In THIS audit
+        |profile the 5-row weights side broadcasts instead — also a
+        |zero-shuffle plan, the threshold decision working as
+        |designed.""".stripMargin,
+    "stats_cbo_join_snap" ->
+      """ANALYZE→CBO on snap tables (r17): CALL snap.system.analyze
+        |records per-column NDVs; the DSv2 scan reports them plus
+        |manifest-folded min/max/nullCount as v2 column statistics.
+        |Expect the dim side's selective c_acctbal filter to broadcast
+        |(the stats-driven flip, statically under cbo.enabled —
+        |spec-pinned with AQE scoped off; in this audit profile the
+        |dim broadcasts on size alone). The analyze pass itself is one
+        |map-side-combined aggregation, never part of the read
+        |plan.""".stripMargin,
+    "sim_ann_ivf" ->
+      """IVF ANN with the r17 recall gate: trained centroids broadcast,
+        |distributed argmax assignment (max-of-struct, no window),
+        |per-cell candidate join, rank window on ≤5 survivors — and the
+        |recall-vs-exact column arrives as a ONE-ROW aggregate
+        |cross-joined onto the output (BroadcastNestedLoopJoin of a
+        |single row, the documented 1-row stats-frame shape), so the
+        |quality gate adds no shuffle to the retrieval path.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

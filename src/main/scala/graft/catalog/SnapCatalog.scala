@@ -93,8 +93,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_snapcat_${ProcessHandle.current().pid()}")
   }
 
-  private def rootOf(ident: Identifier): String =
+  private def rootOf(ident: Identifier): String = {
+    // the identifier parts are joined straight into the warehouse
+    // path, and several callers act DESTRUCTIVELY on the result (drop
+    // deletes recursively, vacuum/compact rewrite) — so a separator
+    // or dot segment in any part (reachable via backtick-quoted DDL
+    // like `..`, not just CALL string arguments) must never resolve
+    // outside the warehouse. Enforced here, at the single join point.
+    (ident.namespace().toSeq :+ ident.name()).foreach { p =>
+      require(p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
+        p != ".." && p != ".",
+        s"bad table identifier part '$p': identifier parts must not " +
+          "contain path separators or dot segments")
+    }
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+  }
 
   /** The on-disk snapshot root of a catalog table — the bridge for
     * code (fixtures, maintenance ops) that drives the same table

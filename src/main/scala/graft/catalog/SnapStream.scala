@@ -439,6 +439,21 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
         partitionKeys.size)
     else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
+  /** Column stats are ADVISORY and cost O(files × columns) JSON
+    * parsing to assemble — computed at most once per scan, and only
+    * when the cost-based optimizer (their sole consumer) is actually
+    * on; with CBO off every head read keeps the cheap size/row-count
+    * statistics path. */
+  private def cboEnabled: Boolean =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.cbo.enabled", "false").toBoolean
+    catch { case _: Exception => false }
+
+  private lazy val cboColumnStats: java.util.Map[
+    org.apache.spark.sql.connector.expressions.NamedReference,
+    org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+    GraftScanFacade.columnStatsMap(root, snap, tableSchema)
+
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     if (spjEligible) new KeyGroupedBatch(inner.toBatch, partSchema)
@@ -466,9 +481,9 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
     // and with `spark.sql.cbo.enabled` the stats-driven broadcast flip
     // the session-catalog ANALYZE path gets. Head reads only: a pinned
     // read's column shapes belong to its own era.
-    if (pinned) base
+    if (pinned || !cboEnabled) base
     else {
-      val colStats = GraftScanFacade.columnStatsMap(root, snap, tableSchema)
+      val colStats = cboColumnStats
       if (colStats.isEmpty) base
       else new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
@@ -561,10 +576,12 @@ private[catalog] object GraftScanFacade {
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     val props = GraftTable.readMeta(root).map(_._2).getOrElse(Map.empty)
+    // keep-on-unknown like every other stats path: a corrupt ledger
+    // value degrades to no-NDV, never a planning-time failure
     val ndv: Map[String, Long] = props.collect {
       case (k, v) if k.startsWith(GraftTable.ndvPrefix) =>
-        k.stripPrefix(GraftTable.ndvPrefix) -> v.toLong
-    }
+        k.stripPrefix(GraftTable.ndvPrefix) -> scala.util.Try(v.trim.toLong).toOption
+    }.collect { case (k, Some(n)) => k -> n }
     val raw: Seq[Option[Snapshots.FileStats]] = snap.toSeq.flatMap(s =>
       s.files.map(f => s.statsRaw.get(f).flatMap(Snapshots.parseStats)))
     // a file without a decodable stats body could hold anything: no

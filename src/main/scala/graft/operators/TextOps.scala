@@ -313,9 +313,16 @@ object TextOps {
     }
     // fixpoint = disjoint stars: members carry exactly one edge onto
     // their center; centers label themselves
-    cc.select($"u".as("doc_id"), $"v".as("comp"))
+    val labels = cc.select($"u".as("doc_id"), $"v".as("comp"))
       .unionAll(cc.select($"v".as("doc_id"), $"v".as("comp")))
       .distinct()
+    // a node whose ONLY edges are self-loops has no star edge but DID
+    // appear in an edge — the contract labels it as its own singleton
+    // component (nodes also in a real component keep their star label)
+    val selfOnly = edges.filter($"d1" === $"d2")
+      .select($"d1".as("doc_id")).distinct()
+      .join(labels, Seq("doc_id"), "left_anti")
+    labels.unionAll(selfOnly.select($"doc_id", $"doc_id".as("comp")))
   }
 
   /** Multi-signal dedup CLUSTERING — the step production corpus dedup

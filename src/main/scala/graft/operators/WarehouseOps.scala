@@ -1096,15 +1096,17 @@ object WarehouseOps {
     * ZERO exchange on either side — at 100 TB the difference between
     * shuffling both tables and shuffling nothing. Opt-in behind
     * Spark's own `spark.sql.sources.v2.bucketing.enabled`, which this
-    * query enables (session-sticky; the only downstream effect on
-    * other keys is per-value split grouping on partitioned snap
-    * scans, a correctness no-op). The zero-Exchange plan shape is
-    * pinned in Round17OpsSpec; the oracle recomputes the joined
-    * aggregate from the original table, so a dropped partition group,
-    * a misaligned key row, or a reader bound to the wrong split all
-    * hash-mismatch. */
+    * query deliberately does NOT set: mutating a shared session's
+    * planner mode as a side effect of building one query would make
+    * every later partitioned-table plan (including their DPP, which
+    * is disabled while key-grouped) order-dependent on whether this
+    * ran first — the same policy as [[statsCboJoin]]'s cbo flag. The
+    * zero-Exchange plan shape is pinned under a SCOPED conf in
+    * Round17OpsSpec; here the oracle recomputes the joined aggregate
+    * from the original table, so a dropped partition group, a
+    * misaligned key row, or a reader bound to the wrong split all
+    * hash-mismatch regardless of which join shape planned. */
   val joinStoragePartitioned: Q = (s, dir) => {
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val (t1, _) = SnapCat.table(s, "spj_orders", dir)
     val (t2, _) = SnapCat.table(s, "spj_weights", dir)
     s.sql(s"DROP TABLE IF EXISTS $t1")

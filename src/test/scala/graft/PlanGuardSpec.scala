@@ -27,7 +27,12 @@ class PlanGuardSpec extends SparkSpec {
     "join_cross" -> "semantically cartesian (bounded region×nation grid)",
     "text_tfidf" -> "1-row corpus-size aggregate cross-joined into the plan",
     "sim_cosine_topk" -> "10-row probe set broadcast against the corpus",
-    "sim_ann_ivf" -> "16-row centroid set broadcast for cell assignment",
+    "sim_ann_ivf" -> ("16-row centroid set broadcast for cell assignment " +
+      "+ 1-row recall-gate aggregate cross-joined onto the output (r17)"),
+    "sim_ann_lsh" -> ("r17 recall gate: 10-row exact-probe set broadcast " +
+      "+ 1-row recall aggregate cross-joined onto the output"),
+    "sim_ann_lsh_multiprobe" -> ("r17 recall gate: 10-row exact-probe set " +
+      "broadcast + 1-row recall aggregate cross-joined onto the output"),
     "domain_formulary" -> "payers×part knowledge-base grid (bounded catalogs)",
     "domain_ep1_recommend" -> "payers×part knowledge-base grid (bounded catalogs)",
     "domain_conditions" -> "contraindication catalog broadcast (bounded)",
@@ -35,17 +40,42 @@ class PlanGuardSpec extends SparkSpec {
     "text_unigram_logprob" -> "1-row corpus token total cross-joined into the scorer",
     "fn_math_logistic" -> "scalar stat row cross-joined for normalization",
     "agg_histogram" -> "1-row min/max bounds broadcast for binning and labels",
-    "cdc_snapshot_diff" -> "1-row max-key shift broadcast into the injected-adds block")
+    "cdc_snapshot_diff" -> "1-row max-key shift broadcast into the injected-adds block",
+    // surfaced when the sweep became AQE-aware (r17) — all documented
+    // shapes that previously hid under AdaptiveSparkPlanExec:
+    "join_theta_range" -> ("non-equi range predicate is BNLJ by " +
+      "definition; join_range_binned is the scale-safe sibling"),
+    "domain_denial_train" -> ("1-row trained-coefficients frame " +
+      "broadcast back over the claims for scoring"),
+    "domain_diversify" -> ("bounded knowledge-base grid + regimen-" +
+      "prefix candidate join (r13 audit; candidates pre-cut, argmin " +
+      "on the native heap)"))
 
   private def offenders(plan: SparkPlan): Seq[String] = {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
-    plan.foreach {
-      case w: WindowExec if w.partitionSpec.isEmpty =>
-        bad += "unpartitioned WindowExec (single-task window)"
-      case _: CartesianProductExec => bad += "CartesianProductExec"
-      case _: BroadcastNestedLoopJoinExec => bad += "BroadcastNestedLoopJoinExec"
-      case _ => ()
+    // AQE-aware (r17): AdaptiveSparkPlanExec is a leaf to foreach, so
+    // a sweep that doesn't descend through it (and through reused
+    // exchanges/stages) inspects nothing — every allowance below
+    // would hold vacuously
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          bad += "unpartitioned WindowExec (single-task window)"
+        case _: CartesianProductExec => bad += "CartesianProductExec"
+        case _: BroadcastNestedLoopJoinExec => bad += "BroadcastNestedLoopJoinExec"
+        case _ => ()
+      }
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case other => other.children.foreach(walk)
+      }
     }
+    walk(plan)
     bad.toSeq
   }
 

@@ -201,6 +201,13 @@ class Round17OpsSpec extends SparkSpec {
     // empty edge set → empty labels, no hang
     assert(graft.operators.TextOps.connectedComponents(
       multi.filter(col("d1") < 0)).isEmpty)
+    // self-loops: a node whose only edges are reflexive still labels
+    // (its own singleton component); one inside a real component
+    // keeps its star label — never two rows
+    val loops = spark.createDataset(Seq((7L, 7L), (3L, 3L), (3L, 9L)))
+      .toDF("d1", "d2")
+    assert(graft.operators.TextOps.connectedComponents(loops)
+      .as[(Long, Long)].collect().toMap == Map(7L -> 7L, 3L -> 3L, 9L -> 3L))
   }
 
   test("readChangesRows across row-changing commits plans O(touched), not O(table)") {
