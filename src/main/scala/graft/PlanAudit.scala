@@ -732,6 +732,16 @@ object PlanAudit {
         |The compaction commit itself is basedOn-guarded and stamped
         |rows-unchanged, so concurrent change feeds and streams ignore
         |it.""".stripMargin,
+    "maintenance_orphan_sweep" ->
+      """remove_orphan_files (r17): the sweep itself is driver-side
+        |metadata work (manifest-line set difference + quiet-dir
+        |listing — zero Spark jobs), so the audited plan is the
+        |POST-SWEEP read: expect the ordinary MOR catalog scan over the
+        |v2 head (the %5 rewrite's files), delete-era anti joins
+        |untouched by the sweep, two-phase HashAggregate above. A sweep
+        |that ate a referenced file would surface here as a missing
+        |input file, not a plan change — the oracle's row recount is
+        |the real gate.""".stripMargin,
     "sql_partitioned_table" ->
       """CREATE TABLE PARTITIONED BY through the catalog (r16). Expect
         |a BatchScan over ONLY the two matching priorities' partition

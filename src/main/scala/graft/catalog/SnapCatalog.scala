@@ -94,18 +94,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def rootOf(ident: Identifier): String = {
-    // the identifier parts are joined straight into the warehouse
-    // path, and several callers act DESTRUCTIVELY on the result (drop
-    // deletes recursively, vacuum/compact rewrite) — so a separator
-    // or dot segment in any part (reachable via backtick-quoted DDL
-    // like `..`, not just CALL string arguments) must never resolve
-    // outside the warehouse. Enforced here, at the single join point.
-    (ident.namespace().toSeq :+ ident.name()).foreach { p =>
-      require(p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
-        p != ".." && p != ".",
-        s"bad table identifier part '$p': identifier parts must not " +
-          "contain path separators or dot segments")
-    }
+    // shared guard — see GraftCatalog.isPathSafePart for why every
+    // warehouse path join must validate (destructive callers).
+    GraftCatalog.requirePathSafe(
+      ident.namespace().toSeq :+ ident.name(), "table identifier")
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
   }
 
@@ -121,6 +113,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean = exists(rootOf(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // same guard as rootOf: an unsafe part (e.g. backtick-quoted `..`)
+    // must not probe or list directories outside the warehouse.
+    if (!namespace.forall(GraftCatalog.isPathSafePart))
+      throw new NoSuchNamespaceException(namespace)
     val nsDir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
     val ls = Files.list(nsDir)
@@ -482,8 +478,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && (namespace.head == "default" ||
-      Files.isDirectory(Paths.get(warehouse, namespace.head)))
+    namespace.length == 1 && GraftCatalog.isPathSafePart(namespace.head) &&
+      (namespace.head == "default" ||
+        Files.isDirectory(Paths.get(warehouse, namespace.head)))
 
   override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
     if (namespaceExists(namespace)) Collections.emptyMap()
@@ -492,6 +489,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
     require(namespace.length == 1, "only single-level namespaces")
+    GraftCatalog.requirePathSafe(namespace.toSeq, "namespace")
     Files.createDirectories(Paths.get(warehouse, namespace.head))
   }
 
@@ -499,6 +497,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    // deleteRecursively below — an unsafe part here is the worst-case
+    // traversal (DROP NAMESPACE snap.`..` CASCADE would delete the
+    // warehouse's PARENT). Guard before any path join.
+    GraftCatalog.requirePathSafe(namespace.toSeq, "namespace")
     val p = Paths.get(warehouse, namespace.mkString("/"))
     if (!Files.isDirectory(p)) false
     else {
@@ -520,6 +522,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+  /** True iff `p` is safe to use as a single directory name under the
+    * warehouse root. Identifier and namespace parts are joined straight
+    * into warehouse paths, and several callers act DESTRUCTIVELY on the
+    * result (DROP deletes recursively, vacuum/compact rewrite) — so a
+    * separator or dot segment, reachable via backtick-quoted DDL like
+    * `..` or a CALL string argument, must never resolve outside the
+    * warehouse. Every path-join site shares THIS predicate; do not
+    * hand-copy the rule. */
+  def isPathSafePart(p: String): Boolean =
+    p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
+      p != ".." && p != "."
+
+  /** Require-flavored [[isPathSafePart]] over all `parts`. */
+  def requirePathSafe(parts: Seq[String], what: String): Unit =
+    parts.foreach { p =>
+      require(isPathSafePart(p),
+        s"bad $what part '$p': parts must not contain path " +
+          "separators or dot segments")
+    }
+
   /** Register the catalog under `name` on a session (idempotent) and
     * return it. Conf-only — Spark instantiates the class lazily on
     * first reference to `<name>.<ns>.<table>`. */

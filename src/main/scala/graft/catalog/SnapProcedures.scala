@@ -55,27 +55,26 @@ private[catalog] object SnapProcedures {
       case "compact" => new CompactProcedure(cat)
       case "compact_deletes" => new CompactDeletesProcedure(cat)
       case "vacuum" => new VacuumProcedure(cat)
+      case "remove_orphan_files" => new RemoveOrphanFilesProcedure(cat)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure: ${cat.name()}.system.$other " +
-          "(available: analyze, compact, compact_deletes, vacuum)")
+          "(available: analyze, compact, compact_deletes, vacuum, " +
+          "remove_orphan_files)")
     }
   }
 
   /** `'default.t'` (or `'t'`, default namespace) → catalog identifier.
-    * Each part must be path-safe: the identifier is joined into the
-    * warehouse path, so a separator or a `..` segment in a CALL
-    * argument would resolve OUTSIDE the warehouse — and vacuum/compact
-    * act destructively on whatever snapshot-shaped directory the path
-    * lands on. Reject at parse time. */
+    * Each part must be path-safe ([[GraftCatalog.requirePathSafe]] —
+    * the one shared rule for every warehouse path join): a separator
+    * or `..` segment in a CALL argument would resolve OUTSIDE the
+    * warehouse, and vacuum/compact act destructively on whatever
+    * snapshot-shaped directory the path lands on. Reject at parse
+    * time. */
   private def identOf(table: String): Identifier = {
     val parts = table.split('.')
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       s"bad table argument: '$table'")
-    parts.foreach { p =>
-      require(!p.contains('/') && !p.contains('\\') && p != ".." && p != ".",
-        s"bad table argument: '$table' (identifier parts must not " +
-          "contain path separators or dot segments)")
-    }
+    GraftCatalog.requirePathSafe(parts.toSeq, s"table argument '$table'")
     if (parts.length == 1) Identifier.of(Array("default"), parts.head)
     else Identifier.of(parts.init, parts.last)
   }
@@ -338,6 +337,38 @@ private[catalog] object SnapProcedures {
       Snapshots.vacuum(root, keepLast)
       report(outSchema,
         row(Snapshots.maxCommitted(root), Snapshots.minCommitted(root)))
+    }
+  }
+
+  private final class RemoveOrphanFilesProcedure(cat: GraftCatalog)
+    extends OneTableProc(cat, "remove_orphan_files") {
+
+    override def description(): String =
+      "reclaim data files no retained snapshot references (task-retry " +
+        "and crashed-writer strays inside the retained version range); " +
+        "only files quiet for older_than_hours are touched"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name, e.g. 'default.t'").build(),
+      ProcedureParameter.in("older_than_hours", IntegerType)
+        .comment("only reclaim files untouched for this many hours " +
+          "(>= 0; the in-flight-commit guard — production sweeps " +
+          "should use days)").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("orphans_removed", LongType, nullable = false),
+      StructField("bytes_reclaimed", LongType, nullable = false),
+      StructField("head", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val hours = input.getInt(1)
+      require(hours >= 0, s"older_than_hours must be >= 0: $hours")
+      val root = rootOf(table)
+      val (removed, bytes) =
+        Snapshots.removeOrphanFiles(root, hours.toLong * 3600 * 1000)
+      report(outSchema, row(removed, bytes, Snapshots.maxCommitted(root)))
     }
   }
 }

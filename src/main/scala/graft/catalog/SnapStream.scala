@@ -141,8 +141,17 @@ private[catalog] class GraftMicroBatchStream(root: String,
 
   override def stop(): Unit = ()
 
+  /** Both caps ride the admission-control channel: Spark hands this
+    * value back to `latestOffset(start, limit)` on normal triggers but
+    * REPLACES it with `ReadLimit.allAvailable()` for `Trigger.Once`
+    * (whose contract is "drain everything in one batch") — so pacing
+    * must derive from the `limit` argument, never from the options
+    * directly, or a Once run would silently stop after the first
+    * paced batch. */
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles(_)).getOrElse(ReadLimit.allAvailable())
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      ReadLimit.allAvailable()
+    else GraftMicroBatchStream.GraftReadLimit(maxFilesPerTrigger, maxBytesPerTrigger)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -155,11 +164,12 @@ private[catalog] class GraftMicroBatchStream(root: String,
     val s0 = start.asInstanceOf[VersionOffset].version
     val head = availableNowEnd.getOrElse(Snapshots.maxCommitted(root))
     if (head <= s0) return VersionOffset(s0)
-    val fileCap: Option[Int] = limit match {
-      case f: ReadMaxFiles => Some(f.maxFiles())
-      case _ => None
+    val (fileCap: Option[Int], byteCap: Option[Long]) = limit match {
+      case g: GraftMicroBatchStream.GraftReadLimit => (g.maxFiles, g.maxBytes)
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+      case _ => (None, None) // allAvailable (Trigger.Once): no pacing
     }
-    if (fileCap.isEmpty && maxBytesPerTrigger.isEmpty) VersionOffset(head)
+    if (fileCap.isEmpty && byteCap.isEmpty) VersionOffset(head)
     else {
       // admit whole versions until a cap is crossed; always at least
       // one version, or a single oversized commit would stall the
@@ -175,13 +185,13 @@ private[catalog] class GraftMicroBatchStream(root: String,
         val skipped = st.isChange && skipChangeCommits
         val emit = if (skipped) 0 else st.added.size
         val emitBytes =
-          if (skipped || maxBytesPerTrigger.isEmpty) 0L
+          if (skipped || byteCap.isEmpty) 0L
           else st.added.map { f =>
             try java.nio.file.Files.size(java.nio.file.Paths.get(f))
             catch { case _: Exception => 0L }
           }.sum
         val over = fileCap.exists(c => count + emit > c) ||
-          maxBytesPerTrigger.exists(b => bytes + emitBytes > b)
+          byteCap.exists(b => bytes + emitBytes > b)
         if (end > s0 && over) full = true
         else { end = st.version; count += emit; bytes += emitBytes }
       }
@@ -305,6 +315,14 @@ private[catalog] object GraftMicroBatchStream {
   val SkipChangesOption = "skipChangeCommits"
   val StartingVersionOption = "startingVersion"
   val StartingTimestampOption = "startingTimestamp"
+
+  /** The stream's own admission limit (Spark has file/row limits but
+    * no byte limit): returned by `getDefaultReadLimit`, handed back by
+    * the engine on paced triggers, and ABSENT when the engine overrides
+    * with allAvailable (Trigger.Once) — which is exactly when pacing
+    * must not apply. */
+  final case class GraftReadLimit(maxFiles: Option[Int], maxBytes: Option[Long])
+    extends ReadLimit
 }
 
 /** Transparent ScanBuilder wrapper that makes every [[GraftTable]] scan
@@ -582,12 +600,33 @@ private[catalog] object GraftScanFacade {
       case (k, v) if k.startsWith(GraftTable.ndvPrefix) =>
         k.stripPrefix(GraftTable.ndvPrefix) -> scala.util.Try(v.trim.toLong).toOption
     }.collect { case (k, Some(n)) => k -> n }
+    // NDV staleness: `graft.stats.rows` records the row count the
+    // ANALYZE ran against (`graft.stats.version` the version — surfaced
+    // through SHOW TBLPROPERTIES as the ledger's provenance). When the
+    // table has since GROWN, extrapolate each NDV by the row-count
+    // ratio (the standard planner heuristic — distincts roughly track
+    // table growth; an un-scaled stale NDV makes every post-growth
+    // filter look far more selective than it is). Always cap at the
+    // live row count: NDV can never exceed rows.
+    val analyzedRows: Option[Long] = props.get(GraftTable.statsRowsProp)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
     val raw: Seq[Option[Snapshots.FileStats]] = snap.toSeq.flatMap(s =>
       s.files.map(f => s.statsRaw.get(f).flatMap(Snapshots.parseStats)))
     // a file without a decodable stats body could hold anything: no
     // min/max/nullCount can be claimed (NDV from the ledger still can)
     val perFile: Seq[Snapshots.FileStats] =
       if (raw.nonEmpty && raw.forall(_.isDefined)) raw.map(_.get) else Nil
+    val liveRows: Option[Long] =
+      if (perFile.nonEmpty && perFile.forall(_.rows.isDefined))
+        Some(perFile.map(_.rows.get).sum)
+      else None
+    def scaleNdv(n: Long): Long = {
+      val grown = analyzedRows.zip(liveRows) match {
+        case Some((a, l)) if l > a => math.ceil(n.toDouble * l / a).toLong
+        case _ => n
+      }
+      liveRows.fold(grown)(l => math.min(grown, math.max(l, 1L)))
+    }
     def jNum(v: Any, dt: DataType): Option[AnyRef] = {
       import org.json4s._
       val n: Option[Any] = v match {
@@ -631,7 +670,7 @@ private[catalog] object GraftScanFacade {
         }
       val mnv = bound(_.min, keepMax = false)
       val mxv = bound(_.max, keepMax = true)
-      val dcv = ndv.get(f.name)
+      val dcv = ndv.get(f.name).map(scaleNdv)
       val ncv = nullCount
       if (ncv.isDefined || mnv.isDefined || mxv.isDefined || dcv.isDefined) {
         val stat = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {

@@ -357,7 +357,11 @@ object GraftTable {
     * `graft.stats.ndv.<col>` entry per atomic column plus the row
     * count and the version analyzed at; the scan's reported column
     * statistics serve them to the cost-based optimizer. Stale-but-
-    * present entries keep serving (the ANALYZE TABLE contract). */
+    * present entries keep serving (the ANALYZE TABLE contract), but
+    * the scan EXTRAPOLATES each NDV by live-rows / [[statsRowsProp]]
+    * when the table has grown since the ANALYZE (capped at live rows);
+    * [[statsVersionProp]] is the ledger's provenance, surfaced via
+    * SHOW TBLPROPERTIES. */
   val ndvPrefix = "graft.stats.ndv."
   val statsRowsProp = "graft.stats.rows"
   val statsVersionProp = "graft.stats.version"

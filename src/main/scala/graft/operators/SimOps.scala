@@ -117,14 +117,21 @@ object SimOps {
       perProbe: Boolean, colName: String): DataFrame = {
     val s = out.sparkSession
     import s.implicits._
-    val hits = ann.toDF("hp", "hn").join(exact,
-      $"hp" === $"xp" && $"hn" === $"xn", "left_semi")
-    val num = hits.agg(count(lit(1)).as("_hits"))
-    val den =
-      if (perProbe) exact.agg(countDistinct($"xp").as("_scope"))
-      else exact.agg(count(lit(1)).as("_scope"))
-    val recall = num.crossJoin(den).select(
-      round($"_hits".cast("double") / greatest($"_scope", lit(1L)), 4).as(colName))
+    // ONE pass over the exact twin: numerator and denominator come from
+    // a single aggregate of `exact` left-joined with the (tiny, distinct
+    // by construction: row_number-filtered) ANN pair set. Branching
+    // `exact` into separate hits/scope plans would execute the
+    // brute-force cross-join subtree twice — DataFrame plans do not
+    // dedup common subtrees. |ann ∩ exact| counted from the exact side
+    // equals the semi-join count from the ann side because both sides
+    // are distinct pair sets.
+    val marked = exact.join(broadcast(ann.toDF("hp", "hn")),
+      $"hp" === $"xp" && $"hn" === $"xn", "left_outer")
+    val scope = if (perProbe) countDistinct($"xp") else count(lit(1))
+    val recall = marked
+      .agg(count($"hp").as("_hits"), scope.as("_scope"))
+      .select(round($"_hits".cast("double") / greatest($"_scope", lit(1L)), 4)
+        .as(colName))
     out.crossJoin(broadcast(recall))
   }
 

@@ -1232,6 +1232,70 @@ object WarehouseOps {
              |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** ORPHAN-FILE SWEEP (`maintenance_orphan_sweep`) — Iceberg's
+    * `remove_orphan_files`, the last table-maintenance job in the set
+    * (compact / compact_deletes / vacuum / analyze / THIS): reclaim
+    * files NO retained snapshot references. Vacuum sweeps below the
+    * retention floor; this sweeps INSIDE the retained range, where
+    * task retries and crashed writers leave stray parquet right next
+    * to live files — under long retention those strays never age out,
+    * and at 100 TB a few hundred daily task retries are terabytes of
+    * dead bytes.
+    *
+    * The fixture plants both production orphan classes: (a) a stray
+    * file INSIDE a live committed dir (task retry that wrote its
+    * output before dying), (b) a whole crashed-writer dir at an
+    * uncommitted future version. Everything is aged past the
+    * older-than guard, the sweep runs, and the result aggregates the
+    * table AFTER the sweep with the removal count attached: a sweep
+    * that ate a referenced file (data loss), missed an orphan, or
+    * removed a time-travel-reachable file hash-mismatches against the
+    * oracle's recomputation from the original orders table.
+    * Quiet-guard behavior (hot dirs skipped) and time-travel survival
+    * are pinned in Round17OpsSpec.
+    *
+    * Scale: the referenced set is manifest lines — O(files) strings,
+    * zero data I/O; the sweep is a file listing + set difference, the
+    * same metadata-only shape as vacuum. */
+  val maintenanceOrphanSweep: Q = (s, dir) => {
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val (t, root) = SnapCat.table(s, "orphan_orders", dir)
+    val arg = t.stripPrefix("snap.")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT o_orderkey, o_orderpriority,
+             |       CAST(o_totalprice AS DOUBLE) AS price
+             |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    // v2 rewrites away the %5 keys: v1's files become head-unreferenced
+    // but stay time-travel-reachable — the sweep must NOT touch them
+    s.sql(s"DELETE FROM $t WHERE o_orderkey % 5 = 0")
+    val live = graft.sources.Snapshots.resolve(root).get.files.head
+    val livePath = Paths.get(live)
+    // orphan (a): task-retry stray inside the live committed dir
+    val strayInLive = livePath.getParent.resolve("part-99999-task-retry.parquet")
+    Files.copy(livePath, strayInLive)
+    // orphan (b): crashed-writer dir at an uncommitted future version
+    val crashed = Paths.get(root, f"v${9999L}%08d_dead_1")
+    Files.createDirectories(crashed)
+    Files.copy(livePath, crashed.resolve("part-00000-crashed.parquet"))
+    // age the whole tree past the guard (the sweep only touches QUIET
+    // dirs); planting bumped the mtimes we just need to be old
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 3600 * 1000)
+    val walk = Files.walk(Paths.get(root))
+    try walk.iterator().asScala.foreach(p =>
+      try Files.setLastModifiedTime(p, aged) catch { case _: Exception => () })
+    finally walk.close()
+    val removed = s.sql(s"CALL snap.system.remove_orphan_files('$arg', 1)")
+      .collect().head.getLong(0)
+    s.table(t).groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"price").as("total"))
+      .withColumn("orphans_removed", lit(removed))
+      .orderBy($"o_orderpriority")
+  }
+
   /** NATIVE STREAMING SOURCE (`stream_snapshot_source`) — the read
     * half of the exactly-once pair whose write half is
     * `stream_catalog_sink`: a real Structured Streaming query TAILS a
@@ -1674,6 +1738,7 @@ object WarehouseOps {
     "sql_evolution_drop" -> sqlEvolutionDrop,
     "join_storage_partitioned" -> joinStoragePartitioned,
     "sql_maintenance" -> sqlMaintenance,
+    "maintenance_orphan_sweep" -> maintenanceOrphanSweep,
     "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
     "stream_snapshot_source" -> streamSnapshotSource,
@@ -1947,6 +2012,19 @@ object WarehouseOps {
              ${Qx.dsumSql("CAST(o_totalprice AS DOUBLE)")} AS total
       FROM orders
       WHERE o_orderkey % 5 <> 0 AND o_orderkey % 9 <> 0
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    // The post-sweep table recomputed from the ORIGINAL orders (the
+    // %5 keys deleted by the fixture's rewrite), with the exact planted
+    // orphan count: a sweep that ate a referenced file, missed one of
+    // the two planted orphans, or reclaimed a time-travel-reachable v1
+    // file changes a row set or the constant and hash-mismatches.
+    "maintenance_orphan_sweep" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ${Qx.dsumSql("CAST(o_totalprice AS DOUBLE)")} AS total,
+             CAST(2 AS BIGINT) AS orphans_removed
+      FROM orders
+      WHERE o_orderkey % 5 <> 0
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
     // The surviving row set recomputed from the ORIGINAL table: even

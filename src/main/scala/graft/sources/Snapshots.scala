@@ -894,19 +894,25 @@ object Snapshots {
     * known without opening them — and above the session threshold
     * leaves the join un-hinted so AQE picks shuffle vs broadcast from
     * runtime stats. */
+  /** Load a delete group's DISTINCT key set. Per-file reads +
+    * unionByName, NOT one multi-path read: delete files staged on
+    * either side of an ALTER COLUMN widening carry different physical
+    * widths, which a multi-path read would mis-bind; the union resolves
+    * them with Spark's own type coercion. This is the ONE copy of that
+    * rule — both the MOR anti-join and the row-level CDF key diff
+    * ([[readChangesRows]]) load through it. */
+  private def deleteKeys(spark: SparkSession, ds: Seq[DeleteFile],
+      cols: Seq[String]): DataFrame =
+    ds.map(_.path).sorted.map(p => spark.read.parquet(p)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*))
+      .reduce(_.unionByName(_)).distinct()
+
   private def antiJoinDeletes(spark: SparkSession, base: DataFrame,
       dels: Seq[DeleteFile]): DataFrame =
     dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) {
       case (df, (keyCol, ds)) =>
         val cols = ds.head.keyCols
-        // per-file reads + unionByName: delete files staged on either
-        // side of an ALTER COLUMN widening carry different physical
-        // widths, which a single multi-path read would mis-bind (the
-        // union resolves them with Spark's own type coercion, and the
-        // anti join coerces keys against the base side)
-        val keys = ds.map(_.path).sorted.map(p => spark.read.parquet(p)
-            .select(cols.map(org.apache.spark.sql.functions.col): _*))
-          .reduce(_.unionByName(_)).distinct()
+        val keys = deleteKeys(spark, ds, cols)
         val delBytes = ds.map { d =>
           try Files.size(Paths.get(d.path)) catch { case _: Exception => Long.MaxValue / 4096 }
         }.sum
@@ -1288,9 +1294,7 @@ object Snapshots {
       // against the delta keys and re-checked against the FULL other
       // set (a key can be hidden through a second delete group)
       def keysOf(ds: Seq[DeleteFile], cols: Seq[String]): DataFrame =
-        ds.map(_.path).sorted.map(p => spark.read.parquet(p)
-            .select(cols.map(org.apache.spark.sql.functions.col): _*))
-          .reduce(_.unionByName(_)).distinct()
+        deleteKeys(spark, ds, cols) // shared loader — see deleteKeys doc
       val shiftGroups = sharedFiles
         .groupBy(f => (from.deletes.filter(d => effAt(from)(f) < d.coversBelow),
           to.deletes.filter(d => effAt(to)(f) < d.coversBelow)))
@@ -1975,6 +1979,70 @@ object Snapshots {
         .foreach(Files.deleteIfExists(_))
       finally ls.close()
     }
+  }
+
+  /** Reclaim files NO retained manifest references — the
+    * `remove_orphan_files` maintenance op (same contract as Iceberg's).
+    * [[vacuum]] already sweeps below the retention floor; this sweeps
+    * the RETAINED version range too, where task retries and crashed
+    * writers leave stray parquet NEXT TO live files — strays that
+    * never age out under a long (or infinite) retention setting.
+    *
+    * Orphan = a parquet file under a version-named data dir that no
+    * retained manifest lists as data OR pending-delete file, in a dir
+    * QUIET for `graceMs` (dir mtime — any in-flight write into a dir
+    * bumps it). The quiet guard is the standard older-than rule that
+    * keeps the sweep clear of a commit mid-stage: version-staged
+    * writers stage at >= head+1 and DSV2 writes under the v00000000
+    * staging prefix, and both kinds of dir stay hot until their commit
+    * publishes or their writer dies. Concurrent-commit safe: a commit
+    * racing the sweep only ADDS references to files it just staged
+    * (into a hot dir the sweep skips) or to files already referenced.
+    *
+    * Metadata-scale: the referenced set is manifest lines only —
+    * O(files) strings, never data I/O. Returns
+    * (orphans removed, bytes reclaimed). */
+  def removeOrphanFiles(root: String, graceMs: Long): (Long, Long) = {
+    val head = maxCommitted(root)
+    require(head > 0, s"no committed snapshot under $root")
+    val oldest = minCommitted(root)
+    val referenced = (oldest to head).iterator
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap { v =>
+        val s = resolveAt(root, v)
+        s.files ++ s.deletes.map(_.path)
+      }.toSet
+    val now = System.currentTimeMillis()
+    // quiet = NOTHING in the dir tree modified within the grace window
+    // (not just the top dir: a partitioned stage writes into value
+    // subdirs, whose churn doesn't bump the top dir's mtime)
+    def quiet(p: Path): Boolean = try {
+      val walk = Files.walk(p)
+      val newest =
+        try walk.iterator().asScala
+          .map(q => Files.getLastModifiedTime(q).toMillis).max
+        finally walk.close()
+      now - newest > graceMs
+    } catch { case _: Exception => false }
+    var removed = 0L
+    var bytes = 0L
+    dataDirsBelow(root, Long.MaxValue).filter(quiet).foreach { dir =>
+      val fs = listParquet(dir.toString)
+      fs.filterNot(referenced).foreach { f =>
+        val p = Paths.get(f)
+        bytes += (try Files.size(p) catch { case _: Exception => 0L })
+        if (Files.deleteIfExists(p)) removed += 1
+        // the file's bloom sidecars are orphaned with it
+        val ls = Files.list(p.getParent)
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(
+            p.getFileName.toString + ".bloom-"))
+          .foreach(Files.deleteIfExists(_))
+        finally ls.close()
+      }
+      if (fs.forall(!referenced(_))) deleteRecursively(dir)
+    }
+    (removed, bytes)
   }
 
   /** All parquet files under `dir`, RECURSIVELY — a `.partitionBy(col)`

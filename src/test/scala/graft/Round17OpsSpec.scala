@@ -445,4 +445,122 @@ class Round17OpsSpec extends SparkSpec {
       "ALTER TABLE snap.default.r17colon SET TBLPROPERTIES ('graft.bloom.cols'='a:b')"))
     assert(e2.getMessage.contains("graft.bloom.cols"), e2.getMessage)
   }
+
+  test("namespace DDL rejects path-traversal parts") {
+    wh
+    // the destructive worst case: DROP NAMESPACE snap.`..` CASCADE
+    // would deleteRecursively the warehouse's PARENT if the namespace
+    // join points skipped the shared path-safety guard
+    intercept[Exception](sqlDf("DROP NAMESPACE snap.`..` CASCADE"))
+    val e = intercept[Exception](sqlDf("CREATE NAMESPACE snap.`a/b`"))
+    assert(e.getMessage.contains("bad namespace part"), e.getMessage)
+    intercept[Exception](sqlDf("SHOW TABLES IN snap.`..`").collect())
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(wh)),
+      "warehouse must survive traversal attempts")
+    // and nothing above the warehouse was touched: its parent still
+    // holds the warehouse entry (a parent-delete would have emptied it)
+    val parent = java.nio.file.Paths.get(wh).toAbsolutePath.getParent
+    assert(java.nio.file.Files.isDirectory(parent), "warehouse parent must survive")
+  }
+
+  test("Trigger.Once overrides byte pacing: one batch drains everything") {
+    import org.apache.spark.sql.streaming.Trigger
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17once")
+    sqlDf("CREATE TABLE snap.default.r17once (k BIGINT, v STRING)")
+    (0 until 4).foreach(i =>
+      sqlDf(s"INSERT INTO snap.default.r17once SELECT id, repeat('x', 100) " +
+        s"FROM range(${i * 50}, ${i * 50 + 50})"))
+    val out = Qx.tmpOut("r17onceout", sf())
+    val ckpt = Qx.tmpOut("r17onceckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    // the 1k cap would pace an AvailableNow run into >= 4 batches (the
+    // sibling test above); Trigger.Once's contract is "everything, one
+    // batch" — the engine signals that by replacing the read limit with
+    // allAvailable, and the source must OBEY the limit argument rather
+    // than re-reading its own option
+    val q = spark.readStream.option("maxBytesPerTrigger", "1k")
+      .table("snap.default.r17once")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 200L,
+      "Trigger.Once must drain ALL available data in spite of the byte cap")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches == 1, s"Trigger.Once must plan exactly one batch, got $batches")
+  }
+
+  test("remove_orphan_files reclaims strays, keeps referenced/hot/time-travel files") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17orph")
+    sqlDf("CREATE TABLE snap.default.r17orph AS SELECT id AS k, id % 3 AS g FROM range(0, 300)")
+    // v2 rewrites away the %5 keys: v1's files leave the head but stay
+    // time-travel-reachable — the sweep must keep them
+    sqlDf("DELETE FROM snap.default.r17orph WHERE k % 5 = 0")
+    val root = s"$wh/default/r17orph"
+    val live = Paths.get(Snapshots.resolve(root).get.files.head)
+    val stray = live.getParent.resolve("part-99999-task-retry.parquet")
+    Files.copy(live, stray)
+    val crashed = Paths.get(root, "v00009999_dead_7")
+    Files.createDirectories(crashed)
+    val crashedFile = crashed.resolve("part-00000-crashed.parquet")
+    Files.copy(live, crashedFile)
+    val aged = FileTime.fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000)
+    val walk = Files.walk(Paths.get(root))
+    try walk.iterator().asScala.foreach(p =>
+      try Files.setLastModifiedTime(p, aged) catch { case _: Exception => () })
+    finally walk.close()
+    // a HOT staging dir (in-flight writer) must be skipped by the guard
+    val hot = Paths.get(root, "v00009998_hot_1")
+    Files.createDirectories(hot)
+    val hotFile = hot.resolve("part-00000-inflight.parquet")
+    Files.copy(live, hotFile)
+    val rep = sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', 1)")
+      .collect().head
+    assert(rep.getLong(0) == 2L, s"exactly the two planted orphans: $rep")
+    assert(!Files.exists(stray) && !Files.exists(crashedFile), "orphans must be gone")
+    assert(Files.exists(hotFile), "an in-flight (hot) staging dir must be skipped")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17orph").as[Long].head() == 240L,
+      "head read must be unchanged by the sweep")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17orph VERSION AS OF 1")
+      .as[Long].head() == 300L,
+      "v1 files are head-unreferenced but retained: time travel must survive")
+    // idempotent, and still respectful of the hot dir on a second pass
+    val rep2 = sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', 1)")
+      .collect().head
+    assert(rep2.getLong(0) == 0L, s"second sweep must find nothing: $rep2")
+    assert(Files.exists(hotFile), "hot dir must survive repeated sweeps")
+    // negative hours refuse loudly
+    intercept[Exception](
+      sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', -1)").collect())
+  }
+
+  test("stale NDVs extrapolate with table growth (graft.stats.rows is consumed)") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17grow")
+    sqlDf("""CREATE TABLE snap.default.r17grow AS
+            |SELECT id AS k, id % 7 AS v FROM range(0, 100)""".stripMargin)
+    sqlDf("CALL snap.system.analyze('default.r17grow')") // ndv(k)=100 @ 100 rows
+    // the table doubles AFTER the ANALYZE: an un-scaled stale NDV would
+    // tell the planner k has 100 distincts in 200 rows
+    sqlDf("INSERT INTO snap.default.r17grow SELECT id, id % 7 FROM range(100, 200)")
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df = sqlDf("SELECT k, v FROM snap.default.r17grow WHERE k IS NOT NULL")
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.getOrElse(fail("expected a DSv2 scan relation"))
+      val kNdv = rel.stats.attributeStats.toSeq
+        .collectFirst { case (a, s) if a.name == "k" => s.distinctCount }
+        .flatten.getOrElse(fail("expected a distinctCount stat for k"))
+      assert(kNdv.toLong >= 150 && kNdv.toLong <= 200,
+        s"NDV must extrapolate ~2x with the doubled row count, got $kNdv")
+    } finally prevCbo match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
 }
