@@ -732,6 +732,15 @@ object PlanAudit {
         |The compaction commit itself is basedOn-guarded and stamped
         |rows-unchanged, so concurrent change feeds and streams ignore
         |it.""".stripMargin,
+    "agg_pushdown_stats" ->
+      """Manifest-served aggregate pushdown (r17). Expect NO file scan
+        |at all: the optimized plan's DataSourceV2ScanRelation carries a
+        |GraftManifestAgg LocalScan and the physical plan is a one-row
+        |LocalTableScan — count(*)/count(c)/min/max answered from the
+        |head manifest's #stats lines, folded driver-side across both
+        |commits. At 100 TB this plan shape is identical: O(files)
+        |manifest strings, zero data I/O. Any file scan here means a
+        |serve gate declined (and the query require-fails first).""".stripMargin,
     "maintenance_orphan_sweep" ->
       """remove_orphan_files (r17): the sweep itself is driver-side
         |metadata work (manifest-line set difference + quiet-dir

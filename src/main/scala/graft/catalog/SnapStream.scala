@@ -348,6 +348,19 @@ private[catalog] class GraftStreamableScanBuilder(
     * never applies to the streaming path). */
   private var requested: StructType = tableSchema
 
+  /** True once ANY filter reached the scan. Spark only attempts
+    * aggregate pushdown when no post-scan filters remain — but a
+    * partition predicate can be fully CONSUMED by the file index
+    * (returned empty from pushFilters), which would make a
+    * manifest-served count(*) silently ignore the predicate. One
+    * flag guards the whole class of bugs. */
+  private var sawFilters = false
+
+  /** Set when [[SnapAggPush]] proved it can serve the pushed
+    * aggregation from the head manifest's stats lines — build() then
+    * returns the driver-side LocalScan instead of the file scan. */
+  private var servedAgg: Option[SnapAggPush.Served] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     requested = requiredSchema
     delegate match {
@@ -359,10 +372,13 @@ private[catalog] class GraftStreamableScanBuilder(
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = delegate match {
-    case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-      f.pushFilters(filters)
-    case _ => filters // nothing pushed; Spark re-applies them all above
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (filters.nonEmpty) sawFilters = true
+    delegate match {
+      case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        f.pushFilters(filters)
+      case _ => filters // nothing pushed; Spark re-applies them all above
+    }
   }
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -372,21 +388,34 @@ private[catalog] class GraftStreamableScanBuilder(
       case _ => Array.empty
     }
 
+  /** Manifest serving applies only when no filter reached the scan,
+    * the session switch is on, and [[SnapAggPush]]'s gates all hold
+    * (no pending deletes, full stats coverage, servable functions). */
+  private def manifestServe(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[SnapAggPush.Served] =
+    if (sawFilters || !org.apache.spark.sql.SparkSession.active.conf
+        .get(SnapAggPush.ConfKey, "true").toBoolean) None
+    else SnapAggPush.serve(aggregation, snap, tableSchema, priors)
+
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    delegate match {
-      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
-        a.pushAggregation(aggregation)
-      case _ => false
+    manifestServe(aggregation) match {
+      case some @ Some(_) => servedAgg = some; true
+      case None => delegate match {
+        case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+          a.pushAggregation(aggregation)
+        case _ => false
+      }
     }
 
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    delegate match {
+    manifestServe(aggregation).isDefined || (delegate match {
       case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
         a.supportCompletePushDown(aggregation)
       case _ => false
-    }
+    })
 
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
@@ -396,9 +425,15 @@ private[catalog] class GraftStreamableScanBuilder(
     case _ => new Array[Boolean](extractions.length) // none pushed
   }
 
-  override def build(): Scan =
-    new GraftScanFacade(delegate.build(), root, tableSchema, requested,
-      priors, pinned, snap, options, partCols)
+  override def build(): Scan = servedAgg match {
+    // a manifest-served aggregate is a finished one-row result — no
+    // facade (streaming never reaches an agg-pushed scan, and a
+    // toMicroBatchStream call on it should fail loudly, not misread)
+    case Some(local) => local
+    case None =>
+      new GraftScanFacade(delegate.build(), root, tableSchema, requested,
+        priors, pinned, snap, options, partCols)
+  }
 }
 
 /** The scan produced by [[GraftStreamableScanBuilder]]: batch reads,

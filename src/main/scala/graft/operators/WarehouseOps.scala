@@ -1232,6 +1232,49 @@ object WarehouseOps {
              |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** MANIFEST-SERVED AGGREGATES (`agg_pushdown_stats`) — the read-side
+    * payoff of recording per-file `#stats:` lines at commit time:
+    * `SELECT count(*) / count(c) / min(c) / max(c)` on a snap table is
+    * answered from the manifest through DSv2 aggregate pushdown
+    * ([[graft.catalog.SnapAggPush]]) as a driver-side LocalScan — the
+    * physical plan is a one-row LocalTableScan, ZERO data files
+    * listed, opened, or footer-read. Iceberg answers count(*) from
+    * manifest row-counts the same way; at 100 TB this is the
+    * difference between a metadata lookup and a full-table scan. The
+    * fixture spans TWO commits (CTAS + INSERT) so the fold crosses
+    * manifests, includes a nullable column (count(c) = rows − nulls),
+    * and REQUIRE-fails if the plan regressed to a file scan — the
+    * oracle then checks the served values are the exact truth.
+    * Decline gates (filters, group-by, pending MOR deletes, string
+    * bounds, kill-switch) are pinned in Round17OpsSpec. */
+  val aggPushdownStats: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "aggpush_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT o_orderkey, o_custkey,
+             |       CAST(o_totalprice AS DOUBLE) AS price,
+             |       IF(o_orderkey % 10 = 0, CAST(NULL AS BIGINT), o_custkey)
+             |         AS cust_nullable
+             |FROM parquet.`$dir/orders.parquet`
+             |WHERE o_orderkey % 3 <> 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE),
+             |       IF(o_orderkey % 10 = 0, CAST(NULL AS BIGINT), o_custkey)
+             |FROM parquet.`$dir/orders.parquet`
+             |WHERE o_orderkey % 3 = 0""".stripMargin)
+    val df = s.sql(s"""SELECT COUNT(*) AS n, COUNT(cust_nullable) AS n_cust,
+                      |MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+                      |MIN(price) AS mn_price, MAX(price) AS mx_price
+                      |FROM $t""".stripMargin)
+    require(df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if r.scan.isInstanceOf[org.apache.spark.sql.connector.read.LocalScan] => r
+    }.isDefined,
+      "agg_pushdown_stats must plan as a manifest-served LocalScan — " +
+        "the pushdown declined:\n" + df.queryExecution.optimizedPlan)
+    df
+  }
+
   /** ORPHAN-FILE SWEEP (`maintenance_orphan_sweep`) — Iceberg's
     * `remove_orphan_files`, the last table-maintenance job in the set
     * (compact / compact_deletes / vacuum / analyze / THIS): reclaim
@@ -1739,6 +1782,7 @@ object WarehouseOps {
     "join_storage_partitioned" -> joinStoragePartitioned,
     "sql_maintenance" -> sqlMaintenance,
     "maintenance_orphan_sweep" -> maintenanceOrphanSweep,
+    "agg_pushdown_stats" -> aggPushdownStats,
     "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
     "stream_snapshot_source" -> streamSnapshotSource,
@@ -2027,6 +2071,17 @@ object WarehouseOps {
       WHERE o_orderkey % 5 <> 0
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    // The manifest-served aggregates recomputed the slow way from the
+    // ORIGINAL orders table: a stale rows line, a bound folded across
+    // commits wrongly, a miscounted null, or a min/max served from a
+    // truncated or missing stat hash-mismatches against the scan truth.
+    "agg_pushdown_stats" -> """
+      SELECT COUNT(*) AS n,
+             COUNT(CASE WHEN o_orderkey % 10 <> 0 THEN o_custkey END) AS n_cust,
+             MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+             MIN(CAST(o_totalprice AS DOUBLE)) AS mn_price,
+             MAX(CAST(o_totalprice AS DOUBLE)) AS mx_price
+      FROM orders""",
     // The surviving row set recomputed from the ORIGINAL table: even
     // keys minus the %10 (narrow-era) and %7 (wide-era) deletes, odd
     // keys minus %7 — a delete unscoped by the rename, double-applied,

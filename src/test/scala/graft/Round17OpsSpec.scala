@@ -538,6 +538,91 @@ class Round17OpsSpec extends SparkSpec {
       sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', -1)").collect())
   }
 
+  private def isManifestServed(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if r.scan.isInstanceOf[org.apache.spark.sql.connector.read.LocalScan] => r
+    }.isDefined
+
+  test("aggregate pushdown serves count/min/max from the manifest (zero data I/O)") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17agg")
+    sqlDf("""CREATE TABLE snap.default.r17agg AS
+            |SELECT id AS k, CAST(id % 7 AS DOUBLE) AS v,
+            |       IF(id % 10 = 0, CAST(NULL AS BIGINT), id) AS n
+            |FROM range(0, 1000)""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r17agg " +
+      "SELECT id, CAST(id % 7 AS DOUBLE), id FROM range(1000, 1500)")
+    val df = sqlDf("SELECT count(*) AS c, count(n) AS cn, min(k) AS mn, " +
+      "max(k) AS mx, max(v) AS mv FROM snap.default.r17agg")
+    assert(isManifestServed(df), "expected a manifest-served LocalScan:\n" +
+      df.queryExecution.optimizedPlan)
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "physical plan must be a LocalTableScan, no file scan")
+    val r = df.collect().head
+    assert(r.getLong(0) == 1500L && r.getLong(1) == 1400L &&
+      r.getLong(2) == 0L && r.getLong(3) == 1499L && r.getDouble(4) == 6.0, r)
+    // string bounds must NOT be served (parquet may truncate binary
+    // stats) — the query still answers through the ordinary scan
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17aggs")
+    sqlDf("CREATE TABLE snap.default.r17aggs AS " +
+      "SELECT concat('v', id) AS s FROM range(0, 100)")
+    val sdf = sqlDf("SELECT max(s) AS mx FROM snap.default.r17aggs")
+    assert(!isManifestServed(sdf), "string max must not be manifest-served")
+    assert(sdf.collect().head.getString(0) == "v99")
+    // kill-switch
+    spark.conf.set(graft.catalog.SnapAggPush.ConfKey, "false")
+    try assert(!isManifestServed(
+      sqlDf("SELECT count(*) AS c FROM snap.default.r17agg")))
+    finally spark.conf.unset(graft.catalog.SnapAggPush.ConfKey)
+  }
+
+  test("aggregate pushdown declines under filters, deletes, group-by — and stays correct") {
+    // a fully-consumed partition predicate must NOT let a table-wide
+    // manifest count ignore the filter
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17aggp")
+    sqlDf("""CREATE TABLE snap.default.r17aggp (k BIGINT, p STRING)
+            |PARTITIONED BY (p)""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r17aggp " +
+      "SELECT id, IF(id % 2 = 0, 'a', 'b') FROM range(0, 100)")
+    val filtered = sqlDf(
+      "SELECT count(*) AS c FROM snap.default.r17aggp WHERE p = 'a'")
+    assert(!isManifestServed(filtered), "filtered count must hit the scan")
+    assert(filtered.collect().head.getLong(0) == 50L)
+    // group-by declines
+    assert(!isManifestServed(sqlDf(
+      "SELECT p, count(*) AS c FROM snap.default.r17aggp GROUP BY p")))
+    // pending MOR deletes hide rows: the manifest count would be wrong
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17aggm")
+    sqlDf("""CREATE TABLE snap.default.r17aggm
+            |TBLPROPERTIES ('graft.mor.key'='k') AS
+            |SELECT id AS k FROM range(0, 100)""".stripMargin)
+    sqlDf("DELETE FROM snap.default.r17aggm WHERE k < 10")
+    val morCount = sqlDf("SELECT count(*) AS c FROM snap.default.r17aggm")
+    assert(!isManifestServed(morCount), "pending deletes must decline pushdown")
+    assert(morCount.collect().head.getLong(0) == 90L)
+    // ... and once a COW rewrite absorbs the deletes, serving resumes
+    sqlDf("ALTER TABLE snap.default.r17aggm UNSET TBLPROPERTIES ('graft.mor.key')")
+    sqlDf("DELETE FROM snap.default.r17aggm WHERE k >= 90") // COW: absorbs pending
+    val after = sqlDf("SELECT count(*) AS c FROM snap.default.r17aggm")
+    assert(isManifestServed(after), "post-rewrite head must serve again")
+    assert(after.collect().head.getLong(0) == 80L)
+  }
+
+  test("aggregate pushdown resolves bounds across a rename era") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17aggr")
+    sqlDf("CREATE TABLE snap.default.r17aggr AS SELECT id AS a FROM range(0, 50)")
+    sqlDf("ALTER TABLE snap.default.r17aggr RENAME COLUMN a TO b")
+    sqlDf("INSERT INTO snap.default.r17aggr SELECT id FROM range(50, 80)")
+    // era 1 files record stats under 'a', era 2 under 'b' — the priors
+    // ledger must bridge them or min would silently ignore era 1
+    val df = sqlDf("SELECT min(b) AS mn, max(b) AS mx, count(b) AS c " +
+      "FROM snap.default.r17aggr")
+    assert(isManifestServed(df), "rename-era bounds must still serve:\n" +
+      df.queryExecution.optimizedPlan)
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 79L && r.getLong(2) == 80L, r)
+  }
+
   test("stale NDVs extrapolate with table growth (graft.stats.rows is consumed)") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r17grow")
     sqlDf("""CREATE TABLE snap.default.r17grow AS
