@@ -732,6 +732,17 @@ object PlanAudit {
         |The compaction commit itself is basedOn-guarded and stamped
         |rows-unchanged, so concurrent change feeds and streams ignore
         |it.""".stripMargin,
+    "join_bucket_partitioned" ->
+      """Bucket-transform SPJ fixture (r17). The bench/verify run keeps
+        |the v2-bucketing conf OFF (session hygiene), so expect the
+        |ordinary two-sided shuffle join here; the zero-Exchange
+        |key-grouped plan is pinned under a scoped conf in
+        |Round17OpsSpec. What this plan must still show: both sides are
+        |plain vectorized BatchScans over _gbucket=<id> bucket dirs with
+        |the synthetic segment absent from ReadSchema, and the
+        |post-join two-phase HashAggregate. At 100 TB with the conf on,
+        |the exchanges under this join disappear entirely — that is the
+        |point of the layout.""".stripMargin,
     "agg_pushdown_stats" ->
       """Manifest-served aggregate pushdown (r17). Expect NO file scan
         |at all: the optimized plan's DataSourceV2ScanRelation carries a

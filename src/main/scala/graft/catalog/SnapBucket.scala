@@ -1,0 +1,98 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** HASH-BUCKET partition transform for snap tables — the layout that
+  * makes storage-partitioned joins practical on HIGH-NDV keys, where
+  * identity partitioning would mint one directory per value:
+  * `CREATE TABLE ... PARTITIONED BY (bucket(16, k))` routes each row to
+  * `_gbucket=<id>/` with `id = pmod(murmur3(k, seed 42), n)` — BY
+  * CONSTRUCTION the same function as Spark SQL's `hash(k)`, so the
+  * writer stages with a plain `pmod(hash(col), n)` expression and the
+  * row-level/streaming writers recompute the identical id per row
+  * ([[SnapBucket.bucketIdOf]] delegates to catalyst's
+  * `Murmur3HashFunction`, the single definition all paths share).
+  *
+  * The function surface: Spark's storage-partitioned-join planner only
+  * trusts a bucket transform when BOTH scan sides resolve the SAME
+  * function through their catalog's [[FunctionCatalog]] — it binds
+  * `bucket(numBuckets INT, col)` and compares the bound functions'
+  * `canonicalName`. [[GraftCatalog]] exposes [[SnapBucket.Unbound]]
+  * for exactly that handshake (Iceberg ships its bucket function the
+  * same way). The canonical name carries the KEY TYPE because the hash
+  * of an int and of a long differ — two tables bucketed on different
+  * key types must never be treated as co-partitioned.
+  *
+  * Type scope: int / long / string keys (the practical join-key
+  * types). A widening of the bucket column would CHANGE the hash of
+  * every existing value, so ALTER refuses to rename, drop, or retype
+  * it ([[GraftCatalog.alterTable]]). */
+private[graft] object SnapBucket {
+
+  /** Table property: `<col>,<n>`. Mutually exclusive with identity
+    * `PARTITIONED BY` columns and with `graft.mor.key` (the delta
+    * writer stages flat files that would break any layout). */
+  val prop = "graft.partition.bucket"
+
+  def of(props: Map[String, String]): Option[(String, Int)] =
+    props.get(prop).flatMap { v =>
+      val i = v.lastIndexOf(',')
+      if (i <= 0) None
+      else scala.util.Try(v.substring(i + 1).trim.toInt).toOption
+        .map(n => v.substring(0, i) -> n)
+    }
+
+  def render(col: String, n: Int): String = s"$col,$n"
+
+  /** The supported bucket-key types (see scaladoc). */
+  def supported(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** One definition of the bucket id for every path — DataFrame writes
+    * use the equivalent `pmod(hash(col), n)` (catalyst `Murmur3Hash`,
+    * seed 42, truncated to int — this is the same computation). A NULL
+    * key hashes to the seed itself, exactly like `hash(NULL)`. */
+  def bucketIdOf(value: Any, dt: DataType, n: Int): Int = {
+    val h =
+      if (value == null) 42
+      else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(value, dt, 42L).toInt
+    java.lang.Math.floorMod(h, n)
+  }
+
+  /** The `bucket` function [[GraftCatalog.loadFunction]] serves. */
+  object Unbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, col): graft hash bucket id — pmod(murmur3(col, 42), numBuckets)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket expects (numBuckets, col), got ${inputType.simpleString}")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"bucket's first argument is the INT bucket count, got " +
+          inputType.fields(0).dataType.simpleString)
+      val dt = inputType.fields(1).dataType
+      require(supported(dt),
+        s"bucket keys must be int/long/string, got ${dt.simpleString}")
+      Bound(dt)
+    }
+  }
+
+  final case class Bound(dt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = false
+    override def name(): String = "bucket"
+    // the KEY TYPE is part of the identity: hashInt(x) != hashLong(x)
+    override def canonicalName(): String = s"graft.bucket(${dt.simpleString})"
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val v = if (input.isNullAt(1)) null else input.get(1, dt)
+      Integer.valueOf(bucketIdOf(v, dt, n))
+    }
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.nio.charset.StandardCharsets.UTF_8
@@ -57,6 +57,7 @@ import scala.jdk.CollectionConverters._
   * touches data; scans and writes are planned by [[GraftTable]].
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog
   with ProcedureCatalog {
 
   /** SQL-first maintenance: `CALL <cat>.system.compact('default.t')`,
@@ -169,20 +170,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    // identity partitioning only (Hive-style col=value directories) —
-    // bucket/days/truncate transforms need transform-aware pruning
-    val partCols = partitions.toSeq.map {
+    // identity columns (Hive-style col=value directories) or ONE
+    // bucket(n, col) transform (hash layout under a synthetic
+    // _gbucket=<id> segment — the storage-partitioned-join shape for
+    // high-NDV keys); days/truncate transforms still need
+    // transform-aware pruning
+    var bucket: Option[(String, Int)] = None
+    val partCols = partitions.toSeq.flatMap {
       case t if t.name() == "identity" && t.references().length == 1 =>
         val fieldNames = t.references()(0).fieldNames()
         require(fieldNames.length == 1,
           s"only top-level partition columns: ${fieldNames.mkString(".")}")
         val c = fieldNames(0)
         require(schema.fieldNames.contains(c), s"no column '$c' to partition by")
-        c
+        Some(c)
+      case t if t.name() == "bucket" =>
+        require(bucket.isEmpty, "at most one bucket(n, col) transform")
+        val refs = t.references()
+        require(refs.length == 1 && refs(0).fieldNames().length == 1,
+          s"bucket needs exactly one top-level column, got: $t")
+        val c = refs(0).fieldNames()(0)
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"no column '$c' to bucket by"))
+        require(SnapBucket.supported(f.dataType),
+          s"bucket column '$c' has type ${f.dataType.simpleString}; " +
+            "only int/long/string keys can bucket")
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.dataType() == IntegerType => lit.value().asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket needs an INT bucket count, got: $t"))
+        require(n >= 1 && n <= (1 << 20), s"bucket count out of range: $n")
+        bucket = Some(c -> n)
+        None
       case other => throw new UnsupportedOperationException(
-        s"only identity PARTITIONED BY columns are supported, got: $other")
+        s"only identity and bucket(n, col) PARTITIONED BY transforms " +
+          s"are supported, got: $other")
     }
-    require(partCols.isEmpty ||
+    require(bucket.isEmpty || partCols.isEmpty,
+      "bucket(n, col) does not compose with identity PARTITIONED BY " +
+        "columns yet — pick one layout")
+    require(!schema.fieldNames.contains(Snapshots.bucketPathCol),
+      s"'${Snapshots.bucketPathCol}' is a reserved column name (the " +
+        "synthetic bucket-layout path segment)")
+    require((partCols.isEmpty && bucket.isEmpty) ||
       !properties.asScala.contains(GraftTable.morKeyProp),
       "PARTITIONED BY does not compose with graft.mor.key yet: " +
         "merge-on-read delta writes stage flat files that would break " +
@@ -221,7 +252,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.createDirectories(Paths.get(root))
     val props = properties.asScala.toMap ++
       (if (partCols.isEmpty) Map.empty
-       else Map(GraftTable.partColsProp -> partCols.mkString(",")))
+       else Map(GraftTable.partColsProp -> partCols.mkString(","))) ++
+      bucket.map { case (c, n) => SnapBucket.prop -> SnapBucket.render(c, n) }
     GraftTable.writeMeta(root, schema, props)
     new GraftTable(ident.toString, root, pinned = None)
   }
@@ -300,6 +332,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames().length == 1,
           s"only top-level ADD COLUMN is supported: ${add.fieldNames().mkString(".")}")
         val name = add.fieldNames()(0)
+        require(name != Snapshots.bucketPathCol,
+          s"'${Snapshots.bucketPathCol}' is a reserved column name")
         requireFresh(pr, sc, name, "added column")
         require(add.isNullable,
           s"added column $name must be nullable (pre-evolution rows surface NULL)")
@@ -314,6 +348,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!GraftTable.partColsOf(pr).contains(from),
           s"cannot rename partition column '$from' (its values live in " +
             "committed file paths)")
+        require(!SnapBucket.of(pr).exists(_._1 == from),
+          s"cannot rename bucket column '$from' (the committed layout is " +
+            "keyed by its hash)")
+        require(to != Snapshots.bucketPathCol,
+          s"'${Snapshots.bucketPathCol}' is a reserved column name")
         requireFresh(pr, sc, to, "rename target")
         val priorKey = s"${GraftTable.colPriorPrefix}$from"
         val history = pr.get(priorKey).map(_ + ",").getOrElse("") + from
@@ -342,6 +381,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(sc.fields.length > 1, "cannot drop the last column")
           require(!GraftTable.partColsOf(pr).contains(name),
             s"cannot drop partition column '$name'")
+          require(!SnapBucket.of(pr).exists(_._1 == name),
+            s"cannot drop bucket column '$name' (the committed layout is " +
+              "keyed by its hash)")
           val priorKey = s"${GraftTable.colPriorPrefix}$name"
           val tombs = GraftTable.droppedOf(pr).toSeq ++
             pr.get(priorKey).toSeq.flatMap(_.split(',')) :+ name
@@ -389,6 +431,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!GraftTable.partColsOf(pr).contains(name),
           s"cannot change the type of partition column '$name' (committed " +
             "path values were rendered at the old type)")
+        require(!SnapBucket.of(pr).exists(_._1 == name),
+          s"cannot change the type of bucket column '$name': murmur3 hashes " +
+            "an int and a long DIFFERENTLY, so widening would re-bucket " +
+            "every existing value — rewrite into a new table instead")
         val from = sc(name).dataType
         val to = upd.newDataType()
         require(GraftTable.widensTo(from, to),
@@ -410,11 +456,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // stage under the current spelling, and base files carrying a
         // prior spelling resolve through the rename-ledger coalesce
         // BEFORE the delete filter (MorReaderFactory)
-        require(set.property() != GraftTable.partColsProp,
+        require(set.property() != GraftTable.partColsProp &&
+          set.property() != SnapBucket.prop,
           "the partition layout is fixed at CREATE TABLE (committed files " +
-            "carry the declared col=value paths)")
+            "carry the declared layout paths)")
         require(set.property() != GraftTable.morKeyProp ||
-          GraftTable.partColsOf(pr).isEmpty,
+          (GraftTable.partColsOf(pr).isEmpty && SnapBucket.of(pr).isEmpty),
           "graft.mor.key does not compose with PARTITIONED BY yet (delta " +
             "writes stage flat files that would break the partition layout)")
         // ':' delimits the '#bloom:<ver>:<col>:<file>' manifest line;
@@ -426,6 +473,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "manifest-line delimiter)")
         (sc, pr + (set.property() -> set.value()))
       case ((sc, pr), rm: TableChange.RemoveProperty) =>
+        require(rm.property() != SnapBucket.prop &&
+          rm.property() != GraftTable.partColsProp,
+          "the partition layout is fixed at CREATE TABLE (committed files " +
+            "carry the declared layout paths)")
         (sc, pr - rm.property())
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}: " +
@@ -435,6 +486,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(ident.toString, root, pinned = None)
     }
   }
+
+  // --- FunctionCatalog: the bucket-transform handshake -------------------
+  //
+  // Spark's storage-partitioned-join planner resolves a reported
+  // bucket(n, col) transform by loading `bucket` from the table's own
+  // catalog (V2ExpressionUtils.loadV2FunctionOpt resolves
+  // Identifier.of(empty, "bucket")) and comparing the bound functions'
+  // canonicalName across the two join sides — without this surface a
+  // KeyGroupedPartitioning over a bucket transform is ignored.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") SnapBucket.Unbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name() == "bucket"
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = Paths.get(rootOf(ident))

@@ -253,10 +253,22 @@ private[catalog] object SnapProcedures {
               .sortWithinPartitions(zc).drop(zc)
           }
         }
-      // a PARTITIONED table's rewrite must keep the col=value layout
+      // a PARTITIONED table's rewrite must keep the col=value layout;
+      // a BUCKET table's must re-derive the synthetic _gbucket segment
+      // (same murmur3-seed-42 function as every other write path) or
+      // compaction would silently flatten the layout and break
+      // storage-partitioned joins
       val partCols = propsAtPlan.map(GraftTable.partColsOf).getOrElse(Nil)
-      val writer = if (partCols.isEmpty) arranged.write
-                   else arranged.write.partitionBy(partCols: _*)
+      val bucketSpec = propsAtPlan.flatMap(SnapBucket.of)
+      val writer = bucketSpec match {
+        case Some((c, n)) =>
+          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+          arranged
+            .withColumn(Snapshots.bucketPathCol, pmod(hash(col(c)), lit(n)))
+            .write.partitionBy(Snapshots.bucketPathCol)
+        case None if partCols.isEmpty => arranged.write
+        case None => arranged.write.partitionBy(partCols: _*)
+      }
       writer.mode("append").parquet(stage)
       val staged = {
         val walk = Files.walk(Paths.get(stage))

@@ -83,7 +83,7 @@ private[catalog] class GraftGroupOperation(cmd: RowLevelOperation.Command,
           new GraftRewriteBatchWrite(table.root, info.schema(),
             basedOn = table.snap.map(_.version).getOrElse(0L),
             propsAtPlan = GraftTable.readMeta(table.root).map(_._2),
-            partCols = table.partCols)
+            partCols = table.partCols, bucket = table.bucketSpec)
         override def description(): String =
           s"graft copy-on-write $cmd → ${table.root}"
       }
@@ -242,8 +242,14 @@ private[catalog] object DynPart {
 private[catalog] class DynPartTaskWriter(dir: String,
     schema: org.apache.spark.sql.types.StructType, partCols: Seq[String],
     conf: org.apache.hadoop.conf.Configuration, fileName: String,
-    partitionId: Int, taskId: Long, maxOpen: Int = 64) {
+    partitionId: Int, taskId: Long, maxOpen: Int = 64,
+    // BUCKET layout ((key ordinal, key type, n), [[SnapBucket]]): the
+    // fragment is the DERIVED `_gbucket=<id>` segment — the key column
+    // itself stays a data column, so nothing is projected away
+    bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None) {
 
+  require(bucket.isEmpty || partCols.isEmpty,
+    "bucket layout and identity partition columns are mutually exclusive")
   private val partOrdinals = partCols.map(schema.fieldIndex).toArray
   private val partFields = partOrdinals.map(schema.fields)
   // LinkedHashMap + remove/re-insert = recency order; head = LRU
@@ -262,7 +268,12 @@ private[catalog] class DynPartTaskWriter(dir: String,
         })
 
   def write(row: InternalRow): Unit = {
-    val frag = DynPart.fragmentOf(row, partOrdinals, partFields)
+    val frag = bucket match {
+      case Some((ord, dt, n)) =>
+        val v = if (row.isNullAt(ord)) null else row.get(ord, dt)
+        s"${graft.sources.Snapshots.bucketPathCol}=${SnapBucket.bucketIdOf(v, dt, n)}"
+      case None => DynPart.fragmentOf(row, partOrdinals, partFields)
+    }
     val w = open.remove(frag).getOrElse {
       if (open.size >= maxOpen) {
         val (lruFrag, lru) = open.head
@@ -333,7 +344,7 @@ private[catalog] final case class StagedFilesMessage(dataFiles: Seq[String],
   * concurrent commit added (see [[Snapshots.commitRewriteStaged]]). */
 private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     basedOn: Long, propsAtPlan: Option[Map[String, String]] = None,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None)
   extends BatchWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
@@ -344,6 +355,9 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     val localSchema = schema // avoid capturing `this` in the task closure
     val width = localSchema.length
     val localPart = partCols
+    val localBucket = bucket.map { case (c, n) =>
+      (localSchema.fieldIndex(c), localSchema(c).dataType, n)
+    }
     val dataSchema =
       if (localPart.isEmpty) localSchema
       else StructType(localSchema.fields.filterNot(f => localPart.contains(f.name)))
@@ -354,16 +368,19 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
       // style dynamic partitioning, open writers LRU-bounded), rows
       // projected to the DATA columns — the same layout
       // `df.write.partitionBy` stages, so the partition-aware scan
-      // index parses it back. Unpartitioned tables keep the
+      // index parses it back. BUCKET tables route through the same
+      // writer on the DERIVED `_gbucket=<id>` fragment (key column
+      // stays a data column). Unpartitioned tables keep the
       // single-file fast path.
       private val single: ParquetRowDataWriter =
-        if (localPart.isEmpty) new ParquetRowDataWriter(
+        if (localPart.isEmpty && localBucket.isEmpty) new ParquetRowDataWriter(
           f"$dir/part-$partitionId%05d-$taskId.parquet", conf.value, partitionId, taskId)
         else null
       private val dyn: DynPartTaskWriter =
-        if (localPart.isEmpty) null
+        if (single != null) null
         else new DynPartTaskWriter(dir, localSchema, localPart, conf.value,
-          f"part-$partitionId%05d-$taskId.parquet", partitionId, taskId)
+          f"part-$partitionId%05d-$taskId.parquet", partitionId, taskId,
+          bucket = localBucket)
       // Spark's group-based rewrite prepends a `__row_operation` INT
       // marker to the query, and with no metadata projection the plain
       // writing task delivers rows UNPROJECTED — the connector strips

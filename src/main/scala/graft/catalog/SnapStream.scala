@@ -281,9 +281,18 @@ private[catalog] class GraftMicroBatchStream(root: String,
     * metadata: each micro-batch's scan rebuilds the partition-aware
     * index over its own file slice, so tailing a partitioned table
     * re-attaches partition values exactly like a batch read. */
-  private lazy val partSchema: StructType =
-    GraftTable.partSchemaOf(tableSchema, GraftTable.readMeta(root)
-      .map(m => GraftTable.partColsOf(m._2)).getOrElse(Nil))
+  private lazy val partSchema: StructType = {
+    val props = GraftTable.readMeta(root).map(_._2).getOrElse(Map.empty)
+    SnapBucket.of(props) match {
+      // bucket layouts: the synthetic _gbucket segment shapes the
+      // index (it is not a row column — readSchema never requests it)
+      case Some(_) => StructType(Seq(org.apache.spark.sql.types.StructField(
+        Snapshots.bucketPathCol, org.apache.spark.sql.types.IntegerType,
+        nullable = false)))
+      case None =>
+        GraftTable.partSchemaOf(tableSchema, GraftTable.partColsOf(props))
+    }
+  }
 
   /** A fresh vectorized parquet scan over exactly `files`, pruned to
     * the stream's read schema — the same planning path as a batch read
@@ -337,7 +346,7 @@ private[catalog] class GraftStreamableScanBuilder(
     root: String, tableSchema: StructType,
     priors: Map[String, Seq[String]], pinned: Boolean,
     snap: Option[Snapshot], options: CaseInsensitiveStringMap,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -432,7 +441,7 @@ private[catalog] class GraftStreamableScanBuilder(
     case Some(local) => local
     case None =>
       new GraftScanFacade(delegate.build(), root, tableSchema, requested,
-        priors, pinned, snap, options, partCols)
+        priors, pinned, snap, options, partCols, bucket)
   }
 }
 
@@ -447,7 +456,7 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
     tableSchema: StructType, requested: StructType,
     priors: Map[String, Seq[String]], pinned: Boolean,
     snap: Option[Snapshot], options: CaseInsensitiveStringMap,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -474,22 +483,40 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
     catch { case _: Exception => false }
 
   private lazy val spjEligible: Boolean =
-    partCols.nonEmpty && spjEnabled && !pinned &&
+    (partCols.nonEmpty || bucket.nonEmpty) && spjEnabled && !pinned &&
       snap.exists(s => s.files.nonEmpty && s.deletes.isEmpty)
 
-  private lazy val partSchema: StructType =
-    GraftTable.partSchemaOf(tableSchema, partCols)
+  /** Identity layouts: the declared partition columns. Bucket layouts:
+    * the synthetic `_gbucket` int — both are what the file paths carry
+    * and what [[KeyGroupedBatch]] keys groups by. */
+  private lazy val partSchema: StructType = bucket match {
+    case Some(_) => StructType(Seq(org.apache.spark.sql.types.StructField(
+      Snapshots.bucketPathCol, org.apache.spark.sql.types.IntegerType,
+      nullable = false)))
+    case None => GraftTable.partSchemaOf(tableSchema, partCols)
+  }
 
   private lazy val partitionKeys: Seq[InternalRow] =
     GraftScans.partitionValuesFor(snap.map(_.files).getOrElse(Nil), partSchema)
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (spjEligible)
+    if (spjEligible) {
+      // bucket layouts report the TRANSFORM, which Spark resolves back
+      // through the catalog's FunctionCatalog (SnapBucket.Unbound) to
+      // prove both join sides hash identically; identity layouts
+      // report the columns themselves
+      val keys: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        bucket match {
+          case Some((c, n)) => Array(
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c))
+          case None => partCols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray
+        }
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
-          .identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
-        partitionKeys.size)
+        keys, partitionKeys.size)
+    }
     else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   /** Column stats are ADVISORY and cost O(files × columns) JSON

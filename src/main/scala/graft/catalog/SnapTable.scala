@@ -205,9 +205,18 @@ class GraftTable(tableName: String, val root: String,
   def partCols: Seq[String] =
     meta.map(m => GraftTable.partColsOf(m._2)).getOrElse(Nil)
 
+  /** Hash-bucket layout of a `PARTITIONED BY (bucket(n, col))` table
+    * ([[SnapBucket]]); mutually exclusive with [[partCols]]. */
+  def bucketSpec: Option[(String, Int)] =
+    meta.flatMap(m => SnapBucket.of(m._2))
+
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    bucketSpec match {
+      case Some((c, n)) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c))
+      case None => partCols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    }
 
   // --- SupportsPartitionManagement (read-only: SHOW PARTITIONS) ---------
   //
@@ -269,7 +278,17 @@ class GraftTable(tableName: String, val root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val sc = schema()
-    val partSchema = GraftTable.partSchemaOf(sc, partCols)
+    // bucket tables carry a SYNTHETIC single-int partition schema: the
+    // _gbucket=<id> path segment drives the file index (grouping, and
+    // the spec parse KeyGroupedBatch keys from) but is never a row
+    // column — parquetBuilder's dataSchema subtraction leaves the full
+    // declared schema untouched because the name is reserved
+    val partSchema = bucketSpec match {
+      case Some(_) => StructType(Seq(org.apache.spark.sql.types.StructField(
+        graft.sources.Snapshots.bucketPathCol,
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+      case None => GraftTable.partSchemaOf(sc, partCols)
+    }
     // drop ledger (chains + types) feeds the MOR scan's shadow-field
     // resolution for HEAD reads only: a pinned read's schema comes
     // from its own era's footers, where a "dropped" column is still
@@ -284,13 +303,13 @@ class GraftTable(tableName: String, val root: String,
     new GraftStreamableScanBuilder(
       GraftScans.builder(spark, sc, snap, options, priors, partSchema,
         dropChains, dropTypes),
-      root, sc, priors, pinned.isDefined, snap, options, partCols)
+      root, sc, priors, pinned.isDefined, snap, options, partCols, bucketSpec)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
       s"cannot write to a time-travel-pinned read of $tableName")
-    new GraftV1WriteBuilder(root, info, partCols)
+    new GraftV1WriteBuilder(root, info, partCols, bucketSpec)
   }
 
   override def newRowLevelOperationBuilder(
@@ -501,7 +520,7 @@ object GraftTable {
   * ([[Snapshots.commitAppendStagedTxn]]), so a crash-replayed batch
   * no-ops instead of double-appending. */
 private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -513,10 +532,19 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
       (data, overwriteArg) => {
         // a PARTITIONED table stages through partitionBy so every file
         // carries its col=value path segments inside the version dir —
-        // what the partition-aware scan index parses back
+        // what the partition-aware scan index parses back. A BUCKET
+        // table derives the synthetic segment with the SAME function
+        // the catalog's v2 bucket function computes (hash = murmur3
+        // seed 42 — SnapBucket.bucketIdOf), then partitionBy routes it
         def stage(out: String): Unit = {
-          val w = if (partCols.isEmpty) data.write
-                  else data.write.partitionBy(partCols: _*)
+          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+          val w = bucket match {
+            case Some((c, n)) => data
+              .withColumn(Snapshots.bucketPathCol, pmod(hash(col(c)), lit(n)))
+              .write.partitionBy(Snapshots.bucketPathCol)
+            case None if partCols.isEmpty => data.write
+            case None => data.write.partitionBy(partCols: _*)
+          }
           w.mode("append").parquet(out)
         }
         if (overwrite || overwriteArg) Snapshots.commit(root)(stage)
@@ -525,7 +553,7 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!overwrite,
         "streaming writes into snapshot-catalog tables are append-only")
-      new GraftStreamingWrite(root, info.schema(), info.queryId(), partCols)
+      new GraftStreamingWrite(root, info.schema(), info.queryId(), partCols, bucket)
     }
     override def description(): String =
       s"graft-snapshot ${if (overwrite) "overwrite" else "append"} $root"
@@ -544,7 +572,7 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
   * store via `Snapshots.readChanges`. */
 private[catalog] class GraftStreamingWrite(root: String,
     schema: org.apache.spark.sql.types.StructType, queryId: String,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -556,6 +584,9 @@ private[catalog] class GraftStreamingWrite(root: String,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): StreamingDataWriterFactory = {
     val localPart = partCols
     val localSchema = schema
+    val localBucket = bucket.map { case (c, n) =>
+      (localSchema.fieldIndex(c), localSchema(c).dataType, n)
+    }
     val dataSchema =
       if (localPart.isEmpty) localSchema
       else org.apache.spark.sql.types.StructType(
@@ -568,17 +599,18 @@ private[catalog] class GraftStreamingWrite(root: String,
         new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
           // PARTITIONED tables: epoch rows split into col=value subdirs
           // ([[DynPartTaskWriter]] — the same LRU-bounded dynamic
-          // partitioning the COW rewrite writer uses)
+          // partitioning the COW rewrite writer uses); BUCKET tables
+          // route on the derived `_gbucket=<id>` fragment
           private val name =
             f"epoch-$epochId-part-$partitionId%05d-$taskId.parquet"
           private val single: ParquetRowDataWriter =
-            if (localPart.isEmpty)
+            if (localPart.isEmpty && localBucket.isEmpty)
               new ParquetRowDataWriter(s"$dir/$name", conf.value, partitionId, taskId)
             else null
           private val dyn: DynPartTaskWriter =
-            if (localPart.isEmpty) null
+            if (single != null) null
             else new DynPartTaskWriter(dir, localSchema, localPart, conf.value,
-              name, partitionId, taskId)
+              name, partitionId, taskId, bucket = localBucket)
           override def write(row: InternalRow): Unit =
             if (single != null) single.write(row) else dyn.write(row)
           override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =

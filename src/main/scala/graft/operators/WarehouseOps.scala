@@ -1126,6 +1126,42 @@ object WarehouseOps {
              |GROUP BY a.pri ORDER BY a.pri""".stripMargin)
   }
 
+  /** BUCKET-TRANSFORM STORAGE-PARTITIONED JOIN
+    * (`join_bucket_partitioned`) — [[joinStoragePartitioned]]'s
+    * identity layout only works for LOW-NDV partition keys (one
+    * directory per value); production join keys are high-NDV ids,
+    * and the layout for those is Iceberg's `bucket(n, col)`: rows
+    * route to `_gbucket=<id>` with id = pmod(murmur3(col, 42), n) — a
+    * SYNTHETIC path segment, never a row column. Both scans report
+    * `KeyGroupedPartitioning(bucket(16, k))`, Spark resolves the
+    * transform through the catalog's FunctionCatalog
+    * ([[graft.catalog.SnapBucket]]) to prove the two sides hash
+    * identically, and the join plans with ZERO exchange on either
+    * side — at 100 TB, neither the fact nor the dim table shuffles.
+    * The conf stays un-set here for the same session-hygiene reason as
+    * [[joinStoragePartitioned]]; the zero-Exchange plan, the per-file
+    * bucket invariant, layout survival through COW DELETE + compact,
+    * and the evolution guards are pinned in Round17OpsSpec. The oracle
+    * recomputes the joined aggregate from the ORIGINAL tables — a row
+    * routed to the wrong bucket, a split bound to the wrong key, or a
+    * dropped bucket group hash-mismatches. */
+  val joinBucketPartitioned: Q = (s, dir) => {
+    val (t1, _) = SnapCat.table(s, "bkt_orders", dir)
+    val (t2, _) = SnapCat.table(s, "bkt_customer", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t1")
+    s.sql(s"DROP TABLE IF EXISTS $t2")
+    s.sql(s"""CREATE TABLE $t1 PARTITIONED BY (bucket(16, k)) AS
+             |SELECT o_custkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+             |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    s.sql(s"""CREATE TABLE $t2 PARTITIONED BY (bucket(16, k)) AS
+             |SELECT c_custkey AS k, c_mktsegment AS seg
+             |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    s.sql(s"""SELECT b.seg, COUNT(*) AS n,
+             |       ${Qx.dsumSql("a.price")} AS total
+             |FROM $t1 a JOIN $t2 b ON a.k = b.k
+             |GROUP BY b.seg ORDER BY b.seg""".stripMargin)
+  }
+
   /** PREFIX (LIKE) FILE SKIPPING (`snapshot_prefix_prune`) — the
     * log-search shape: `WHERE key LIKE 'abc%'` on a string-clustered
     * table. Matching strings lie in `[prefix, nextPrefix)` (UTF-8
@@ -1780,6 +1816,7 @@ object WarehouseOps {
     "sql_evolution_mor" -> sqlEvolutionMor,
     "sql_evolution_drop" -> sqlEvolutionDrop,
     "join_storage_partitioned" -> joinStoragePartitioned,
+    "join_bucket_partitioned" -> joinBucketPartitioned,
     "sql_maintenance" -> sqlMaintenance,
     "maintenance_orphan_sweep" -> maintenanceOrphanSweep,
     "agg_pushdown_stats" -> aggPushdownStats,
@@ -2108,6 +2145,15 @@ object WarehouseOps {
                CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT)) AS BIGINT) AS wsum,
              ${Qx.dsumSql("CAST(o_totalprice AS DOUBLE)")} AS total
       FROM orders GROUP BY o_orderpriority ORDER BY pri""",
+    // The joined aggregate recomputed from the ORIGINAL orders and
+    // customer tables: the bucket layout is purely physical, so a row
+    // routed to the wrong bucket, a key misaligned across groups, or a
+    // dropped bucket changes a count or a sum and hash-mismatches.
+    "join_bucket_partitioned" -> s"""
+      SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+             ${Qx.dsumSql("CAST(o.o_totalprice AS DOUBLE)")} AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY seg""",
     // The same surviving row set as sql_evolution_mor, but the key
     // column is DROPPED before the read — the deletes must still scope
     // through the hidden shadow field; output carries no key column.

@@ -995,9 +995,21 @@ object Snapshots {
     val partitioned = fs.exists(f => f.drop(baseDirOf(f).length).contains("="))
     if (!partitioned) rd.parquet(fs: _*)
     else fs.groupBy(baseDirOf).toSeq.sortBy(_._1).map { case (b, bfs) =>
-      rd.option("basePath", b).parquet(bfs: _*)
+      // the SYNTHETIC bucket segment (bucket-transform tables,
+      // graft.catalog.SnapBucket) is a layout detail, not a column —
+      // path recovery must never surface it ('_gbucket' is reserved;
+      // a no-op drop on every other layout)
+      rd.option("basePath", b).parquet(bfs: _*).drop(bucketPathCol)
     }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
   }
+
+  /** Reserved path-segment name for hash-bucket layouts
+    * ([[graft.catalog.SnapBucket]]): files of a `PARTITIONED BY
+    * (bucket(n, col))` table stage under `_gbucket=<id>/`. The segment
+    * is DERIVED (id = pmod(murmur3(col, 42), n)), so unlike identity
+    * partition columns it is never part of the row schema — every
+    * path-recovering read drops it. */
+  val bucketPathCol = "_gbucket"
 
   private def readWithDeletes(spark: SparkSession, files: Seq[String],
       deletes: Seq[DeleteFile], mergeSchema: Boolean = false,

@@ -623,6 +623,122 @@ class Round17OpsSpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.getLong(1) == 79L && r.getLong(2) == 80L, r)
   }
 
+  test("bucket-transform tables: layout roundtrip, derived segment never a column") {
+    import java.nio.file.{Files, Paths}
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17bkt")
+    sqlDf("CREATE TABLE snap.default.r17bkt (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    sqlDf("INSERT INTO snap.default.r17bkt " +
+      "SELECT id, concat('v', id) FROM range(0, 500)")
+    // NULL keys hash like hash(NULL) — to the seed's bucket, not a
+    // __HIVE_DEFAULT_PARTITION__ dir
+    sqlDf("INSERT INTO snap.default.r17bkt VALUES (CAST(NULL AS BIGINT), 'nullrow')")
+    val df = sqlDf("SELECT k, v FROM snap.default.r17bkt")
+    assert(df.columns.toSeq == Seq("k", "v"), "the synthetic segment must not surface")
+    assert(df.count() == 501L)
+    val root = s"$wh/default/r17bkt"
+    val snap = Snapshots.resolve(root).get
+    // every committed file sits under a _gbucket=<id> segment, and the
+    // rows INSIDE each file hash to exactly that id (the write-path
+    // function and the path segment agree)
+    assert(snap.files.forall(_.contains("/_gbucket=")), snap.files.take(3))
+    val perFile = snap.files.map { f =>
+      val id = f.split("/_gbucket=")(1).split("/")(0).toInt
+      val bad = spark.read.parquet(f)
+        .selectExpr(s"count(CASE WHEN pmod(hash(k), 8) <> $id THEN 1 END)")
+        .head().getLong(0)
+      (id, bad)
+    }
+    assert(perFile.forall(_._2 == 0L), s"rows landed in a foreign bucket: $perFile")
+    // direct (non-catalog) reads drop the synthetic segment too — the
+    // change feed and maintenance reads must never leak it
+    assert(!Snapshots.read(spark, root).columns.contains("_gbucket"))
+    // metadata guards: the layout column is frozen, the name reserved
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r17bkt RENAME COLUMN k TO kk"))
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r17bkt DROP COLUMN k"))
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r17bkt ALTER COLUMN k TYPE DOUBLE"))
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r17bkt ADD COLUMN _gbucket INT"))
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r17bkt SET TBLPROPERTIES ('graft.mor.key'='k')"))
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r17bkt UNSET TBLPROPERTIES ('graft.partition.bucket')"))
+    // ... while OTHER columns still evolve freely on a bucket table
+    sqlDf("ALTER TABLE snap.default.r17bkt RENAME COLUMN v TO val")
+    assert(sqlDf("SELECT count(val) FROM snap.default.r17bkt")
+      .as[Long].head() == 501L)
+  }
+
+  test("storage-partitioned join on bucket(n, k): zero exchange, exact result") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17bja")
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17bjb")
+    sqlDf("""CREATE TABLE snap.default.r17bja PARTITIONED BY (bucket(8, k))
+            |AS SELECT id AS k, CAST(id % 100 AS DOUBLE) AS price
+            |FROM range(0, 2000)""".stripMargin)
+    sqlDf("""CREATE TABLE snap.default.r17bjb PARTITIONED BY (bucket(8, k))
+            |AS SELECT id AS k, id % 7 AS w FROM range(0, 2000)""".stripMargin)
+    val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = sqlDf("""SELECT a.k, a.price, b.w
+                      |FROM snap.default.r17bja a
+                      |JOIN snap.default.r17bjb b ON a.k = b.k""".stripMargin)
+      val plan = j.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"co-bucketed snap tables must join with ZERO exchange:\n$plan")
+      assert(j.count() == 2000L)
+      val r = j.where($"k" === 1234L).head()
+      assert(r.getDouble(1) == 34.0 && r.getLong(2) == 1234L % 7, r)
+      // a misaligned pairing would break the sum; pin an aggregate too
+      val wsum = j.selectExpr("sum(k * w)").head().getLong(0)
+      val expect = (0L until 2000L).map(k => k * (k % 7)).sum
+      assert(wsum == expect, s"$wsum != $expect")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucket layout survives COW DELETE and compaction") {
+    import java.nio.file.{Files, Paths}
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17bkm")
+    sqlDf("""CREATE TABLE snap.default.r17bkm PARTITIONED BY (bucket(4, k))
+            |AS SELECT id AS k, id % 10 AS g FROM range(0, 400)""".stripMargin)
+    sqlDf("DELETE FROM snap.default.r17bkm WHERE k % 5 = 0")
+    val root = s"$wh/default/r17bkm"
+    def allBucketed(): Boolean =
+      Snapshots.resolve(root).get.files.forall(_.contains("/_gbucket="))
+    assert(allBucketed(), "the COW rewrite must re-derive the bucket layout")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17bkm").as[Long].head() == 320L)
+    sqlDf("CALL snap.system.compact('default.r17bkm')")
+    assert(allBucketed(), "compaction must not flatten the bucket layout")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17bkm").as[Long].head() == 320L)
+    // and the post-maintenance table still storage-partition-joins
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val self = sqlDf("""SELECT /*+ MERGE(a) */ count(*)
+                        |FROM snap.default.r17bkm a
+                        |JOIN snap.default.r17bkm b ON a.k = b.k""".stripMargin)
+      assert(self.as[Long].head() == 320L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("stale NDVs extrapolate with table growth (graft.stats.rows is consumed)") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r17grow")
     sqlDf("""CREATE TABLE snap.default.r17grow AS
