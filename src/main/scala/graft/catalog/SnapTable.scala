@@ -302,7 +302,7 @@ class GraftTable(tableName: String, val root: String,
     // (plus manifest-size statistics where the inner scan reports none)
     new GraftStreamableScanBuilder(
       GraftScans.builder(spark, sc, snap, options, priors, partSchema,
-        dropChains, dropTypes),
+        dropChains, dropTypes, bucketSpec),
       root, sc, priors, pinned.isDefined, snap, options, partCols, bucketSpec)
   }
 
@@ -667,7 +667,8 @@ private[catalog] object GraftScans {
       priors: Map[String, Seq[String]] = Map.empty,
       partSchema: StructType = new StructType(),
       dropChains: Map[String, Seq[String]] = Map.empty,
-      dropTypes: Map[String, DataType] = Map.empty): ScanBuilder = {
+      dropTypes: Map[String, DataType] = Map.empty,
+      bucketSpec: Option[(String, Int)] = None): ScanBuilder = {
     val files = snap.map(_.files).getOrElse(Nil)
     if (files.isEmpty) new EmptyScanBuilder(tableSchema)
     else {
@@ -676,7 +677,7 @@ private[catalog] object GraftScans {
       val blooms = snap.map(_.blooms).getOrElse(Map.empty[String, Seq[String]])
       if (deletes.isEmpty) {
         if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options,
-          statsRaw, blooms, partSchema)
+          statsRaw, blooms, partSchema, bucketSpec)
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
           files, options, statsRaw, blooms, partSchema)
       } else {
@@ -694,7 +695,8 @@ private[catalog] object GraftScans {
       schema: StructType, options: CaseInsensitiveStringMap,
       statsRaw: Map[String, String] = Map.empty,
       blooms: Map[String, Seq[String]] = Map.empty,
-      partSchema: StructType = new StructType()): ParquetScanBuilder = {
+      partSchema: StructType = new StructType(),
+      bucketSpec: Option[(String, Int)] = None): ParquetScanBuilder = {
     // a direct-API root staged with .partitionBy carries col=value path
     // segments whose columns exist ONLY in the path — unless the table
     // DECLARED them (partSchema, `PARTITIONED BY`), this flat scan
@@ -713,14 +715,18 @@ private[catalog] object GraftScans {
       if (partSchema.isEmpty) PartitionSpec.emptySpec
       else partitionSpecFor(files, partSchema)
     val index =
-      if (statsRaw.isEmpty && blooms.isEmpty && partSchema.isEmpty)
+      if (statsRaw.isEmpty && blooms.isEmpty && partSchema.isEmpty &&
+          bucketSpec.isEmpty)
         new InMemoryFileIndex(classic,
           files.map(f => new org.apache.hadoop.fs.Path(f)),
           Map.empty[String, String], Some(schema), NoopCache,
           Some(spec), None)
       else new StatsPruningIndex(classic,
         files.map(f => new org.apache.hadoop.fs.Path(f)),
-        schema, statsRaw, blooms, spec)
+        schema, statsRaw, blooms, spec,
+        bucketSpec.flatMap { case (c, n) =>
+          schema.fields.find(_.name == c).map(f => (c, f.dataType, n))
+        })
     // partition columns live in the path, not the footers: the file
     // scan's data schema excludes them and the values re-attach from
     // the partition directories (Spark's own mechanism, which also
@@ -821,7 +827,12 @@ private[catalog] object GraftScans {
       paths: Seq[org.apache.hadoop.fs.Path], schema: StructType,
       statsRaw: Map[String, String],
       blooms: Map[String, Seq[String]] = Map.empty,
-      spec: PartitionSpec = PartitionSpec.emptySpec)
+      spec: PartitionSpec = PartitionSpec.emptySpec,
+      // (key col, key type, n) of a bucket layout — point predicates
+      // on the key prune whole bucket DIRECTORIES (Iceberg's bucket
+      // pruning): bucket(v) is computable at planning time, so k = v
+      // keeps 1/n of the table's files, metadata-only
+      bucketSpec: Option[(String, DataType, Int)] = None)
     extends InMemoryFileIndex(classic, paths, Map.empty[String, String],
       Some(schema), NoopCache, Some(spec), None) {
 
@@ -840,22 +851,70 @@ private[catalog] object GraftScans {
         new org.apache.hadoop.fs.Path(k).toUri.getPath -> cols.toSet
     }
 
+    /** Buckets a conjunct provably confines the key to, or None when
+      * it does not constrain the key at all. Only shapes whose value
+      * set is FINITE translate (=, <=>, IN, IS NULL); everything else
+      * keeps every bucket — pruning stays an I/O optimization, Spark
+      * re-applies the predicate above the scan. */
+    private def admissibleBuckets(
+        e: org.apache.spark.sql.catalyst.expressions.Expression,
+        col: String, dt: DataType, n: Int): Option[Set[Int]] = {
+      import org.apache.spark.sql.catalyst.expressions._
+      def ref(x: Expression): Boolean = x match {
+        case a: Attribute => a.name == col
+        case _ => false
+      }
+      e match {
+        case EqualTo(a, Literal(v, _)) if ref(a) && v != null =>
+          Some(Set(SnapBucket.bucketIdOf(v, dt, n)))
+        case EqualTo(Literal(v, _), a) if ref(a) && v != null =>
+          Some(Set(SnapBucket.bucketIdOf(v, dt, n)))
+        case EqualNullSafe(a, Literal(v, _)) if ref(a) =>
+          Some(Set(SnapBucket.bucketIdOf(v, dt, n)))
+        case EqualNullSafe(Literal(v, _), a) if ref(a) =>
+          Some(Set(SnapBucket.bucketIdOf(v, dt, n)))
+        case In(a, vs) if ref(a) && vs.forall(_.isInstanceOf[Literal]) =>
+          Some(vs.map { case Literal(v, _) =>
+            SnapBucket.bucketIdOf(v, dt, n) }.toSet)
+        case InSet(a, vs) if ref(a) =>
+          Some(vs.map(SnapBucket.bucketIdOf(_, dt, n)))
+        case IsNull(a) if ref(a) =>
+          Some(Set(SnapBucket.bucketIdOf(null, dt, n)))
+        case _ => None
+      }
+    }
+
     override def listFiles(
         partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
       val base = super.listFiles(partitionFilters, dataFilters)
-      if (dataFilters.isEmpty || (statsByPath.isEmpty && bloomByPath.isEmpty)) base
-      else base.map { pd =>
-        pd.copy(files = pd.files.filter { f =>
-          val path = f.getPath.toUri.getPath
-          val bloomOf: String => Option[org.apache.spark.util.sketch.BloomFilter] =
-            col =>
-              if (bloomByPath.get(path).exists(_.contains(col)))
-                BloomCache.load(Snapshots.bloomSidecar(path, col))
-              else None
-          dataFilters.forall(admits(statsByPath.get(path), bloomOf, _))
-        })
+      if (dataFilters.isEmpty ||
+        (statsByPath.isEmpty && bloomByPath.isEmpty && bucketSpec.isEmpty)) base
+      else {
+        // bucket-directory pruning first: intersect every conjunct's
+        // admissible set; the partition row of a bucket layout is the
+        // single synthetic _gbucket int
+        val keepBuckets: Option[Set[Int]] = bucketSpec.flatMap {
+          case (col, dt, n) =>
+            dataFilters.flatMap(admissibleBuckets(_, col, dt, n))
+              .reduceOption(_ intersect _)
+        }
+        // an unexpected partition-row shape keeps the directory —
+        // pruning never carries correctness
+        base.filter(pd => keepBuckets.forall(ks =>
+          pd.values.numFields != 1 || ks.contains(pd.values.getInt(0))))
+          .map { pd =>
+            pd.copy(files = pd.files.filter { f =>
+              val path = f.getPath.toUri.getPath
+              val bloomOf: String => Option[org.apache.spark.util.sketch.BloomFilter] =
+                col =>
+                  if (bloomByPath.get(path).exists(_.contains(col)))
+                    BloomCache.load(Snapshots.bloomSidecar(path, col))
+                  else None
+              dataFilters.forall(admits(statsByPath.get(path), bloomOf, _))
+            })
+          }
       }
     }
   }

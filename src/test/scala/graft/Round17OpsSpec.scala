@@ -711,6 +711,46 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("point predicates prune to the key's bucket directory (metadata-only)") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17bkp")
+    sqlDf("""CREATE TABLE snap.default.r17bkp PARTITIONED BY (bucket(8, k))
+            |AS SELECT id AS k, concat('v', id) AS v FROM range(0, 800)""".stripMargin)
+    val all = Snapshots.resolve(s"$wh/default/r17bkp").get.files
+    val dirs = all.map(_.split("/_gbucket=")(1).split("/")(0).toInt).toSet
+    assert(dirs.size == 8, s"fixture should fill all 8 buckets: $dirs")
+    // the planned file list IS the pruning evidence
+    def plannedDirs(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      def unwrap(p: Any): Seq[String] = p match {
+        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+        case prod: Product => prod.productIterator.flatMap(unwrap).toSeq
+        case _ => Nil
+      }
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .flatMap(_.inputPartitions).flatMap(unwrap)
+        .map(_.split("/_gbucket=")(1).split("/")(0).toInt).toSet
+    }
+    val hit = sqlDf("SELECT v FROM snap.default.r17bkp WHERE k = 123")
+    val expectBucket = graft.catalog.SnapBucket.bucketIdOf(123L,
+      org.apache.spark.sql.types.LongType, 8)
+    val hitDirs = plannedDirs(hit)
+    assert(hitDirs == Set(expectBucket),
+      s"k = 123 must open ONLY bucket $expectBucket, opened $hitDirs")
+    assert(hit.collect().map(_.getString(0)).toSeq == Seq("v123"))
+    // IN lists intersect across conjuncts; other predicate shapes keep
+    // every bucket (range scan below must read all dirs and stay exact)
+    val in = sqlDf("SELECT count(*) FROM snap.default.r17bkp WHERE k IN (1, 2, 3)")
+    assert(in.as[Long].head() == 3L)
+    val inDirs = plannedDirs(
+      sqlDf("SELECT v FROM snap.default.r17bkp WHERE k IN (1, 2, 3)"))
+    val expectIn = Set(1L, 2L, 3L).map(graft.catalog.SnapBucket.bucketIdOf(_,
+      org.apache.spark.sql.types.LongType, 8))
+    assert(inDirs == expectIn, s"$inDirs != $expectIn")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17bkp WHERE k >= 400")
+      .as[Long].head() == 400L, "range predicates must stay exact (no pruning)")
+  }
+
   test("bucket layout survives COW DELETE and compaction") {
     import java.nio.file.{Files, Paths}
     sqlDf("DROP TABLE IF EXISTS snap.default.r17bkm")
