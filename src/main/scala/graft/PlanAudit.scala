@@ -743,6 +743,15 @@ object PlanAudit {
         |post-join two-phase HashAggregate. At 100 TB with the conf on,
         |the exchanges under this join disappear entirely — that is the
         |point of the layout.""".stripMargin,
+    "agg_pushdown_group" ->
+      """Per-partition manifest aggregates (r17). Expect NO file scan:
+        |the optimized plan's scan relation is a GraftManifestAgg
+        |LocalScan and the physical plan a five-row LocalTableScan —
+        |one row per o_orderpriority partition, counts and bounds
+        |folded from #stats lines grouped by the partition path values,
+        |across BOTH commits. The ORDER BY above is the only real
+        |operator. "Rows per partition" on a 100 TB table at zero data
+        |I/O is the plan's point.""".stripMargin,
     "agg_pushdown_stats" ->
       """Manifest-served aggregate pushdown (r17). Expect NO file scan
         |at all: the optimized plan's DataSourceV2ScanRelation carries a

@@ -405,7 +405,19 @@ private[catalog] class GraftStreamableScanBuilder(
       : Option[SnapAggPush.Served] =
     if (sawFilters || !org.apache.spark.sql.SparkSession.active.conf
         .get(SnapAggPush.ConfKey, "true").toBoolean) None
-    else SnapAggPush.serve(aggregation, snap, tableSchema, priors)
+    else {
+      // identity layouts expose their partition columns for GROUP BY
+      // serving and path-value bounds; bucket layouts expose nothing
+      // (the synthetic segment is not a row column)
+      val ps =
+        if (bucket.isDefined) new StructType()
+        else GraftTable.partSchemaOf(tableSchema, partCols)
+      val partValsOf: String => Option[Seq[Any]] = f =>
+        try Some(GraftScans.partitionValuesOf(
+          java.nio.file.Paths.get(f).getParent.toString, ps).toSeq)
+        catch { case _: Exception => None }
+      SnapAggPush.serve(aggregation, snap, tableSchema, priors, ps, partValsOf)
+    }
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =

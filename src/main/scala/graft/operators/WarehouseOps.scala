@@ -1311,6 +1311,43 @@ object WarehouseOps {
     df
   }
 
+  /** PER-PARTITION MANIFEST AGGREGATES (`agg_pushdown_group`) — the
+    * GROUP BY face of [[aggPushdownStats]]: `SELECT p, count(*),
+    * min(c), max(c) ... GROUP BY p` over an identity-PARTITIONED snap
+    * table is answered ONE ROW PER PARTITION from the manifest (each
+    * partition is a set of whole files, so its rows/bounds fold from
+    * the same `#stats:` lines; bounds on the partition column itself
+    * read the exact path value — strings included, which footer stats
+    * can never serve). The physical plan is a LocalTableScan; the
+    * classic warehouse question "how many rows per day/priority" costs
+    * zero data I/O at any table size. The fixture spans two commits so
+    * groups fold across manifests, and REQUIRE-fails if the plan
+    * regressed to a file scan; decline gates are shared with
+    * [[aggPushdownStats]] and pinned in Round17OpsSpec. */
+  val aggPushdownGroup: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "aggpush_group", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t (k BIGINT, price DOUBLE, pri STRING)
+             |PARTITIONED BY (pri)""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 2 = 1""".stripMargin)
+    val df = s.sql(s"""SELECT pri, COUNT(*) AS n, MIN(k) AS mn_key,
+                      |MAX(k) AS mx_key, MIN(price) AS mn_price,
+                      |MAX(price) AS mx_price
+                      |FROM $t GROUP BY pri ORDER BY pri""".stripMargin)
+    require(df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if r.scan.isInstanceOf[org.apache.spark.sql.connector.read.LocalScan] => r
+    }.isDefined,
+      "agg_pushdown_group must plan as a manifest-served LocalScan — " +
+        "the pushdown declined:\n" + df.queryExecution.optimizedPlan)
+    df
+  }
+
   /** ORPHAN-FILE SWEEP (`maintenance_orphan_sweep`) — Iceberg's
     * `remove_orphan_files`, the last table-maintenance job in the set
     * (compact / compact_deletes / vacuum / analyze / THIS): reclaim
@@ -1820,6 +1857,7 @@ object WarehouseOps {
     "sql_maintenance" -> sqlMaintenance,
     "maintenance_orphan_sweep" -> maintenanceOrphanSweep,
     "agg_pushdown_stats" -> aggPushdownStats,
+    "agg_pushdown_group" -> aggPushdownGroup,
     "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
     "stream_snapshot_source" -> streamSnapshotSource,
@@ -2119,6 +2157,15 @@ object WarehouseOps {
              MIN(CAST(o_totalprice AS DOUBLE)) AS mn_price,
              MAX(CAST(o_totalprice AS DOUBLE)) AS mx_price
       FROM orders""",
+    // One row per partition recomputed the slow way: a group folded
+    // across the two commits wrongly, a bound leaked across partitions,
+    // or a path-value misparse changes a row and hash-mismatches.
+    "agg_pushdown_group" -> """
+      SELECT o_orderpriority AS pri, COUNT(*) AS n,
+             MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+             MIN(CAST(o_totalprice AS DOUBLE)) AS mn_price,
+             MAX(CAST(o_totalprice AS DOUBLE)) AS mx_price
+      FROM orders GROUP BY o_orderpriority ORDER BY pri""",
     // The surviving row set recomputed from the ORIGINAL table: even
     // keys minus the %10 (narrow-era) and %7 (wide-era) deletes, odd
     // keys minus %7 — a delete unscoped by the rename, double-applied,

@@ -576,6 +576,39 @@ class Round17OpsSpec extends SparkSpec {
     finally spark.conf.unset(graft.catalog.SnapAggPush.ConfKey)
   }
 
+  test("GROUP BY partition columns serves per-partition aggregates from the manifest") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17aggg")
+    sqlDf("""CREATE TABLE snap.default.r17aggg (k BIGINT, w DOUBLE, p STRING)
+            |PARTITIONED BY (p)""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r17aggg " +
+      "SELECT id, CAST(id AS DOUBLE), IF(id % 3 = 0, 'a', IF(id % 3 = 1, 'b', 'c')) " +
+      "FROM range(0, 300)")
+    sqlDf("INSERT INTO snap.default.r17aggg " +
+      "SELECT id, CAST(id AS DOUBLE), 'a' FROM range(300, 350)")
+    val df = sqlDf("""SELECT p, count(*) AS n, min(k) AS mn, max(k) AS mx,
+                     |max(p) AS mp
+                     |FROM snap.default.r17aggg GROUP BY p ORDER BY p""".stripMargin)
+    assert(isManifestServed(df), "per-partition aggregates must serve from " +
+      "the manifest:\n" + df.queryExecution.optimizedPlan)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      ("a", 150L, 0L, 349L, "a"),
+      ("b", 100L, 1L, 298L, "b"),
+      ("c", 100L, 2L, 299L, "c")), rows.toSeq)
+    // min/max over the PARTITION column itself serves from path values
+    // even globally (strings are exact there, unlike footer stats)
+    val g = sqlDf("SELECT min(p) AS mn, max(p) AS mx, count(p) AS c " +
+      "FROM snap.default.r17aggg")
+    assert(isManifestServed(g), "partition-column bounds must serve")
+    val gr = g.collect().head
+    assert(gr.getString(0) == "a" && gr.getString(1) == "c" &&
+      gr.getLong(2) == 350L, gr)
+    // grouping on a NON-partition column must decline (rows needed)
+    assert(!isManifestServed(sqlDf(
+      "SELECT k, count(*) AS n FROM snap.default.r17aggg GROUP BY k")))
+  }
+
   test("aggregate pushdown declines under filters, deletes, group-by — and stays correct") {
     // a fully-consumed partition predicate must NOT let a table-wide
     // manifest count ignore the filter
@@ -588,9 +621,12 @@ class Round17OpsSpec extends SparkSpec {
       "SELECT count(*) AS c FROM snap.default.r17aggp WHERE p = 'a'")
     assert(!isManifestServed(filtered), "filtered count must hit the scan")
     assert(filtered.collect().head.getLong(0) == 50L)
-    // group-by declines
-    assert(!isManifestServed(sqlDf(
+    // group-by over the partition column SERVES (sibling test pins the
+    // values); over anything else it declines
+    assert(isManifestServed(sqlDf(
       "SELECT p, count(*) AS c FROM snap.default.r17aggp GROUP BY p")))
+    assert(!isManifestServed(sqlDf(
+      "SELECT k % 2 AS g, count(*) AS c FROM snap.default.r17aggp GROUP BY k % 2")))
     // pending MOR deletes hide rows: the manifest count would be wrong
     sqlDf("DROP TABLE IF EXISTS snap.default.r17aggm")
     sqlDf("""CREATE TABLE snap.default.r17aggm
