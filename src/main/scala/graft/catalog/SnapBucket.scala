@@ -52,6 +52,24 @@ private[graft] object SnapBucket {
     case _ => false
   }
 
+  /** The synthetic single-int partition schema every bucket layout
+    * presents to the file index — ONE definition (the scan builder,
+    * the facade, and the streaming source all key off it). */
+  val partSchema: StructType = StructType(Seq(StructField(
+    graft.sources.Snapshots.bucketPathCol, IntegerType, nullable = false)))
+
+  /** DataFrame-side staging: derive the synthetic segment with the
+    * same seed-42 function [[bucketIdOf]] computes row-side, and route
+    * through partitionBy — the one home of the write-path rule (the V1
+    * writer and compaction both stage through this). */
+  def stageBucketed(df: org.apache.spark.sql.DataFrame, col: String,
+      n: Int): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col => c, hash, lit, pmod}
+    df.withColumn(graft.sources.Snapshots.bucketPathCol,
+        pmod(hash(c(col)), lit(n)))
+      .write.partitionBy(graft.sources.Snapshots.bucketPathCol)
+  }
+
   /** One definition of the bucket id for every path — DataFrame writes
     * use the equivalent `pmod(hash(col), n)` (catalyst `Murmur3Hash`,
     * seed 42, truncated to int — this is the same computation). A NULL

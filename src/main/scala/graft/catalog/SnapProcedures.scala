@@ -261,11 +261,7 @@ private[catalog] object SnapProcedures {
       val partCols = propsAtPlan.map(GraftTable.partColsOf).getOrElse(Nil)
       val bucketSpec = propsAtPlan.flatMap(SnapBucket.of)
       val writer = bucketSpec match {
-        case Some((c, n)) =>
-          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-          arranged
-            .withColumn(Snapshots.bucketPathCol, pmod(hash(col(c)), lit(n)))
-            .write.partitionBy(Snapshots.bucketPathCol)
+        case Some((c, n)) => SnapBucket.stageBucketed(arranged, c, n)
         case None if partCols.isEmpty => arranged.write
         case None => arranged.write.partitionBy(partCols: _*)
       }
@@ -365,7 +361,7 @@ private[catalog] object SnapProcedures {
         .comment("table name, e.g. 'default.t'").build(),
       ProcedureParameter.in("older_than_hours", IntegerType)
         .comment("only reclaim files untouched for this many hours " +
-          "(>= 0; the in-flight-commit guard — production sweeps " +
+          "(>= 1; the in-flight-commit guard — production sweeps " +
           "should use days)").build())
 
     private val outSchema = StructType(Seq(
@@ -376,7 +372,11 @@ private[catalog] object SnapProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val hours = input.getInt(1)
-      require(hours >= 0, s"older_than_hours must be >= 0: $hours")
+      // a zero grace window would make the quiet guard — the ONLY
+      // protection against sweeping a commit that staged its files but
+      // has not yet published its manifest — vacuous; Iceberg refuses
+      // short intervals for the same reason
+      require(hours >= 1, s"older_than_hours must be >= 1: $hours")
       val root = rootOf(table)
       val (removed, bytes) =
         Snapshots.removeOrphanFiles(root, hours.toLong * 3600 * 1000)

@@ -286,9 +286,7 @@ private[catalog] class GraftMicroBatchStream(root: String,
     SnapBucket.of(props) match {
       // bucket layouts: the synthetic _gbucket segment shapes the
       // index (it is not a row column — readSchema never requests it)
-      case Some(_) => StructType(Seq(org.apache.spark.sql.types.StructField(
-        Snapshots.bucketPathCol, org.apache.spark.sql.types.IntegerType,
-        nullable = false)))
+      case Some(_) => SnapBucket.partSchema
       case None =>
         GraftTable.partSchemaOf(tableSchema, GraftTable.partColsOf(props))
     }
@@ -399,8 +397,24 @@ private[catalog] class GraftStreamableScanBuilder(
 
   /** Manifest serving applies only when no filter reached the scan,
     * the session switch is on, and [[SnapAggPush]]'s gates all hold
-    * (no pending deletes, full stats coverage, servable functions). */
+    * (no pending deletes, full stats coverage, servable functions).
+    * Memoized per Aggregation instance: Spark probes
+    * supportCompletePushDown then calls pushAggregation with the same
+    * object, and each evaluation parses O(files) stats bodies —
+    * planning-time metadata work that must not double. */
+  private var servedCache: Option[(AnyRef, Option[SnapAggPush.Served])] = None
+
   private def manifestServe(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[SnapAggPush.Served] = servedCache match {
+    case Some((key, res)) if key eq aggregation => res
+    case _ =>
+      val res = manifestServeUncached(aggregation)
+      servedCache = Some((aggregation, res))
+      res
+  }
+
+  private def manifestServeUncached(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[SnapAggPush.Served] =
     if (sawFilters || !org.apache.spark.sql.SparkSession.active.conf
@@ -502,9 +516,7 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
     * the synthetic `_gbucket` int — both are what the file paths carry
     * and what [[KeyGroupedBatch]] keys groups by. */
   private lazy val partSchema: StructType = bucket match {
-    case Some(_) => StructType(Seq(org.apache.spark.sql.types.StructField(
-      Snapshots.bucketPathCol, org.apache.spark.sql.types.IntegerType,
-      nullable = false)))
+    case Some(_) => SnapBucket.partSchema
     case None => GraftTable.partSchemaOf(tableSchema, partCols)
   }
 

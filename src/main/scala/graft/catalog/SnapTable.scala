@@ -284,9 +284,7 @@ class GraftTable(tableName: String, val root: String,
     // column — parquetBuilder's dataSchema subtraction leaves the full
     // declared schema untouched because the name is reserved
     val partSchema = bucketSpec match {
-      case Some(_) => StructType(Seq(org.apache.spark.sql.types.StructField(
-        graft.sources.Snapshots.bucketPathCol,
-        org.apache.spark.sql.types.IntegerType, nullable = false)))
+      case Some(_) => SnapBucket.partSchema
       case None => GraftTable.partSchemaOf(sc, partCols)
     }
     // drop ledger (chains + types) feeds the MOR scan's shadow-field
@@ -537,11 +535,8 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
         // the catalog's v2 bucket function computes (hash = murmur3
         // seed 42 — SnapBucket.bucketIdOf), then partitionBy routes it
         def stage(out: String): Unit = {
-          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
           val w = bucket match {
-            case Some((c, n)) => data
-              .withColumn(Snapshots.bucketPathCol, pmod(hash(col(c)), lit(n)))
-              .write.partitionBy(Snapshots.bucketPathCol)
+            case Some((c, n)) => SnapBucket.stageBucketed(data, c, n)
             case None if partCols.isEmpty => data.write
             case None => data.write.partitionBy(partCols: _*)
           }
@@ -679,7 +674,7 @@ private[catalog] object GraftScans {
         if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options,
           statsRaw, blooms, partSchema, bucketSpec)
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
-          files, options, statsRaw, blooms, partSchema)
+          files, options, statsRaw, blooms, partSchema, bucketSpec)
       } else {
         // evolution composes with pending deletes through the ledger
         // indirection: renamed columns (key or not) coalesce prior
@@ -864,19 +859,25 @@ private[catalog] object GraftScans {
         case a: Attribute => a.name == col
         case _ => false
       }
+      // the literal must carry the column's own type: analysis inserts
+      // casts so this always holds for well-formed pushed predicates,
+      // but murmur3 of an int and a long DIFFER — a type-mismatched
+      // literal must keep every bucket rather than hash wrongly
+      def typed(l: Literal): Boolean = l.dataType == dt
       e match {
-        case EqualTo(a, Literal(v, _)) if ref(a) && v != null =>
+        case EqualTo(a, l @ Literal(v, _)) if ref(a) && typed(l) && v != null =>
           Some(Set(SnapBucket.bucketIdOf(v, dt, n)))
-        case EqualTo(Literal(v, _), a) if ref(a) && v != null =>
+        case EqualTo(l @ Literal(v, _), a) if ref(a) && typed(l) && v != null =>
           Some(Set(SnapBucket.bucketIdOf(v, dt, n)))
-        case EqualNullSafe(a, Literal(v, _)) if ref(a) =>
+        case EqualNullSafe(a, l @ Literal(v, _)) if ref(a) && typed(l) =>
           Some(Set(SnapBucket.bucketIdOf(v, dt, n)))
-        case EqualNullSafe(Literal(v, _), a) if ref(a) =>
+        case EqualNullSafe(l @ Literal(v, _), a) if ref(a) && typed(l) =>
           Some(Set(SnapBucket.bucketIdOf(v, dt, n)))
-        case In(a, vs) if ref(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        case In(a, vs) if ref(a) &&
+          vs.forall { case l: Literal => typed(l); case _ => false } =>
           Some(vs.map { case Literal(v, _) =>
             SnapBucket.bucketIdOf(v, dt, n) }.toSet)
-        case InSet(a, vs) if ref(a) =>
+        case InSet(a, vs) if ref(a) && a.dataType == dt =>
           Some(vs.map(SnapBucket.bucketIdOf(_, dt, n)))
         case IsNull(a) if ref(a) =>
           Some(Set(SnapBucket.bucketIdOf(null, dt, n)))
@@ -1159,7 +1160,8 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
     files: Seq[String], options: CaseInsensitiveStringMap,
     statsRaw: Map[String, String] = Map.empty,
     blooms: Map[String, Seq[String]] = Map.empty,
-    partSchema: StructType = new StructType())
+    partSchema: StructType = new StructType(),
+    bucketSpec: Option[(String, Int)] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -1168,10 +1170,12 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
   // forward before column pruning settles; pruning narrows it at build
   // (partSchema: renamed non-partition columns on a PARTITIONED table
   // still plan over the partition-aware index — partition columns
-  // themselves are rename-guarded, so they never carry priors)
+  // themselves are rename-guarded, so they never carry priors; same for
+  // the bucket column, so bucket-directory pruning survives renames of
+  // OTHER columns)
   private val inner = GraftScans.parquetBuilder(spark, files,
     GraftScans.renamePlan(tableSchema, priors)._1, options, statsRaw, blooms,
-    partSchema)
+    partSchema, bucketSpec)
 
   private var requested: StructType = tableSchema
 

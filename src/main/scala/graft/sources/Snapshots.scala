@@ -1962,20 +1962,7 @@ object Snapshots {
     dataDirsBelow(root, oldest).foreach { dir =>
       val inFlightStaging =
         dir.getFileName.toString.startsWith(versionPrefix(0L)) && !quiet(dir)
-      if (!inFlightStaging) {
-        val fs = listParquet(dir.toString)
-        fs.filterNot(referenced).foreach { f =>
-          Files.deleteIfExists(Paths.get(f))
-          // reclaim the file's bloom sidecars with it
-          val ls = Files.list(Paths.get(f).getParent)
-          try ls.iterator().asScala
-            .filter(_.getFileName.toString.startsWith(
-              Paths.get(f).getFileName.toString + ".bloom-"))
-            .foreach(Files.deleteIfExists(_))
-          finally ls.close()
-        }
-        if (fs.forall(!referenced(_))) deleteRecursively(dir)
-      }
+      if (!inFlightStaging) sweepUnreferenced(dir, referenced)
     }
     // crashed writers can also leave `.tmp_*` manifest files in
     // _commits (death between staging the bytes and the createLink
@@ -2039,21 +2026,36 @@ object Snapshots {
     var removed = 0L
     var bytes = 0L
     dataDirsBelow(root, Long.MaxValue).filter(quiet).foreach { dir =>
-      val fs = listParquet(dir.toString)
-      fs.filterNot(referenced).foreach { f =>
-        val p = Paths.get(f)
-        bytes += (try Files.size(p) catch { case _: Exception => 0L })
-        if (Files.deleteIfExists(p)) removed += 1
-        // the file's bloom sidecars are orphaned with it
-        val ls = Files.list(p.getParent)
-        try ls.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(
-            p.getFileName.toString + ".bloom-"))
-          .foreach(Files.deleteIfExists(_))
-        finally ls.close()
-      }
-      if (fs.forall(!referenced(_))) deleteRecursively(dir)
+      val (r, b) = sweepUnreferenced(dir, referenced)
+      removed += r; bytes += b
     }
+    (removed, bytes)
+  }
+
+  /** ONE sweep body for [[vacuum]] and [[removeOrphanFiles]]: delete
+    * the dir's unreferenced parquet files (each with its bloom
+    * sidecars), then the whole dir when nothing in it is referenced.
+    * Returns (files removed, data bytes reclaimed) — a file that
+    * vanishes between the size probe and the delete (a racing sweep)
+    * counts toward NEITHER. */
+  private def sweepUnreferenced(dir: Path,
+      referenced: String => Boolean): (Long, Long) = {
+    var removed = 0L
+    var bytes = 0L
+    val fs = listParquet(dir.toString)
+    fs.filterNot(referenced).foreach { f =>
+      val p = Paths.get(f)
+      val size = try Files.size(p) catch { case _: Exception => 0L }
+      if (Files.deleteIfExists(p)) { removed += 1; bytes += size }
+      // the file's bloom sidecars are orphaned with it
+      val ls = Files.list(p.getParent)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(
+          p.getFileName.toString + ".bloom-"))
+        .foreach(Files.deleteIfExists(_))
+      finally ls.close()
+    }
+    if (fs.forall(!referenced(_))) deleteRecursively(dir)
     (removed, bytes)
   }
 

@@ -741,6 +741,17 @@ class Round17OpsSpec extends SparkSpec {
       val wsum = j.selectExpr("sum(k * w)").head().getLong(0)
       val expect = (0L until 2000L).map(k => k * (k % 7)).sum
       assert(wsum == expect, s"$wsum != $expect")
+      // bucket(n, k) clusters by k, so GROUP BY k needs no exchange
+      // either — the same layout serves aggregation for free
+      val ag = sqlDf("""SELECT k, count(*) AS n FROM snap.default.r17bja
+                       |GROUP BY k""".stripMargin)
+      val agEx = ag.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(agEx.isEmpty,
+        s"GROUP BY the bucket key must plan with zero exchange:\n" +
+          ag.queryExecution.executedPlan)
+      assert(ag.count() == 2000L)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
@@ -785,6 +796,13 @@ class Round17OpsSpec extends SparkSpec {
     assert(inDirs == expectIn, s"$inDirs != $expectIn")
     assert(sqlDf("SELECT count(*) FROM snap.default.r17bkp WHERE k >= 400")
       .as[Long].head() == 400L, "range predicates must stay exact (no pruning)")
+    // a rename of an UNRELATED column routes reads through the
+    // rename-aware builder — bucket pruning must survive the detour
+    sqlDf("ALTER TABLE snap.default.r17bkp RENAME COLUMN v TO val")
+    val renamed = sqlDf("SELECT val FROM snap.default.r17bkp WHERE k = 123")
+    assert(plannedDirs(renamed) == Set(expectBucket),
+      "bucket pruning must survive a rename of another column")
+    assert(renamed.collect().map(_.getString(0)).toSeq == Seq("v123"))
   }
 
   test("bucket layout survives COW DELETE and compaction") {
