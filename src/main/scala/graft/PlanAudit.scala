@@ -752,6 +752,14 @@ object PlanAudit {
         |across BOTH commits. The ORDER BY above is the only real
         |operator. "Rows per partition" on a 100 TB table at zero data
         |I/O is the plan's point.""".stripMargin,
+    "agg_pushdown_filtered" ->
+      """Filtered manifest aggregates (r17). Expect NO file scan: the
+        |WHERE pri IN (...) is a whole-file keep/drop evaluated on
+        |partition path values driver-side, the GROUP BY folds the
+        |surviving files' #stats lines, and the physical plan is a
+        |three-row LocalTableScan under the ORDER BY. A data-column
+        |filter here would leave a post-scan filter and Spark would
+        |never ask — the decline path is the ordinary pruned scan.""".stripMargin,
     "agg_pushdown_stats" ->
       """Manifest-served aggregate pushdown (r17). Expect NO file scan
         |at all: the optimized plan's DataSourceV2ScanRelation carries a

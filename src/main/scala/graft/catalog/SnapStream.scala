@@ -355,13 +355,15 @@ private[catalog] class GraftStreamableScanBuilder(
     * never applies to the streaming path). */
   private var requested: StructType = tableSchema
 
-  /** True once ANY filter reached the scan. Spark only attempts
+  /** Every filter that reached the scan, verbatim. Spark only attempts
     * aggregate pushdown when no post-scan filters remain — but a
     * partition predicate can be fully CONSUMED by the file index
     * (returned empty from pushFilters), which would make a
-    * manifest-served count(*) silently ignore the predicate. One
-    * flag guards the whole class of bugs. */
-  private var sawFilters = false
+    * manifest-served count(*) silently ignore the predicate. The serve
+    * path must therefore re-apply EVERY recorded filter to the
+    * metadata (partition path values — whole files match or don't), or
+    * decline when any filter isn't provably partition-only. */
+  private var seenFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
 
   /** Set when [[SnapAggPush]] proved it can serve the pushed
     * aggregation from the head manifest's stats lines — build() then
@@ -380,7 +382,7 @@ private[catalog] class GraftStreamableScanBuilder(
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    if (filters.nonEmpty) sawFilters = true
+    seenFilters = seenFilters ++ filters
     delegate match {
       case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
         f.pushFilters(filters)
@@ -417,7 +419,7 @@ private[catalog] class GraftStreamableScanBuilder(
   private def manifestServeUncached(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[SnapAggPush.Served] =
-    if (sawFilters || !org.apache.spark.sql.SparkSession.active.conf
+    if (!org.apache.spark.sql.SparkSession.active.conf
         .get(SnapAggPush.ConfKey, "true").toBoolean) None
     else {
       // identity layouts expose their partition columns for GROUP BY
@@ -430,7 +432,8 @@ private[catalog] class GraftStreamableScanBuilder(
         try Some(GraftScans.partitionValuesOf(
           java.nio.file.Paths.get(f).getParent.toString, ps).toSeq)
         catch { case _: Exception => None }
-      SnapAggPush.serve(aggregation, snap, tableSchema, priors, ps, partValsOf)
+      SnapAggPush.serve(aggregation, snap, tableSchema, priors, ps, partValsOf,
+        seenFilters)
     }
 
   override def pushAggregation(

@@ -1348,6 +1348,41 @@ object WarehouseOps {
     df
   }
 
+  /** FILTERED MANIFEST AGGREGATES (`agg_pushdown_filtered`) — the
+    * WHERE face of [[aggPushdownStats]]/[[aggPushdownGroup]]: a
+    * partition predicate is a whole-file keep/drop decided on path
+    * values (a partition value is constant per file), so
+    * `count/min/max ... WHERE pri IN (...) GROUP BY pri` still serves
+    * from the manifest — Spark's own interpreted predicate evaluates
+    * the filter on each file's path values, identical semantics to
+    * the partition pruning that consumed it from the plan. Filters
+    * touching any DATA column leave a post-scan filter, so Spark
+    * never asks and the ordinary scan runs. REQUIRE-fails on plan
+    * regression; the served-respects-filter pin is in Round17OpsSpec
+    * (a serve path that ignored the WHERE would also hash-mismatch
+    * here). */
+  val aggPushdownFiltered: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "aggpush_filtered", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t (k BIGINT, price DOUBLE, pri STRING)
+             |PARTITIONED BY (pri)""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
+             |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    val df = s.sql(s"""SELECT pri, COUNT(*) AS n, MIN(k) AS mn_key,
+                      |MAX(price) AS mx_price
+                      |FROM $t
+                      |WHERE pri IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+                      |GROUP BY pri ORDER BY pri""".stripMargin)
+    require(df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if r.scan.isInstanceOf[org.apache.spark.sql.connector.read.LocalScan] => r
+    }.isDefined,
+      "agg_pushdown_filtered must plan as a manifest-served LocalScan — " +
+        "the pushdown declined:\n" + df.queryExecution.optimizedPlan)
+    df
+  }
+
   /** ORPHAN-FILE SWEEP (`maintenance_orphan_sweep`) — Iceberg's
     * `remove_orphan_files`, the last table-maintenance job in the set
     * (compact / compact_deletes / vacuum / analyze / THIS): reclaim
@@ -1858,6 +1893,7 @@ object WarehouseOps {
     "maintenance_orphan_sweep" -> maintenanceOrphanSweep,
     "agg_pushdown_stats" -> aggPushdownStats,
     "agg_pushdown_group" -> aggPushdownGroup,
+    "agg_pushdown_filtered" -> aggPushdownFiltered,
     "snapshot_delete_composite" -> snapshotDeleteComposite,
     "stream_catalog_sink" -> streamCatalogSink,
     "stream_snapshot_source" -> streamSnapshotSource,
@@ -2166,6 +2202,17 @@ object WarehouseOps {
              MIN(CAST(o_totalprice AS DOUBLE)) AS mn_price,
              MAX(CAST(o_totalprice AS DOUBLE)) AS mx_price
       FROM orders GROUP BY o_orderpriority ORDER BY pri""",
+    // The filtered per-partition rows recomputed the slow way: a serve
+    // path that ignored the WHERE (counted all partitions), kept a
+    // dropped partition, or mis-evaluated the IN on path values
+    // hash-mismatches.
+    "agg_pushdown_filtered" -> """
+      SELECT o_orderpriority AS pri, COUNT(*) AS n,
+             MIN(o_orderkey) AS mn_key,
+             MAX(CAST(o_totalprice AS DOUBLE)) AS mx_price
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+      GROUP BY o_orderpriority ORDER BY pri""",
     // The surviving row set recomputed from the ORIGINAL table: even
     // keys minus the %10 (narrow-era) and %7 (wide-era) deletes, odd
     // keys minus %7 — a delete unscoped by the rename, double-applied,

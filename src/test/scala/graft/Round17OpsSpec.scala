@@ -610,8 +610,8 @@ class Round17OpsSpec extends SparkSpec {
   }
 
   test("aggregate pushdown declines under filters, deletes, group-by — and stays correct") {
-    // a fully-consumed partition predicate must NOT let a table-wide
-    // manifest count ignore the filter
+    // a PARTITION predicate is a whole-file keep/drop on path values —
+    // the manifest count serves it, with the filter APPLIED
     sqlDf("DROP TABLE IF EXISTS snap.default.r17aggp")
     sqlDf("""CREATE TABLE snap.default.r17aggp (k BIGINT, p STRING)
             |PARTITIONED BY (p)""".stripMargin)
@@ -619,8 +619,24 @@ class Round17OpsSpec extends SparkSpec {
       "SELECT id, IF(id % 2 = 0, 'a', 'b') FROM range(0, 100)")
     val filtered = sqlDf(
       "SELECT count(*) AS c FROM snap.default.r17aggp WHERE p = 'a'")
-    assert(!isManifestServed(filtered), "filtered count must hit the scan")
-    assert(filtered.collect().head.getLong(0) == 50L)
+    assert(isManifestServed(filtered),
+      "a partition-only WHERE must serve from the manifest")
+    assert(filtered.collect().head.getLong(0) == 50L,
+      "…and the served count must RESPECT the filter")
+    // filter + GROUP BY compose; min/max fold over only matching files
+    val fg = sqlDf("""SELECT p, count(*) AS n, min(k) AS mn
+                     |FROM snap.default.r17aggp WHERE p IN ('a')
+                     |GROUP BY p ORDER BY p""".stripMargin)
+    assert(isManifestServed(fg))
+    val fgr = fg.collect()
+    assert(fgr.length == 1 && fgr(0).getString(0) == "a" &&
+      fgr(0).getLong(1) == 50L && fgr(0).getLong(2) == 0L, fgr.toSeq)
+    // a DATA-column predicate leaves a post-scan filter, so Spark never
+    // asks — and the query stays exact through the ordinary scan
+    val dataFiltered = sqlDf(
+      "SELECT count(*) AS c FROM snap.default.r17aggp WHERE k < 10")
+    assert(!isManifestServed(dataFiltered), "data filters must hit the scan")
+    assert(dataFiltered.collect().head.getLong(0) == 10L)
     // group-by over the partition column SERVES (sibling test pins the
     // values); over anything else it declines
     assert(isManifestServed(sqlDf(
