@@ -660,6 +660,32 @@ class Round17OpsSpec extends SparkSpec {
     assert(after.collect().head.getLong(0) == 80L)
   }
 
+  test("aggregate pushdown serves pinned time-travel reads and bucket tables") {
+    // VERSION AS OF: the pushed aggregate folds the PINNED version's
+    // own stats lines — the historical answer, not the head's
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17aggt")
+    sqlDf("CREATE TABLE snap.default.r17aggt AS SELECT id AS k FROM range(0, 100)")
+    sqlDf("INSERT INTO snap.default.r17aggt SELECT id FROM range(100, 250)")
+    val pinned = sqlDf("SELECT count(*) AS c, max(k) AS mx " +
+      "FROM snap.default.r17aggt VERSION AS OF 1")
+    assert(isManifestServed(pinned), "a pinned read must serve from its " +
+      "own version's manifest:\n" + pinned.queryExecution.optimizedPlan)
+    val pr = pinned.collect().head
+    assert(pr.getLong(0) == 100L && pr.getLong(1) == 99L, pr)
+    val head = sqlDf("SELECT count(*) AS c FROM snap.default.r17aggt")
+    assert(isManifestServed(head) && head.collect().head.getLong(0) == 250L)
+    // bucket layouts: the synthetic segment is no bar to GLOBAL serving
+    // (stats fold ignores the layout; grouping by it is unreferencable)
+    sqlDf("DROP TABLE IF EXISTS snap.default.r17aggb")
+    sqlDf("""CREATE TABLE snap.default.r17aggb PARTITIONED BY (bucket(4, k))
+            |AS SELECT id AS k FROM range(0, 120)""".stripMargin)
+    val b = sqlDf("SELECT count(*) AS c, min(k) AS mn, max(k) AS mx " +
+      "FROM snap.default.r17aggb")
+    assert(isManifestServed(b), "bucket tables must serve global aggregates")
+    val br = b.collect().head
+    assert(br.getLong(0) == 120L && br.getLong(1) == 0L && br.getLong(2) == 119L, br)
+  }
+
   test("aggregate pushdown resolves bounds across a rename era") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r17aggr")
     sqlDf("CREATE TABLE snap.default.r17aggr AS SELECT id AS a FROM range(0, 50)")
