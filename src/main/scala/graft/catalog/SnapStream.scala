@@ -397,9 +397,10 @@ private[catalog] class GraftStreamableScanBuilder(
       case _ => Array.empty
     }
 
-  /** Manifest serving applies only when no filter reached the scan,
-    * the session switch is on, and [[SnapAggPush]]'s gates all hold
-    * (no pending deletes, full stats coverage, servable functions).
+  /** Manifest serving applies when the session switch is on and
+    * [[SnapAggPush]]'s gates all hold (no pending deletes, every
+    * recorded filter provably partition-only and re-applied to the
+    * metadata, full stats coverage, servable functions).
     * Memoized per Aggregation instance: Spark probes
     * supportCompletePushDown then calls pushAggregation with the same
     * object, and each evaluation parses O(files) stats bodies —

@@ -609,7 +609,7 @@ class Round17OpsSpec extends SparkSpec {
       "SELECT k, count(*) AS n FROM snap.default.r17aggg GROUP BY k")))
   }
 
-  test("aggregate pushdown declines under filters, deletes, group-by — and stays correct") {
+  test("aggregate pushdown serves partition filters, declines data filters/deletes — and stays correct") {
     // a PARTITION predicate is a whole-file keep/drop on path values —
     // the manifest count serves it, with the filter APPLIED
     sqlDf("DROP TABLE IF EXISTS snap.default.r17aggp")
