@@ -44,7 +44,8 @@ private[catalog] object SnapProcedures {
   val Namespace: Array[String] = Array("system")
 
   def list(): Array[Identifier] =
-    Array("analyze", "compact", "compact_deletes", "vacuum")
+    Array("analyze", "compact", "compact_deletes", "vacuum",
+        "remove_orphan_files")
       .map(Identifier.of(Namespace, _))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -361,8 +362,10 @@ private[catalog] object SnapProcedures {
         .comment("table name, e.g. 'default.t'").build(),
       ProcedureParameter.in("older_than_hours", IntegerType)
         .comment("only reclaim files untouched for this many hours " +
-          "(>= 1; the in-flight-commit guard — production sweeps " +
-          "should use days)").build())
+          "(>= 24; the in-flight-commit guard — Iceberg defaults this " +
+          "to 3 days; the window must exceed the longest plausible " +
+          "stall between a writer staging files and publishing its " +
+          "manifest)").build())
 
     private val outSchema = StructType(Seq(
       StructField("orphans_removed", LongType, nullable = false),
@@ -372,11 +375,17 @@ private[catalog] object SnapProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val hours = input.getInt(1)
-      // a zero grace window would make the quiet guard — the ONLY
+      // a short grace window would make the quiet guard — the ONLY
       // protection against sweeping a commit that staged its files but
-      // has not yet published its manifest — vacuous; Iceberg refuses
-      // short intervals for the same reason
-      require(hours >= 1, s"older_than_hours must be >= 1: $hours")
+      // has not yet published its manifest — vacuous: a writer stalled
+      // longer than the window between staging and publish would lose
+      // its files and later commit a manifest referencing deleted
+      // paths. Iceberg defaults this guard to 3 DAYS; a day is the
+      // floor here (no legitimate sweep needs less — orphans are
+      // reclaimed eventually, data loss is forever)
+      require(hours >= 24, s"older_than_hours must be >= 24 (got $hours): " +
+        "the quiet window is the only in-flight-commit guard and must " +
+        "exceed the longest plausible write stall")
       val root = rootOf(table)
       val (removed, bytes) =
         Snapshots.removeOrphanFiles(root, hours.toLong * 3600 * 1000)

@@ -186,10 +186,24 @@ private[catalog] class GraftMicroBatchStream(root: String,
         val emit = if (skipped) 0 else st.added.size
         val emitBytes =
           if (skipped || byteCap.isEmpty) 0L
-          else st.added.map { f =>
-            try java.nio.file.Files.size(java.nio.file.Paths.get(f))
-            catch { case _: Exception => 0L }
-          }.sum
+          else {
+            val sized = st.added.map { f =>
+              try Some(java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+              catch { case _: Exception => None }
+            }
+            // a file that can't be sized at offset-planning time (e.g.
+            // racing a vacuum) must count as SOMETHING — a 0-byte
+            // fallback would let a batch silently blow past the cap.
+            // Estimate it at the mean of the sized siblings, or the
+            // cap itself when nothing sized (maximally conservative:
+            // the version still gets admitted alone, just not packed
+            // with others)
+            val known = sized.flatten
+            val est =
+              if (known.nonEmpty) math.max(1L, known.sum / known.size)
+              else byteCap.get
+            sized.map(_.getOrElse(est)).sum
+          }
         val over = fileCap.exists(c => count + emit > c) ||
           byteCap.exists(b => bytes + emitBytes > b)
         if (end > s0 && over) full = true

@@ -1434,12 +1434,12 @@ object WarehouseOps {
     // age the whole tree past the guard (the sweep only touches QUIET
     // dirs); planting bumped the mtimes we just need to be old
     val aged = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2L * 3600 * 1000)
+      System.currentTimeMillis() - 80L * 3600 * 1000)
     val walk = Files.walk(Paths.get(root))
     try walk.iterator().asScala.foreach(p =>
       try Files.setLastModifiedTime(p, aged) catch { case _: Exception => () })
     finally walk.close()
-    val removed = s.sql(s"CALL snap.system.remove_orphan_files('$arg', 1)")
+    val removed = s.sql(s"CALL snap.system.remove_orphan_files('$arg', 72)")
       .collect().head.getLong(0)
     s.table(t).groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"), Qx.dsum($"price").as("total"))

@@ -292,7 +292,7 @@ object Snapshots {
     } catch { case _: Exception => Nil }
   }
 
-  private def bloomProp(root: String, key: String, dflt: String): String = {
+  private def tableProp(root: String, key: String, dflt: String): String = {
     val f = Paths.get(root, "_table.properties")
     try {
       val p = new java.util.Properties()
@@ -313,8 +313,8 @@ object Snapshots {
     val cols = bloomColsOf(root)
     if (cols.isEmpty || staged.isEmpty) return Nil
     val spark = SparkSession.getActiveSession.getOrElse(return Nil)
-    val items = bloomProp(root, "graft.bloom.items", "100000").toLong
-    val fpp = bloomProp(root, "graft.bloom.fpp", "0.03").toDouble
+    val items = tableProp(root, "graft.bloom.items", "100000").toLong
+    val fpp = tableProp(root, "graft.bloom.fpp", "0.03").toDouble
     try {
       val df = spark.read.parquet(staged: _*)
       val present = df.columns.toSet
@@ -847,6 +847,20 @@ object Snapshots {
       if (!gate(head + 1)) return head
       val v = head + 1
       val (preTs, header, fileLines) = build(v)
+      // '_gbucket' is a RESERVED path segment (SnapBucket layouts):
+      // every path-recovering read drops it, so a direct-API writer
+      // staging a GENUINE partition column by that name would silently
+      // lose it on read. Refuse at the one commit funnel unless the
+      // root declares a bucket layout in _table.properties (the
+      // catalog DDL path already refuses the column name at CREATE).
+      if (fileLines.exists(_.contains(s"/$bucketPathCol=")) &&
+          tableProp(root, graft.catalog.SnapBucket.prop, "").isEmpty)
+        throw new IllegalArgumentException(
+          s"'$bucketPathCol' is a reserved path segment (hash-bucket " +
+            s"layouts derive it; reads never surface it) — a table under " +
+            s"$root without a declared '${graft.catalog.SnapBucket.prop}' " +
+            "property must not stage files under it. Rename the partition " +
+            "column.")
       val parentTs = if (v > 1L) commitTimestamp(root, v - 1).getOrElse(-1L) else -1L
       val commitTs = math.max(
         java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)

@@ -508,7 +508,7 @@ class Round17OpsSpec extends SparkSpec {
     Files.createDirectories(crashed)
     val crashedFile = crashed.resolve("part-00000-crashed.parquet")
     Files.copy(live, crashedFile)
-    val aged = FileTime.fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000)
+    val aged = FileTime.fromMillis(System.currentTimeMillis() - 80L * 3600 * 1000)
     val walk = Files.walk(Paths.get(root))
     try walk.iterator().asScala.foreach(p =>
       try Files.setLastModifiedTime(p, aged) catch { case _: Exception => () })
@@ -518,7 +518,7 @@ class Round17OpsSpec extends SparkSpec {
     Files.createDirectories(hot)
     val hotFile = hot.resolve("part-00000-inflight.parquet")
     Files.copy(live, hotFile)
-    val rep = sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', 1)")
+    val rep = sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', 72)")
       .collect().head
     assert(rep.getLong(0) == 2L, s"exactly the two planted orphans: $rep")
     assert(!Files.exists(stray) && !Files.exists(crashedFile), "orphans must be gone")
@@ -529,13 +529,16 @@ class Round17OpsSpec extends SparkSpec {
       .as[Long].head() == 300L,
       "v1 files are head-unreferenced but retained: time travel must survive")
     // idempotent, and still respectful of the hot dir on a second pass
-    val rep2 = sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', 1)")
+    val rep2 = sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', 72)")
       .collect().head
     assert(rep2.getLong(0) == 0L, s"second sweep must find nothing: $rep2")
     assert(Files.exists(hotFile), "hot dir must survive repeated sweeps")
     // negative hours refuse loudly
     intercept[Exception](
       sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', -1)").collect())
+    // and so does anything under the one-day in-flight-commit floor
+    intercept[Exception](
+      sqlDf("CALL snap.system.remove_orphan_files('default.r17orph', 1)").collect())
   }
 
   private def isManifestServed(df: org.apache.spark.sql.DataFrame): Boolean =
