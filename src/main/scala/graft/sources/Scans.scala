@@ -401,6 +401,46 @@ object Scans {
       .orderBy($"c_custkey")
   }
 
+  /** Avro format, addressed by its implementing class: this Spark build
+    * ships the Avro reader/writer classes inside spark-sql but does not
+    * service-register the `avro` short name (no spark-avro module jar),
+    * so `.format("avro")` throws while the class-name route plans the
+    * identical FileFormat — same vectorized machinery, same options. */
+  private val avroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** AVRO sink + re-read round-trip (`sink_avro`) — the row-oriented
+    * interchange format HL7/FHIR feeds commonly land as (topic payloads
+    * with embedded schemas). Same discipline as [[sinkOrc]]: values
+    * compare against the DuckDB oracle over the ORIGINAL parquet, so a
+    * lossy round-trip (schema mangling, precision loss) hash-fails. */
+  val sinkAvro: Q = (s, dir) => {
+    import s.implicits._
+    val agg = Tables.load(s, dir, "supplier")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n"), dsum($"s_acctbal").as("total"))
+    val out = Qx.tmpOut("sink_avro", dir)
+    agg.write.mode("overwrite").format(avroFormat).save(out)
+    s.read.format(avroFormat).load(out).orderBy($"s_nationkey")
+  }
+
+  /** AVRO scan (`scan_avro`): stage typed rows as Avro, read them back
+    * through a filter + projection + aggregate — proving the read path
+    * resolves Avro's union-typed (nullable) fields and logical types
+    * into the same typed columns a parquet scan yields. Ints/longs/
+    * strings/doubles cover Avro's primitive branches. */
+  val scanAvro: Q = (s, dir) => {
+    import s.implicits._
+    val out = Qx.tmpOut("scan_avro", dir)
+    Tables.load(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice")
+      .write.mode("overwrite").format(avroFormat).save(out)
+    s.read.format(avroFormat).load(out)
+      .filter($"p_size" <= 15)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), dsum($"p_retailprice").as("total"))
+      .orderBy($"p_brand")
+  }
+
   /** SQL-centric staging surface (README.md:7): register every table as
     * a view and run one multi-table SQL statement — the exact string the
     * DuckDB oracle runs too. */
@@ -430,6 +470,8 @@ object Scans {
     "sink_json_fhir" -> sinkJsonFhir,
     "sink_orc" -> sinkOrc,
     "sink_csv" -> sinkCsv,
+    "sink_avro" -> sinkAvro,
+    "scan_avro" -> scanAvro,
     "scan_parquet_merge_schema" -> scanParquetMergeSchema,
     "stream_hl7_ingest" -> streamHl7Ingest,
     "stream_fhir_ingest" -> streamFhirIngest,
@@ -549,5 +591,14 @@ object Scans {
              CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
              c_mktsegment
       FROM customer ORDER BY c_custkey""",
+    "sink_avro" -> s"""
+      SELECT s_nationkey, COUNT(*) AS n,
+             ${Qx.dsumSql("s_acctbal")} AS total
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "scan_avro" -> s"""
+      SELECT p_brand, COUNT(*) AS n,
+             ${Qx.dsumSql("p_retailprice")} AS total
+      FROM part WHERE p_size <= 15
+      GROUP BY p_brand ORDER BY p_brand""",
     "register_view_sql" -> registerViewSqlText)
 }
