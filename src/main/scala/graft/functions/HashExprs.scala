@@ -30,13 +30,26 @@ object HashExprs {
   val planes: Array[Array[Double]] =
     Array.tabulate(8, 64)((p, d) => math.sin((p * 64 + d + 1).toDouble))
 
+  /** A SECOND independent hyperplane family (cos-sequence) — the L=2
+    * hash table of standard multi-table LSH: a true neighbor that falls
+    * on the wrong side of one family's hyperplane rarely does in both,
+    * so OR-merging the two tables' buckets roughly squares the miss
+    * probability at 2× the candidate fan-in (still strictly
+    * bucket-bounded). */
+  val planesB: Array[Array[Double]] =
+    Array.tabulate(8, 64)((p, d) => math.cos((p * 64 + d + 1).toDouble))
+
+  private def planeTable(family: Int): Array[Array[Double]] =
+    if (family == 0) planes else planesB
+
   /** Interpreted twin of the generated hyperplane-bucket loop. A null
     * ELEMENT nulls the bucket (same contract as [[DotProduct]]) —
     * reading it as 0.0 would route the row to a well-defined bucket
     * computed from corrupt data, silently pairing it with wrong LSH
     * candidates; a NULL bucket drops out of the candidate join
     * instead. */
-  def hyperBucket(a: ArrayData): Any = {
+  def hyperBucket(a: ArrayData, family: Int): Any = {
+    val tbl = planeTable(family)
     val n = math.min(a.numElements(), 64)
     var i = 0
     while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
@@ -45,7 +58,7 @@ object HashExprs {
     while (p < 8) {
       var acc = 0.0
       i = 0
-      while (i < n) { acc += a.getDouble(i) * planes(p)(i); i += 1 }
+      while (i < n) { acc += a.getDouble(i) * tbl(p)(i); i += 1 }
       if (acc > 0) bucket |= (1 << p)
       p += 1
     }
@@ -92,19 +105,25 @@ object HashExprs {
   def register(spark: SparkSession): Unit = {
     Registry.ensure(spark, "lsh_bucket8", arity = 1,
       exprs => HyperplaneBucket(exprs.head))
+    Registry.ensure(spark, "lsh_bucket8b", arity = 1,
+      exprs => HyperplaneBucket(exprs.head, family = 1))
     Registry.ensure(spark, "simhash64", arity = 1,
       exprs => SimHash64(exprs.head))
   }
 }
 
-/** 8-hyperplane random-projection sign bucket (`lsh_bucket8`): bit p of
-  * the result is the sign of `v · plane(p)` over the first 64 dims. The
-  * plane table rides along as a codegen reference object (512 doubles,
-  * hoisted once per stage — never recomputed per row). */
-case class HyperplaneBucket(child: Expression) extends UnaryExpression
+/** 8-hyperplane random-projection sign bucket (`lsh_bucket8` /
+  * `lsh_bucket8b`): bit p of the result is the sign of `v · plane(p)`
+  * over the first 64 dims; `family` selects the hyperplane table
+  * (0 = sin-sequence, 1 = the independent cos-sequence — multi-table
+  * LSH). The plane table rides along as a codegen reference object
+  * (512 doubles, hoisted once per stage — never recomputed per row). */
+case class HyperplaneBucket(child: Expression, family: Int = 0)
+    extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
-  override def prettyName: String = "lsh_bucket8"
+  override def prettyName: String =
+    if (family == 0) "lsh_bucket8" else "lsh_bucket8b"
 
   override def dataType: DataType = IntegerType
 
@@ -118,11 +137,12 @@ case class HyperplaneBucket(child: Expression) extends UnaryExpression
   override def nullable: Boolean = true // null ELEMENT nulls the bucket
 
   override def nullSafeEval(input: Any): Any =
-    HashExprs.hyperBucket(input.asInstanceOf[ArrayData])
+    HashExprs.hyperBucket(input.asInstanceOf[ArrayData], family)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val planes = ctx.addReferenceObj("lshPlanes", HashExprs.planes, "double[][]")
+      val planes = ctx.addReferenceObj("lshPlanes",
+        if (family == 0) HashExprs.planes else HashExprs.planesB, "double[][]")
       val bucket = ctx.freshName("bucket")
       val p = ctx.freshName("p")
       val acc = ctx.freshName("acc")

@@ -179,24 +179,38 @@ object SimOps {
       .orderBy($"d1", $"d2")
   }
 
-  /** ANN via random-hyperplane LSH: 8 fixed deterministic hyperplanes →
-    * 8-bit sign bucket per vector; candidates share a bucket; exact
-    * cosine rerank keeps the best neighbor per vector. This is the
-    * scale path: bucketing replaces the all-pairs cross join with a
-    * shuffle on an 8-bit key. No oracle (bucket boundaries aren't
-    * ANSI-SQL-expressible); deterministic by construction. */
+  /** ANN via random-hyperplane LSH, L=2 hash tables: two independent
+    * 8-hyperplane families → two 8-bit sign buckets per vector;
+    * candidates share a bucket in EITHER table (the textbook
+    * multi-table OR-merge — a true neighbor must land on the wrong
+    * side of a hyperplane in BOTH families to be missed, roughly
+    * squaring the single-table miss rate at 2× candidate fan-in);
+    * exact cosine rerank keeps the best neighbor per vector. This is
+    * the scale path: bucketing replaces the all-pairs cross join with
+    * two shuffles on 8-bit keys — each table's join is independent and
+    * strictly bucket-bounded. No oracle (bucket boundaries aren't
+    * ANSI-SQL-expressible); deterministic by construction — recall vs
+    * the exact twin is spec-gated per SF (Round17OpsSpec). */
   val simAnnLsh: Q = (s, dir) => {
     import s.implicits._
-    // the 8-hyperplane sign bucket is the codegen'd lsh_bucket8
-    // expression (functions/HashExprs.scala) — formerly a per-row UDF
+    // the 8-hyperplane sign buckets are the codegen'd lsh_bucket8/
+    // lsh_bucket8b expressions (functions/HashExprs.scala)
     graft.functions.HashExprs.register(s)
     val e = vectorsWithNorm(s, dir)
-      .select($"vec_id", $"v", $"nrm", expr("lsh_bucket8(v)").as("bucket"))
-    val a = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"), $"bucket")
-    val b = e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"), $"bucket".as("bucket2"))
-    val pairs = a.join(b, $"bucket" === $"bucket2" && $"d1" =!= $"d2")
+      .select($"vec_id", $"v", $"nrm",
+        expr("lsh_bucket8(v)").as("bucket"),
+        expr("lsh_bucket8b(v)").as("bucketb"))
+    val a = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"),
+      $"bucket", $"bucketb")
+    val b = e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"),
+      $"bucket".as("bucket2"), $"bucketb".as("bucketb2"))
+    // one equi-join per table; a pair agreeing in both tables yields
+    // identical rows in both branches, harmless under the top-1 window
+    def tbl(cond: Column) = a.join(b, cond && $"d1" =!= $"d2")
       .select($"d1", $"bucket", $"d2",
         round(dotD($"v1", $"v2") / ($"n1" * $"n2"), 4).as("cosine"))
+    val pairs = tbl($"bucket" === $"bucket2")
+      .unionAll(tbl($"bucketb" === $"bucketb2"))
     val w = Window.partitionBy($"d1").orderBy($"cosine".desc, $"d2")
     val best = pairs.withColumn("rnk", row_number().over(w))
       .filter($"rnk" === 1)
@@ -208,28 +222,35 @@ object SimOps {
   }
 
   /** Multi-probe LSH — the standard recall lever on [[simAnnLsh]]:
-    * each probe also searches the 8 buckets at Hamming distance 1 from
-    * its own (the most likely homes of a near neighbor that fell on
-    * the wrong side of one hyperplane). ~9× candidate fan-in for a
-    * large recall jump, still strictly bucket-bounded (never
-    * all-pairs); at 100 TB the explode side is the small probe stream,
-    * the corpus side still shuffles once on its single bucket key. No
-    * oracle (like simAnnLsh); deterministic by construction —
-    * recall-dominance over single-probe is spec-asserted. */
+    * in EACH of the two hash tables, each probe also searches the 8
+    * buckets at Hamming distance 1 from its own (the most likely homes
+    * of a near neighbor that fell on the wrong side of one
+    * hyperplane). ~9× candidate fan-in per table; candidates are the
+    * union over both tables, so this strictly supersets [[simAnnLsh]]'s
+    * candidate set — recall dominance holds BY CONSTRUCTION, and the
+    * spec asserts it. Still strictly bucket-bounded (never all-pairs);
+    * at 100 TB the explode side is the small probe stream, the corpus
+    * side still shuffles once per table on its single bucket key. No
+    * oracle (like simAnnLsh); deterministic by construction. */
   val simAnnLshMultiprobe: Q = (s, dir) => {
     import s.implicits._
     graft.functions.HashExprs.register(s)
     val e = vectorsWithNorm(s, dir)
-      .select($"vec_id", $"v", $"nrm", expr("lsh_bucket8(v)").as("bucket"))
-    val probeBuckets = array(($"bucket" +: (0 until 8).map(b =>
-      $"bucket".bitwiseXOR(lit(1 << b)))): _*)
-    val probes = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"),
-      explode(probeBuckets).as("pb"))
-    val cands = e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"),
-      $"bucket".as("b2"))
-    val pairs = probes.join(cands, $"pb" === $"b2" && $"d1" =!= $"d2")
-      .select($"d1", $"d2",
-        round(dotD($"v1", $"v2") / ($"n1" * $"n2"), 4).as("cosine"))
+      .select($"vec_id", $"v", $"nrm",
+        expr("lsh_bucket8(v)").as("bucket"),
+        expr("lsh_bucket8b(v)").as("bucketb"))
+    def hamming1(c: Column) = array((c +: (0 until 8).map(b =>
+      c.bitwiseXOR(lit(1 << b)))): _*)
+    def tbl(bCol: String) = {
+      val probes = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"),
+        explode(hamming1(col(bCol))).as("pb"))
+      val cands = e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"),
+        col(bCol).as("b2"))
+      probes.join(cands, $"pb" === $"b2" && $"d1" =!= $"d2")
+        .select($"d1", $"d2",
+          round(dotD($"v1", $"v2") / ($"n1" * $"n2"), 4).as("cosine"))
+    }
+    val pairs = tbl("bucket").unionAll(tbl("bucketb"))
     val w = Window.partitionBy($"d1").orderBy($"cosine".desc, $"d2")
     val best = pairs.withColumn("rnk", row_number().over(w))
       .filter($"rnk" === 1)
@@ -310,12 +331,30 @@ object SimOps {
       .groupBy($"vec_id").agg(max($"sc").as("best"))
       .select($"vec_id", (lit(15) - $"best.inv").as("cell"))
     val ev = e.join(cells, "vec_id")
-    val probes = ev.filter($"vec_id" < 10)
-      .select($"vec_id".as("probe_id"), $"v".as("p_v"), $"nrm".as("p_nrm"), $"cell")
+    // nprobe=2: each PROBE searches its two nearest cells (the classic
+    // IVF recall lever — a probe whose true neighbor sits just across
+    // its own cell's boundary finds it in the runner-up cell). The
+    // CORPUS side keeps its single-cell assignment, so candidate sets
+    // per probed cell are disjoint (no duplicate pairs) and the join
+    // stays bucket-bounded at 2·n/K fan-in. The probe-cell ranking is
+    // a window over probes × 16 broadcast centroids — O(nprobe · K)
+    // rows per probe, trivial at any corpus size.
+    val pw = Window.partitionBy($"probe_id").orderBy($"pcos".desc, $"cent_id")
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("p_v"), $"nrm".as("p_nrm"))
+      .crossJoin(broadcast(cents))
+      .select($"probe_id", $"p_v", $"p_nrm", $"cent_id",
+        (dotD($"p_v", $"c_v") / ($"p_nrm" * $"c_nrm")).as("pcos"))
+      .withColumn("crnk", row_number().over(pw))
+      .filter($"crnk" <= 2)
+      // the output's `cell` column stays the probe's OWN (rank-1) cell
+      .select($"probe_id", $"p_v", $"p_nrm", $"cent_id".as("probed_cell"),
+        first($"cent_id").over(pw.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("cell"))
     val cands = ev.select($"vec_id".as("neighbor_id"), $"v".as("c_v"),
       $"nrm".as("c_nrm"), $"cell".as("cell2"))
     val pairs = probes.join(cands,
-        $"cell" === $"cell2" && $"probe_id" =!= $"neighbor_id")
+        $"probed_cell" === $"cell2" && $"probe_id" =!= $"neighbor_id")
       .select($"probe_id", $"cell", $"neighbor_id",
         round(dotD($"p_v", $"c_v") / ($"p_nrm" * $"c_nrm"), 4).as("cosine"))
     val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
