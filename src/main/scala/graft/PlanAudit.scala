@@ -867,9 +867,18 @@ object PlanAudit {
     picks.foreach { case (name, commentary) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // captured plans can embed raw control bytes (NUL separators in
+      // grouping-key literals) — git then treats the whole artifact as
+      // binary and its diffs become unreviewable. Escape them to
+      // visible \u00XX so PLANS.md stays text (same fix SnapAggPush's
+      // sort key got in r17).
+      val textPlan = plan.trim.flatMap {
+        case c if c < ' ' && c != '\n' && c != '\t' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       sb.append(s"\n## $name\n\n")
       sb.append(commentary.linesIterator.map(l => s"> ${l.trim}").mkString("\n"))
-      sb.append("\n\n```\n").append(plan.trim).append("\n```\n")
+      sb.append("\n\n```\n").append(textPlan).append("\n```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${picks.size} plans)")

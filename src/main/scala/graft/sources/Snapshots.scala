@@ -346,12 +346,25 @@ object Snapshots {
             .select(input_file_name().as("_f"), xxhash64(cc).as("_h"))
             .as[(String, Long)]
           val agg = new BloomAgg(items, fpp)
-          val perFile = hashed.groupByKey(_._1).agg(agg.toColumn).collect()
-          perFile.toSeq.map { case (uri, bytes) =>
-            val path = new org.apache.hadoop.fs.Path(uri).toUri.getPath
-            Files.write(Paths.get(bloomSidecar(path, c)), bytes)
-            bloomLine(c, path)
-          }
+          // sidecars are written EXECUTOR-SIDE by the task holding each
+          // file's finished sketch; only the O(files) path STRINGS
+          // travel to the driver for `#bloom:` manifest lines. (The
+          // prior shape collected the raw sketch bytes — O(new files)
+          // × ~90 KB through one JVM plus serial local I/O: fine for
+          // incremental commits, a killer on the initial conversion of
+          // a 1M-file 100 TB table ≈ 90 GB through the driver.)
+          // `suffix` is captured as a plain string (derived from the
+          // one [[bloomSidecar]] definition, driver-side) so the task
+          // closure serializes no module state.
+          val suffix = bloomSidecar("", c)
+          val paths = hashed.groupByKey(_._1).agg(agg.toColumn)
+            .map { case (uri, bytes) =>
+              val path = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(path + suffix), bytes)
+              path
+            }.collect()
+          paths.toSeq.sorted.map(bloomLine(c, _))
         }
       }
     } catch { case _: Exception => Nil }
