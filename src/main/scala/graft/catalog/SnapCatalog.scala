@@ -170,12 +170,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    // identity columns (Hive-style col=value directories) or ONE
+    // identity columns (Hive-style col=value directories), ONE
     // bucket(n, col) transform (hash layout under a synthetic
     // _gbucket=<id> segment — the storage-partitioned-join shape for
-    // high-NDV keys); days/truncate transforms still need
-    // transform-aware pruning
+    // high-NDV keys), or ONE time/truncate transform (ordinal layout
+    // under a synthetic _gtpart=<ordinal> segment, [[SnapTransform]] —
+    // the event-table shape, range-prunable because the transforms are
+    // monotone; composes with identity columns)
     var bucket: Option[(String, Int)] = None
+    var transform: Option[SnapTransform.Spec] = None
+    def oneTransform(t: Transform): SnapTransform.Spec = {
+      require(transform.isEmpty, "at most one time/truncate transform")
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"${t.name()} needs exactly one top-level column, got: $t")
+      val c = refs(0).fieldNames()(0)
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column '$c' to transform"))
+      val width: Long = t.arguments().collectFirst {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+          if lit.dataType() == IntegerType =>
+          lit.value().asInstanceOf[Int].toLong
+      }.getOrElse(0L)
+      if (t.name() == "truncate")
+        require(width >= 1 && width <= Int.MaxValue,
+          s"truncate needs an INT width >= 1, got: $t")
+      val spec = SnapTransform.Spec(t.name(), c, width)
+      require(SnapTransform.supported(spec.kind, f.dataType),
+        s"${t.name()} does not apply to column '$c' of type " +
+          s"${f.dataType.simpleString} (years/months/days take " +
+          "timestamp/date, hours takes timestamp, truncate takes " +
+          "int/bigint/string)")
+      spec
+    }
     val partCols = partitions.toSeq.flatMap {
       case t if t.name() == "identity" && t.references().length == 1 =>
         val fieldNames = t.references()(0).fieldNames()
@@ -203,17 +230,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(n >= 1 && n <= (1 << 20), s"bucket count out of range: $n")
         bucket = Some(c -> n)
         None
+      case t if SnapTransform.kinds(t.name()) =>
+        transform = Some(oneTransform(t))
+        None
       case other => throw new UnsupportedOperationException(
-        s"only identity and bucket(n, col) PARTITIONED BY transforms " +
-          s"are supported, got: $other")
+        s"only identity, bucket(n, col), years/months/days/hours(col) " +
+          s"and truncate(w, col) PARTITIONED BY transforms are " +
+          s"supported, got: $other")
     }
     require(bucket.isEmpty || partCols.isEmpty,
       "bucket(n, col) does not compose with identity PARTITIONED BY " +
         "columns yet — pick one layout")
+    require(bucket.isEmpty || transform.isEmpty,
+      "bucket(n, col) does not compose with time/truncate transforms — " +
+        "pick one derived layout")
+    require(!transform.exists(t => partCols.contains(t.col)),
+      "a column cannot be both an identity partition column and a " +
+        "transform source (identity strips it from the data files; the " +
+        "transform needs it there)")
     require(!schema.fieldNames.contains(Snapshots.bucketPathCol),
       s"'${Snapshots.bucketPathCol}' is a reserved column name (the " +
         "synthetic bucket-layout path segment)")
-    require((partCols.isEmpty && bucket.isEmpty) ||
+    require(!schema.fieldNames.contains(Snapshots.transformPathCol),
+      s"'${Snapshots.transformPathCol}' is a reserved column name (the " +
+        "synthetic transform-layout path segment)")
+    require((partCols.isEmpty && bucket.isEmpty && transform.isEmpty) ||
       !properties.asScala.contains(GraftTable.morKeyProp),
       "PARTITIONED BY does not compose with graft.mor.key yet: " +
         "merge-on-read delta writes stage flat files that would break " +
@@ -253,7 +294,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = properties.asScala.toMap ++
       (if (partCols.isEmpty) Map.empty
        else Map(GraftTable.partColsProp -> partCols.mkString(","))) ++
-      bucket.map { case (c, n) => SnapBucket.prop -> SnapBucket.render(c, n) }
+      bucket.map { case (c, n) => SnapBucket.prop -> SnapBucket.render(c, n) } ++
+      transform.map(t => SnapTransform.prop -> t.render)
     GraftTable.writeMeta(root, schema, props)
     new GraftTable(ident.toString, root, pinned = None)
   }
@@ -332,8 +374,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames().length == 1,
           s"only top-level ADD COLUMN is supported: ${add.fieldNames().mkString(".")}")
         val name = add.fieldNames()(0)
-        require(name != Snapshots.bucketPathCol,
-          s"'${Snapshots.bucketPathCol}' is a reserved column name")
+        require(name != Snapshots.bucketPathCol &&
+          name != Snapshots.transformPathCol,
+          s"'$name' is a reserved column name (synthetic layout segment)")
         requireFresh(pr, sc, name, "added column")
         require(add.isNullable,
           s"added column $name must be nullable (pre-evolution rows surface NULL)")
@@ -351,8 +394,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!SnapBucket.of(pr).exists(_._1 == from),
           s"cannot rename bucket column '$from' (the committed layout is " +
             "keyed by its hash)")
-        require(to != Snapshots.bucketPathCol,
-          s"'${Snapshots.bucketPathCol}' is a reserved column name")
+        require(!SnapTransform.of(pr).exists(_.col == from),
+          s"cannot rename transform source column '$from' (the committed " +
+            "layout's ordinals derive from it)")
+        require(to != Snapshots.bucketPathCol &&
+          to != Snapshots.transformPathCol,
+          s"'$to' is a reserved column name (synthetic layout segment)")
         requireFresh(pr, sc, to, "rename target")
         val priorKey = s"${GraftTable.colPriorPrefix}$from"
         val history = pr.get(priorKey).map(_ + ",").getOrElse("") + from
@@ -384,6 +431,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!SnapBucket.of(pr).exists(_._1 == name),
             s"cannot drop bucket column '$name' (the committed layout is " +
               "keyed by its hash)")
+          require(!SnapTransform.of(pr).exists(_.col == name),
+            s"cannot drop transform source column '$name' (the committed " +
+              "layout's ordinals derive from it)")
           val priorKey = s"${GraftTable.colPriorPrefix}$name"
           val tombs = GraftTable.droppedOf(pr).toSeq ++
             pr.get(priorKey).toSeq.flatMap(_.split(',')) :+ name
@@ -435,6 +485,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"cannot change the type of bucket column '$name': murmur3 hashes " +
             "an int and a long DIFFERENTLY, so widening would re-bucket " +
             "every existing value — rewrite into a new table instead")
+        require(!SnapTransform.of(pr).exists(_.col == name),
+          s"cannot change the type of transform source column '$name' " +
+            "(committed ordinals were derived at the old type)")
         val from = sc(name).dataType
         val to = upd.newDataType()
         require(GraftTable.widensTo(from, to),
@@ -460,8 +513,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           set.property() != SnapBucket.prop,
           "the partition layout is fixed at CREATE TABLE (committed files " +
             "carry the declared layout paths)")
+        // PARTITION EVOLUTION entry point: a time/truncate transform
+        // may be ADOPTED by a live table (unpartitioned or identity-
+        // partitioned) because the segment is DERIVED — the source
+        // column stays in the data files, so history needs no rewrite;
+        // pre-evolution files read with a NULL synthetic ordinal and
+        // pruning keeps them conservatively. CHANGING an existing
+        // transform is refused: two ordinal schemes would share one
+        // segment name and range pruning would misread the old era's
+        // values.
+        if (set.property() == SnapTransform.prop) {
+          require(SnapTransform.of(pr).isEmpty,
+            "the table already declares a partition transform; changing " +
+              "it would misread committed ordinals — rewrite into a new " +
+              "table instead")
+          require(SnapBucket.of(pr).isEmpty,
+            "a bucket layout does not compose with time/truncate transforms")
+          require(!pr.contains(GraftTable.morKeyProp),
+            "graft.mor.key does not compose with PARTITIONED BY yet (delta " +
+              "writes stage flat files that would break the partition layout)")
+          val spec = SnapTransform.of(pr + (set.property() -> set.value()))
+            .getOrElse(throw new IllegalArgumentException(
+              s"${SnapTransform.prop} must be '<kind>,<col>[,<width>]' with " +
+                s"kind in ${SnapTransform.kinds.mkString("/")}: ${set.value()}"))
+          val f = sc.fields.find(_.name == spec.col).getOrElse(
+            throw new IllegalArgumentException(
+              s"no column '${spec.col}' to transform"))
+          require(!GraftTable.partColsOf(pr).contains(spec.col),
+            s"'${spec.col}' is an identity partition column (not in the " +
+              "data files) — it cannot source a transform")
+          require(SnapTransform.supported(spec.kind, f.dataType),
+            s"${spec.kind} does not apply to column '${spec.col}' of type " +
+              f.dataType.simpleString)
+          if (spec.kind == "truncate")
+            require(spec.width >= 1 && spec.width <= Int.MaxValue,
+              s"truncate needs a width >= 1: ${spec.width}")
+        }
         require(set.property() != GraftTable.morKeyProp ||
-          (GraftTable.partColsOf(pr).isEmpty && SnapBucket.of(pr).isEmpty),
+          (GraftTable.partColsOf(pr).isEmpty && SnapBucket.of(pr).isEmpty &&
+            SnapTransform.of(pr).isEmpty),
           "graft.mor.key does not compose with PARTITIONED BY yet (delta " +
             "writes stage flat files that would break the partition layout)")
         // ':' delimits the '#bloom:<ver>:<col>:<file>' manifest line;
@@ -474,6 +564,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (sc, pr + (set.property() -> set.value()))
       case ((sc, pr), rm: TableChange.RemoveProperty) =>
         require(rm.property() != SnapBucket.prop &&
+          rm.property() != SnapTransform.prop &&
           rm.property() != GraftTable.partColsProp,
           "the partition layout is fixed at CREATE TABLE (committed files " +
             "carry the declared layout paths)")

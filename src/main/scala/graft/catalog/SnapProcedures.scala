@@ -256,15 +256,18 @@ private[catalog] object SnapProcedures {
         }
       // a PARTITIONED table's rewrite must keep the col=value layout;
       // a BUCKET table's must re-derive the synthetic _gbucket segment
-      // (same murmur3-seed-42 function as every other write path) or
-      // compaction would silently flatten the layout and break
-      // storage-partitioned joins
+      // (same murmur3-seed-42 function as every other write path) and
+      // a TRANSFORM table's the _gtpart ordinal segment — or compaction
+      // would silently flatten the layout, breaking SPJ/ordinal pruning
       val partCols = propsAtPlan.map(GraftTable.partColsOf).getOrElse(Nil)
       val bucketSpec = propsAtPlan.flatMap(SnapBucket.of)
-      val writer = bucketSpec match {
-        case Some((c, n)) => SnapBucket.stageBucketed(arranged, c, n)
-        case None if partCols.isEmpty => arranged.write
-        case None => arranged.write.partitionBy(partCols: _*)
+      val transSpec = propsAtPlan.flatMap(SnapTransform.of)
+      val writer = (bucketSpec, transSpec) match {
+        case (Some((c, n)), _) => SnapBucket.stageBucketed(arranged, c, n)
+        case (None, Some(t)) => SnapTransform.stageTransformed(
+          arranged, t, arranged.schema(t.col).dataType, partCols)
+        case (None, None) if partCols.isEmpty => arranged.write
+        case (None, None) => arranged.write.partitionBy(partCols: _*)
       }
       writer.mode("append").parquet(stage)
       val staged = {

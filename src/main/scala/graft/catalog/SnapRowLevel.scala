@@ -83,7 +83,9 @@ private[catalog] class GraftGroupOperation(cmd: RowLevelOperation.Command,
           new GraftRewriteBatchWrite(table.root, info.schema(),
             basedOn = table.snap.map(_.version).getOrElse(0L),
             propsAtPlan = GraftTable.readMeta(table.root).map(_._2),
-            partCols = table.partCols, bucket = table.bucketSpec)
+            partCols = table.partCols, bucket = table.bucketSpec,
+            transform = table.transformSpec.map(t =>
+              (t, table.schema()(t.col).dataType)))
         override def description(): String =
           s"graft copy-on-write $cmd → ${table.root}"
       }
@@ -246,10 +248,16 @@ private[catalog] class DynPartTaskWriter(dir: String,
     // BUCKET layout ((key ordinal, key type, n), [[SnapBucket]]): the
     // fragment is the DERIVED `_gbucket=<id>` segment — the key column
     // itself stays a data column, so nothing is projected away
-    bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None) {
+    bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
+    // TRANSFORM layout ((source ordinal, source type, spec),
+    // [[SnapTransform]]): the fragment appends the DERIVED
+    // `_gtpart=<ordinal>` segment after any identity fragment — the
+    // source column stays a data column
+    transform: Option[(Int, org.apache.spark.sql.types.DataType,
+      SnapTransform.Spec)] = None) {
 
-  require(bucket.isEmpty || partCols.isEmpty,
-    "bucket layout and identity partition columns are mutually exclusive")
+  require(bucket.isEmpty || (partCols.isEmpty && transform.isEmpty),
+    "bucket layout and identity/transform partitioning are mutually exclusive")
   private val partOrdinals = partCols.map(schema.fieldIndex).toArray
   private val partFields = partOrdinals.map(schema.fields)
   // LinkedHashMap + remove/re-insert = recency order; head = LRU
@@ -272,7 +280,16 @@ private[catalog] class DynPartTaskWriter(dir: String,
       case Some((ord, dt, n)) =>
         val v = if (row.isNullAt(ord)) null else row.get(ord, dt)
         s"${graft.sources.Snapshots.bucketPathCol}=${SnapBucket.bucketIdOf(v, dt, n)}"
-      case None => DynPart.fragmentOf(row, partOrdinals, partFields)
+      case None =>
+        val idFrag = DynPart.fragmentOf(row, partOrdinals, partFields)
+        transform match {
+          case Some((ord, dt, spec)) =>
+            val v = if (row.isNullAt(ord)) null else row.get(ord, dt)
+            val tFrag = SnapTransform.fragmentOf(
+              SnapTransform.ordinalOf(v, dt, spec))
+            if (idFrag.isEmpty) tFrag else s"$idFrag/$tFrag"
+          case None => idFrag
+        }
     }
     val w = open.remove(frag).getOrElse {
       if (open.size >= maxOpen) {
@@ -344,7 +361,9 @@ private[catalog] final case class StagedFilesMessage(dataFiles: Seq[String],
   * concurrent commit added (see [[Snapshots.commitRewriteStaged]]). */
 private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     basedOn: Long, propsAtPlan: Option[Map[String, String]] = None,
-    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None)
+    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None,
+    transform: Option[(SnapTransform.Spec,
+      org.apache.spark.sql.types.DataType)] = None)
   extends BatchWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
@@ -358,6 +377,9 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     val localBucket = bucket.map { case (c, n) =>
       (localSchema.fieldIndex(c), localSchema(c).dataType, n)
     }
+    val localTransform: Option[(Int, org.apache.spark.sql.types.DataType,
+        SnapTransform.Spec)] =
+      transform.map { case (t, dt) => (localSchema.fieldIndex(t.col), dt, t) }
     val dataSchema =
       if (localPart.isEmpty) localSchema
       else StructType(localSchema.fields.filterNot(f => localPart.contains(f.name)))
@@ -373,14 +395,15 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
       // stays a data column). Unpartitioned tables keep the
       // single-file fast path.
       private val single: ParquetRowDataWriter =
-        if (localPart.isEmpty && localBucket.isEmpty) new ParquetRowDataWriter(
-          f"$dir/part-$partitionId%05d-$taskId.parquet", conf.value, partitionId, taskId)
+        if (localPart.isEmpty && localBucket.isEmpty && localTransform.isEmpty)
+          new ParquetRowDataWriter(
+            f"$dir/part-$partitionId%05d-$taskId.parquet", conf.value, partitionId, taskId)
         else null
       private val dyn: DynPartTaskWriter =
         if (single != null) null
         else new DynPartTaskWriter(dir, localSchema, localPart, conf.value,
           f"part-$partitionId%05d-$taskId.parquet", partitionId, taskId,
-          bucket = localBucket)
+          bucket = localBucket, transform = localTransform)
       // Spark's group-based rewrite prepends a `__row_operation` INT
       // marker to the query, and with no metadata projection the plain
       // writing task delivers rows UNPROJECTED — the connector strips

@@ -302,7 +302,17 @@ private[catalog] class GraftMicroBatchStream(root: String,
       // index (it is not a row column — readSchema never requests it)
       case Some(_) => SnapBucket.partSchema
       case None =>
-        GraftTable.partSchemaOf(tableSchema, GraftTable.partColsOf(props))
+        val base = GraftTable.partSchemaOf(tableSchema, GraftTable.partColsOf(props))
+        SnapTransform.of(props) match {
+          // transform layouts: the synthetic _gtpart ordinal shapes the
+          // index the same way (derived, never a row column)
+          case Some(t) =>
+            tableSchema.fields.find(_.name == t.col)
+              .map(f => StructType(base.fields ++
+                SnapTransform.partSchema(t, f.dataType).fields))
+              .getOrElse(base)
+          case None => base
+        }
     }
   }
 
@@ -528,7 +538,13 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
 
   private lazy val spjEligible: Boolean =
     (partCols.nonEmpty || bucket.nonEmpty) && spjEnabled && !pinned &&
-      snap.exists(s => s.files.nonEmpty && s.deletes.isEmpty)
+      snap.exists(s => s.files.nonEmpty && s.deletes.isEmpty) &&
+      // a time/truncate transform splits each identity value across
+      // its ordinal subdirectories — the per-value grouping would
+      // count duplicate keys and misreport the partitioning, so
+      // transform tables never claim key-grouping (ordinal pruning in
+      // the file index is their scale lever instead)
+      GraftTable.readMeta(root).map(_._2).flatMap(SnapTransform.of).isEmpty
 
   /** Identity layouts: the declared partition columns. Bucket layouts:
     * the synthetic `_gbucket` int — both are what the file paths carry

@@ -210,12 +210,36 @@ class GraftTable(tableName: String, val root: String,
   def bucketSpec: Option[(String, Int)] =
     meta.flatMap(m => SnapBucket.of(m._2))
 
+  /** Time/truncate transform layout ([[SnapTransform]]); composes with
+    * [[partCols]], mutually exclusive with [[bucketSpec]]. */
+  def transformSpec: Option[SnapTransform.Spec] =
+    meta.flatMap(m => SnapTransform.of(m._2))
+
+  /** Declared type of the transform source column (needed wherever a
+    * transform ordinal is computed). */
+  private def transformSrcType: Option[org.apache.spark.sql.types.DataType] =
+    transformSpec.flatMap(t => schema().fields.find(_.name == t.col))
+      .map(_.dataType)
+
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     bucketSpec match {
       case Some((c, n)) =>
         Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c))
-      case None => partCols.map(c =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+      case None =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        val idents = partCols.map(c => Expressions.identity(c))
+        val trans = transformSpec.map { t =>
+          t.kind match {
+            case "years" => Expressions.years(t.col)
+            case "months" => Expressions.months(t.col)
+            case "days" => Expressions.days(t.col)
+            case "hours" => Expressions.hours(t.col)
+            case "truncate" =>
+              Expressions.apply("truncate",
+                Expressions.literal(t.width.toInt), Expressions.column(t.col))
+          }
+        }
+        (idents ++ trans).toArray
     }
 
   // --- SupportsPartitionManagement (read-only: SHOW PARTITIONS) ---------
@@ -285,7 +309,15 @@ class GraftTable(tableName: String, val root: String,
     // declared schema untouched because the name is reserved
     val partSchema = bucketSpec match {
       case Some(_) => SnapBucket.partSchema
-      case None => GraftTable.partSchemaOf(sc, partCols)
+      case None =>
+        // a transform layout appends its synthetic ordinal field AFTER
+        // any identity columns (matching the staged directory nesting)
+        val base = GraftTable.partSchemaOf(sc, partCols)
+        (transformSpec, transformSrcType) match {
+          case (Some(t), Some(dt)) =>
+            StructType(base.fields ++ SnapTransform.partSchema(t, dt).fields)
+          case _ => base
+        }
     }
     // drop ledger (chains + types) feeds the MOR scan's shadow-field
     // resolution for HEAD reads only: a pinned read's schema comes
@@ -298,16 +330,24 @@ class GraftTable(tableName: String, val root: String,
     // the streamable wrapper forwards every pushdown interface to the
     // inner builder and adds only toMicroBatchStream on the built scan
     // (plus manifest-size statistics where the inner scan reports none)
+    val transSpec = (transformSpec, transformSrcType) match {
+      case (Some(t), Some(dt)) => Some((t, dt))
+      case _ => None
+    }
     new GraftStreamableScanBuilder(
       GraftScans.builder(spark, sc, snap, options, priors, partSchema,
-        dropChains, dropTypes, bucketSpec),
+        dropChains, dropTypes, bucketSpec, transSpec),
       root, sc, priors, pinned.isDefined, snap, options, partCols, bucketSpec)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
       s"cannot write to a time-travel-pinned read of $tableName")
-    new GraftV1WriteBuilder(root, info, partCols, bucketSpec)
+    new GraftV1WriteBuilder(root, info, partCols, bucketSpec,
+      (transformSpec, transformSrcType) match {
+        case (Some(t), Some(dt)) => Some((t, dt))
+        case _ => None
+      })
   }
 
   override def newRowLevelOperationBuilder(
@@ -518,7 +558,8 @@ object GraftTable {
   * ([[Snapshots.commitAppendStagedTxn]]), so a crash-replayed batch
   * no-ops instead of double-appending. */
 private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
-    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None)
+    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None,
+    transform: Option[(SnapTransform.Spec, DataType)] = None)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -535,10 +576,16 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
         // the catalog's v2 bucket function computes (hash = murmur3
         // seed 42 — SnapBucket.bucketIdOf), then partitionBy routes it
         def stage(out: String): Unit = {
-          val w = bucket match {
-            case Some((c, n)) => SnapBucket.stageBucketed(data, c, n)
-            case None if partCols.isEmpty => data.write
-            case None => data.write.partitionBy(partCols: _*)
+          val w = (bucket, transform) match {
+            case (Some((c, n)), _) => SnapBucket.stageBucketed(data, c, n)
+            // a TRANSFORM table derives the synthetic ordinal segment
+            // with the same exact-long-arithmetic expression the
+            // row-level writer computes per row (SnapTransform) —
+            // identity columns (if any) nest first, the ordinal last
+            case (None, Some((t, dt))) =>
+              SnapTransform.stageTransformed(data, t, dt, partCols)
+            case (None, None) if partCols.isEmpty => data.write
+            case (None, None) => data.write.partitionBy(partCols: _*)
           }
           w.mode("append").parquet(out)
         }
@@ -548,7 +595,8 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!overwrite,
         "streaming writes into snapshot-catalog tables are append-only")
-      new GraftStreamingWrite(root, info.schema(), info.queryId(), partCols, bucket)
+      new GraftStreamingWrite(root, info.schema(), info.queryId(), partCols,
+        bucket, transform)
     }
     override def description(): String =
       s"graft-snapshot ${if (overwrite) "overwrite" else "append"} $root"
@@ -567,7 +615,8 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
   * store via `Snapshots.readChanges`. */
 private[catalog] class GraftStreamingWrite(root: String,
     schema: org.apache.spark.sql.types.StructType, queryId: String,
-    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None)
+    partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None,
+    transform: Option[(SnapTransform.Spec, DataType)] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -581,6 +630,9 @@ private[catalog] class GraftStreamingWrite(root: String,
     val localSchema = schema
     val localBucket = bucket.map { case (c, n) =>
       (localSchema.fieldIndex(c), localSchema(c).dataType, n)
+    }
+    val localTransform = transform.map { case (t, dt) =>
+      (localSchema.fieldIndex(t.col), dt, t)
     }
     val dataSchema =
       if (localPart.isEmpty) localSchema
@@ -599,13 +651,14 @@ private[catalog] class GraftStreamingWrite(root: String,
           private val name =
             f"epoch-$epochId-part-$partitionId%05d-$taskId.parquet"
           private val single: ParquetRowDataWriter =
-            if (localPart.isEmpty && localBucket.isEmpty)
+            if (localPart.isEmpty && localBucket.isEmpty && localTransform.isEmpty)
               new ParquetRowDataWriter(s"$dir/$name", conf.value, partitionId, taskId)
             else null
           private val dyn: DynPartTaskWriter =
             if (single != null) null
             else new DynPartTaskWriter(dir, localSchema, localPart, conf.value,
-              name, partitionId, taskId, bucket = localBucket)
+              name, partitionId, taskId, bucket = localBucket,
+              transform = localTransform)
           override def write(row: InternalRow): Unit =
             if (single != null) single.write(row) else dyn.write(row)
           override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
@@ -663,7 +716,8 @@ private[catalog] object GraftScans {
       partSchema: StructType = new StructType(),
       dropChains: Map[String, Seq[String]] = Map.empty,
       dropTypes: Map[String, DataType] = Map.empty,
-      bucketSpec: Option[(String, Int)] = None): ScanBuilder = {
+      bucketSpec: Option[(String, Int)] = None,
+      transformSpec: Option[(SnapTransform.Spec, DataType)] = None): ScanBuilder = {
     val files = snap.map(_.files).getOrElse(Nil)
     if (files.isEmpty) new EmptyScanBuilder(tableSchema)
     else {
@@ -672,9 +726,10 @@ private[catalog] object GraftScans {
       val blooms = snap.map(_.blooms).getOrElse(Map.empty[String, Seq[String]])
       if (deletes.isEmpty) {
         if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options,
-          statsRaw, blooms, partSchema, bucketSpec)
+          statsRaw, blooms, partSchema, bucketSpec, transformSpec)
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
-          files, options, statsRaw, blooms, partSchema, bucketSpec)
+          files, options, statsRaw, blooms, partSchema, bucketSpec,
+          transformSpec)
       } else {
         // evolution composes with pending deletes through the ledger
         // indirection: renamed columns (key or not) coalesce prior
@@ -691,7 +746,8 @@ private[catalog] object GraftScans {
       statsRaw: Map[String, String] = Map.empty,
       blooms: Map[String, Seq[String]] = Map.empty,
       partSchema: StructType = new StructType(),
-      bucketSpec: Option[(String, Int)] = None): ParquetScanBuilder = {
+      bucketSpec: Option[(String, Int)] = None,
+      transformSpec: Option[(SnapTransform.Spec, DataType)] = None): ParquetScanBuilder = {
     // a direct-API root staged with .partitionBy carries col=value path
     // segments whose columns exist ONLY in the path — unless the table
     // DECLARED them (partSchema, `PARTITIONED BY`), this flat scan
@@ -711,7 +767,7 @@ private[catalog] object GraftScans {
       else partitionSpecFor(files, partSchema)
     val index =
       if (statsRaw.isEmpty && blooms.isEmpty && partSchema.isEmpty &&
-          bucketSpec.isEmpty)
+          bucketSpec.isEmpty && transformSpec.isEmpty)
         new InMemoryFileIndex(classic,
           files.map(f => new org.apache.hadoop.fs.Path(f)),
           Map.empty[String, String], Some(schema), NoopCache,
@@ -721,7 +777,11 @@ private[catalog] object GraftScans {
         schema, statsRaw, blooms, spec,
         bucketSpec.flatMap { case (c, n) =>
           schema.fields.find(_.name == c).map(f => (c, f.dataType, n))
-        })
+        },
+        transformSpec.map { case (t, dt) =>
+          (t, dt, spec.partitionColumns.fieldNames.indexOf(
+            graft.sources.Snapshots.transformPathCol))
+        }.filter(_._3 >= 0))
     // partition columns live in the path, not the footers: the file
     // scan's data schema excludes them and the values re-attach from
     // the partition directories (Spark's own mechanism, which also
@@ -770,6 +830,11 @@ private[catalog] object GraftScans {
     }.toMap
     partSchema.fields.map { f =>
       segs.get(f.name) match {
+        // the synthetic transform ordinal is nullable BY DESIGN: a
+        // pre-evolution file has no segment (the layout was adopted
+        // later) and reads as NULL — pruning keeps it conservatively
+        case None if f.name == graft.sources.Snapshots.transformPathCol =>
+          null
         case None => throw new IllegalStateException(
           s"partitioned table file dir $dir lacks a ${f.name}=<value> segment")
         case Some(raw) if raw ==
@@ -827,7 +892,12 @@ private[catalog] object GraftScans {
       // on the key prune whole bucket DIRECTORIES (Iceberg's bucket
       // pruning): bucket(v) is computable at planning time, so k = v
       // keeps 1/n of the table's files, metadata-only
-      bucketSpec: Option[(String, DataType, Int)] = None)
+      bucketSpec: Option[(String, DataType, Int)] = None,
+      // (spec, source type, ordinal slot in the partition row) of a
+      // time/truncate transform layout — range AND point predicates on
+      // the SOURCE column prune whole ordinal directories because the
+      // transforms are monotone ([[SnapTransform.admissibleOrdinals]])
+      transformSpec: Option[(SnapTransform.Spec, DataType, Int)] = None)
     extends InMemoryFileIndex(classic, paths, Map.empty[String, String],
       Some(schema), NoopCache, Some(spec), None) {
 
@@ -891,7 +961,8 @@ private[catalog] object GraftScans {
         : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
       val base = super.listFiles(partitionFilters, dataFilters)
       if (dataFilters.isEmpty ||
-        (statsByPath.isEmpty && bloomByPath.isEmpty && bucketSpec.isEmpty)) base
+        (statsByPath.isEmpty && bloomByPath.isEmpty && bucketSpec.isEmpty &&
+          transformSpec.isEmpty)) base
       else {
         // bucket-directory pruning first: intersect every conjunct's
         // admissible set; the partition row of a bucket layout is the
@@ -901,10 +972,29 @@ private[catalog] object GraftScans {
             dataFilters.flatMap(admissibleBuckets(_, col, dt, n))
               .reduceOption(_ intersect _)
         }
+        // transform-ordinal pruning: AND of every conjunct's
+        // admissibility on the directory's ordinal; a NULL ordinal
+        // (pre-evolution file or null source value) is always kept
+        val ordChecks: Seq[Any => Boolean] = transformSpec.toSeq.flatMap {
+          case (t, dt, _) =>
+            dataFilters.flatMap(SnapTransform.admissibleOrdinals(_, t, dt))
+        }
+        def ordAdmits(pd: org.apache.spark.sql.execution.datasources.PartitionDirectory): Boolean =
+          ordChecks.isEmpty || transformSpec.forall { case (t, dt, slot) =>
+            if (slot >= pd.values.numFields || pd.values.isNullAt(slot)) true
+            else {
+              val ord = pd.values.get(slot,
+                if (dt == org.apache.spark.sql.types.StringType)
+                  org.apache.spark.sql.types.StringType
+                else org.apache.spark.sql.types.LongType)
+              ordChecks.forall(_(ord))
+            }
+          }
         // an unexpected partition-row shape keeps the directory —
         // pruning never carries correctness
         base.filter(pd => keepBuckets.forall(ks =>
           pd.values.numFields != 1 || ks.contains(pd.values.getInt(0))))
+          .filter(ordAdmits)
           .map { pd =>
             pd.copy(files = pd.files.filter { f =>
               val path = f.getPath.toUri.getPath
@@ -1161,7 +1251,8 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
     statsRaw: Map[String, String] = Map.empty,
     blooms: Map[String, Seq[String]] = Map.empty,
     partSchema: StructType = new StructType(),
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    transformSpec: Option[(SnapTransform.Spec, DataType)] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -1175,7 +1266,7 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
   // OTHER columns)
   private val inner = GraftScans.parquetBuilder(spark, files,
     GraftScans.renamePlan(tableSchema, priors)._1, options, statsRaw, blooms,
-    partSchema, bucketSpec)
+    partSchema, bucketSpec, transformSpec)
 
   private var requested: StructType = tableSchema
 

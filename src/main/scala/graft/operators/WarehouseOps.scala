@@ -1088,6 +1088,52 @@ object WarehouseOps {
              |GROUP BY pri ORDER BY pri""".stripMargin)
   }
 
+  /** TIME-TRANSFORM PARTITIONED TABLES (`sql_partitioned_time`) —
+    * `CREATE TABLE … PARTITIONED BY (days(ts))` through the DSv2
+    * catalog ([[graft.catalog.SnapTransform]]), the single most common
+    * production partition spec for event tables: each row routes to a
+    * DERIVED `_gtpart=<epoch-day>` segment (the source column STAYS in
+    * the data files, unlike identity partitioning), and because the
+    * transform is monotone, RANGE predicates on ts prune whole day
+    * directories from the manifest at planning time — `ts >= X AND
+    * ts < Y` keeps only the ordinals in [day(X), day(Y)], metadata-only
+    * (file-count pinned in Round18OpsSpec), composing with stats/bloom
+    * skipping in the same index. days/months/hours/years/truncate all
+    * ride one ordinal scheme; identity→days partition EVOLUTION adopts
+    * the layout on a live table without rewriting history
+    * (pre-evolution files read with a NULL ordinal, kept
+    * conservatively — also spec-pinned). The fixture CTASes a month of
+    * events days-partitioned, row-level DELETEs (the COW rewrite must
+    * re-derive the layout), then aggregates a five-day window; the
+    * oracle recomputes the window from the ORIGINAL events, so an
+    * over-pruned boundary day, a mis-derived ordinal, or a flattened
+    * rewrite hash-mismatches.
+    *
+    * Scale: a one-day query over years of 100 TB event history plans
+    * exactly that day's files with zero directory or footer I/O — the
+    * Iceberg event-table contract. */
+  val sqlPartitionedTime: Q = (s, dir) => {
+    val (t, _) = SnapCat.table(s, "time_events", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    // events loads through Tables.load (ts footer-type normalization)
+    Tables.load(s, dir, "events").createOrReplaceTempView("r18_time_src")
+    s.sql(s"""CREATE TABLE $t PARTITIONED BY (days(ts)) AS
+             |SELECT event_id, ts, event_type, value
+             |FROM r18_time_src WHERE event_id % 2 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT event_id, ts, event_type, value
+             |FROM r18_time_src WHERE event_id % 2 = 1""".stripMargin)
+    // row-level DELETE: the rewrite's dynamic writer must re-derive
+    // the ordinal layout (spec-pinned in Round18OpsSpec)
+    s.sql(s"DELETE FROM $t WHERE event_id % 7 = 0")
+    s.sql(s"""SELECT event_type, COUNT(*) AS n,
+             |       ${Qx.dsumSql("value")} AS total
+             |FROM $t
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** STORAGE-PARTITIONED JOIN (`join_storage_partitioned`) — Iceberg's
     * SPJ shape on snap tables: two tables `PARTITIONED BY` the same
     * key report `KeyGroupedPartitioning` from their manifests'
@@ -1904,6 +1950,7 @@ object WarehouseOps {
     "snapshot_bloom_prune" -> snapshotBloomPrune,
     "snapshot_prefix_prune" -> snapshotPrefixPrune,
     "sql_partitioned_table" -> sqlPartitionedTable,
+    "sql_partitioned_time" -> sqlPartitionedTime,
     "snapshot_cdf_rows" -> snapshotCdfRows,
     "snapshot_prune_mor" -> snapshotPruneMor,
     "profile_table" -> profileTable,
@@ -2140,6 +2187,17 @@ object WarehouseOps {
       WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
         AND o_orderkey % 7 <> 0
       GROUP BY o_orderpriority ORDER BY pri""",
+    // The five-day window recomputed from the ORIGINAL events: an
+    // over-pruned boundary day, a mis-derived ordinal, or a rewrite
+    // that flattened the layout hash-mismatches.
+    "sql_partitioned_time" -> s"""
+      SELECT event_type, COUNT(*) AS n,
+             ${Qx.dsumSql("value")} AS total
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        AND event_id % 7 <> 0
+      GROUP BY event_type ORDER BY event_type""",
     // The same prefix window recomputed from the ORIGINAL table: an
     // over-pruned boundary file loses rows and hash-mismatches.
     "snapshot_prefix_prune" -> """

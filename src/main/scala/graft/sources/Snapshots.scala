@@ -85,7 +85,13 @@ object Snapshots {
       deletes: Seq[DeleteFile] = Nil,
       fileSeq: Map[String, Long] = Map.empty,
       statsRaw: Map[String, String] = Map.empty,
-      blooms: Map[String, Seq[String]] = Map.empty)
+      blooms: Map[String, Seq[String]] = Map.empty,
+      // pending POSITION deletes: data file -> the (file, pos) parquet
+      // files whose pairs hide rows of it (`#posdel:` lines). Scope is
+      // FILE IDENTITY, not a version number: a position names a row of
+      // one immutable file, so rewrites absorb posdels naturally (the
+      // file leaves the table) and re-inserts can never collide
+      posDeletes: Map[String, Seq[String]] = Map.empty)
 
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
 
@@ -218,11 +224,19 @@ object Snapshots {
         val sep = body.indexOf(':')
         body.substring(sep + 1) -> body.substring(0, sep) // file -> col
     }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // #posdel:<datafile>:<posfile> — both paths are ':'-free by the
+    // commit-side guard, so the first ':' splits unambiguously
+    val posDels = lines.collect { case l if l.startsWith(posDelPrefix) =>
+      val body = l.stripPrefix(posDelPrefix)
+      val sep = body.indexOf(':')
+      body.substring(0, sep) -> body.substring(sep + 1)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
     Snapshot(version, lines.filterNot(_.startsWith("#")), dels, seqs, stats,
-      blooms)
+      blooms, posDels)
   }
 
   private val delPrefix = "#del:"
+  private val posDelPrefix = "#posdel:"
   private val tsPrefix = "#ts:"
   private val seqPrefix = "#seq:"
   private val statsPrefix = "#stats:"
@@ -677,7 +691,7 @@ object Snapshots {
       else readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
         root = root).limit(0)
     else readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq,
-      root = root)
+      root = root, posDeletes = snap.posDeletes)
   }
 
   /** POINT-LOOKUP head read: keep only the manifest files that might
@@ -736,7 +750,7 @@ object Snapshots {
       else readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
         root = root).limit(0)
     else readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq,
-      root = root)
+      root = root, posDeletes = snap.posDeletes)
   }
 
   /** Commit timestamp (µs since epoch, UTC) of a committed version, read
@@ -823,6 +837,24 @@ object Snapshots {
         "(predates retained history)"))
   }
 
+  private def posLine(dataFile: String, posFile: String): String = {
+    // ':' is the line delimiter; our staging paths never carry one,
+    // and refusing here keeps the resolveAt split total
+    require(!dataFile.contains(':') && !posFile.contains(':'),
+      s"posdel paths must not contain ':': $dataFile / $posFile")
+    s"$posDelPrefix$dataFile:$posFile"
+  }
+
+  /** Carried-forward `#posdel:` lines restricted to retained files —
+    * a rewritten/compacted data file takes its position deletes with
+    * it (the rewrite materialized its surviving rows). */
+  private def posLines(pos: Map[String, Seq[String]],
+      files: Seq[String]): Seq[String] = {
+    val keep = files.toSet
+    pos.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
+      .flatMap { case (f, pfs) => pfs.map(posLine(f, _)) }
+  }
+
   private def delLine(d: DeleteFile): String =
     s"$delPrefix@${d.coversBelow}:${d.keyCol}:${d.path}"
 
@@ -874,6 +906,14 @@ object Snapshots {
             s"$root without a declared '${graft.catalog.SnapBucket.prop}' " +
             "property must not stage files under it. Rename the partition " +
             "column.")
+      if (fileLines.exists(_.contains(s"/$transformPathCol=")) &&
+          tableProp(root, graft.catalog.SnapTransform.prop, "").isEmpty)
+        throw new IllegalArgumentException(
+          s"'$transformPathCol' is a reserved path segment (time/truncate " +
+            s"transform layouts derive it; reads never surface it) — a " +
+            s"table under $root without a declared " +
+            s"'${graft.catalog.SnapTransform.prop}' property must not " +
+            "stage files under it. Rename the partition column.")
       val parentTs = if (v > 1L) commitTimestamp(root, v - 1).getOrElse(-1L) else -1L
       val commitTs = math.max(
         java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
@@ -1014,19 +1054,34 @@ object Snapshots {
     * untouched). Shared by every manifest-pinned read, including the
     * change feeds — all paths emit the same schema. */
   private def scanFiles(spark: SparkSession, fs: Seq[String],
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false, withMeta: Boolean = false): DataFrame = {
     def rd = {
       val r = spark.read
       if (mergeSchema) r.option("mergeSchema", "true") else r
     }
+    // position-delete application needs each row's (file, ordinal)
+    // identity: parquet's generated _metadata columns, attached
+    // DIRECTLY above each relation (the hidden struct resolves only
+    // there, not through a union), path normalized to the manifest's
+    // plain form (the local binding's file: scheme stripped)
+    def meta(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else {
+        import org.apache.spark.sql.functions.{col, regexp_replace}
+        df.withColumn("__gfile",
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+          .withColumn("__gpos", col("_metadata.row_index"))
+      }
     val partitioned = fs.exists(f => f.drop(baseDirOf(f).length).contains("="))
-    if (!partitioned) rd.parquet(fs: _*)
+    if (!partitioned) meta(rd.parquet(fs: _*))
     else fs.groupBy(baseDirOf).toSeq.sortBy(_._1).map { case (b, bfs) =>
-      // the SYNTHETIC bucket segment (bucket-transform tables,
-      // graft.catalog.SnapBucket) is a layout detail, not a column —
-      // path recovery must never surface it ('_gbucket' is reserved;
-      // a no-op drop on every other layout)
-      rd.option("basePath", b).parquet(bfs: _*).drop(bucketPathCol)
+      // the SYNTHETIC bucket/transform segments (bucket and
+      // time/truncate layouts, graft.catalog.SnapBucket/SnapTransform)
+      // are layout details, not columns — path recovery must never
+      // surface them ('_gbucket'/'_gtpart' are reserved; no-op drops
+      // on every other layout)
+      meta(rd.option("basePath", b).parquet(bfs: _*))
+        .drop(bucketPathCol, transformPathCol)
     }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
   }
 
@@ -1038,10 +1093,18 @@ object Snapshots {
     * path-recovering read drops it. */
   val bucketPathCol = "_gbucket"
 
+  /** Reserved path-segment name for time/truncate transform layouts
+    * ([[graft.catalog.SnapTransform]]): files of a `PARTITIONED BY
+    * (days(ts))`-style table stage under `_gtpart=<ordinal>/`. Like
+    * `_gbucket` the segment is DERIVED (the source column stays in the
+    * data files), so every path-recovering read drops it. */
+  val transformPathCol = "_gtpart"
+
   private def readWithDeletes(spark: SparkSession, files: Seq[String],
       deletes: Seq[DeleteFile], mergeSchema: Boolean = false,
       fileSeq: Map[String, Long] = Map.empty,
-      root: String = ""): DataFrame = {
+      root: String = "",
+      posDeletes: Map[String, Seq[String]] = Map.empty): DataFrame = {
     // a zero-file snapshot (e.g. a DELETE-all rewrite) reads as an
     // empty frame — schema inference has no footers and deletes have
     // nothing to hide
@@ -1049,7 +1112,8 @@ object Snapshots {
     // a cross-root published file's delete scoping uses its
     // manifest-pinned effective seq, not the foreign path's counter
     def effVersion(f: String): Long = fileSeq.getOrElse(f, fileVersion(f))
-    def scan(fs: Seq[String]): DataFrame = scanFiles(spark, fs, mergeSchema)
+    def scan(fs: Seq[String]): DataFrame =
+      scanPosDeleted(spark, fs, mergeSchema, posDeletes)
     if (deletes.isEmpty) scan(files)
     else {
       val maxV = files.map(effVersion).max
@@ -1062,13 +1126,42 @@ object Snapshots {
     }
   }
 
+  /** [[scanFiles]] + POSITION-delete application: files named by a
+    * `#posdel:` line read with their per-row (file, ordinal) identity
+    * attached — parquet's own `_metadata.file_path` / `row_index`
+    * columns, GENERATED by the readers (exact under file splits,
+    * row-group skipping, and predicate pushdown — never parsed from
+    * data) — and anti-join the pair set; unaffected files take the
+    * plain path untouched. The pair frame is O(deleted rows); Spark's
+    * planner broadcasts it when small (the common case). */
+  private def scanPosDeleted(spark: SparkSession, fs: Seq[String],
+      mergeSchema: Boolean,
+      posDeletes: Map[String, Seq[String]]): DataFrame = {
+    val affected = fs.filter(posDeletes.contains)
+    if (affected.isEmpty) return scanFiles(spark, fs, mergeSchema)
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val rest = fs.filterNot(posDeletes.contains)
+    val posFiles = affected.flatMap(posDeletes(_)).distinct.sorted
+    val pairs = spark.read.parquet(posFiles: _*)
+      .select(col("file").as("__pd_file"), col("pos").as("__pd_pos"))
+      .distinct()
+    val aff = scanFiles(spark, affected, mergeSchema, withMeta = true)
+      .join(pairs,
+        col("__gfile") === col("__pd_file") && col("__gpos") === col("__pd_pos"),
+        "left_anti")
+      .drop("__gfile", "__gpos")
+    if (rest.isEmpty) aff
+    else scanFiles(spark, rest, mergeSchema)
+      .unionByName(aff, allowMissingColumns = mergeSchema)
+  }
+
   /** Read the current head through its manifest (merge-on-read deletes
     * applied with version scoping — see [[commitDelete]]). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
     readWithDeletes(spark, snap.files, snap.deletes, fileSeq = snap.fileSeq,
-      root = root)
+      root = root, posDeletes = snap.posDeletes)
   }
 
   /** Time travel: read version `v` through ITS manifest — the same
@@ -1078,7 +1171,7 @@ object Snapshots {
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val snap = resolveAt(root, version)
     readWithDeletes(spark, snap.files, snap.deletes, fileSeq = snap.fileSeq,
-      root = root)
+      root = root, posDeletes = snap.posDeletes)
   }
 
   /** PARTITION-PRUNED head read: keep only the manifest files whose
@@ -1126,7 +1219,7 @@ object Snapshots {
       readWithDeletes(spark, snap.files, Nil, fileSeq = snap.fileSeq,
         root = root).limit(0)
     else readWithDeletes(spark, kept, snap.deletes, fileSeq = snap.fileSeq,
-      root = root)
+      root = root, posDeletes = snap.posDeletes)
   }
 
   /** PARTITION-EVOLVED pruned read — the multi-spec generalization of
@@ -1170,7 +1263,7 @@ object Snapshots {
       readWithDeletes(spark, snap.files, Nil, mergeSchema = true,
         fileSeq = snap.fileSeq, root = root).limit(0)
     else readWithDeletes(spark, kept, snap.deletes, mergeSchema = true,
-      fileSeq = snap.fileSeq, root = root)
+      fileSeq = snap.fileSeq, root = root, posDeletes = snap.posDeletes)
   }
 
   /** Read the head with parquet schema MERGING — schema evolution:
@@ -1187,7 +1280,7 @@ object Snapshots {
     val snap = resolve(root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $root"))
     readWithDeletes(spark, snap.files, snap.deletes, mergeSchema = true,
-      fileSeq = snap.fileSeq, root = root)
+      fileSeq = snap.fileSeq, root = root, posDeletes = snap.posDeletes)
   }
 
   /** File-level change feed between two committed versions: the files
@@ -1327,7 +1420,7 @@ object Snapshots {
       def touchedSide(files: Seq[String], s: Snapshot): Option[DataFrame] =
         if (files.isEmpty) None
         else Some(readWithDeletes(spark, files, s.deletes, fileSeq = s.fileSeq,
-          root = root))
+          root = root, posDeletes = s.posDeletes))
       // (c): per shared-file era, compare the applicable delete sets;
       // where they differ, candidate rows are fetched by a semi join
       // against the delta keys and re-checked against the FULL other
@@ -1556,7 +1649,8 @@ object Snapshots {
     publishManifest(root, "restore") { _ =>
       (Nil,
         snap.deletes.map(delLine) ++ seqLines(snap.fileSeq, snap.files) ++
-          statsLines(snap.statsRaw, snap.files),
+          statsLines(snap.statsRaw, snap.files) ++
+          posLines(snap.posDeletes, snap.files),
         snap.files)
     }
   }
@@ -1586,7 +1680,7 @@ object Snapshots {
   def publishFrom(mainRoot: String, stagingRoot: String): Long = {
     val snap = resolve(stagingRoot).getOrElse(throw new IllegalStateException(
       s"nothing committed under staging root $stagingRoot"))
-    require(snap.deletes.isEmpty,
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
       s"staging head of $stagingRoot carries pending merge-on-read deletes; " +
         "rewrite (compact) before publishing")
     Files.createDirectories(commitsDir(mainRoot))
@@ -1612,7 +1706,8 @@ object Snapshots {
         parent.map(p => seqLines(p.fileSeq, p.files)).getOrElse(Nil) ++
         (if (seqPinNew) newFiles.map(seqLine(_, v)) else Nil) ++
         parent.map(p => statsLines(p.statsRaw, files)).getOrElse(Nil) ++
-        newStatsLines(newFiles)
+        newStatsLines(newFiles) ++
+        parent.map(p => posLines(p.posDeletes, files)).getOrElse(Nil)
       (Nil, header, files)
     }
 
@@ -1700,8 +1795,50 @@ object Snapshots {
         parent.map(p => statsLines(p.statsRaw, files)).getOrElse(Nil) ++
         newStatsLines(dataFiles) ++
         parent.map(p => bloomLines(p.blooms, files)).getOrElse(Nil) ++
-        newBloomLines(root, dataFiles.sorted)
+        newBloomLines(root, dataFiles.sorted) ++
+        parent.map(p => posLines(p.posDeletes, files)).getOrElse(Nil)
       (Nil, header, files)
+    }
+  }
+
+  /** Publish PRE-STAGED position deletes as ONE atomic commit — the
+    * POSITIONAL merge-on-read commit point (the delete form that needs
+    * no key column at all): the manifest carries the parent's data
+    * files UNCHANGED plus one `#posdel:<datafile>:<posfile>` line per
+    * affected data file; `affected` maps each touched data file to the
+    * staged (file STRING, pos BIGINT) pair parquet(s) hiding its rows.
+    * Unlike equality deletes there is NO version scoping: a pair names
+    * a row of ONE immutable file, so later appends can never be
+    * covered by accident and a rewrite absorbs the delete the moment
+    * the file leaves the table. Cost: O(deleted rows) pair bytes + one
+    * manifest — kilobytes on a 100 TB table.
+    *
+    * Conflict rule: the pairs were computed against a scanned state,
+    * so publishing REFUSES (ConcurrentModificationException) if any
+    * affected data file has left the table meanwhile (a concurrent
+    * rewrite/compaction would strand the delete and silently resurrect
+    * the rows); concurrent APPENDS compose — new files are untouched
+    * by definition, and the optimistic retry re-resolves the parent. */
+  def commitStagedPosDelete(root: String,
+      affected: Map[String, Seq[String]]): Long = {
+    if (affected.isEmpty || affected.forall(_._2.isEmpty))
+      return maxCommitted(root)
+    publishManifest(root, "staged-posdelete") { v =>
+      val parent = resolveAt(root, v - 1) // a posdel needs a committed table
+      val live = parent.files.toSet
+      val gone = affected.keys.filterNot(live)
+      if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"position delete under $root names files no longer in the table " +
+          s"(concurrent rewrite?): ${gone.take(3).mkString(", ")} — re-run " +
+          "the statement against the current head")
+      val merged = (parent.posDeletes.toSeq ++ affected.toSeq)
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).distinct.sorted).toMap
+      val header = parent.deletes.map(delLine) ++
+        seqLines(parent.fileSeq, parent.files) ++
+        statsLines(parent.statsRaw, parent.files) ++
+        bloomLines(parent.blooms, parent.files) ++
+        posLines(merged, parent.files)
+      (Nil, header, parent.files)
     }
   }
 
@@ -1733,7 +1870,8 @@ object Snapshots {
         parent.map(p => statsLines(p.statsRaw, all)).getOrElse(Nil) ++
         newStatsLines(files) ++
         parent.map(p => bloomLines(p.blooms, all)).getOrElse(Nil) ++
-        newBloomLines(root, files.sorted)
+        newBloomLines(root, files.sorted) ++
+        parent.map(p => posLines(p.posDeletes, all)).getOrElse(Nil)
       (Seq(s"#txn:$appId:$epoch"), header, all)
     }
   }
@@ -1794,7 +1932,9 @@ object Snapshots {
               }
               grouped.map(g => keyCol -> (g: Seq[DeleteFile]))
           }
-        if (classes.lengthCompare(snap.deletes.size) == 0) false
+        val posMergeable = snap.posDeletes.exists(_._2.size > 1)
+        if (classes.lengthCompare(snap.deletes.size) == 0 && !posMergeable)
+          false
         else { planned = classes; snapAtPlan = snap; true }
       },
       onLost = () =>
@@ -1835,12 +1975,34 @@ object Snapshots {
           DeleteFile(keyCol, staged.head, ds.map(_.coversBelow).max)
         }
       }
+      // POSITION deletes compact the same way, scope-free (a pair
+      // names a row of one immutable file): all of a data file's
+      // posfiles union+dedup into ONE staged pair file shared by the
+      // whole compaction — fewer per-read key scans, zero table data
+      // moved. Data files with a single posfile keep it in place.
+      val multiPos = snapAtPlan.posDeletes.filter(_._2.size > 1)
+      val posOut: Map[String, Seq[String]] =
+        if (multiPos.isEmpty) snapAtPlan.posDeletes
+        else {
+          val out = s"$stage/posdels"
+          import org.apache.spark.sql.functions.col
+          multiPos.values.flatten.toSeq.distinct.sorted
+            .map(p => spark.read.parquet(p).select(col("file"), col("pos")))
+            .reduce(_.unionByName(_)).distinct()
+            .coalesce(1).write.mode("append").parquet(out)
+          val staged = listParquet(out)
+          require(staged.size == 1, s"pos compaction staged ${staged.size} files")
+          snapAtPlan.posDeletes.map { case (f, pfs) =>
+            f -> (if (pfs.size > 1) Seq(staged.head) else pfs)
+          }
+        }
       // delete-file merge relocates key bytes only — the logical row
       // set is untouched, so change feeds may pass over this commit
       (Nil, rowsUnchangedLine +: (newDels.map(delLine) ++
         seqLines(snapAtPlan.fileSeq, snapAtPlan.files) ++
         statsLines(snapAtPlan.statsRaw, snapAtPlan.files) ++
-        bloomLines(snapAtPlan.blooms, snapAtPlan.files)),
+        bloomLines(snapAtPlan.blooms, snapAtPlan.files) ++
+        posLines(posOut, snapAtPlan.files)),
         snapAtPlan.files)
     }
   }
@@ -1927,7 +2089,8 @@ object Snapshots {
         parent.map(p => statsLines(p.statsRaw, files)).getOrElse(Nil) ++
         (if (stagedAsDeletes.isDefined) Nil else newStatsLines(stagedData)) ++
         parent.map(p => bloomLines(p.blooms, files)).getOrElse(Nil) ++
-        (if (stagedAsDeletes.isDefined) Nil else newBloomLines(root, stagedData))
+        (if (stagedAsDeletes.isDefined) Nil else newBloomLines(root, stagedData)) ++
+        parent.map(p => posLines(p.posDeletes, files)).getOrElse(Nil)
       (txn.map { case (a, e) => s"#txn:$a:$e" }.toSeq, header, files)
     }
   }
@@ -1962,7 +2125,8 @@ object Snapshots {
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap { v =>
         val s = resolveAt(root, v)
-        s.files ++ s.deletes.map(_.path) // pending delete files are live too
+        // pending delete files and position-delete pair files are live too
+        s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten
       }.toSet
     (1L until oldest).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     // sweep data dirs staged below the retention floor — expired
@@ -2036,7 +2200,7 @@ object Snapshots {
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap { v =>
         val s = resolveAt(root, v)
-        s.files ++ s.deletes.map(_.path)
+        s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten
       }.toSet
     val now = System.currentTimeMillis()
     // quiet = NOTHING in the dir tree modified within the grace window

@@ -68,6 +68,185 @@ class Round18OpsSpec extends SparkSpec {
     assert(one.count() == 1)
   }
 
+  test("SnapTransform ordinals match the calendar on known values") {
+    import graft.catalog.SnapTransform
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    def micros(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    val days = SnapTransform.Spec("days", "ts", 0L)
+    val hours = SnapTransform.Spec("hours", "ts", 0L)
+    val months = SnapTransform.Spec("months", "ts", 0L)
+    val years = SnapTransform.Spec("years", "ts", 0L)
+    assert(SnapTransform.ordinalOf(micros("1970-01-01T00:00:00Z"), TimestampType, days) == 0L)
+    assert(SnapTransform.ordinalOf(micros("1970-01-02T00:00:00Z"), TimestampType, days) == 1L)
+    // pre-epoch values must FLOOR (floorDiv), not truncate toward zero
+    assert(SnapTransform.ordinalOf(micros("1969-12-31T23:59:59Z"), TimestampType, days) == -1L)
+    assert(SnapTransform.ordinalOf(micros("2024-03-15T17:30:00Z"), TimestampType, days) ==
+      java.time.LocalDate.parse("2024-03-15").toEpochDay)
+    assert(SnapTransform.ordinalOf(micros("1970-01-01T05:59:59Z"), TimestampType, hours) == 5L)
+    assert(SnapTransform.ordinalOf(micros("2024-03-15T00:00:00Z"), TimestampType, months) ==
+      (2024 - 1970) * 12 + 2)
+    assert(SnapTransform.ordinalOf(micros("2024-12-31T23:59:59Z"), TimestampType, years) == 54L)
+    // DateType carries epoch days directly
+    assert(SnapTransform.ordinalOf(Integer.valueOf(19738), DateType, days) == 19738L)
+    val trunc10 = SnapTransform.Spec("truncate", "k", 10L)
+    assert(SnapTransform.ordinalOf(java.lang.Long.valueOf(27L), LongType, trunc10) == 20L)
+    assert(SnapTransform.ordinalOf(java.lang.Long.valueOf(-1L), LongType, trunc10) == -10L)
+    val trunc3 = SnapTransform.Spec("truncate", "s", 3L)
+    assert(SnapTransform.ordinalOf(UTF8String.fromString("abcdef"), StringType, trunc3) ==
+      UTF8String.fromString("abc"))
+    assert(SnapTransform.ordinalOf(null, TimestampType, days) == null)
+  }
+
+  test("days(ts) tables stage ordinal dirs, prune day ranges, and answer exactly") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18days")
+    sqlDf("""CREATE TABLE snap.default.r18days (k BIGINT, ts TIMESTAMP, v DOUBLE)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+    // ten days of hourly events, one commit
+    sqlDf("""INSERT INTO snap.default.r18days
+            |SELECT id, timestamp_micros(CAST(1700000000000000 + id * 3600000000 AS BIGINT)),
+            |       id * 1.0
+            |FROM range(0, 240)""".stripMargin)
+    val root = s"$wh/default/r18days"
+    val snap = Snapshots.resolve(root).get
+    // every file sits under a _gtpart=<epoch day> segment
+    assert(snap.files.forall(_.contains("/_gtpart=")),
+      s"files must stage under ordinal dirs: ${snap.files.take(2)}")
+    val dayDirs = snap.files.map(f =>
+      f.split("/").find(_.startsWith("_gtpart=")).get).distinct
+    assert(dayDirs.size >= 10, s"ten distinct days expected: $dayDirs")
+    val full = plannedFiles(sqlDf("SELECT * FROM snap.default.r18days")).size
+    // a one-day range predicate keeps ~1/10 of the files
+    val day = sqlDf(
+      """SELECT count(*) FROM snap.default.r18days
+        |WHERE ts >= timestamp_micros(1700092800000000)
+        |  AND ts <  timestamp_micros(1700179200000000)""".stripMargin)
+    assert(plannedFiles(day).size * 3 < full,
+      s"day range must prune: ${plannedFiles(day).size} of $full")
+    assert(day.as[Long].head() == 24L, "24 hourly rows per day")
+    // the synthetic column never surfaces
+    assert(!sqlDf("SELECT * FROM snap.default.r18days").columns.contains("_gtpart"))
+    // COW DELETE preserves the layout and pruning still works after it
+    sqlDf("DELETE FROM snap.default.r18days WHERE k % 2 = 0")
+    val snap2 = Snapshots.resolve(root).get
+    assert(snap2.files.forall(_.contains("/_gtpart=")),
+      "the rewrite must re-derive the ordinal layout")
+    val day2 = sqlDf(
+      """SELECT count(*) FROM snap.default.r18days
+        |WHERE ts >= timestamp_micros(1700092800000000)
+        |  AND ts <  timestamp_micros(1700179200000000)""".stripMargin)
+    assert(day2.as[Long].head() == 12L)
+    assert(plannedFiles(day2).size < plannedFiles(
+      sqlDf("SELECT * FROM snap.default.r18days")).size)
+  }
+
+  test("truncate(w, s) string tables prune prefix ranges") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18trunc")
+    sqlDf("""CREATE TABLE snap.default.r18trunc (s STRING, v BIGINT)
+            |PARTITIONED BY (truncate(2, s))""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r18trunc
+            |SELECT concat(CASE WHEN id % 4 = 0 THEN 'aa' WHEN id % 4 = 1 THEN 'bb'
+            |                   WHEN id % 4 = 2 THEN 'cc' ELSE 'dd' END,
+            |              CAST(id AS STRING)), id
+            |FROM range(0, 400)""".stripMargin)
+    val full = plannedFiles(sqlDf("SELECT * FROM snap.default.r18trunc")).size
+    val eq = sqlDf("SELECT count(*) FROM snap.default.r18trunc WHERE s = 'bb101'")
+    assert(plannedFiles(eq).size < full, "prefix equality must prune")
+    assert(eq.as[Long].head() == 1L)
+    val range = sqlDf("SELECT count(*) FROM snap.default.r18trunc WHERE s >= 'cc'")
+    assert(plannedFiles(range).size < full, "prefix range must prune")
+    assert(range.as[Long].head() == 200L)
+  }
+
+  test("partition evolution: a live table adopts days(ts); both eras read and prune") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18evo")
+    sqlDf("CREATE TABLE snap.default.r18evo (k BIGINT, ts TIMESTAMP, v DOUBLE)")
+    // era A: five days of data staged FLAT (no layout)
+    sqlDf("""INSERT INTO snap.default.r18evo
+            |SELECT id, timestamp_micros(CAST(1700000000000000 + id * 3600000000 AS BIGINT)), id * 1.0
+            |FROM range(0, 120)""".stripMargin)
+    sqlDf("""ALTER TABLE snap.default.r18evo
+            |SET TBLPROPERTIES ('graft.partition.transform'='days,ts')""".stripMargin)
+    // era B: five more days under the adopted ordinal layout
+    sqlDf("""INSERT INTO snap.default.r18evo
+            |SELECT id, timestamp_micros(CAST(1700000000000000 + id * 3600000000 AS BIGINT)), id * 1.0
+            |FROM range(120, 240)""".stripMargin)
+    val root = s"$wh/default/r18evo"
+    val files = Snapshots.resolve(root).get.files
+    val (eraB, eraA) = files.partition(_.contains("/_gtpart="))
+    assert(eraA.nonEmpty && eraB.nonEmpty, "both eras must coexist")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18evo").as[Long].head() == 240L)
+    // an era-B-only day range: era-B dirs prune to the matching day
+    // (era-A files may additionally stats-prune on their ts bounds —
+    // also metadata-only, also correct)
+    val q = sqlDf(
+      """SELECT count(*) FROM snap.default.r18evo
+        |WHERE ts >= timestamp_micros(1700524800000000)
+        |  AND ts <  timestamp_micros(1700611200000000)""".stripMargin)
+    assert(q.as[Long].head() == 24L)
+    val planned = plannedFiles(q)
+    assert(planned.size < files.size,
+      s"era-B dirs outside the day must prune: ${planned.size} of ${files.size}")
+    // a day range that lives entirely in ERA A: the NULL-ordinal keep
+    // rule must let those flat files supply their rows — a wrongly
+    // pruned null ordinal would return 0 here
+    val qa = sqlDf(
+      """SELECT count(*) FROM snap.default.r18evo
+        |WHERE ts >= timestamp_micros(1700092800000000)
+        |  AND ts <  timestamp_micros(1700179200000000)""".stripMargin)
+    assert(qa.as[Long].head() == 24L,
+      "pre-evolution rows must stay visible under the transform's predicates")
+    // a SECOND transform adoption is refused (ordinals would collide)
+    intercept[Exception](sqlDf(
+      """ALTER TABLE snap.default.r18evo
+        |SET TBLPROPERTIES ('graft.partition.transform'='months,ts')""".stripMargin))
+  }
+
+  test("transform DDL guards: source column frozen, reserved names refused") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18guard")
+    sqlDf("""CREATE TABLE snap.default.r18guard (k BIGINT, ts TIMESTAMP)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r18guard RENAME COLUMN ts TO ts2"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r18guard DROP COLUMN ts"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r18guard ADD COLUMN _gtpart BIGINT"))
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r18guard UNSET TBLPROPERTIES ('graft.partition.transform')"))
+    // days() on a string column refused at CREATE
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18bad")
+    intercept[Exception](sqlDf(
+      "CREATE TABLE snap.default.r18bad (s STRING) PARTITIONED BY (days(s))"))
+    // a declared _gtpart column refused at CREATE
+    intercept[Exception](sqlDf(
+      "CREATE TABLE snap.default.r18bad (_gtpart BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
+  }
+
+  test("compaction re-derives the ordinal layout") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18cmp")
+    sqlDf("""CREATE TABLE snap.default.r18cmp (k BIGINT, ts TIMESTAMP)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+    // three small commits -> fragmented files per day dir
+    for (i <- 0 until 3)
+      sqlDf(s"""INSERT INTO snap.default.r18cmp
+               |SELECT id, timestamp_micros(CAST(1700000000000000 + id * 21600000000 AS BIGINT))
+               |FROM range(${i * 40}, ${i * 40 + 40})""".stripMargin)
+    sqlDf("CALL snap.system.compact('default.r18cmp')").collect()
+    val root = s"$wh/default/r18cmp"
+    val files = Snapshots.resolve(root).get.files
+    assert(files.forall(_.contains("/_gtpart=")),
+      s"compaction must keep the ordinal layout: ${files.take(2)}")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18cmp").as[Long].head() == 120L)
+    val full = plannedFiles(sqlDf("SELECT * FROM snap.default.r18cmp")).size
+    val day = sqlDf(
+      """SELECT count(*) FROM snap.default.r18cmp
+        |WHERE ts >= timestamp_micros(1700092800000000)
+        |  AND ts < timestamp_micros(1700179200000000)""".stripMargin)
+    assert(plannedFiles(day).size < full, "pruning must survive compaction")
+  }
+
   test("the commit funnel refuses '_gbucket=' staging without a declared bucket layout") {
     val root = Qx.tmpOut("r18gb", sf())
     val ex = intercept[IllegalArgumentException] {
