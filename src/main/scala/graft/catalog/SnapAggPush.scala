@@ -78,7 +78,9 @@ private[graft] object SnapAggPush {
       partValsOf: String => Option[Seq[Any]],
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
       : Option[Served] = {
-    if (snap.exists(_.deletes.nonEmpty)) return None
+    // pending EQUALITY or POSITION deletes hide rows the stats lines
+    // counted — serving would falsify counts/bounds
+    if (snap.exists(s => s.deletes.nonEmpty || s.posDeletes.nonEmpty)) return None
     // WHERE clauses are servable when every filter is a DETERMINISTIC
     // predicate over PARTITION columns only: a partition value is
     // constant per file, so each file's rows all match or all don't —

@@ -255,10 +255,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"'${Snapshots.transformPathCol}' is a reserved column name (the " +
         "synthetic transform-layout path segment)")
     require((partCols.isEmpty && bucket.isEmpty && transform.isEmpty) ||
-      !properties.asScala.contains(GraftTable.morKeyProp),
-      "PARTITIONED BY does not compose with graft.mor.key yet: " +
-        "merge-on-read delta writes stage flat files that would break " +
-        "the partition layout — pick one")
+      (!properties.asScala.contains(GraftTable.morKeyProp) &&
+        !properties.asScala.get(GraftTable.posMorProp).contains("true")),
+      "PARTITIONED BY does not compose with merge-on-read yet " +
+        "(graft.mor.key / graft.mor.positional): delta writes stage " +
+        "flat files that would break the partition layout — pick one")
+    require(!properties.asScala.contains(GraftTable.morKeyProp) ||
+      !properties.asScala.get(GraftTable.posMorProp).contains("true"),
+      "graft.mor.key and graft.mor.positional are mutually exclusive — " +
+        "a table deletes by key OR by position, not both")
     require(partCols.size == partCols.distinct.size,
       s"duplicate partition columns: ${partCols.mkString(",")}")
     // path-renderable types only: partition values round-trip through
@@ -391,12 +396,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!GraftTable.partColsOf(pr).contains(from),
           s"cannot rename partition column '$from' (its values live in " +
             "committed file paths)")
-        require(!SnapBucket.of(pr).exists(_._1 == from),
-          s"cannot rename bucket column '$from' (the committed layout is " +
-            "keyed by its hash)")
-        require(!SnapTransform.of(pr).exists(_.col == from),
-          s"cannot rename transform source column '$from' (the committed " +
-            "layout's ordinals derive from it)")
         require(to != Snapshots.bucketPathCol &&
           to != Snapshots.transformPathCol,
           s"'$to' is a reserved column name (synthetic layout segment)")
@@ -410,11 +409,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // sound because requireFresh forbids spelling reuse). The
         // graft.mor.key property follows the rename so later DELETEs
         // stage under the new spelling.
-        val pr2 = (pr - priorKey + (s"${GraftTable.colPriorPrefix}$to" -> history)) match {
-          case m if m.get(GraftTable.morKeyProp).contains(from) =>
-            m + (GraftTable.morKeyProp -> to)
-          case m => m
-        }
+        // layout specs FOLLOW the rename (r18 — the bucket/transform
+        // freeze lifted): the committed layout is keyed by the
+        // column's VALUES (murmur3 hashes / monotone ordinals), which
+        // a rename never touches — old files' bytes under the prior
+        // spelling coalesce through the rename ledger like any other
+        // data column, new writes derive the identical segment from
+        // the new name, and planning-time pruning binds pushed
+        // predicates by the CURRENT name. Only re-TYPING stays frozen
+        // (the hash/ordinal of an int and a long differ). The bloom
+        // column list follows too, so sketches keep being written
+        // under the new spelling.
+        def followMorKey(m: Map[String, String]) =
+          if (m.get(GraftTable.morKeyProp).contains(from))
+            m + (GraftTable.morKeyProp -> to) else m
+        def followBucket(m: Map[String, String]) =
+          SnapBucket.of(m).filter(_._1 == from).fold(m) { case (_, n) =>
+            m + (SnapBucket.prop -> SnapBucket.render(to, n)) }
+        def followTransform(m: Map[String, String]) =
+          SnapTransform.of(m).filter(_.col == from).fold(m)(t =>
+            m + (SnapTransform.prop -> t.copy(col = to).render))
+        def followBloom(m: Map[String, String]) =
+          m.get("graft.bloom.cols")
+            .filter(_.split(',').map(_.trim).contains(from)).fold(m)(v =>
+              m + ("graft.bloom.cols" -> v.split(',').map(_.trim)
+                .map(c => if (c == from) to else c).mkString(",")))
+        val pr2 = followBloom(followTransform(followBucket(followMorKey(
+          pr - priorKey + (s"${GraftTable.colPriorPrefix}$to" -> history)))))
         (StructType(sc.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)), pr2)
       case ((sc, pr), del: TableChange.DeleteColumn) =>
@@ -551,9 +572,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         require(set.property() != GraftTable.morKeyProp ||
           (GraftTable.partColsOf(pr).isEmpty && SnapBucket.of(pr).isEmpty &&
-            SnapTransform.of(pr).isEmpty),
-          "graft.mor.key does not compose with PARTITIONED BY yet (delta " +
-            "writes stage flat files that would break the partition layout)")
+            SnapTransform.of(pr).isEmpty &&
+            !pr.get(GraftTable.posMorProp).contains("true")),
+          "graft.mor.key does not compose with PARTITIONED BY or " +
+            "graft.mor.positional (delta writes stage flat files; a table " +
+            "deletes by key OR by position)")
+        require(set.property() != GraftTable.posMorProp ||
+          set.value() != "true" ||
+          (GraftTable.partColsOf(pr).isEmpty && SnapBucket.of(pr).isEmpty &&
+            SnapTransform.of(pr).isEmpty && !pr.contains(GraftTable.morKeyProp)),
+          "graft.mor.positional does not compose with PARTITIONED BY or " +
+            "graft.mor.key (delta writes stage flat pair/data files; a " +
+            "table deletes by key OR by position)")
         // ':' delimits the '#bloom:<ver>:<col>:<file>' manifest line;
         // a bloom column named with one would corrupt the col↔file
         // split on read — refuse the property instead

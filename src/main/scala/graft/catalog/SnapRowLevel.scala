@@ -123,6 +123,42 @@ private[catalog] class GraftDeltaOperation(cmd: RowLevelOperation.Command,
   override def description(): String = s"graft MOR $cmd (key=$keyCol)"
 }
 
+/** POSITIONAL merge-on-read row-level operation — the delete form that
+  * needs NO key column: rows are identified by (file, ordinal) row ids
+  * the scan synthesizes (`_gfile`/`_gpos` metadata columns, ordinals
+  * generated by the parquet readers), and DELETE commits O(matched
+  * rows) pair bytes while the table's data files never move — the
+  * Iceberg-v2 position-delete shape, safe for tables whose rows have
+  * no unique key at all (equality deletes by a non-unique key would
+  * over-hide). UPDATE arrives as delete+insert. Enabled per table via
+  * `TBLPROPERTIES ('graft.mor.positional'='true')`. */
+private[catalog] class GraftPositionalOperation(cmd: RowLevelOperation.Command,
+    table: GraftTable) extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions.column(GraftRowId.FileCol),
+    org.apache.spark.sql.connector.expressions.Expressions.column(GraftRowId.PosCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.newRowIdScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new GraftPosDeltaBatchWrite(table.root, info.schema())
+        override def description(): String =
+          s"graft positional merge-on-read $cmd -> ${table.root}"
+      }
+    }
+
+  override def description(): String = s"graft positional MOR $cmd"
+}
+
 /** Forwards column pruning to the delegate builder but wraps the built
   * scan in a plain [[org.apache.spark.sql.connector.read.Scan]] facade,
   * so optimizer rules keyed on `SupportsRuntimeV2Filtering` (runtime
@@ -501,6 +537,86 @@ private[catalog] class GraftDeltaBatchWrite(root: String, keyCol: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case StagedFilesMessage(d, k) => d ++ k }.flatten
       .foreach(f => Files.deleteIfExists(Paths.get(f)))
+}
+
+/** Positional delta commit: DELETE halves stage (file, pos) pair
+  * parquets, INSERT halves (updates) stage ordinary data files; one
+  * atomic `#posdel` commit publishes both ([[Snapshots.commitStagedPosDelete]]
+  * — parent data files unchanged, concurrent-rewrite refusal inside). */
+private[catalog] class GraftPosDeltaBatchWrite(root: String,
+    dataSchema: StructType) extends DeltaBatchWrite {
+
+  private val stagingDir = Snapshots.newStagingDir(root)
+  Files.createDirectories(Paths.get(stagingDir))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val dataConf = ExecParquet.writerConf(dataSchema)
+    val pairConf = ExecParquet.writerConf(GraftPosDeltaBatchWrite.pairSchema)
+    val dir = stagingDir
+    (partitionId: Int, taskId: Long) =>
+      new GraftPosDeltaWriter(dir, dataConf, pairConf, partitionId, taskId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: PosStagedMessage => m }
+    val pairFiles = msgs.flatMap(_.pairFiles).toSeq
+    // every task reports the distinct data files its pairs touch — the
+    // union keys the per-file `#posdel` manifest lines without reading
+    // the pair parquets back
+    val affected = msgs.flatMap(_.affected).distinct
+      .map(f => f -> pairFiles).toMap
+    Snapshots.commitStagedPosDelete(root, affected,
+      msgs.flatMap(_.dataFiles).toSeq)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case PosStagedMessage(d, p, _) => d ++ p }.flatten
+      .foreach(f => Files.deleteIfExists(Paths.get(f)))
+}
+
+private[catalog] object GraftPosDeltaBatchWrite {
+  /** The pair-file schema ([[PosDeleteCache]] reads it back by these
+    * names). */
+  val pairSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+private[catalog] final case class PosStagedMessage(dataFiles: Seq[String],
+  pairFiles: Seq[String], affected: Seq[String]) extends WriterCommitMessage
+
+/** Per-task positional writer: DELETE rows' (file, pos) ids go to a
+  * pair file (tracking the distinct files touched); INSERT halves of
+  * updates go to a data file. */
+private[catalog] class GraftPosDeltaWriter(dir: String,
+    dataConf: SerializableConfiguration, pairConf: SerializableConfiguration,
+    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+
+  private val data = new ParquetRowDataWriter(
+    f"$dir/part-$partitionId%05d-$taskId.parquet", dataConf.value, partitionId, taskId)
+  private val pairs = new ParquetRowDataWriter(
+    f"$dir/posdels-$partitionId%05d-$taskId.parquet", pairConf.value, partitionId, taskId)
+  private val touched = scala.collection.mutable.Set.empty[String]
+
+  override def insert(row: InternalRow): Unit = data.write(row)
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    touched += id.getUTF8String(0).toString
+    pairs.write(id)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  override def commit(): WriterCommitMessage =
+    PosStagedMessage(data.finish().toSeq, pairs.finish().toSeq, touched.toSeq.sorted)
+
+  override def abort(): Unit = { data.abort(); pairs.abort() }
+
+  override def close(): Unit = ()
 }
 
 /** Per-task delta writer: INSERTs (and the insert half of updates) go

@@ -257,7 +257,8 @@ private[catalog] class GraftMicroBatchStream(root: String,
         val removed = prev.files.exists(!curF(_))
         val prevDel = prev.deletes.toSet
         val newDel = cur.deletes.exists(!prevDel(_))
-        Step(v, added, removed || newDel)
+        val posChanged = cur.posDeletes != prev.posDeletes
+        Step(v, added, removed || newDel || posChanged)
       }
     }
     init ++ tail
@@ -269,7 +270,7 @@ private[catalog] class GraftMicroBatchStream(root: String,
     * delete is a change commit); only the initial chunk needs this
     * guard. */
   private def requireNoPendingDeletes(snap: Snapshot, what: String): Unit =
-    require(snap.deletes.isEmpty,
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
       s"$what of $root carries pending merge-on-read deletes; compact the " +
         "table (full rewrite) before streaming from it, or use " +
         s"${GraftMicroBatchStream.StartingVersionOption} to start after a rewrite")
@@ -538,7 +539,8 @@ private[catalog] class GraftScanFacade(inner: Scan, root: String,
 
   private lazy val spjEligible: Boolean =
     (partCols.nonEmpty || bucket.nonEmpty) && spjEnabled && !pinned &&
-      snap.exists(s => s.files.nonEmpty && s.deletes.isEmpty) &&
+      snap.exists(s => s.files.nonEmpty && s.deletes.isEmpty &&
+        s.posDeletes.isEmpty) &&
       // a time/truncate transform splits each identity value across
       // its ordinal subdirectories — the per-value grouping would
       // count duplicate keys and misreport the partitioning, so

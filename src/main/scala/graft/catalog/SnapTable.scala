@@ -52,7 +52,30 @@ import scala.jdk.CollectionConverters._
 class GraftTable(tableName: String, val root: String,
     val pinned: Option[Snapshot])
   extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-  with SupportsPartitionManagement {
+  with SupportsPartitionManagement
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row-id metadata columns (_gfile/_gpos) — exposed only in
+    * positional merge-on-read mode, where they are what the row-level
+    * rewrite identifies rows by. Outside row-level operations they are
+    * served only while the scan routes through the MOR path (pending
+    * deletes); a plain scan null-fills them — they are an operation
+    * plumbing surface, not a general lineage feature. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (!positionalMor) Array.empty
+    else Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftRowId.FileCol
+        override def dataType(): DataType = org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false // row ids must be non-null
+        override def comment(): String = "data file path of the row (row-id half 1)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftRowId.PosCol
+        override def dataType(): DataType = org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false // row ids must be non-null
+        override def comment(): String = "ordinal of the row in its file (row-id half 2)"
+      })
 
   private def spark = SparkSession.active
 
@@ -200,6 +223,14 @@ class GraftTable(tableName: String, val root: String,
     * copy-on-write row-level ops. */
   def morKey: Option[String] = morKeyOf(meta)
 
+  /** POSITIONAL merge-on-read mode
+    * (`TBLPROPERTIES ('graft.mor.positional'='true')`): row-level ops
+    * identify rows by (file, ordinal) row ids instead of a key column
+    * — the delete form for tables with NO unique key. Mutually
+    * exclusive with [[morKey]] and PARTITIONED BY (enforced at DDL). */
+  def positionalMor: Boolean =
+    meta.exists(_._2.get(GraftTable.posMorProp).contains("true"))
+
   /** Identity partition columns of a `PARTITIONED BY` table
     * ([[GraftTable.partColsProp]]); empty for unpartitioned. */
   def partCols: Seq[String] =
@@ -340,6 +371,17 @@ class GraftTable(tableName: String, val root: String,
       root, sc, priors, pinned.isDefined, snap, options, partCols, bucketSpec)
   }
 
+  /** The positional row-level operation's source scan: the MOR path
+    * with row-id emission forced — every row arrives with its
+    * (_gfile, _gpos) identity, pending equality AND position deletes
+    * applied (a DELETE must not re-hide hidden rows; an UPDATE must
+    * not resurrect them). */
+  private[catalog] def newRowIdScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(pinned.isEmpty, s"cannot run row-level ops against a pinned read of $tableName")
+    GraftScans.builder(spark, schema(), snap, options,
+      emitRowId = true)
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
       s"cannot write to a time-travel-pinned read of $tableName")
@@ -356,6 +398,10 @@ class GraftTable(tableName: String, val root: String,
       s"cannot run ${info.command} against a time-travel-pinned read of $tableName")
     () => morKey match {
       case Some(key) => new GraftDeltaOperation(info.command, this, key)
+      // positional MOR: rows identified by (file, ordinal) row ids —
+      // O(matched rows) deletes with NO key column required
+      case None if positionalMor =>
+        new GraftPositionalOperation(info.command, this)
       // partitioned tables take the COW path too: the rewrite writer
       // splits each task's rows into col=value subdirs (dynamic
       // partitioning), preserving the layout through the full rewrite
@@ -369,6 +415,9 @@ class GraftTable(tableName: String, val root: String,
 object GraftTable {
   val metaFile = "_table.properties"
   val morKeyProp = "graft.mor.key"
+  /** Positional merge-on-read opt-in: 'true' routes row-level ops
+    * through (file, ordinal) row ids ([[GraftPositionalOperation]]). */
+  val posMorProp = "graft.mor.positional"
   /** Identity partition columns of a `CREATE TABLE … PARTITIONED BY`
     * table (comma-joined, in declaration order). Writes stage through
     * `partitionBy` (files carry `col=value` path segments inside their
@@ -717,14 +766,16 @@ private[catalog] object GraftScans {
       dropChains: Map[String, Seq[String]] = Map.empty,
       dropTypes: Map[String, DataType] = Map.empty,
       bucketSpec: Option[(String, Int)] = None,
-      transformSpec: Option[(SnapTransform.Spec, DataType)] = None): ScanBuilder = {
+      transformSpec: Option[(SnapTransform.Spec, DataType)] = None,
+      emitRowId: Boolean = false): ScanBuilder = {
     val files = snap.map(_.files).getOrElse(Nil)
     if (files.isEmpty) new EmptyScanBuilder(tableSchema)
     else {
       val deletes = snap.map(_.deletes).getOrElse(Nil)
+      val posDels = snap.map(_.posDeletes).getOrElse(Map.empty[String, Seq[String]])
       val statsRaw = snap.map(_.statsRaw).getOrElse(Map.empty[String, String])
       val blooms = snap.map(_.blooms).getOrElse(Map.empty[String, Seq[String]])
-      if (deletes.isEmpty) {
+      if (deletes.isEmpty && posDels.isEmpty && !emitRowId) {
         if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options,
           statsRaw, blooms, partSchema, bucketSpec, transformSpec)
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
@@ -734,9 +785,11 @@ private[catalog] object GraftScans {
         // evolution composes with pending deletes through the ledger
         // indirection: renamed columns (key or not) coalesce prior
         // spellings, and a DROPPED delete-key column is still read as
-        // a hidden filter-only shadow field (dropchain + droptype)
+        // a hidden filter-only shadow field (dropchain + droptype).
+        // Pending POSITION deletes and row-id emission (the positional
+        // row-level operation's scan) route here too.
         new MorScanBuilder(spark, tableSchema, snap.get, options, priors,
-          dropChains, dropTypes)
+          dropChains, dropTypes, emitRowId = emitRowId)
       }
     }
   }
@@ -1604,7 +1657,8 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     tableSchema: StructType, snap: Snapshot, options: CaseInsensitiveStringMap,
     priors: Map[String, Seq[String]] = Map.empty,
     dropChains: Map[String, Seq[String]] = Map.empty,
-    dropTypes: Map[String, DataType] = Map.empty)
+    dropTypes: Map[String, DataType] = Map.empty,
+    emitRowId: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -1612,6 +1666,12 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
 
   private def effVersion(f: String): Long =
     snap.fileSeq.getOrElse(f, MorScanBuilder.fileVersion(f))
+
+  /** Files needing per-row (file, ordinal) identity: position-delete-
+    * affected files, or EVERY file when this scan is the positional
+    * row-level operation's source (emitRowId). */
+  private def needsPos(f: String): Boolean =
+    emitRowId || snap.posDeletes.contains(f)
 
   /** prior physical spelling → current (or final dropped) column name
     * (identity for un-renamed names) — the delete-key indirection.
@@ -1642,9 +1702,29 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     .groupBy(f => snap.deletes.filter(d => effVersion(f) < d.coversBelow))
     .toSeq.sortBy(_._2.min).map { case (dels, fs) => (fs, dels) }
 
-  private val eraBuilders = eras.map { case (fs, _) =>
-    GraftScans.parquetBuilder(spark, fs, tableSchema, options, snap.statsRaw,
-      snap.blooms)
+  /** Per era: (plain files, pos files) — pos files read through a
+    * schema carrying the parquet readers' reserved row-index column
+    * (GENERATED with the true ordinal of each row in its file — exact
+    * under splits and row-group skipping; the machinery behind
+    * Spark's own _metadata.row_index). */
+  private val eraSplit: Seq[(Seq[String], Seq[String], Seq[DeleteFile])] =
+    eras.map { case (fs, dels) =>
+      (fs.filterNot(needsPos), fs.filter(needsPos), dels) }
+
+  private val eraBuilders = eraSplit.map { case (plain, _, _) =>
+    if (plain.isEmpty) None
+    else Some(GraftScans.parquetBuilder(spark, plain, tableSchema, options,
+      snap.statsRaw, snap.blooms))
+  }
+
+  private val rowIdxField = org.apache.spark.sql.types.StructField(
+    GraftRowId.RowIdxTmp, org.apache.spark.sql.types.LongType, nullable = true)
+
+  private val posBuilders = eraSplit.map { case (_, pos, _) =>
+    if (pos.isEmpty) None
+    else Some(GraftScans.parquetBuilder(spark, pos,
+      StructType(tableSchema.fields :+ rowIdxField), options,
+      snap.statsRaw, snap.blooms))
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -1662,12 +1742,16 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     val renamed = priors.keySet.map(_.toLowerCase)
     val eraInvariant = filters.filter(f => f.deterministic &&
       f.references.forall(a => !renamed.contains(a.name.toLowerCase)))
-    eraBuilders.foreach(_.pushFilters(eraInvariant))
+    // pos-era scans take NO pushed predicates: the row-index generator
+    // is pushdown-exact, but ordinal-hiding is correctness-bearing, so
+    // the conservative choice costs only pushdown on affected files
+    // until compaction absorbs their posdels
+    eraBuilders.flatten.foreach(_.pushFilters(eraInvariant))
     filters
   }
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    eraBuilders.headOption.map(_.pushedFilters).getOrElse(Array.empty)
+    eraBuilders.flatten.headOption.map(_.pushedFilters).getOrElse(Array.empty)
 
   override def build(): Scan = {
     // Inline-vs-lazy gate (dedicated conf, NOT the broadcast
@@ -1688,6 +1772,11 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
       catch { case _: Exception => 8L * 1024 * 1024 }
     val inlineMode = delBytes <= gate
 
+    // the row-id METADATA columns (_gfile/_gpos) are never parquet
+    // columns: the pos readers synthesize them — strip them from the
+    // schema the files are read under
+    val tableRequested = StructType(requested.fields.filterNot(f =>
+      f.name == GraftRowId.FileCol || f.name == GraftRowId.PosCol))
     // the read schema must carry every delete key column even when the
     // query pruned it away — including the SHADOW field of a DROPPED
     // key column, which is never in `requested` by construction; the
@@ -1698,8 +1787,8 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     // Iceberg's field-id indirection), so a key column renamed or
     // dropped AFTER the delete still scopes exactly
     val keyCols = snap.deletes.flatMap(_.keyCols).map(currentName).distinct
-    val readSchema = StructType(requested.fields ++
-      keyCols.filterNot(k => requested.fieldNames.contains(k))
+    val readSchema = StructType(tableRequested.fields ++
+      keyCols.filterNot(k => tableRequested.fieldNames.contains(k))
         .map(declaredField))
 
     // inline mode: load each distinct (path, keyCols) once, catalyst
@@ -1744,8 +1833,14 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     val coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] =
       if (physSchema.length == readSchema.length) None else Some(exprs)
 
-    val eraScans = eras.zip(eraBuilders).map { case ((_, dels), b) =>
-      b.pruneColumns(if (coalesceExprs.isDefined) physSchema else readSchema)
+    // pos-era variants: the physical schema gains the row-index field
+    // LAST, and the coalesce projection (when present) carries it
+    // through unchanged
+    val posExprs = coalesceExprs.map(es => es :+
+      (BoundReference(physSchema.length, org.apache.spark.sql.types.LongType,
+        true): org.apache.spark.sql.catalyst.expressions.Expression))
+    val eraScans = eraSplit.lazyZip(eraBuilders).lazyZip(posBuilders)
+      .map { case ((_, _, dels), pb, ppb) =>
       val delSets = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (_, ds) =>
         // file-physical spellings load the staged parquet; CURRENT
         // names bind the row-side ordinals/types — the two sides of
@@ -1759,9 +1854,20 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
           if (inlineMode) Nil else ds.map(_.path),
           kcs)
       }
-      (b.build(), delSets)
+      val plainScan = pb.map { b =>
+        b.pruneColumns(if (coalesceExprs.isDefined) physSchema else readSchema)
+        b.build()
+      }
+      val posScan = ppb.map { b =>
+        b.pruneColumns(StructType(
+          (if (coalesceExprs.isDefined) physSchema else readSchema)
+            .fields :+ rowIdxField))
+        b.build()
+      }
+      MorEra(plainScan, posScan, delSets)
     }
-    new MorScan(eraScans, requested, readSchema, coalesceExprs)
+    new MorScan(eraScans, requested, readSchema, coalesceExprs, posExprs,
+      snap.posDeletes, emitRowId)
   }
 }
 
@@ -1779,34 +1885,81 @@ private[catalog] object MorScanBuilder {
   val InlineDeleteBytesDefault = "8m"
 }
 
+/** One delete-era's scans: the plain files' delegate scan and the
+  * position-identity scan of its posdel-affected (or row-id-emitting)
+  * files, plus the era's equality-delete sets. */
+private[catalog] final case class MorEra(plain: Option[Scan],
+  pos: Option[Scan], delSets: Seq[MorDeleteSet])
+
+/** Row-id metadata column names and the parquet readers' reserved
+  * row-index temp column (populated by the readers with each row's
+  * TRUE ordinal in its file — the machinery behind _metadata.row_index,
+  * exact under splits, row-group skipping, and predicate pushdown). */
+private[catalog] object GraftRowId {
+  val FileCol = "_gfile"
+  val PosCol = "_gpos"
+  val RowIdxTmp = "_tmp_metadata_row_index"
+}
+
 /** The delete-applying scan: per-era delegate parquet scans, rows
-  * filtered against the era's delete-key sets, projected back to the
-  * requested schema. Row-based (no columnar batches) — the documented
-  * transient degrade while deletes are pending. */
-private[catalog] class MorScan(eras: Seq[(Scan, Seq[MorDeleteSet])],
+  * filtered against the era's delete-key sets (and, for
+  * position-delete-affected files, against their (file, ordinal) pair
+  * sets), projected back to the requested schema — optionally with the
+  * synthesized _gfile/_gpos row-id columns (the positional row-level
+  * operation's source). Row-based (no columnar batches) — the
+  * documented transient degrade while deletes are pending. */
+private[catalog] class MorScan(eras: Seq[MorEra],
     requested: StructType, readSchema: StructType,
-    coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
+    coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    posCoalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    posDeletes: Map[String, Seq[String]] = Map.empty,
+    emitRowId: Boolean = false)
   extends Scan with Batch {
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-snapshot MOR scan (${eras.size} era(s), delete-applying) " +
-      s"over (${eras.headOption.map(_._1.description()).getOrElse("empty")})"
+    s"graft-snapshot MOR scan (${eras.size} era(s), delete-applying" +
+      (if (posDeletes.nonEmpty) ", positional" else "") +
+      (if (emitRowId) ", row-id-emitting" else "") + ")"
 
   override def planInputPartitions(): Array[InputPartition] =
-    eras.zipWithIndex.flatMap { case ((scan, _), i) =>
-      scan.toBatch.planInputPartitions().map(p => EraPartition(p, i): InputPartition)
+    eras.zipWithIndex.flatMap { case (e, i) =>
+      e.plain.toSeq.flatMap(_.toBatch.planInputPartitions()
+        .map(p => EraPartition(p, i): InputPartition)) ++
+      // pos partitions REPACK to one file (or file split) each, so a
+      // reader always knows which single file its ordinals index —
+      // same parallelism, partition-count inflation bounded by the
+      // affected-file count
+      e.pos.toSeq.flatMap(_.toBatch.planInputPartitions().toSeq.flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.toSeq.map { pf =>
+            val path = new org.apache.hadoop.fs.Path(pf.filePath.toString)
+              .toUri.getPath
+            PosEraPartition(
+              org.apache.spark.sql.execution.datasources.FilePartition(0, Array(pf)),
+              i, path, posDeletes.getOrElse(path, Nil)): InputPartition
+          }
+        case other => throw new IllegalStateException(
+          s"pos-era scan planned a non-file partition: $other")
+      })
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val eraFactories = eras.map(_._1.toBatch.createReaderFactory()).toArray
-    val eraDeletes = eras.map(_._2.toArray).toArray
-    // ordinals of the requested columns inside the (wider) read schema
-    val outOrdinals = requested.fields.map(f => readSchema.fieldIndex(f.name))
+    val eraFactories = eras.map(_.plain.map(_.toBatch.createReaderFactory())).toArray
+    val posFactories = eras.map(_.pos.map(_.toBatch.createReaderFactory())).toArray
+    val eraDeletes = eras.map(_.delSets.toArray).toArray
+    // ordinals of the requested TABLE columns inside the (wider) read
+    // schema; the row-id metadata columns are synthesized (-1 / -2)
+    val outOrdinals = requested.fields.map {
+      case f if f.name == GraftRowId.FileCol => -1
+      case f if f.name == GraftRowId.PosCol => -2
+      case f => readSchema.fieldIndex(f.name)
+    }
     val readFields = readSchema.fields
-    new MorReaderFactory(eraFactories, eraDeletes, outOrdinals,
-      readFields.map(_.dataType), readFields.map(_.nullable), coalesceExprs)
+    new MorReaderFactory(eraFactories, posFactories, eraDeletes, outOrdinals,
+      readFields.map(_.dataType), readFields.map(_.nullable), coalesceExprs,
+      posCoalesceExprs, readSchema.length)
   }
 }
 
@@ -1814,39 +1967,97 @@ private[catalog] class MorScan(eras: Seq[(Scan, Seq[MorDeleteSet])],
 private[catalog] final case class EraPartition(inner: InputPartition, era: Int)
   extends InputPartition
 
+/** A single-file (or single-split) pos-era partition: the file every
+  * row's ordinal indexes, and the pair files hiding its rows. */
+private[catalog] final case class PosEraPartition(
+  inner: org.apache.spark.sql.execution.datasources.FilePartition,
+  era: Int, file: String, posFiles: Seq[String]) extends InputPartition
+
+/** Executor-side loader for position-delete pair files: (file STRING,
+  * pos BIGINT) parquet read with parquet-hadoop's Group API (no Spark
+  * session on executors) into a per-file ordinal-set map, soft-cached
+  * per JVM so a table's many tasks load each pair file once. */
+private[catalog] object PosDeleteCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[Map[String, Set[Long]]]]()
+
+  def load(paths: Seq[String]): Map[String, Set[Long]] = {
+    val key = paths.sorted.mkString("|")
+    val hit = Option(cache.get(key)).flatMap(r => Option(r.get()))
+    hit.getOrElse {
+      val pairs = scala.collection.mutable.Map.empty[String,
+        scala.collection.mutable.Set[Long]]
+      paths.distinct.foreach { p =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(p))
+          .withConf(new org.apache.hadoop.conf.Configuration())
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val f = g.getString("file", 0)
+            val pos = g.getLong("pos", 0)
+            pairs.getOrElseUpdate(f, scala.collection.mutable.Set.empty) += pos
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      val m: Map[String, Set[Long]] =
+        pairs.view.mapValues(_.toSet).toMap
+      cache.put(key, new java.lang.ref.SoftReference(m))
+      m
+    }
+  }
+}
+
 private[catalog] class MorReaderFactory(
-    eraFactories: Array[PartitionReaderFactory],
+    eraFactories: Array[Option[PartitionReaderFactory]],
+    posFactories: Array[Option[PartitionReaderFactory]],
     eraDeletes: Array[Array[MorDeleteSet]],
     outOrdinals: Array[Int], readTypes: Array[DataType],
     readNullable: Array[Boolean],
-    coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
+    coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    posCoalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    readLen: Int = 0)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (inner, era) = partition match {
-      case EraPartition(p, e) => (p, e)
-      case other => throw new IllegalStateException(s"unexpected partition $other")
-    }
-    val rawDelegate = eraFactories(era).createReader(inner)
-    // rename composition: fold the physical row to the readSchema shape
-    // (per-column coalesce over current + prior spellings) BEFORE the
-    // delete filter — key ordinals below bind to readSchema
-    val delegate = coalesceExprs match {
-      case None => rawDelegate
-      case Some(exprs) => GraftScans.projectingReader(rawDelegate, exprs)
-    }
-    val dels = eraDeletes(era)
-    val identity = outOrdinals.length == readTypes.length &&
+  /** The shared delete-filter + project loop. `rowIdxSlot` >= 0 marks
+    * a pos-era row (the generated per-file ordinal rides in that
+    * slot); `posSet` holds the ordinals hidden for this partition's
+    * single file; `fileUtf8` synthesizes the _gfile row-id column. */
+  private def wrap(delegate: PartitionReader[InternalRow],
+      dels: Array[MorDeleteSet], rowIdxSlot: Int,
+      posSet: Set[Long],
+      fileUtf8: org.apache.spark.unsafe.types.UTF8String): PartitionReader[InternalRow] = {
+    val identity = rowIdxSlot < 0 && outOrdinals.length == readTypes.length &&
       outOrdinals.zipWithIndex.forall { case (o, i) => o == i }
+    val synthesize = outOrdinals.exists(_ < 0)
     val project: InternalRow => InternalRow =
       if (identity) r => r
-      else {
+      else if (!synthesize) {
         val proj = UnsafeProjection.create(outOrdinals.map(o =>
           BoundReference(o, readTypes(o), readNullable(o))
             .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]))
         r => proj(r)
+      } else { r =>
+        // row-id emission: fill _gfile from the partition's file and
+        // _gpos from the generated ordinal; table columns copy through
+        val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          outOrdinals.length)
+        var i = 0
+        while (i < outOrdinals.length) {
+          outOrdinals(i) match {
+            case -1 => out.update(i, fileUtf8)
+            case -2 => out.update(i, r.getLong(rowIdxSlot))
+            case o => out.update(i,
+              if (r.isNullAt(o)) null else r.get(o, readTypes(o)))
+          }
+          i += 1
+        }
+        out
       }
     // resolve each group's key set ONCE per task — inline sets are
     // already in hand; lazy sets load through the executor-wide cache
@@ -1856,7 +2067,8 @@ private[catalog] class MorReaderFactory(
       override def next(): Boolean = {
         while (delegate.next()) {
           val row = delegate.get()
-          var deleted = false
+          var deleted = rowIdxSlot >= 0 && posSet.nonEmpty &&
+            posSet.contains(row.getLong(rowIdxSlot))
           var i = 0
           while (!deleted && i < dels.length) {
             val k = dels(i).keyOf(row)
@@ -1869,6 +2081,35 @@ private[catalog] class MorReaderFactory(
       }
       override def get(): InternalRow = current
       override def close(): Unit = delegate.close()
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case EraPartition(p, e) =>
+        val rawDelegate = eraFactories(e).getOrElse(throw new IllegalStateException(
+          s"plain partition for an era with no plain scan")).createReader(p)
+        // rename composition: fold the physical row to the readSchema
+        // shape (per-column coalesce over current + prior spellings)
+        // BEFORE the delete filter — key ordinals bind to readSchema
+        val delegate = coalesceExprs match {
+          case None => rawDelegate
+          case Some(exprs) => GraftScans.projectingReader(rawDelegate, exprs)
+        }
+        wrap(delegate, eraDeletes(e), rowIdxSlot = -1, Set.empty, null)
+      case PosEraPartition(p, e, file, posFiles) =>
+        val rawDelegate = posFactories(e).getOrElse(throw new IllegalStateException(
+          s"pos partition for an era with no pos scan")).createReader(p)
+        val delegate = posCoalesceExprs match {
+          case None => rawDelegate
+          case Some(exprs) => GraftScans.projectingReader(rawDelegate, exprs)
+        }
+        val posSet: Set[Long] =
+          if (posFiles.isEmpty) Set.empty
+          else PosDeleteCache.load(posFiles).getOrElse(file, Set.empty)
+        wrap(delegate, eraDeletes(e), rowIdxSlot = readLen, posSet,
+          org.apache.spark.unsafe.types.UTF8String.fromString(file))
+      case other => throw new IllegalStateException(s"unexpected partition $other")
     }
   }
 }

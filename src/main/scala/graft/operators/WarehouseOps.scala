@@ -490,6 +490,48 @@ object WarehouseOps {
       .orderBy($"nationkey")
   }
 
+  /** POSITION-DELETE MOR (`sql_delete_positional`) — the delete form
+    * that needs NO key column, completing the row-level spectrum
+    * (COW pass / equality MOR / THIS): lineitem has no unique key —
+    * (l_orderkey, l_linenumber) repeats — so `sql_delete_mor`'s
+    * equality form is unavailable (deleting by any key would over-hide
+    * its duplicates). With `graft.mor.positional`, Spark's delta
+    * rewrite identifies each matched row by its (file, ordinal) row id
+    * ([[graft.catalog.GraftPositionalOperation]] — `_gfile`/`_gpos`
+    * metadata columns, ordinals GENERATED by the parquet readers,
+    * exact under splits and row-group skipping), and the statement
+    * commits O(matched rows) pair bytes while the table's data files
+    * never move (file-list invariance spec-pinned in Round18OpsSpec) —
+    * Iceberg v2's position deletes. Two stacked non-key DELETEs prove
+    * pair-set composition; `compact_deletes` then merges the stacked
+    * pair files per data file (zero table data moved) and the
+    * aggregate runs over the compacted state. Reads apply pairs as
+    * per-file ordinal-set filters inside the delete-aware scan; a full
+    * rewrite absorbs them when their files leave the table.
+    *
+    * Scale: GDPR-rate arbitrary-predicate deletes on a 100 TB keyless
+    * table cost kilobytes per statement instead of a copy-on-write
+    * table pass; the read rent is one pair-set probe per affected
+    * file until compaction. */
+  val sqlDeletePositional: Q = (s, dir) => {
+    import s.implicits._
+    val (t, _) = SnapCat.table(s, "pos_lineitem", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.mor.positional' = 'true') AS
+             |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             |       CAST(l_extendedprice AS DOUBLE) AS price
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+    // two stacked DELETEs on NON-key predicates (no column here is a
+    // key — duplicates everywhere); table data files never move
+    s.sql(s"DELETE FROM $t WHERE l_quantity > 45.0")
+    s.sql(s"DELETE FROM $t WHERE l_quantity < 3.0 AND l_returnflag = 'N'")
+    // merge the stacked pair files (no table data moved)
+    s.sql(s"CALL snap.system.compact_deletes('${t.stripPrefix("snap.")}')").collect()
+    s.table(t).groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"price").as("total"))
+      .orderBy($"l_returnflag")
+  }
+
   /** MERGE-ON-READ UPDATE — the Hudi-style upsert completing the
     * write-amplification spectrum (`sql_update_delete` = COW pass,
     * `sql_delete_mor` = MOR delete), executed NATIVELY: Spark's
@@ -1921,6 +1963,7 @@ object WarehouseOps {
     "snapshot_schema_evolution" -> snapshotSchemaEvolution,
     "sql_update_delete" -> sqlUpdateDelete,
     "sql_delete_mor" -> sqlDeleteMor,
+    "sql_delete_positional" -> sqlDeletePositional,
     "sql_update_mor" -> sqlUpdateMor,
     "sql_time_travel" -> sqlTimeTravel,
     "sql_time_travel_ts" -> sqlTimeTravelTs,
@@ -2072,6 +2115,17 @@ object WarehouseOps {
       FROM customer
       WHERE NOT (c_acctbal < 0.0) AND NOT (c_nationkey = 13)
       GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // Stacked POSITION deletes replayed as plain filters over the
+    // ORIGINAL lineitem: a pair file dropped by the read, an ordinal
+    // off by one (wrong row hidden), a duplicate-key row over-hidden,
+    // or a compaction that loses pairs hash-mismatches.
+    "sql_delete_positional" -> s"""
+      SELECT l_returnflag, COUNT(*) AS n,
+             ${Qx.dsumSql("CAST(l_extendedprice AS DOUBLE)")} AS total
+      FROM lineitem
+      WHERE NOT (l_quantity > 45.0)
+        AND NOT (l_quantity < 3.0 AND l_returnflag = 'N')
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Both eras recomputed from the ORIGINAL table via the slice
     // predicates — a lost row, a mis-nulled evolved column, or an
     // evolution that rewrites history hash-mismatches.

@@ -1359,7 +1359,8 @@ object Snapshots {
       if (fromVersion == 0L) Snapshot(0, Nil) else resolveAt(root, fromVersion)
     val toFiles = to.files.toSet
     val removed = from.files.exists(!toFiles(_))
-    val delsChanged = from.deletes.toSet != to.deletes.toSet
+    val delsChanged = from.deletes.toSet != to.deletes.toSet ||
+      from.posDeletes != to.posDeletes
     // Commit-attributed fast path: when every commit in the range that
     // removed files or touched the delete set carries the writer's
     // `#rowsunchanged` marker (compaction, z-order, delete-file merge —
@@ -1377,7 +1378,8 @@ object Snapshots {
           val curFiles = cur.files.toSet
           if (rowsUnchangedAt(root, v)) Some(Nil)
           else if (prev.files.forall(curFiles) &&
-            prev.deletes.toSet == cur.deletes.toSet)
+            prev.deletes.toSet == cur.deletes.toSet &&
+            prev.posDeletes == cur.posDeletes)
             Some(cur.files.filterNot(prev.files.toSet))
           else None
         }
@@ -1415,6 +1417,13 @@ object Snapshots {
       val removedFiles = from.files.filterNot(toFiles)
       val addedFiles = to.files.filterNot(fromFileSet)
       val sharedFiles = from.files.filter(toFiles)
+      // POSITION-delete shifts: a shared file whose posdel entry
+      // differs between the two states may have flipped row
+      // visibility — treat it as touched on BOTH sides (the keyed
+      // diff downstream cancels unchanged rows). O(affected files),
+      // never O(table): a posdel names exactly the files it hides in.
+      val posShifted = sharedFiles.filter(f =>
+        from.posDeletes.getOrElse(f, Nil) != to.posDeletes.getOrElse(f, Nil))
       def effAt(s: Snapshot)(f: String): Long =
         s.fileSeq.getOrElse(f, fileVersion(f))
       def touchedSide(files: Seq[String], s: Snapshot): Option[DataFrame] =
@@ -1494,8 +1503,8 @@ object Snapshots {
         if (parts.isEmpty) readAt(spark, root, toVersion).limit(0)
         else parts.reduce(_.unionByName(_, allowMissingColumns = true))
       }
-      val preRaw = side(touchedSide(removedFiles, from), preShift)
-      val postRaw = side(touchedSide(addedFiles, to), postShift)
+      val preRaw = side(touchedSide(removedFiles ++ posShifted, from), preShift)
+      val postRaw = side(touchedSide(addedFiles ++ posShifted, to), postShift)
       // a key reachable through two delete groups may surface twice in
       // the shift union; each STATE holds at most one row per key (the
       // feed's primary-key contract), so dedup is exact
@@ -1820,8 +1829,9 @@ object Snapshots {
     * the rows); concurrent APPENDS compose — new files are untouched
     * by definition, and the optimistic retry re-resolves the parent. */
   def commitStagedPosDelete(root: String,
-      affected: Map[String, Seq[String]]): Long = {
-    if (affected.isEmpty || affected.forall(_._2.isEmpty))
+      affected: Map[String, Seq[String]],
+      dataFiles: Seq[String] = Nil): Long = {
+    if ((affected.isEmpty || affected.forall(_._2.isEmpty)) && dataFiles.isEmpty)
       return maxCommitted(root)
     publishManifest(root, "staged-posdelete") { v =>
       val parent = resolveAt(root, v - 1) // a posdel needs a committed table
@@ -1831,14 +1841,20 @@ object Snapshots {
         s"position delete under $root names files no longer in the table " +
           s"(concurrent rewrite?): ${gone.take(3).mkString(", ")} — re-run " +
           "the statement against the current head")
+      // UPDATE's insert half: new data files append beside the posdel
+      // lines in the SAME atomic commit, seq-pinned at this version
+      val files = parent.files ++ dataFiles.sorted
       val merged = (parent.posDeletes.toSeq ++ affected.toSeq)
         .groupBy(_._1).view.mapValues(_.flatMap(_._2).distinct.sorted).toMap
       val header = parent.deletes.map(delLine) ++
-        seqLines(parent.fileSeq, parent.files) ++
-        statsLines(parent.statsRaw, parent.files) ++
-        bloomLines(parent.blooms, parent.files) ++
-        posLines(merged, parent.files)
-      (Nil, header, parent.files)
+        seqLines(parent.fileSeq, files) ++
+        dataFiles.sorted.map(seqLine(_, v)) ++
+        statsLines(parent.statsRaw, files) ++
+        newStatsLines(dataFiles) ++
+        bloomLines(parent.blooms, files) ++
+        newBloomLines(root, dataFiles.sorted) ++
+        posLines(merged, files)
+      (Nil, header, files)
     }
   }
 

@@ -742,9 +742,11 @@ class Round17OpsSpec extends SparkSpec {
     // direct (non-catalog) reads drop the synthetic segment too — the
     // change feed and maintenance reads must never leak it
     assert(!Snapshots.read(spark, root).columns.contains("_gbucket"))
-    // metadata guards: the layout column is frozen, the name reserved
-    intercept[Exception](sqlDf(
-      "ALTER TABLE snap.default.r17bkt RENAME COLUMN k TO kk"))
+    // metadata guards: the layout column cannot be dropped or
+    // re-typed (the hash of an int and a long differ); the name is
+    // reserved. RENAME is ALLOWED since r18 — the layout is keyed by
+    // the column's VALUES, which a rename never touches (asserted
+    // below after the other guards).
     intercept[Exception](sqlDf(
       "ALTER TABLE snap.default.r17bkt DROP COLUMN k"))
     intercept[Exception](sqlDf(
@@ -759,6 +761,20 @@ class Round17OpsSpec extends SparkSpec {
     sqlDf("ALTER TABLE snap.default.r17bkt RENAME COLUMN v TO val")
     assert(sqlDf("SELECT count(val) FROM snap.default.r17bkt")
       .as[Long].head() == 501L)
+    // r18: the BUCKET COLUMN ITSELF renames — the spec property
+    // follows, new writes derive the identical segment from the new
+    // name, old files' bytes coalesce through the rename ledger, and
+    // point lookups still answer exactly
+    sqlDf("ALTER TABLE snap.default.r17bkt RENAME COLUMN k TO kk")
+    sqlDf("INSERT INTO snap.default.r17bkt VALUES (99999, 1.0)")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17bkt WHERE kk = 99999")
+      .as[Long].head() == 1L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17bkt WHERE kk = 42")
+      .as[Long].head() == 1L, "pre-rename rows answer under the new name")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r17bkt").as[Long].head() == 502L)
+    // the renamed spec still refuses re-typing
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r17bkt ALTER COLUMN kk TYPE DOUBLE"))
   }
 
   test("storage-partitioned join on bucket(n, k): zero exchange, exact result") {

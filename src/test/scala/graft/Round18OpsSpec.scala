@@ -203,14 +203,24 @@ class Round18OpsSpec extends SparkSpec {
         |SET TBLPROPERTIES ('graft.partition.transform'='months,ts')""".stripMargin))
   }
 
-  test("transform DDL guards: source column frozen, reserved names refused") {
+  test("transform DDL guards: source column renames, never drops/retypes") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r18guard")
     sqlDf("""CREATE TABLE snap.default.r18guard (k BIGINT, ts TIMESTAMP)
             |PARTITIONED BY (days(ts))""".stripMargin)
+    // r18: the transform SOURCE column renames freely — ordinals are
+    // value-derived; the spec follows the new name
+    sqlDf("INSERT INTO snap.default.r18guard SELECT id, timestamp_micros(1700000000000000 + id * 3600000000) FROM range(0, 48)")
+    sqlDf("ALTER TABLE snap.default.r18guard RENAME COLUMN ts TO event_ts")
+    sqlDf("INSERT INTO snap.default.r18guard SELECT id, timestamp_micros(1700000000000000 + id * 3600000000) FROM range(48, 96)")
+    assert(sqlDf(
+      """SELECT count(*) FROM snap.default.r18guard
+        |WHERE event_ts >= timestamp_micros(1700092800000000)
+        |  AND event_ts < timestamp_micros(1700179200000000)""".stripMargin)
+      .as[Long].head() == 24L, "day range answers across the rename")
     intercept[Exception](
-      sqlDf("ALTER TABLE snap.default.r18guard RENAME COLUMN ts TO ts2"))
+      sqlDf("ALTER TABLE snap.default.r18guard DROP COLUMN event_ts"))
     intercept[Exception](
-      sqlDf("ALTER TABLE snap.default.r18guard DROP COLUMN ts"))
+      sqlDf("ALTER TABLE snap.default.r18guard ALTER COLUMN event_ts TYPE DATE"))
     intercept[Exception](
       sqlDf("ALTER TABLE snap.default.r18guard ADD COLUMN _gtpart BIGINT"))
     intercept[Exception](sqlDf(
@@ -245,6 +255,82 @@ class Round18OpsSpec extends SparkSpec {
         |WHERE ts >= timestamp_micros(1700092800000000)
         |  AND ts < timestamp_micros(1700179200000000)""".stripMargin)
     assert(plannedFiles(day).size < full, "pruning must survive compaction")
+  }
+
+  test("positional MOR: non-key DELETE leaves files unchanged; stacking, compaction, travel") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18pos")
+    // NO unique key anywhere — the table equality deletes cannot serve
+    sqlDf("""CREATE TABLE snap.default.r18pos (k BIGINT, grp BIGINT, v DOUBLE)
+            |TBLPROPERTIES ('graft.mor.positional'='true')""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r18pos
+            |SELECT /*+ REPARTITION(4) */ id % 100, id % 7, id * 1.0
+            |FROM range(0, 1000)""".stripMargin)
+    val root = s"$wh/default/r18pos"
+    val filesBefore = Snapshots.resolve(root).get.files.toSet
+    assert(filesBefore.size >= 4)
+    // DELETE on a NON-key predicate over duplicated k values: an
+    // equality delete by k would over-hide (k repeats 10x)
+    sqlDf("DELETE FROM snap.default.r18pos WHERE v >= 100.0 AND v < 200.0")
+    val s1 = Snapshots.resolve(root).get
+    assert(s1.files.toSet == filesBefore, "table data files must not move")
+    assert(s1.posDeletes.nonEmpty, "posdel lines must be pending")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18pos").as[Long].head() == 900L)
+    // rows with the same k as deleted rows survive
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18pos WHERE k = 50")
+      .as[Long].head() == 9L, "only the one positioned row of k=50 in [100,200) dies")
+    // stacked second delete composes
+    sqlDf("DELETE FROM snap.default.r18pos WHERE v < 10.0")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18pos").as[Long].head() == 890L)
+    val s2 = Snapshots.resolve(root).get
+    assert(s2.files.toSet == filesBefore, "second delete moves no data either")
+    assert(s2.posDeletes.exists(_._2.size > 1), "stacked pair files per data file")
+    // the store-level read path applies them identically
+    assert(Snapshots.read(spark, root).count() == 890L)
+    // time travel to v1 sees every row
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18pos VERSION AS OF 1")
+      .as[Long].head() == 1000L)
+    // aggregate correctness through the posdel-applying scan
+    val agg = sqlDf(
+      """SELECT grp, count(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        |FROM snap.default.r18pos GROUP BY grp ORDER BY grp""".stripMargin).collect()
+    assert(agg.map(_.getLong(1)).sum == 890L)
+    // compact_deletes merges the stacked pair files (no data movement)
+    sqlDf("CALL snap.system.compact_deletes('default.r18pos')").collect()
+    val s3 = Snapshots.resolve(root).get
+    assert(s3.files.toSet == filesBefore, "delete compaction moves no table data")
+    assert(s3.posDeletes.forall(_._2.size == 1), "pair files merged per data file")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18pos").as[Long].head() == 890L)
+    // a full compaction (rewrite) absorbs the posdels entirely
+    sqlDf("CALL snap.system.compact('default.r18pos')").collect()
+    val s4 = Snapshots.resolve(root).get
+    assert(s4.posDeletes.isEmpty, "the rewrite must absorb position deletes")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18pos").as[Long].head() == 890L)
+  }
+
+  test("positional MOR: UPDATE is posdel + insert in one atomic commit") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18posu")
+    sqlDf("""CREATE TABLE snap.default.r18posu (k BIGINT, v DOUBLE)
+            |TBLPROPERTIES ('graft.mor.positional'='true')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r18posu SELECT id, id * 1.0 FROM range(0, 100)")
+    val root = s"$wh/default/r18posu"
+    val before = Snapshots.resolve(root).get.files.toSet
+    sqlDf("UPDATE snap.default.r18posu SET v = v + 1000 WHERE k < 10")
+    val s1 = Snapshots.resolve(root).get
+    assert(before.subsetOf(s1.files.toSet), "old files stay in place")
+    assert(s1.files.size > before.size, "the insert half appends new files")
+    assert(s1.posDeletes.nonEmpty, "the delete half hides old versions")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18posu").as[Long].head() == 100L)
+    assert(sqlDf("SELECT CAST(SUM(v) AS BIGINT) FROM snap.default.r18posu")
+      .as[Long].head() == (0 until 100).map(_.toDouble).sum.toLong + 10000L)
+    // guards: positional does not compose with a MOR key or PARTITIONED BY
+    intercept[Exception](sqlDf(
+      """ALTER TABLE snap.default.r18posu
+        |SET TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin))
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18posbad")
+    intercept[Exception](sqlDf(
+      """CREATE TABLE snap.default.r18posbad (k BIGINT, p STRING)
+        |PARTITIONED BY (p)
+        |TBLPROPERTIES ('graft.mor.positional'='true')""".stripMargin))
   }
 
   test("the commit funnel refuses '_gbucket=' staging without a declared bucket layout") {
