@@ -1921,7 +1921,9 @@ private[catalog] class MorScan(eras: Seq[MorEra],
   override def description(): String =
     s"graft-snapshot MOR scan (${eras.size} era(s), delete-applying" +
       (if (posDeletes.nonEmpty) ", positional" else "") +
-      (if (emitRowId) ", row-id-emitting" else "") + ")"
+      (if (emitRowId) ", row-id-emitting" else "") + ") over (" +
+      eras.flatMap(e => e.plain.orElse(e.pos)).headOption
+        .map(_.description()).getOrElse("empty") + ")"
 
   override def planInputPartitions(): Array[InputPartition] =
     eras.zipWithIndex.flatMap { case (e, i) =>

@@ -333,6 +333,38 @@ class Round18OpsSpec extends SparkSpec {
         |TBLPROPERTIES ('graft.mor.positional'='true')""".stripMargin))
   }
 
+  test("row-level CDF across an unmarked rewrite reports ONLY genuinely changed rows") {
+    // the r17 caveat said a row-changing REWRITE republishes survivors:
+    // that is true of the FILE-level feed (readChanges hands the
+    // rewrite's files to the consumer — correctly, it is file-level),
+    // but the ROW-level diff must cancel them — a survivor row is
+    // byte-identical in both states and the keyed full-outer value
+    // diff (<=>) suppresses it. Pin that contract across an UNMARKED
+    // row-changing rewrite (a COW DELETE, which rewrites every file).
+    val root = Qx.tmpOut("r18cdf", sf())
+    val df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id * 2.0 AS DOUBLE) AS v")
+    Snapshots.commit(root)(out => df.write.mode("append").parquet(out))
+    // v2: an unmarked rewrite that drops 10 rows and keeps 990
+    Snapshots.commit(root)(out =>
+      Snapshots.read(spark, root).filter("k >= 10")
+        .write.mode("append").parquet(out))
+    val changes = Snapshots.readChangesRows(spark, root, 1, 2, Seq("k"))
+    val byType = changes.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 10L),
+      s"only the 10 genuinely deleted rows may surface: $byType")
+    // and an update-shaped rewrite reports update_pre/update_post pairs
+    Snapshots.commit(root)(out =>
+      Snapshots.read(spark, root)
+        .selectExpr("k", "CAST(CASE WHEN k < 15 THEN v + 100.0 ELSE v END AS DOUBLE) AS v")
+        .write.mode("append").parquet(out))
+    val changes2 = Snapshots.readChangesRows(spark, root, 2, 3, Seq("k"))
+    val byType2 = changes2.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType2 == Map("update_pre" -> 5L, "update_post" -> 5L),
+      s"only the 5 genuinely updated rows (k in [10,15)) may surface: $byType2")
+  }
+
   test("the commit funnel refuses '_gbucket=' staging without a declared bucket layout") {
     val root = Qx.tmpOut("r18gb", sf())
     val ex = intercept[IllegalArgumentException] {
