@@ -779,6 +779,27 @@ object PlanAudit {
         |that ate a referenced file would surface here as a missing
         |input file, not a plan change — the oracle's row recount is
         |the real gate.""".stripMargin,
+    "sql_partitioned_time" ->
+      """Time-transform partitioning (r18): days(ts) routes rows to
+        |derived _gtpart=<epoch-day> segments; the five-day range
+        |predicate prunes whole ordinal DIRECTORIES from the manifest at
+        |planning time (monotone transform ⇒ range ⇒ ordinal range) —
+        |check the scan's file count against the ~30 day dirs, not a
+        |post-filter. The source ts column stays a DATA column (unlike
+        |identity partitioning), read from footers; stats skipping
+        |composes in the same index. Expect a plain vectorized BatchScan
+        |over the kept day dirs + two-phase HashAggregate.""".stripMargin,
+    "sql_delete_positional" ->
+      """Position deletes (r18): two stacked non-key DELETEs on a
+        |keyless lineitem slice wrote (file, pos) pair files; the read
+        |is the delete-aware MOR scan with the affected files repacked
+        |to SINGLE-FILE partitions (each reader knows which file its
+        |generated row ordinals index) and pair sets applied as per-file
+        |ordinal filters. Expect the row-based MOR scan (the documented
+        |transient degrade while deletes pend — compact_deletes already
+        |merged the pair files; a full rewrite would restore the
+        |vectorized path), never a table rewrite: the plan moves
+        |O(pairs) bytes beside the untouched data files.""".stripMargin,
     "sql_partitioned_table" ->
       """CREATE TABLE PARTITIONED BY through the catalog (r16). Expect
         |a BatchScan over ONLY the two matching priorities' partition

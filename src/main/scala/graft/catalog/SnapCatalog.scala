@@ -363,7 +363,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def usedNames(pr: Map[String, String], sc: StructType): Set[String] =
       (sc.fieldNames.toSeq ++
         GraftTable.priorsOf(pr).flatMap { case (c, ps) => c +: ps } ++
-        GraftTable.droppedOf(pr)).map(_.toLowerCase).toSet
+        GraftTable.droppedOf(pr) ++
+        GraftTable.physOf(pr).values).map(_.toLowerCase).toSet
     def requireFresh(pr: Map[String, String], sc: StructType, name: String,
         what: String): Unit =
       require(!usedNames(pr, sc).contains(name.toLowerCase),
@@ -382,17 +383,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(name != Snapshots.bucketPathCol &&
           name != Snapshots.transformPathCol,
           s"'$name' is a reserved column name (synthetic layout segment)")
-        requireFresh(pr, sc, name, "added column")
         require(add.isNullable,
           s"added column $name must be nullable (pre-evolution rows surface NULL)")
-        (sc.add(org.apache.spark.sql.types.StructField(name, add.dataType(),
-          nullable = true)), pr)
+        require(!sc.fieldNames.map(_.toLowerCase).contains(name.toLowerCase),
+          s"column '$name' already exists")
+        val collides = usedNames(pr, sc).contains(name.toLowerCase)
+        if (!collides)
+          (sc.add(org.apache.spark.sql.types.StructField(name, add.dataType(),
+            nullable = true)), pr)
+        else {
+          // SPELLING RE-USE (r18, the field-id move): the name was
+          // renamed away or dropped, so old files carry DEAD bytes
+          // under it — the re-added column gets a fresh PHYSICAL
+          // spelling (graft.col.phys ledger): writes stage its data
+          // under the physical name, reads coalesce the physical
+          // spelling ONLY, and the dead bytes can never resurface
+          // under the new meaning. Refused only while pending
+          // merge-on-read deletes still resolve a key spelling to this
+          // name (the shadow-field machinery would bind the NEW
+          // column's type/physical slot to the OLD key) — compact the
+          // deletes (rewrite) first.
+          // a name equal to a LIVE column's physical spelling is not a
+          // tombstone — its bytes are another column's current data
+          require(!GraftTable.physOf(pr).values
+            .exists(_.equalsIgnoreCase(name)),
+            s"'$name' is the physical file spelling of a live re-added " +
+              "column; pick another name")
+          val dropChains = GraftTable.droppedChainsOf(pr)
+          val toCurrent: Map[String, String] =
+            (GraftTable.priorsOf(pr) ++ dropChains)
+              .flatMap { case (cur, ps) => ps.map(_ -> cur) }
+          val pendingKeySpellings = Snapshots.resolve(root).toSeq
+            .flatMap(_.deletes).flatMap(_.keyCols)
+          val conflicted = pendingKeySpellings.exists(spelling =>
+            spelling.equalsIgnoreCase(name) ||
+              toCurrent.get(spelling).exists(_.equalsIgnoreCase(name)))
+          require(!conflicted,
+            s"re-adding '$name' while pending merge-on-read deletes still " +
+              "key on the dropped column of that name would cross the two " +
+              "meanings — run compact (a rewrite absorbs the deletes) first")
+          // fresh physical spelling: <name>__r<k>, k past every spelling
+          // this table has ever used (live, renamed-away, dropped, or
+          // already-minted physical)
+          val taken = usedNames(pr, sc) ++
+            GraftTable.physOf(pr).values.map(_.toLowerCase)
+          val phys = Iterator.from(2).map(k => s"${name}__r$k")
+            .find(p => !taken.contains(p.toLowerCase)).get
+          (sc.add(org.apache.spark.sql.types.StructField(name, add.dataType(),
+            nullable = true)),
+            pr + (s"${GraftTable.colPhysPrefix}$name" -> phys))
+        }
       case ((sc, pr), ren: TableChange.RenameColumn) =>
         require(ren.fieldNames().length == 1,
           s"only top-level RENAME COLUMN is supported: ${ren.fieldNames().mkString(".")}")
         val from = ren.fieldNames()(0)
         val to = ren.newName()
         require(sc.fieldNames.contains(from), s"no column '$from' to rename")
+        require(!GraftTable.physOf(pr).contains(from),
+          s"'$from' is a re-added (physically remapped) column; renaming " +
+            "it needs a rewrite that re-materializes the table under " +
+            "current names first")
         require(!GraftTable.partColsOf(pr).contains(from),
           s"cannot rename partition column '$from' (its values live in " +
             "committed file paths)")
@@ -447,6 +497,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (sc, pr)
         } else {
           require(sc.fields.length > 1, "cannot drop the last column")
+          // a RE-ADDED (physically remapped) column may be dropped —
+          // its chain records the PHYSICAL spelling — but only once a
+          // rewrite has cleared the FIRST drop's ledger slots for this
+          // name (both drops would otherwise contend for
+          // dropchain/droptype.<name>, which pinned time-travel reads
+          // of the first column still resolve through)
+          require(!GraftTable.physOf(pr).contains(name) ||
+            (!pr.contains(s"${GraftTable.droppedChainPrefix}$name") &&
+              !pr.contains(s"${GraftTable.dropTypePrefix}$name")),
+            s"'$name' was re-added over a dropped name whose ledger is " +
+              "still live; run compact (a rewrite clears it) before " +
+              "dropping the re-added column")
           require(!GraftTable.partColsOf(pr).contains(name),
             s"cannot drop partition column '$name'")
           require(!SnapBucket.of(pr).exists(_._1 == name),
@@ -456,8 +518,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"cannot drop transform source column '$name' (the committed " +
               "layout's ordinals derive from it)")
           val priorKey = s"${GraftTable.colPriorPrefix}$name"
+          val physSpelling = GraftTable.physOf(pr).get(name)
           val tombs = GraftTable.droppedOf(pr).toSeq ++
-            pr.get(priorKey).toSeq.flatMap(_.split(',')) :+ name
+            pr.get(priorKey).toSeq.flatMap(_.split(',')) ++
+            physSpelling.toSeq :+ name
           // a renamed-then-dropped column keeps its chain STRUCTURE
           // (dropchain key) beside the flat tombstone list: pinned
           // time-travel reads straddling the rename still need to
@@ -470,8 +534,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // field at that declared width until a rewrite absorbs the
           // deletes (the field-id-style indirection, keyed by
           // name-history since spellings are never reused).
-          val pr2 = pr.get(priorKey).foldLeft(
-            pr - priorKey +
+          // a remapped column's FILE spelling is its physical name —
+          // record it as the drop chain so pinned/MOR resolution keeps
+          // mapping file bytes to this final name
+          val chainOpt = pr.get(priorKey).orElse(physSpelling)
+          val pr2 = chainOpt.foldLeft(
+            pr - priorKey - s"${GraftTable.colPhysPrefix}$name" +
               (GraftTable.droppedProp -> tombs.distinct.mkString(",")) +
               (s"${GraftTable.dropTypePrefix}$name" ->
                 sc(name).dataType.json)) {

@@ -262,12 +262,16 @@ private[catalog] object SnapProcedures {
       val partCols = propsAtPlan.map(GraftTable.partColsOf).getOrElse(Nil)
       val bucketSpec = propsAtPlan.flatMap(SnapBucket.of)
       val transSpec = propsAtPlan.flatMap(SnapTransform.of)
+      // remapped (re-added) columns keep their physical spelling
+      // through compaction
+      val arranged2 = GraftTable.toPhysical(arranged,
+        propsAtPlan.map(GraftTable.physOf).getOrElse(Map.empty))
       val writer = (bucketSpec, transSpec) match {
-        case (Some((c, n)), _) => SnapBucket.stageBucketed(arranged, c, n)
+        case (Some((c, n)), _) => SnapBucket.stageBucketed(arranged2, c, n)
         case (None, Some(t)) => SnapTransform.stageTransformed(
-          arranged, t, arranged.schema(t.col).dataType, partCols)
-        case (None, None) if partCols.isEmpty => arranged.write
-        case (None, None) => arranged.write.partitionBy(partCols: _*)
+          arranged2, t, arranged2.schema(t.col).dataType, partCols)
+        case (None, None) if partCols.isEmpty => arranged2.write
+        case (None, None) => arranged2.write.partitionBy(partCols: _*)
       }
       writer.mode("append").parquet(stage)
       val staged = {

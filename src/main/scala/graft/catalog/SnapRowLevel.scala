@@ -419,7 +419,11 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     val dataSchema =
       if (localPart.isEmpty) localSchema
       else StructType(localSchema.fields.filterNot(f => localPart.contains(f.name)))
-    val conf = ExecParquet.writerConf(dataSchema)
+    // remapped (re-added) columns keep writing under their physical
+    // spelling through the rewrite — rows are positional, only the
+    // parquet schema renames
+    val conf = ExecParquet.writerConf(GraftTable.toPhysicalSchema(dataSchema,
+      propsAtPlan.map(GraftTable.physOf).getOrElse(Map.empty)))
     (partitionId: Int, taskId: Long) => new DataWriter[InternalRow] {
       // PARTITIONED tables: split each task's rows into per-partition
       // files under col=value subdirs ([[DynPartTaskWriter]] — Hive-
@@ -521,7 +525,12 @@ private[catalog] class GraftDeltaBatchWrite(root: String, keyCol: String,
   Files.createDirectories(Paths.get(stagingDir))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
-    val dataConf = ExecParquet.writerConf(dataSchema)
+    // remapped columns write under their physical spelling; delete-KEY
+    // files keep the logical spelling (the #del line and the loaders
+    // are self-consistent on it)
+    val dataConf = ExecParquet.writerConf(GraftTable.toPhysicalSchema(
+      dataSchema, GraftTable.readMeta(root).map(m =>
+        GraftTable.physOf(m._2)).getOrElse(Map.empty)))
     val keyConf = ExecParquet.writerConf(keySchema)
     val dir = stagingDir
     (partitionId: Int, taskId: Long) =>
@@ -550,7 +559,9 @@ private[catalog] class GraftPosDeltaBatchWrite(root: String,
   Files.createDirectories(Paths.get(stagingDir))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
-    val dataConf = ExecParquet.writerConf(dataSchema)
+    val dataConf = ExecParquet.writerConf(GraftTable.toPhysicalSchema(
+      dataSchema, GraftTable.readMeta(root).map(m =>
+        GraftTable.physOf(m._2)).getOrElse(Map.empty)))
     val pairConf = ExecParquet.writerConf(GraftPosDeltaBatchWrite.pairSchema)
     val dir = stagingDir
     (partitionId: Int, taskId: Long) =>

@@ -319,8 +319,17 @@ private[catalog] class GraftMicroBatchStream(root: String,
 
   /** A fresh vectorized parquet scan over exactly `files`, pruned to
     * the stream's read schema — the same planning path as a batch read
-    * of the same manifest slice. */
+    * of the same manifest slice. Tables with RE-ADDED (physically
+    * remapped) columns refuse: the micro-batch scan resolves columns
+    * by name, and a remapped logical name would read the dropped
+    * column's dead bytes from pre-re-add files. */
   private def scanOver(files: Seq[String]): Scan = {
+    val phys = GraftTable.readMeta(root).map(m => GraftTable.physOf(m._2))
+      .getOrElse(Map.empty)
+    require(phys.isEmpty,
+      s"streaming reads of $root are unsupported while re-added columns " +
+        s"(${phys.keys.mkString(", ")}) carry a physical-name remap; " +
+        "rewrite into a fresh table to stream it")
     val b = GraftScans.parquetBuilder(spark, files, tableSchema, options,
       partSchema = partSchema)
     b.pruneColumns(readSchema)
@@ -447,6 +456,13 @@ private[catalog] class GraftStreamableScanBuilder(
       : Option[SnapAggPush.Served] =
     if (!org.apache.spark.sql.SparkSession.active.conf
         .get(SnapAggPush.ConfKey, "true").toBoolean) None
+    else if (GraftTable.readMeta(root).exists(m =>
+        GraftTable.physOf(m._2).nonEmpty)) None
+    // ^ tables with RE-ADDED (physically remapped) columns decline:
+    //   old files' stats for a remapped logical name describe the
+    //   DROPPED column's dead bytes — serving bounds from them would
+    //   cross the two meanings. Conservative whole-table decline; the
+    //   ordinary scan path stays correct.
     else {
       // identity layouts expose their partition columns for GROUP BY
       // serving and path-value bounds; bucket layouts expose nothing

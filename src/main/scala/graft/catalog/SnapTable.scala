@@ -98,9 +98,9 @@ class GraftTable(tableName: String, val root: String,
     * presents the newest spelling its own files carry, fully populated
     * — never a union schema with the column's values split across
     * half-null spellings. */
-  private lazy val pinnedResolution: Option[(StructType, Map[String, Seq[String]])] =
+  private lazy val pinnedResolution: Option[(StructType, Map[String, Seq[String]], Map[String, String])] =
     pinned.filter(_.files.nonEmpty).map { p =>
-      val merged =
+      val merged0 =
         try spark.read.option("mergeSchema", "true").parquet(p.files: _*).schema
         catch {
           case e: org.apache.spark.SparkException
@@ -112,6 +112,21 @@ class GraftTable(tableName: String, val root: String,
             // time travel into a widening boundary)
             GraftTable.mergeWiden(p.files.map(f => spark.read.parquet(f).schema))
         }
+      // RE-ADDED columns: a pinned version whose files carry the
+      // PHYSICAL spelling presents it under the LOGICAL name, and the
+      // dropped column's dead bytes under that name stay hidden
+      // (matching the head read). Versions predating the re-add (no
+      // physical spelling in any footer) are untouched — their field
+      // of that name is the OLD column, alive then.
+      val physAll = meta.map(m => GraftTable.physOf(m._2)).getOrElse(Map.empty)
+      val remap = physAll.filter { case (_, ph) => merged0.fieldNames.contains(ph) }
+      val merged =
+        if (remap.isEmpty) merged0
+        else StructType(merged0.fields.flatMap { f =>
+          if (remap.contains(f.name)) None // the first column's dead bytes
+          else remap.collectFirst { case (l, ph) if ph == f.name =>
+            f.copy(name = l) }.orElse(Some(f))
+        })
       val present = merged.fieldNames.toSet
       // full spelling history per chain, oldest → newest (ledger from
       // the CURRENT meta — renames are metadata-only, so the ledger is
@@ -125,7 +140,7 @@ class GraftTable(tableName: String, val root: String,
         .map { case (cur, ps) => ps :+ cur }
         .map(chain => chain.filter(present))
         .filter(_.length >= 2)
-      if (chains.isEmpty) (merged, Map.empty[String, Seq[String]])
+      if (chains.isEmpty) (merged, Map.empty[String, Seq[String]], remap)
       else {
         val newestOf = chains.map(c => c.head -> c.last).toMap // firstPresent → newest
         val laterSpellings = chains.flatMap(_.tail).toSet
@@ -156,7 +171,7 @@ class GraftTable(tableName: String, val root: String,
           else Some(f)
         })
         val prior = chains.map(c => c.last -> c.init).toMap
-        (collapsed, prior)
+        (collapsed, prior, remap)
       }
     }
 
@@ -166,7 +181,7 @@ class GraftTable(tableName: String, val root: String,
     // chains collapsed — see [[pinnedResolution]]); the declared meta
     // schema governs the head
     val declared = pinnedResolution match {
-      case Some((sc, _)) =>
+      case Some((sc, _, _)) =>
         // PARTITIONED tables: the pinned footers lack the partition
         // columns (they live in the path) — re-attach their declared
         // fields AT THEIR DECLARED ORDINALS, so a pinned SELECT *
@@ -230,6 +245,11 @@ class GraftTable(tableName: String, val root: String,
     * exclusive with [[morKey]] and PARTITIONED BY (enforced at DDL). */
   def positionalMor: Boolean =
     meta.exists(_._2.get(GraftTable.posMorProp).contains("true"))
+
+  /** logical → physical file spelling of RE-ADDED columns
+    * ([[GraftTable.colPhysPrefix]]); empty for the common case. */
+  private[catalog] def physMap: Map[String, String] =
+    meta.map(m => GraftTable.physOf(m._2)).getOrElse(Map.empty)
 
   /** Identity partition columns of a `PARTITIONED BY` table
     * ([[GraftTable.partColsProp]]); empty for unpartitioned. */
@@ -326,7 +346,7 @@ class GraftTable(tableName: String, val root: String,
     * coalesce into the newest one ([[pinnedResolution]]). */
   private def priors: Map[String, Seq[String]] =
     pinnedResolution match {
-      case Some((_, pr)) => pr
+      case Some((_, pr, _)) => pr
       case None if pinned.isDefined => Map.empty
       case None => meta.map(m => GraftTable.priorsOf(m._2)).getOrElse(Map.empty)
     }
@@ -365,9 +385,12 @@ class GraftTable(tableName: String, val root: String,
       case (Some(t), Some(dt)) => Some((t, dt))
       case _ => None
     }
+    val phys =
+      if (pinned.isDefined) pinnedResolution.map(_._3).getOrElse(Map.empty)
+      else physMap
     new GraftStreamableScanBuilder(
       GraftScans.builder(spark, sc, snap, options, priors, partSchema,
-        dropChains, dropTypes, bucketSpec, transSpec),
+        dropChains, dropTypes, bucketSpec, transSpec, remapped = phys),
       root, sc, priors, pinned.isDefined, snap, options, partCols, bucketSpec)
   }
 
@@ -379,7 +402,7 @@ class GraftTable(tableName: String, val root: String,
   private[catalog] def newRowIdScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(pinned.isEmpty, s"cannot run row-level ops against a pinned read of $tableName")
     GraftScans.builder(spark, schema(), snap, options,
-      emitRowId = true)
+      emitRowId = true, remapped = physMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -389,7 +412,7 @@ class GraftTable(tableName: String, val root: String,
       (transformSpec, transformSrcType) match {
         case (Some(t), Some(dt)) => Some((t, dt))
         case _ => None
-      })
+      }, physMap)
   }
 
   override def newRowLevelOperationBuilder(
@@ -493,6 +516,36 @@ object GraftTable {
   }
 
   /** current column name → its prior physical names, oldest→newest. */
+  /** PHYSICAL-SPELLING indirection for RE-ADDED columns (the narrow
+    * form of Delta's column mapping / Iceberg's field ids):
+    * `graft.col.phys.<logical>` = the spelling the column's data is
+    * written under in files. Minted ONLY when ADD COLUMN re-uses a
+    * tombstoned name — the logical name's old file bytes are dead, so
+    * new data writes under a fresh physical spelling and reads
+    * coalesce the physical spelling ONLY (never the logical — that
+    * would resurface the dead bytes). Absent mapping = physical ==
+    * logical, the zero-overhead common case. */
+  val colPhysPrefix = "graft.col.phys."
+
+  /** logical name → physical file spelling, for remapped columns. */
+  def physOf(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(colPhysPrefix) =>
+      k.stripPrefix(colPhysPrefix) -> v
+    }
+
+  /** Rename a DataFrame's remapped columns to their physical spellings
+    * (write-side; the one home of the logical→physical direction). */
+  def toPhysical(df: org.apache.spark.sql.DataFrame,
+      phys: Map[String, String]): org.apache.spark.sql.DataFrame =
+    phys.foldLeft(df) { case (d, (l, p)) =>
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d }
+
+  /** Same direction on a schema (positional writers — rows untouched). */
+  def toPhysicalSchema(schema: StructType,
+      phys: Map[String, String]): StructType =
+    StructType(schema.fields.map(f =>
+      phys.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+
   def priorsOf(props: Map[String, String]): Map[String, Seq[String]] =
     props.collect { case (k, v) if k.startsWith(colPriorPrefix) =>
       k.stripPrefix(colPriorPrefix) -> v.split(',').toSeq.filter(_.nonEmpty)
@@ -608,7 +661,8 @@ object GraftTable {
   * no-ops instead of double-appending. */
 private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
     partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None,
-    transform: Option[(SnapTransform.Spec, DataType)] = None)
+    transform: Option[(SnapTransform.Spec, DataType)] = None,
+    phys: Map[String, String] = Map.empty)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -625,16 +679,20 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
         // the catalog's v2 bucket function computes (hash = murmur3
         // seed 42 — SnapBucket.bucketIdOf), then partitionBy routes it
         def stage(out: String): Unit = {
+          // RE-ADDED columns write under their physical spelling — the
+          // single logical→physical point of the V1 path (layout
+          // columns can never be remapped: their drop is refused)
+          val data2 = GraftTable.toPhysical(data, phys)
           val w = (bucket, transform) match {
-            case (Some((c, n)), _) => SnapBucket.stageBucketed(data, c, n)
+            case (Some((c, n)), _) => SnapBucket.stageBucketed(data2, c, n)
             // a TRANSFORM table derives the synthetic ordinal segment
             // with the same exact-long-arithmetic expression the
             // row-level writer computes per row (SnapTransform) —
             // identity columns (if any) nest first, the ordinal last
             case (None, Some((t, dt))) =>
-              SnapTransform.stageTransformed(data, t, dt, partCols)
-            case (None, None) if partCols.isEmpty => data.write
-            case (None, None) => data.write.partitionBy(partCols: _*)
+              SnapTransform.stageTransformed(data2, t, dt, partCols)
+            case (None, None) if partCols.isEmpty => data2.write
+            case (None, None) => data2.write.partitionBy(partCols: _*)
           }
           w.mode("append").parquet(out)
         }
@@ -645,7 +703,7 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
       require(!overwrite,
         "streaming writes into snapshot-catalog tables are append-only")
       new GraftStreamingWrite(root, info.schema(), info.queryId(), partCols,
-        bucket, transform)
+        bucket, transform, phys)
     }
     override def description(): String =
       s"graft-snapshot ${if (overwrite) "overwrite" else "append"} $root"
@@ -665,7 +723,8 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
 private[catalog] class GraftStreamingWrite(root: String,
     schema: org.apache.spark.sql.types.StructType, queryId: String,
     partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None,
-    transform: Option[(SnapTransform.Spec, DataType)] = None)
+    transform: Option[(SnapTransform.Spec, DataType)] = None,
+    phys: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -687,7 +746,9 @@ private[catalog] class GraftStreamingWrite(root: String,
       if (localPart.isEmpty) localSchema
       else org.apache.spark.sql.types.StructType(
         localSchema.fields.filterNot(f => localPart.contains(f.name)))
-    val conf = ExecParquet.writerConf(dataSchema)
+    // remapped columns write under their physical spelling (schema
+    // rename only — rows are positional)
+    val conf = ExecParquet.writerConf(GraftTable.toPhysicalSchema(dataSchema, phys))
     val dir = stagingDir
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
@@ -767,7 +828,8 @@ private[catalog] object GraftScans {
       dropTypes: Map[String, DataType] = Map.empty,
       bucketSpec: Option[(String, Int)] = None,
       transformSpec: Option[(SnapTransform.Spec, DataType)] = None,
-      emitRowId: Boolean = false): ScanBuilder = {
+      emitRowId: Boolean = false,
+      remapped: Map[String, String] = Map.empty): ScanBuilder = {
     val files = snap.map(_.files).getOrElse(Nil)
     if (files.isEmpty) new EmptyScanBuilder(tableSchema)
     else {
@@ -776,11 +838,12 @@ private[catalog] object GraftScans {
       val statsRaw = snap.map(_.statsRaw).getOrElse(Map.empty[String, String])
       val blooms = snap.map(_.blooms).getOrElse(Map.empty[String, Seq[String]])
       if (deletes.isEmpty && posDels.isEmpty && !emitRowId) {
-        if (priors.isEmpty) parquetBuilder(spark, files, tableSchema, options,
-          statsRaw, blooms, partSchema, bucketSpec, transformSpec)
+        if (priors.isEmpty && remapped.isEmpty)
+          parquetBuilder(spark, files, tableSchema, options,
+            statsRaw, blooms, partSchema, bucketSpec, transformSpec)
         else new RenameAwareScanBuilder(spark, tableSchema, priors,
           files, options, statsRaw, blooms, partSchema, bucketSpec,
-          transformSpec)
+          transformSpec, remapped)
       } else {
         // evolution composes with pending deletes through the ledger
         // indirection: renamed columns (key or not) coalesce prior
@@ -789,7 +852,7 @@ private[catalog] object GraftScans {
         // Pending POSITION deletes and row-id emission (the positional
         // row-level operation's scan) route here too.
         new MorScanBuilder(spark, tableSchema, snap.get, options, priors,
-          dropChains, dropTypes, emitRowId = emitRowId)
+          dropChains, dropTypes, emitRowId = emitRowId, remapped = remapped)
       }
     }
   }
@@ -1216,20 +1279,34 @@ private[catalog] object GraftScans {
     * column followed by its prior spellings, newest first) and the
     * per-output-column coalesce expressions folding it back. */
   private[catalog] def renamePlan(schema: StructType,
-      priors: Map[String, Seq[String]])
+      priors: Map[String, Seq[String]],
+      remapped: Map[String, String] = Map.empty)
       : (StructType, Array[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    // file spellings per presented field, NEWEST FIRST. A renamed
+    // column coalesces its current spelling with its priors; a
+    // RE-ADDED (remapped) column reads its PHYSICAL spelling ONLY —
+    // its logical name also exists in old files as the dropped
+    // column's DEAD bytes, which must never resurface under the new
+    // meaning (the field-id rule, expressed as name indirection).
+    def spellings(f: org.apache.spark.sql.types.StructField): Seq[String] =
+      remapped.get(f.name) match {
+        case Some(p) => Seq(p)
+        case None => f.name +: priors.getOrElse(f.name, Nil).reverse
+      }
     val phys = StructType(schema.fields.flatMap { f =>
+      val sp = spellings(f)
       // a RENAMED column is physically absent from pre-rename files, so
       // its current spelling must be nullable in the UNION schema even
       // when the presented field is pinned non-null (the MOR key pin) —
-      // the coalesce below restores the value from the prior spelling
-      val cur = if (priors.getOrElse(f.name, Nil).nonEmpty) f.copy(nullable = true) else f
-      cur +: priors.getOrElse(f.name, Nil).reverse.map(p =>
-        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true)).toArray
+      // the coalesce below restores the value from the prior spelling;
+      // same for a remapped column's physical spelling (absent from
+      // pre-re-add files)
+      sp.map(name => org.apache.spark.sql.types.StructField(
+        name, f.dataType,
+        nullable = f.nullable || sp.length > 1 || remapped.contains(f.name)))
     })
     val exprs = schema.fields.map { f =>
-      val ords = (f.name +: priors.getOrElse(f.name, Nil).reverse)
-        .map(phys.fieldIndex)
+      val ords = spellings(f).map(phys.fieldIndex)
       val refs = ords.map(o => BoundReference(o, f.dataType, nullable = true)
         : org.apache.spark.sql.catalyst.expressions.Expression)
       if (refs.size == 1) refs.head
@@ -1305,7 +1382,8 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
     blooms: Map[String, Seq[String]] = Map.empty,
     partSchema: StructType = new StructType(),
     bucketSpec: Option[(String, Int)] = None,
-    transformSpec: Option[(SnapTransform.Spec, DataType)] = None)
+    transformSpec: Option[(SnapTransform.Spec, DataType)] = None,
+    remapped: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -1318,8 +1396,8 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
   // the bucket column, so bucket-directory pruning survives renames of
   // OTHER columns)
   private val inner = GraftScans.parquetBuilder(spark, files,
-    GraftScans.renamePlan(tableSchema, priors)._1, options, statsRaw, blooms,
-    partSchema, bucketSpec, transformSpec)
+    GraftScans.renamePlan(tableSchema, priors, remapped)._1, options,
+    statsRaw, blooms, partSchema, bucketSpec, transformSpec)
 
   private var requested: StructType = tableSchema
 
@@ -1329,7 +1407,12 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    val renamed = priors.keySet.map(_.toLowerCase)
+    // predicates on RENAMED columns don't forward (old files lack the
+    // spelling); predicates on RE-ADDED columns MUST not forward — old
+    // files carry the dropped column's DEAD bytes under the logical
+    // name, and parquet row-group stats over them could wrongly refute
+    val renamed = priors.keySet.map(_.toLowerCase) ++
+      remapped.keySet.map(_.toLowerCase)
     val eraInvariant = filters.filter(f => f.deterministic &&
       f.references.forall(a => !renamed.contains(a.name.toLowerCase)))
     inner.pushFilters(eraInvariant)
@@ -1354,7 +1437,7 @@ private[catalog] class RenameAwareScanBuilder(spark: SparkSession,
         requested.fields.filter(f => partSchema.fieldNames.contains(f.name)))
     // physical read schema (each requested column + its prior
     // spellings) and the folding coalesce — the shared rule
-    val (physSchema, exprs) = GraftScans.renamePlan(ordered, priors)
+    val (physSchema, exprs) = GraftScans.renamePlan(ordered, priors, remapped)
     if (physSchema == ordered) {
       // no requested column is renamed → the wrapper is pure overhead;
       // hand back Spark's own vectorized pushdown scan untouched
@@ -1658,7 +1741,8 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
     priors: Map[String, Seq[String]] = Map.empty,
     dropChains: Map[String, Seq[String]] = Map.empty,
     dropTypes: Map[String, DataType] = Map.empty,
-    emitRowId: Boolean = false)
+    emitRowId: Boolean = false,
+    remapped: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -1739,7 +1823,8 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    val renamed = priors.keySet.map(_.toLowerCase)
+    val renamed = priors.keySet.map(_.toLowerCase) ++
+      remapped.keySet.map(_.toLowerCase)
     val eraInvariant = filters.filter(f => f.deterministic &&
       f.references.forall(a => !renamed.contains(a.name.toLowerCase)))
     // pos-era scans take NO pushed predicates: the row-index generator
@@ -1829,9 +1914,10 @@ private[catalog] class MorScanBuilder(spark: SparkSession,
       readSchema.fieldNames.contains(fin) && !tableSchema.fieldNames.contains(fin)
     }
     val (physSchema, exprs) = GraftScans.renamePlan(readSchema,
-      priors ++ shadowChains)
+      priors ++ shadowChains, remapped)
     val coalesceExprs: Option[Array[org.apache.spark.sql.catalyst.expressions.Expression]] =
-      if (physSchema.length == readSchema.length) None else Some(exprs)
+      if (physSchema.length == readSchema.length && remapped.isEmpty) None
+      else Some(exprs)
 
     // pos-era variants: the physical schema gains the row-index field
     // LAST, and the coalesce projection (when present) carries it

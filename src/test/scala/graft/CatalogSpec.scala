@@ -228,11 +228,12 @@ class CatalogSpec extends SparkSpec {
       .columns.toSeq == Seq("k", "amount", "note"))
     assert(sqlDf("SELECT sum(amount) FROM snap.default.ren VERSION AS OF 1")
       .as[Double].head() == 100.0)
-    // name-reuse is tombstoned: old bytes must not resurface
-    intercept[Exception](
-      sqlDf("ALTER TABLE snap.default.ren ADD COLUMN note STRING"))
-    intercept[Exception](
-      sqlDf("ALTER TABLE snap.default.ren ADD COLUMN amount DOUBLE"))
+    // name re-use is LEGAL since r18 (physical remap — the re-added
+    // column reads a fresh physical spelling, never the dead bytes);
+    // RENAME onto a tombstoned name stays refused (only ADD re-uses)
+    sqlDf("ALTER TABLE snap.default.ren ADD COLUMN note STRING")
+    assert(sqlDf("SELECT count(note) FROM snap.default.ren").as[Long].head() == 0L,
+      "re-added 'note' must NOT resurface the dropped column's bytes")
     intercept[Exception](
       sqlDf("ALTER TABLE snap.default.ren RENAME COLUMN price_usd TO amount"))
     // copy-on-write statements run over the rename-aware scan

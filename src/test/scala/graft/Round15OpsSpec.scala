@@ -40,11 +40,13 @@ class Round15OpsSpec extends SparkSpec {
     // pre-rename version unaffected: original name, original values
     assert(sqlDf("SELECT sum(amount) FROM snap.default.rdrop VERSION AS OF 1")
       .as[Double].head() == 100.0)
-    // the tombstone still blocks resurrection of every spelling
-    intercept[Exception](
-      sqlDf("ALTER TABLE snap.default.rdrop ADD COLUMN amount DOUBLE"))
-    intercept[Exception](
-      sqlDf("ALTER TABLE snap.default.rdrop ADD COLUMN price DOUBLE"))
+    // every spelling of the dropped chain RE-ADDS legally since r18:
+    // the physical remap keeps the dead bytes dead under BOTH spellings
+    sqlDf("ALTER TABLE snap.default.rdrop ADD COLUMN amount DOUBLE")
+    sqlDf("ALTER TABLE snap.default.rdrop ADD COLUMN price DOUBLE")
+    assert(sqlDf("SELECT count(amount), count(price) FROM snap.default.rdrop")
+      .collect().head.toSeq == Seq(0L, 0L),
+      "re-added spellings must NOT resurface the dropped chain's bytes")
     // a full copy-on-write rewrite clears the dropchain ledger with the
     // rest (DELETE routes through the row-level rewrite commit, which
     // owns the ledger clear)

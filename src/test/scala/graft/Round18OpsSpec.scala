@@ -365,6 +365,124 @@ class Round18OpsSpec extends SparkSpec {
       s"only the 5 genuinely updated rows (k in [10,15)) may surface: $byType2")
   }
 
+  test("spelling re-use: a dropped name re-adds under a physical remap; dead bytes stay dead") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18reuse")
+    sqlDf("""CREATE TABLE snap.default.r18reuse (k BIGINT, v DOUBLE, tag STRING)
+            |TBLPROPERTIES ('graft.bloom.cols'='k')""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r18reuse
+            |SELECT id, id * 1.0, concat('old', id % 3) FROM range(0, 300)""".stripMargin)
+    sqlDf("ALTER TABLE snap.default.r18reuse DROP COLUMN tag")
+    sqlDf("INSERT INTO snap.default.r18reuse SELECT id, id * 1.0 FROM range(300, 400)")
+    // r18: RE-ADDING the dropped name is legal — the column gets a
+    // fresh PHYSICAL spelling; the dropped column's bytes (old0/old1/
+    // old2 in the first 300 rows' files) can never resurface under it
+    sqlDf("ALTER TABLE snap.default.r18reuse ADD COLUMN tag STRING")
+    sqlDf("""INSERT INTO snap.default.r18reuse
+            |SELECT id, id * 1.0, concat('new', id % 2) FROM range(400, 500)""".stripMargin)
+    val root = s"$wh/default/r18reuse"
+    // the remap ledger exists and new files carry the physical spelling
+    val props = graft.catalog.GraftTable.readMeta(root).get._2
+    val phys = graft.catalog.GraftTable.physOf(props)
+    assert(phys.contains("tag"), s"remap ledger must record tag: $props")
+    // commits: v1/v2 = the two pre-re-add inserts, v3 = the
+    // post-re-add insert (DDL is metadata-only, no commit)
+    val newest = Snapshots.resolve(root).get.files
+      .filter(_.contains("v00000003"))
+    assert(newest.nonEmpty)
+    val footer = spark.read.parquet(newest: _*).schema.fieldNames.toSet
+    assert(footer.contains(phys("tag")) && !footer.contains("tag"),
+      s"new files must carry the PHYSICAL spelling only: $footer")
+    // pre-re-add rows read NULL; post-re-add rows read their values;
+    // the dead old0/old1/old2 bytes never surface
+    val byTag = sqlDf(
+      """SELECT tag, count(*) AS n FROM snap.default.r18reuse
+        |GROUP BY tag ORDER BY tag NULLS FIRST""".stripMargin).collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(byTag == Map("NULL" -> 400L, "new0" -> 50L, "new1" -> 50L),
+      s"dead bytes resurfaced or new values lost: $byTag")
+    // predicates on the re-added column answer exactly (and must not
+    // be refuted by the dead column's parquet stats in old files)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse WHERE tag = 'new1'")
+      .as[Long].head() == 50L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse WHERE tag IS NULL")
+      .as[Long].head() == 400L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse WHERE tag = 'old1'")
+      .as[Long].head() == 0L, "the dropped column's values are gone")
+    // COW rewrite (UPDATE) keeps the remap coherent
+    sqlDf("UPDATE snap.default.r18reuse SET tag = 'upd' WHERE k = 450")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse WHERE tag = 'upd'")
+      .as[Long].head() == 1L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse WHERE tag IS NULL")
+      .as[Long].head() == 400L, "the rewrite must keep pre-re-add rows NULL")
+    // time travel: v1 (pre-drop) presents the OLD column's values;
+    // the post-re-add pinned version presents the new meaning
+    val v1 = sqlDf("SELECT count(*) FROM snap.default.r18reuse VERSION AS OF 1 WHERE tag = 'old1'")
+    assert(v1.as[Long].head() == 100L, "pre-drop versions own the old column")
+    val v3 = sqlDf("SELECT count(*) FROM snap.default.r18reuse VERSION AS OF 3 WHERE tag = 'new1'")
+    assert(v3.as[Long].head() == 50L, "post-re-add versions own the new column")
+    // compaction keeps the physical spelling and the values
+    // (k=450 was new0 before the UPDATE flipped it to 'upd')
+    sqlDf("CALL snap.system.compact('default.r18reuse')").collect()
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse WHERE tag = 'new0'")
+      .as[Long].head() == 49L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse WHERE tag IS NULL")
+      .as[Long].head() == 400L)
+  }
+
+  test("spelling re-use: renamed-away names, MOR-key interleaving, guards") {
+    // (a) re-adding a RENAMED-AWAY spelling: old bytes belong to the
+    // renamed column and keep coalescing into it; the re-added column
+    // is physically separate
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18reuse2")
+    sqlDf("CREATE TABLE snap.default.r18reuse2 (k BIGINT, v DOUBLE)")
+    sqlDf("INSERT INTO snap.default.r18reuse2 SELECT id, id * 1.0 FROM range(0, 100)")
+    sqlDf("ALTER TABLE snap.default.r18reuse2 RENAME COLUMN v TO w")
+    sqlDf("ALTER TABLE snap.default.r18reuse2 ADD COLUMN v DOUBLE")
+    sqlDf("INSERT INTO snap.default.r18reuse2 SELECT id, id * 1.0, id * 10.0 FROM range(100, 150)")
+    assert(sqlDf("SELECT CAST(SUM(w) AS BIGINT) FROM snap.default.r18reuse2")
+      .as[Long].head() == (0 until 150).map(_.toDouble).sum.toLong,
+      "the renamed column keeps coalescing its old spelling")
+    assert(sqlDf("SELECT CAST(SUM(v) AS BIGINT) FROM snap.default.r18reuse2")
+      .as[Long].head() == (100 until 150).map(_ * 10.0).sum.toLong,
+      "the re-added column reads ONLY its physical spelling")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse2 WHERE v IS NULL")
+      .as[Long].head() == 100L)
+    // (b) MOR-key interleaving: re-adding the dropped KEY name is
+    // refused while pending deletes still resolve to it; a rewrite
+    // (compact) clears them and the re-add proceeds
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18reuse3")
+    sqlDf("""CREATE TABLE snap.default.r18reuse3 (ck BIGINT, val DOUBLE)
+            |TBLPROPERTIES ('graft.mor.key'='ck')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r18reuse3 SELECT id, id * 1.0 FROM range(0, 100)")
+    sqlDf("DELETE FROM snap.default.r18reuse3 WHERE ck < 10") // pending #del on ck
+    sqlDf("ALTER TABLE snap.default.r18reuse3 DROP COLUMN ck")  // de-configures MOR
+    val e = intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r18reuse3 ADD COLUMN ck BIGINT"))
+    assert(e.getMessage.contains("pending merge-on-read deletes"), e.getMessage)
+    sqlDf("CALL snap.system.compact('default.r18reuse3')").collect() // absorbs deletes
+    sqlDf("ALTER TABLE snap.default.r18reuse3 ADD COLUMN ck BIGINT") // now legal
+    sqlDf("INSERT INTO snap.default.r18reuse3 SELECT id * 1.0, id + 1000 FROM range(0, 5)")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse3").as[Long].head() == 95L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18reuse3 WHERE ck >= 1000")
+      .as[Long].head() == 5L, "the re-added key column carries only new values")
+    // (c) guards: remapped columns refuse rename and (while the first
+    // drop's ledger lives) re-drop; a fresh add colliding with the
+    // physical spelling is refused
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18reuse4")
+    sqlDf("CREATE TABLE snap.default.r18reuse4 (k BIGINT, t STRING)")
+    sqlDf("INSERT INTO snap.default.r18reuse4 VALUES (1, 'a')")
+    sqlDf("ALTER TABLE snap.default.r18reuse4 DROP COLUMN t")
+    sqlDf("ALTER TABLE snap.default.r18reuse4 ADD COLUMN t STRING")
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r18reuse4 RENAME COLUMN t TO t2"))
+    intercept[Exception](
+      sqlDf("ALTER TABLE snap.default.r18reuse4 DROP COLUMN t"))
+    val props4 = graft.catalog.GraftTable.readMeta(s"$wh/default/r18reuse4").get._2
+    val physT = graft.catalog.GraftTable.physOf(props4)("t")
+    intercept[Exception](
+      sqlDf(s"ALTER TABLE snap.default.r18reuse4 ADD COLUMN $physT STRING"))
+  }
+
   test("the commit funnel refuses '_gbucket=' staging without a declared bucket layout") {
     val root = Qx.tmpOut("r18gb", sf())
     val ex = intercept[IllegalArgumentException] {
