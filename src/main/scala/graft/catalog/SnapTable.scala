@@ -2123,6 +2123,14 @@ private[catalog] class MorReaderFactory(
     val identity = rowIdxSlot < 0 && outOrdinals.length == readTypes.length &&
       outOrdinals.zipWithIndex.forall { case (o, i) => o == i }
     val synthesize = outOrdinals.exists(_ < 0)
+    // the row-id metadata columns are an operation-plumbing surface:
+    // only pos-era readers (which carry the generated ordinal and the
+    // partition's file) can fill them — a plain-era partition asked
+    // for them means a direct SELECT of _gfile/_gpos outside a
+    // row-level operation, which this scan shape does not serve
+    if (synthesize && rowIdxSlot < 0) throw new IllegalStateException(
+      s"${GraftRowId.FileCol}/${GraftRowId.PosCol} are row-id plumbing " +
+        "for row-level operations and are not served on this scan shape")
     val project: InternalRow => InternalRow =
       if (identity) r => r
       else if (!synthesize) {
