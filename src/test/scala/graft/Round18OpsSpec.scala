@@ -99,6 +99,93 @@ class Round18OpsSpec extends SparkSpec {
     assert(SnapTransform.ordinalOf(null, TimestampType, days) == null)
   }
 
+  test("write-side ordinal Column agrees with the row/prune-side ordinal for EVERY kind") {
+    // the layout is written by the SQL expression (ordinalCol) and
+    // pruned/row-routed by the JVM function (ordinalOf) — any
+    // disagreement silently drops rows from pruned reads, so pin
+    // equality over a hostile value grid per transform kind
+    import graft.catalog.SnapTransform
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val micros = Seq(
+      -1L, 0L, 1L, 86399999999L, 86400000000L, // epoch-day boundary
+      -86400000001L,                           // pre-epoch floor
+      1700000000000000L, 1706745599999999L,    // 2024-01-31T23:59:59.999999
+      1706745600000000L,                       // 2024-02-01T00:00:00
+      4102444800000000L)                       // 2100-01-01
+    val tsDf = micros.toDF("us").selectExpr("timestamp_micros(us) AS ts", "us")
+    for (kind <- Seq("years", "months", "days", "hours")) {
+      val spec = SnapTransform.Spec(kind, "ts", 0L)
+      val got = tsDf
+        .withColumn("ord", SnapTransform.ordinalCol("ts", TimestampType, spec))
+        .select("us", "ord").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      micros.foreach { u =>
+        val expected = SnapTransform.ordinalOf(u, TimestampType, spec)
+        assert(got(u) == expected,
+          s"$kind($u): Column says ${got(u)}, row side says $expected")
+      }
+    }
+    // DateType sources for years/months/days
+    val days = Seq(-1, 0, 1, 19738, 47482)
+    val dDf = days.toDF("d").selectExpr("date_from_unix_date(d) AS dt", "d")
+    for (kind <- Seq("years", "months", "days")) {
+      val spec = SnapTransform.Spec(kind, "dt", 0L)
+      val got = dDf
+        .withColumn("ord", SnapTransform.ordinalCol("dt", DateType, spec))
+        .select("d", "ord").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      days.foreach { d =>
+        val expected = SnapTransform.ordinalOf(Integer.valueOf(d), DateType, spec)
+        assert(got(d) == expected,
+          s"$kind(date $d): Column says ${got(d)}, row side says $expected")
+      }
+    }
+    // integer and string truncation
+    val longs = Seq(-21L, -20L, -1L, 0L, 1L, 19L, 20L, Long.MaxValue / 2)
+    val lDf = longs.toDF("k")
+    val lSpec = SnapTransform.Spec("truncate", "k", 20L)
+    val gotL = lDf.withColumn("ord", SnapTransform.ordinalCol("k", LongType, lSpec))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    longs.foreach { v =>
+      val expected = SnapTransform.ordinalOf(java.lang.Long.valueOf(v), LongType, lSpec)
+      assert(gotL(v) == expected, s"truncate($v): ${gotL(v)} vs $expected")
+    }
+    val strs = Seq("", "a", "abc", "abcdef", "héllo", "日本語のテキスト")
+    val sDf = strs.toDF("s")
+    val sSpec = SnapTransform.Spec("truncate", "s", 3L)
+    val gotS = sDf.withColumn("ord", SnapTransform.ordinalCol("s", StringType, sSpec))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    strs.foreach { v =>
+      val expected = SnapTransform.ordinalOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType, sSpec)
+      assert(gotS(v) == expected.toString, s"truncate('$v'): ${gotS(v)} vs $expected")
+    }
+  }
+
+  test("months(ts) end to end: layout, pruning, exact counts across month boundaries") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18mon")
+    sqlDf("""CREATE TABLE snap.default.r18mon (k BIGINT, ts TIMESTAMP)
+            |PARTITIONED BY (months(ts))""".stripMargin)
+    // six months of every-three-days events
+    sqlDf("""INSERT INTO snap.default.r18mon
+            |SELECT id, timestamp_micros(CAST(1704067200000000 + id * 259200000000 AS BIGINT))
+            |FROM range(0, 60)""".stripMargin)
+    val full = plannedFiles(sqlDf("SELECT * FROM snap.default.r18mon")).size
+    val feb = sqlDf(
+      """SELECT count(*) FROM snap.default.r18mon
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-03-01 00:00:00'""".stripMargin)
+    assert(plannedFiles(feb).size < full, "month range must prune")
+    // Feb 2024 (leap): days 31..59 of the year → ids 11..19 (3-day grid
+    // starting Jan 1) — recompute exactly
+    val expected = (0 until 60).count { id =>
+      val d = java.time.LocalDate.ofEpochDay(19723 + (id * 3L)) // 2024-01-01 + 3d*id
+      d.getYear == 2024 && d.getMonthValue == 2
+    }
+    assert(feb.as[Long].head() == expected.toLong, s"feb rows: expected $expected")
+  }
+
   test("days(ts) tables stage ordinal dirs, prune day ranges, and answer exactly") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r18days")
     sqlDf("""CREATE TABLE snap.default.r18days (k BIGINT, ts TIMESTAMP, v DOUBLE)
