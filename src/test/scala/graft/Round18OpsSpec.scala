@@ -570,6 +570,92 @@ class Round18OpsSpec extends SparkSpec {
       sqlDf(s"ALTER TABLE snap.default.r18reuse4 ADD COLUMN $physT STRING"))
   }
 
+  test("streaming epochs land under the transform layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18strm")
+    sqlDf("""CREATE TABLE snap.default.r18strm (k BIGINT, ts TIMESTAMP)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+    val ms = MemoryStream[Long]
+    val ckpt = Qx.tmpOut("r18strmckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    ms.addData(0L until 20L: _*) // BEFORE start: AvailableNow pins at launch
+    val q = ms.toDF().toDF("k")
+      .selectExpr("k", "timestamp_micros(1700000000000000 + k * 43200000000) AS ts")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable("snap.default.r18strm")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val root = s"$wh/default/r18strm"
+    val files = Snapshots.resolve(root).get.files
+    assert(files.nonEmpty && files.forall(_.contains("/_gtpart=")),
+      s"streamed epochs must stage under ordinal dirs: ${files.take(2)}")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18strm").as[Long].head() == 20L)
+    val day = sqlDf(
+      """SELECT count(*) FROM snap.default.r18strm
+        |WHERE ts >= timestamp_micros(1700092800000000)
+        |  AND ts <  timestamp_micros(1700179200000000)""".stripMargin)
+    assert(day.as[Long].head() == 2L, "two half-day rows per day")
+    assert(plannedFiles(day).size < files.size, "streamed dirs must prune")
+  }
+
+  test("posdel commits classify as change commits for streams; vacuum keeps pair files") {
+    import org.apache.spark.sql.streaming.Trigger
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18posv")
+    sqlDf("""CREATE TABLE snap.default.r18posv (k BIGINT, v DOUBLE)
+            |TBLPROPERTIES ('graft.mor.positional'='true')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r18posv SELECT id, id * 1.0 FROM range(0, 100)")
+    sqlDf("DELETE FROM snap.default.r18posv WHERE v >= 50.0 AND v < 60.0")
+    sqlDf("INSERT INTO snap.default.r18posv SELECT id, id * 1.0 FROM range(100, 110)")
+    val root = s"$wh/default/r18posv"
+    // vacuum below the posdel version: the pair files are REFERENCED by
+    // the head and must survive (reads still hide the rows)
+    Snapshots.vacuum(root, keepLast = 1)
+    val s1 = Snapshots.resolve(root).get
+    assert(s1.posDeletes.nonEmpty)
+    s1.posDeletes.values.flatten.foreach(pf =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(pf)),
+        s"vacuum must keep the referenced pair file $pf"))
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18posv").as[Long].head() == 100L)
+    // a fresh stream over the table refuses: the initial snapshot
+    // carries pending position deletes (raw files would leak the
+    // hidden rows) — same contract as pending equality deletes
+    val ckpt = Qx.tmpOut("r18posvck", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val ex = intercept[Exception] {
+      val q = spark.readStream.table("snap.default.r18posv")
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable(); q.awaitTermination() } finally q.stop()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("pending merge-on-read"),
+      s"streaming over pending posdels must refuse: ${ex.getMessage}")
+  }
+
+  test("MOR equality reads compose with a remapped (re-added) non-key column") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r18mix")
+    sqlDf("""CREATE TABLE snap.default.r18mix (ck BIGINT, val DOUBLE, note STRING)
+            |TBLPROPERTIES ('graft.mor.key'='ck')""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r18mix
+            |SELECT id, id * 1.0, concat('n', id % 5) FROM range(0, 100)""".stripMargin)
+    sqlDf("ALTER TABLE snap.default.r18mix DROP COLUMN note")
+    sqlDf("ALTER TABLE snap.default.r18mix ADD COLUMN note STRING") // remap
+    sqlDf("""INSERT INTO snap.default.r18mix
+            |SELECT id, id * 1.0, concat('m', id % 2) FROM range(100, 120)""".stripMargin)
+    // pending equality delete AFTER the remap: the MOR scan must apply
+    // the key filter AND keep the remapped column coherent
+    sqlDf("DELETE FROM snap.default.r18mix WHERE ck < 10")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18mix").as[Long].head() == 110L)
+    val byNote = sqlDf(
+      """SELECT note, count(*) AS n FROM snap.default.r18mix
+        |GROUP BY note ORDER BY note NULLS FIRST""".stripMargin).collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(byNote == Map("NULL" -> 90L, "m0" -> 10L, "m1" -> 10L),
+      s"dead bytes resurfaced through the MOR scan: $byNote")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18mix WHERE note = 'n1'")
+      .as[Long].head() == 0L)
+  }
+
   test("the commit funnel refuses '_gbucket=' staging without a declared bucket layout") {
     val root = Qx.tmpOut("r18gb", sf())
     val ex = intercept[IllegalArgumentException] {
