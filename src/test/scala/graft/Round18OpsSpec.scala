@@ -376,6 +376,11 @@ class Round18OpsSpec extends SparkSpec {
     // time travel to v1 sees every row
     assert(sqlDf("SELECT count(*) FROM snap.default.r18pos VERSION AS OF 1")
       .as[Long].head() == 1000L)
+    // ... and travel INTO a version with pending posdels applies
+    // exactly that version's pairs (v2 = after the first delete only)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r18pos VERSION AS OF 2")
+      .as[Long].head() == 900L,
+      "a pinned read must apply its own version's position deletes")
     // aggregate correctness through the posdel-applying scan
     val agg = sqlDf(
       """SELECT grp, count(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
