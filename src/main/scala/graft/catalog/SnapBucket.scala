@@ -26,15 +26,34 @@ import org.apache.spark.sql.types._
   * key types must never be treated as co-partitioned.
   *
   * Type scope: int / long / string keys (the practical join-key
-  * types). A widening of the bucket column would CHANGE the hash of
-  * every existing value, so ALTER refuses to rename, drop, or retype
-  * it ([[GraftCatalog.alterTable]]). */
+  * types). INT keys hash AS LONGS (Iceberg's bucket-spec rule): the
+  * murmur3 of an int and of a long differ, so promoting every int key
+  * to 64 bits BEFORE hashing is what makes `ALTER COLUMN k TYPE
+  * BIGINT` a metadata-only widening — every committed bucket
+  * assignment is already the long-hash of the value, so nothing
+  * re-buckets and a storage-partitioned join across the widening
+  * stays zero-exchange (the canonical function name reports `bigint`
+  * for both int and long keys for the same reason). String keys hash
+  * their UTF-8 bytes; no widening applies. */
 private[graft] object SnapBucket {
 
   /** Table property: `<col>,<n>`. Mutually exclusive with identity
     * `PARTITIONED BY` columns and with `graft.mor.key` (the delta
     * writer stages flat files that would break any layout). */
   val prop = "graft.partition.bucket"
+
+  /** A RETIRED bucket layout (Iceberg's DROP PARTITION FIELD, entered
+    * via `UNSET TBLPROPERTIES ('graft.partition.bucket')`): committed
+    * files keep their `_gbucket=<id>` directories and the scan keeps
+    * parsing (and, while the key column lives, PRUNING) them, but new
+    * writes stage flat, the table stops reporting a bucket
+    * partitioning (no storage-partitioned join), and the former key
+    * column becomes an ordinary column — droppable, like any other.
+    * Same `<col>,<n>` rendering as [[prop]]. */
+  val retiredProp = "graft.partition.bucket.retired"
+
+  def ofRetired(props: Map[String, String]): Option[(String, Int)] =
+    of(props.get(retiredProp).map(prop -> _).toMap)
 
   def of(props: Map[String, String]): Option[(String, Int)] =
     props.get(prop).flatMap { v =>
@@ -58,6 +77,12 @@ private[graft] object SnapBucket {
   val partSchema: StructType = StructType(Seq(StructField(
     graft.sources.Snapshots.bucketPathCol, IntegerType, nullable = false)))
 
+  /** Retired-layout variant: NULLABLE, because post-retirement files
+    * stage flat (no `_gbucket=` segment) and parse a NULL id, which
+    * pruning always keeps. */
+  val partSchemaRetired: StructType = StructType(Seq(StructField(
+    graft.sources.Snapshots.bucketPathCol, IntegerType, nullable = true)))
+
   /** DataFrame-side staging: derive the synthetic segment with the
     * same seed-42 function [[bucketIdOf]] computes row-side, and route
     * through partitionBy — the one home of the write-path rule (the V1
@@ -65,8 +90,15 @@ private[graft] object SnapBucket {
   def stageBucketed(df: org.apache.spark.sql.DataFrame, col: String,
       n: Int): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.{col => c, hash, lit, pmod}
+    // int keys promote to long BEFORE hashing (the widening-safe rule
+    // bucketIdOf applies row-side) — a plain cast, so a NULL stays
+    // NULL and hashes to the seed either way
+    val key = df.schema(col).dataType match {
+      case IntegerType => c(col).cast(LongType)
+      case _ => c(col)
+    }
     df.withColumn(graft.sources.Snapshots.bucketPathCol,
-        pmod(hash(c(col)), lit(n)))
+        pmod(hash(key), lit(n)))
       .write.partitionBy(graft.sources.Snapshots.bucketPathCol)
   }
 
@@ -75,10 +107,18 @@ private[graft] object SnapBucket {
     * seed 42, truncated to int — this is the same computation). A NULL
     * key hashes to the seed itself, exactly like `hash(NULL)`. */
   def bucketIdOf(value: Any, dt: DataType, n: Int): Int = {
+    // int keys hash as longs (see class doc): widening int->bigint
+    // must preserve every committed assignment
+    val (v2, dt2) = (value, dt) match {
+      case (null, _) => (null, dt)
+      case (i: java.lang.Integer, IntegerType) =>
+        (java.lang.Long.valueOf(i.longValue()), LongType)
+      case _ => (value, dt)
+    }
     val h =
-      if (value == null) 42
+      if (v2 == null) 42
       else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-        .hash(value, dt, 42L).toInt
+        .hash(v2, dt2, 42L).toInt
     java.lang.Math.floorMod(h, n)
   }
 
@@ -105,8 +145,14 @@ private[graft] object SnapBucket {
     override def resultType(): DataType = IntegerType
     override def isResultNullable: Boolean = false
     override def name(): String = "bucket"
-    // the KEY TYPE is part of the identity: hashInt(x) != hashLong(x)
-    override def canonicalName(): String = s"graft.bucket(${dt.simpleString})"
+    // the KEY TYPE is part of the identity — EXCEPT int, which hashes
+    // as long (bucketIdOf promotes), so int- and long-keyed sides of a
+    // storage-partitioned join ARE co-partitioned and a widened table
+    // keeps matching its unwidened twin
+    override def canonicalName(): String = dt match {
+      case IntegerType => s"graft.bucket(${LongType.simpleString})"
+      case _ => s"graft.bucket(${dt.simpleString})"
+    }
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
       val v = if (input.isNullAt(1)) null else input.get(1, dt)

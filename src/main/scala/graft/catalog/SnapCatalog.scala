@@ -479,13 +479,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         def followTransform(m: Map[String, String]) =
           SnapTransform.of(m).filter(_.col == from).fold(m)(t =>
             m + (SnapTransform.prop -> t.copy(col = to).render))
+        // RETIRED layouts follow renames too: their committed
+        // directories still prune on the (renamed) source column
+        def followRetired(m: Map[String, String]) = {
+          val m2 = SnapBucket.ofRetired(m).filter(_._1 == from).fold(m) {
+            case (_, n) =>
+              m + (SnapBucket.retiredProp -> SnapBucket.render(to, n)) }
+          SnapTransform.ofRetired(m2).filter(_.col == from).fold(m2)(t =>
+            m2 + (SnapTransform.retiredProp -> t.copy(col = to).render))
+        }
         def followBloom(m: Map[String, String]) =
           m.get("graft.bloom.cols")
             .filter(_.split(',').map(_.trim).contains(from)).fold(m)(v =>
               m + ("graft.bloom.cols" -> v.split(',').map(_.trim)
                 .map(c => if (c == from) to else c).mkString(",")))
-        val pr2 = followBloom(followTransform(followBucket(followMorKey(
-          pr - priorKey + (s"${GraftTable.colPriorPrefix}$to" -> history)))))
+        val pr2 = followBloom(followRetired(followTransform(followBucket(followMorKey(
+          pr - priorKey + (s"${GraftTable.colPriorPrefix}$to" -> history))))))
         (StructType(sc.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)), pr2)
       case ((sc, pr), del: TableChange.DeleteColumn) =>
@@ -570,15 +579,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!GraftTable.partColsOf(pr).contains(name),
           s"cannot change the type of partition column '$name' (committed " +
             "path values were rendered at the old type)")
-        require(!SnapBucket.of(pr).exists(_._1 == name),
-          s"cannot change the type of bucket column '$name': murmur3 hashes " +
-            "an int and a long DIFFERENTLY, so widening would re-bucket " +
-            "every existing value — rewrite into a new table instead")
-        require(!SnapTransform.of(pr).exists(_.col == name),
-          s"cannot change the type of transform source column '$name' " +
-            "(committed ordinals were derived at the old type)")
         val from = sc(name).dataType
         val to = upd.newDataType()
+        // bucket keys hash int-AS-long ([[SnapBucket.bucketIdOf]],
+        // Iceberg's spec rule), so int->bigint preserves every
+        // committed bucket assignment and is metadata-only like any
+        // other widening; the same holds for truncate-transform
+        // ordinals (ordinalOf promotes int sources to long before the
+        // floorDiv). Any OTHER retype of a layout source still
+        // re-keys the committed directories and is refused.
+        val layoutSafe = from == org.apache.spark.sql.types.IntegerType &&
+          to == org.apache.spark.sql.types.LongType
+        require(layoutSafe || !SnapBucket.of(pr).exists(_._1 == name),
+          s"cannot change the type of bucket column '$name': only " +
+            "int->bigint preserves committed bucket assignments (keys " +
+            "hash as longs) — any other retype needs a rewrite into a " +
+            "new table")
+        require(layoutSafe || !SnapTransform.of(pr).exists(_.col == name),
+          s"cannot change the type of transform source column '$name': " +
+            "only int->bigint preserves committed truncate ordinals — " +
+            "any other retype needs a rewrite into a new table")
         require(GraftTable.widensTo(from, to),
           s"ALTER COLUMN type change ${from.simpleString} -> ${to.simpleString} " +
             "is not a safe widening (int->bigint, float->double, decimal " +
@@ -602,6 +622,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           set.property() != SnapBucket.prop,
           "the partition layout is fixed at CREATE TABLE (committed files " +
             "carry the declared layout paths)")
+        require(set.property() != SnapBucket.retiredProp &&
+          set.property() != SnapTransform.retiredProp,
+          "the retired-layout ledger is maintained by UNSET TBLPROPERTIES " +
+            "of the live layout, never set directly")
         // PARTITION EVOLUTION entry point: a time/truncate transform
         // may be ADOPTED by a live table (unpartitioned or identity-
         // partitioned) because the segment is DERIVED — the source
@@ -616,8 +640,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "the table already declares a partition transform; changing " +
               "it would misread committed ordinals — rewrite into a new " +
               "table instead")
-          require(SnapBucket.of(pr).isEmpty,
-            "a bucket layout does not compose with time/truncate transforms")
+          require(SnapTransform.ofRetired(pr).isEmpty,
+            "a RETIRED transform's committed ordinals still occupy the " +
+              "_gtpart segment; adopting a new transform would misread " +
+              "them — rewrite into a new table instead")
+          require(SnapBucket.of(pr).isEmpty && SnapBucket.ofRetired(pr).isEmpty,
+            "a (live or retired) bucket layout does not compose with " +
+              "time/truncate transforms")
           require(!pr.contains(GraftTable.morKeyProp),
             "graft.mor.key does not compose with PARTITIONED BY yet (delta " +
               "writes stage flat files that would break the partition layout)")
@@ -661,12 +690,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "manifest-line delimiter)")
         (sc, pr + (set.property() -> set.value()))
       case ((sc, pr), rm: TableChange.RemoveProperty) =>
-        require(rm.property() != SnapBucket.prop &&
-          rm.property() != SnapTransform.prop &&
-          rm.property() != GraftTable.partColsProp,
-          "the partition layout is fixed at CREATE TABLE (committed files " +
-            "carry the declared layout paths)")
-        (sc, pr - rm.property())
+        // UNSETting a DERIVED layout RETIRES it (Iceberg's DROP
+        // PARTITION FIELD): the spec moves to the retired ledger, so
+        // committed `_gbucket=`/`_gtpart=` directories keep parsing
+        // (and pruning while the source column lives), new writes
+        // stage flat, SPJ reporting stops, and the former source
+        // column becomes an ordinary — droppable — column. IDENTITY
+        // columns stay fixed: their VALUES live only in committed
+        // paths, so un-declaring them would lose data on read.
+        require(rm.property() != GraftTable.partColsProp,
+          "identity partition columns are fixed at CREATE TABLE " +
+            "(committed files carry their values in the paths)")
+        if (rm.property() == SnapBucket.prop)
+          (sc, SnapBucket.of(pr).fold(pr - rm.property()) { case (c, n) =>
+            pr - rm.property() + (SnapBucket.retiredProp -> SnapBucket.render(c, n)) })
+        else if (rm.property() == SnapTransform.prop)
+          (sc, SnapTransform.of(pr).fold(pr - rm.property())(t =>
+            pr - rm.property() + (SnapTransform.retiredProp -> t.render)))
+        else {
+          require(rm.property() != SnapBucket.retiredProp &&
+            rm.property() != SnapTransform.retiredProp,
+            "the retired-layout ledger cannot be unset (committed files " +
+              "still carry the layout's path segments); a full rewrite " +
+              "into a new table sheds it")
+          (sc, pr - rm.property())
+        }
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}: " +
           "type changes need a rewrite")

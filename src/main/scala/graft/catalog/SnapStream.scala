@@ -298,15 +298,19 @@ private[catalog] class GraftMicroBatchStream(root: String,
     * re-attaches partition values exactly like a batch read. */
   private lazy val partSchema: StructType = {
     val props = GraftTable.readMeta(root).map(_._2).getOrElse(Map.empty)
-    SnapBucket.of(props) match {
+    (SnapBucket.of(props), SnapBucket.ofRetired(props)) match {
       // bucket layouts: the synthetic _gbucket segment shapes the
       // index (it is not a row column — readSchema never requests it)
-      case Some(_) => SnapBucket.partSchema
-      case None =>
+      case (Some(_), _) => SnapBucket.partSchema
+      // a RETIRED bucket layout's files still carry segments; post-
+      // retirement appends are flat and parse a NULL id
+      case (None, Some(_)) => SnapBucket.partSchemaRetired
+      case _ =>
         val base = GraftTable.partSchemaOf(tableSchema, GraftTable.partColsOf(props))
-        SnapTransform.of(props) match {
-          // transform layouts: the synthetic _gtpart ordinal shapes the
-          // index the same way (derived, never a row column)
+        SnapTransform.of(props).orElse(SnapTransform.ofRetired(props)) match {
+          // transform layouts (live or retired): the synthetic _gtpart
+          // ordinal shapes the index the same way (derived, never a
+          // row column)
           case Some(t) =>
             tableSchema.fields.find(_.name == t.col)
               .map(f => StructType(base.fields ++

@@ -266,11 +266,35 @@ class GraftTable(tableName: String, val root: String,
   def transformSpec: Option[SnapTransform.Spec] =
     meta.flatMap(m => SnapTransform.of(m._2))
 
+  /** RETIRED layouts ([[SnapBucket.retiredProp]] /
+    * [[SnapTransform.retiredProp]]): committed files still carry the
+    * synthetic segments — the scan keeps parsing (and pruning, while
+    * the source column lives) — but writes stage flat and the table
+    * reports no derived partitioning. */
+  def retiredBucketSpec: Option[(String, Int)] =
+    meta.flatMap(m => SnapBucket.ofRetired(m._2))
+
+  def retiredTransformSpec: Option[SnapTransform.Spec] =
+    meta.flatMap(m => SnapTransform.ofRetired(m._2))
+
   /** Declared type of the transform source column (needed wherever a
     * transform ordinal is computed). */
   private def transformSrcType: Option[org.apache.spark.sql.types.DataType] =
     transformSpec.flatMap(t => schema().fields.find(_.name == t.col))
       .map(_.dataType)
+
+  /** Source type of a (possibly RETIRED) transform spec: the live
+    * declared type, else — for a retired layout whose source column
+    * was since DROPPED — the drop-time type from the droptype ledger
+    * (committed segment values were rendered at it), else a parse-only
+    * fallback (no pruning can reference a dropped name anyway). */
+  private def srcTypeOfSpec(t: SnapTransform.Spec): org.apache.spark.sql.types.DataType =
+    schema().fields.find(_.name == t.col).map(_.dataType)
+      .orElse(meta.map(m => GraftTable.dropTypesOf(m._2))
+        .getOrElse(Map.empty).get(t.col))
+      .getOrElse(
+        if (t.kind == "truncate") org.apache.spark.sql.types.StringType
+        else org.apache.spark.sql.types.TimestampType)
 
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     bucketSpec match {
@@ -358,16 +382,22 @@ class GraftTable(tableName: String, val root: String,
     // the spec parse KeyGroupedBatch keys from) but is never a row
     // column — parquetBuilder's dataSchema subtraction leaves the full
     // declared schema untouched because the name is reserved
-    val partSchema = bucketSpec match {
-      case Some(_) => SnapBucket.partSchema
-      case None =>
+    val partSchema = (bucketSpec, retiredBucketSpec) match {
+      case (Some(_), _) => SnapBucket.partSchema
+      // retired bucket: segments still parse, NULLABLE (post-
+      // retirement files stage flat and read a NULL id)
+      case (None, Some(_)) => SnapBucket.partSchemaRetired
+      case _ =>
         // a transform layout appends its synthetic ordinal field AFTER
-        // any identity columns (matching the staged directory nesting)
+        // any identity columns (matching the staged directory nesting);
+        // a RETIRED transform keeps the field — its committed segments
+        // still parse (and prune while the source column lives)
         val base = GraftTable.partSchemaOf(sc, partCols)
-        (transformSpec, transformSrcType) match {
-          case (Some(t), Some(dt)) =>
-            StructType(base.fields ++ SnapTransform.partSchema(t, dt).fields)
-          case _ => base
+        transformSpec.orElse(retiredTransformSpec) match {
+          case Some(t) =>
+            StructType(base.fields ++
+              SnapTransform.partSchema(t, srcTypeOfSpec(t)).fields)
+          case None => base
         }
     }
     // drop ledger (chains + types) feeds the MOR scan's shadow-field
@@ -381,16 +411,24 @@ class GraftTable(tableName: String, val root: String,
     // the streamable wrapper forwards every pushdown interface to the
     // inner builder and adds only toMicroBatchStream on the built scan
     // (plus manifest-size statistics where the inner scan reports none)
-    val transSpec = (transformSpec, transformSrcType) match {
-      case (Some(t), Some(dt)) => Some((t, dt))
-      case _ => None
-    }
+    // pruning specs: a RETIRED layout's committed directories still
+    // prune (the pruning index resolves the key's type from the LIVE
+    // schema, so a dropped source simply stops pruning); the streamable
+    // wrapper gets the ACTIVE bucket spec only (SPJ/agg reporting)
     val phys =
       if (pinned.isDefined) pinnedResolution.map(_._3).getOrElse(Map.empty)
       else physMap
+    // a retired source DROPPED and RE-ADDED under the same name is a
+    // DIFFERENT column (physical remap): its predicates must never
+    // prune the old column's directories
+    val transSpec = transformSpec.orElse(
+        retiredTransformSpec.filterNot(t => phys.contains(t.col)))
+      .map(t => (t, srcTypeOfSpec(t)))
+    val bucketForPrune = bucketSpec.orElse(
+      retiredBucketSpec.filterNot(s => phys.contains(s._1)))
     new GraftStreamableScanBuilder(
       GraftScans.builder(spark, sc, snap, options, priors, partSchema,
-        dropChains, dropTypes, bucketSpec, transSpec, remapped = phys),
+        dropChains, dropTypes, bucketForPrune, transSpec, remapped = phys),
       root, sc, priors, pinned.isDefined, snap, options, partCols, bucketSpec)
   }
 
@@ -948,8 +986,11 @@ private[catalog] object GraftScans {
       segs.get(f.name) match {
         // the synthetic transform ordinal is nullable BY DESIGN: a
         // pre-evolution file has no segment (the layout was adopted
-        // later) and reads as NULL — pruning keeps it conservatively
-        case None if f.name == graft.sources.Snapshots.transformPathCol =>
+        // later) and reads as NULL — pruning keeps it conservatively.
+        // The synthetic bucket id is nullable the mirrored way: a
+        // post-RETIREMENT file stages flat and reads as NULL.
+        case None if f.name == graft.sources.Snapshots.transformPathCol ||
+          f.name == graft.sources.Snapshots.bucketPathCol =>
           null
         case None => throw new IllegalStateException(
           s"partitioned table file dir $dir lacks a ${f.name}=<value> segment")
@@ -1107,9 +1148,11 @@ private[catalog] object GraftScans {
             }
           }
         // an unexpected partition-row shape keeps the directory —
-        // pruning never carries correctness
+        // pruning never carries correctness. A NULL bucket id (a flat
+        // file written after the layout RETIRED) is always kept.
         base.filter(pd => keepBuckets.forall(ks =>
-          pd.values.numFields != 1 || ks.contains(pd.values.getInt(0))))
+          pd.values.numFields != 1 || pd.values.isNullAt(0) ||
+            ks.contains(pd.values.getInt(0))))
           .filter(ordAdmits)
           .map { pd =>
             pd.copy(files = pd.files.filter { f =>

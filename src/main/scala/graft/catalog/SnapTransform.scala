@@ -47,6 +47,18 @@ private[graft] object SnapTransform {
     * identity `PARTITIONED BY` columns. */
   val prop = "graft.partition.transform"
 
+  /** A RETIRED transform layout (via `UNSET TBLPROPERTIES
+    * ('graft.partition.transform')`, the DROP PARTITION FIELD shape):
+    * committed `_gtpart=` directories keep parsing (and pruning while
+    * the source column lives), new writes stage without the segment,
+    * and the source column becomes droppable. Adopting a NEW transform
+    * while one is retired stays refused — two ordinal schemes would
+    * share the one segment name. */
+  val retiredProp = "graft.partition.transform.retired"
+
+  def ofRetired(props: Map[String, String]): Option[Spec] =
+    of(props.get(retiredProp).map(prop -> _).toMap)
+
   val kinds: Set[String] = Set("years", "months", "days", "hours", "truncate")
 
   final case class Spec(kind: String, col: String, width: Long) {

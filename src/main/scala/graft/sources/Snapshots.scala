@@ -899,7 +899,9 @@ object Snapshots {
       // root declares a bucket layout in _table.properties (the
       // catalog DDL path already refuses the column name at CREATE).
       if (fileLines.exists(_.contains(s"/$bucketPathCol=")) &&
-          tableProp(root, graft.catalog.SnapBucket.prop, "").isEmpty)
+          tableProp(root, graft.catalog.SnapBucket.prop, "").isEmpty &&
+          // a RETIRED layout's rewrites list surviving bucketed files
+          tableProp(root, graft.catalog.SnapBucket.retiredProp, "").isEmpty)
         throw new IllegalArgumentException(
           s"'$bucketPathCol' is a reserved path segment (hash-bucket " +
             s"layouts derive it; reads never surface it) — a table under " +
@@ -907,7 +909,8 @@ object Snapshots {
             "property must not stage files under it. Rename the partition " +
             "column.")
       if (fileLines.exists(_.contains(s"/$transformPathCol=")) &&
-          tableProp(root, graft.catalog.SnapTransform.prop, "").isEmpty)
+          tableProp(root, graft.catalog.SnapTransform.prop, "").isEmpty &&
+          tableProp(root, graft.catalog.SnapTransform.retiredProp, "").isEmpty)
         throw new IllegalArgumentException(
           s"'$transformPathCol' is a reserved path segment (time/truncate " +
             s"transform layouts derive it; reads never surface it) — a " +

@@ -755,8 +755,9 @@ class Round17OpsSpec extends SparkSpec {
       "ALTER TABLE snap.default.r17bkt ADD COLUMN _gbucket INT"))
     intercept[Exception](sqlDf(
       "ALTER TABLE snap.default.r17bkt SET TBLPROPERTIES ('graft.mor.key'='k')"))
-    intercept[Exception](sqlDf(
-      "ALTER TABLE snap.default.r17bkt UNSET TBLPROPERTIES ('graft.partition.bucket')"))
+    // UNSET of the layout property is no longer refused — it RETIRES
+    // the layout (r19, the DROP PARTITION FIELD shape; pinned in
+    // Round19OpsSpec). This test keeps the layout ACTIVE throughout.
     // ... while OTHER columns still evolve freely on a bucket table
     sqlDf("ALTER TABLE snap.default.r17bkt RENAME COLUMN v TO val")
     assert(sqlDf("SELECT count(val) FROM snap.default.r17bkt")

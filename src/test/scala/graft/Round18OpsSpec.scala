@@ -310,8 +310,16 @@ class Round18OpsSpec extends SparkSpec {
       sqlDf("ALTER TABLE snap.default.r18guard ALTER COLUMN event_ts TYPE DATE"))
     intercept[Exception](
       sqlDf("ALTER TABLE snap.default.r18guard ADD COLUMN _gtpart BIGINT"))
-    intercept[Exception](sqlDf(
-      "ALTER TABLE snap.default.r18guard UNSET TBLPROPERTIES ('graft.partition.transform')"))
+    // r19: UNSET of the layout property RETIRES the layout (DROP
+    // PARTITION FIELD) instead of refusing — after it, the source
+    // column drops like any other and the retired ledger is
+    // system-maintained (no direct UNSET)
+    sqlDf("ALTER TABLE snap.default.r18guard UNSET TBLPROPERTIES ('graft.partition.transform')")
+    sqlDf("ALTER TABLE snap.default.r18guard DROP COLUMN event_ts")
+    assert(sqlDf("SELECT count(k) FROM snap.default.r18guard")
+      .as[Long].head() == 96L)
+    intercept[Exception](sqlDf("ALTER TABLE snap.default.r18guard " +
+      "UNSET TBLPROPERTIES ('graft.partition.transform.retired')"))
     // days() on a string column refused at CREATE
     sqlDf("DROP TABLE IF EXISTS snap.default.r18bad")
     intercept[Exception](sqlDf(

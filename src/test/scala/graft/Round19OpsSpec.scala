@@ -1,0 +1,261 @@
+package graft
+
+import graft.catalog.GraftCatalog
+import graft.sources.Snapshots
+
+/** Round-19 pins — the r18 verdict items:
+  *  1. bucket keys hash int-AS-long (Iceberg's bucket-spec rule), so
+  *     `ALTER COLUMN k TYPE BIGINT` on a bucket key is metadata-only:
+  *     no committed assignment moves, point-predicate pruning keeps
+  *     answering across the widening, and a storage-partitioned join
+  *     of two widened tables stays zero-exchange and EXACT over files
+  *     written on both sides of the ALTER;
+  *  2. the same for truncate-transform sources (ordinals already
+  *     promote int sources to long before the floorDiv);
+  *  3. non-int->long retypes of a layout source stay refused.
+  */
+class Round19OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = {
+    val dir = Qx.tmpOut("r19wh", sf())
+    GraftCatalog.register(spark, "snap", Some(dir))
+    dir
+  }
+
+  private def sqlDf(q: String) = { wh; spark.sql(q) }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    def unwrap(p: Any): Seq[String] = p match {
+      case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+      case prod: Product => prod.productIterator.flatMap(unwrap).toSeq
+      case _ => Nil
+    }
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .flatMap(_.inputPartitions).flatMap(unwrap)
+  }
+
+  test("int bucket keys hash as longs: every committed dir is the long-hash dir") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19bwh")
+    sqlDf("""CREATE TABLE snap.default.r19bwh (k INT, v STRING)
+            |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r19bwh
+            |SELECT CAST(id AS INT), concat('v', id) FROM range(0, 400)""".stripMargin)
+    val snap = Snapshots.resolve(s"$wh/default/r19bwh").get
+    assert(snap.files.forall(_.contains("/_gbucket=")), snap.files.take(3))
+    // rows inside each dir hash to that id under the LONG hash — the
+    // widening-safety invariant itself
+    val perFile = snap.files.map { f =>
+      val id = f.split("/_gbucket=")(1).split("/")(0).toInt
+      val bad = spark.read.parquet(f)
+        .selectExpr(s"count(CASE WHEN pmod(hash(CAST(k AS BIGINT)), 8) <> $id THEN 1 END)")
+        .head().getLong(0)
+      (id, bad)
+    }
+    assert(perFile.forall(_._2 == 0L), s"a dir disagrees with the long hash: $perFile")
+  }
+
+  test("ALTER COLUMN bucket key INT -> BIGINT: metadata-only, pruning and SPJ survive") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19bwa")
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19bwb")
+    // live tables: bloom sidecars + stats on the key, data committed
+    // BEFORE the widening
+    sqlDf("""CREATE TABLE snap.default.r19bwa (k INT, price DOUBLE)
+            |PARTITIONED BY (bucket(8, k))
+            |TBLPROPERTIES ('graft.bloom.cols'='k')""".stripMargin)
+    sqlDf("""CREATE TABLE snap.default.r19bwb (k INT, w BIGINT)
+            |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r19bwa
+            |SELECT CAST(id AS INT), CAST(id % 100 AS DOUBLE)
+            |FROM range(0, 1000)""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r19bwb
+            |SELECT CAST(id AS INT), id % 7 FROM range(0, 1000)""".stripMargin)
+    val filesBefore = Snapshots.resolve(s"$wh/default/r19bwa").get.files.toSet
+    // the r17/r18 refusal is retired: the widening is accepted...
+    sqlDf("ALTER TABLE snap.default.r19bwa ALTER COLUMN k TYPE BIGINT")
+    sqlDf("ALTER TABLE snap.default.r19bwb ALTER COLUMN k TYPE BIGINT")
+    // ...and is METADATA-ONLY: no file moved or rewrote
+    assert(Snapshots.resolve(s"$wh/default/r19bwa").get.files.toSet == filesBefore,
+      "widening a bucket key must not touch data files")
+    assert(sqlDf("DESCRIBE snap.default.r19bwa").collect()
+      .exists(r => r.getString(0) == "k" && r.getString(1) == "bigint"))
+    // post-widening writes land in the SAME dirs as pre-widening rows
+    // of the same key values (the int era hashed as longs already)
+    sqlDf("""INSERT INTO snap.default.r19bwa
+            |SELECT id, CAST(id % 100 AS DOUBLE) FROM range(1000, 2000)""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r19bwb
+            |SELECT id, id % 7 FROM range(1000, 2000)""".stripMargin)
+    // point predicates prune to ONE dir and find PRE-widening rows —
+    // a re-bucketing hash would open the right dir and find nothing
+    val expect123 = graft.catalog.SnapBucket.bucketIdOf(123L,
+      org.apache.spark.sql.types.LongType, 8)
+    val hit = sqlDf("SELECT price FROM snap.default.r19bwa WHERE k = 123")
+    val hitDirs = plannedFiles(hit)
+      .map(_.split("/_gbucket=")(1).split("/")(0).toInt).toSet
+    assert(hitDirs == Set(expect123),
+      s"k = 123 must open ONLY bucket $expect123, opened $hitDirs")
+    assert(hit.collect().map(_.getDouble(0)).toSeq == Seq(23.0))
+    // the storage-partitioned join stays ZERO-EXCHANGE and EXACT over
+    // a mix of int-era and long-era files on both sides
+    val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = sqlDf("""SELECT a.k, a.price, b.w
+                      |FROM snap.default.r19bwa a
+                      |JOIN snap.default.r19bwb b ON a.k = b.k""".stripMargin)
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"widened co-bucketed tables must join with ZERO exchange:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.count() == 2000L,
+        "a re-bucketed side would lose matches across the widening boundary")
+      val wsum = j.selectExpr("sum(k * w)").head().getLong(0)
+      val expect = (0L until 2000L).map(k => k * (k % 7)).sum
+      assert(wsum == expect, s"$wsum != $expect")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // non-widening retypes stay refused, on both the int and the
+    // string layout shape
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r19bwa ALTER COLUMN k TYPE DOUBLE"))
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19bws")
+    sqlDf("""CREATE TABLE snap.default.r19bws (k STRING, v INT)
+            |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r19bws ALTER COLUMN k TYPE BIGINT"))
+  }
+
+  test("ALTER COLUMN truncate source INT -> BIGINT: ordinals hold across the widening") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19twd")
+    sqlDf("""CREATE TABLE snap.default.r19twd (k INT, v STRING)
+            |PARTITIONED BY (truncate(100, k))""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r19twd
+            |SELECT CAST(id AS INT), concat('v', id) FROM range(0, 500)""".stripMargin)
+    val filesBefore = Snapshots.resolve(s"$wh/default/r19twd").get.files.toSet
+    sqlDf("ALTER TABLE snap.default.r19twd ALTER COLUMN k TYPE BIGINT")
+    assert(Snapshots.resolve(s"$wh/default/r19twd").get.files.toSet == filesBefore,
+      "widening a truncate source must not touch data files")
+    sqlDf("""INSERT INTO snap.default.r19twd
+            |SELECT id, concat('v', id) FROM range(500, 1000)""".stripMargin)
+    // range predicate on the source prunes ordinal dirs METADATA-ONLY
+    // and stays exact across the int-era/long-era mix
+    val q = sqlDf("SELECT count(*) FROM snap.default.r19twd WHERE k >= 700")
+    assert(q.as[Long].head() == 300L)
+    val pruned = plannedFiles(
+      sqlDf("SELECT v FROM snap.default.r19twd WHERE k >= 700"))
+      .map(_.split("/_gtpart=")(1).split("/")(0).toLong).toSet
+    assert(pruned.nonEmpty && pruned.forall(_ >= 700L),
+      s"k >= 700 must keep only ordinals >= 700: $pruned")
+    // the int era answers under the widened type
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19twd WHERE k = 123")
+      .as[Long].head() == 1L)
+    // time-transform sources still refuse retyping (no widening applies)
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19twt")
+    sqlDf("""CREATE TABLE snap.default.r19twt (ts TIMESTAMP, v INT)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r19twt ALTER COLUMN ts TYPE TIMESTAMP_NTZ"))
+  }
+
+  test("bucket layout retirement: UNSET retires, writes flatten, old dirs still prune, key drops") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19ret")
+    sqlDf("""CREATE TABLE snap.default.r19ret (k BIGINT, v STRING)
+            |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r19ret
+            |SELECT id, concat('v', id) FROM range(0, 400)""".stripMargin)
+    val root = s"$wh/default/r19ret"
+    // DROP PARTITION FIELD, spelled as UNSET of the layout property
+    sqlDf("ALTER TABLE snap.default.r19ret UNSET TBLPROPERTIES ('graft.partition.bucket')")
+    // post-retirement writes stage FLAT — no _gbucket segment
+    sqlDf("""INSERT INTO snap.default.r19ret
+            |SELECT id, concat('v', id) FROM range(400, 500)""".stripMargin)
+    val files = Snapshots.resolve(root).get.files
+    val (bucketed, flat) = files.partition(_.contains("/_gbucket="))
+    assert(bucketed.nonEmpty && flat.nonEmpty,
+      s"mixed eras expected: ${bucketed.size} bucketed / ${flat.size} flat")
+    // reads span both eras exactly
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19ret").as[Long].head() == 500L)
+    assert(!sqlDf("SELECT * FROM snap.default.r19ret").columns.contains("_gbucket"))
+    // point predicates still prune the OLD era's directories (one
+    // bucket dir kept) while keeping every flat file conservatively
+    val hit = sqlDf("SELECT v FROM snap.default.r19ret WHERE k = 123")
+    val planned = plannedFiles(hit)
+    val plannedBucketDirs = planned.filter(_.contains("/_gbucket="))
+      .map(_.split("/_gbucket=")(1).split("/")(0).toInt).toSet
+    val expect = graft.catalog.SnapBucket.bucketIdOf(123L,
+      org.apache.spark.sql.types.LongType, 8)
+    assert(plannedBucketDirs == Set(expect),
+      s"retired dirs must still prune to bucket $expect: $plannedBucketDirs")
+    assert(hit.collect().map(_.getString(0)).toSeq == Seq("v123"))
+    // a flat-era key: bucket pruning must keep NULL-id (flat) files —
+    // only data-skipping stats may trim them, and the row is found
+    assert(sqlDf("SELECT v FROM snap.default.r19ret WHERE k = 450")
+      .collect().map(_.getString(0)).toSeq == Seq("v450"))
+    // a retired key answers point lookups from BOTH eras
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19ret WHERE k IN (10, 450)")
+      .as[Long].head() == 2L)
+    // the ledger is system-maintained: no direct SET, no UNSET
+    intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
+      "UNSET TBLPROPERTIES ('graft.partition.bucket.retired')"))
+    intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
+      "SET TBLPROPERTIES ('graft.partition.bucket.retired'='k,4')"))
+    // ...and a retired-bucket table does not adopt a transform (two
+    // layout eras' segments under one root)
+    intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
+      "SET TBLPROPERTIES ('graft.partition.transform'='truncate,k,100')"))
+    // the LAST layout refusal retires with the layout: the former key
+    // column now DROPS like any other column
+    sqlDf("ALTER TABLE snap.default.r19ret DROP COLUMN k")
+    assert(sqlDf("SELECT count(v) FROM snap.default.r19ret").as[Long].head() == 500L)
+    assert(sqlDf("SELECT * FROM snap.default.r19ret").columns.toSeq == Seq("v"))
+    // pre-drop versions still present the key (pinned-era schema)
+    val atV2 = sqlDf("SELECT * FROM snap.default.r19ret VERSION AS OF 2")
+    assert(atV2.columns.contains("k"))
+    assert(atV2.where("k = 123").count() == 1L)
+    // maintenance still composes: compaction flattens the whole table
+    sqlDf("CALL snap.system.compact('default.r19ret')")
+    assert(sqlDf("SELECT count(v) FROM snap.default.r19ret").as[Long].head() == 500L)
+  }
+
+  test("transform layout retirement: ordinal dirs keep pruning, source column drops") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19rtt")
+    sqlDf("""CREATE TABLE snap.default.r19rtt (k BIGINT, v STRING)
+            |PARTITIONED BY (truncate(100, k))""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r19rtt
+            |SELECT id, concat('v', id) FROM range(0, 500)""".stripMargin)
+    sqlDf("ALTER TABLE snap.default.r19rtt UNSET TBLPROPERTIES ('graft.partition.transform')")
+    sqlDf("""INSERT INTO snap.default.r19rtt
+            |SELECT id, concat('v', id) FROM range(500, 600)""".stripMargin)
+    val files = Snapshots.resolve(s"$wh/default/r19rtt").get.files
+    val (orded, flat) = files.partition(_.contains("/_gtpart="))
+    assert(orded.nonEmpty && flat.nonEmpty, s"${orded.size} / ${flat.size}")
+    // range predicates prune the ordinal era, keep the flat era, exact
+    val q = sqlDf("SELECT v FROM snap.default.r19rtt WHERE k >= 300")
+    val planned = plannedFiles(q)
+    val plannedOrds = planned.filter(_.contains("/_gtpart="))
+      .map(_.split("/_gtpart=")(1).split("/")(0).toLong).toSet
+    assert(plannedOrds.nonEmpty && plannedOrds.forall(_ >= 300L),
+      s"retired ordinals must still prune: $plannedOrds")
+    assert(planned.count(!_.contains("/_gtpart=")) == flat.size)
+    assert(q.count() == 300L)
+    // a NEW transform is refused while the retired one holds _gtpart
+    intercept[Exception](sqlDf("ALTER TABLE snap.default.r19rtt " +
+      "SET TBLPROPERTIES ('graft.partition.transform'='truncate,k,50')"))
+    // the source column drops; both eras still read
+    sqlDf("ALTER TABLE snap.default.r19rtt DROP COLUMN k")
+    assert(sqlDf("SELECT count(v) FROM snap.default.r19rtt").as[Long].head() == 600L)
+    assert(sqlDf("SELECT * FROM snap.default.r19rtt").columns.toSeq == Seq("v"))
+  }
+}
