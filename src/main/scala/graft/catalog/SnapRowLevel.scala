@@ -548,10 +548,16 @@ private[catalog] class GraftDeltaBatchWrite(root: String, keyCol: String,
       .foreach(f => Files.deleteIfExists(Paths.get(f)))
 }
 
-/** Positional delta commit: DELETE halves stage (file, pos) pair
-  * parquets, INSERT halves (updates) stage ordinary data files; one
-  * atomic `#posdel` commit publishes both ([[Snapshots.commitStagedPosDelete]]
-  * — parent data files unchanged, concurrent-rewrite refusal inside). */
+/** Positional delta commit: DELETE halves stage one DELETION VECTOR
+  * per touched data file ([[graft.sources.DeleteVectors]] — a roaring
+  * bitmap of the file's deleted ordinals, >10× smaller than the
+  * row-per-pair parquet it replaced), INSERT halves (updates) stage
+  * ordinary data files; one atomic `#posdel` commit publishes both
+  * ([[Snapshots.commitStagedPosDelete]] — parent data files unchanged,
+  * concurrent-rewrite refusal inside). Each `#posdel` line now maps a
+  * data file to EXACTLY the sidecars covering it (tasks report their
+  * per-file DV paths), so a read of one affected file loads one small
+  * bitmap, not the statement's whole delete set. */
 private[catalog] class GraftPosDeltaBatchWrite(root: String,
     dataSchema: StructType) extends DeltaBatchWrite {
 
@@ -562,70 +568,69 @@ private[catalog] class GraftPosDeltaBatchWrite(root: String,
     val dataConf = ExecParquet.writerConf(GraftTable.toPhysicalSchema(
       dataSchema, GraftTable.readMeta(root).map(m =>
         GraftTable.physOf(m._2)).getOrElse(Map.empty)))
-    val pairConf = ExecParquet.writerConf(GraftPosDeltaBatchWrite.pairSchema)
     val dir = stagingDir
     (partitionId: Int, taskId: Long) =>
-      new GraftPosDeltaWriter(dir, dataConf, pairConf, partitionId, taskId)
+      new GraftPosDeltaWriter(dir, dataConf, partitionId, taskId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: PosStagedMessage => m }
-    val pairFiles = msgs.flatMap(_.pairFiles).toSeq
-    // every task reports the distinct data files its pairs touch — the
-    // union keys the per-file `#posdel` manifest lines without reading
-    // the pair parquets back
-    val affected = msgs.flatMap(_.affected).distinct
-      .map(f => f -> pairFiles).toMap
+    // (data file -> its DV sidecars): several tasks may split one
+    // file, so a file can carry one DV per task this commit — the
+    // reader ORs them; compaction folds them to one
+    val affected = msgs.flatMap(_.dvFiles).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
     Snapshots.commitStagedPosDelete(root, affected,
       msgs.flatMap(_.dataFiles).toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case PosStagedMessage(d, p, _) => d ++ p }.flatten
-      .foreach(f => Files.deleteIfExists(Paths.get(f)))
-}
-
-private[catalog] object GraftPosDeltaBatchWrite {
-  /** The pair-file schema ([[PosDeleteCache]] reads it back by these
-    * names). */
-  val pairSchema: StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField("file",
-      org.apache.spark.sql.types.StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("pos",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+    messages.collect { case PosStagedMessage(d, dv) => d ++ dv.map(_._2) }
+      .flatten.foreach(f => Files.deleteIfExists(Paths.get(f)))
 }
 
 private[catalog] final case class PosStagedMessage(dataFiles: Seq[String],
-  pairFiles: Seq[String], affected: Seq[String]) extends WriterCommitMessage
+  dvFiles: Seq[(String, String)]) extends WriterCommitMessage
 
-/** Per-task positional writer: DELETE rows' (file, pos) ids go to a
-  * pair file (tracking the distinct files touched); INSERT halves of
-  * updates go to a data file. */
+/** Per-task positional writer: DELETE rows' (file, pos) ids
+  * accumulate into one in-memory roaring bitmap per touched data file
+  * (O(deleted rows / 8) bytes), flushed as `.dv` sidecars at task
+  * commit; INSERT halves of updates go to a data file. */
 private[catalog] class GraftPosDeltaWriter(dir: String,
-    dataConf: SerializableConfiguration, pairConf: SerializableConfiguration,
+    dataConf: SerializableConfiguration,
     partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
 
   private val data = new ParquetRowDataWriter(
     f"$dir/part-$partitionId%05d-$taskId.parquet", dataConf.value, partitionId, taskId)
-  private val pairs = new ParquetRowDataWriter(
-    f"$dir/posdels-$partitionId%05d-$taskId.parquet", pairConf.value, partitionId, taskId)
-  private val touched = scala.collection.mutable.Set.empty[String]
+  private val dvs = scala.collection.mutable.Map.empty[
+    String, org.roaringbitmap.RoaringBitmap]
 
   override def insert(row: InternalRow): Unit = data.write(row)
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
-    touched += id.getUTF8String(0).toString
-    pairs.write(id)
+    val file = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    require(pos >= 0L && pos <= Int.MaxValue,
+      s"row ordinal $pos of $file exceeds the deletion-vector range")
+    dvs.getOrElseUpdate(file, new org.roaringbitmap.RoaringBitmap)
+      .add(pos.toInt)
   }
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
     throw new IllegalStateException(
       "updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
 
-  override def commit(): WriterCommitMessage =
-    PosStagedMessage(data.finish().toSeq, pairs.finish().toSeq, touched.toSeq.sorted)
+  override def commit(): WriterCommitMessage = {
+    val dvFiles = dvs.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((file, bm), i) =>
+        val p = f"$dir/dv-$partitionId%05d-$taskId-$i${graft.sources.DeleteVectors.extension}"
+        graft.sources.DeleteVectors.write(p, file, bm)
+        file -> p
+    }
+    PosStagedMessage(data.finish().toSeq, dvFiles)
+  }
 
-  override def abort(): Unit = { data.abort(); pairs.abort() }
+  override def abort(): Unit = data.abort()
 
   override def close(): Unit = ()
 }

@@ -2104,43 +2104,10 @@ private[catalog] final case class PosEraPartition(
   inner: org.apache.spark.sql.execution.datasources.FilePartition,
   era: Int, file: String, posFiles: Seq[String]) extends InputPartition
 
-/** Executor-side loader for position-delete pair files: (file STRING,
-  * pos BIGINT) parquet read with parquet-hadoop's Group API (no Spark
-  * session on executors) into a per-file ordinal-set map, soft-cached
-  * per JVM so a table's many tasks load each pair file once. */
-private[catalog] object PosDeleteCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.ref.SoftReference[Map[String, Set[Long]]]]()
-
-  def load(paths: Seq[String]): Map[String, Set[Long]] = {
-    val key = paths.sorted.mkString("|")
-    val hit = Option(cache.get(key)).flatMap(r => Option(r.get()))
-    hit.getOrElse {
-      val pairs = scala.collection.mutable.Map.empty[String,
-        scala.collection.mutable.Set[Long]]
-      paths.distinct.foreach { p =>
-        val reader = org.apache.parquet.hadoop.ParquetReader
-          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-            new org.apache.hadoop.fs.Path(p))
-          .withConf(new org.apache.hadoop.conf.Configuration())
-          .build()
-        try {
-          var g = reader.read()
-          while (g != null) {
-            val f = g.getString("file", 0)
-            val pos = g.getLong("pos", 0)
-            pairs.getOrElseUpdate(f, scala.collection.mutable.Set.empty) += pos
-            g = reader.read()
-          }
-        } finally reader.close()
-      }
-      val m: Map[String, Set[Long]] =
-        pairs.view.mapValues(_.toSet).toMap
-      cache.put(key, new java.lang.ref.SoftReference(m))
-      m
-    }
-  }
-}
+// NOTE: position-delete sidecar loading (deletion vectors and legacy
+// pair parquet) lives in [[graft.sources.DeleteVectors]] — one
+// soft-cached, Spark-session-free loader shared by the executor-side
+// partition readers here and the direct-API read path.
 
 private[catalog] class MorReaderFactory(
     eraFactories: Array[Option[PartitionReaderFactory]],
@@ -2161,7 +2128,7 @@ private[catalog] class MorReaderFactory(
     * single file; `fileUtf8` synthesizes the _gfile row-id column. */
   private def wrap(delegate: PartitionReader[InternalRow],
       dels: Array[MorDeleteSet], rowIdxSlot: Int,
-      posSet: Set[Long],
+      posSet: graft.sources.DeleteVectors.Ordinals,
       fileUtf8: org.apache.spark.unsafe.types.UTF8String): PartitionReader[InternalRow] = {
     val identity = rowIdxSlot < 0 && outOrdinals.length == readTypes.length &&
       outOrdinals.zipWithIndex.forall { case (o, i) => o == i }
@@ -2206,7 +2173,7 @@ private[catalog] class MorReaderFactory(
       override def next(): Boolean = {
         while (delegate.next()) {
           val row = delegate.get()
-          var deleted = rowIdxSlot >= 0 && posSet.nonEmpty &&
+          var deleted = rowIdxSlot >= 0 && !posSet.isEmpty &&
             posSet.contains(row.getLong(rowIdxSlot))
           var i = 0
           while (!deleted && i < dels.length) {
@@ -2235,7 +2202,8 @@ private[catalog] class MorReaderFactory(
           case None => rawDelegate
           case Some(exprs) => GraftScans.projectingReader(rawDelegate, exprs)
         }
-        wrap(delegate, eraDeletes(e), rowIdxSlot = -1, Set.empty, null)
+        wrap(delegate, eraDeletes(e), rowIdxSlot = -1,
+          graft.sources.DeleteVectors.Ordinals.empty, null)
       case PosEraPartition(p, e, file, posFiles) =>
         val rawDelegate = posFactories(e).getOrElse(throw new IllegalStateException(
           s"pos partition for an era with no pos scan")).createReader(p)
@@ -2243,9 +2211,10 @@ private[catalog] class MorReaderFactory(
           case None => rawDelegate
           case Some(exprs) => GraftScans.projectingReader(rawDelegate, exprs)
         }
-        val posSet: Set[Long] =
-          if (posFiles.isEmpty) Set.empty
-          else PosDeleteCache.load(posFiles).getOrElse(file, Set.empty)
+        val posSet: graft.sources.DeleteVectors.Ordinals =
+          if (posFiles.isEmpty) graft.sources.DeleteVectors.Ordinals.empty
+          else graft.sources.DeleteVectors.load(posFiles)
+            .getOrElse(file, graft.sources.DeleteVectors.Ordinals.empty)
         wrap(delegate, eraDeletes(e), rowIdxSlot = readLen, posSet,
           org.apache.spark.unsafe.types.UTF8String.fromString(file))
       case other => throw new IllegalStateException(s"unexpected partition $other")

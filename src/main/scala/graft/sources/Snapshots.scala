@@ -1134,25 +1134,38 @@ object Snapshots {
     * attached — parquet's own `_metadata.file_path` / `row_index`
     * columns, GENERATED by the readers (exact under file splits,
     * row-group skipping, and predicate pushdown — never parsed from
-    * data) — and anti-join the pair set; unaffected files take the
-    * plain path untouched. The pair frame is O(deleted rows); Spark's
-    * planner broadcasts it when small (the common case). */
+    * data) — and filtered by DELETION-VECTOR membership: the affected
+    * files' `.dv` sidecars ([[DeleteVectors]]) broadcast as per-file
+    * roaring bitmaps (O(deleted rows / 8) bytes) and each row pays one
+    * O(1) probe — NO anti join, no exchange of any kind in the read
+    * plan. Legacy pair-parquet sidecars (pre-DV manifests, time-travel
+    * reads) still anti-join their O(deleted rows) pair frame;
+    * unaffected files take the plain path untouched. */
   private def scanPosDeleted(spark: SparkSession, fs: Seq[String],
       mergeSchema: Boolean,
       posDeletes: Map[String, Seq[String]]): DataFrame = {
     val affected = fs.filter(posDeletes.contains)
     if (affected.isEmpty) return scanFiles(spark, fs, mergeSchema)
-    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import org.apache.spark.sql.functions.{col, udf}
     val rest = fs.filterNot(posDeletes.contains)
     val posFiles = affected.flatMap(posDeletes(_)).distinct.sorted
-    val pairs = spark.read.parquet(posFiles: _*)
-      .select(col("file").as("__pd_file"), col("pos").as("__pd_pos"))
-      .distinct()
-    val aff = scanFiles(spark, affected, mergeSchema, withMeta = true)
-      .join(pairs,
+    val (dvFiles, pairFiles) = posFiles.partition(DeleteVectors.isDv)
+    var aff = scanFiles(spark, affected, mergeSchema, withMeta = true)
+    if (dvFiles.nonEmpty) {
+      val bc = spark.sparkContext.broadcast(DeleteVectors.load(dvFiles))
+      val live = udf((f: String, p: Long) =>
+        !bc.value.getOrElse(f, DeleteVectors.Ordinals.empty).contains(p))
+      aff = aff.filter(live(col("__gfile"), col("__gpos")))
+    }
+    if (pairFiles.nonEmpty) {
+      val pairs = spark.read.parquet(pairFiles: _*)
+        .select(col("file").as("__pd_file"), col("pos").as("__pd_pos"))
+        .distinct()
+      aff = aff.join(pairs,
         col("__gfile") === col("__pd_file") && col("__gpos") === col("__pd_pos"),
         "left_anti")
-      .drop("__gfile", "__gpos")
+    }
+    aff = aff.drop("__gfile", "__gpos")
     if (rest.isEmpty) aff
     else scanFiles(spark, rest, mergeSchema)
       .unionByName(aff, allowMissingColumns = mergeSchema)
@@ -1951,7 +1964,10 @@ object Snapshots {
               }
               grouped.map(g => keyCol -> (g: Seq[DeleteFile]))
           }
-        val posMergeable = snap.posDeletes.exists(_._2.size > 1)
+        // pos sidecars need work when a file carries several, or any
+        // is a legacy pair parquet (normalized to one DV per file)
+        val posMergeable = snap.posDeletes.exists { case (_, pfs) =>
+          pfs.size > 1 || pfs.exists(p => !DeleteVectors.isDv(p)) }
         if (classes.lengthCompare(snap.deletes.size) == 0 && !posMergeable)
           false
         else { planned = classes; snapAtPlan = snap; true }
@@ -1994,26 +2010,29 @@ object Snapshots {
           DeleteFile(keyCol, staged.head, ds.map(_.coversBelow).max)
         }
       }
-      // POSITION deletes compact the same way, scope-free (a pair
-      // names a row of one immutable file): all of a data file's
-      // posfiles union+dedup into ONE staged pair file shared by the
-      // whole compaction — fewer per-read key scans, zero table data
-      // moved. Data files with a single posfile keep it in place.
-      val multiPos = snapAtPlan.posDeletes.filter(_._2.size > 1)
+      // POSITION deletes compact to ONE DELETION VECTOR per affected
+      // data file, scope-free (an ordinal names a row of one immutable
+      // file): each file's sidecars — stacked `.dv`s from several
+      // statements, or legacy pair parquets — OR into a single bitmap
+      // re-serialized beside the staged delete keys. O(deleted rows/8)
+      // bytes moved, zero table data; a read of one affected file then
+      // loads exactly one small bitmap. Files already carrying a
+      // single DV keep it in place.
+      val needsDv = snapAtPlan.posDeletes.filter { case (_, pfs) =>
+        pfs.size > 1 || pfs.exists(p => !DeleteVectors.isDv(p)) }
       val posOut: Map[String, Seq[String]] =
-        if (multiPos.isEmpty) snapAtPlan.posDeletes
+        if (needsDv.isEmpty) snapAtPlan.posDeletes
         else {
-          val out = s"$stage/posdels"
-          import org.apache.spark.sql.functions.col
-          multiPos.values.flatten.toSeq.distinct.sorted
-            .map(p => spark.read.parquet(p).select(col("file"), col("pos")))
-            .reduce(_.unionByName(_)).distinct()
-            .coalesce(1).write.mode("append").parquet(out)
-          val staged = listParquet(out)
-          require(staged.size == 1, s"pos compaction staged ${staged.size} files")
-          snapAtPlan.posDeletes.map { case (f, pfs) =>
-            f -> (if (pfs.size > 1) Seq(staged.head) else pfs)
-          }
+          snapAtPlan.posDeletes.toSeq.sortBy(_._1).zipWithIndex.map {
+            case ((f, pfs), _) if pfs.size == 1 && DeleteVectors.isDv(pfs.head) =>
+              f -> pfs
+            case ((f, pfs), i) =>
+              val bm = DeleteVectors.loadBitmaps(pfs)
+                .getOrElse(f, new org.roaringbitmap.RoaringBitmap)
+              val p = s"$stage/dv-$i${DeleteVectors.extension}"
+              DeleteVectors.write(p, f, bm)
+              f -> Seq(p)
+          }.toMap
         }
       // delete-file merge relocates key bytes only — the logical row
       // set is untouched, so change feeds may pass over this commit
@@ -2243,16 +2262,18 @@ object Snapshots {
   }
 
   /** ONE sweep body for [[vacuum]] and [[removeOrphanFiles]]: delete
-    * the dir's unreferenced parquet files (each with its bloom
-    * sidecars), then the whole dir when nothing in it is referenced.
-    * Returns (files removed, data bytes reclaimed) — a file that
-    * vanishes between the size probe and the delete (a racing sweep)
-    * counts toward NEITHER. */
+    * the dir's unreferenced parquet AND `.dv` files (each parquet with
+    * its bloom sidecars), then the whole dir when nothing in it is
+    * referenced — a deletion-vector-only staging dir (a pure positional
+    * DELETE stages no parquet) is preserved exactly while its DVs are
+    * referenced. Returns (files removed, data bytes reclaimed) — a
+    * file that vanishes between the size probe and the delete (a
+    * racing sweep) counts toward NEITHER. */
   private def sweepUnreferenced(dir: Path,
       referenced: String => Boolean): (Long, Long) = {
     var removed = 0L
     var bytes = 0L
-    val fs = listParquet(dir.toString)
+    val fs = listParquet(dir.toString) ++ listDvFiles(dir.toString)
     fs.filterNot(referenced).foreach { f =>
       val p = Paths.get(f)
       val size = try Files.size(p) catch { case _: Exception => 0L }
@@ -2283,6 +2304,20 @@ object Snapshots {
       .map(_.toAbsolutePath.toString)
       .filter(p => p.endsWith(".parquet") &&
         !Paths.get(p).getFileName.toString.startsWith("_"))
+      .toSeq.sorted
+    finally walk.close()
+  }
+
+  /** Recursive `.dv` (deletion-vector sidecar) listing — the sweeps
+    * treat DVs exactly like parquet: candidates when unreferenced,
+    * keepers (dir-preserving) when a retained manifest names them. */
+  private def listDvFiles(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    val walk = Files.walk(d)
+    try walk.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(_.toAbsolutePath.toString)
+      .filter(_.endsWith(DeleteVectors.extension))
       .toSeq.sorted
     finally walk.close()
   }

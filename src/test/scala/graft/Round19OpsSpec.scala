@@ -258,4 +258,80 @@ class Round19OpsSpec extends SparkSpec {
     assert(sqlDf("SELECT count(v) FROM snap.default.r19rtt").as[Long].head() == 600L)
     assert(sqlDf("SELECT * FROM snap.default.r19rtt").columns.toSeq == Seq("v"))
   }
+
+  test("deletion vectors: per-file bitmaps, >=10x smaller than pairs, join-free read plan") {
+    import graft.sources.DeleteVectors
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19dv")
+    sqlDf("""CREATE TABLE snap.default.r19dv (k BIGINT, v DOUBLE)
+            |TBLPROPERTIES ('graft.mor.positional'='true')""".stripMargin)
+    // time-clustered files (DISTRIBUTE+SORT BY k), the 100 TB event-
+    // table layout a retention DELETE actually hits: the deleted band
+    // is a contiguous ordinal run inside its file(s)
+    sqlDf("""INSERT INTO snap.default.r19dv
+            |SELECT id, id * 1.0 FROM range(0, 500000)
+            |DISTRIBUTE BY CAST(id / 125000 AS INT) SORT BY id""".stripMargin)
+    val root = s"$wh/default/r19dv"
+    val filesBefore = Snapshots.resolve(root).get.files.toSet
+    // the retention shape: DELETE a contiguous 10% (the GDPR/TTL
+    // statement a 100 TB table actually runs)
+    sqlDf("DELETE FROM snap.default.r19dv WHERE k < 50000")
+    val s1 = Snapshots.resolve(root).get
+    assert(s1.files.toSet == filesBefore, "file-list invariance under posdel")
+    val dvFiles = s1.posDeletes.values.flatten.toSeq.distinct
+    assert(dvFiles.nonEmpty && dvFiles.forall(DeleteVectors.isDv),
+      s"positional deletes must stage .dv sidecars: $dvFiles")
+    // each DV self-describes the ONE data file it covers
+    dvFiles.foreach { p =>
+      val (covered, _) = DeleteVectors.read(p)
+      assert(filesBefore.contains(covered), s"$p covers unknown file $covered")
+    }
+    // SIZE: the bitmaps vs the same ordinals in the legacy
+    // (file STRING, pos BIGINT) pair-parquet encoding
+    val dvBytes = dvFiles.map(p =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+    val pairsOut = Qx.tmpOut("r19dvpairs", sf())
+    val bms = DeleteVectors.loadBitmaps(dvFiles)
+    val deleted = bms.map { case (_, bm) => bm.getLongCardinality }.sum
+    assert(deleted == 50000L, s"the DVs must carry exactly the deleted rows: $deleted")
+    bms.toSeq.flatMap { case (f, bm) =>
+      bm.toArray.map(pos => (f, pos.toLong)) }
+      .toDF("file", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(pairsOut)
+    val pairBytes = new java.io.File(pairsOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(pairBytes >= 10 * dvBytes,
+      s"DVs must be >=10x smaller: $dvBytes dv vs $pairBytes pair bytes")
+    // READ: the direct path's plan is join-free and exchange-free —
+    // bitmap membership is a broadcast-variable probe, not an anti join
+    val direct = Snapshots.read(spark, root)
+    val planStr = direct.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Join") && !planStr.contains("Exchange"),
+      s"DV read must carry no join/exchange:\n$planStr")
+    assert(direct.count() == 450000L)
+    // catalog path: exact through the partition-reader bitmap probe
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19dv").as[Long].head() == 450000L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19dv WHERE k < 50000")
+      .as[Long].head() == 0L)
+    assert(sqlDf("SELECT CAST(min(k) AS BIGINT) FROM snap.default.r19dv")
+      .as[Long].head() == 50000L)
+    // STACKING: a second (scattered) statement adds a second DV on the
+    // same file; compact_deletes folds them to ONE DV per file
+    sqlDf("DELETE FROM snap.default.r19dv WHERE k >= 50000 AND k < 60000 AND k % 2 = 0")
+    val s2 = Snapshots.resolve(root).get
+    assert(s2.posDeletes.exists(_._2.size > 1), "stacked DVs per data file")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19dv").as[Long].head() == 445000L)
+    sqlDf("CALL snap.system.compact_deletes('default.r19dv')").collect()
+    val s3 = Snapshots.resolve(root).get
+    assert(s3.files.toSet == filesBefore, "DV compaction moves no table data")
+    assert(s3.posDeletes.forall { case (_, pfs) =>
+      pfs.size == 1 && DeleteVectors.isDv(pfs.head) }, "one DV per file")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19dv").as[Long].head() == 445000L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19dv WHERE k >= 50000 AND k < 60000")
+      .as[Long].head() == 5000L)
+    // time travel still applies each version's own vectors
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19dv VERSION AS OF 2")
+      .as[Long].head() == 450000L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19dv VERSION AS OF 1")
+      .as[Long].head() == 500000L)
+  }
 }
