@@ -1677,48 +1677,57 @@ object WarehouseOps {
       .orderBy($"nationkey")
   }
 
-  /** WRITE-AUDIT-PUBLISH — the Iceberg WAP pattern end to end: the
-    * risky batch (slice 1) lands in a STAGING root, an audit gate
-    * validates it there (row-count + null-key checks — main has never
-    * seen the batch), and only then does `Snapshots.publishFrom`
-    * append the audited files into main BY REFERENCE — one manifest
-    * write, zero bytes of data moved. A second staged batch
-    * deliberately FAILS its audit (empty after a too-strict filter)
-    * and is never published. The output unions main's pre-publish
-    * version with the post-publish head; the oracle recomputes both
-    * from the ORIGINAL table, so a publish that copies/loses rows,
-    * double-publishes, or leaks the failed batch hash-mismatches.
+  /** WRITE-AUDIT-PUBLISH — the Iceberg WAP pattern on a BRANCH of the
+    * SAME table (r19, retiring the separate staging root): the risky
+    * batch commits to a named branch — a speculative continuation of
+    * main's commit log — where the audit gate sees the TRUE
+    * prospective serving state (main's rows plus the batch) while main
+    * serves readers untouched. Only then does `Snapshots.fastForward`
+    * link the branch manifests into the main log — metadata-only, zero
+    * bytes of data moved, every scoping version already in main's
+    * coordinate system. A second batch on a second branch deliberately
+    * FAILS its audit (a corrupted extract carrying one priority class)
+    * and its branch is dropped — its staged files age out under the
+    * table's ONE retention policy. The output unions main's
+    * pre-publish version with the post-publish head; the oracle
+    * recomputes both from the ORIGINAL table, so a publish that
+    * copies/loses rows, double-publishes, or leaks the failed batch
+    * hash-mismatches.
     *
-    * Scale: the audit runs against staging at full parallelism while
-    * main serves readers untouched; publish cost is one manifest
-    * write regardless of batch size — the pattern that makes "never
-    * let unvalidated data into the serving table" affordable at
-    * 100 TB ingest rates. */
+    * Scale: the audit runs against the branch at full parallelism;
+    * publish cost is one manifest link per branch commit regardless of
+    * batch size — the pattern that makes "never let unvalidated data
+    * into the serving table" affordable at 100 TB ingest rates. */
   val snapshotWapPublish: Q = (s, dir) => {
     import s.implicits._
     import graft.sources.Snapshots
     val main = Qx.tmpOut("wapmain", dir)
-    val staging = Qx.tmpOut("wapstage", dir)
     val o = Tables.load(s, dir, "orders")
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
     Snapshots.commit(main)(out =>
       o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
     val vPre = Snapshots.maxCommitted(main)
-    Snapshots.commit(staging)(out =>
+    Snapshots.createBranch(main, "audit")
+    Snapshots.commitToBranch(main, "audit")(out =>
       o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
-    // audit gate, against STAGING only
-    val audited = Snapshots.read(s, staging)
+    // audit gate, against the branch's prospective serving state
+    val audited = Snapshots.readBranch(s, main, "audit")
     require(audited.filter($"o_orderkey".isNull).isEmpty &&
-      !audited.isEmpty, "audit failed: staged batch is empty or has null keys")
-    Snapshots.publishFrom(main, staging)
+      audited.count() > Snapshots.read(s, main).count(),
+      "audit failed: staged batch is empty or has null keys")
+    Snapshots.fastForward(main, "audit")
     // a second batch fails its audit (a corrupted extract carrying
-    // only one priority class) and must never reach main
-    Snapshots.commit(staging)(out =>
+    // only one priority class) and its branch is dropped unpublished
+    Snapshots.createBranch(main, "audit2")
+    Snapshots.commitToBranch(main, "audit2")(out =>
       o.filter($"o_orderkey" % 3 === 2 && $"o_orderpriority" === "1-URGENT")
         .write.mode("append").parquet(out))
-    val distinctPrios = Snapshots.read(s, staging)
+    val vB = Snapshots.branchHead(main, "audit2")
+    val newPrios = Snapshots.readBranch(s, main, "audit2")
+      .join(Snapshots.readAt(s, main, vB - 1), Seq("o_orderkey"), "left_anti")
       .select($"o_orderpriority").distinct().count()
-    if (distinctPrios >= 2) Snapshots.publishFrom(main, staging)
+    if (newPrios >= 2) Snapshots.fastForward(main, "audit2")
+    else Snapshots.dropBranch(main, "audit2")
     def agg(df: org.apache.spark.sql.DataFrame, era: String) =
       df.groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"), Qx.dsum($"o_totalprice").as("total"))

@@ -191,6 +191,15 @@ object Snapshots {
     val m = manifestPath(root, version)
     if (!Files.exists(m)) throw new IllegalStateException(
       s"version $version of $root is not committed or is beyond retention")
+    parseManifest(m, version)
+  }
+
+  /** Parse ONE manifest file into a [[Snapshot]] — the single reader
+    * shared by main-log resolution ([[resolveAt]]) and branch-log
+    * resolution ([[resolveBranchAt]]); the formats are identical by
+    * construction (fast-forward LINKS branch manifests into the main
+    * log verbatim). */
+  private def parseManifest(m: Path, version: Long): Snapshot = {
     // lines starting with '#' are metadata headers: the #txn tag of an
     // idempotent streaming append, #del:@<coversBelow>:<keyCol>:<path>
     // lines recording scoped merge-on-read delete files (the
@@ -756,8 +765,10 @@ object Snapshots {
   /** Commit timestamp (µs since epoch, UTC) of a committed version, read
     * from its manifest's `#ts:` header; None for pre-header manifests.
     * One small metadata read — no data I/O. */
-  def commitTimestamp(root: String, version: Long): Option[Long] = {
-    val m = manifestPath(root, version)
+  def commitTimestamp(root: String, version: Long): Option[Long] =
+    manifestTimestamp(manifestPath(root, version))
+
+  private def manifestTimestamp(m: Path): Option[Long] = {
     if (!Files.exists(m)) None
     else {
       val r = Files.newBufferedReader(m, UTF_8)
@@ -804,6 +815,249 @@ object Snapshots {
     if (!Files.exists(p)) None
     else Some(new String(Files.readAllBytes(p), UTF_8).trim.toLong)
   }
+
+  // --- NAMED BRANCHES (Iceberg-style refs, the branch-based WAP) ---------
+  //
+  // A branch is a SPECULATIVE CONTINUATION of the main commit log on
+  // the SAME table: `_commits/<name>.branch` records the fork version
+  // F (ATOMIC_MOVE ref discipline, like tags), and branch commits
+  // write ordinary manifests — same format, same tmp+createLink
+  // atomicity — numbered F+1, F+2, … under `_commits/branch_<name>/`.
+  // Data files stage under the shared root exactly like main commits
+  // (writer-unique `v<version>_` dirs), so ONE retention policy covers
+  // both logs: vacuum/orphan sweeps count branch manifests' references
+  // alongside main's, and a dropped branch's files age out like any
+  // other unreferenced staging.
+  //
+  // Because branch versions continue main's numbering, FAST-FORWARD
+  // publish is literally linking the branch manifests into the main
+  // log: every `#seq:`/delete-scoping version in them is already in
+  // main's coordinate system — the cross-root scoping guards the old
+  // staging-root WAP needed do not apply. The gate is Iceberg's
+  // fast-forward rule: main's head must still equal the fork version;
+  // a main commit landed meanwhile makes the publish refuse with a
+  // concurrent-modification error (re-branch and re-stage to retry).
+  // A write-audit-publish flow is then: createBranch → commitToBranch
+  // (the risky batch) → audit readBranch (main + batch, the real
+  // serving view, while main serves readers untouched) → fastForward,
+  // or dropBranch when the audit fails.
+
+  private def branchRefPath(root: String, name: String): Path =
+    commitsDir(root).resolve(s"$name.branch")
+
+  private def branchManifestsDir(root: String, name: String): Path =
+    commitsDir(root).resolve(s"branch_$name")
+
+  private def branchManifestPath(root: String, name: String, v: Long): Path =
+    branchManifestsDir(root, name).resolve(f"$v%08d.manifest")
+
+  private def requireRefName(name: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"ref name must be [A-Za-z0-9_-]+: $name")
+    require(name.exists(!_.isDigit),
+      s"ref name must contain a non-digit (all-digit names collide with " +
+        s"numeric VERSION AS OF resolution): $name")
+  }
+
+  /** Create branch `name` at the current head (create-if-absent — an
+    * existing branch refuses). Returns the fork version. */
+  def createBranch(root: String, name: String): Long = {
+    requireRefName(name)
+    val head = maxCommitted(root)
+    require(head > 0, s"cannot branch $root: nothing committed")
+    Files.createDirectories(branchManifestsDir(root, name))
+    val tmp = commitsDir(root).resolve(
+      s".tmp_branch_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+    Files.write(tmp, head.toString.getBytes(UTF_8))
+    try Files.createLink(branchRefPath(root, name), tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new IllegalStateException(s"branch '$name' already exists under $root")
+    } finally Files.deleteIfExists(tmp)
+    head
+  }
+
+  /** The branch's fork version (main-log version it continues from),
+    * or None when no such branch exists. */
+  def branchFork(root: String, name: String): Option[Long] = {
+    val p = branchRefPath(root, name)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), UTF_8).trim.toLong)
+  }
+
+  /** Newest version on the branch (its own manifests, else the fork). */
+  def branchHead(root: String, name: String): Long = {
+    val fork = branchFork(root, name).getOrElse(throw new IllegalStateException(
+      s"no branch '$name' under $root"))
+    val d = branchManifestsDir(root, name)
+    if (!Files.isDirectory(d)) fork
+    else {
+      val ls = Files.list(d)
+      try ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.endsWith(".manifest") =>
+          s.stripSuffix(".manifest").toLong }
+        .foldLeft(fork)(math.max)
+      finally ls.close()
+    }
+  }
+
+  /** Resolve version `v` as seen FROM the branch: at or below the fork
+    * it is a main-log version; above it, a branch manifest. */
+  def resolveBranchAt(root: String, name: String, v: Long): Snapshot = {
+    val fork = branchFork(root, name).getOrElse(throw new IllegalStateException(
+      s"no branch '$name' under $root"))
+    if (v <= fork) resolveAt(root, v)
+    else {
+      val m = branchManifestPath(root, name, v)
+      if (!Files.exists(m)) throw new IllegalStateException(
+        s"version $v of branch '$name' under $root is not committed")
+      parseManifest(m, v)
+    }
+  }
+
+  def resolveBranch(root: String, name: String): Snapshot =
+    resolveBranchAt(root, name, branchHead(root, name))
+
+  /** Read the branch head — the audit view: main's rows plus every
+    * batch committed to the branch, deletes applied with the same
+    * version scoping as a main read. */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame = {
+    val snap = resolveBranch(root, name)
+    readWithDeletes(spark, snap.files, snap.deletes, fileSeq = snap.fileSeq,
+      root = root, posDeletes = snap.posDeletes)
+  }
+
+  /** APPEND commit targeting the branch: stage files via `write` into
+    * a writer-unique data dir (under the shared root, at the branch's
+    * next version — main's numbering continued), carry the branch
+    * parent's files/deletes/stats/blooms forward, and publish with the
+    * same tmp+createLink atomicity as a main commit. Concurrent
+    * committers to one branch race on the link and the loser restages,
+    * exactly like main. */
+  def commitToBranch(root: String, name: String)(write: String => Unit): Long = {
+    require(branchFork(root, name).isDefined, s"no branch '$name' under $root")
+    var attempt = 0
+    while (true) {
+      val v = branchHead(root, name) + 1
+      val dataDir = newDataDir(root, v)
+      write(dataDir)
+      val staged = listParquet(dataDir)
+      require(staged.nonEmpty, s"branch commit produced no data files in $dataDir")
+      val parent = resolveBranchAt(root, name, v - 1)
+      val files = parent.files ++ staged
+      val header = parent.deletes.map(delLine) ++
+        seqLines(parent.fileSeq, files) ++
+        statsLines(parent.statsRaw, files) ++
+        newStatsLines(staged) ++
+        bloomLines(parent.blooms, files) ++
+        newBloomLines(root, staged) ++
+        posLines(parent.posDeletes, files)
+      val parentTs = manifestTimestamp(
+        if (v - 1 <= branchFork(root, name).get) manifestPath(root, v - 1)
+        else branchManifestPath(root, name, v - 1)).getOrElse(-1L)
+      val commitTs = math.max(
+        java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+      val tmp = commitsDir(root).resolve(
+        s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+      Files.write(tmp, (s"$tsPrefix$commitTs\n" +
+        (if (header.isEmpty) "" else header.mkString("", "\n", "\n")) +
+        files.mkString("\n")).getBytes(UTF_8))
+      try {
+        Files.createLink(branchManifestPath(root, name, v), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          deleteRecursively(Paths.get(dataDir))
+          attempt += 1
+          if (attempt > 5) throw new IllegalStateException(
+            s"lost the branch-commit race $attempt times on '$name' under $root")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** FAST-FORWARD publish: link the branch's manifests into the main
+    * log (Iceberg's fastForwardBranch). Requires main's head to still
+    * equal the fork — a main commit landed meanwhile refuses with
+    * ConcurrentModificationException (create a fresh branch from the
+    * new head to retry). Afterwards the ref advances to the published
+    * head and the branch keeps working (its next commit continues from
+    * there). Each linked manifest is a complete, valid main commit, so
+    * a crash mid-publish leaves main at an intermediate branch version
+    * — consistent, just not yet fully forwarded; re-running completes
+    * the remaining links idempotently. */
+  def fastForward(root: String, name: String): Long = {
+    val fork = branchFork(root, name).getOrElse(throw new IllegalStateException(
+      s"no branch '$name' under $root"))
+    val bh = branchHead(root, name)
+    require(bh > fork, s"branch '$name' has no commits to publish")
+    ((fork + 1) to bh).foreach { v =>
+      val src = branchManifestPath(root, name, v)
+      try Files.createLink(manifestPath(root, v), src)
+      catch {
+        case _: FileAlreadyExistsException =>
+          // idempotent when it is OUR manifest already linked (a
+          // re-run after a crash); anything else is a lost race
+          val same = try java.util.Arrays.equals(
+            Files.readAllBytes(manifestPath(root, v)), Files.readAllBytes(src))
+          catch { case _: Exception => false }
+          if (!same) throw new java.util.ConcurrentModificationException(
+            s"cannot fast-forward '$name' into $root: a concurrent commit " +
+              s"took version $v — branch from the new head and re-stage")
+      }
+    }
+    // advance the ref; the branch-log copies are redundant now
+    val tmp = commitsDir(root).resolve(
+      s".tmp_branch_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+    Files.write(tmp, bh.toString.getBytes(UTF_8))
+    Files.move(tmp, branchRefPath(root, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ((fork + 1) to bh).foreach(v =>
+      Files.deleteIfExists(branchManifestPath(root, name, v)))
+    bh
+  }
+
+  /** Drop the branch: ref and branch manifests go; its staged data
+    * files become unreferenced and age out under the normal sweeps. */
+  def dropBranch(root: String, name: String): Unit = {
+    Files.deleteIfExists(branchRefPath(root, name))
+    deleteRecursively(branchManifestsDir(root, name))
+  }
+
+  /** (name, fork, head) of every branch under the root. */
+  def listBranches(root: String): Seq[(String, Long, Long)] = {
+    val cd = commitsDir(root)
+    if (!Files.isDirectory(cd)) Nil
+    else {
+      val ls = Files.list(cd)
+      val names =
+        try ls.iterator().asScala.map(_.getFileName.toString)
+          .collect { case s if s.endsWith(".branch") => s.stripSuffix(".branch") }
+          .toSeq.sorted
+        finally ls.close()
+      names.map(n => (n, branchFork(root, n).getOrElse(0L), branchHead(root, n)))
+    }
+  }
+
+  /** Every file a branch manifest still references (data, delete-key,
+    * and position-delete sidecars) — unioned into the sweeps'
+    * referenced sets so branch-staged work survives retention exactly
+    * like published work (one policy for both logs). */
+  private def branchReferencedFiles(root: String): Set[String] =
+    listBranches(root).flatMap { case (name, fork, head) =>
+      ((fork + 1) to head).flatMap { v =>
+        val m = branchManifestPath(root, name, v)
+        if (!Files.exists(m)) Nil
+        else {
+          val s = parseManifest(m, v)
+          s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten
+        }
+      }
+    }.toSet
 
   /** `TIMESTAMP AS OF` resolution: the newest committed version whose
     * commit timestamp is <= `tsMicros` (Delta's rule). Commit timestamps
@@ -2163,9 +2417,12 @@ object Snapshots {
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap { v =>
         val s = resolveAt(root, v)
-        // pending delete files and position-delete pair files are live too
+        // pending delete files and position-delete sidecars are live too
         s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten
-      }.toSet
+      }.toSet ++
+      // branch manifests pin their staged (not yet fast-forwarded)
+      // work — one retention policy over both logs
+      branchReferencedFiles(root)
     (1L until oldest).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     // sweep data dirs staged below the retention floor — expired
     // versions AND crashed-writer orphans alike. A dir goes away whole
@@ -2239,7 +2496,7 @@ object Snapshots {
       .flatMap { v =>
         val s = resolveAt(root, v)
         s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten
-      }.toSet
+      }.toSet ++ branchReferencedFiles(root)
     val now = System.currentTimeMillis()
     // quiet = NOTHING in the dir tree modified within the grace window
     // (not just the top dir: a partitioned stage writes into value

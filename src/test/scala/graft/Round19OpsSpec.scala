@@ -334,4 +334,69 @@ class Round19OpsSpec extends SparkSpec {
     assert(sqlDf("SELECT count(*) FROM snap.default.r19dv VERSION AS OF 1")
       .as[Long].head() == 500000L)
   }
+
+  test("branch refs: speculative log continuation, fast-forward WAP, unified retention") {
+    import java.nio.file.{Files, Paths}
+    val root = Qx.tmpOut("r19branch", sf())
+    val df = spark.range(0, 100).selectExpr("id AS k", "id * 2.0 AS v")
+    Snapshots.commit(root)(out => df.write.mode("append").parquet(out))
+    assert(Snapshots.maxCommitted(root) == 1L)
+    // a branch forks the head; its commits continue main's numbering
+    assert(Snapshots.createBranch(root, "audit") == 1L)
+    intercept[Exception](Snapshots.createBranch(root, "audit")) // exists
+    intercept[Exception](Snapshots.createBranch(root, "2024"))  // all-digit
+    Snapshots.commitToBranch(root, "audit")(out =>
+      spark.range(100, 150).selectExpr("id AS k", "id * 2.0 AS v")
+        .write.mode("append").parquet(out))
+    assert(Snapshots.branchHead(root, "audit") == 2L)
+    // main is UNTOUCHED while the branch audits the prospective state
+    assert(Snapshots.maxCommitted(root) == 1L)
+    assert(Snapshots.read(spark, root).count() == 100L)
+    assert(Snapshots.readBranch(spark, root, "audit").count() == 150L)
+    // unified retention: the branch's staged (unpublished) files are
+    // referenced — an orphan sweep reclaims a stray but never them
+    val branchFiles = Snapshots.resolveBranch(root, "audit").files
+      .filterNot(Snapshots.resolveAt(root, 1L).files.contains)
+    assert(branchFiles.nonEmpty)
+    val strayDir = s"$root/v00000001_stray_1"
+    Files.createDirectories(Paths.get(strayDir))
+    spark.range(5).write.mode("overwrite").parquet(strayDir)
+    val (removed, _) = Snapshots.removeOrphanFiles(root, graceMs = -1000L)
+    assert(removed >= 1L, "the stray must be reclaimed")
+    branchFiles.foreach(f => assert(Files.exists(Paths.get(f)),
+      s"branch-staged file $f must survive the sweep"))
+    // fast-forward: the branch manifests LINK into the main log
+    assert(Snapshots.fastForward(root, "audit") == 2L)
+    assert(Snapshots.maxCommitted(root) == 2L)
+    assert(Snapshots.read(spark, root).count() == 150L)
+    assert(Snapshots.readAt(spark, root, 1L).count() == 100L, "history intact")
+    // the ref advanced: the branch keeps working from the new head
+    assert(Snapshots.branchFork(root, "audit").contains(2L))
+    Snapshots.commitToBranch(root, "audit")(out =>
+      spark.range(150, 160).selectExpr("id AS k", "id * 2.0 AS v")
+        .write.mode("append").parquet(out))
+    assert(Snapshots.fastForward(root, "audit") == 3L)
+    assert(Snapshots.read(spark, root).count() == 160L)
+    // NON-fast-forward: a main commit past the fork makes publish refuse
+    Snapshots.createBranch(root, "risky")
+    Snapshots.commitToBranch(root, "risky")(out =>
+      spark.range(1000, 1010).selectExpr("id AS k", "id * 2.0 AS v")
+        .write.mode("append").parquet(out))
+    Snapshots.commitAppend(root)(out => // concurrent main commit wins v4
+      spark.range(2000, 2005).selectExpr("id AS k", "id * 2.0 AS v")
+        .write.mode("append").parquet(out))
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.fastForward(root, "risky"))
+    assert(Snapshots.read(spark, root).count() == 165L,
+      "a refused publish must leave main exactly as the concurrent commit left it")
+    // dropping the failed branch releases its staged work to the sweeps
+    val riskyFiles = Snapshots.resolveBranch(root, "risky").files
+      .filterNot(Snapshots.resolveAt(root, 4L).files.contains)
+    Snapshots.dropBranch(root, "risky")
+    assert(Snapshots.branchFork(root, "risky").isEmpty)
+    Snapshots.removeOrphanFiles(root, graceMs = -1000L)
+    riskyFiles.foreach(f => assert(!Files.exists(Paths.get(f)),
+      s"a dropped branch's staged file $f must be reclaimable"))
+    assert(Snapshots.read(spark, root).count() == 165L)
+  }
 }
