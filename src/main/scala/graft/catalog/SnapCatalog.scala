@@ -376,9 +376,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // ledger indirection (priors / dropchain / droptype) — no DDL
     // shape needs the pending-key set anymore.
     val (newSchema, newProps) = changes.foldLeft((schema, props)) {
+      // NESTED ADD (r19): `ADD COLUMN s.f TYPE` appends a nullable
+      // field to a top-level STRUCT column — metadata-only, like every
+      // other evolution here: pre-evolution files lack the field in
+      // their footers and Spark's by-name parquet resolution surfaces
+      // it as NULL; a pinned time-travel read presents the era's own
+      // struct shape (footer-inferred), and a pinned read STRADDLING
+      // the evolution merges the two shapes under the struct-aware
+      // widening matrix ([[GraftTable.widensTo]] — field union, added
+      // fields nullable). The FHIR-shaped schema's first evolution.
+      case ((sc, pr), add: TableChange.AddColumn) if add.fieldNames().length == 2 =>
+        val parent = add.fieldNames()(0)
+        val fname = add.fieldNames()(1)
+        require(sc.fieldNames.contains(parent), s"no column '$parent' to add into")
+        val st = sc(parent).dataType match {
+          case s: org.apache.spark.sql.types.StructType => s
+          case other => throw new IllegalArgumentException(
+            s"ADD COLUMN $parent.$fname needs '$parent' to be a struct, " +
+              s"got ${other.simpleString}")
+        }
+        require(add.isNullable,
+          s"added field $parent.$fname must be nullable (pre-evolution rows " +
+            "surface NULL)")
+        require(!st.fieldNames.map(_.toLowerCase).contains(fname.toLowerCase),
+          s"field '$fname' already exists in struct '$parent'")
+        require(!GraftTable.physOf(pr).contains(parent),
+          s"'$parent' is a re-added (physically remapped) column; evolve it " +
+            "after a rewrite re-materializes the table under current names")
+        val newSt = st.add(org.apache.spark.sql.types.StructField(
+          fname, add.dataType(), nullable = true))
+        (StructType(sc.fields.map(f =>
+          if (f.name == parent) f.copy(dataType = newSt) else f)), pr)
       case ((sc, pr), add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
-          s"only top-level ADD COLUMN is supported: ${add.fieldNames().mkString(".")}")
+          s"only top-level and one-level-struct ADD COLUMN are supported: " +
+            s"${add.fieldNames().mkString(".")}")
         val name = add.fieldNames()(0)
         require(name != Snapshots.bucketPathCol &&
           name != Snapshots.transformPathCol,

@@ -621,6 +621,14 @@ object GraftTable {
       case (FloatType, DoubleType) => true
       case (a: DecimalType, b: DecimalType) =>
         b.scale == a.scale && b.precision >= a.precision
+      // struct evolution (nested ADD COLUMN): `to` carries every field
+      // of `from` (each safely widened, order-free) plus only NULLABLE
+      // additions — the shape a pinned read straddling an
+      // `ADD COLUMN s.f` must merge
+      case (a: StructType, b: StructType) =>
+        a.fields.forall(fa => b.fields.find(_.name == fa.name)
+          .exists(fb => widensTo(fa.dataType, fb.dataType))) &&
+        b.fields.forall(fb => a.fieldNames.contains(fb.name) || fb.nullable)
       case _ => false
     }
   }

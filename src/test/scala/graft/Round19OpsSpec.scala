@@ -335,6 +335,52 @@ class Round19OpsSpec extends SparkSpec {
       .as[Long].head() == 500000L)
   }
 
+  test("nested-struct ADD COLUMN: metadata-only, NULL pre-evolution, era-true travel") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19ns")
+    // FHIR-shaped: a patient struct that grows a field after go-live
+    sqlDf("""CREATE TABLE snap.default.r19ns
+            |(id BIGINT, patient STRUCT<name: STRING, birth: DATE>)""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r19ns
+            |SELECT id, named_struct('name', concat('p', id),
+            |  'birth', date_add(DATE'1980-01-01', CAST(id AS INT)))
+            |FROM range(0, 100)""".stripMargin)
+    val filesBefore = Snapshots.resolve(s"$wh/default/r19ns").get.files.toSet
+    sqlDf("ALTER TABLE snap.default.r19ns ADD COLUMN patient.mrn STRING")
+    assert(Snapshots.resolve(s"$wh/default/r19ns").get.files.toSet == filesBefore,
+      "nested ADD COLUMN must be metadata-only")
+    sqlDf("""INSERT INTO snap.default.r19ns
+            |SELECT id, named_struct('name', concat('p', id),
+            |  'birth', date_add(DATE'1980-01-01', CAST(id AS INT)),
+            |  'mrn', concat('MRN', id))
+            |FROM range(100, 150)""".stripMargin)
+    // pre-evolution rows surface NULL for the new field; new rows carry it
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19ns WHERE patient.mrn IS NULL")
+      .as[Long].head() == 100L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19ns WHERE patient.mrn = 'MRN120'")
+      .as[Long].head() == 1L)
+    assert(sqlDf("SELECT patient.name FROM snap.default.r19ns WHERE id = 3")
+      .collect().head.getString(0) == "p3", "old fields read through the evolution")
+    // a pinned PRE-evolution read presents the era's own struct shape
+    val v1 = sqlDf("SELECT * FROM snap.default.r19ns VERSION AS OF 1")
+    val v1Struct = v1.schema("patient").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(!v1Struct.fieldNames.contains("mrn"),
+      s"version 1 must present the pre-evolution struct: $v1Struct")
+    assert(v1.count() == 100L)
+    // a pinned STRADDLING read merges the shapes (added field nullable)
+    val v2 = sqlDf("SELECT * FROM snap.default.r19ns VERSION AS OF 2")
+    assert(v2.schema("patient").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("mrn"))
+    assert(v2.where("patient.mrn IS NULL").count() == 100L && v2.count() == 150L)
+    // guards: existing field, non-struct parent, NOT NULL all refuse
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r19ns ADD COLUMN patient.name INT"))
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r19ns ADD COLUMN id.sub INT"))
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r19ns ADD COLUMN patient.req STRING NOT NULL"))
+  }
+
   test("branch refs: speculative log continuation, fast-forward WAP, unified retention") {
     import java.nio.file.{Files, Paths}
     val root = Qx.tmpOut("r19branch", sf())
