@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED ANN INDEX (r19) — the production shape the per-query
+  * derivation lacked: IVF centroids + inverted lists and LSH bucket
+  * tables materialized as snapshot-store tables, MAINTAINED
+  * INCREMENTALLY on append, with the `sim_ann_*` queries serving by
+  * JOINING the index instead of re-hashing / re-assigning the corpus
+  * per invocation.
+  *
+  * Layout (one snapshot root per structure, under the engine's tmp
+  * warehouse, keyed by corpus dir):
+  *  - IVF: `<root>/centroids` — the K=16 trained centers (tiny,
+  *    broadcast at serve time); `<root>/assignments` — the INVERTED
+  *    FILE: (vec_id, cell, v, nrm), the corpus re-organized by nearest
+  *    centroid, exactly FAISS's IVF lists as a table. Serving scans
+  *    ONLY the index — the raw corpus is never touched.
+  *  - LSH: `<root>/buckets` — (vec_id, bucket, bucketb, v, nrm), the
+  *    two 8-bit sign buckets per vector (same codegen'd
+  *    lsh_bucket8/lsh_bucket8b expressions the inline path used).
+  *
+  * Incrementality: centroids are FROZEN after the first build (the
+  * standard IVF discipline — assignment is pointwise given fixed
+  * centers, so incremental == batch BY CONSTRUCTION; re-training is an
+  * offline rebuild). `appendIvf`/`appendLsh` assign ONLY the handed
+  * delta (one broadcast-join pass over it, O(delta) rows moved) and
+  * publish one append commit; `ensure*` self-heals by anti-joining the
+  * corpus against the index and appending whatever is missing — first
+  * call builds, later calls reuse, a grown corpus tops up.
+  *
+  * Determinism: training is the same capped hash-chosen sample +
+  * fixed-seed KMeans as the inline path ([[SimOps.ivfTrainingSample]]);
+  * doubles round-trip parquet exactly; so the indexed serve path is
+  * BIT-IDENTICAL to the derived one and the spec-gated recall floors
+  * hold unchanged. */
+private[graft] object AnnIndex {
+
+  val K = 16
+
+  def ivfRoot(dir: String): String = graft.Qx.tmpOut("annidx_ivf", dir)
+  def lshRoot(dir: String): String = graft.Qx.tmpOut("annidx_lsh", dir)
+
+  /** Train the coarse quantizer (fixed seed/iters on the bounded
+    * deterministic sample) → (cent_id, c_v). */
+  private def trainCentroids(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new KMeans().setK(K).setSeed(20260812L).setMaxIter(5)
+      .setFeaturesCol("fv")
+      .fit(SimOps.ivfTrainingSample(e).select(array_to_vector($"v").as("fv")))
+    s.createDataFrame(
+        model.clusterCenters.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toArray) })
+      .toDF("cent_id", "c_v")
+  }
+
+  /** Centroids with the serve-time norm attached. */
+  private def withCentNorm(cents: DataFrame): DataFrame = {
+    val s = cents.sparkSession
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    cents.withColumn("c_nrm", sqrt(call_function("vec_dot", $"c_v", $"c_v")))
+  }
+
+  /** Pointwise nearest-centroid assignment of `delta` (broadcast
+    * centroids, distributed argmax-of-struct — no window, no shuffle
+    * beyond the final groupBy): (vec_id, cell, v, nrm). */
+  private def assignCells(delta: DataFrame, cents: DataFrame): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val cn = withCentNorm(cents)
+    val cells = delta.crossJoin(broadcast(cn))
+      .select($"vec_id", struct(
+        (call_function("vec_dot", $"v", $"c_v") / ($"nrm" * $"c_nrm")).as("cos"),
+        (lit(K - 1) - $"cent_id").as("inv")).as("sc"))
+      .groupBy($"vec_id").agg(max($"sc").as("best"))
+      .select($"vec_id", (lit(K - 1) - $"best.inv").as("cell"))
+    delta.join(cells, "vec_id").select($"vec_id", $"cell", $"v", $"nrm")
+  }
+
+  /** Ensure the IVF index for `dir`'s embeddings exists and covers the
+    * corpus; returns (centroids with norms, inverted file). First call
+    * trains + builds; a later call with a grown corpus appends ONLY
+    * the missing vectors; a current index is a pure metadata probe +
+    * two table reads. */
+  def ensureIvf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val root = ivfRoot(dir)
+    val centsRoot = s"$root/centroids"
+    val asgRoot = s"$root/assignments"
+    val corpus = SimOps.vectorsWithNorm(s, dir).select($"vec_id", $"v", $"nrm")
+    if (Snapshots.resolve(centsRoot).isEmpty) buildCentroids(root, corpus)
+    val cents = withCentNorm(Snapshots.read(s, centsRoot))
+    val missing =
+      if (Snapshots.resolve(asgRoot).isEmpty) corpus
+      else corpus.join(Snapshots.read(s, asgRoot).select($"vec_id"),
+        Seq("vec_id"), "left_anti")
+    if (!missing.isEmpty) appendIvf(s, root, missing)
+    (cents, Snapshots.read(s, asgRoot))
+  }
+
+  /** Train the coarse quantizer on `trainingCorpus` and commit the
+    * centroid table — the index bootstrap (and the offline-rebuild
+    * entry point). Frozen afterwards: assignment is pointwise given
+    * fixed centers, which is exactly what makes incremental == batch. */
+  def buildCentroids(root: String, trainingCorpus: DataFrame): Long =
+    Snapshots.commit(s"$root/centroids")(out =>
+      trainCentroids(trainingCorpus).coalesce(1).write.mode("append").parquet(out))
+
+  /** Assign EXACTLY `delta` against the frozen centroids and publish
+    * one append commit — the O(delta) maintenance hook an ingest
+    * pipeline calls per batch. */
+  def appendIvf(s: SparkSession, root: String, delta: DataFrame): Long = {
+    val cents = withCentNorm(Snapshots.read(s, s"$root/centroids"))
+    val assigned = assignCells(delta, cents)
+    if (Snapshots.resolve(s"$root/assignments").isEmpty)
+      Snapshots.commit(s"$root/assignments")(out =>
+        assigned.write.mode("append").parquet(out))
+    else
+      Snapshots.commitAppend(s"$root/assignments")(out =>
+        assigned.write.mode("append").parquet(out))
+  }
+
+  /** Ensure the LSH bucket table for `dir`'s embeddings (same
+    * first-build / top-up discipline; no training — the hyperplanes
+    * are the fixed codegen'd expressions). */
+  def ensureLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = lshRoot(dir)
+    val bktRoot = s"$root/buckets"
+    val corpus = SimOps.vectorsWithNorm(s, dir).select($"vec_id", $"v", $"nrm")
+    val missing =
+      if (Snapshots.resolve(bktRoot).isEmpty) corpus
+      else corpus.join(Snapshots.read(s, bktRoot).select($"vec_id"),
+        Seq("vec_id"), "left_anti")
+    if (!missing.isEmpty) appendLsh(s, root, missing)
+    Snapshots.read(s, bktRoot)
+  }
+
+  /** Bucket EXACTLY `delta` and publish one append commit (O(delta)). */
+  def appendLsh(s: SparkSession, root: String, delta: DataFrame): Long = {
+    import s.implicits._
+    graft.functions.HashExprs.register(s)
+    val bucketed = delta.select($"vec_id",
+      expr("lsh_bucket8(v)").as("bucket"),
+      expr("lsh_bucket8b(v)").as("bucketb"),
+      $"v", $"nrm")
+    if (Snapshots.resolve(s"$root/buckets").isEmpty)
+      Snapshots.commit(s"$root/buckets")(out =>
+        bucketed.write.mode("append").parquet(out))
+    else
+      Snapshots.commitAppend(s"$root/buckets")(out =>
+        bucketed.write.mode("append").parquet(out))
+  }
+}

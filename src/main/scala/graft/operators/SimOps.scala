@@ -43,7 +43,7 @@ object SimOps {
     * argmax cell assignment — degenerate vectors fall out of
     * similarity instead of dominating it. (The generated fixture has
     * no zero vectors, so oracle parity is unaffected.) */
-  private def vectorsWithNorm(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def vectorsWithNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     VectorExprs.register(s)
     Tables.load(s, dir, "embeddings")
@@ -193,13 +193,15 @@ object SimOps {
     * the exact twin is spec-gated per SF (Round17OpsSpec). */
   val simAnnLsh: Q = (s, dir) => {
     import s.implicits._
-    // the 8-hyperplane sign buckets are the codegen'd lsh_bucket8/
-    // lsh_bucket8b expressions (functions/HashExprs.scala)
-    graft.functions.HashExprs.register(s)
-    val e = vectorsWithNorm(s, dir)
-      .select($"vec_id", $"v", $"nrm",
-        expr("lsh_bucket8(v)").as("bucket"),
-        expr("lsh_bucket8b(v)").as("bucketb"))
+    // r19: served from the PERSISTED bucket table ([[AnnIndex]]) — the
+    // corpus is hashed once at index build (the 8-hyperplane sign
+    // buckets, codegen'd lsh_bucket8/lsh_bucket8b), maintained
+    // O(delta) on append; the query scans only the index. Values are
+    // bit-identical to the inline derivation (doubles round-trip
+    // parquet exactly), so the spec-gated recall floors carry over.
+    graft.functions.VectorExprs.register(s)
+    val e = AnnIndex.ensureLsh(s, dir)
+      .select($"vec_id", $"v", $"nrm", $"bucket", $"bucketb")
     val a = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"),
       $"bucket", $"bucketb")
     val b = e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"),
@@ -234,11 +236,10 @@ object SimOps {
     * oracle (like simAnnLsh); deterministic by construction. */
   val simAnnLshMultiprobe: Q = (s, dir) => {
     import s.implicits._
-    graft.functions.HashExprs.register(s)
-    val e = vectorsWithNorm(s, dir)
-      .select($"vec_id", $"v", $"nrm",
-        expr("lsh_bucket8(v)").as("bucket"),
-        expr("lsh_bucket8b(v)").as("bucketb"))
+    // r19: serves from the same persisted bucket table as simAnnLsh
+    graft.functions.VectorExprs.register(s)
+    val e = AnnIndex.ensureLsh(s, dir)
+      .select($"vec_id", $"v", $"nrm", $"bucket", $"bucketb")
     def hamming1(c: Column) = array((c +: (0 until 8).map(b =>
       c.bitwiseXOR(lit(1 << b)))): _*)
     def tbl(bCol: String) = {
@@ -305,32 +306,16 @@ object SimOps {
     * recall + determinism assertions in Round4OpsSpec. */
   val simAnnIvf: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = vectorsWithNorm(s, dir)
-    // Bounded-sample fit: ≤ IvfFitCap vectors, hash-chosen, one sorted
-    // partition (bit-deterministic). At the tested SFs the cap exceeds
-    // the corpus so the sample IS the corpus — identical training to
-    // the exhaustive fit; at 100 TB the fit stays a single 2 MB task
-    // while the serving path below (broadcast centroids + distributed
-    // argmax assignment) is what scales with the data.
-    val model = new KMeans().setK(16).setSeed(20260812L).setMaxIter(5)
-      .setFeaturesCol("fv")
-      .fit(ivfTrainingSample(e).select(array_to_vector($"v").as("fv")))
-    val cents = s.createDataFrame(
-        model.clusterCenters.toIndexedSeq.zipWithIndex
-          .map { case (c, i) => (i.toLong, c.toArray) })
-      .toDF("cent_id", "c_v")
-      .withColumn("c_nrm", sqrt(call_function("vec_dot", $"c_v", $"c_v")))
-    // argmax cosine per vector: max over struct(cos, 15-cent_id) picks
-    // the highest cosine, ties to the lowest centroid id.
-    val cells = e.crossJoin(broadcast(cents))
-      .select($"vec_id", struct(
-        (dotD($"v", $"c_v") / ($"nrm" * $"c_nrm")).as("cos"),
-        (lit(15) - $"cent_id").as("inv")).as("sc"))
-      .groupBy($"vec_id").agg(max($"sc").as("best"))
-      .select($"vec_id", (lit(15) - $"best.inv").as("cell"))
-    val ev = e.join(cells, "vec_id")
+    // r19: served from the PERSISTED IVF index ([[AnnIndex]]) — the
+    // coarse quantizer trains ONCE (same bounded deterministic sample,
+    // fixed-seed KMeans) and the inverted file (vec_id, cell, v, nrm)
+    // is the corpus re-organized by nearest centroid, maintained
+    // O(delta) on append; serving scans ONLY the index, never the raw
+    // corpus. Centroids broadcast; everything below is the same
+    // bit-deterministic plan over the same values, so the spec-gated
+    // recall floors carry over unchanged.
+    graft.functions.VectorExprs.register(s)
+    val (cents, ev) = AnnIndex.ensureIvf(s, dir)
     // nprobe=2: each PROBE searches its two nearest cells (the classic
     // IVF recall lever — a probe whose true neighbor sits just across
     // its own cell's boundary finds it in the runner-up cell). The
@@ -340,7 +325,7 @@ object SimOps {
     // a window over probes × 16 broadcast centroids — O(nprobe · K)
     // rows per probe, trivial at any corpus size.
     val pw = Window.partitionBy($"probe_id").orderBy($"pcos".desc, $"cent_id")
-    val probes = e.filter($"vec_id" < 10)
+    val probes = ev.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"v".as("p_v"), $"nrm".as("p_nrm"))
       .crossJoin(broadcast(cents))
       .select($"probe_id", $"p_v", $"p_nrm", $"cent_id",

@@ -381,6 +381,57 @@ class Round19OpsSpec extends SparkSpec {
       "ALTER TABLE snap.default.r19ns ADD COLUMN patient.req STRING NOT NULL"))
   }
 
+  test("persisted ANN index: frozen centroids, O(delta) appends, incremental == batch") {
+    import graft.operators.AnnIndex
+    import org.apache.spark.sql.functions._
+    val root = Qx.tmpOut("r19annidx", sf())
+    // a corpus shaped like the serving path's vector frame
+    val raw = spark.range(0, 400).selectExpr("id AS vec_id",
+        "transform(sequence(1, 16), j -> cos(CAST(id * j AS DOUBLE) / 7.0)) AS v")
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(v, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")))
+    val first = raw.filter(col("vec_id") < 300)
+    val delta = raw.filter(col("vec_id") >= 300)
+    AnnIndex.buildCentroids(root, first)
+    AnnIndex.appendIvf(spark, root, first)
+    val asgRoot = s"$root/assignments"
+    assert(Snapshots.read(spark, asgRoot).count() == 300L)
+    // the maintenance hook is O(delta): one append commit whose new
+    // files hold EXACTLY the delta's rows — the existing 300
+    // assignments are not re-read, not re-assigned, not re-written
+    AnnIndex.appendIvf(spark, root, delta)
+    assert(Snapshots.maxCommitted(asgRoot) == 2L)
+    val v1Files = Snapshots.resolveAt(asgRoot, 1L).files.toSet
+    val v2New = Snapshots.resolveAt(asgRoot, 2L).files.filterNot(v1Files)
+    assert(v2New.nonEmpty)
+    assert(spark.read.parquet(v2New: _*).count() == 100L,
+      "the append commit must stage only the delta's assignments")
+    // centroids FROZEN across the append: still the single bootstrap commit
+    assert(Snapshots.maxCommitted(s"$root/centroids") == 1L)
+    // incremental == batch: assigning the whole corpus in one pass
+    // against identically trained centroids lands every vector in the
+    // same cell (assignment is pointwise given fixed centers)
+    val fullRoot = Qx.tmpOut("r19annidxf", sf())
+    AnnIndex.buildCentroids(fullRoot, first) // deterministic retrain = same centers
+    AnnIndex.appendIvf(spark, fullRoot, raw)
+    val inc = Snapshots.read(spark, asgRoot).select("vec_id", "cell")
+    val batch = Snapshots.read(spark, fullRoot + "/assignments").select("vec_id", "cell")
+    assert(inc.exceptAll(batch).isEmpty && batch.exceptAll(inc).isEmpty,
+      "incrementally maintained assignments must equal the batch assignment")
+    // ensure* is build-once: a second call with an unchanged corpus
+    // publishes nothing (pure reuse)
+    AnnIndex.ensureLsh(spark, sf())
+    val lshBkts = s"${AnnIndex.lshRoot(sf())}/buckets"
+    val vAfterBuild = Snapshots.maxCommitted(lshBkts)
+    AnnIndex.ensureLsh(spark, sf())
+    assert(Snapshots.maxCommitted(lshBkts) == vAfterBuild,
+      "an up-to-date index must not re-publish")
+    // ...and tops up a GROWN corpus O(delta): the bucket table covers
+    // every corpus vector after ensure, by construction of the anti-join
+    assert(AnnIndex.ensureLsh(spark, sf()).count() ==
+      spark.read.parquet(s"${sf()}/embeddings.parquet").count())
+  }
+
   test("branch refs: speculative log continuation, fast-forward WAP, unified retention") {
     import java.nio.file.{Files, Paths}
     val root = Qx.tmpOut("r19branch", sf())
