@@ -138,7 +138,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
         val proot = rootOf(parent)
         if (exists(proot))
-          return SnapMetaTables(ident.toString, proot, ident.name())
+          // `<t>.changes` is the STREAMING change feed (insert/delete
+          // row effects, position deletes included); the rest are the
+          // batch metadata tables
+          return if (ident.name() == SnapChanges.kind)
+            SnapChanges.table(ident.toString, proot)
+          else SnapMetaTables(ident.toString, proot, ident.name())
       }
       throw new NoSuchTableException(ident)
     }

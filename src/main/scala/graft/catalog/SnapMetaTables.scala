@@ -34,7 +34,9 @@ import scala.jdk.CollectionConverters._
   * point of asking the metadata instead of the data. */
 private[catalog] object SnapMetaTables {
 
-  val names: Set[String] = Set("history", "files", "deletes", "tags")
+  // "changes" routes to [[SnapChanges]] (the streaming change feed) —
+  // listed here so name reservation and loadTable routing share the set
+  val names: Set[String] = Set("history", "files", "deletes", "tags", "changes")
 
   def apply(fullName: String, root: String, kind: String): Table =
     new MetaTable(fullName, root, kind)

@@ -560,4 +560,63 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(want),
       s"stream parsed ${got.length} rows vs batch ${want.length}")
   }
+
+  test("the .changes feed streams a position delete as row-level delete effects") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Qx.tmpOut("scdcwh", sf())
+    graft.catalog.GraftCatalog.register(spark, "snap", Some(wh))
+    spark.sql("DROP TABLE IF EXISTS snap.default.scdc")
+    spark.sql("""CREATE TABLE snap.default.scdc (k BIGINT, v STRING)
+                |TBLPROPERTIES ('graft.mor.positional'='true')""".stripMargin)
+    spark.sql("INSERT INTO snap.default.scdc SELECT id, concat('v', id) FROM range(1, 11)")
+    val out = Qx.tmpOut("scdcout", sf())
+    val ckpt = Qx.tmpOut("scdcckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def run(): Unit = {
+      val q = spark.readStream.table("snap.default.scdc.changes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val afterInit = spark.read.parquet(out)
+    assert(afterInit.count() == 10L)
+    assert(afterInit.where("_change_type = 'insert'").count() == 10L)
+    // a GDPR-style position delete: NO manual skip, NO failure — the
+    // feed delivers exactly the newly hidden rows as 'delete' effects
+    spark.sql("DELETE FROM snap.default.scdc WHERE k <= 3")
+    run()
+    val afterDel = spark.read.parquet(out)
+    assert(afterDel.count() == 13L, "10 inserts + 3 delete effects")
+    val dels = afterDel.where("_change_type = 'delete'")
+      .select("k").as[Long].collect().toSet
+    assert(dels == Set(1L, 2L, 3L), s"wrong delete effects: $dels")
+    // a positional UPDATE arrives as delete + insert effects in one commit
+    spark.sql("UPDATE snap.default.scdc SET v = 'patched' WHERE k = 7")
+    run()
+    val afterUpd = spark.read.parquet(out)
+    assert(afterUpd.where("_change_type = 'delete' AND k = 7").count() == 1L)
+    assert(afterUpd.where("_change_type = 'insert' AND k = 7 AND v = 'patched'")
+      .count() == 1L)
+    // consumer-side state reconstruction equals the table's batch head:
+    // latest effect per key wins (inserts minus later deletes)
+    val effects = afterUpd
+      .groupBy($"k").agg(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct($"_commit_version",
+            org.apache.spark.sql.functions
+              .when($"_change_type" === "insert", 1).otherwise(0).as("ins"),
+            $"v")).as("last"))
+      .where($"last.ins" === 1)
+      .select($"k", $"last.v".as("v"))
+    val head = spark.table("snap.default.scdc").select($"k", $"v")
+    assert(effects.exceptAll(head).isEmpty && head.exceptAll(effects).isEmpty,
+      "replaying the change feed must reconstruct the table head")
+    // batch SELECT of the feed refuses with a pointer to the batch CDF
+    val ex = intercept[Exception](
+      spark.sql("SELECT * FROM snap.default.scdc.changes").collect())
+    assert(ex.getMessage != null)
+  }
 }
