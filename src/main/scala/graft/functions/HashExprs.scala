@@ -39,8 +39,15 @@ object HashExprs {
   val planesB: Array[Array[Double]] =
     Array.tabulate(8, 64)((p, d) => math.cos((p * 64 + d + 1).toDouble))
 
+  /** Third independent family (r19, L=3 multi-table LSH): the golden-
+    * ratio stride decorrelates it from both the sin- and cos-sequence
+    * tables (no common period). */
+  private[graft] val planesC: Array[Array[Double]] =
+    Array.tabulate(8, 64)((p, d) =>
+      math.sin((p * 64 + d + 1).toDouble * 1.61803398875))
+
   private def planeTable(family: Int): Array[Array[Double]] =
-    if (family == 0) planes else planesB
+    if (family == 0) planes else if (family == 1) planesB else planesC
 
   /** Interpreted twin of the generated hyperplane-bucket loop. A null
     * ELEMENT nulls the bucket (same contract as [[DotProduct]]) —
@@ -107,6 +114,8 @@ object HashExprs {
       exprs => HyperplaneBucket(exprs.head))
     Registry.ensure(spark, "lsh_bucket8b", arity = 1,
       exprs => HyperplaneBucket(exprs.head, family = 1))
+    Registry.ensure(spark, "lsh_bucket8c", arity = 1,
+      exprs => HyperplaneBucket(exprs.head, family = 2))
     Registry.ensure(spark, "simhash64", arity = 1,
       exprs => SimHash64(exprs.head))
   }
@@ -123,7 +132,8 @@ case class HyperplaneBucket(child: Expression, family: Int = 0)
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def prettyName: String =
-    if (family == 0) "lsh_bucket8" else "lsh_bucket8b"
+    if (family == 0) "lsh_bucket8"
+    else if (family == 1) "lsh_bucket8b" else "lsh_bucket8c"
 
   override def dataType: DataType = IntegerType
 
@@ -142,7 +152,9 @@ case class HyperplaneBucket(child: Expression, family: Int = 0)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val planes = ctx.addReferenceObj("lshPlanes",
-        if (family == 0) HashExprs.planes else HashExprs.planesB, "double[][]")
+        if (family == 0) HashExprs.planes
+        else if (family == 1) HashExprs.planesB else HashExprs.planesC,
+        "double[][]")
       val bucket = ctx.freshName("bucket")
       val p = ctx.freshName("p")
       val acc = ctx.freshName("acc")

@@ -150,6 +150,7 @@ private[graft] object AnnIndex {
     val bucketed = delta.select($"vec_id",
       expr("lsh_bucket8(v)").as("bucket"),
       expr("lsh_bucket8b(v)").as("bucketb"),
+      expr("lsh_bucket8c(v)").as("bucketc"),
       $"v", $"nrm")
     if (Snapshots.resolve(s"$root/buckets").isEmpty)
       Snapshots.commit(s"$root/buckets")(out =>

@@ -179,40 +179,42 @@ object SimOps {
       .orderBy($"d1", $"d2")
   }
 
-  /** ANN via random-hyperplane LSH, L=2 hash tables: two independent
-    * 8-hyperplane families → two 8-bit sign buckets per vector;
-    * candidates share a bucket in EITHER table (the textbook
-    * multi-table OR-merge — a true neighbor must land on the wrong
-    * side of a hyperplane in BOTH families to be missed, roughly
-    * squaring the single-table miss rate at 2× candidate fan-in);
-    * exact cosine rerank keeps the best neighbor per vector. This is
-    * the scale path: bucketing replaces the all-pairs cross join with
-    * two shuffles on 8-bit keys — each table's join is independent and
-    * strictly bucket-bounded. No oracle (bucket boundaries aren't
-    * ANSI-SQL-expressible); deterministic by construction — recall vs
-    * the exact twin is spec-gated per SF (Round17OpsSpec). */
+  /** ANN via random-hyperplane LSH, L=3 hash tables (r19, up from
+    * L=2): three independent 8-hyperplane families → three 8-bit sign
+    * buckets per vector; candidates share a bucket in ANY table (the
+    * textbook multi-table OR-merge — a true neighbor must land on the
+    * wrong side of a hyperplane in ALL THREE families to be missed,
+    * roughly cubing the single-table miss rate at 3× candidate
+    * fan-in); exact cosine rerank keeps the best neighbor per vector.
+    * This is the scale path: bucketing replaces the all-pairs cross
+    * join with three shuffles on 8-bit keys — each table's join is
+    * independent and strictly bucket-bounded. No oracle (bucket
+    * boundaries aren't ANSI-SQL-expressible); deterministic by
+    * construction — recall vs the exact twin is spec-gated per SF
+    * (Round17OpsSpec). */
   val simAnnLsh: Q = (s, dir) => {
     import s.implicits._
     // r19: served from the PERSISTED bucket table ([[AnnIndex]]) — the
     // corpus is hashed once at index build (the 8-hyperplane sign
-    // buckets, codegen'd lsh_bucket8/lsh_bucket8b), maintained
-    // O(delta) on append; the query scans only the index. Values are
-    // bit-identical to the inline derivation (doubles round-trip
-    // parquet exactly), so the spec-gated recall floors carry over.
+    // buckets, codegen'd lsh_bucket8/b/c), maintained O(delta) on
+    // append; the query scans only the index. Values are bit-identical
+    // to the inline derivation (doubles round-trip parquet exactly).
     graft.functions.VectorExprs.register(s)
     val e = AnnIndex.ensureLsh(s, dir)
-      .select($"vec_id", $"v", $"nrm", $"bucket", $"bucketb")
+      .select($"vec_id", $"v", $"nrm", $"bucket", $"bucketb", $"bucketc")
     val a = e.select($"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"),
-      $"bucket", $"bucketb")
+      $"bucket", $"bucketb", $"bucketc")
     val b = e.select($"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"),
-      $"bucket".as("bucket2"), $"bucketb".as("bucketb2"))
-    // one equi-join per table; a pair agreeing in both tables yields
-    // identical rows in both branches, harmless under the top-1 window
+      $"bucket".as("bucket2"), $"bucketb".as("bucketb2"),
+      $"bucketc".as("bucketc2"))
+    // one equi-join per table; a pair agreeing in several tables yields
+    // identical rows in those branches, harmless under the top-1 window
     def tbl(cond: Column) = a.join(b, cond && $"d1" =!= $"d2")
       .select($"d1", $"bucket", $"d2",
         round(dotD($"v1", $"v2") / ($"n1" * $"n2"), 4).as("cosine"))
     val pairs = tbl($"bucket" === $"bucket2")
       .unionAll(tbl($"bucketb" === $"bucketb2"))
+      .unionAll(tbl($"bucketc" === $"bucketc2"))
     val w = Window.partitionBy($"d1").orderBy($"cosine".desc, $"d2")
     val best = pairs.withColumn("rnk", row_number().over(w))
       .filter($"rnk" === 1)
@@ -224,22 +226,23 @@ object SimOps {
   }
 
   /** Multi-probe LSH — the standard recall lever on [[simAnnLsh]]:
-    * in EACH of the two hash tables, each probe also searches the 8
-    * buckets at Hamming distance 1 from its own (the most likely homes
-    * of a near neighbor that fell on the wrong side of one
-    * hyperplane). ~9× candidate fan-in per table; candidates are the
-    * union over both tables, so this strictly supersets [[simAnnLsh]]'s
-    * candidate set — recall dominance holds BY CONSTRUCTION, and the
-    * spec asserts it. Still strictly bucket-bounded (never all-pairs);
-    * at 100 TB the explode side is the small probe stream, the corpus
-    * side still shuffles once per table on its single bucket key. No
-    * oracle (like simAnnLsh); deterministic by construction. */
+    * in EACH of the three hash tables (L=3 since r19), each probe also
+    * searches the 8 buckets at Hamming distance 1 from its own (the
+    * most likely homes of a near neighbor that fell on the wrong side
+    * of one hyperplane). ~9× candidate fan-in per table; candidates
+    * are the union over all tables, so this strictly supersets
+    * [[simAnnLsh]]'s candidate set — recall dominance holds BY
+    * CONSTRUCTION, and the spec asserts it. Still strictly
+    * bucket-bounded (never all-pairs); at 100 TB the explode side is
+    * the small probe stream, the corpus side still shuffles once per
+    * table on its single bucket key. No oracle (like simAnnLsh);
+    * deterministic by construction. */
   val simAnnLshMultiprobe: Q = (s, dir) => {
     import s.implicits._
     // r19: serves from the same persisted bucket table as simAnnLsh
     graft.functions.VectorExprs.register(s)
     val e = AnnIndex.ensureLsh(s, dir)
-      .select($"vec_id", $"v", $"nrm", $"bucket", $"bucketb")
+      .select($"vec_id", $"v", $"nrm", $"bucket", $"bucketb", $"bucketc")
     def hamming1(c: Column) = array((c +: (0 until 8).map(b =>
       c.bitwiseXOR(lit(1 << b)))): _*)
     def tbl(bCol: String) = {
@@ -251,7 +254,7 @@ object SimOps {
         .select($"d1", $"d2",
           round(dotD($"v1", $"v2") / ($"n1" * $"n2"), 4).as("cosine"))
     }
-    val pairs = tbl("bucket").unionAll(tbl("bucketb"))
+    val pairs = tbl("bucket").unionAll(tbl("bucketb")).unionAll(tbl("bucketc"))
     val w = Window.partitionBy($"d1").orderBy($"cosine".desc, $"d2")
     val best = pairs.withColumn("rnk", row_number().over(w))
       .filter($"rnk" === 1)
@@ -316,14 +319,15 @@ object SimOps {
     // recall floors carry over unchanged.
     graft.functions.VectorExprs.register(s)
     val (cents, ev) = AnnIndex.ensureIvf(s, dir)
-    // nprobe=2: each PROBE searches its two nearest cells (the classic
-    // IVF recall lever — a probe whose true neighbor sits just across
-    // its own cell's boundary finds it in the runner-up cell). The
-    // CORPUS side keeps its single-cell assignment, so candidate sets
-    // per probed cell are disjoint (no duplicate pairs) and the join
-    // stays bucket-bounded at 2·n/K fan-in. The probe-cell ranking is
-    // a window over probes × 16 broadcast centroids — O(nprobe · K)
-    // rows per probe, trivial at any corpus size.
+    // nprobe=4 (r19, up from 2): each PROBE searches its four nearest
+    // cells (the classic IVF recall lever — a probe whose true
+    // neighbor sits just across its own cell's boundary finds it in a
+    // runner-up cell). The CORPUS side keeps its single-cell
+    // assignment, so candidate sets per probed cell are disjoint (no
+    // duplicate pairs) and the join stays bucket-bounded at 4·n/K
+    // fan-in. The probe-cell ranking is a window over probes × 16
+    // broadcast centroids — O(nprobe · K) rows per probe, trivial at
+    // any corpus size.
     val pw = Window.partitionBy($"probe_id").orderBy($"pcos".desc, $"cent_id")
     val probes = ev.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"v".as("p_v"), $"nrm".as("p_nrm"))
@@ -331,7 +335,7 @@ object SimOps {
       .select($"probe_id", $"p_v", $"p_nrm", $"cent_id",
         (dotD($"p_v", $"c_v") / ($"p_nrm" * $"c_nrm")).as("pcos"))
       .withColumn("crnk", row_number().over(pw))
-      .filter($"crnk" <= 2)
+      .filter($"crnk" <= 4)
       // the output's `cell` column stays the probe's OWN (rank-1) cell
       .select($"probe_id", $"p_v", $"p_nrm", $"cent_id".as("probed_cell"),
         first($"cent_id").over(pw.rowsBetween(Window.unboundedPreceding,

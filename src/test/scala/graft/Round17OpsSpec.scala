@@ -374,16 +374,16 @@ class Round17OpsSpec extends SparkSpec {
   test("ANN outputs carry a recall column; floors hold at sf0.01 and sf0.1") {
     // the recall-vs-exact-twin gate: attached as a constant column so
     // the driver's determinism check pins retrieval QUALITY, not just
-    // reproducibility. Floors are RATCHETED per SF to the r18 measured
+    // reproducibility. Floors are RATCHETED per SF to the r19 measured
     // values minus one probe's granularity (lsh/multiprobe recall@1
     // moves in steps of 0.1 over 10 probes; ivf recall@5 in steps of
     // 0.02 over 50 slots) — losing even a single probe's hit trips
-    // the gate. Measured r18: lsh 0.4/0.3, multiprobe 0.7/0.6,
-    // ivf 0.46/0.36 at sf0.01/sf0.1 (L=2 LSH tables + IVF nprobe=2;
-    // up from r17's 0.4/0.2, 0.7/0.6, 0.2/0.3).
+    // the gate. Measured r19: lsh 0.7/0.9, multiprobe 0.9/1.0,
+    // ivf 0.6/0.54 at sf0.01/sf0.1 (L=3 LSH tables + IVF nprobe=4;
+    // up from r18's 0.4/0.3, 0.7/0.6, 0.46/0.36 at L=2 / nprobe=2).
     val floors = Map( // sf -> (lsh, multiprobe, ivf)
-      "0.01" -> (0.35, 0.65, 0.42),
-      "0.1" -> (0.25, 0.55, 0.32))
+      "0.01" -> (0.6, 0.8, 0.58),
+      "0.1" -> (0.8, 0.9, 0.52))
     for (sfw <- Seq("0.01", "0.1")) {
       val dir = sf(sfw)
       def recallOf(key: String): Double = {
@@ -397,6 +397,7 @@ class Round17OpsSpec extends SparkSpec {
       val lsh = recallOf("sim_ann_lsh")
       val multi = recallOf("sim_ann_lsh_multiprobe")
       val ivf = recallOf("sim_ann_ivf")
+      info(s"sf$sfw measured recall: lsh=$lsh multiprobe=$multi ivf=$ivf")
       val (fLsh, fMulti, fIvf) = floors(sfw)
       assert(lsh >= fLsh, s"sf$sfw sim_ann_lsh recall@1 floor $fLsh: $lsh")
       assert(multi >= fMulti, s"sf$sfw multiprobe recall@1 floor $fMulti: $multi")
