@@ -704,20 +704,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             require(spec.width >= 1 && spec.width <= Int.MaxValue,
               s"truncate needs a width >= 1: ${spec.width}")
         }
+        // RETIRED layouts block MOR adoption too: committed files still
+        // sit under synthetic segments, and the MOR scan plans without
+        // a partition schema — it would refuse (loudly) at read time,
+        // so refuse comprehensibly at configuration time instead
         require(set.property() != GraftTable.morKeyProp ||
           (GraftTable.partColsOf(pr).isEmpty && SnapBucket.of(pr).isEmpty &&
-            SnapTransform.of(pr).isEmpty &&
+            SnapTransform.of(pr).isEmpty && SnapBucket.ofRetired(pr).isEmpty &&
+            SnapTransform.ofRetired(pr).isEmpty &&
             !pr.get(GraftTable.posMorProp).contains("true")),
-          "graft.mor.key does not compose with PARTITIONED BY or " +
-            "graft.mor.positional (delta writes stage flat files; a table " +
-            "deletes by key OR by position)")
+          "graft.mor.key does not compose with PARTITIONED BY (live or " +
+            "retired layouts) or graft.mor.positional (delta writes stage " +
+            "flat files; a table deletes by key OR by position)")
         require(set.property() != GraftTable.posMorProp ||
           set.value() != "true" ||
           (GraftTable.partColsOf(pr).isEmpty && SnapBucket.of(pr).isEmpty &&
-            SnapTransform.of(pr).isEmpty && !pr.contains(GraftTable.morKeyProp)),
-          "graft.mor.positional does not compose with PARTITIONED BY or " +
-            "graft.mor.key (delta writes stage flat pair/data files; a " +
-            "table deletes by key OR by position)")
+            SnapTransform.of(pr).isEmpty && SnapBucket.ofRetired(pr).isEmpty &&
+            SnapTransform.ofRetired(pr).isEmpty &&
+            !pr.contains(GraftTable.morKeyProp)),
+          "graft.mor.positional does not compose with PARTITIONED BY (live " +
+            "or retired layouts) or graft.mor.key (delta writes stage flat " +
+            "pair/data files; a table deletes by key OR by position)")
         // ':' delimits the '#bloom:<ver>:<col>:<file>' manifest line;
         // a bloom column named with one would corrupt the col↔file
         // split on read — refuse the property instead

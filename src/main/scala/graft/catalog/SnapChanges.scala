@@ -120,13 +120,25 @@ private[catalog] class ChangesMicroBatchStream(root: String,
 
   /** Scan over exactly `files`, requesting the data columns plus the
     * generated row-ordinal column (same planning path as a batch read
-    * of the slice). */
+    * of the slice). Tables whose files carry path-only columns or
+    * synthetic layout segments (identity PARTITIONED BY, live or
+    * retired bucket/transform layouts) refuse: the feed's readers copy
+    * by position over the flat data schema, and a partition-aware scan
+    * re-orders partition columns last — serve those through the batch
+    * row-CDF instead. (Positional MOR — the feed's delete source —
+    * never composes with layouts, so the refusal costs the posdel
+    * consumer nothing.) */
   private def scanOver(files: Seq[String]): Scan = {
-    val phys = GraftTable.readMeta(root).map(m => GraftTable.physOf(m._2))
-      .getOrElse(Map.empty)
+    val props = GraftTable.readMeta(root).map(_._2).getOrElse(Map.empty)
+    val phys = GraftTable.physOf(props)
     require(phys.isEmpty,
       s"the change feed of $root is unsupported while re-added columns " +
         s"(${phys.keys.mkString(", ")}) carry a physical-name remap")
+    require(GraftTable.partColsOf(props).isEmpty &&
+      SnapBucket.of(props).isEmpty && SnapBucket.ofRetired(props).isEmpty &&
+      SnapTransform.of(props).isEmpty && SnapTransform.ofRetired(props).isEmpty,
+      s"the change feed of $root does not serve partitioned/layout tables " +
+        "yet — consume Snapshots.readChanges / readChangesRows in batch")
     val b = GraftScans.parquetBuilder(spark,
       files, StructType(dataSchema.fields :+ rowIdxField), options)
     b.pruneColumns(StructType(dataSchema.fields :+ rowIdxField))

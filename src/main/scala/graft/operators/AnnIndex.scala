@@ -40,6 +40,15 @@ private[graft] object AnnIndex {
 
   val K = 16
 
+  /** `ensure*` serializes per JVM: index roots are pid-scoped, so the
+    * only possible racers are in-process query threads (Verify/Bench
+    * run keys in parallel — sim_ann_lsh and its multiprobe twin share
+    * one bucket table), and two concurrent first-builds would each
+    * top-up "missing" vectors the other just committed, doubling index
+    * rows. The lock makes ensure build-once; steady-state calls hold
+    * it only for a metadata probe. */
+  private val ensureLock = new Object
+
   def ivfRoot(dir: String): String = graft.Qx.tmpOut("annidx_ivf", dir)
   def lshRoot(dir: String): String = graft.Qx.tmpOut("annidx_lsh", dir)
 
@@ -89,7 +98,7 @@ private[graft] object AnnIndex {
     * trains + builds; a later call with a grown corpus appends ONLY
     * the missing vectors; a current index is a pure metadata probe +
     * two table reads. */
-  def ensureIvf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def ensureIvf(s: SparkSession, dir: String): (DataFrame, DataFrame) = ensureLock.synchronized {
     import s.implicits._
     val root = ivfRoot(dir)
     val centsRoot = s"$root/centroids"
@@ -130,7 +139,7 @@ private[graft] object AnnIndex {
   /** Ensure the LSH bucket table for `dir`'s embeddings (same
     * first-build / top-up discipline; no training — the hyperplanes
     * are the fixed codegen'd expressions). */
-  def ensureLsh(s: SparkSession, dir: String): DataFrame = {
+  def ensureLsh(s: SparkSession, dir: String): DataFrame = ensureLock.synchronized {
     import s.implicits._
     val root = lshRoot(dir)
     val bktRoot = s"$root/buckets"

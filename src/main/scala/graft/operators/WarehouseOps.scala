@@ -1707,6 +1707,9 @@ object WarehouseOps {
     Snapshots.commit(main)(out =>
       o.filter($"o_orderkey" % 3 === 0).write.mode("append").parquet(out))
     val vPre = Snapshots.maxCommitted(main)
+    // re-runnable in one JVM (bench passes share tmp roots): a prior
+    // pass's refs drop before re-branching
+    Snapshots.dropBranch(main, "audit")
     Snapshots.createBranch(main, "audit")
     Snapshots.commitToBranch(main, "audit")(out =>
       o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(out))
@@ -1718,6 +1721,7 @@ object WarehouseOps {
     Snapshots.fastForward(main, "audit")
     // a second batch fails its audit (a corrupted extract carrying
     // only one priority class) and its branch is dropped unpublished
+    Snapshots.dropBranch(main, "audit2")
     Snapshots.createBranch(main, "audit2")
     Snapshots.commitToBranch(main, "audit2")(out =>
       o.filter($"o_orderkey" % 3 === 2 && $"o_orderpriority" === "1-URGENT")

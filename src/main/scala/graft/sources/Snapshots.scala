@@ -944,6 +944,21 @@ object Snapshots {
       write(dataDir)
       val staged = listParquet(dataDir)
       require(staged.nonEmpty, s"branch commit produced no data files in $dataDir")
+      // same reserved-segment discipline as the main commit funnel: a
+      // branch writer must not stage synthetic layout segments on a
+      // root that declares no such layout
+      if (staged.exists(_.contains(s"/$bucketPathCol=")) &&
+          tableProp(root, graft.catalog.SnapBucket.prop, "").isEmpty &&
+          tableProp(root, graft.catalog.SnapBucket.retiredProp, "").isEmpty)
+        throw new IllegalArgumentException(
+          s"'$bucketPathCol' is a reserved path segment — see the main " +
+            "commit funnel's rule; rename the partition column")
+      if (staged.exists(_.contains(s"/$transformPathCol=")) &&
+          tableProp(root, graft.catalog.SnapTransform.prop, "").isEmpty &&
+          tableProp(root, graft.catalog.SnapTransform.retiredProp, "").isEmpty)
+        throw new IllegalArgumentException(
+          s"'$transformPathCol' is a reserved path segment — see the main " +
+            "commit funnel's rule; rename the partition column")
       val parent = resolveBranchAt(root, name, v - 1)
       val files = parent.files ++ staged
       val header = parent.deletes.map(delLine) ++

@@ -211,10 +211,15 @@ class Round19OpsSpec extends SparkSpec {
       "UNSET TBLPROPERTIES ('graft.partition.bucket.retired')"))
     intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
       "SET TBLPROPERTIES ('graft.partition.bucket.retired'='k,4')"))
-    // ...and a retired-bucket table does not adopt a transform (two
-    // layout eras' segments under one root)
+    // ...and a retired-bucket table adopts neither a transform (two
+    // layout eras' segments under one root) nor merge-on-read (the MOR
+    // scan plans without a partition schema)
     intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
       "SET TBLPROPERTIES ('graft.partition.transform'='truncate,k,100')"))
+    intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
+      "SET TBLPROPERTIES ('graft.mor.key'='k')"))
+    intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
+      "SET TBLPROPERTIES ('graft.mor.positional'='true')"))
     // the LAST layout refusal retires with the layout: the former key
     // column now DROPS like any other column
     sqlDf("ALTER TABLE snap.default.r19ret DROP COLUMN k")
