@@ -151,16 +151,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `VERSION AS OF <v>`: a digit string is a version number, anything
-    * else is a named tag ([[Snapshots.tag]] — all-digit tag names are
-    * rejected at creation precisely so this dispatch is total). */
+    * else is a named ref — a tag first ([[Snapshots.tag]]), else a
+    * BRANCH (its current head — the SQL audit surface of branch-based
+    * WAP: `SELECT … FROM t VERSION AS OF 'audit'` reads the
+    * prospective serving state). All-digit ref names are rejected at
+    * creation precisely so this dispatch is total. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
-    val v =
-      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
-      else Snapshots.tagVersion(root, version).getOrElse(
-        throw new IllegalArgumentException(s"no tag '$version' on ${ident.toString}"))
-    new GraftTable(ident.toString, root, pinned = Some(Snapshots.resolveAt(root, v)))
+    val snap =
+      if (version.nonEmpty && version.forall(_.isDigit))
+        Snapshots.resolveAt(root, version.toLong)
+      else Snapshots.tagVersion(root, version) match {
+        case Some(v) => Snapshots.resolveAt(root, v)
+        case None if Snapshots.branchFork(root, version).isDefined =>
+          Snapshots.resolveBranch(root, version)
+        case None => throw new IllegalArgumentException(
+          s"no tag or branch '$version' on ${ident.toString}")
+      }
+    new GraftTable(ident.toString, root, pinned = Some(snap))
   }
 
   /** `TIMESTAMP AS OF <ts>`: Spark hands epoch MICROS in the session

@@ -36,7 +36,8 @@ private[catalog] object SnapMetaTables {
 
   // "changes" routes to [[SnapChanges]] (the streaming change feed) —
   // listed here so name reservation and loadTable routing share the set
-  val names: Set[String] = Set("history", "files", "deletes", "tags", "changes")
+  val names: Set[String] =
+    Set("history", "files", "deletes", "tags", "branches", "changes")
 
   def apply(fullName: String, root: String, kind: String): Table =
     new MetaTable(fullName, root, kind)
@@ -57,7 +58,11 @@ private[catalog] object SnapMetaTables {
       StructField("covers_below", LongType, nullable = false))),
     "tags" -> StructType(Seq(
       StructField("name", StringType, nullable = false),
-      StructField("version", LongType, nullable = false))))
+      StructField("version", LongType, nullable = false))),
+    "branches" -> StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("fork_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false))))
 
   private class MetaTable(fullName: String, root: String, kind: String)
     extends Table with SupportsRead {
@@ -95,6 +100,10 @@ private[catalog] object SnapMetaTables {
     case "deletes" =>
       headOf(root).deletes.map(d => InternalRow(UTF8String.fromString(d.keyCol),
         UTF8String.fromString(d.path), d.coversBelow)).toArray
+    case "branches" =>
+      Snapshots.listBranches(root).map { case (n, fork, head) =>
+        InternalRow(UTF8String.fromString(n), fork, head)
+      }.toArray
     case "tags" =>
       val cd = Paths.get(root, "_commits")
       if (!Files.isDirectory(cd)) Array.empty

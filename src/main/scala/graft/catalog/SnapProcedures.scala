@@ -44,8 +44,8 @@ private[catalog] object SnapProcedures {
   val Namespace: Array[String] = Array("system")
 
   def list(): Array[Identifier] =
-    Array("analyze", "compact", "compact_deletes", "vacuum",
-        "remove_orphan_files")
+    Array("analyze", "compact", "compact_deletes", "create_branch",
+        "drop_branch", "fast_forward", "remove_orphan_files", "vacuum")
       .map(Identifier.of(Namespace, _))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -55,12 +55,15 @@ private[catalog] object SnapProcedures {
       case "analyze" => new AnalyzeProcedure(cat)
       case "compact" => new CompactProcedure(cat)
       case "compact_deletes" => new CompactDeletesProcedure(cat)
+      case "create_branch" => new CreateBranchProcedure(cat)
+      case "drop_branch" => new DropBranchProcedure(cat)
+      case "fast_forward" => new FastForwardProcedure(cat)
       case "vacuum" => new VacuumProcedure(cat)
       case "remove_orphan_files" => new RemoveOrphanFilesProcedure(cat)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure: ${cat.name()}.system.$other " +
-          "(available: analyze, compact, compact_deletes, vacuum, " +
-          "remove_orphan_files)")
+          "(available: analyze, compact, compact_deletes, create_branch, " +
+          "drop_branch, fast_forward, remove_orphan_files, vacuum)")
     }
   }
 
@@ -326,6 +329,96 @@ private[catalog] object SnapProcedures {
       val v = Snapshots.compactDeletes(SparkSession.active, root)
       val after = Snapshots.resolve(root).map(_.deletes.size).getOrElse(0)
       report(outSchema, row(v, before, after))
+    }
+  }
+
+  /** The branch-based WAP, SQL-first:
+    * `CALL snap.system.create_branch('default.t', 'audit')`, write to
+    * the branch via the direct API (or audit its head via
+    * `VERSION AS OF 'audit'` — [[GraftCatalog.loadTable]] resolves
+    * branch names after tags), then `fast_forward` to publish or
+    * `drop_branch` to abandon. */
+  private final class CreateBranchProcedure(cat: GraftCatalog)
+    extends OneTableProc(cat, "create_branch") {
+
+    override def description(): String =
+      "create a named branch at the table's current head — a " +
+        "speculative continuation of the commit log for " +
+        "write-audit-publish (fast_forward publishes, drop_branch " +
+        "abandons)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name, e.g. 'default.t'").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name ([A-Za-z0-9_-]+, at least one non-digit)").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("fork_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val fork = Snapshots.createBranch(rootOf(table), name)
+      report(outSchema, row(
+        org.apache.spark.unsafe.types.UTF8String.fromString(name), fork))
+    }
+  }
+
+  private final class FastForwardProcedure(cat: GraftCatalog)
+    extends OneTableProc(cat, "fast_forward") {
+
+    override def description(): String =
+      "publish a branch's commits into the main log (Iceberg's " +
+        "fastForwardBranch): metadata-only manifest links; refuses " +
+        "when main advanced past the fork"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name, e.g. 'default.t'").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("head", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val head = Snapshots.fastForward(rootOf(table), name)
+      report(outSchema, row(
+        org.apache.spark.unsafe.types.UTF8String.fromString(name), head))
+    }
+  }
+
+  private final class DropBranchProcedure(cat: GraftCatalog)
+    extends OneTableProc(cat, "drop_branch") {
+
+    override def description(): String =
+      "drop a branch: the ref and its unpublished manifests go; " +
+        "staged files become unreferenced and age out under the " +
+        "normal sweeps"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name, e.g. 'default.t'").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("existed", BooleanType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val root = rootOf(table)
+      val existed = Snapshots.branchFork(root, name).isDefined
+      Snapshots.dropBranch(root, name)
+      report(outSchema, row(
+        org.apache.spark.unsafe.types.UTF8String.fromString(name), existed))
     }
   }
 

@@ -801,6 +801,12 @@ object Snapshots {
     if (!Files.exists(manifestPath(root, version)))
       throw new IllegalStateException(
         s"cannot tag $name: version $version of $root is not committed")
+    // one ref namespace: VERSION AS OF resolves tags before branches,
+    // so a tag shadowing a branch (or vice versa) would silently
+    // re-point readers — refuse the collision instead
+    require(branchFork(root, name).isEmpty,
+      s"'$name' is a BRANCH of $root; tags and branches share the " +
+        "VERSION AS OF namespace")
     val tmp = commitsDir(root).resolve(
       s".tmp_tag_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
     Files.write(tmp, version.toString.getBytes(UTF_8))
@@ -865,6 +871,9 @@ object Snapshots {
     requireRefName(name)
     val head = maxCommitted(root)
     require(head > 0, s"cannot branch $root: nothing committed")
+    require(tagVersion(root, name).isEmpty,
+      s"'$name' is a TAG of $root; tags and branches share the " +
+        "VERSION AS OF namespace")
     Files.createDirectories(branchManifestsDir(root, name))
     val tmp = commitsDir(root).resolve(
       s".tmp_branch_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")

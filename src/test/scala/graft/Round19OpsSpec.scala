@@ -386,6 +386,46 @@ class Round19OpsSpec extends SparkSpec {
       "ALTER TABLE snap.default.r19ns ADD COLUMN patient.req STRING NOT NULL"))
   }
 
+  test("branch SQL surface: CALL procedures, VERSION AS OF a branch, .branches table") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r19bsql")
+    sqlDf("CREATE TABLE snap.default.r19bsql AS SELECT id AS k FROM range(0, 100)")
+    val root = s"$wh/default/r19bsql"
+    val created = sqlDf(
+      "CALL snap.system.create_branch('default.r19bsql', 'audit')").collect().head
+    assert(created.getString(0) == "audit" && created.getLong(1) == 1L)
+    Snapshots.commitToBranch(root, "audit")(out =>
+      spark.range(100, 150).selectExpr("id AS k")
+        .write.mode("append").parquet(out))
+    // the SQL audit surface: a branch name reads its HEAD
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19bsql VERSION AS OF 'audit'")
+      .as[Long].head() == 150L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19bsql").as[Long].head() == 100L,
+      "main must be untouched while the branch audits")
+    // the .branches metadata table
+    val branches = sqlDf("SELECT * FROM snap.default.r19bsql.branches").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(branches == Set(("audit", 1L, 2L)), s"$branches")
+    val ff = sqlDf(
+      "CALL snap.system.fast_forward('default.r19bsql', 'audit')").collect().head
+    assert(ff.getLong(1) == 2L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19bsql").as[Long].head() == 150L)
+    // tags and branches share the VERSION AS OF namespace: collisions refuse
+    Snapshots.tag(root, "rel1", 1L)
+    intercept[Exception](Snapshots.createBranch(root, "rel1"))
+    Snapshots.createBranch(root, "b2")
+    intercept[Exception](Snapshots.tag(root, "b2", 1L))
+    // drop_branch reports whether the ref existed
+    assert(sqlDf("CALL snap.system.drop_branch('default.r19bsql', 'b2')")
+      .collect().head.getBoolean(1))
+    assert(!sqlDf("CALL snap.system.drop_branch('default.r19bsql', 'b2')")
+      .collect().head.getBoolean(1))
+    // the procedure listing advertises the branch surface
+    val procs = sqlDf("SHOW PROCEDURES IN snap.system").collect()
+      .map(_.toString).mkString(",")
+    assert(procs.contains("create_branch") && procs.contains("fast_forward") &&
+      procs.contains("drop_branch"), procs)
+  }
+
   test("persisted ANN index: frozen centroids, O(delta) appends, incremental == batch") {
     import graft.operators.AnnIndex
     import org.apache.spark.sql.functions._
