@@ -145,6 +145,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             SnapChanges.table(ident.toString, proot)
           else SnapMetaTables(ident.toString, proot, ident.name())
       }
+      // `<t>.branch_<name>` — Iceberg's branch suffix table: read the
+      // branch head, INSERT INTO appends to the branch (the SQL write
+      // surface of branch-based WAP)
+      if (ident.namespace().length >= 2 && ident.name().startsWith("branch_")) {
+        val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+        val proot = rootOf(parent)
+        val bname = ident.name().stripPrefix("branch_")
+        if (exists(proot) && Snapshots.branchFork(proot, bname).isDefined)
+          return new GraftBranchTable(ident.toString, proot, bname)
+      }
       throw new NoSuchTableException(ident)
     }
     new GraftTable(ident.toString, root, pinned = None)

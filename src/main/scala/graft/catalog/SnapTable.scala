@@ -708,7 +708,8 @@ object GraftTable {
 private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
     partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None,
     transform: Option[(SnapTransform.Spec, DataType)] = None,
-    phys: Map[String, String] = Map.empty)
+    phys: Map[String, String] = Map.empty,
+    branch: Option[String] = None)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -742,17 +743,75 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
           }
           w.mode("append").parquet(out)
         }
-        if (overwrite || overwriteArg) Snapshots.commit(root)(stage)
-        else Snapshots.commitAppend(root)(stage)
+        branch match {
+          case Some(b) =>
+            // branch writes are APPEND-ONLY speculative continuations
+            // (the WAP staging shape) — overwrite would need a branch
+            // rewrite commit nothing audits
+            require(!overwrite && !overwriteArg,
+              s"writes to branch '$b' of $root are append-only")
+            Snapshots.commitToBranch(root, b)(stage)
+          case None =>
+            if (overwrite || overwriteArg) Snapshots.commit(root)(stage)
+            else Snapshots.commitAppend(root)(stage)
+        }
       }
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!overwrite,
         "streaming writes into snapshot-catalog tables are append-only")
+      require(branch.isEmpty,
+        s"streaming writes target the main log of $root, not a branch")
       new GraftStreamingWrite(root, info.schema(), info.queryId(), partCols,
         bucket, transform, phys)
     }
     override def description(): String =
-      s"graft-snapshot ${if (overwrite) "overwrite" else "append"} $root"
+      s"graft-snapshot ${if (overwrite) "overwrite" else "append"} $root" +
+        branch.fold("")(b => s" (branch $b)")
+  }
+}
+
+/** Iceberg's `t.branch_<name>` SUFFIX TABLE — the SQL write surface of
+  * branch-based WAP: `INSERT INTO snap.ns.t.branch_audit SELECT …`
+  * appends to the branch (one commit on its speculative log, layout
+  * staging identical to a main write), and `SELECT … FROM
+  * snap.ns.t.branch_audit` reads the branch HEAD (same resolution as
+  * `VERSION AS OF 'audit'`). Append-only by design; publish via
+  * `CALL snap.system.fast_forward`. */
+private[catalog] class GraftBranchTable(fullName: String, root: String,
+    branch: String)
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  // reads delegate to a branch-head-pinned table — identical machinery
+  // to `VERSION AS OF '<branch>'`, re-resolved per scan so a branch
+  // commit between two queries is visible to the second
+  private def pinnedDelegate = new GraftTable(fullName, root,
+    pinned = Some(Snapshots.resolveBranch(root, branch)))
+
+  override def name(): String = fullName
+
+  override def schema(): StructType = pinnedDelegate.schema()
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    pinnedDelegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val t = pinnedDelegate // head meta carries the layout specs
+    new GraftV1WriteBuilder(root, info, t.partCols, t.bucketSpec,
+      (t.transformSpec, t.transformSpec.flatMap(ts =>
+        GraftTable.readMeta(root).map(_._1).flatMap(
+          _.fields.find(_.name == ts.col).map(_.dataType)))) match {
+        case (Some(ts), Some(dt)) => Some((ts, dt))
+        case _ => None
+      },
+      t.physMap, branch = Some(branch))
   }
 }
 

@@ -424,6 +424,22 @@ class Round19OpsSpec extends SparkSpec {
       .map(_.toString).mkString(",")
     assert(procs.contains("create_branch") && procs.contains("fast_forward") &&
       procs.contains("drop_branch"), procs)
+    // the branch SUFFIX table: WAP entirely in SQL — INSERT INTO the
+    // branch, audit it with SELECT, fast-forward to publish
+    sqlDf("CALL snap.system.create_branch('default.r19bsql', 'audit2')")
+    sqlDf("""INSERT INTO snap.default.r19bsql.branch_audit2
+            |SELECT id AS k FROM range(150, 180)""".stripMargin)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19bsql.branch_audit2")
+      .as[Long].head() == 180L, "the suffix table reads the branch head")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19bsql").as[Long].head() == 150L,
+      "main is untouched by a branch INSERT")
+    intercept[Exception](sqlDf(
+      "INSERT OVERWRITE snap.default.r19bsql.branch_audit2 SELECT id AS k FROM range(5)"))
+    sqlDf("CALL snap.system.fast_forward('default.r19bsql', 'audit2')")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19bsql").as[Long].head() == 180L)
+    // an unknown branch suffix does not resolve
+    intercept[Exception](sqlDf(
+      "SELECT * FROM snap.default.r19bsql.branch_nope").collect())
   }
 
   test("persisted ANN index: frozen centroids, O(delta) appends, incremental == batch") {
