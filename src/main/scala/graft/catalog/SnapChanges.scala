@@ -85,14 +85,32 @@ private[catalog] class ChangesTable(fullName: String, root: String)
 }
 
 /** One planned slice of the change feed: delegate parquet partition +
-  * the feed semantics to apply. `dvBytes` is the serialized roaring
-  * bitmap bound to this partition's single file (empty = none);
-  * `emitMatching` true = emit ONLY ordinals in the bitmap (the delete
-  * rows), false = emit everything NOT in it (inserts, skipping
-  * already-hidden ordinals). */
+  * the feed semantics to apply.
+  *
+  *  - kind [[ChangePartition.Insert]]: emit rows NOT hidden at this
+  *    version — skip ordinals in `dvBytes` (the version's own
+  *    deletion vectors, per-file) and keys in `prevDels` (the keyed
+  *    delete sets applicable to this file group).
+  *  - kind [[ChangePartition.PosDelta]]: emit ONLY ordinals in
+  *    `dvBytes` (the newly-hidden DV delta) — the posdel effects.
+  *  - kind [[ChangePartition.KeyDelta]]: emit rows whose key is in
+  *    `newDels` but NOT in `prevDels` — the keyed-delete effects
+  *    (rows already hidden by an earlier delete never re-emit).
+  *    Keyed and positional MOR are mutually exclusive per table, so
+  *    this kind never carries a bitmap.
+  *
+  * Delete sets ride as [[MorDeleteSet]] (lazy path form — each
+  * executor loads a set once through the shared soft cache). */
 private[catalog] final case class ChangePartition(inner: InputPartition,
   version: Long, changeType: String, dvBytes: Array[Byte],
-  emitMatching: Boolean) extends InputPartition
+  kind: Int, newDels: Seq[MorDeleteSet] = Nil,
+  prevDels: Seq[MorDeleteSet] = Nil) extends InputPartition
+
+private[catalog] object ChangePartition {
+  val Insert = 0
+  val PosDelta = 1
+  val KeyDelta = 2
+}
 
 private[catalog] class ChangesMicroBatchStream(root: String,
     dataSchema: StructType, options: CaseInsensitiveStringMap)
@@ -157,6 +175,29 @@ private[catalog] class ChangesMicroBatchStream(root: String,
     bos.toByteArray
   }
 
+  /** The keyed delete sets in `dels` applicable to file `f` under the
+    * MOR scoping rule (a delete covers files staged strictly before
+    * its cover version), as plan-serializable lazy [[MorDeleteSet]]s
+    * grouped by key-column tuple. Key columns must resolve in the
+    * CURRENT data schema (a renamed-away key spelling refuses toward
+    * the batch row-CDF, which owns the ledger indirection). */
+  private def applicableSets(snap: Snapshot, f: String,
+      dels: Seq[Snapshots.DeleteFile]): Seq[MorDeleteSet] = {
+    def effVersion(p: String): Long =
+      snap.fileSeq.getOrElse(p, MorScanBuilder.fileVersion(p))
+    val applicable = dels.filter(d => effVersion(f) < d.coversBelow)
+    applicable.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(","))
+      .map { case (kcs, group) =>
+        kcs.foreach(k => require(dataSchema.fieldNames.contains(k),
+          s"the change feed of $root cannot resolve delete-key column " +
+            s"'$k' in the current schema (renamed or dropped) — consume " +
+            "batch readChangesRows, which resolves the rename ledgers"))
+        MorDeleteSet(kcs.map(dataSchema.fieldIndex),
+          kcs.map(k => dataSchema(k).dataType),
+          inline = None, paths = group.map(_.path).sorted, keyNames = kcs)
+      }
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[VersionOffset].version
     val e = end.asInstanceOf[VersionOffset].version
@@ -168,28 +209,31 @@ private[catalog] class ChangesMicroBatchStream(root: String,
         s"retained version is $oldest) — restart from a fresh checkpoint")
     val from = if (s0 == 0) oldest else s0
     val out = Seq.newBuilder[InputPartition]
+    // inserts of one version: the version's VISIBLE rows of `files` —
+    // ordinals its own DVs hide and keys its applicable delete sets
+    // hide are skipped, so the feed never resurrects a hidden row
     def insertsOf(v: Long, snap: Snapshot, files: Seq[String]): Unit = {
-      val (withDv, plain) = files.partition(snap.posDeletes.contains)
-      if (plain.nonEmpty)
-        scanOver(plain).toBatch.planInputPartitions().foreach(p =>
-          out += ChangePartition(p, v, "insert", Array.empty, emitMatching = false))
-      // a DV-covered file plans ALONE so its partitions bind to one bitmap
-      withDv.foreach { f =>
-        val bm = bitmapsOf(snap, f).getOrElse(new org.roaringbitmap.RoaringBitmap)
-        scanOver(Seq(f)).toBatch.planInputPartitions().foreach(p =>
-          out += ChangePartition(p, v, "insert", serialize(bm), emitMatching = false))
+      val byDels = files.groupBy(f => applicableSets(snap, f, snap.deletes))
+      byDels.toSeq.sortBy(_._2.head).foreach { case (dels, fs) =>
+        val (withDv, plain) = fs.partition(snap.posDeletes.contains)
+        if (plain.nonEmpty)
+          scanOver(plain).toBatch.planInputPartitions().foreach(p =>
+            out += ChangePartition(p, v, "insert", Array.empty,
+              ChangePartition.Insert, prevDels = dels))
+        // a DV-covered file plans ALONE so its partitions bind to one bitmap
+        withDv.foreach { f =>
+          val bm = bitmapsOf(snap, f).getOrElse(new org.roaringbitmap.RoaringBitmap)
+          scanOver(Seq(f)).toBatch.planInputPartitions().foreach(p =>
+            out += ChangePartition(p, v, "insert", serialize(bm),
+              ChangePartition.Insert, prevDels = dels))
+        }
       }
     }
-    // initial chunk: the oldest retained state, all insert (deletion
-    // vectors applied; keyed pending deletes refuse — they are the
-    // batch row-CDF's job)
-    if (s0 == 0) {
-      val snap0 = Snapshots.resolveAt(root, oldest)
-      require(snap0.deletes.isEmpty,
-        s"the initial snapshot of $root carries pending KEYED merge-on-read " +
-          "deletes; compact first, or consume batch readChangesRows")
-      insertsOf(oldest, snap0, snap0.files)
-    }
+    // initial chunk: the oldest retained state, all insert, pending
+    // deletes (vectors AND keyed sets) applied
+    if (s0 == 0)
+      insertsOf(oldest, Snapshots.resolveAt(root, oldest),
+        Snapshots.resolveAt(root, oldest).files)
     ((from + 1) to e).foreach { v =>
       if (!Snapshots.rowsUnchangedAt(root, v)) {
         val cur = Snapshots.resolveAt(root, v)
@@ -198,13 +242,29 @@ private[catalog] class ChangesMicroBatchStream(root: String,
         val curF = cur.files.toSet
         val added = cur.files.filterNot(prevF)
         val removed = prev.files.exists(!curF(_))
-        val newKeyedDel = cur.deletes.exists(!prev.deletes.toSet(_))
-        require(!removed && !newKeyedDel,
-          s"version $v of $root is a rewrite or keyed-delete commit; the " +
-            "streaming change feed covers appends and position deletes — " +
+        require(!removed,
+          s"version $v of $root is a rewrite commit (files replaced); " +
             "row-level effects across rewrites are batch readChangesRows' job")
         insertsOf(v, cur, added)
-        // the position-delete delta: newly hidden ordinals per file
+        // KEYED-delete delta (DELETE on a graft.mor.key table, or the
+        // delete half of an upsert): emit the previously-VISIBLE rows
+        // of covered files whose key the new sets hide — scoped per
+        // file group, already-hidden rows never re-emit
+        val newDels = cur.deletes.filterNot(prev.deletes.toSet)
+        if (newDels.nonEmpty) {
+          prevF.toSeq.sorted
+            .map(f => f -> (applicableSets(cur, f, newDels),
+              applicableSets(prev, f, prev.deletes)))
+            .filter(_._2._1.nonEmpty)
+            .groupBy(_._2).foreach { case ((newSets, prevSets), pairs) =>
+              val fs = pairs.map(_._1)
+              scanOver(fs).toBatch.planInputPartitions().foreach(p =>
+                out += ChangePartition(p, v, "delete", Array.empty,
+                  ChangePartition.KeyDelta, newDels = newSets,
+                  prevDels = prevSets))
+            }
+        }
+        // POSITION-delete delta: newly hidden ordinals per file
         val dvTouched = (cur.posDeletes.keySet ++ prev.posDeletes.keySet)
           .filter(f => curF(f) && prevF(f))
           .filter(f => cur.posDeletes.getOrElse(f, Nil) != prev.posDeletes.getOrElse(f, Nil))
@@ -215,7 +275,8 @@ private[catalog] class ChangesMicroBatchStream(root: String,
           val delta = org.roaringbitmap.RoaringBitmap.andNot(curBm, prevBm)
           if (!delta.isEmpty)
             scanOver(Seq(f)).toBatch.planInputPartitions().foreach(p =>
-              out += ChangePartition(p, v, "delete", serialize(delta), emitMatching = true))
+              out += ChangePartition(p, v, "delete", serialize(delta),
+                ChangePartition.PosDelta))
         }
       }
     }
@@ -253,6 +314,19 @@ private[catalog] class ChangesReaderFactory(inner: PartitionReaderFactory,
           new java.io.ByteArrayInputStream(cp.dvBytes)))
         Some(b)
       }
+    // resolve each group's key set ONCE per task (executor soft cache)
+    val newKeySets = cp.newDels.map(_.keys)
+    val prevKeySets = cp.prevDels.map(_.keys)
+    def keyHit(row: InternalRow, dels: Seq[MorDeleteSet],
+        sets: Seq[scala.collection.immutable.Set[Any]]): Boolean = {
+      var i = 0
+      while (i < dels.length) {
+        val k = dels(i).keyOf(row)
+        if (k != null && sets(i).contains(k)) return true
+        i += 1
+      }
+      false
+    }
     val typeUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(cp.changeType)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
@@ -260,9 +334,22 @@ private[catalog] class ChangesReaderFactory(inner: PartitionReaderFactory,
         while (delegate.next()) {
           val row = delegate.get()
           val ord = if (row.isNullAt(n)) -1L else row.getLong(n)
-          val hit = bm.exists(b =>
+          val dvHit = bm.exists(b =>
             ord >= 0L && ord <= Int.MaxValue && b.contains(ord.toInt))
-          if (hit == cp.emitMatching) {
+          val emit = cp.kind match {
+            // the version's visible rows: not DV-hidden, not key-hidden
+            case ChangePartition.Insert =>
+              !dvHit && !keyHit(row, cp.prevDels, prevKeySets)
+            // exactly the newly-hidden ordinals
+            case ChangePartition.PosDelta => dvHit
+            // newly key-hidden rows that were previously visible
+            case ChangePartition.KeyDelta =>
+              keyHit(row, cp.newDels, newKeySets) &&
+                !keyHit(row, cp.prevDels, prevKeySets)
+            case other => throw new IllegalStateException(
+              s"unknown change-partition kind $other")
+          }
+          if (emit) {
             val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(n + 2)
             var i = 0
             while (i < n) {

@@ -619,4 +619,91 @@ class StreamingSpec extends SparkSpec {
       spark.sql("SELECT * FROM snap.default.scdc.changes").collect())
     assert(ex.getMessage != null)
   }
+
+  test("the .changes feed streams KEYED merge-on-read deletes, upserts, scoped stacking") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Qx.tmpOut("sckwh", sf())
+    graft.catalog.GraftCatalog.register(spark, "snap", Some(wh))
+    spark.sql("DROP TABLE IF EXISTS snap.default.sck")
+    spark.sql("""CREATE TABLE snap.default.sck (k BIGINT, v STRING)
+                |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    spark.sql("INSERT INTO snap.default.sck SELECT id, concat('v', id) FROM range(0, 10)")
+    val out = Qx.tmpOut("sckout", sf())
+    val ckpt = Qx.tmpOut("sckckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def run(cp: String = ckpt, dst: String = out): Unit = {
+      val q = spark.readStream.table("snap.default.sck.changes")
+        .writeStream.format("parquet")
+        .option("path", dst).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).where("_change_type = 'insert'").count() == 10L)
+    // a keyed MOR DELETE flows as delete effects — no skip, no failure
+    spark.sql("DELETE FROM snap.default.sck WHERE k < 3")
+    run()
+    assert(spark.read.parquet(out).where("_change_type = 'delete'")
+      .select("k").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    // a STACKED overlapping delete emits only the NEWLY hidden key:
+    // rows already hidden by the first set must not re-emit
+    spark.sql("DELETE FROM snap.default.sck WHERE k <= 3")
+    run()
+    val dels = spark.read.parquet(out).where("_change_type = 'delete'")
+    assert(dels.count() == 4L, "3 + exactly 1 newly hidden")
+    assert(dels.where("_commit_version = 3").select("k").as[Long].collect().toSeq
+      == Seq(3L), "only k=3 is newly hidden by the overlapping delete")
+    // a keyed UPDATE (delta upsert) arrives as delete + insert in one commit
+    spark.sql("UPDATE snap.default.sck SET v = 'patched' WHERE k = 7")
+    run()
+    val all = spark.read.parquet(out)
+    assert(all.where("_change_type = 'delete' AND k = 7").count() == 1L)
+    assert(all.where("_change_type = 'insert' AND k = 7 AND v = 'patched'").count() == 1L)
+    // replaying the whole feed reconstructs the table head
+    val effects = all
+      .groupBy($"k").agg(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct($"_commit_version",
+            org.apache.spark.sql.functions
+              .when($"_change_type" === "insert", 1).otherwise(0).as("ins"),
+            $"v")).as("last"))
+      .where($"last.ins" === 1)
+      .select($"k", $"last.v".as("v"))
+    val head = spark.table("snap.default.sck").select($"k", $"v")
+    assert(effects.exceptAll(head).isEmpty && head.exceptAll(effects).isEmpty,
+      "replaying the keyed change feed must reconstruct the table head")
+    // a FRESH consumer replays retained history (initial chunk at the
+    // oldest version + tail) and reconstructs the same head
+    val out2 = Qx.tmpOut("sckout2", sf())
+    val ckpt2 = Qx.tmpOut("sckckpt2", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt2))
+    run(ckpt2, out2)
+    val fresh = spark.read.parquet(out2)
+    val freshState = fresh
+      .groupBy($"k").agg(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct($"_commit_version",
+            org.apache.spark.sql.functions
+              .when($"_change_type" === "insert", 1).otherwise(0).as("ins"),
+            $"v")).as("last"))
+      .where($"last.ins" === 1)
+      .select($"k", $"last.v".as("v"))
+    assert(freshState.exceptAll(head).isEmpty && head.exceptAll(freshState).isEmpty)
+    // after VACUUM truncates history, the initial chunk carries the
+    // PENDING keyed sets and a fresh consumer gets visible rows only
+    val root = s"$wh/default/sck"
+    graft.sources.Snapshots.vacuum(root, keepLast = 1)
+    val out3 = Qx.tmpOut("sckout3", sf())
+    val ckpt3 = Qx.tmpOut("sckckpt3", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out3))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt3))
+    run(ckpt3, out3)
+    val afterVacuum = spark.read.parquet(out3)
+    assert(afterVacuum.where("_change_type = 'insert'").count() == head.count(),
+      "a post-vacuum initial chunk must deliver exactly the visible rows")
+    assert(afterVacuum.where("k < 3").isEmpty, "hidden keys never surface")
+    assert(afterVacuum.where("k = 7 AND v = 'patched'").count() == 1L)
+  }
 }
