@@ -36,9 +36,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    files re-scanned with the generated row-ordinal column, EMITTING
   *    ONLY the newly-hidden ordinals as `delete` — O(affected files)
   *    I/O, never O(table);
+  *  - the KEYED-delete delta (a DELETE on a `graft.mor.key` table, or
+  *    the delete half of an upsert) → the covered files re-scanned
+  *    with the new delete-key sets (lazy [[MorDeleteSet]]s, executor
+  *    soft-cached), emitting the previously-VISIBLE rows they hide —
+  *    already-hidden rows never re-emit, and an upsert surfaces as
+  *    delete + insert in its one commit;
   *  - writer-marked rows-unchanged commits (compaction, DV folds) pass
-  *    silently; equality-delete / unmarked-rewrite commits refuse with
-  *    a pointer to the batch row-CDF (which handles them keyed).
+  *    silently; unmarked-rewrite commits refuse with a pointer to the
+  *    batch row-CDF (which diffs across rewrites, O(touched)).
   *
   * DV-carrying scans plan per file so every partition's ordinals bind
   * to one bitmap; ordinals come from the parquet readers' generated
