@@ -400,35 +400,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // ledger indirection (priors / dropchain / droptype) — no DDL
     // shape needs the pending-key set anymore.
     val (newSchema, newProps) = changes.foldLeft((schema, props)) {
-      // NESTED ADD (r19): `ADD COLUMN s.f TYPE` appends a nullable
-      // field to a top-level STRUCT column — metadata-only, like every
-      // other evolution here: pre-evolution files lack the field in
-      // their footers and Spark's by-name parquet resolution surfaces
-      // it as NULL; a pinned time-travel read presents the era's own
-      // struct shape (footer-inferred), and a pinned read STRADDLING
-      // the evolution merges the two shapes under the struct-aware
-      // widening matrix ([[GraftTable.widensTo]] — field union, added
-      // fields nullable). The FHIR-shaped schema's first evolution.
-      case ((sc, pr), add: TableChange.AddColumn) if add.fieldNames().length == 2 =>
-        val parent = add.fieldNames()(0)
-        val fname = add.fieldNames()(1)
+      // NESTED ADD (r19): `ADD COLUMN s.f TYPE` (any struct depth —
+      // `s.a.b.f` walks nested structs) appends a nullable field —
+      // metadata-only, like every other evolution here: pre-evolution
+      // files lack the field in their footers and Spark's by-name
+      // parquet resolution surfaces it as NULL; a pinned time-travel
+      // read presents the era's own struct shape (footer-inferred),
+      // and a pinned read STRADDLING the evolution merges the shapes
+      // under the struct-aware widening matrix ([[GraftTable.widensTo]]
+      // — field union, added fields nullable, recursive). The
+      // FHIR-shaped schema's first evolution.
+      case ((sc, pr), add: TableChange.AddColumn) if add.fieldNames().length >= 2 =>
+        val path = add.fieldNames().toSeq
+        val parent = path.head
+        val dotted = path.mkString(".")
         require(sc.fieldNames.contains(parent), s"no column '$parent' to add into")
-        val st = sc(parent).dataType match {
-          case s: org.apache.spark.sql.types.StructType => s
-          case other => throw new IllegalArgumentException(
-            s"ADD COLUMN $parent.$fname needs '$parent' to be a struct, " +
-              s"got ${other.simpleString}")
-        }
         require(add.isNullable,
-          s"added field $parent.$fname must be nullable (pre-evolution rows " +
+          s"added field $dotted must be nullable (pre-evolution rows " +
             "surface NULL)")
-        require(!st.fieldNames.map(_.toLowerCase).contains(fname.toLowerCase),
-          s"field '$fname' already exists in struct '$parent'")
         require(!GraftTable.physOf(pr).contains(parent),
           s"'$parent' is a re-added (physically remapped) column; evolve it " +
             "after a rewrite re-materializes the table under current names")
-        val newSt = st.add(org.apache.spark.sql.types.StructField(
-          fname, add.dataType(), nullable = true))
+        // walk the struct path and append the leaf at the end
+        def addAt(dt: org.apache.spark.sql.types.DataType,
+            rest: Seq[String]): org.apache.spark.sql.types.StructType = {
+          val st = dt match {
+            case s: org.apache.spark.sql.types.StructType => s
+            case other => throw new IllegalArgumentException(
+              s"ADD COLUMN $dotted needs a struct at each step, got " +
+                s"${other.simpleString}")
+          }
+          rest match {
+            case Seq(leaf) =>
+              require(!st.fieldNames.map(_.toLowerCase).contains(leaf.toLowerCase),
+                s"field '$leaf' already exists in struct (path $dotted)")
+              st.add(org.apache.spark.sql.types.StructField(
+                leaf, add.dataType(), nullable = true))
+            case inner +: deeper =>
+              val f = st.fields.find(_.name == inner).getOrElse(
+                throw new IllegalArgumentException(
+                  s"no field '$inner' on the path $dotted"))
+              StructType(st.fields.map(g =>
+                if (g.name == inner) g.copy(dataType = addAt(g.dataType, deeper))
+                else g))
+          }
+        }
+        val newSt = addAt(sc(parent).dataType, path.tail)
         (StructType(sc.fields.map(f =>
           if (f.name == parent) f.copy(dataType = newSt) else f)), pr)
       case ((sc, pr), add: TableChange.AddColumn) =>

@@ -120,7 +120,9 @@ private[catalog] object ChangePartition {
 
 private[catalog] class ChangesMicroBatchStream(root: String,
     dataSchema: StructType, options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
 
@@ -128,13 +130,83 @@ private[catalog] class ChangesMicroBatchStream(root: String,
     Option(options.get(GraftMicroBatchStream.StartingVersionOption))
       .map(_.trim.toLong).getOrElse(0L)
 
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get(GraftMicroBatchStream.MaxFilesOption)).map { s =>
+      val n = s.trim.toInt
+      require(n > 0, s"${GraftMicroBatchStream.MaxFilesOption} must be positive: $n")
+      n
+    }
+
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(Snapshots.maxCommitted(root))
+
   override def initialOffset(): Offset = VersionOffset(startingVersion)
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)
 
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(n))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
+
+  override def reportLatestOffset(): Offset =
     VersionOffset(Snapshots.maxCommitted(root))
+
+  /** Files the feed would SCAN for one version step — the pacing unit
+    * (added files, DV-delta files, keyed-delta covered files; the
+    * initial chunk counts its full state). Metadata-only. */
+  private def stepFiles(s0: Long, v: Long, oldest: Long): Int =
+    if (s0 == 0 && v == oldest) Snapshots.resolveAt(root, oldest).files.size
+    else if (Snapshots.rowsUnchangedAt(root, v)) 0
+    else {
+      val cur = Snapshots.resolveAt(root, v)
+      val prev = if (v == 1) Snapshot(0, Nil) else Snapshots.resolveAt(root, v - 1)
+      val prevF = prev.files.toSet
+      val added = cur.files.count(!prevF(_))
+      val dvTouched = (cur.posDeletes.keySet ++ prev.posDeletes.keySet)
+        .count(f => cur.posDeletes.getOrElse(f, Nil) != prev.posDeletes.getOrElse(f, Nil))
+      val newDels = cur.deletes.filterNot(prev.deletes.toSet)
+      val covered = if (newDels.isEmpty) 0 else prev.files.size
+      added + dvTouched + covered
+    }
+
+  /** Admit whole versions until the file cap is crossed — at least one
+    * version per batch, so an oversized commit slows the feed instead
+    * of stalling it (same rule as the plain streaming source). */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[VersionOffset].version
+    val head = availableNowEnd.getOrElse(Snapshots.maxCommitted(root))
+    if (head <= s0) return VersionOffset(s0)
+    val cap = limit match {
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        Some(f.maxFiles())
+      case _ => None
+    }
+    cap match {
+      case None => VersionOffset(head)
+      case Some(c) =>
+        val oldest = Snapshots.minCommitted(root)
+        val from = if (s0 == 0) oldest else s0 + 1
+        var end = s0
+        var count = 0
+        var full = false
+        var v = if (s0 == 0) oldest else s0 + 1
+        while (!full && v <= head) {
+          val emit = stepFiles(s0, v, oldest)
+          if (end > s0 && count + emit > c) full = true
+          else { end = v; count += emit; v += 1 }
+        }
+        VersionOffset(end)
+    }
+  }
 
   override def commit(end: Offset): Unit = ()
 

@@ -384,6 +384,23 @@ class Round19OpsSpec extends SparkSpec {
       "ALTER TABLE snap.default.r19ns ADD COLUMN id.sub INT"))
     intercept[Exception](sqlDf(
       "ALTER TABLE snap.default.r19ns ADD COLUMN patient.req STRING NOT NULL"))
+    // DEEP nesting: grow a struct inside a struct, then add under it
+    sqlDf("ALTER TABLE snap.default.r19ns ADD COLUMN patient.addr STRUCT<city: STRING>")
+    sqlDf("ALTER TABLE snap.default.r19ns ADD COLUMN patient.addr.zip STRING")
+    sqlDf("""INSERT INTO snap.default.r19ns
+            |SELECT id, named_struct('name', concat('p', id),
+            |  'birth', date_add(DATE'1980-01-01', CAST(id AS INT)),
+            |  'mrn', concat('MRN', id),
+            |  'addr', named_struct('city', 'Oz', 'zip', concat('Z', id)))
+            |FROM range(150, 160)""".stripMargin)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r19ns WHERE patient.addr.zip IS NULL")
+      .as[Long].head() == 150L, "pre-evolution rows surface NULL at depth")
+    assert(sqlDf("SELECT patient.addr.city FROM snap.default.r19ns WHERE id = 155")
+      .collect().head.getString(0) == "Oz")
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r19ns ADD COLUMN patient.addr.zip INT")) // exists
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r19ns ADD COLUMN patient.mrn.x INT")) // non-struct step
   }
 
   test("branch SQL surface: CALL procedures, VERSION AS OF a branch, .branches table") {

@@ -620,6 +620,29 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("the .changes feed paces catch-up with maxFilesPerTrigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Qx.tmpOut("scpwh", sf())
+    graft.catalog.GraftCatalog.register(spark, "snap", Some(wh))
+    spark.sql("DROP TABLE IF EXISTS snap.default.scp")
+    spark.sql("CREATE TABLE snap.default.scp (k BIGINT)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO snap.default.scp SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val out = Qx.tmpOut("scpout", sf())
+    val ckpt = Qx.tmpOut("scpckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = spark.readStream.option("maxFilesPerTrigger", "1")
+      .table("snap.default.scp.changes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 30L)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "maxFilesPerTrigger=1 must split the catch-up into multiple batches")
+  }
+
   test("the .changes feed streams KEYED merge-on-read deletes, upserts, scoped stacking") {
     import org.apache.spark.sql.streaming.Trigger
     val wh = Qx.tmpOut("sckwh", sf())
