@@ -194,7 +194,6 @@ private[catalog] class ChangesMicroBatchStream(root: String,
       case None => VersionOffset(head)
       case Some(c) =>
         val oldest = Snapshots.minCommitted(root)
-        val from = if (s0 == 0) oldest else s0 + 1
         var end = s0
         var count = 0
         var full = false
