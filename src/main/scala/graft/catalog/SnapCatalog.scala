@@ -636,6 +636,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             else pr2
           (StructType(sc.fields.filterNot(_.name == name)), pr3)
         }
+      // NESTED WIDENING (r19): `ALTER COLUMN s.f TYPE <wider>` walks
+      // the struct path and widens the leaf under the same safe matrix
+      // — metadata-only like the top-level form; nested fields can
+      // never be partition/layout/MOR keys, so only the remap guard
+      // applies, and reads upcast the narrow nested physical type
+      // natively.
+      case ((sc, pr), upd: TableChange.UpdateColumnType) if upd.fieldNames().length >= 2 =>
+        val path = upd.fieldNames().toSeq
+        val parent = path.head
+        val dotted = path.mkString(".")
+        require(sc.fieldNames.contains(parent), s"no column '$parent' to alter")
+        require(!GraftTable.physOf(pr).contains(parent),
+          s"'$parent' is a re-added (physically remapped) column; evolve it " +
+            "after a rewrite re-materializes the table under current names")
+        val to = upd.newDataType()
+        def widenAt(dt: org.apache.spark.sql.types.DataType,
+            rest: Seq[String]): org.apache.spark.sql.types.StructType = {
+          val st = dt match {
+            case s: org.apache.spark.sql.types.StructType => s
+            case other => throw new IllegalArgumentException(
+              s"ALTER COLUMN $dotted needs a struct at each step, got " +
+                s"${other.simpleString}")
+          }
+          val leafOrInner = rest.head
+          val f = st.fields.find(_.name == leafOrInner).getOrElse(
+            throw new IllegalArgumentException(
+              s"no field '$leafOrInner' on the path $dotted"))
+          rest match {
+            case Seq(leaf) =>
+              require(GraftTable.widensTo(f.dataType, to),
+                s"ALTER COLUMN $dotted type change ${f.dataType.simpleString} " +
+                  s"-> ${to.simpleString} is not a safe widening")
+              StructType(st.fields.map(g =>
+                if (g.name == leaf) g.copy(dataType = to) else g))
+            case inner +: deeper =>
+              StructType(st.fields.map(g =>
+                if (g.name == inner) g.copy(dataType = widenAt(g.dataType, deeper))
+                else g))
+          }
+        }
+        val newSt = widenAt(sc(parent).dataType, path.tail)
+        (StructType(sc.fields.map(f =>
+          if (f.name == parent) f.copy(dataType = newSt) else f)), pr)
       case ((sc, pr), upd: TableChange.UpdateColumnType) =>
         // ALTER COLUMN <c> TYPE <wider> — metadata-only under the safe-
         // promotion matrix ([[GraftTable.widensTo]]): the declared field

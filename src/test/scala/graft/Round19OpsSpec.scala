@@ -401,6 +401,31 @@ class Round19OpsSpec extends SparkSpec {
       "ALTER TABLE snap.default.r19ns ADD COLUMN patient.addr.zip INT")) // exists
     intercept[Exception](sqlDf(
       "ALTER TABLE snap.default.r19ns ADD COLUMN patient.mrn.x INT")) // non-struct step
+    // NESTED WIDENING: grow an int field inside the struct, widen it
+    // to bigint metadata-only, and read across both eras
+    sqlDf("ALTER TABLE snap.default.r19ns ADD COLUMN patient.visits INT")
+    sqlDf("""INSERT INTO snap.default.r19ns
+            |SELECT id, named_struct('name', concat('p', id),
+            |  'birth', DATE'1980-01-01', 'mrn', concat('MRN', id),
+            |  'addr', named_struct('city', 'Oz', 'zip', concat('Z', id)),
+            |  'visits', CAST(id AS INT))
+            |FROM range(160, 165)""".stripMargin)
+    val filesPreWiden = Snapshots.resolve(s"$wh/default/r19ns").get.files.toSet
+    sqlDf("ALTER TABLE snap.default.r19ns ALTER COLUMN patient.visits TYPE BIGINT")
+    assert(Snapshots.resolve(s"$wh/default/r19ns").get.files.toSet == filesPreWiden,
+      "nested widening must be metadata-only")
+    sqlDf("""INSERT INTO snap.default.r19ns
+            |SELECT id, named_struct('name', concat('p', id),
+            |  'birth', DATE'1980-01-01', 'mrn', concat('MRN', id),
+            |  'addr', named_struct('city', 'Oz', 'zip', concat('Z', id)),
+            |  'visits', id * 10000000000)
+            |FROM range(165, 170)""".stripMargin)
+    assert(sqlDf("SELECT CAST(SUM(patient.visits) AS BIGINT) FROM snap.default.r19ns")
+      .as[Long].head() ==
+        (160L until 165L).sum + (165L until 170L).map(_ * 10000000000L).sum,
+      "narrow-era ints and wide-era longs sum under the widened type")
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r19ns ALTER COLUMN patient.visits TYPE INT")) // narrowing
   }
 
   test("branch SQL surface: CALL procedures, VERSION AS OF a branch, .branches table") {
