@@ -137,6 +137,18 @@ private[catalog] class ChangesMicroBatchStream(root: String,
       n
     }
 
+  /** Byte-rate cap, composing with the file cap like the plain source:
+    * whole versions admitted until the summed on-disk size of the
+    * step's scan set crosses the cap. */
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get(GraftMicroBatchStream.MaxBytesOption)).map { s =>
+      val n = try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s.trim)
+      catch { case _: Exception => throw new IllegalArgumentException(
+        s"${GraftMicroBatchStream.MaxBytesOption} does not parse as a byte size: $s") }
+      require(n > 0, s"${GraftMicroBatchStream.MaxBytesOption} must be positive: $s")
+      n
+    }
+
   @volatile private var availableNowEnd: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -148,9 +160,9 @@ private[catalog] class ChangesMicroBatchStream(root: String,
     VersionOffset(json.trim.toLong)
 
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    maxFilesPerTrigger
-      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(n))
-      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    else GraftMicroBatchStream.GraftReadLimit(maxFilesPerTrigger, maxBytesPerTrigger)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -162,48 +174,66 @@ private[catalog] class ChangesMicroBatchStream(root: String,
   /** Files the feed would SCAN for one version step — the pacing unit
     * (added files, DV-delta files, keyed-delta covered files; the
     * initial chunk counts its full state). Metadata-only. */
-  private def stepFiles(s0: Long, v: Long, oldest: Long): Int =
-    if (s0 == 0 && v == oldest) Snapshots.resolveAt(root, oldest).files.size
-    else if (Snapshots.rowsUnchangedAt(root, v)) 0
+  private def stepFiles(s0: Long, v: Long, oldest: Long): Seq[String] =
+    if (s0 == 0 && v == oldest) Snapshots.resolveAt(root, oldest).files
+    else if (Snapshots.rowsUnchangedAt(root, v)) Nil
     else {
       val cur = Snapshots.resolveAt(root, v)
       val prev = if (v == 1) Snapshot(0, Nil) else Snapshots.resolveAt(root, v - 1)
       val prevF = prev.files.toSet
-      val added = cur.files.count(!prevF(_))
+      val added = cur.files.filterNot(prevF)
       val dvTouched = (cur.posDeletes.keySet ++ prev.posDeletes.keySet)
-        .count(f => cur.posDeletes.getOrElse(f, Nil) != prev.posDeletes.getOrElse(f, Nil))
+        .filter(f => cur.posDeletes.getOrElse(f, Nil) != prev.posDeletes.getOrElse(f, Nil))
+        .toSeq
       val newDels = cur.deletes.filterNot(prev.deletes.toSet)
-      val covered = if (newDels.isEmpty) 0 else prev.files.size
-      added + dvTouched + covered
+      val covered = if (newDels.isEmpty) Nil else prev.files
+      added ++ dvTouched ++ covered
     }
 
-  /** Admit whole versions until the file cap is crossed — at least one
+  /** Admit whole versions until a cap is crossed — at least one
     * version per batch, so an oversized commit slows the feed instead
-    * of stalling it (same rule as the plain streaming source). */
+    * of stalling it (same rules as the plain streaming source,
+    * including the mean-of-siblings estimate for unsizeable files). */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s0 = start.asInstanceOf[VersionOffset].version
     val head = availableNowEnd.getOrElse(Snapshots.maxCommitted(root))
     if (head <= s0) return VersionOffset(s0)
-    val cap = limit match {
+    val (fileCap: Option[Int], byteCap: Option[Long]) = limit match {
+      case g: GraftMicroBatchStream.GraftReadLimit => (g.maxFiles, g.maxBytes)
       case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        Some(f.maxFiles())
-      case _ => None
+        (Some(f.maxFiles()), None)
+      case _ => (None, None)
     }
-    cap match {
-      case None => VersionOffset(head)
-      case Some(c) =>
-        val oldest = Snapshots.minCommitted(root)
-        var end = s0
-        var count = 0
-        var full = false
-        var v = if (s0 == 0) oldest else s0 + 1
-        while (!full && v <= head) {
-          val emit = stepFiles(s0, v, oldest)
-          if (end > s0 && count + emit > c) full = true
-          else { end = v; count += emit; v += 1 }
-        }
-        VersionOffset(end)
+    if (fileCap.isEmpty && byteCap.isEmpty) VersionOffset(head)
+    else {
+      val oldest = Snapshots.minCommitted(root)
+      var end = s0
+      var count = 0
+      var bytes = 0L
+      var full = false
+      var v = if (s0 == 0) oldest else s0 + 1
+      while (!full && v <= head) {
+        val fs = stepFiles(s0, v, oldest)
+        val emitBytes =
+          if (byteCap.isEmpty) 0L
+          else {
+            val sized = fs.map { f =>
+              try Some(java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+              catch { case _: Exception => None }
+            }
+            val known = sized.flatten
+            val est =
+              if (known.nonEmpty) math.max(1L, known.sum / known.size)
+              else byteCap.get
+            sized.map(_.getOrElse(est)).sum
+          }
+        val over = fileCap.exists(c => count + fs.size > c) ||
+          byteCap.exists(b => bytes + emitBytes > b)
+        if (end > s0 && over) full = true
+        else { end = v; count += fs.size; bytes += emitBytes; v += 1 }
+      }
+      VersionOffset(end)
     }
   }
 

@@ -20,6 +20,10 @@ import scala.jdk.CollectionConverters._
   *   SELECT * FROM snap.default.t.files     -- version-pinned data file inventory
   *   SELECT * FROM snap.default.t.deletes   -- pending merge-on-read delete files
   *   SELECT * FROM snap.default.t.tags      -- named refs → versions
+  *   SELECT * FROM snap.default.t.branches  -- branch refs → (fork, head)
+  *   -- plus the reserved suffixes routed elsewhere:
+  *   --   t.changes         the STREAMING change feed ([[SnapChanges]])
+  *   --   t.branch_<name>   branch suffix table ([[GraftBranchTable]])
   * }}}
   *
   * Spark parses `snap.default.t.history` as namespace
