@@ -738,6 +738,46 @@ object WarehouseOps {
       .orderBy($"o_orderpriority", $"band")
   }
 
+  /** NESTED-STRUCT SCHEMA EVOLUTION (`sql_nested_evolution`, r19) —
+    * the FHIR-shaped evolution sequence end to end through the DSv2
+    * catalog: a struct column grows fields (`ALTER TABLE ADD COLUMN
+    * info.clerk`, `info.qty`), then a nested field WIDENS
+    * (`ALTER COLUMN info.qty TYPE BIGINT`) — every step metadata-only
+    * (no file moves), with three write eras straddling the evolutions:
+    * era-1 rows surface NULL for the added fields, era-2 rows carry
+    * the narrow int physically and upcast natively under the widened
+    * declared type, era-3 rows need the full 64 bits. The oracle
+    * recomputes all three eras from the ORIGINAL table, so a
+    * mis-nulled nested field, a wrong-width upcast, or an evolution
+    * that rewrites history hash-mismatches. */
+  val sqlNestedEvolution: Q = (s, dir) => {
+    import s.implicits._
+    val (t, _) = SnapCat.table(s, "nested_orders", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT o_orderkey,
+             |       named_struct('pri', o_orderpriority) AS info
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql(s"ALTER TABLE $t ADD COLUMN info.clerk STRING")
+    s.sql(s"ALTER TABLE $t ADD COLUMN info.qty INT")
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey,
+             |       named_struct('pri', o_orderpriority, 'clerk', o_orderstatus,
+             |                    'qty', CAST(o_orderkey % 97 AS INT))
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 1""".stripMargin)
+    s.sql(s"ALTER TABLE $t ALTER COLUMN info.qty TYPE BIGINT")
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey,
+             |       named_struct('pri', o_orderpriority, 'clerk', o_orderstatus,
+             |                    'qty', o_orderkey * 1000000L)
+             |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 2""".stripMargin)
+    s.table(t)
+      .select($"o_orderkey", $"info.pri".as("pri"),
+        coalesce($"info.clerk", lit("none")).as("clerk"),
+        coalesce($"info.qty", lit(-1L)).as("qty"))
+      .orderBy($"o_orderkey")
+  }
+
   /** COMPOSITE-KEY MERGE-ON-READ DELETE (`snapshot_delete_composite`)
     * — the delete-key file carries (l_orderkey, l_linenumber) PAIRS,
     * the natural key of a table with no single-column key: a row is
@@ -1985,6 +2025,7 @@ object WarehouseOps {
     "rewrite_deletes" -> rewriteDeletes,
     "snapshot_partition_evolution" -> snapshotPartitionEvolution,
     "sql_schema_evolution" -> sqlSchemaEvolution,
+    "sql_nested_evolution" -> sqlNestedEvolution,
     "sql_rename_evolution" -> sqlRenameEvolution,
     "sql_type_widening" -> sqlTypeWidening,
     "sql_evolution_mor" -> sqlEvolutionMor,
@@ -2154,6 +2195,22 @@ object WarehouseOps {
              ${Qx.dsumSql("o_totalprice")} AS total
       FROM rows GROUP BY o_orderpriority, band
       ORDER BY o_orderpriority, band""",
+    // All three nested-evolution eras recomputed from the ORIGINAL
+    // table — a mis-nulled added field, a wrong-width nested upcast,
+    // or history rewritten by the metadata-only ALTERs hash-mismatches.
+    "sql_nested_evolution" -> """
+      WITH rows AS (
+        SELECT o_orderkey, o_orderpriority AS pri, 'none' AS clerk,
+               CAST(-1 AS BIGINT) AS qty
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_orderstatus,
+               CAST(o_orderkey % 97 AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_orderstatus, o_orderkey * 1000000
+        FROM orders WHERE o_orderkey % 3 = 2)
+      SELECT o_orderkey, pri, clerk, qty FROM rows ORDER BY o_orderkey""",
     // The composite-key delete replayed as a pair predicate over the
     // ORIGINAL table: a reader that matches on one key component alone
     // (dropping order-6k lines 4+), loses the re-inserted pairs, or
