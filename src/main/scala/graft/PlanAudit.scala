@@ -82,8 +82,8 @@ object PlanAudit {
         |hash keys (never doc_id); left-semi and left-anti joins for
         |keep/drop sets; one final map-side-combined aggregate.""".stripMargin,
     "sim_ann_ivf" ->
-      """IVF ANN: 16-centroid set broadcast, argmax-cosine cell
-        |assignment as max-of-struct aggregate (no window, no sort),
+      """IVF ANN: 16-centroid set broadcast, spilled Repl=2 inverted
+        |file (each vector under its two nearest cells), nprobe=6
         |per-cell candidate join. Expect BroadcastNestedLoopJoin ONLY
         |against the 16-row centroid set (bounded), then hash joins on
         |the cell id for probe×candidate.""".stripMargin,
@@ -865,7 +865,7 @@ object PlanAudit {
         |plan.""".stripMargin,
     "sim_ann_ivf" ->
       """IVF ANN with the r17 recall gate: trained centroids broadcast,
-        |distributed argmax assignment (max-of-struct, no window),
+        |spilled Repl=2 assignment via bounded-heap top-k (r20),
         |per-cell candidate join, rank window on ≤5 survivors — and the
         |recall-vs-exact column arrives as a ONE-ROW aggregate
         |cross-joined onto the output (BroadcastNestedLoopJoin of a

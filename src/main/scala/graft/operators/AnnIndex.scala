@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * warehouse, keyed by corpus dir):
   *  - IVF: `<root>/centroids` — the K=16 trained centers (tiny,
   *    broadcast at serve time); `<root>/assignments` — the INVERTED
-  *    FILE: (vec_id, cell, v, nrm), the corpus re-organized by nearest
-  *    centroid, exactly FAISS's IVF lists as a table. Serving scans
-  *    ONLY the index — the raw corpus is never touched.
+  *    FILE: (vec_id, cell, v, nrm), the corpus re-organized by its
+  *    [[Repl]] nearest centroids (spilled assignment, r20), exactly
+  *    FAISS's IVF replica lists as a table. Serving scans ONLY the
+  *    index — the raw corpus is never touched.
   *  - LSH: `<root>/buckets` — (vec_id, bucket, bucketb, v, nrm), the
   *    two 8-bit sign buckets per vector (same codegen'd
   *    lsh_bucket8/lsh_bucket8b expressions the inline path used).
@@ -76,20 +77,31 @@ private[graft] object AnnIndex {
     cents.withColumn("c_nrm", sqrt(call_function("vec_dot", $"c_v", $"c_v")))
   }
 
-  /** Pointwise nearest-centroid assignment of `delta` (broadcast
-    * centroids, distributed argmax-of-struct — no window, no shuffle
-    * beyond the final groupBy): (vec_id, cell, v, nrm). */
+  /** Replication factor of the SPILLED assignment (r20): every corpus
+    * vector is indexed under its [[Repl]] nearest centroids, not just
+    * the nearest — FAISS-style replica lists / the SOAR idea (Sun et
+    * al., NeurIPS 2023): a vector sitting near a cell boundary is the
+    * exact vector a single-cell inverted file loses, and duplicating it
+    * into its runner-up cell recovers it at 2× index size with ZERO
+    * extra serve-time shuffles (the join key is still one cell id).
+    * Incrementality is untouched — assignment stays pointwise given
+    * frozen centers. */
+  val Repl = 2
+
+  /** Pointwise [[Repl]]-nearest-centroid assignment of `delta`
+    * (broadcast centroids, native bounded-heap top-k per vec_id — no
+    * full sort): (vec_id, cell, v, nrm), [[Repl]] rows per vector. */
   private def assignCells(delta: DataFrame, cents: DataFrame): DataFrame = {
     val s = delta.sparkSession
     import s.implicits._
     graft.functions.VectorExprs.register(s)
     val cn = withCentNorm(cents)
-    val cells = delta.crossJoin(broadcast(cn))
-      .select($"vec_id", struct(
-        (call_function("vec_dot", $"v", $"c_v") / ($"nrm" * $"c_nrm")).as("cos"),
-        (lit(K - 1) - $"cent_id").as("inv")).as("sc"))
-      .groupBy($"vec_id").agg(max($"sc").as("best"))
-      .select($"vec_id", (lit(K - 1) - $"best.inv").as("cell"))
+    val scored = delta.crossJoin(broadcast(cn))
+      .select($"vec_id", $"cent_id",
+        (call_function("vec_dot", $"v", $"c_v") / ($"nrm" * $"c_nrm")).as("ccos"))
+    val cells = graft.plans.TopK.perGroup(scored, Repl,
+        Seq("vec_id"), Seq(("ccos", true), ("cent_id", false)))
+      .select($"vec_id", $"cent_id".as("cell"))
     delta.join(cells, "vec_id").select($"vec_id", $"cell", $"v", $"nrm")
   }
 

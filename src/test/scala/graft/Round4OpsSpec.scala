@@ -18,16 +18,16 @@ class Round4OpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
-  test("sim_ann_ivf recall vs exact sim_cosine_topk is useful for nprobe=1") {
+  test("sim_ann_ivf recall vs exact sim_cosine_topk is useful") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("probe_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(SimOps.simCosineTopk(spark, sf()))
     val ivf = pairs(SimOps.simAnnIvf(spark, sf()))
     val recall = (exact & ivf).size.toDouble / exact.size
-    // nprobe=1 over 16 trained cells: every probe searches only its own
-    // cell, so recall is bounded but must beat a random 16th of the
-    // corpus by a wide margin (random top-5 recall ≈ 5/n ≈ 1%).
+    // a loose sanity floor (the ratcheted per-SF floors live in
+    // Round17OpsSpec; r20 spilled Repl=2 + nprobe=6 measures 0.94);
+    // random top-5 recall would be ≈ 5/n ≈ 1%.
     assert(recall >= 0.3, s"recall $recall < 0.3")
   }
 
