@@ -371,8 +371,8 @@ private[catalog] object SnapProcedures {
 
     override def description(): String =
       "publish a branch's commits into the main log (Iceberg's " +
-        "fastForwardBranch): metadata-only manifest links; refuses " +
-        "when main advanced past the fork"
+        "fastForwardBranch): ONE atomic squash-manifest link — " +
+        "all-or-nothing; refuses when main advanced past the fork"
 
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)

@@ -1723,9 +1723,10 @@ object WarehouseOps {
     * main's commit log — where the audit gate sees the TRUE
     * prospective serving state (main's rows plus the batch) while main
     * serves readers untouched. Only then does `Snapshots.fastForward`
-    * link the branch manifests into the main log — metadata-only, zero
-    * bytes of data moved, every scoping version already in main's
-    * coordinate system. A second batch on a second branch deliberately
+    * squash the branch into ONE main commit published by a single
+    * atomic link (r20) — metadata-only, zero bytes of data moved, main
+    * either at the fork or at the complete branch state, never at a
+    * partial prefix. A second batch on a second branch deliberately
     * FAILS its audit (a corrupted extract carrying one priority class)
     * and its branch is dropped — its staged files age out under the
     * table's ONE retention policy. The output unions main's
@@ -1735,9 +1736,9 @@ object WarehouseOps {
     * hash-mismatches.
     *
     * Scale: the audit runs against the branch at full parallelism;
-    * publish cost is one manifest link per branch commit regardless of
-    * batch size — the pattern that makes "never let unvalidated data
-    * into the serving table" affordable at 100 TB ingest rates. */
+    * publish cost is ONE atomic manifest link regardless of batch size
+    * or branch length — the pattern that makes "never let unvalidated
+    * data into the serving table" affordable at 100 TB ingest rates. */
   val snapshotWapPublish: Q = (s, dir) => {
     import s.implicits._
     import graft.sources.Snapshots

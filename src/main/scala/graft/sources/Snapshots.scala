@@ -835,13 +835,19 @@ object Snapshots {
   // alongside main's, and a dropped branch's files age out like any
   // other unreferenced staging.
   //
-  // Because branch versions continue main's numbering, FAST-FORWARD
-  // publish is literally linking the branch manifests into the main
-  // log: every `#seq:`/delete-scoping version in them is already in
-  // main's coordinate system — the cross-root scoping guards the old
-  // staging-root WAP needed do not apply. The gate is Iceberg's
-  // fast-forward rule: main's head must still equal the fork version;
-  // a main commit landed meanwhile makes the publish refuse with a
+  // FAST-FORWARD publish is ATOMIC (r20): the branch head's manifest —
+  // which already carries the branch's full prospective state, every
+  // commit folded in — is SQUASHED into ONE main commit at fork+1,
+  // published by a single createLink. All-or-nothing by the filesystem
+  // primitive: main is either at the fork or at the complete branch
+  // state, never between (the r19 one-link-per-branch-commit loop
+  // could crash or lose a race mid-publish having linked a prefix of
+  // an audited-as-a-whole batch). Branch-staged files re-pin their
+  // `#seq:` scoping into main's coordinates at squash time; Iceberg's
+  // fastForwardBranch gets the same atomicity from a single ref CAS.
+  // The gate is Iceberg's fast-forward rule: main's head must still
+  // equal the fork version; a main commit landed meanwhile makes the
+  // publish refuse — WITHOUT having linked anything — with a
   // concurrent-modification error (re-branch and re-stage to retry).
   // A write-audit-publish flow is then: createBranch → commitToBranch
   // (the risky batch) → audit readBranch (main + batch, the real
@@ -1003,46 +1009,141 @@ object Snapshots {
     throw new IllegalStateException("unreachable")
   }
 
-  /** FAST-FORWARD publish: link the branch's manifests into the main
-    * log (Iceberg's fastForwardBranch). Requires main's head to still
-    * equal the fork — a main commit landed meanwhile refuses with
-    * ConcurrentModificationException (create a fresh branch from the
-    * new head to retry). Afterwards the ref advances to the published
-    * head and the branch keeps working (its next commit continues from
-    * there). Each linked manifest is a complete, valid main commit, so
-    * a crash mid-publish leaves main at an intermediate branch version
-    * — consistent, just not yet fully forwarded; re-running completes
-    * the remaining links idempotently. */
+  /** FAST-FORWARD publish, ATOMIC (r20): squash the branch's commits
+    * into ONE main commit at fork+1, published by a single createLink —
+    * all-or-nothing, so main is either at the fork or at the complete
+    * branch state, never at an intermediate prefix of an
+    * audited-as-a-whole batch. The squash manifest is the branch HEAD
+    * manifest verbatim (it already folds every branch commit's files,
+    * deletes, stats, blooms and position deletes) with its scoping
+    * renumbered into main's coordinates: branch-staged files pin
+    * `#seq:` at the publish version (so a future main delete covers
+    * them and fork-era deletes do not), and within-branch row-level
+    * deletes re-scope to cover exactly what they covered on the branch.
+    * Requires main's head to still equal the fork — a main commit
+    * landed meanwhile refuses with ConcurrentModificationException
+    * WITHOUT having linked anything (create a fresh branch from the new
+    * head to retry). Afterwards the ref advances to the published
+    * version and the branch keeps working (its next commit continues
+    * from there). A crash between the link and the ref/cleanup
+    * bookkeeping is detected on re-run (the head manifest is
+    * byte-identical to the recomputed squash) and finished
+    * idempotently. Returns the published main version (fork+1). */
   def fastForward(root: String, name: String): Long = {
     val fork = branchFork(root, name).getOrElse(throw new IllegalStateException(
       s"no branch '$name' under $root"))
     val bh = branchHead(root, name)
     require(bh > fork, s"branch '$name' has no commits to publish")
-    ((fork + 1) to bh).foreach { v =>
-      val src = branchManifestPath(root, name, v)
-      try Files.createLink(manifestPath(root, v), src)
-      catch {
-        case _: FileAlreadyExistsException =>
-          // idempotent when it is OUR manifest already linked (a
-          // re-run after a crash); anything else is a lost race
-          val same = try java.util.Arrays.equals(
-            Files.readAllBytes(manifestPath(root, v)), Files.readAllBytes(src))
-          catch { case _: Exception => false }
-          if (!same) throw new java.util.ConcurrentModificationException(
-            s"cannot fast-forward '$name' into $root: a concurrent commit " +
-              s"took version $v — branch from the new head and re-stage")
+    val target = fork + 1
+    val body = squashBody(root, name, fork, bh)
+    val head = maxCommitted(root)
+    if (head != fork) {
+      // our own crashed publish (linked, died before bookkeeping)?
+      if (Files.exists(manifestPath(root, target)) &&
+          sameManifestBody(manifestPath(root, target), body)) {
+        finishBranchPublish(root, name, fork, bh, target)
+        return target
       }
+      throw new java.util.ConcurrentModificationException(
+        s"cannot fast-forward '$name' into $root: main's head ($head) moved " +
+          s"past the fork ($fork) — NOTHING was published; branch from the " +
+          "new head and re-stage")
     }
-    // advance the ref; the branch-log copies are redundant now
+    val parentTs = manifestTimestamp(manifestPath(root, fork)).getOrElse(-1L)
+    val commitTs = math.max(
+      java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
+    val tmp = commitsDir(root).resolve(
+      s".tmp_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+    Files.write(tmp, (s"$tsPrefix$commitTs\n" + body).getBytes(UTF_8))
+    try {
+      Files.createLink(manifestPath(root, target), tmp)
+    } catch {
+      case _: FileAlreadyExistsException =>
+        // idempotent only against OUR squash (a concurrent re-run);
+        // anything else is a lost race and nothing of ours landed
+        if (!sameManifestBody(manifestPath(root, target), body))
+          throw new java.util.ConcurrentModificationException(
+            s"cannot fast-forward '$name' into $root: a concurrent commit " +
+              s"took version $target — NOTHING was published; branch from " +
+              "the new head and re-stage")
+    } finally Files.deleteIfExists(tmp)
+    finishBranchPublish(root, name, fork, bh, target)
+    target
+  }
+
+  /** The squash manifest body (everything but the `#ts:` line) that
+    * publishes branch `name`'s head into main version fork+1: the
+    * branch head's manifest lines with (a) branch-staged files pinned
+    * via `#seq:` into main's scoping coordinates and (b) within-branch
+    * `#del:@` versions re-scoped. Deterministic for a given branch
+    * state — the crash-recovery path recomputes it byte-identically. */
+  private def squashBody(root: String, name: String, fork: Long, bh: Long): String = {
+    val snap = resolveBranchAt(root, name, bh)
+    def effSeq(f: String): Long = snap.fileSeq.getOrElse(f, fileVersion(f))
+    val branchFiles = snap.files.filter(effSeq(_) > fork).toSet
+    // within-branch row-level deletes (legacy cover-everything lines
+    // parse to MaxValue and keep their semantics verbatim)
+    val branchDels = snap.deletes
+      .filter(d => d.coversBelow > fork && d.coversBelow != Long.MaxValue)
+    // representability: one publish version gives ONE boundary between
+    // "covered by the branch's deletes" and "staged after them". Every
+    // within-branch delete must therefore cover the SAME set of
+    // branch-staged files (interleaving delete → append → delete
+    // rounds needs more sequence levels than a single squash commit
+    // can carry — publish between rounds instead).
+    val coverSets = branchDels
+      .map(d => branchFiles.filter(f => effSeq(f) < d.coversBelow)).distinct
+    require(coverSets.size <= 1,
+      s"branch '$name' interleaves row-level deletes with later appends " +
+        "across multiple rounds; a squash publish cannot renumber several " +
+        "delete eras into one commit — fast-forward between rounds")
+    val covered = coverSets.headOption.getOrElse(Set.empty[String])
+    // files the branch deletes covered pin BELOW the re-scoped delete
+    // version (at the fork — fork-era deletes still miss them since
+    // their coversBelow <= fork); files staged after pin AT the publish
+    // version, escaping the branch deletes exactly as on the branch.
+    // Future main deletes (coversBelow >= fork+2) cover both groups.
+    val lines = Files.readAllLines(
+      branchManifestPath(root, name, bh), UTF_8).asScala.toSeq.filter(_.nonEmpty)
+    val rescoped = lines.flatMap {
+      case l if l.startsWith(tsPrefix) => None // caller stamps a fresh ts
+      case l if l == rowsUnchangedLine => None // described bh vs bh-1
+      case l if l.startsWith(seqPrefix) =>
+        // branch files re-pin below; fork-era/cross-root pins carry
+        val Array(_, p) = l.stripPrefix(seqPrefix).split(":", 2)
+        if (branchFiles(p)) None else Some(l)
+      case l if l.startsWith(s"$delPrefix@") =>
+        val Array(v, k, p) = l.stripPrefix(s"$delPrefix@").split(":", 3)
+        if (v.toLong > fork) Some(s"$delPrefix@${fork + 1}:$k:$p") else Some(l)
+      case l => Some(l)
+    }
+    val pins = snap.files.filter(branchFiles)
+      .map(f => seqLine(f, if (covered(f)) fork else fork + 1))
+    (rescoped ++ pins).mkString("\n")
+  }
+
+  /** True iff `m`'s content minus its `#ts:` line equals `body` — the
+    * publish-idempotency probe (the squash body is deterministic; only
+    * the timestamp differs across attempts). */
+  private def sameManifestBody(m: Path, body: String): Boolean =
+    try Files.readAllLines(m, UTF_8).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith(tsPrefix))
+      .mkString("\n") == body
+    catch { case _: Exception => false }
+
+  /** Post-link bookkeeping of a fast-forward: advance the ref to the
+    * published version and drop the now-redundant branch-log copies.
+    * Idempotent — the crash-recovery path re-runs it. */
+  private def finishBranchPublish(root: String, name: String, fork: Long,
+      bh: Long, target: Long): Unit = {
     val tmp = commitsDir(root).resolve(
       s".tmp_branch_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
-    Files.write(tmp, bh.toString.getBytes(UTF_8))
+    Files.write(tmp, target.toString.getBytes(UTF_8))
     Files.move(tmp, branchRefPath(root, name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ((fork + 1) to bh).foreach(v =>
       Files.deleteIfExists(branchManifestPath(root, name, v)))
-    bh
   }
 
   /** Drop the branch: ref and branch manifests go; its staged data

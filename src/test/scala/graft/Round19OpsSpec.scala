@@ -498,16 +498,17 @@ class Round19OpsSpec extends SparkSpec {
     AnnIndex.buildCentroids(root, first)
     AnnIndex.appendIvf(spark, root, first)
     val asgRoot = s"$root/assignments"
-    assert(Snapshots.read(spark, asgRoot).count() == 300L)
+    // the spilled inverted file (r20) carries Repl rows per vector
+    assert(Snapshots.read(spark, asgRoot).count() == 300L * AnnIndex.Repl)
     // the maintenance hook is O(delta): one append commit whose new
-    // files hold EXACTLY the delta's rows — the existing 300
-    // assignments are not re-read, not re-assigned, not re-written
+    // files hold EXACTLY the delta's assignments — the existing 300
+    // vectors are not re-read, not re-assigned, not re-written
     AnnIndex.appendIvf(spark, root, delta)
     assert(Snapshots.maxCommitted(asgRoot) == 2L)
     val v1Files = Snapshots.resolveAt(asgRoot, 1L).files.toSet
     val v2New = Snapshots.resolveAt(asgRoot, 2L).files.filterNot(v1Files)
     assert(v2New.nonEmpty)
-    assert(spark.read.parquet(v2New: _*).count() == 100L,
+    assert(spark.read.parquet(v2New: _*).count() == 100L * AnnIndex.Repl,
       "the append commit must stage only the delta's assignments")
     // centroids FROZEN across the append: still the single bootstrap commit
     assert(Snapshots.maxCommitted(s"$root/centroids") == 1L)
