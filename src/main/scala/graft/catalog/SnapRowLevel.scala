@@ -56,7 +56,12 @@ import java.nio.file.{Files, Paths}
   * see the delete-applied current state.
   */
 private[catalog] class GraftGroupOperation(cmd: RowLevelOperation.Command,
-    table: GraftTable) extends RowLevelOperation {
+    table: GraftTable,
+    // Some(name): the statement targets the branch's speculative log
+    // (`t.branch_<name>` suffix table) — the scan reads the branch head
+    // (the `table` handed in is pinned to it) and the commit publishes
+    // a branch manifest, leaving main untouched until fast-forward
+    branch: Option[String] = None) extends RowLevelOperation {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -85,9 +90,11 @@ private[catalog] class GraftGroupOperation(cmd: RowLevelOperation.Command,
             propsAtPlan = GraftTable.readMeta(table.root).map(_._2),
             partCols = table.partCols, bucket = table.bucketSpec,
             transform = table.transformSpec.map(t =>
-              (t, table.schema()(t.col).dataType)))
+              (t, table.schema()(t.col).dataType)),
+            branch = branch)
         override def description(): String =
-          s"graft copy-on-write $cmd → ${table.root}"
+          s"graft copy-on-write $cmd → ${table.root}" +
+            branch.fold("")(b => s" (branch $b)")
       }
     }
 
@@ -95,7 +102,8 @@ private[catalog] class GraftGroupOperation(cmd: RowLevelOperation.Command,
 }
 
 private[catalog] class GraftDeltaOperation(cmd: RowLevelOperation.Command,
-    table: GraftTable, keyCol: String) extends RowLevelOperation with SupportsDelta {
+    table: GraftTable, keyCol: String,
+    branch: Option[String] = None) extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -113,10 +121,12 @@ private[catalog] class GraftDeltaOperation(cmd: RowLevelOperation.Command,
         override def toBatch: DeltaBatchWrite = {
           val keySchema = info.rowIdSchema().orElse(
             StructType(Seq(table.schema()(keyCol))))
-          new GraftDeltaBatchWrite(table.root, keyCol, info.schema(), keySchema)
+          new GraftDeltaBatchWrite(table.root, keyCol, info.schema(), keySchema,
+            branch = branch)
         }
         override def description(): String =
-          s"graft merge-on-read $cmd → ${table.root}"
+          s"graft merge-on-read $cmd → ${table.root}" +
+            branch.fold("")(b => s" (branch $b)")
       }
     }
 
@@ -133,7 +143,8 @@ private[catalog] class GraftDeltaOperation(cmd: RowLevelOperation.Command,
   * over-hide). UPDATE arrives as delete+insert. Enabled per table via
   * `TBLPROPERTIES ('graft.mor.positional'='true')`. */
 private[catalog] class GraftPositionalOperation(cmd: RowLevelOperation.Command,
-    table: GraftTable) extends RowLevelOperation with SupportsDelta {
+    table: GraftTable,
+    branch: Option[String] = None) extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -144,15 +155,16 @@ private[catalog] class GraftPositionalOperation(cmd: RowLevelOperation.Command,
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    table.newRowIdScanBuilder(options)
+    table.newRowIdScanBuilder(options, allowPinned = branch.isDefined)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
-          new GraftPosDeltaBatchWrite(table.root, info.schema())
+          new GraftPosDeltaBatchWrite(table.root, info.schema(), branch = branch)
         override def description(): String =
-          s"graft positional merge-on-read $cmd -> ${table.root}"
+          s"graft positional merge-on-read $cmd -> ${table.root}" +
+            branch.fold("")(b => s" (branch $b)")
       }
     }
 
@@ -399,7 +411,8 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
     basedOn: Long, propsAtPlan: Option[Map[String, String]] = None,
     partCols: Seq[String] = Nil, bucket: Option[(String, Int)] = None,
     transform: Option[(SnapTransform.Spec,
-      org.apache.spark.sql.types.DataType)] = None)
+      org.apache.spark.sql.types.DataType)] = None,
+    branch: Option[String] = None)
   extends BatchWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
@@ -480,7 +493,10 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case StagedFilesMessage(d, _) => d }.flatten.toSeq
     Snapshots.commitRewriteStaged(root, files, allowEmpty = true,
-      basedOn = Some(basedOn))
+      basedOn = Some(basedOn), branch = branch)
+    // a BRANCH rewrite must not clear main's rename ledger: main's
+    // readers still serve pre-publish files under the prior spellings
+    if (branch.isDefined) return
     // A full rewrite re-materializes every live row under the CURRENT
     // column names, so the rename ledger (prior spellings) and the
     // dropped-name tombstones no longer protect anything the head can
@@ -519,7 +535,8 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
   * deleted-key files; `commit` publishes ONE scoped-delta manifest
   * ([[Snapshots.commitStagedDelta]]). */
 private[catalog] class GraftDeltaBatchWrite(root: String, keyCol: String,
-    dataSchema: StructType, keySchema: StructType) extends DeltaBatchWrite {
+    dataSchema: StructType, keySchema: StructType,
+    branch: Option[String] = None) extends DeltaBatchWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
   Files.createDirectories(Paths.get(stagingDir))
@@ -540,7 +557,8 @@ private[catalog] class GraftDeltaBatchWrite(root: String, keyCol: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: StagedFilesMessage => m }
     Snapshots.commitStagedDelta(root, keyCol,
-      msgs.flatMap(_.dataFiles).toSeq, msgs.flatMap(_.delKeyFiles).toSeq)
+      msgs.flatMap(_.dataFiles).toSeq, msgs.flatMap(_.delKeyFiles).toSeq,
+      branch = branch)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -559,7 +577,8 @@ private[catalog] class GraftDeltaBatchWrite(root: String, keyCol: String,
   * per-file DV paths), so a read of one affected file loads one small
   * bitmap, not the statement's whole delete set. */
 private[catalog] class GraftPosDeltaBatchWrite(root: String,
-    dataSchema: StructType) extends DeltaBatchWrite {
+    dataSchema: StructType,
+    branch: Option[String] = None) extends DeltaBatchWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
   Files.createDirectories(Paths.get(stagingDir))
@@ -581,7 +600,7 @@ private[catalog] class GraftPosDeltaBatchWrite(root: String,
     val affected = msgs.flatMap(_.dvFiles).groupBy(_._1)
       .view.mapValues(_.map(_._2).sorted.toSeq).toMap
     Snapshots.commitStagedPosDelete(root, affected,
-      msgs.flatMap(_.dataFiles).toSeq)
+      msgs.flatMap(_.dataFiles).toSeq, branch = branch)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -437,8 +437,12 @@ class GraftTable(tableName: String, val root: String,
     * (_gfile, _gpos) identity, pending equality AND position deletes
     * applied (a DELETE must not re-hide hidden rows; an UPDATE must
     * not resurrect them). */
-  private[catalog] def newRowIdScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    require(pinned.isEmpty, s"cannot run row-level ops against a pinned read of $tableName")
+  private[catalog] def newRowIdScanBuilder(options: CaseInsensitiveStringMap,
+      allowPinned: Boolean = false): ScanBuilder = {
+    // a BRANCH row-level op deliberately scans through a branch-head-
+    // pinned instance (allowPinned); a time-travel pin stays refused
+    require(pinned.isEmpty || allowPinned,
+      s"cannot run row-level ops against a pinned read of $tableName")
     GraftScans.builder(spark, schema(), snap, options,
       emitRowId = true, remapped = physMap)
   }
@@ -775,13 +779,21 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
   * appends to the branch (one commit on its speculative log, layout
   * staging identical to a main write), and `SELECT … FROM
   * snap.ns.t.branch_audit` reads the branch HEAD (same resolution as
-  * `VERSION AS OF 'audit'`). Append-only by design; publish via
-  * `CALL snap.system.fast_forward`. */
+  * `VERSION AS OF 'audit'`). ROW-LEVEL statements (UPDATE / DELETE /
+  * MERGE INTO, r20) target the branch too — the audit-repair loop: a
+  * WAP audit that finds bad rows FIXES them on the branch in place,
+  * re-audits, and only then publishes; main is untouched until
+  * fast-forward. The statement scans the branch head and its commit
+  * lands on the branch's speculative log in the table's own row-level
+  * mode (COW rewrite / keyed MOR / positional MOR). INSERT OVERWRITE
+  * stays refused; publish via `CALL snap.system.fast_forward`. */
 private[catalog] class GraftBranchTable(fullName: String, root: String,
     branch: String)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   // reads delegate to a branch-head-pinned table — identical machinery
   // to `VERSION AS OF '<branch>'`, re-resolved per scan so a branch
@@ -812,6 +824,27 @@ private[catalog] class GraftBranchTable(fullName: String, root: String,
         case _ => None
       },
       t.physMap, branch = Some(branch))
+  }
+
+  // positional-MOR row ids surface on the branch table exactly as on
+  // the main table — the row-level rewrite resolves them from here
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    pinnedDelegate.metadataColumns()
+
+  /** Row-level statements against the branch: same mode dispatch as
+    * the main table (the mode is a TABLE property), scan pinned to the
+    * branch head, commit into the branch's speculative log. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    val t = pinnedDelegate
+    () => t.morKey match {
+      case Some(key) =>
+        new GraftDeltaOperation(info.command, t, key, branch = Some(branch))
+      case None if t.positionalMor =>
+        new GraftPositionalOperation(info.command, t, branch = Some(branch))
+      case None =>
+        new GraftGroupOperation(info.command, t, branch = Some(branch))
+    }
   }
 }
 

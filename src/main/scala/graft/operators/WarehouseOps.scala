@@ -1782,6 +1782,62 @@ object WarehouseOps {
       .orderBy($"era", $"o_orderpriority")
   }
 
+  /** BRANCH WAP ENTIRELY IN SQL, with the ROW-LEVEL REPAIR loop (r20):
+    * the risky batch INSERTs into the `t.branch_audit` suffix table,
+    * the audit finds corrupted rows (negative prices), and the repair
+    * runs ON THE BRANCH — an UPDATE flips the recoverable (even-key)
+    * rows' signs in place, a DELETE drops the hopeless ones — before
+    * ONE atomic squash publish. Main serves readers untouched through
+    * the whole loop: `fast_forward` refuses unless main's head still
+    * equals the fork, so a statement that leaked to main would fail
+    * the query itself. The output unions the pre-publish version (via
+    * SQL time travel) with the published head; the oracle recomputes
+    * both eras from the ORIGINAL table, so a repair applied to the
+    * wrong rows, a leaked unrepaired row, or a double-published batch
+    * hash-mismatches.
+    *
+    * Scale: the UPDATE/DELETE statements cost one branch commit each
+    * (the table's row-level mode — COW here), the publish is ONE
+    * manifest link regardless of batch size, and nothing ever blocks
+    * main's readers — the audit-repair-publish loop a 100 TB ingest
+    * pipeline runs nightly. */
+  val sqlBranchWap: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val (t, root) = SnapCat.table(s, "branch_wap", dir)
+    val tn = t.stripPrefix("snap.")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT o_orderkey AS okey, o_orderpriority AS prio,
+             |       o_totalprice AS price
+             |FROM parquet.`$dir/orders.parquet`
+             |WHERE o_orderkey % 3 = 0""".stripMargin)
+    val vPre = Snapshots.maxCommitted(root)
+    // re-runnable in one JVM (bench passes share tmp roots)
+    Snapshots.dropBranch(root, "audit")
+    s.sql(s"CALL snap.system.create_branch('$tn', 'audit')")
+    // the risky batch: every 5-LOW price arrives corrupted (negated)
+    s.sql(s"""INSERT INTO $t.branch_audit
+             |SELECT o_orderkey AS okey, o_orderpriority AS prio,
+             |       CASE WHEN o_orderpriority = '5-LOW'
+             |            THEN -o_totalprice ELSE o_totalprice END AS price
+             |FROM parquet.`$dir/orders.parquet`
+             |WHERE o_orderkey % 3 = 1""".stripMargin)
+    // audit flags price < 0; repair on the branch: even keys are
+    // recoverable in place, odd keys are dropped
+    s.sql(s"UPDATE $t.branch_audit SET price = -price " +
+      "WHERE price < 0.0 AND okey % 2 = 0")
+    s.sql(s"DELETE FROM $t.branch_audit WHERE price < 0.0")
+    s.sql(s"CALL snap.system.fast_forward('$tn', 'audit')")
+    def agg(df: org.apache.spark.sql.DataFrame, era: String) =
+      df.groupBy($"prio")
+        .agg(count(lit(1)).as("n"), Qx.dsum($"price").as("total"))
+        .select(lit(era).as("era"), $"prio", $"n", $"total")
+    agg(s.sql(s"SELECT * FROM $t VERSION AS OF $vPre"), "pre")
+      .unionByName(agg(s.table(t), "published"))
+      .orderBy($"era", $"prio")
+  }
+
   /** RESTORE — roll the head BACK to an audited version without
     * touching a data file (Delta's `RESTORE TABLE`): after three
     * commits the store restores to the two-slice version, so the head
@@ -2042,6 +2098,7 @@ object WarehouseOps {
     "stream_catalog_sink" -> streamCatalogSink,
     "stream_snapshot_source" -> streamSnapshotSource,
     "snapshot_wap_publish" -> snapshotWapPublish,
+    "sql_branch_wap" -> sqlBranchWap,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_stats_prune" -> snapshotStatsPrune,
     "snapshot_stats_prune_sql" -> snapshotStatsPruneSql,
@@ -2564,6 +2621,26 @@ object WarehouseOps {
       FROM orders WHERE o_orderkey % 3 IN (0, 1)
       GROUP BY o_orderpriority
       ORDER BY era, o_orderpriority""",
+    // Both eras recomputed from the ORIGINAL table. The published era
+    // must be the %3=0 base plus EXACTLY the repaired batch: 5-LOW
+    // even-key rows at their original (twice-flipped) price, 5-LOW
+    // odd-key rows deleted, everything else untouched — a repair on
+    // the wrong rows, a leaked corrupted row, or a publish that
+    // double-applies hash-mismatches.
+    "sql_branch_wap" -> s"""
+      SELECT 'pre' AS era, o_orderpriority AS prio, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'published' AS era, o_orderpriority AS prio, COUNT(*) AS n,
+             ${Qx.dsumSql("o_totalprice")} AS total
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+         OR (o_orderkey % 3 = 1
+             AND (o_orderpriority <> '5-LOW' OR o_orderkey % 2 = 0))
+      GROUP BY o_orderpriority
+      ORDER BY era, prio""",
     // Both eras recomputed from the ORIGINAL table: the restored head
     // must be exactly slices {0,1} and the rolled-over version exactly
     // {0,1,2} — a leak in either direction hash-mismatches.

@@ -934,6 +934,11 @@ object Snapshots {
   def resolveBranch(root: String, name: String): Snapshot =
     resolveBranchAt(root, name, branchHead(root, name))
 
+  /** Resolve version `v` of the main log (branch = None) or as seen
+    * from a branch (at or below the fork = main; above = branch). */
+  private def resolveLogAt(root: String, branch: Option[String], v: Long): Snapshot =
+    branch.map(b => resolveBranchAt(root, b, v)).getOrElse(resolveAt(root, v))
+
   /** Read the branch head — the audit view: main's rows plus every
     * batch committed to the branch, deletes applied with the same
     * version scoping as a main read. */
@@ -1085,24 +1090,39 @@ object Snapshots {
     // parse to MaxValue and keep their semantics verbatim)
     val branchDels = snap.deletes
       .filter(d => d.coversBelow > fork && d.coversBelow != Long.MaxValue)
-    // representability: one publish version gives ONE boundary between
-    // "covered by the branch's deletes" and "staged after them". Every
-    // within-branch delete must therefore cover the SAME set of
-    // branch-staged files (interleaving delete → append → delete
-    // rounds needs more sequence levels than a single squash commit
-    // can carry — publish between rounds instead).
-    val coverSets = branchDels
-      .map(d => branchFiles.filter(f => effSeq(f) < d.coversBelow)).distinct
-    require(coverSets.size <= 1,
+    // representability: the squash has TWO file-sequence slots below
+    // the next main version ({fork, fork+1} — every published file must
+    // sit ≤ fork+1 so a future delete at fork+2 covers it, and ≥ fork
+    // so fork-era deletes miss it) and TWO delete slots ({fork+1,
+    // fork+2} — every branch delete must cover ALL fork-era files, so
+    // its re-scoped version must exceed fork). That renumbers at most
+    // two delete ERAS (groups of deletes distinguishing the same
+    // branch-file coverage), and only when nothing was appended after
+    // the second era (those files would need a slot a future delete
+    // misses). More interleaving → publish between rounds instead.
+    val eras = branchDels.map(_.coversBelow).distinct.sorted
+      .groupBy(cb => branchFiles.filter(f => effSeq(f) < cb))
+      .toSeq.sortBy(_._2.min)
+    require(eras.size <= 2,
       s"branch '$name' interleaves row-level deletes with later appends " +
-        "across multiple rounds; a squash publish cannot renumber several " +
-        "delete eras into one commit — fast-forward between rounds")
-    val covered = coverSets.headOption.getOrElse(Set.empty[String])
-    // files the branch deletes covered pin BELOW the re-scoped delete
-    // version (at the fork — fork-era deletes still miss them since
-    // their coversBelow <= fork); files staged after pin AT the publish
-    // version, escaping the branch deletes exactly as on the branch.
-    // Future main deletes (coversBelow >= fork+2) cover both groups.
+        "across more than two rounds; a squash publish cannot renumber " +
+        "that many delete eras into one commit — fast-forward between rounds")
+    if (eras.size == 2) {
+      val lastCb = eras.last._2.max
+      val after = branchFiles.filter(f => effSeq(f) >= lastCb)
+      require(after.isEmpty,
+        s"branch '$name' appended files after its second round of row-level " +
+          "deletes; a squash publish cannot renumber a third era into one " +
+          "commit — fast-forward between rounds")
+    }
+    // era-1 cover set pins at the fork (below BOTH re-scoped delete
+    // slots; fork-era deletes still miss it since their coversBelow ≤
+    // fork), everything else at fork+1; era-1 deletes re-scope to
+    // fork+1, era-2 (covering all branch files) to fork+2. Future main
+    // deletes (coversBelow ≥ fork+2) cover both file groups; future
+    // files (seq ≥ fork+2) escape both delete groups.
+    val covered = eras.headOption.map(_._1).getOrElse(Set.empty[String])
+    val secondEraCbs = if (eras.size == 2) eras.last._2.toSet else Set.empty[Long]
     val lines = Files.readAllLines(
       branchManifestPath(root, name, bh), UTF_8).asScala.toSeq.filter(_.nonEmpty)
     val rescoped = lines.flatMap {
@@ -1114,7 +1134,10 @@ object Snapshots {
         if (branchFiles(p)) None else Some(l)
       case l if l.startsWith(s"$delPrefix@") =>
         val Array(v, k, p) = l.stripPrefix(s"$delPrefix@").split(":", 3)
-        if (v.toLong > fork) Some(s"$delPrefix@${fork + 1}:$k:$p") else Some(l)
+        val cb = v.toLong
+        if (cb <= fork) Some(l)
+        else if (secondEraCbs(cb)) Some(s"$delPrefix@${fork + 2}:$k:$p")
+        else Some(s"$delPrefix@${fork + 1}:$k:$p")
       case l => Some(l)
     }
     val pins = snap.files.filter(branchFiles)
@@ -1262,12 +1285,30 @@ object Snapshots {
     */
   private def publishManifest(root: String, what: String,
       gate: Long => Boolean = _ => true,
-      onLost: () => Unit = () => ())(
+      onLost: () => Unit = () => (),
+      // target log: None = main, Some(name) = the branch's speculative
+      // continuation (manifests under `_commits/branch_<name>/`, head
+      // resolved via branchHead — versions continue main's numbering)
+      branch: Option[String] = None)(
       build: Long => (Seq[String], Seq[String], Seq[String])): Long = {
     Files.createDirectories(commitsDir(root))
+    branch.foreach { b =>
+      require(branchFork(root, b).isDefined, s"no branch '$b' under $root")
+      Files.createDirectories(branchManifestsDir(root, b))
+    }
+    def headOf: Long =
+      branch.map(branchHead(root, _)).getOrElse(maxCommitted(root))
+    def targetPath(v: Long): Path =
+      branch.map(branchManifestPath(root, _, v)).getOrElse(manifestPath(root, v))
+    def parentTsOf(v: Long): Long = branch match {
+      case Some(b) if v - 1 > branchFork(root, b).get =>
+        manifestTimestamp(branchManifestPath(root, b, v - 1)).getOrElse(-1L)
+      case _ =>
+        if (v > 1L) commitTimestamp(root, v - 1).getOrElse(-1L) else -1L
+    }
     var attempt = 0
     while (true) {
-      val head = maxCommitted(root)
+      val head = headOf
       if (!gate(head + 1)) return head
       val v = head + 1
       val (preTs, header, fileLines) = build(v)
@@ -1296,7 +1337,7 @@ object Snapshots {
             s"table under $root without a declared " +
             s"'${graft.catalog.SnapTransform.prop}' property must not " +
             "stage files under it. Rename the partition column.")
-      val parentTs = if (v > 1L) commitTimestamp(root, v - 1).getOrElse(-1L) else -1L
+      val parentTs = parentTsOf(v)
       val commitTs = math.max(
         java.time.Instant.now().toEpochMilli * 1000L, parentTs + 1L)
       val tmp = commitsDir(root).resolve(
@@ -1307,7 +1348,7 @@ object Snapshots {
         fileLines.mkString("\n")
       Files.write(tmp, content.getBytes(UTF_8))
       try {
-        Files.createLink(manifestPath(root, v), tmp)
+        Files.createLink(targetPath(v), tmp)
         Files.delete(tmp)
         return v
       } catch {
@@ -2150,7 +2191,7 @@ object Snapshots {
     * fail. */
   def commitRewriteStaged(root: String, files: Seq[String],
       allowEmpty: Boolean = false, basedOn: Option[Long] = None,
-      rowsUnchanged: Boolean = false): Long = {
+      rowsUnchanged: Boolean = false, branch: Option[String] = None): Long = {
     // a direct-API empty rewrite is almost always a bug (a write job
     // that produced nothing) — but a catalog DELETE matching every row
     // legitimately replaces the table with zero files, so the v2 path
@@ -2160,13 +2201,13 @@ object Snapshots {
       gate = { v =>
         basedOn.foreach { b =>
           if (v != b + 1) throw new java.util.ConcurrentModificationException(
-            s"copy-on-write rewrite of $root was planned against version $b " +
-              s"but the table head is now ${v - 1}: a concurrent commit added " +
-              "rows the staged survivor set does not contain. Re-run the " +
-              "statement against the current head.")
+            s"copy-on-write rewrite of $root${branch.fold("")(n => s" (branch $n)")} " +
+              s"was planned against version $b but the head is now ${v - 1}: a " +
+              "concurrent commit added rows the staged survivor set does not " +
+              "contain. Re-run the statement against the current head.")
         }
         true
-      }) { v =>
+      }, branch = branch) { v =>
       (Nil, (if (rowsUnchanged) Seq(rowsUnchangedLine) else Nil) ++
         files.sorted.map(seqLine(_, v)) ++ newStatsLines(files) ++
         newBloomLines(root, files.sorted), files.sorted)
@@ -2183,11 +2224,14 @@ object Snapshots {
     * `v00000000` path segment is never trusted. Cost: O(touched rows)
     * I/O whatever the table size, the Hudi/Iceberg-v2 upsert shape. */
   def commitStagedDelta(root: String, keyCol: String,
-      dataFiles: Seq[String], delKeyFiles: Seq[String]): Long = {
+      dataFiles: Seq[String], delKeyFiles: Seq[String],
+      branch: Option[String] = None): Long = {
     requireKeyName(keyCol)
-    if (dataFiles.isEmpty && delKeyFiles.isEmpty) return maxCommitted(root)
-    publishManifest(root, "staged-delta") { v =>
-      val parent = if (v > 1L) Some(resolveAt(root, v - 1)) else None
+    if (dataFiles.isEmpty && delKeyFiles.isEmpty)
+      return branch.map(branchHead(root, _)).getOrElse(maxCommitted(root))
+    publishManifest(root, "staged-delta", branch = branch) { v =>
+      val parent =
+        if (v > 1L) Some(resolveLogAt(root, branch, v - 1)) else None
       require(parent.isDefined || delKeyFiles.isEmpty,
         s"a merge-on-read delta needs a committed table under $root")
       val files = parent.map(_.files).getOrElse(Nil) ++ dataFiles.sorted
@@ -2225,11 +2269,12 @@ object Snapshots {
     * by definition, and the optimistic retry re-resolves the parent. */
   def commitStagedPosDelete(root: String,
       affected: Map[String, Seq[String]],
-      dataFiles: Seq[String] = Nil): Long = {
+      dataFiles: Seq[String] = Nil, branch: Option[String] = None): Long = {
     if ((affected.isEmpty || affected.forall(_._2.isEmpty)) && dataFiles.isEmpty)
-      return maxCommitted(root)
-    publishManifest(root, "staged-posdelete") { v =>
-      val parent = resolveAt(root, v - 1) // a posdel needs a committed table
+      return branch.map(branchHead(root, _)).getOrElse(maxCommitted(root))
+    publishManifest(root, "staged-posdelete", branch = branch) { v =>
+      // a posdel needs a committed table
+      val parent = resolveLogAt(root, branch, v - 1)
       val live = parent.files.toSet
       val gone = affected.keys.filterNot(live)
       if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(

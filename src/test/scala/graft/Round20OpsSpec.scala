@@ -118,6 +118,118 @@ class Round20OpsSpec extends SparkSpec {
       "branch-log copies cleaned up")
   }
 
+  test("branch row-level SQL (COW): UPDATE + DELETE repair the batch before publish") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20bcow")
+    sqlDf("CREATE TABLE snap.default.r20bcow AS " +
+      "SELECT id AS k, CAST(id * 10 AS DOUBLE) AS v FROM range(0, 50)")
+    val root = s"$wh/default/r20bcow"
+    sqlDf("CALL snap.system.create_branch('default.r20bcow', 'audit')")
+    // the risky batch: k 50..59, two rows corrupted (negative v)
+    sqlDf("""INSERT INTO snap.default.r20bcow.branch_audit
+            |SELECT id AS k, CAST(IF(id IN (52, 57), -1, id * 10) AS DOUBLE) AS v
+            |FROM range(50, 60)""".stripMargin)
+    // audit finds the corruption; the REPAIR runs on the branch:
+    // one row fixable in place, one must go
+    sqlDf("UPDATE snap.default.r20bcow.branch_audit SET v = 520.0 WHERE k = 52")
+    sqlDf("DELETE FROM snap.default.r20bcow.branch_audit WHERE v < 0")
+    // main untouched through the whole repair loop
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20bcow").as[Long].head() == 50L)
+    assert(Snapshots.maxCommitted(root) == 1L)
+    // re-audit on the branch sees the repaired batch
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20bcow.branch_audit " +
+      "WHERE v < 0").as[Long].head() == 0L)
+    sqlDf("CALL snap.system.fast_forward('default.r20bcow', 'audit')")
+    assert(Snapshots.maxCommitted(root) == 2L, "one atomic squash commit")
+    val rows = sqlDf("SELECT k, v FROM snap.default.r20bcow WHERE k >= 50 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(50L -> 500.0, 51L -> 510.0, 52L -> 520.0, 53L -> 530.0,
+      54L -> 540.0, 55L -> 550.0, 56L -> 560.0, 58L -> 580.0, 59L -> 590.0))
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20bcow").as[Long].head() == 59L)
+  }
+
+  test("branch row-level SQL (keyed MOR): two delete eras squash; a third refuses") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20bmor")
+    sqlDf("CREATE TABLE snap.default.r20bmor (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mor.key' = 'k')")
+    sqlDf("INSERT INTO snap.default.r20bmor SELECT id, id * 2 FROM range(0, 20)")
+    val root = s"$wh/default/r20bmor"
+    sqlDf("CALL snap.system.create_branch('default.r20bmor', 'fix')")
+    // era 1: UPDATE (delete + insert at one branch version)
+    sqlDf("UPDATE snap.default.r20bmor.branch_fix SET v = 999 WHERE k < 3")
+    // era 2: a later DELETE covering the update's own insert half too
+    sqlDf("DELETE FROM snap.default.r20bmor.branch_fix WHERE k IN (1, 10)")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20bmor").as[Long].head() == 20L,
+      "main untouched by branch MOR statements")
+    val branchRows = sqlDf(
+      "SELECT k, v FROM snap.default.r20bmor.branch_fix WHERE k < 4 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(branchRows == Seq(0L -> 999L, 2L -> 999L, 3L -> 6L))
+    sqlDf("CALL snap.system.fast_forward('default.r20bmor', 'fix')")
+    assert(Snapshots.maxCommitted(root) == 2L,
+      "one squash commit on top of the INSERT (CREATE with a schema commits no version)")
+    val after = sqlDf("SELECT k, v FROM snap.default.r20bmor ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == ((0L to 19L).filterNot(Set(1L, 10L))
+      .map(k => k -> (if (k < 3) 999L else k * 2))))
+    // post-publish semantics: a re-insert of a squashed-out key shines
+    // through (the re-scoped deletes must not cover future appends)
+    sqlDf("INSERT INTO snap.default.r20bmor VALUES (1, 111)")
+    assert(sqlDf("SELECT v FROM snap.default.r20bmor WHERE k = 1")
+      .as[Long].head() == 111L)
+    // THREE eras (delete, append, delete, append) exceed the squash's
+    // sequence slots — the publish refuses with guidance
+    sqlDf("CALL snap.system.create_branch('default.r20bmor', 'fix3')")
+    sqlDf("DELETE FROM snap.default.r20bmor.branch_fix3 WHERE k = 2")
+    sqlDf("INSERT INTO snap.default.r20bmor.branch_fix3 VALUES (2, 222)")
+    sqlDf("DELETE FROM snap.default.r20bmor.branch_fix3 WHERE k = 3")
+    sqlDf("INSERT INTO snap.default.r20bmor.branch_fix3 VALUES (3, 333)")
+    val e = intercept[Exception](
+      sqlDf("CALL snap.system.fast_forward('default.r20bmor', 'fix3')"))
+    assert(e.getMessage.contains("fast-forward between rounds"), e.getMessage)
+    sqlDf("CALL snap.system.drop_branch('default.r20bmor', 'fix3')")
+  }
+
+  test("branch row-level SQL (positional MOR): DELETE stages DVs on the branch") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20bpos")
+    sqlDf("CREATE TABLE snap.default.r20bpos (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.mor.positional' = 'true')")
+    sqlDf("INSERT INTO snap.default.r20bpos " +
+      "SELECT id, concat('row', id) FROM range(0, 30)")
+    val root = s"$wh/default/r20bpos"
+    sqlDf("CALL snap.system.create_branch('default.r20bpos', 'purge')")
+    sqlDf("DELETE FROM snap.default.r20bpos.branch_purge WHERE k % 3 = 0")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20bpos").as[Long].head() == 30L)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20bpos.branch_purge")
+      .as[Long].head() == 20L)
+    // position deletes scope by FILE IDENTITY — the squash carries them
+    // verbatim and main's data files never move
+    val preFiles = Snapshots.resolveAt(root, Snapshots.maxCommitted(root)).files.toSet
+    sqlDf("CALL snap.system.fast_forward('default.r20bpos', 'purge')")
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20bpos").as[Long].head() == 20L)
+    val post = Snapshots.resolveAt(root, Snapshots.maxCommitted(root))
+    assert(post.files.toSet == preFiles, "a positional branch DELETE moves no data file")
+    assert(post.posDeletes.nonEmpty, "the squash carries the branch's #posdel lines")
+  }
+
+  test("MERGE INTO a branch: upsert repairs land on the speculative log only") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20bmerge")
+    sqlDf("CREATE TABLE snap.default.r20bmerge (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mor.key' = 'k')")
+    sqlDf("INSERT INTO snap.default.r20bmerge SELECT id, id FROM range(0, 10)")
+    sqlDf("CALL snap.system.create_branch('default.r20bmerge', 'audit')")
+    sqlDf("""MERGE INTO snap.default.r20bmerge.branch_audit t
+            |USING (SELECT id AS k, id * 100 AS v FROM range(8, 12)) s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(sqlDf("SELECT sum(v) FROM snap.default.r20bmerge").as[Long].head() == 45L,
+      "main untouched by a branch MERGE")
+    sqlDf("CALL snap.system.fast_forward('default.r20bmerge', 'audit')")
+    val rows = sqlDf("SELECT k, v FROM snap.default.r20bmerge ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == ((0L to 7L).map(k => k -> k) ++ (8L to 11L).map(k => k -> k * 100)))
+  }
+
   test("squash scoping: fork-era deletes miss branch rows; future deletes cover them") {
     val root = Qx.tmpOut("r20ffscope", sf())
     Snapshots.commit(root)(out =>
