@@ -16,7 +16,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * {{{
   *   spark.readStream.table("snap.default.t.changes")
-  *     // data columns + _change_type ('insert' | 'delete') + _commit_version
+  *     // data columns + _change_type ('insert' | 'delete')
+  *     // + _commit_version + _commit_timestamp
   * }}}
   *
   * The r18 streaming source classifies a position-delete commit as a
@@ -55,6 +56,11 @@ private[catalog] object SnapChanges {
   val kind = "changes"
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  /** Commit wall-clock (micros, from the manifest's `#ts:` header) —
+    * the Delta-CDF/Iceberg-changelog parity column downstream CDC
+    * consumers key on. Populated at planning time, one metadata read
+    * per version step; null only for pre-`#ts` legacy manifests. */
+  val CommitTimestampCol = "_commit_timestamp"
 
   def table(fullName: String, root: String): Table =
     new ChangesTable(fullName, root)
@@ -70,7 +76,8 @@ private[catalog] class ChangesTable(fullName: String, root: String)
 
   override def schema(): StructType = StructType(dataSchema.fields ++ Seq(
     StructField(SnapChanges.ChangeTypeCol, StringType, nullable = false),
-    StructField(SnapChanges.CommitVersionCol, LongType, nullable = false)))
+    StructField(SnapChanges.CommitVersionCol, LongType, nullable = false),
+    StructField(SnapChanges.CommitTimestampCol, TimestampType, nullable = true)))
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -110,7 +117,9 @@ private[catalog] class ChangesTable(fullName: String, root: String)
 private[catalog] final case class ChangePartition(inner: InputPartition,
   version: Long, changeType: String, dvBytes: Array[Byte],
   kind: Int, newDels: Seq[MorDeleteSet] = Nil,
-  prevDels: Seq[MorDeleteSet] = Nil) extends InputPartition
+  prevDels: Seq[MorDeleteSet] = Nil,
+  // commit wall-clock micros from the version's #ts header (-1 = none)
+  commitTs: Long = -1L) extends InputPartition
 
 private[catalog] object ChangePartition {
   val Insert = 0
@@ -245,30 +254,30 @@ private[catalog] class ChangesMicroBatchStream(root: String,
 
   /** Scan over exactly `files`, requesting the data columns plus the
     * generated row-ordinal column (same planning path as a batch read
-    * of the slice). Tables whose files carry path-only columns or
-    * synthetic layout segments (identity PARTITIONED BY, live or
-    * retired bucket/transform layouts) refuse: the feed's readers copy
-    * by position over the flat data schema, and a partition-aware scan
-    * re-orders partition columns last — serve those through the batch
-    * row-CDF instead. (Positional MOR — the feed's delete source —
-    * never composes with layouts, so the refusal costs the posdel
-    * consumer nothing.) */
+    * of the slice). PARTITIONED/LAYOUT tables serve too (r20): the
+    * per-slice index re-attaches path-only partition values and parses
+    * synthetic bucket/transform segments exactly like the plain
+    * streaming source, and the feed's readers remap the scan's output
+    * BY NAME (a partition-aware scan reorders partition columns last —
+    * see [[scanOutSchema]]), so no column can ever mis-map. */
   private def scanOver(files: Seq[String]): Scan = {
     val props = GraftTable.readMeta(root).map(_._2).getOrElse(Map.empty)
     val phys = GraftTable.physOf(props)
     require(phys.isEmpty,
       s"the change feed of $root is unsupported while re-added columns " +
         s"(${phys.keys.mkString(", ")}) carry a physical-name remap")
-    require(GraftTable.partColsOf(props).isEmpty &&
-      SnapBucket.of(props).isEmpty && SnapBucket.ofRetired(props).isEmpty &&
-      SnapTransform.of(props).isEmpty && SnapTransform.ofRetired(props).isEmpty,
-      s"the change feed of $root does not serve partitioned/layout tables " +
-        "yet — consume Snapshots.readChanges / readChangesRows in batch")
     val b = GraftScans.parquetBuilder(spark,
-      files, StructType(dataSchema.fields :+ rowIdxField), options)
+      files, StructType(dataSchema.fields :+ rowIdxField), options,
+      partSchema = GraftMicroBatchStream.layoutPartSchema(root, dataSchema))
     b.pruneColumns(StructType(dataSchema.fields :+ rowIdxField))
     b.build()
   }
+
+  /** The scan's OUTPUT order — `readSchema()` of the planned scan,
+    * which differs from the requested order on partitioned tables
+    * (path-served columns re-attach last). File-list independent:
+    * determined by the schema split alone. */
+  private lazy val scanOutSchema: StructType = scanOver(Nil).readSchema()
 
   private def bitmapsOf(snap: Snapshot, file: String): Option[org.roaringbitmap.RoaringBitmap] =
     snap.posDeletes.get(file).map(pfs =>
@@ -299,7 +308,9 @@ private[catalog] class ChangesMicroBatchStream(root: String,
           s"the change feed of $root cannot resolve delete-key column " +
             s"'$k' in the current schema (renamed or dropped) — consume " +
             "batch readChangesRows, which resolves the rename ledgers"))
-        MorDeleteSet(kcs.map(dataSchema.fieldIndex),
+        // key ordinals index the SCAN's output row (partition-aware
+        // scans re-order path-served columns last) — resolved by name
+        MorDeleteSet(kcs.map(scanOutSchema.fieldIndex),
           kcs.map(k => dataSchema(k).dataType),
           inline = None, paths = group.map(_.path).sorted, keyNames = kcs)
       }
@@ -316,23 +327,26 @@ private[catalog] class ChangesMicroBatchStream(root: String,
         s"retained version is $oldest) — restart from a fresh checkpoint")
     val from = if (s0 == 0) oldest else s0
     val out = Seq.newBuilder[InputPartition]
+    // commit wall-clock per version step, one metadata read
+    def tsOf(v: Long): Long = Snapshots.commitTimestamp(root, v).getOrElse(-1L)
     // inserts of one version: the version's VISIBLE rows of `files` —
     // ordinals its own DVs hide and keys its applicable delete sets
     // hide are skipped, so the feed never resurrects a hidden row
     def insertsOf(v: Long, snap: Snapshot, files: Seq[String]): Unit = {
+      val ts = tsOf(v)
       val byDels = files.groupBy(f => applicableSets(snap, f, snap.deletes))
       byDels.toSeq.sortBy(_._2.head).foreach { case (dels, fs) =>
         val (withDv, plain) = fs.partition(snap.posDeletes.contains)
         if (plain.nonEmpty)
           scanOver(plain).toBatch.planInputPartitions().foreach(p =>
             out += ChangePartition(p, v, "insert", Array.empty,
-              ChangePartition.Insert, prevDels = dels))
+              ChangePartition.Insert, prevDels = dels, commitTs = ts))
         // a DV-covered file plans ALONE so its partitions bind to one bitmap
         withDv.foreach { f =>
           val bm = bitmapsOf(snap, f).getOrElse(new org.roaringbitmap.RoaringBitmap)
           scanOver(Seq(f)).toBatch.planInputPartitions().foreach(p =>
             out += ChangePartition(p, v, "insert", serialize(bm),
-              ChangePartition.Insert, prevDels = dels))
+              ChangePartition.Insert, prevDels = dels, commitTs = ts))
         }
       }
     }
@@ -368,7 +382,7 @@ private[catalog] class ChangesMicroBatchStream(root: String,
               scanOver(fs).toBatch.planInputPartitions().foreach(p =>
                 out += ChangePartition(p, v, "delete", Array.empty,
                   ChangePartition.KeyDelta, newDels = newSets,
-                  prevDels = prevSets))
+                  prevDels = prevSets, commitTs = tsOf(v)))
             }
         }
         // POSITION-delete delta: newly hidden ordinals per file
@@ -383,7 +397,7 @@ private[catalog] class ChangesMicroBatchStream(root: String,
           if (!delta.isEmpty)
             scanOver(Seq(f)).toBatch.planInputPartitions().foreach(p =>
               out += ChangePartition(p, v, "delete", serialize(delta),
-                ChangePartition.PosDelta))
+                ChangePartition.PosDelta, commitTs = tsOf(v)))
         }
       }
     }
@@ -399,13 +413,22 @@ private[catalog] class ChangesMicroBatchStream(root: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangesReaderFactory(innerFactory, dataSchema.fields.map(_.dataType))
+    new ChangesReaderFactory(innerFactory, dataSchema.fields.map(_.dataType),
+      // NAME-BASED source mapping (r20): position of each output column
+      // — and of the generated row ordinal — in the scan's output row,
+      // so a partition-reordered scan can never mis-map a column
+      srcOrdinals = dataSchema.fieldNames.map(scanOutSchema.fieldIndex),
+      ordIdx = scanOutSchema.fieldIndex(GraftRowId.RowIdxTmp))
 
   override def toString: String = s"ChangesMicroBatchStream($root)"
 }
 
 private[catalog] class ChangesReaderFactory(inner: PartitionReaderFactory,
-    dataTypes: Array[DataType]) extends PartitionReaderFactory {
+    dataTypes: Array[DataType],
+    // source position of each emitted column / of the row ordinal in
+    // the delegate's output row (name-resolved at planning — partition-
+    // aware scans serve path columns last)
+    srcOrdinals: Array[Int], ordIdx: Int) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
@@ -440,7 +463,7 @@ private[catalog] class ChangesReaderFactory(inner: PartitionReaderFactory,
       override def next(): Boolean = {
         while (delegate.next()) {
           val row = delegate.get()
-          val ord = if (row.isNullAt(n)) -1L else row.getLong(n)
+          val ord = if (row.isNullAt(ordIdx)) -1L else row.getLong(ordIdx)
           val dvHit = bm.exists(b =>
             ord >= 0L && ord <= Int.MaxValue && b.contains(ord.toInt))
           val emit = cp.kind match {
@@ -457,14 +480,16 @@ private[catalog] class ChangesReaderFactory(inner: PartitionReaderFactory,
               s"unknown change-partition kind $other")
           }
           if (emit) {
-            val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(n + 2)
+            val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(n + 3)
             var i = 0
             while (i < n) {
-              out.update(i, if (row.isNullAt(i)) null else row.get(i, dataTypes(i)))
+              val src = srcOrdinals(i)
+              out.update(i, if (row.isNullAt(src)) null else row.get(src, dataTypes(i)))
               i += 1
             }
             out.update(n, typeUtf8)
             out.update(n + 1, cp.version)
+            out.update(n + 2, if (cp.commitTs < 0L) null else cp.commitTs)
             current = out
             return true
           }

@@ -296,30 +296,8 @@ private[catalog] class GraftMicroBatchStream(root: String,
     * metadata: each micro-batch's scan rebuilds the partition-aware
     * index over its own file slice, so tailing a partitioned table
     * re-attaches partition values exactly like a batch read. */
-  private lazy val partSchema: StructType = {
-    val props = GraftTable.readMeta(root).map(_._2).getOrElse(Map.empty)
-    (SnapBucket.of(props), SnapBucket.ofRetired(props)) match {
-      // bucket layouts: the synthetic _gbucket segment shapes the
-      // index (it is not a row column — readSchema never requests it)
-      case (Some(_), _) => SnapBucket.partSchema
-      // a RETIRED bucket layout's files still carry segments; post-
-      // retirement appends are flat and parse a NULL id
-      case (None, Some(_)) => SnapBucket.partSchemaRetired
-      case _ =>
-        val base = GraftTable.partSchemaOf(tableSchema, GraftTable.partColsOf(props))
-        SnapTransform.of(props).orElse(SnapTransform.ofRetired(props)) match {
-          // transform layouts (live or retired): the synthetic _gtpart
-          // ordinal shapes the index the same way (derived, never a
-          // row column)
-          case Some(t) =>
-            tableSchema.fields.find(_.name == t.col)
-              .map(f => StructType(base.fields ++
-                SnapTransform.partSchema(t, f.dataType).fields))
-              .getOrElse(base)
-          case None => base
-        }
-    }
-  }
+  private lazy val partSchema: StructType =
+    GraftMicroBatchStream.layoutPartSchema(root, tableSchema)
 
   /** A fresh vectorized parquet scan over exactly `files`, pruned to
     * the stream's read schema — the same planning path as a batch read
@@ -360,6 +338,36 @@ private[catalog] object GraftMicroBatchStream {
   val SkipChangesOption = "skipChangeCommits"
   val StartingVersionOption = "startingVersion"
   val StartingTimestampOption = "startingTimestamp"
+
+  /** The partition/layout schema that shapes a per-slice file index
+    * for `root` — identity PARTITIONED BY columns plus any synthetic
+    * bucket/transform segments (live or retired; the synthetics shape
+    * the index only and are never row columns). Shared by the plain
+    * streaming source and the change feed. */
+  def layoutPartSchema(root: String, tableSchema: StructType): StructType = {
+    val props = GraftTable.readMeta(root).map(_._2).getOrElse(Map.empty)
+    (SnapBucket.of(props), SnapBucket.ofRetired(props)) match {
+      // bucket layouts: the synthetic _gbucket segment shapes the
+      // index (it is not a row column — readSchema never requests it)
+      case (Some(_), _) => SnapBucket.partSchema
+      // a RETIRED bucket layout's files still carry segments; post-
+      // retirement appends are flat and parse a NULL id
+      case (None, Some(_)) => SnapBucket.partSchemaRetired
+      case _ =>
+        val base = GraftTable.partSchemaOf(tableSchema, GraftTable.partColsOf(props))
+        SnapTransform.of(props).orElse(SnapTransform.ofRetired(props)) match {
+          // transform layouts (live or retired): the synthetic _gtpart
+          // ordinal shapes the index the same way (derived, never a
+          // row column)
+          case Some(t) =>
+            tableSchema.fields.find(_.name == t.col)
+              .map(f => StructType(base.fields ++
+                SnapTransform.partSchema(t, f.dataType).fields))
+              .getOrElse(base)
+          case None => base
+        }
+    }
+  }
 
   /** The stream's own admission limit (Spark has file/row limits but
     * no byte limit): returned by `getDefaultReadLimit`, handed back by
