@@ -44,8 +44,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    already-hidden rows never re-emit, and an upsert surfaces as
   *    delete + insert in its one commit;
   *  - writer-marked rows-unchanged commits (compaction, DV folds) pass
-  *    silently; unmarked-rewrite commits refuse with a pointer to the
-  *    batch row-CDF (which diffs across rewrites, O(touched)).
+  *    silently;
+  *  - row-changing REWRITES on a `graft.changes.rewriteDiff` table
+  *    (r20) scan their PRE-MATERIALIZED `#changes:` sidecars — the
+  *    COW writer diffs old vs new state at commit time (multiset
+  *    exceptAll, O(touched) sidecar bytes, atomic with the manifest)
+  *    and the feed replays the diff verbatim, so a CDC consumer
+  *    survives COW DELETE/UPDATE/MERGE — including on partitioned
+  *    tables, whose only row-level mode is COW. Rewrites on tables
+  *    WITHOUT the property still refuse with a pointer to the
+  *    property and the batch row-CDF.
   *
   * DV-carrying scans plan per file so every partition's ordinals bind
   * to one bitmap; ordinals come from the parquet readers' generated
@@ -125,6 +133,10 @@ private[catalog] object ChangePartition {
   val Insert = 0
   val PosDelta = 1
   val KeyDelta = 2
+  /** Pre-materialized effects (`#changes:` sidecars of a rewrite on a
+    * `graft.changes.rewriteDiff` table): the delegate partition scans
+    * the sidecar parquet itself; `_change_type` comes from its rows. */
+  val Materialized = 3
 }
 
 private[catalog] class ChangesMicroBatchStream(root: String,
@@ -188,15 +200,19 @@ private[catalog] class ChangesMicroBatchStream(root: String,
     else if (Snapshots.rowsUnchangedAt(root, v)) Nil
     else {
       val cur = Snapshots.resolveAt(root, v)
-      val prev = if (v == 1) Snapshot(0, Nil) else Snapshots.resolveAt(root, v - 1)
-      val prevF = prev.files.toSet
-      val added = cur.files.filterNot(prevF)
-      val dvTouched = (cur.posDeletes.keySet ++ prev.posDeletes.keySet)
-        .filter(f => cur.posDeletes.getOrElse(f, Nil) != prev.posDeletes.getOrElse(f, Nil))
-        .toSeq
-      val newDels = cur.deletes.filterNot(prev.deletes.toSet)
-      val covered = if (newDels.isEmpty) Nil else prev.files
-      added ++ dvTouched ++ covered
+      // a rewrite with materialized effects scans ONLY its sidecars
+      if (cur.changeFiles.nonEmpty) cur.changeFiles
+      else {
+        val prev = if (v == 1) Snapshot(0, Nil) else Snapshots.resolveAt(root, v - 1)
+        val prevF = prev.files.toSet
+        val added = cur.files.filterNot(prevF)
+        val dvTouched = (cur.posDeletes.keySet ++ prev.posDeletes.keySet)
+          .filter(f => cur.posDeletes.getOrElse(f, Nil) != prev.posDeletes.getOrElse(f, Nil))
+          .toSeq
+        val newDels = cur.deletes.filterNot(prev.deletes.toSet)
+        val covered = if (newDels.isEmpty) Nil else prev.files
+        added ++ dvTouched ++ covered
+      }
     }
 
   /** Admit whole versions until a cap is crossed — at least one
@@ -278,6 +294,20 @@ private[catalog] class ChangesMicroBatchStream(root: String,
     * (path-served columns re-attach last). File-list independent:
     * determined by the schema split alone. */
   private lazy val scanOutSchema: StructType = scanOver(Nil).readSchema()
+
+  /** Scan over a rewrite's `#changes:` sidecar parquet: the table's
+    * data columns plus the per-row `_change_type` — FLAT files (the
+    * diff materializes partition values as ordinary columns), so no
+    * partition index and no row ordinal. */
+  private def scanEffects(files: Seq[String]): Scan = {
+    val schema = StructType(dataSchema.fields :+
+      StructField(SnapChanges.ChangeTypeCol, StringType, nullable = false))
+    val b = GraftScans.parquetBuilder(spark, files, schema, options)
+    b.pruneColumns(schema)
+    b.build()
+  }
+
+  private lazy val matOutSchema: StructType = scanEffects(Nil).readSchema()
 
   private def bitmapsOf(snap: Snapshot, file: String): Option[org.roaringbitmap.RoaringBitmap] =
     snap.posDeletes.get(file).map(pfs =>
@@ -363,9 +393,21 @@ private[catalog] class ChangesMicroBatchStream(root: String,
         val curF = cur.files.toSet
         val added = cur.files.filterNot(prevF)
         val removed = prev.files.exists(!curF(_))
+        if (cur.changeFiles.nonEmpty) {
+          // a rewrite on a `graft.changes.rewriteDiff` table: the
+          // commit's row-level effects are PRE-MATERIALIZED sidecars —
+          // scan them verbatim (the diff already IS insert+delete
+          // rows; planning the rewrite's own files would re-emit every
+          // survivor). O(touched rows), never O(table).
+          scanEffects(cur.changeFiles).toBatch.planInputPartitions().foreach(p =>
+            out += ChangePartition(p, v, "", Array.empty,
+              ChangePartition.Materialized, commitTs = tsOf(v)))
+        } else {
         require(!removed,
-          s"version $v of $root is a rewrite commit (files replaced); " +
-            "row-level effects across rewrites are batch readChangesRows' job")
+          s"version $v of $root is a rewrite commit (files replaced) on a " +
+            s"table without '${GraftTable.rewriteDiffProp}'; set the " +
+            "property to materialize rewrite diffs, or consume batch " +
+            "readChangesRows")
         insertsOf(v, cur, added)
         // KEYED-delete delta (DELETE on a graft.mor.key table, or the
         // delete half of an upsert): emit the previously-VISIBLE rows
@@ -399,6 +441,7 @@ private[catalog] class ChangesMicroBatchStream(root: String,
               out += ChangePartition(p, v, "delete", serialize(delta),
                 ChangePartition.PosDelta, commitTs = tsOf(v)))
         }
+        }
       }
     }
     out.result().toArray
@@ -412,13 +455,21 @@ private[catalog] class ChangesMicroBatchStream(root: String,
     scanOver(head).toBatch.createReaderFactory()
   }
 
+  /** Sibling factory for the materialized-effects sidecar scans
+    * (different schema: data columns + `_change_type`, no ordinal). */
+  private lazy val matFactory: PartitionReaderFactory =
+    scanEffects(Nil).toBatch.createReaderFactory()
+
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangesReaderFactory(innerFactory, dataSchema.fields.map(_.dataType),
       // NAME-BASED source mapping (r20): position of each output column
       // — and of the generated row ordinal — in the scan's output row,
       // so a partition-reordered scan can never mis-map a column
       srcOrdinals = dataSchema.fieldNames.map(scanOutSchema.fieldIndex),
-      ordIdx = scanOutSchema.fieldIndex(GraftRowId.RowIdxTmp))
+      ordIdx = scanOutSchema.fieldIndex(GraftRowId.RowIdxTmp),
+      mat = matFactory,
+      matSrcOrdinals = dataSchema.fieldNames.map(matOutSchema.fieldIndex),
+      matTypeIdx = matOutSchema.fieldIndex(SnapChanges.ChangeTypeCol))
 
   override def toString: String = s"ChangesMicroBatchStream($root)"
 }
@@ -428,14 +479,43 @@ private[catalog] class ChangesReaderFactory(inner: PartitionReaderFactory,
     // source position of each emitted column / of the row ordinal in
     // the delegate's output row (name-resolved at planning — partition-
     // aware scans serve path columns last)
-    srcOrdinals: Array[Int], ordIdx: Int) extends PartitionReaderFactory {
+    srcOrdinals: Array[Int], ordIdx: Int,
+    // the materialized-sidecar twin: its factory, its column mapping,
+    // and the position of the per-row `_change_type`
+    mat: PartitionReaderFactory, matSrcOrdinals: Array[Int],
+    matTypeIdx: Int) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val cp = partition.asInstanceOf[ChangePartition]
-    val delegate = inner.createReader(cp.inner)
     val n = dataTypes.length
+    if (cp.kind == ChangePartition.Materialized) {
+      // sidecar rows ARE the effects — copy by name, type from the row
+      val delegate = mat.createReader(cp.inner)
+      return new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          if (!delegate.next()) return false
+          val row = delegate.get()
+          val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(n + 3)
+          var i = 0
+          while (i < n) {
+            val src = matSrcOrdinals(i)
+            out.update(i, if (row.isNullAt(src)) null else row.get(src, dataTypes(i)))
+            i += 1
+          }
+          out.update(n, row.getUTF8String(matTypeIdx).copy())
+          out.update(n + 1, cp.version)
+          out.update(n + 2, if (cp.commitTs < 0L) null else cp.commitTs)
+          current = out
+          true
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = delegate.close()
+      }
+    }
+    val delegate = inner.createReader(cp.inner)
     val bm =
       if (cp.dvBytes.isEmpty) None
       else {

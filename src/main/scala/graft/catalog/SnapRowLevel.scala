@@ -399,6 +399,55 @@ private[catalog] class ParquetRowDataWriter(path: String,
 private[catalog] final case class StagedFilesMessage(dataFiles: Seq[String],
     delKeyFiles: Seq[String]) extends WriterCommitMessage
 
+/** Materializes a COW rewrite's ROW-LEVEL DIFF — the `#changes:`
+  * sidecar producer behind `graft.changes.rewriteDiff`: old state
+  * (the `basedOn` version this statement scanned) exceptAll new state
+  * → `delete` effects; the reverse → `insert` effects. Multiset
+  * semantics make duplicate rows exact, and a row untouched by the
+  * statement cancels — the sidecar is O(touched rows), zero for a
+  * row-preserving rewrite (the caller then publishes rows-unchanged).
+  * An UPDATE surfaces as delete + insert in the one commit, the same
+  * contract as the feed's MOR paths. Staged under the sweep-safe DSv2
+  * staging prefix; the commit's manifest references the files. */
+private[catalog] object RewriteDiff {
+
+  def stage(root: String, schema: StructType, basedOn: Long,
+      newFiles: Seq[String], newStagingDir: String): Seq[String] = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType => ST}
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: ST => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    schema.fields.foreach(f => require(!hasMap(f.dataType),
+      s"${GraftTable.rewriteDiffProp} does not support map-typed column " +
+        s"'${f.name}' (row diffs compare full values; maps are not " +
+        "comparable) — drop the property or restructure the column"))
+    if (basedOn == 0L && newFiles.isEmpty) return Nil
+    import org.apache.spark.sql.functions.{col, lit}
+    val cols = schema.fieldNames.map(col).toSeq
+    // the staged files carry col=value layout segments on partitioned
+    // tables; basePath re-attaches those columns like any batch read
+    val newState =
+      if (newFiles.isEmpty)
+        Snapshots.readAt(spark, root, basedOn).select(cols: _*).limit(0)
+      else spark.read.option("basePath", newStagingDir)
+        .parquet(newFiles: _*).select(cols: _*)
+    val oldState =
+      if (basedOn == 0L) newState.limit(0)
+      else Snapshots.readAt(spark, root, basedOn).select(cols: _*)
+    val effects = oldState.exceptAll(newState)
+      .withColumn(SnapChanges.ChangeTypeCol, lit("delete"))
+      .unionAll(newState.exceptAll(oldState)
+        .withColumn(SnapChanges.ChangeTypeCol, lit("insert")))
+    val dir = Snapshots.newStagingDir(root)
+    effects.write.mode("append").parquet(dir)
+    Snapshots.listParquet(dir)
+  }
+}
+
 /** COPY-ON-WRITE commit: executors stage the full replacement row set;
   * `commit` publishes ONE full-rewrite manifest (pending deletes
   * absorbed, every file seq-pinned at the new version). A statement
@@ -492,8 +541,19 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case StagedFilesMessage(d, _) => d }.flatten.toSeq
+    // a `graft.changes.rewriteDiff` table materializes this rewrite's
+    // row-level effects BEFORE publishing; the sidecars ride the same
+    // atomic manifest (`#changes:` lines), so commit and effects can
+    // never diverge. A diff that proves the rewrite row-preserving
+    // publishes with the rows-unchanged marker instead.
+    val wantDiff = branch.isEmpty && propsAtPlan.exists(
+      _.get(GraftTable.rewriteDiffProp).contains("true"))
+    val changeFiles =
+      if (wantDiff) RewriteDiff.stage(root, schema, basedOn, files, stagingDir)
+      else Nil
     Snapshots.commitRewriteStaged(root, files, allowEmpty = true,
-      basedOn = Some(basedOn), branch = branch)
+      basedOn = Some(basedOn), branch = branch, changeFiles = changeFiles,
+      rowsUnchanged = wantDiff && changeFiles.isEmpty)
     // a BRANCH rewrite must not clear main's rename ledger: main's
     // readers still serve pre-publish files under the prior spellings
     if (branch.isDefined) return

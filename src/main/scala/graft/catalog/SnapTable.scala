@@ -483,6 +483,13 @@ object GraftTable {
   /** Positional merge-on-read opt-in: 'true' routes row-level ops
     * through (file, ordinal) row ids ([[GraftPositionalOperation]]). */
   val posMorProp = "graft.mor.positional"
+  /** Rewrite change-diff opt-in (r20, Delta's enableChangeDataFeed
+    * analogue): 'true' makes every row-changing COW rewrite materialize
+    * its row-level diff as `#changes:` sidecar parquet in the same
+    * atomic commit, so the streaming `.changes` feed serves the
+    * rewrite's effects instead of refusing. Off by default — the diff
+    * costs one old-state + new-state comparison per statement. */
+  val rewriteDiffProp = "graft.changes.rewriteDiff"
   /** Identity partition columns of a `CREATE TABLE … PARTITIONED BY`
     * table (comma-joined, in declaration order). Writes stage through
     * `partitionBy` (files carry `col=value` path segments inside their

@@ -1838,6 +1838,46 @@ object WarehouseOps {
       .orderBy($"era", $"prio")
   }
 
+  /** MATERIALIZED REWRITE CDF (r20) — the row-level change capture a
+    * copy-on-write table publishes WITH each rewrite commit when
+    * `graft.changes.rewriteDiff` is set (Delta's enableChangeDataFeed
+    * analogue): the COW writer diffs the statement's old state against
+    * its staged survivor set (multiset exceptAll — duplicates exact,
+    * untouched rows cancel) and lists the O(touched) effect parquet in
+    * the SAME atomic manifest (`#changes:` lines), which is what lets
+    * the streaming `.changes` feed replay a COW UPDATE/DELETE instead
+    * of refusing (StreamingSpec drives a live stream through both plus
+    * a compaction). This query reads the sidecars of an UPDATE and a
+    * DELETE commit back as data; the oracle recomputes both commits'
+    * exact effect rows from the ORIGINAL table — a diff that misses a
+    * row, duplicates one, or attributes it to the wrong commit
+    * hash-mismatches.
+    *
+    * Scale: the diff costs one old+new comparison per statement —
+    * opt-in per table, O(touched) sidecar bytes; consumers then read
+    * effects O(delta) forever after, the CDC economics Delta CDF and
+    * Iceberg's changelog sell at 100 TB. */
+  val snapshotRewriteCdf: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val (t, root) = SnapCat.table(s, "cdf_rewrite", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.changes.rewriteDiff'='true')
+             |AS SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+             |          c_acctbal AS acctbal
+             |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    s.sql(s"UPDATE $t SET acctbal = acctbal + 100.0 WHERE nationkey < 10")
+    s.sql(s"DELETE FROM $t WHERE acctbal < 0.0")
+    def effects(v: Long) = {
+      val fs = Snapshots.resolveAt(root, v).changeFiles
+      s.read.parquet(fs: _*)
+        .select(lit(v).as("cv"), $"_change_type".as("change_type"),
+          $"custkey", $"nationkey", $"acctbal")
+    }
+    effects(2L).unionByName(effects(3L))
+      .orderBy($"cv", $"change_type", $"custkey")
+  }
+
   /** RESTORE — roll the head BACK to an audited version without
     * touching a data file (Delta's `RESTORE TABLE`): after three
     * commits the store restores to the two-slice version, so the head
@@ -2099,6 +2139,7 @@ object WarehouseOps {
     "stream_snapshot_source" -> streamSnapshotSource,
     "snapshot_wap_publish" -> snapshotWapPublish,
     "sql_branch_wap" -> sqlBranchWap,
+    "snapshot_rewrite_cdf" -> snapshotRewriteCdf,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_stats_prune" -> snapshotStatsPrune,
     "snapshot_stats_prune_sql" -> snapshotStatsPruneSql,
@@ -2641,6 +2682,29 @@ object WarehouseOps {
              AND (o_orderpriority <> '5-LOW' OR o_orderkey % 2 = 0))
       GROUP BY o_orderpriority
       ORDER BY era, prio""",
+    // Each commit's exact effect rows recomputed from the ORIGINAL
+    // table: the UPDATE commit is delete(old)+insert(new) for exactly
+    // the matched rows; the DELETE commit removes rows negative AFTER
+    // the update. A diff that misses/duplicates a row or attributes it
+    // to the wrong commit hash-mismatches.
+    "snapshot_rewrite_cdf" -> """
+      WITH base AS (SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+                           c_acctbal AS acctbal FROM customer),
+      upd AS (SELECT custkey, nationkey,
+                     CASE WHEN nationkey < 10 THEN acctbal + 100.0
+                          ELSE acctbal END AS acctbal FROM base)
+      SELECT CAST(2 AS BIGINT) AS cv, 'delete' AS change_type,
+             custkey, nationkey, acctbal
+      FROM base WHERE nationkey < 10
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS cv, 'insert' AS change_type,
+             custkey, nationkey, acctbal + 100.0 AS acctbal
+      FROM base WHERE nationkey < 10
+      UNION ALL
+      SELECT CAST(3 AS BIGINT) AS cv, 'delete' AS change_type,
+             custkey, nationkey, acctbal
+      FROM upd WHERE acctbal < 0.0
+      ORDER BY cv, change_type, custkey""",
     // Both eras recomputed from the ORIGINAL table: the restored head
     // must be exactly slices {0,1} and the rolled-over version exactly
     // {0,1,2} — a leak in either direction hash-mismatches.

@@ -91,7 +91,15 @@ object Snapshots {
       // FILE IDENTITY, not a version number: a position names a row of
       // one immutable file, so rewrites absorb posdels naturally (the
       // file leaves the table) and re-inserts can never collide
-      posDeletes: Map[String, Seq[String]] = Map.empty)
+      posDeletes: Map[String, Seq[String]] = Map.empty,
+      // MATERIALIZED row-level effects of THIS commit (`#changes:`
+      // lines, r20): parquet files holding the rewrite's row diff
+      // (data columns + _change_type) — written by a row-changing
+      // rewrite on a `graft.changes.rewriteDiff` table so the
+      // streaming change feed serves O(touched) effects across it
+      // instead of refusing. Not part of the table's data; referenced
+      // for retention like delete sidecars
+      changeFiles: Seq[String] = Nil)
 
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
 
@@ -240,8 +248,10 @@ object Snapshots {
       val sep = body.indexOf(':')
       body.substring(0, sep) -> body.substring(sep + 1)
     }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val changes = lines.collect { case l if l.startsWith(changesPrefix) =>
+      l.stripPrefix(changesPrefix) }
     Snapshot(version, lines.filterNot(_.startsWith("#")), dels, seqs, stats,
-      blooms, posDels)
+      blooms, posDels, changes)
   }
 
   private val delPrefix = "#del:"
@@ -250,6 +260,7 @@ object Snapshots {
   private val seqPrefix = "#seq:"
   private val statsPrefix = "#stats:"
   private val bloomPrefix = "#bloom:"
+  private val changesPrefix = "#changes:"
   private val rowsUnchangedLine = "#rowsunchanged:1"
 
   // --- per-file BLOOM FILTERS (point-lookup file skipping) ---------------
@@ -1202,7 +1213,8 @@ object Snapshots {
         if (!Files.exists(m)) Nil
         else {
           val s = parseManifest(m, v)
-          s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten
+          s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten ++
+            s.changeFiles
         }
       }
     }.toSet
@@ -2191,7 +2203,12 @@ object Snapshots {
     * fail. */
   def commitRewriteStaged(root: String, files: Seq[String],
       allowEmpty: Boolean = false, basedOn: Option[Long] = None,
-      rowsUnchanged: Boolean = false, branch: Option[String] = None): Long = {
+      rowsUnchanged: Boolean = false, branch: Option[String] = None,
+      // materialized row-level effects of this rewrite (`#changes:`
+      // sidecars — data columns + _change_type parquet): listed in the
+      // SAME manifest, so commit and effects are one atomic unit and
+      // retention keeps them while the version is retained
+      changeFiles: Seq[String] = Nil): Long = {
     // a direct-API empty rewrite is almost always a bug (a write job
     // that produced nothing) — but a catalog DELETE matching every row
     // legitimately replaces the table with zero files, so the v2 path
@@ -2209,6 +2226,7 @@ object Snapshots {
         true
       }, branch = branch) { v =>
       (Nil, (if (rowsUnchanged) Seq(rowsUnchangedLine) else Nil) ++
+        changeFiles.sorted.map(f => s"$changesPrefix$f") ++
         files.sorted.map(seqLine(_, v)) ++ newStatsLines(files) ++
         newBloomLines(root, files.sorted), files.sorted)
     }
@@ -2587,8 +2605,10 @@ object Snapshots {
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap { v =>
         val s = resolveAt(root, v)
-        // pending delete files and position-delete sidecars are live too
-        s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten
+        // pending delete files, position-delete sidecars and
+        // materialized change-effect files are live too
+        s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten ++
+          s.changeFiles
       }.toSet ++
       // branch manifests pin their staged (not yet fast-forwarded)
       // work — one retention policy over both logs
@@ -2665,7 +2685,8 @@ object Snapshots {
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap { v =>
         val s = resolveAt(root, v)
-        s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten
+        s.files ++ s.deletes.map(_.path) ++ s.posDeletes.values.flatten ++
+          s.changeFiles
       }.toSet ++ branchReferencedFiles(root)
     val now = System.currentTimeMillis()
     // quiet = NOTHING in the dir tree modified within the grace window

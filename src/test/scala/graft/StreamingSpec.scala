@@ -808,4 +808,96 @@ class StreamingSpec extends SparkSpec {
       (if (k % 2 == 0) "east" else "west", k)).toSet,
       s"path-only partition values must re-attach to the right column: $pairs")
   }
+
+  test("the .changes feed survives COW rewrites and compaction via materialized diffs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Qx.tmpOut("scrdwh", sf())
+    graft.catalog.GraftCatalog.register(spark, "snap", Some(wh))
+    spark.sql("DROP TABLE IF EXISTS snap.default.scrd")
+    spark.sql("""CREATE TABLE snap.default.scrd (k BIGINT, v STRING)
+                |TBLPROPERTIES ('graft.changes.rewriteDiff'='true')""".stripMargin)
+    spark.sql("INSERT INTO snap.default.scrd SELECT id, concat('v', id) FROM range(0, 10)")
+    val out = Qx.tmpOut("scrdout", sf())
+    val ckpt = Qx.tmpOut("scrdckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def run(): Unit = {
+      val q = spark.readStream.table("snap.default.scrd.changes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 10L)
+    // a COW UPDATE is a full-rewrite commit — the r19 feed refused it;
+    // the materialized diff delivers exactly delete(old) + insert(new)
+    spark.sql("UPDATE snap.default.scrd SET v = 'patched' WHERE k = 5")
+    run()
+    val afterUpd = spark.read.parquet(out)
+    assert(afterUpd.count() == 12L, "10 inserts + 1 delete + 1 insert effect")
+    assert(afterUpd.where("_change_type = 'delete' AND k = 5 AND v = 'v5'").count() == 1L)
+    assert(afterUpd.where("_change_type = 'insert' AND k = 5 AND v = 'patched'").count() == 1L)
+    // a COW DELETE flows as delete effects only
+    spark.sql("DELETE FROM snap.default.scrd WHERE k < 3")
+    run()
+    val afterDel = spark.read.parquet(out)
+    assert(afterDel.where("_change_type = 'delete'")
+      .where("k < 3").count() == 3L)
+    assert(afterDel.count() == 15L)
+    // a LIVE stream drives through a compaction commit: rows unchanged,
+    // zero effects, no refusal — and later appends keep flowing
+    spark.sql("CALL snap.system.compact('default.scrd')")
+    run()
+    assert(spark.read.parquet(out).count() == 15L,
+      "a compaction contributes zero row effects")
+    spark.sql("INSERT INTO snap.default.scrd SELECT id, concat('n', id) FROM range(20, 25)")
+    run()
+    val fin = spark.read.parquet(out)
+    assert(fin.count() == 20L)
+    assert(fin.where("k >= 20 AND _change_type = 'insert'").count() == 5L)
+    // replaying the whole feed reconstructs the table head exactly
+    val effects = fin
+      .groupBy($"k", $"v").agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions
+            .when($"_change_type" === "insert", 1).otherwise(-1)).as("alive"))
+      .where($"alive" > 0).select($"k", $"v")
+    val head = spark.table("snap.default.scrd").select($"k", $"v")
+    assert(effects.exceptAll(head).isEmpty && head.exceptAll(effects).isEmpty,
+      "replaying the rewrite-diff feed must reconstruct the table head")
+    assert(fin.where("_commit_timestamp IS NULL").isEmpty,
+      "every effect carries its commit timestamp")
+
+    // the SAME loop on a days(ts)-PARTITIONED table (COW is the only
+    // row-level mode partitioned tables have): append + DELETE flow
+    spark.sql("DROP TABLE IF EXISTS snap.default.scrdp")
+    spark.sql("""CREATE TABLE snap.default.scrdp (k BIGINT, ts TIMESTAMP, v STRING)
+                |PARTITIONED BY (days(ts))
+                |TBLPROPERTIES ('graft.changes.rewriteDiff'='true')""".stripMargin)
+    spark.sql("""INSERT INTO snap.default.scrdp
+                |SELECT id, timestamp'2026-04-01 10:00:00' + make_interval(0,0,0,CAST(id % 2 AS INT)),
+                |       concat('p', id) FROM range(0, 8)""".stripMargin)
+    val out2 = Qx.tmpOut("scrdpout", sf())
+    val ckpt2 = Qx.tmpOut("scrdpckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt2))
+    def run2(): Unit = {
+      val q = spark.readStream.table("snap.default.scrdp.changes")
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run2()
+    assert(spark.read.parquet(out2).count() == 8L)
+    spark.sql("DELETE FROM snap.default.scrdp WHERE k % 2 = 0")
+    run2()
+    val feedP = spark.read.parquet(out2)
+    val delEffects = feedP.where("_change_type = 'delete'")
+    assert(delEffects.select("k").as[Long].collect().toSet ==
+      Set(0L, 2L, 4L, 6L), "partitioned COW DELETE effects")
+    assert(delEffects.where($"ts".isNull).isEmpty,
+      "the transform-source column must survive the diff materialization")
+  }
 }
