@@ -630,6 +630,12 @@ object GraftTable {
       case (a, b) if a == b => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // Iceberg v3's date -> timestamp (its `timestamp` is zoneless):
+      // Spark's parquet readers natively promote INT32 date pages to
+      // TIMESTAMP_NTZ, top-level and nested; the zone-adjusting
+      // TimestampType is NOT safe (the reader refuses — a date has no
+      // instant) and stays out of the matrix
+      case (DateType, TimestampNTZType) => true
       case (a: DecimalType, b: DecimalType) =>
         b.scale == a.scale && b.precision >= a.precision
       // struct evolution (nested ADD COLUMN): `to` carries every field

@@ -230,6 +230,50 @@ class Round20OpsSpec extends SparkSpec {
     assert(rows == ((0L to 7L).map(k => k -> k) ++ (8L to 11L).map(k => k -> k * 100)))
   }
 
+  test("widening lattice: date->timestamp_ntz and nested decimal growth straddle") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20widen")
+    sqlDf("""CREATE TABLE snap.default.r20widen
+            |(k BIGINT, d DATE, s STRUCT<x: DATE, m: DECIMAL(10,2)>)""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r20widen VALUES
+            |(1, DATE'2026-03-05', named_struct('x', DATE'2026-01-01',
+            |                                   'm', CAST(1.25 AS DECIMAL(10,2))))""".stripMargin)
+    // Iceberg v3 widenings: date -> timestamp (zoneless), decimal
+    // precision growth on a NESTED field — all metadata-only
+    sqlDf("ALTER TABLE snap.default.r20widen ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+    sqlDf("ALTER TABLE snap.default.r20widen ALTER COLUMN s.x TYPE TIMESTAMP_NTZ")
+    sqlDf("ALTER TABLE snap.default.r20widen ALTER COLUMN s.m TYPE DECIMAL(20,2)")
+    sqlDf("""INSERT INTO snap.default.r20widen VALUES
+            |(2, TIMESTAMP_NTZ'2026-06-01 12:34:56',
+            |    named_struct('x', TIMESTAMP_NTZ'2026-06-02 01:02:03',
+            |                 'm', CAST(123456789012345678.99 AS DECIMAL(20,2))))""".stripMargin)
+    // the straddling read serves BOTH eras under the widened schema:
+    // pre-ALTER dates read as midnight NTZ, narrow decimals upcast
+    val rows = sqlDf("""SELECT k, CAST(d AS STRING), CAST(s.x AS STRING),
+                       |CAST(s.m AS STRING) FROM snap.default.r20widen ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "2026-03-05 00:00:00", "2026-01-01 00:00:00", "1.25"),
+      (2L, "2026-06-01 12:34:56", "2026-06-02 01:02:03", "123456789012345678.99")),
+      rows.mkString(", "))
+    val sch = spark.table("snap.default.r20widen").schema
+    assert(sch("d").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    // a pinned pre-widening read presents the narrow types its own
+    // footers carry
+    val pinned = sqlDf("SELECT * FROM snap.default.r20widen VERSION AS OF 1")
+    assert(pinned.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(pinned.count() == 1L)
+    // the zone-adjusting TimestampType is NOT a safe widening (a date
+    // has no instant), nor is a decimal scale change
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20widenbad")
+    sqlDf("CREATE TABLE snap.default.r20widenbad (d DATE, m DECIMAL(10,2))")
+    val e1 = intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r20widenbad ALTER COLUMN d TYPE TIMESTAMP"))
+    assert(e1.getMessage.contains("not a safe widening") ||
+      e1.getMessage.toLowerCase.contains("widening"), e1.getMessage)
+    intercept[Exception](sqlDf(
+      "ALTER TABLE snap.default.r20widenbad ALTER COLUMN m TYPE DECIMAL(20,4)"))
+  }
+
   test("squash scoping: fork-era deletes miss branch rows; future deletes cover them") {
     val root = Qx.tmpOut("r20ffscope", sf())
     Snapshots.commit(root)(out =>
