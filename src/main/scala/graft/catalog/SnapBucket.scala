@@ -42,6 +42,19 @@ private[graft] object SnapBucket {
     * writer stages flat files that would break any layout). */
   val prop = "graft.partition.bucket"
 
+  /** Bucket-hash discipline stamp, written at CREATE: `long` means int
+    * keys promote to 64 bits BEFORE hashing (the r19 Iceberg-spec
+    * rule that makes int->bigint widening metadata-only). A bucket
+    * table with an INT key and NO stamp predates the rule — its
+    * committed `_gbucket` directories are int-hash keyed, and serving
+    * them under long-hash readers would silently prune wrong; the
+    * catalog refuses such tables toward a rewrite
+    * ([[GraftTable.bucketSpec]]). Long/string keys hash identically
+    * under both rules, so unstamped tables with those keys stay
+    * servable. */
+  val hashVerProp = "graft.partition.bucket.hash"
+  val hashVer = "long"
+
   /** A RETIRED bucket layout (Iceberg's DROP PARTITION FIELD, entered
     * via `UNSET TBLPROPERTIES ('graft.partition.bucket')`): committed
     * files keep their `_gbucket=<id>` directories and the scan keeps

@@ -324,6 +324,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       (if (partCols.isEmpty) Map.empty
        else Map(GraftTable.partColsProp -> partCols.mkString(","))) ++
       bucket.map { case (c, n) => SnapBucket.prop -> SnapBucket.render(c, n) } ++
+      // stamp the bucket-hash discipline at CREATE ([[SnapBucket
+      // .hashVerProp]]): int keys hash AS LONGS since r19, which
+      // re-keys every int-keyed directory committed under the earlier
+      // int-hash rule — the stamp is what lets a reader REFUSE a
+      // legacy table instead of silently pruning into the wrong dirs
+      bucket.map(_ => SnapBucket.hashVerProp -> SnapBucket.hashVer) ++
       transform.map(t => SnapTransform.prop -> t.render)
     GraftTable.writeMeta(root, schema, props)
     new GraftTable(ident.toString, root, pinned = None)

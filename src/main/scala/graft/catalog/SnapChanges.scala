@@ -315,9 +315,14 @@ private[catalog] class ChangesMicroBatchStream(root: String,
         .getOrElse(file, new org.roaringbitmap.RoaringBitmap))
 
   private def serialize(bm: org.roaringbitmap.RoaringBitmap): Array[Byte] = {
-    bm.runOptimize()
+    // clone before the optimizing mutation: the insert path hands in
+    // loadBitmaps' JVM-shared cached instance, which concurrent
+    // same-JVM readers probe (RoaringBitmap is not thread-safe under
+    // mutation)
+    val own = bm.clone()
+    own.runOptimize()
     val bos = new java.io.ByteArrayOutputStream()
-    bm.serialize(new java.io.DataOutputStream(bos))
+    own.serialize(new java.io.DataOutputStream(bos))
     bos.toByteArray
   }
 

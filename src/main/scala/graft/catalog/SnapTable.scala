@@ -257,9 +257,30 @@ class GraftTable(tableName: String, val root: String,
     meta.map(m => GraftTable.partColsOf(m._2)).getOrElse(Nil)
 
   /** Hash-bucket layout of a `PARTITIONED BY (bucket(n, col))` table
-    * ([[SnapBucket]]); mutually exclusive with [[partCols]]. */
+    * ([[SnapBucket]]); mutually exclusive with [[partCols]]. An
+    * INT-keyed layout must carry the CREATE-time hash-discipline stamp
+    * ([[SnapBucket.hashVerProp]]): int keys hash AS LONGS since r19,
+    * which re-keyed every committed int-hash directory — serving a
+    * legacy (unstamped) table would prune into the wrong dirs and
+    * mis-co-partition SPJ with NO error, so it refuses loudly toward a
+    * rewrite instead. */
   def bucketSpec: Option[(String, Int)] =
-    meta.flatMap(m => SnapBucket.of(m._2))
+    meta.flatMap { m =>
+      val spec = SnapBucket.of(m._2)
+      spec.foreach { case (c, _) =>
+        val intKey = m._1.fields.find(_.name == c)
+          .exists(_.dataType == org.apache.spark.sql.types.IntegerType)
+        require(!intKey ||
+          m._2.get(SnapBucket.hashVerProp).contains(SnapBucket.hashVer),
+          s"bucket table $tableName has an INT key '$c' but no " +
+            s"'${SnapBucket.hashVerProp}=${SnapBucket.hashVer}' stamp: its " +
+            "directories were committed under the pre-r19 int-hash rule " +
+            "and would prune/co-partition WRONGLY under the long-hash " +
+            "readers — rewrite the table (CTAS into a fresh bucket table) " +
+            "to upgrade")
+      }
+      spec
+    }
 
   /** Time/truncate transform layout ([[SnapTransform]]); composes with
     * [[partCols]], mutually exclusive with [[bucketSpec]]. */

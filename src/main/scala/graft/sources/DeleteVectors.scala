@@ -39,16 +39,21 @@ private[graft] object DeleteVectors {
 
   def isDv(path: String): Boolean = path.endsWith(extension)
 
-  /** Serialize `bitmap` (deleted ordinals of `dataFile`) to `path`. */
+  /** Serialize `bitmap` (deleted ordinals of `dataFile`) to `path`.
+    * Operates on a CLONE: callers hand in [[loadBitmaps]]' JVM-shared
+    * cached instances (compaction re-serializing a file's DV), and
+    * RoaringBitmap is not thread-safe under mutation — runOptimize on
+    * the shared object would race same-JVM readers probing it. */
   def write(path: String, dataFile: String, bitmap: RoaringBitmap): Unit = {
-    bitmap.runOptimize()
+    val bm = bitmap.clone()
+    bm.runOptimize()
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(Magic)
     val nameBytes = dataFile.getBytes(UTF_8)
     out.writeInt(nameBytes.length)
     out.write(nameBytes)
-    bitmap.serialize(out)
+    bm.serialize(out)
     out.flush()
     Files.write(Paths.get(path), bos.toByteArray)
   }

@@ -814,10 +814,13 @@ object Snapshots {
         s"cannot tag $name: version $version of $root is not committed")
     // one ref namespace: VERSION AS OF resolves tags before branches,
     // so a tag shadowing a branch (or vice versa) would silently
-    // re-point readers — refuse the collision instead
+    // re-point readers — refuse the collision (legacy direct check),
+    // then take the ATOMIC claim so a concurrent branch creator can't
+    // slip through the check-then-act window ([[claimRef]])
     require(branchFork(root, name).isEmpty,
       s"'$name' is a BRANCH of $root; tags and branches share the " +
         "VERSION AS OF namespace")
+    claimRef(root, name, "tag")
     val tmp = commitsDir(root).resolve(
       s".tmp_tag_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
     Files.write(tmp, version.toString.getBytes(UTF_8))
@@ -831,6 +834,39 @@ object Snapshots {
     val p = commitsDir(root).resolve(s"$name.tag")
     if (!Files.exists(p)) None
     else Some(new String(Files.readAllBytes(p), UTF_8).trim.toLong)
+  }
+
+  private def refClaimPath(root: String, name: String): Path =
+    commitsDir(root).resolve(s"$name.refkind")
+
+  /** ATOMIC shared-namespace claim for ref `name` (r20): tags and
+    * branches share the VERSION AS OF namespace, and the direct
+    * existence checks are check-then-act — two CONCURRENT creators (a
+    * tag and a branch of one name) could each pass and both land,
+    * after which VERSION AS OF silently resolves the tag and shadows
+    * the branch. Both creators now race on ONE claim file via
+    * createLink (atomic create-if-absent), so the collision is
+    * detected atomically: the loser reads the winner's kind and
+    * refuses. Re-claiming the SAME kind succeeds (tags re-point;
+    * duplicate-branch detection stays on the ref link itself), which
+    * also makes a crash between claim and ref creation retryable.
+    * Legacy refs created before claims existed are still caught by the
+    * callers' direct checks — they already exist, so the concurrent-
+    * creation window this closes never applied to them. */
+  private def claimRef(root: String, name: String, kind: String): Unit = {
+    Files.createDirectories(commitsDir(root))
+    val p = refClaimPath(root, name)
+    val tmp = commitsDir(root).resolve(
+      s".tmp_claim_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
+    Files.write(tmp, kind.getBytes(UTF_8))
+    try Files.createLink(p, tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        val existing = new String(Files.readAllBytes(p), UTF_8).trim
+        if (existing != kind) throw new IllegalStateException(
+          s"'$name' is a $existing of $root; tags and branches share the " +
+            "VERSION AS OF namespace")
+    } finally Files.deleteIfExists(tmp)
   }
 
   // --- NAMED BRANCHES (Iceberg-style refs, the branch-based WAP) ---------
@@ -891,6 +927,7 @@ object Snapshots {
     require(tagVersion(root, name).isEmpty,
       s"'$name' is a TAG of $root; tags and branches share the " +
         "VERSION AS OF namespace")
+    claimRef(root, name, "branch")
     Files.createDirectories(branchManifestsDir(root, name))
     val tmp = commitsDir(root).resolve(
       s".tmp_branch_${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}")
@@ -1185,6 +1222,9 @@ object Snapshots {
   def dropBranch(root: String, name: String): Unit = {
     Files.deleteIfExists(branchRefPath(root, name))
     deleteRecursively(branchManifestsDir(root, name))
+    // release the shared-namespace claim: the name is reusable, by
+    // either kind
+    Files.deleteIfExists(refClaimPath(root, name))
   }
 
   /** (name, fork, head) of every branch under the root. */

@@ -230,6 +230,53 @@ class Round20OpsSpec extends SparkSpec {
     assert(rows == ((0L to 7L).map(k => k -> k) ++ (8L to 11L).map(k => k -> k * 100)))
   }
 
+  test("bucket hash stamp: legacy int-keyed tables refuse; refs claim atomically") {
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20bh")
+    sqlDf("CREATE TABLE snap.default.r20bh (k INT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    sqlDf("INSERT INTO snap.default.r20bh VALUES (1, 'a'), (2, 'b')")
+    val root = s"$wh/default/r20bh"
+    val (sc, props) = graft.catalog.GraftTable.readMeta(root).get
+    assert(props.get(graft.catalog.SnapBucket.hashVerProp)
+      .contains(graft.catalog.SnapBucket.hashVer),
+      "bucket tables stamp their hash discipline at CREATE")
+    // simulate a pre-r19 table (int-hash directories): stripping the
+    // stamp makes every serve path refuse loudly instead of pruning
+    // into the wrong directories with no error
+    graft.catalog.GraftTable.writeMeta(root, sc,
+      props - graft.catalog.SnapBucket.hashVerProp)
+    val e = intercept[Exception](spark.table("snap.default.r20bh").collect())
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+    graft.catalog.GraftTable.writeMeta(root, sc, props)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20bh").as[Long].head() == 2L)
+    // a LONG-keyed table needs no stamp: long/string hashes are
+    // identical under both disciplines
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20bhl")
+    sqlDf("CREATE TABLE snap.default.r20bhl (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    sqlDf("INSERT INTO snap.default.r20bhl VALUES (1, 'a')")
+    val rootL = s"$wh/default/r20bhl"
+    val (scL, propsL) = graft.catalog.GraftTable.readMeta(rootL).get
+    graft.catalog.GraftTable.writeMeta(rootL, scL,
+      propsL - graft.catalog.SnapBucket.hashVerProp)
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20bhl").as[Long].head() == 1L,
+      "unstamped long-keyed bucket tables stay servable")
+
+    // ATOMIC ref claims: tags and branches race on one claim file, so
+    // a same-name collision can never land both; dropping the branch
+    // releases the name for either kind
+    val troot = Qx.tmpOut("r20refs", sf())
+    Snapshots.commit(troot)(out =>
+      spark.range(3).selectExpr("id AS k").write.mode("append").parquet(out))
+    Snapshots.tag(troot, "rel", 1L)
+    intercept[Exception](Snapshots.createBranch(troot, "rel"))
+    Snapshots.createBranch(troot, "wip")
+    intercept[Exception](Snapshots.tag(troot, "wip", 1L))
+    Snapshots.dropBranch(troot, "wip")
+    Snapshots.tag(troot, "wip", 1L)
+    assert(Snapshots.tagVersion(troot, "wip").contains(1L))
+  }
+
   test("widening lattice: date->timestamp_ntz and nested decimal growth straddle") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r20widen")
     sqlDf("""CREATE TABLE snap.default.r20widen
