@@ -96,6 +96,27 @@ object PlanAudit {
         |all BroadcastHashJoins (bounded catalogs) and only the
         |patient-scaled meds stream to shuffle — the per-patient tables
         |scale, the knowledge base replicates.""".stripMargin,
+    "sql_branch_wap" ->
+      """Branch WAP with row-level repair (r20): INSERT → UPDATE →
+        |DELETE each one branch commit (COW rewrites scanning the
+        |branch head), then ONE atomic squash link publishes the lot.
+        |Expect plain scan→filter/project→write shapes per statement
+        |and an era-union read at the end — fixture cost is the three
+        |write jobs, the publish itself is metadata-only.""".stripMargin,
+    "snapshot_rewrite_cdf" ->
+      """Materialized rewrite CDF (r20): each COW statement's commit
+        |runs old-state exceptAll new-state both ways (shuffles over
+        |O(statement-touched) rows at this fixture size) and writes
+        |O(touched) sidecar parquet; the read side is a plain flat scan
+        |of the sidecars. Opt-in per table — no other query's rewrite
+        |pays this.""".stripMargin,
+    "sql_delete_mor_bucketed" ->
+      """Keyed MOR on a bucket layout (r20): DELETE commits key files
+        |only (no data movement); UPDATE's delta write stages insert
+        |halves under _gbucket= via the dynamic-partition task writer.
+        |Expect the head read to be the MOR era scan (flat over
+        |derived-layout files — value-exact, segment pruning paused)
+        |with broadcast anti joins per delete era.""".stripMargin,
     "dedup_embedding_cosine" ->
       """Banded near-dup (r4): pair generation keyed on (label, integer
         |LSH bucket), never label alone — expect the self-join's equi

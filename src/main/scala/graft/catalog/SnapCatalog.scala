@@ -278,12 +278,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!schema.fieldNames.contains(Snapshots.transformPathCol),
       s"'${Snapshots.transformPathCol}' is a reserved column name (the " +
         "synthetic transform-layout path segment)")
-    require((partCols.isEmpty && bucket.isEmpty && transform.isEmpty) ||
+    // identity PARTITIONED BY still excludes merge-on-read: identity
+    // columns live ONLY in file paths, and the MOR read path scans
+    // delete-era files flat. DERIVED layouts (bucket/transform) DO
+    // compose with KEYED MOR (r20): the delta writer stages insert
+    // halves under the synthetic segment and the source column stays a
+    // data column, so flat MOR reads are value-exact (segment pruning
+    // and SPJ resume once a rewrite absorbs the pending deletes).
+    // Positional MOR stays layout-exclusive (its row-id scans are
+    // flat-file machinery).
+    require(partCols.isEmpty ||
       (!properties.asScala.contains(GraftTable.morKeyProp) &&
         !properties.asScala.get(GraftTable.posMorProp).contains("true")),
-      "PARTITIONED BY does not compose with merge-on-read yet " +
-        "(graft.mor.key / graft.mor.positional): delta writes stage " +
-        "flat files that would break the partition layout — pick one")
+      "identity PARTITIONED BY does not compose with merge-on-read " +
+        "(graft.mor.key / graft.mor.positional): identity partition " +
+        "columns live only in file paths — use a bucket/transform " +
+        "layout with graft.mor.key, or pick one")
+    require((bucket.isEmpty && transform.isEmpty) ||
+      !properties.asScala.get(GraftTable.posMorProp).contains("true"),
+      "graft.mor.positional does not compose with bucket/transform " +
+        "layouts yet — use graft.mor.key on a layout table")
     require(!properties.asScala.contains(GraftTable.morKeyProp) ||
       !properties.asScala.get(GraftTable.posMorProp).contains("true"),
       "graft.mor.key and graft.mor.positional are mutually exclusive — " +
@@ -769,9 +783,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(SnapBucket.of(pr).isEmpty && SnapBucket.ofRetired(pr).isEmpty,
             "a (live or retired) bucket layout does not compose with " +
               "time/truncate transforms")
-          require(!pr.contains(GraftTable.morKeyProp),
-            "graft.mor.key does not compose with PARTITIONED BY yet (delta " +
-              "writes stage flat files that would break the partition layout)")
           val spec = SnapTransform.of(pr + (set.property() -> set.value()))
             .getOrElse(throw new IllegalArgumentException(
               s"${SnapTransform.prop} must be '<kind>,<col>[,<width>]' with " +
@@ -789,18 +800,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             require(spec.width >= 1 && spec.width <= Int.MaxValue,
               s"truncate needs a width >= 1: ${spec.width}")
         }
-        // RETIRED layouts block MOR adoption too: committed files still
-        // sit under synthetic segments, and the MOR scan plans without
-        // a partition schema — it would refuse (loudly) at read time,
-        // so refuse comprehensibly at configuration time instead
+        // keyed MOR composes with DERIVED layouts (bucket/transform,
+        // live or retired — the source column is a data column, so the
+        // MOR scan's flat delete-era reads are value-exact, r20) but
+        // never with IDENTITY partitioning (those columns live only in
+        // file paths) or positional MOR
         require(set.property() != GraftTable.morKeyProp ||
-          (GraftTable.partColsOf(pr).isEmpty && SnapBucket.of(pr).isEmpty &&
-            SnapTransform.of(pr).isEmpty && SnapBucket.ofRetired(pr).isEmpty &&
-            SnapTransform.ofRetired(pr).isEmpty &&
+          (GraftTable.partColsOf(pr).isEmpty &&
             !pr.get(GraftTable.posMorProp).contains("true")),
-          "graft.mor.key does not compose with PARTITIONED BY (live or " +
-            "retired layouts) or graft.mor.positional (delta writes stage " +
-            "flat files; a table deletes by key OR by position)")
+          "graft.mor.key does not compose with identity PARTITIONED BY " +
+            "(partition columns live only in file paths) or " +
+            "graft.mor.positional (a table deletes by key OR by position)")
         require(set.property() != GraftTable.posMorProp ||
           set.value() != "true" ||
           (GraftTable.partColsOf(pr).isEmpty && SnapBucket.of(pr).isEmpty &&

@@ -122,7 +122,9 @@ private[catalog] class GraftDeltaOperation(cmd: RowLevelOperation.Command,
           val keySchema = info.rowIdSchema().orElse(
             StructType(Seq(table.schema()(keyCol))))
           new GraftDeltaBatchWrite(table.root, keyCol, info.schema(), keySchema,
-            branch = branch)
+            branch = branch, bucket = table.bucketSpec,
+            transform = table.transformSpec.map(t =>
+              (t, table.schema()(t.col).dataType)))
         }
         override def description(): String =
           s"graft merge-on-read $cmd → ${table.root}" +
@@ -596,7 +598,15 @@ private[catalog] class GraftRewriteBatchWrite(root: String, schema: StructType,
   * ([[Snapshots.commitStagedDelta]]). */
 private[catalog] class GraftDeltaBatchWrite(root: String, keyCol: String,
     dataSchema: StructType, keySchema: StructType,
-    branch: Option[String] = None) extends DeltaBatchWrite {
+    branch: Option[String] = None,
+    // DERIVED layout of the table (r20): the delta's INSERT halves
+    // stage under the synthetic `_gbucket`/`_gtpart` segment like any
+    // other write, so the layout's pruning/SPJ keeps holding for the
+    // new rows once a rewrite absorbs the pending deletes. Delete-KEY
+    // files stay flat (they are sidecars, not data).
+    bucket: Option[(String, Int)] = None,
+    transform: Option[(SnapTransform.Spec,
+      org.apache.spark.sql.types.DataType)] = None) extends DeltaBatchWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
   Files.createDirectories(Paths.get(stagingDir))
@@ -610,8 +620,20 @@ private[catalog] class GraftDeltaBatchWrite(root: String, keyCol: String,
         GraftTable.physOf(m._2)).getOrElse(Map.empty)))
     val keyConf = ExecParquet.writerConf(keySchema)
     val dir = stagingDir
+    val localSchema = dataSchema
+    // a DELETE-only statement's write schema is empty (no insert rows
+    // ever arrive) — resolve the layout ordinals only when the source
+    // column is present; absent → the (never-written) flat path
+    val localBucket = bucket.filter(b =>
+        localSchema.fieldNames.contains(b._1))
+      .map { case (c, n) => (localSchema.fieldIndex(c), localSchema(c).dataType, n) }
+    val localTransform: Option[(Int, org.apache.spark.sql.types.DataType,
+        SnapTransform.Spec)] =
+      transform.filter(t => localSchema.fieldNames.contains(t._1.col))
+        .map { case (t, dt) => (localSchema.fieldIndex(t.col), dt, t) }
     (partitionId: Int, taskId: Long) =>
-      new GraftDeltaWriter(dir, dataConf, keyConf, partitionId, taskId)
+      new GraftDeltaWriter(dir, dataConf, keyConf, partitionId, taskId,
+        localSchema, localBucket, localTransform)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -715,18 +737,33 @@ private[catalog] class GraftPosDeltaWriter(dir: String,
 }
 
 /** Per-task delta writer: INSERTs (and the insert half of updates) go
-  * to a data file, DELETEs (and the delete half of updates) write the
-  * row's key to a delete-key file. */
+  * to a data file — under the table's derived layout segment when one
+  * is declared ([[DynPartTaskWriter]], r20) — DELETEs (and the delete
+  * half of updates) write the row's key to a flat delete-key file. */
 private[catalog] class GraftDeltaWriter(dir: String,
     dataConf: SerializableConfiguration, keyConf: SerializableConfiguration,
-    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    dataSchema: StructType = null,
+    bucket: Option[(Int, org.apache.spark.sql.types.DataType, Int)] = None,
+    transform: Option[(Int, org.apache.spark.sql.types.DataType,
+      SnapTransform.Spec)] = None) extends DeltaWriter[InternalRow] {
 
-  private val data = new ParquetRowDataWriter(
-    f"$dir/part-$partitionId%05d-$taskId.parquet", dataConf.value, partitionId, taskId)
+  private val flat: ParquetRowDataWriter =
+    if (bucket.isEmpty && transform.isEmpty)
+      new ParquetRowDataWriter(
+        f"$dir/part-$partitionId%05d-$taskId.parquet", dataConf.value,
+        partitionId, taskId)
+    else null
+  private val dyn: DynPartTaskWriter =
+    if (flat != null) null
+    else new DynPartTaskWriter(dir, dataSchema, Nil, dataConf.value,
+      f"part-$partitionId%05d-$taskId.parquet", partitionId, taskId,
+      bucket = bucket, transform = transform)
   private val keys = new ParquetRowDataWriter(
     f"$dir/delkeys-$partitionId%05d-$taskId.parquet", keyConf.value, partitionId, taskId)
 
-  override def insert(row: InternalRow): Unit = data.write(row)
+  override def insert(row: InternalRow): Unit =
+    if (flat != null) flat.write(row) else dyn.write(row)
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = keys.write(id)
 
@@ -735,9 +772,14 @@ private[catalog] class GraftDeltaWriter(dir: String,
       "updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
 
   override def commit(): WriterCommitMessage =
-    StagedFilesMessage(data.finish().toSeq, keys.finish().toSeq)
+    StagedFilesMessage(
+      if (flat != null) flat.finish().toSeq else dyn.finish(),
+      keys.finish().toSeq)
 
-  override def abort(): Unit = { data.abort(); keys.abort() }
+  override def abort(): Unit = {
+    if (flat != null) flat.abort() else dyn.abort()
+    keys.abort()
+  }
 
   override def close(): Unit = ()
 }

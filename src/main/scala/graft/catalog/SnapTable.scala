@@ -1041,8 +1041,13 @@ private[catalog] object GraftScans {
     // DECLARED them (partSchema, `PARTITIONED BY`), this flat scan
     // (PartitionSpec.emptySpec, schema from footers) would silently
     // return the table minus its partition columns, so refuse loudly;
-    // Snapshots.read recovers them via per-era basePath grouping
-    if (partSchema.isEmpty) files.find(partitionedLayout).foreach { f =>
+    // Snapshots.read recovers them via per-era basePath grouping.
+    // DERIVED segments (`_gbucket=`/`_gtpart=`, bucket/transform
+    // layouts) are exempt: their source column STAYS in the data
+    // files, so a flat scan is value-exact — it merely skips the
+    // segment-based pruning (the MOR scan of a layout table leans on
+    // this, r20).
+    if (partSchema.isEmpty) files.find(identityPartitionedLayout).foreach { f =>
       throw new UnsupportedOperationException(
         s"this snapshot root contains .partitionBy-staged files (e.g. $f) " +
           "whose partition columns live in the path, not the footers; the " +
@@ -1448,6 +1453,22 @@ private[catalog] object GraftScans {
       case _ => Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
     }
     f.drop(base.length).contains("=")
+  }
+
+  /** Like [[partitionedLayout]], but counting only IDENTITY `col=value`
+    * segments — the ones whose column exists solely in the path. The
+    * synthetic derived segments (`_gbucket=`, `_gtpart=`) don't make a
+    * flat scan lossy: their source column is a data column. */
+  private def identityPartitionedLayout(f: String): Boolean = {
+    val base = f match {
+      case baseDirRe(b) => b
+      case _ => Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
+    }
+    f.drop(base.length).split('/').filter(_.contains('=')).exists { s =>
+      val name = s.substring(0, s.indexOf('='))
+      name != graft.sources.Snapshots.bucketPathCol &&
+        name != graft.sources.Snapshots.transformPathCol
+    }
   }
 
   /** THE rename-resolution rule, shared by the head scan

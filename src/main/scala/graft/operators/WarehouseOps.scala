@@ -490,6 +490,39 @@ object WarehouseOps {
       .orderBy($"nationkey")
   }
 
+  /** KEYED MOR ON A BUCKET LAYOUT (r20) — the composition the earlier
+    * rounds refused at DDL: `PARTITIONED BY (bucket(8, custkey))` WITH
+    * `graft.mor.key`, so GDPR-rate row-level statements stay O(matched)
+    * on a layout the planner can exploit. The DELETE pends as key
+    * files (base files unmoved); the UPDATE's insert halves stage
+    * UNDER the synthetic `_gbucket` segment (the delta writer derives
+    * it with the same seed-42 long-hash as every other write path), so
+    * bucket pruning and storage-partitioned joins resume intact once a
+    * rewrite absorbs the pending deletes — SPJ merely pauses while
+    * they pend (the eligibility gate). The oracle replays both
+    * statements over the ORIGINAL table: a delete leaking through the
+    * layout path, an update applied to the wrong rows, or a mis-scoped
+    * re-insert hash-mismatches.
+    *
+    * Scale: the alternative on a 100 TB bucketed table was a full COW
+    * pass per statement just to keep the layout — this keeps statement
+    * cost O(touched) AND the layout's join economics. */
+  val sqlDeleteMorBucketed: Q = (s, dir) => {
+    import s.implicits._
+    val (t, _) = SnapCat.table(s, "morb_cust", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t PARTITIONED BY (bucket(8, custkey))
+             |TBLPROPERTIES ('graft.mor.key' = 'custkey') AS
+             |SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+             |       c_acctbal AS acctbal
+             |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE acctbal < 0.0")
+    s.sql(s"UPDATE $t SET acctbal = acctbal + 50.0 WHERE nationkey = 7")
+    s.table(t).groupBy($"nationkey")
+      .agg(count(lit(1)).as("n"), Qx.dsum($"acctbal").as("total"))
+      .orderBy($"nationkey")
+  }
+
   /** POSITION-DELETE MOR (`sql_delete_positional`) — the delete form
     * that needs NO key column, completing the row-level spectrum
     * (COW pass / equality MOR / THIS): lineitem has no unique key —
@@ -2140,6 +2173,7 @@ object WarehouseOps {
     "snapshot_wap_publish" -> snapshotWapPublish,
     "sql_branch_wap" -> sqlBranchWap,
     "snapshot_rewrite_cdf" -> snapshotRewriteCdf,
+    "sql_delete_mor_bucketed" -> sqlDeleteMorBucketed,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_stats_prune" -> snapshotStatsPrune,
     "snapshot_stats_prune_sql" -> snapshotStatsPruneSql,
@@ -2682,6 +2716,17 @@ object WarehouseOps {
              AND (o_orderpriority <> '5-LOW' OR o_orderkey % 2 = 0))
       GROUP BY o_orderpriority
       ORDER BY era, prio""",
+    // Both statements replayed over the ORIGINAL table: the DELETE
+    // runs first (a nation-7 row in [-50, 0) is gone before the
+    // UPDATE), and the layout path must neither leak a deleted row nor
+    // lose a re-inserted one.
+    "sql_delete_mor_bucketed" -> s"""
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n,
+             ${Qx.dsumSql("CASE WHEN c_nationkey = 7 THEN c_acctbal + 50.0 ELSE c_acctbal END")} AS total
+      FROM customer
+      WHERE c_acctbal >= 0.0
+      GROUP BY c_nationkey
+      ORDER BY nationkey""",
     // Each commit's exact effect rows recomputed from the ORIGINAL
     // table: the UPDATE commit is delete(old)+insert(new) for exactly
     // the matched rows; the DELETE commit removes rows negative AFTER

@@ -755,8 +755,10 @@ class Round17OpsSpec extends SparkSpec {
       "ALTER TABLE snap.default.r17bkt ALTER COLUMN k TYPE DOUBLE"))
     intercept[Exception](sqlDf(
       "ALTER TABLE snap.default.r17bkt ADD COLUMN _gbucket INT"))
+    // keyed MOR COMPOSES with bucket layouts since r20 (pinned in
+    // Round20OpsSpec); positional MOR stays layout-exclusive
     intercept[Exception](sqlDf(
-      "ALTER TABLE snap.default.r17bkt SET TBLPROPERTIES ('graft.mor.key'='k')"))
+      "ALTER TABLE snap.default.r17bkt SET TBLPROPERTIES ('graft.mor.positional'='true')"))
     // UNSET of the layout property is no longer refused — it RETIRES
     // the layout (r19, the DROP PARTITION FIELD shape; pinned in
     // Round19OpsSpec). This test keeps the layout ACTIVE throughout.

@@ -212,12 +212,11 @@ class Round19OpsSpec extends SparkSpec {
     intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
       "SET TBLPROPERTIES ('graft.partition.bucket.retired'='k,4')"))
     // ...and a retired-bucket table adopts neither a transform (two
-    // layout eras' segments under one root) nor merge-on-read (the MOR
-    // scan plans without a partition schema)
+    // layout eras' segments under one root) nor POSITIONAL merge-on-read
+    // (keyed MOR composes with derived layouts since r20 — the MOR
+    // scan reads their files flat, value-exact; pinned in Round20OpsSpec)
     intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
       "SET TBLPROPERTIES ('graft.partition.transform'='truncate,k,100')"))
-    intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
-      "SET TBLPROPERTIES ('graft.mor.key'='k')"))
     intercept[Exception](sqlDf("ALTER TABLE snap.default.r19ret " +
       "SET TBLPROPERTIES ('graft.mor.positional'='true')"))
     // the LAST layout refusal retires with the layout: the former key

@@ -230,6 +230,73 @@ class Round20OpsSpec extends SparkSpec {
     assert(rows == ((0L to 7L).map(k => k -> k) ++ (8L to 11L).map(k => k -> k * 100)))
   }
 
+  test("keyed MOR composes with derived layouts: bucket and days(ts) tables") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    // BUCKET + graft.mor.key (r20): O(matched) row-level statements on
+    // a bucketed table — base files never move, delta insert halves
+    // stage under the synthetic segment
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20morb")
+    sqlDf("""CREATE TABLE snap.default.r20morb (k BIGINT, v STRING)
+            |PARTITIONED BY (bucket(4, k))
+            |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    sqlDf("INSERT INTO snap.default.r20morb SELECT id, concat('v', id) FROM range(0, 40)")
+    val root = s"$wh/default/r20morb"
+    val v1Files = Snapshots.resolveAt(root, 1L).files.toSet
+    assert(v1Files.forall(_.contains("/_gbucket=")))
+    sqlDf("DELETE FROM snap.default.r20morb WHERE k % 10 = 0")
+    sqlDf("UPDATE snap.default.r20morb SET v = 'patched' WHERE k = 7")
+    val head = Snapshots.resolve(root).get
+    assert(v1Files.subsetOf(head.files.toSet), "MOR statements move no base file")
+    assert(head.deletes.nonEmpty, "deletes pend as MOR key files")
+    val newData = head.files.toSet -- v1Files
+    assert(newData.nonEmpty && newData.forall(_.contains("/_gbucket=")),
+      s"delta insert halves must stage under the bucket segment: $newData")
+    val got = sqlDf("SELECT k, v FROM snap.default.r20morb ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = (0L until 40L).filterNot(_ % 10 == 0)
+      .map(k => (k, if (k == 7) "patched" else s"v$k"))
+    assert(got.toSeq == want, s"${got.toSeq.diff(want)}")
+    // compaction absorbs the pending deletes and re-buckets — the SPJ
+    // eligibility gate (deletes empty) re-opens
+    sqlDf("CALL snap.system.compact('default.r20morb')")
+    val compacted = Snapshots.resolve(root).get
+    assert(compacted.deletes.isEmpty && compacted.posDeletes.isEmpty)
+    assert(compacted.files.forall(_.contains("/_gbucket=")))
+    assert(sqlDf("SELECT count(*) FROM snap.default.r20morb").as[Long].head() == 36L)
+
+    // days(ts) TRANSFORM + graft.mor.key
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20mort")
+    sqlDf("""CREATE TABLE snap.default.r20mort (k BIGINT, ts TIMESTAMP, v STRING)
+            |PARTITIONED BY (days(ts))
+            |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    sqlDf("""INSERT INTO snap.default.r20mort
+            |SELECT id, timestamp'2026-05-01 08:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT)),
+            |       concat('t', id) FROM range(0, 12)""".stripMargin)
+    sqlDf("DELETE FROM snap.default.r20mort WHERE k < 3")
+    sqlDf("UPDATE snap.default.r20mort SET v = 'moved' WHERE k = 5")
+    val rootT = s"$wh/default/r20mort"
+    val headT = Snapshots.resolve(rootT).get
+    val newT = headT.files.filterNot(Snapshots.resolveAt(rootT, 1L).files.toSet)
+    assert(newT.nonEmpty && newT.forall(_.contains("/_gtpart=")),
+      s"delta inserts must carry the transform segment: $newT")
+    assert(sqlDf("SELECT k, v FROM snap.default.r20mort WHERE k IN (2, 5) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(5L -> "moved"))
+    assert(JFiles.exists(JPaths.get(rootT)), "sanity")
+
+    // the exclusions that REMAIN refused, loudly
+    sqlDf("DROP TABLE IF EXISTS snap.default.r20morbad")
+    val e1 = intercept[Exception](sqlDf(
+      """CREATE TABLE snap.default.r20morbad (region STRING, k BIGINT)
+        |PARTITIONED BY (region)
+        |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin))
+    assert(e1.getMessage.contains("identity"), e1.getMessage)
+    val e2 = intercept[Exception](sqlDf(
+      """CREATE TABLE snap.default.r20morbad (k BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.mor.positional'='true')""".stripMargin))
+    assert(e2.getMessage.contains("positional"), e2.getMessage)
+  }
+
   test("bucket hash stamp: legacy int-keyed tables refuse; refs claim atomically") {
     sqlDf("DROP TABLE IF EXISTS snap.default.r20bh")
     sqlDf("CREATE TABLE snap.default.r20bh (k INT, v STRING) " +

@@ -809,6 +809,58 @@ class StreamingSpec extends SparkSpec {
       s"path-only partition values must re-attach to the right column: $pairs")
   }
 
+  test("the .changes feed tails a days(ts) keyed-MOR table through append + keyed delete") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Qx.tmpOut("scpkwh", sf())
+    graft.catalog.GraftCatalog.register(spark, "snap", Some(wh))
+    spark.sql("DROP TABLE IF EXISTS snap.default.scpk")
+    spark.sql("""CREATE TABLE snap.default.scpk (k BIGINT, ts TIMESTAMP, v STRING)
+                |PARTITIONED BY (days(ts))
+                |TBLPROPERTIES ('graft.mor.key'='k')""".stripMargin)
+    spark.sql("""INSERT INTO snap.default.scpk
+                |SELECT id, timestamp'2026-07-01 09:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT)),
+                |       concat('v', id) FROM range(0, 12)""".stripMargin)
+    val out = Qx.tmpOut("scpkout", sf())
+    val ckpt = Qx.tmpOut("scpkckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def run(): Unit = {
+      val q = spark.readStream.table("snap.default.scpk.changes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 12L)
+    // an APPEND and a KEYED DELETE on the transform-partitioned table
+    spark.sql("""INSERT INTO snap.default.scpk
+                |SELECT id, timestamp'2026-07-04 10:00:00', concat('n', id)
+                |FROM range(100, 105)""".stripMargin)
+    spark.sql("DELETE FROM snap.default.scpk WHERE k IN (0, 1, 100)")
+    run()
+    val feed = spark.read.parquet(out)
+    assert(feed.where("_change_type = 'insert'").count() == 17L)
+    val dels = feed.where("_change_type = 'delete'")
+    assert(dels.select("k").as[Long].collect().toSet == Set(0L, 1L, 100L),
+      "keyed delete effects on the days(ts) table")
+    assert(dels.where($"ts".isNull).isEmpty,
+      "the transform source column survives the delete-effect scan")
+    // the feed reconstructs the head
+    val effects = feed
+      .groupBy($"k").agg(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct($"_commit_version",
+            org.apache.spark.sql.functions
+              .when($"_change_type" === "insert", 1).otherwise(0).as("ins"),
+            $"v")).as("last"))
+      .where($"last.ins" === 1)
+      .select($"k", $"last.v".as("v"))
+    val head = spark.table("snap.default.scpk").select($"k", $"v")
+    assert(effects.exceptAll(head).isEmpty && head.exceptAll(effects).isEmpty,
+      "replaying the partitioned keyed feed must reconstruct the table head")
+  }
+
   test("the .changes feed survives COW rewrites and compaction via materialized diffs") {
     import org.apache.spark.sql.streaming.Trigger
     val wh = Qx.tmpOut("scrdwh", sf())
