@@ -427,6 +427,14 @@ private[catalog] object RewriteDiff {
       s"${GraftTable.rewriteDiffProp} does not support map-typed column " +
         s"'${f.name}' (row diffs compare full values; maps are not " +
         "comparable) — drop the property or restructure the column"))
+    // staged files carry PHYSICAL spellings; the diff selects logical
+    // names — refuse the remapped edge exactly like the feed does
+    val phys = GraftTable.readMeta(root).map(m =>
+      GraftTable.physOf(m._2)).getOrElse(Map.empty)
+    require(phys.isEmpty,
+      s"${GraftTable.rewriteDiffProp} on $root is unsupported while " +
+        s"re-added columns (${phys.keys.mkString(", ")}) carry a " +
+        "physical-name remap")
     if (basedOn == 0L && newFiles.isEmpty) return Nil
     import org.apache.spark.sql.functions.{col, lit}
     val cols = schema.fieldNames.map(col).toSeq

@@ -790,7 +790,27 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
               s"writes to branch '$b' of $root are append-only")
             Snapshots.commitToBranch(root, b)(stage)
           case None =>
-            if (overwrite || overwriteArg) Snapshots.commit(root)(stage)
+            val wantDiff = (overwrite || overwriteArg) &&
+              GraftTable.readMeta(root).exists(
+                _._2.get(GraftTable.rewriteDiffProp).contains("true"))
+            if (wantDiff) {
+              // a `graft.changes.rewriteDiff` table's INSERT OVERWRITE
+              // is a row-changing rewrite like any COW statement: stage
+              // first, materialize the row diff, publish both in ONE
+              // atomic manifest so the change feed can replay it
+              val stageDir = Snapshots.newStagingDir(root)
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(stageDir))
+              stage(stageDir)
+              val files = Snapshots.listParquet(stageDir)
+              val basedOn = Snapshots.maxCommitted(root)
+              val changeFiles = RewriteDiff.stage(root, data.schema,
+                basedOn, files, stageDir)
+              Snapshots.commitRewriteStaged(root, files, allowEmpty = true,
+                basedOn = Some(basedOn), changeFiles = changeFiles,
+                rowsUnchanged = changeFiles.isEmpty)
+            }
+            else if (overwrite || overwriteArg) Snapshots.commit(root)(stage)
             else Snapshots.commitAppend(root)(stage)
         }
       }

@@ -908,8 +908,26 @@ class StreamingSpec extends SparkSpec {
     val fin = spark.read.parquet(out)
     assert(fin.count() == 20L)
     assert(fin.where("k >= 20 AND _change_type = 'insert'").count() == 5L)
+    // INSERT OVERWRITE — the other row-changing rewrite kind — flows
+    // through the same materialized diff: replaced rows emit as
+    // deletes, surviving rows cancel, new rows as inserts
+    spark.sql("""INSERT OVERWRITE snap.default.scrd
+                |SELECT k, v FROM snap.default.scrd WHERE k >= 10
+                |UNION ALL SELECT id, concat('o', id) FROM range(30, 33)""".stripMargin)
+    run()
+    val afterOw = spark.read.parquet(out)
+    // the overwrite dropped the 7 surviving sub-10 keys (0..2 were
+    // deleted earlier; 3..9 survive, 5 as 'patched') and added 3 rows
+    val owVer = afterOw.agg(org.apache.spark.sql.functions
+      .max($"_commit_version")).head().getLong(0)
+    val owDels = afterOw.where($"_commit_version" === owVer &&
+      $"_change_type" === "delete").select("k").as[Long].collect().toSet
+    assert(owDels == Set(3L, 4L, 5L, 6L, 7L, 8L, 9L), s"overwrite deletes: $owDels")
+    assert(afterOw.where($"_commit_version" === owVer &&
+      $"_change_type" === "insert").select("k").as[Long].collect().toSet ==
+      Set(30L, 31L, 32L), "overwrite inserts only the genuinely new rows")
     // replaying the whole feed reconstructs the table head exactly
-    val effects = fin
+    val effects = afterOw
       .groupBy($"k", $"v").agg(
         org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions
@@ -918,8 +936,16 @@ class StreamingSpec extends SparkSpec {
     val head = spark.table("snap.default.scrd").select($"k", $"v")
     assert(effects.exceptAll(head).isEmpty && head.exceptAll(effects).isEmpty,
       "replaying the rewrite-diff feed must reconstruct the table head")
-    assert(fin.where("_commit_timestamp IS NULL").isEmpty,
+    assert(afterOw.where("_commit_timestamp IS NULL").isEmpty,
       "every effect carries its commit timestamp")
+    // retention: the sidecars are manifest-referenced — vacuum keeps
+    // them while their version is retained
+    val root = s"$wh/default/scrd"
+    val sidecars = graft.sources.Snapshots.resolve(root).get.changeFiles
+    assert(sidecars.nonEmpty)
+    graft.sources.Snapshots.vacuum(root, keepLast = 3, stagingGraceMs = -1000L)
+    sidecars.foreach(f => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(f)), s"vacuum must keep referenced sidecar $f"))
 
     // the SAME loop on a days(ts)-PARTITIONED table (COW is the only
     // row-level mode partitioned tables have): append + DELETE flow
