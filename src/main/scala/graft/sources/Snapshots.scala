@@ -1088,7 +1088,39 @@ object Snapshots {
     val bh = branchHead(root, name)
     require(bh > fork, s"branch '$name' has no commits to publish")
     val target = fork + 1
-    val body = squashBody(root, name, fork, bh)
+    val body = squashBody(root, name, fork, bh) match {
+      case b =>
+        // a REWRITE squash (the branch ran copy-on-write repairs, so
+        // fork-era files left the state) on a `graft.changes
+        // .rewriteDiff` table materializes its fork→branch-head row
+        // diff as `#changes:` sidecars in the squash manifest — the
+        // same contract as a main-log COW commit, so a CDC consumer
+        // tailing main survives a WAP publish of a COW-repaired batch.
+        // (MOR-repaired branches need nothing: their squash carries
+        // the re-scoped delete lines the feed already serves.)
+        val headFiles = resolveBranchAt(root, name, bh).files.toSet
+        val rewrote = resolveAt(root, fork).files.exists(!headFiles(_))
+        if (!rewrote ||
+            tableProp(root, "graft.changes.rewriteDiff", "") != "true") b
+        else {
+          val spark = org.apache.spark.sql.SparkSession.active
+          import org.apache.spark.sql.functions.{col, lit}
+          val oldDf = readAt(spark, root, fork)
+          val cols = oldDf.columns.sorted.toSeq.map(col)
+          val newDf = readBranch(spark, root, name)
+          val effects = oldDf.select(cols: _*)
+            .exceptAll(newDf.select(cols: _*))
+            .withColumn("_change_type", lit("delete"))
+            .unionAll(newDf.select(cols: _*)
+              .exceptAll(oldDf.select(cols: _*))
+              .withColumn("_change_type", lit("insert")))
+          val dir = newStagingDir(root)
+          effects.write.mode("append").parquet(dir)
+          val sidecars = listParquet(dir).sorted
+          if (sidecars.isEmpty) s"$rowsUnchangedLine\n$b"
+          else sidecars.map(f => s"$changesPrefix$f").mkString("", "\n", "\n") + b
+        }
+    }
     val head = maxCommitted(root)
     if (head != fork) {
       // our own crashed publish (linked, died before bookkeeping)?
@@ -1193,14 +1225,21 @@ object Snapshots {
     (rescoped ++ pins).mkString("\n")
   }
 
-  /** True iff `m`'s content minus its `#ts:` line equals `body` — the
-    * publish-idempotency probe (the squash body is deterministic; only
-    * the timestamp differs across attempts). */
-  private def sameManifestBody(m: Path, body: String): Boolean =
-    try Files.readAllLines(m, UTF_8).asScala.toSeq
-      .filter(l => l.nonEmpty && !l.startsWith(tsPrefix))
-      .mkString("\n") == body
+  /** True iff `m`'s content minus its `#ts:` and `#changes:` lines
+    * equals `body` minus the same — the publish-idempotency probe (the
+    * squash body is deterministic; the timestamp and any effect-
+    * sidecar staging paths differ across attempts — the LINKED
+    * manifest's sidecars are authoritative, a re-run's re-staged
+    * effects are orphans the sweeps reclaim). */
+  private def sameManifestBody(m: Path, body: String): Boolean = {
+    def strip(lines: Seq[String]): String = lines
+      .filter(l => l.nonEmpty && !l.startsWith(tsPrefix) &&
+        !l.startsWith(changesPrefix))
+      .mkString("\n")
+    try strip(Files.readAllLines(m, UTF_8).asScala.toSeq) ==
+      strip(body.split('\n').toSeq)
     catch { case _: Exception => false }
+  }
 
   /** Post-link bookkeeping of a fast-forward: advance the ref to the
     * published version and drop the now-redundant branch-log copies.

@@ -861,6 +861,62 @@ class StreamingSpec extends SparkSpec {
       "replaying the partitioned keyed feed must reconstruct the table head")
   }
 
+  test("the .changes feed survives a WAP publish of a COW-repaired branch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Qx.tmpOut("scwapwh", sf())
+    graft.catalog.GraftCatalog.register(spark, "snap", Some(wh))
+    spark.sql("DROP TABLE IF EXISTS snap.default.scwap")
+    spark.sql("""CREATE TABLE snap.default.scwap (k BIGINT, v STRING)
+                |TBLPROPERTIES ('graft.changes.rewriteDiff'='true')""".stripMargin)
+    spark.sql("INSERT INTO snap.default.scwap SELECT id, concat('v', id) FROM range(0, 10)")
+    val out = Qx.tmpOut("scwapout", sf())
+    val ckpt = Qx.tmpOut("scwapckpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def run(): Unit = {
+      val q = spark.readStream.table("snap.default.scwap.changes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 10L)
+    // WAP: the risky batch lands on a branch, the audit repairs it
+    // with COW statements ON THE BRANCH, then one atomic squash
+    // publish — the squash is a REWRITE commit (the branch COW
+    // replaced fork-era files), and the publish materializes its
+    // fork→head diff so the tailing consumer keeps flowing
+    spark.sql("CALL snap.system.create_branch('default.scwap', 'audit')")
+    spark.sql("""INSERT INTO snap.default.scwap.branch_audit
+                |SELECT id, IF(id = 12, 'corrupt', concat('b', id))
+                |FROM range(10, 15)""".stripMargin)
+    spark.sql("UPDATE snap.default.scwap.branch_audit SET v = 'b12' WHERE v = 'corrupt'")
+    spark.sql("DELETE FROM snap.default.scwap.branch_audit WHERE k = 14")
+    spark.sql("CALL snap.system.fast_forward('default.scwap', 'audit')")
+    run()
+    val feed = spark.read.parquet(out)
+    val pubVer = feed.agg(org.apache.spark.sql.functions
+      .max($"_commit_version")).head().getLong(0)
+    val pub = feed.where($"_commit_version" === pubVer)
+    assert(pub.where("_change_type = 'insert'").select("k").as[Long]
+      .collect().toSet == Set(10L, 11L, 12L, 13L),
+      "the publish emits exactly the repaired batch as inserts")
+    assert(pub.where("_change_type = 'delete'").isEmpty,
+      "no pre-publish row was touched — no delete effects")
+    assert(pub.where("k = 12 AND v = 'b12'").count() == 1L,
+      "the repaired value, not the corrupt one")
+    // feed replay reconstructs the published head
+    val effects = feed
+      .groupBy($"k", $"v").agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions
+            .when($"_change_type" === "insert", 1).otherwise(-1)).as("alive"))
+      .where($"alive" > 0).select($"k", $"v")
+    val head = spark.table("snap.default.scwap").select($"k", $"v")
+    assert(effects.exceptAll(head).isEmpty && head.exceptAll(effects).isEmpty)
+  }
+
   test("the .changes feed survives COW rewrites and compaction via materialized diffs") {
     import org.apache.spark.sql.streaming.Trigger
     val wh = Qx.tmpOut("scrdwh", sf())
