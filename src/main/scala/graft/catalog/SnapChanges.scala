@@ -394,6 +394,7 @@ private[catalog] class ChangesMicroBatchStream(root: String,
       if (!Snapshots.rowsUnchangedAt(root, v)) {
         val cur = Snapshots.resolveAt(root, v)
         val prev = if (v == 1) Snapshot(0, Nil) else Snapshots.resolveAt(root, v - 1)
+        val ts = tsOf(v) // one metadata read per version, not per group
         val prevF = prev.files.toSet
         val curF = cur.files.toSet
         val added = cur.files.filterNot(prevF)
@@ -406,7 +407,7 @@ private[catalog] class ChangesMicroBatchStream(root: String,
           // survivor). O(touched rows), never O(table).
           scanEffects(cur.changeFiles).toBatch.planInputPartitions().foreach(p =>
             out += ChangePartition(p, v, "", Array.empty,
-              ChangePartition.Materialized, commitTs = tsOf(v)))
+              ChangePartition.Materialized, commitTs = ts))
         } else {
         require(!removed,
           s"version $v of $root is a rewrite commit (files replaced) on a " +
@@ -429,7 +430,7 @@ private[catalog] class ChangesMicroBatchStream(root: String,
               scanOver(fs).toBatch.planInputPartitions().foreach(p =>
                 out += ChangePartition(p, v, "delete", Array.empty,
                   ChangePartition.KeyDelta, newDels = newSets,
-                  prevDels = prevSets, commitTs = tsOf(v)))
+                  prevDels = prevSets, commitTs = ts))
             }
         }
         // POSITION-delete delta: newly hidden ordinals per file
@@ -444,7 +445,7 @@ private[catalog] class ChangesMicroBatchStream(root: String,
           if (!delta.isEmpty)
             scanOver(Seq(f)).toBatch.planInputPartitions().foreach(p =>
               out += ChangePartition(p, v, "delete", serialize(delta),
-                ChangePartition.PosDelta, commitTs = tsOf(v)))
+                ChangePartition.PosDelta, commitTs = ts))
         }
         }
       }

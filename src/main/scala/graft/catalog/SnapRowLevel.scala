@@ -411,11 +411,14 @@ private[catalog] final case class StagedFilesMessage(dataFiles: Seq[String],
   * An UPDATE surfaces as delete + insert in the one commit, the same
   * contract as the feed's MOR paths. Staged under the sweep-safe DSv2
   * staging prefix; the commit's manifest references the files. */
-private[catalog] object RewriteDiff {
+private[graft] object RewriteDiff {
 
-  def stage(root: String, schema: StructType, basedOn: Long,
-      newFiles: Seq[String], newStagingDir: String): Seq[String] = {
-    val spark = SparkSession.active
+  /** Refuse shapes a row diff cannot compare/carry: map-typed columns
+    * (not set-comparable) and physically-remapped re-added columns
+    * (staged files spell them physically; the diff selects logical
+    * names). Shared by the per-statement and squash-publish paths so
+    * both fail with the same actionable message. */
+  private[graft] def requireDiffable(root: String, schema: StructType): Unit = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType => ST}
     def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: MapType => true
@@ -427,27 +430,64 @@ private[catalog] object RewriteDiff {
       s"${GraftTable.rewriteDiffProp} does not support map-typed column " +
         s"'${f.name}' (row diffs compare full values; maps are not " +
         "comparable) — drop the property or restructure the column"))
-    // staged files carry PHYSICAL spellings; the diff selects logical
-    // names — refuse the remapped edge exactly like the feed does
     val phys = GraftTable.readMeta(root).map(m =>
       GraftTable.physOf(m._2)).getOrElse(Map.empty)
     require(phys.isEmpty,
       s"${GraftTable.rewriteDiffProp} on $root is unsupported while " +
         s"re-added columns (${phys.keys.mkString(", ")}) carry a " +
         "physical-name remap")
+  }
+
+  /** One side of the diff projected to the DECLARED schema: identity
+    * partition values re-attach from paths by INFERENCE on the store
+    * reads, and the diff's two sides (and the sidecar files the feed
+    * later reads under the declared schema) must agree on types — the
+    * explicit cast pins every column. */
+  private def declared(df: org.apache.spark.sql.DataFrame,
+      schema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  def stage(root: String, schema: StructType, basedOn: Long,
+      newFiles: Seq[String], newStagingDir: String): Seq[String] = {
+    val spark = SparkSession.active
+    requireDiffable(root, schema)
     if (basedOn == 0L && newFiles.isEmpty) return Nil
-    import org.apache.spark.sql.functions.{col, lit}
-    val cols = schema.fieldNames.map(col).toSeq
+    import org.apache.spark.sql.functions.lit
     // the staged files carry col=value layout segments on partitioned
-    // tables; basePath re-attaches those columns like any batch read
+    // tables; the EXPLICIT schema re-attaches those columns at their
+    // declared types (inference would re-type '007'-style values)
     val newState =
       if (newFiles.isEmpty)
-        Snapshots.readAt(spark, root, basedOn).select(cols: _*).limit(0)
-      else spark.read.option("basePath", newStagingDir)
-        .parquet(newFiles: _*).select(cols: _*)
+        declared(Snapshots.readAt(spark, root, basedOn), schema).limit(0)
+      else declared(spark.read.schema(schema)
+        .option("basePath", newStagingDir).parquet(newFiles: _*), schema)
     val oldState =
       if (basedOn == 0L) newState.limit(0)
-      else Snapshots.readAt(spark, root, basedOn).select(cols: _*)
+      else declared(Snapshots.readAt(spark, root, basedOn), schema)
+    write(root, oldState, newState)
+  }
+
+  /** The squash-publish variant ([[Snapshots.fastForward]] of a
+    * COW-repaired branch): diff the fork state against the branch
+    * head, both projected to the table's declared schema. Returns the
+    * staged sidecar files (possibly empty — a row-preserving rewrite). */
+  private[graft] def stageBranchDiff(root: String, fork: Long,
+      branch: String): Seq[String] = {
+    val spark = SparkSession.active
+    val schema = GraftTable.readMeta(root).map(_._1).getOrElse(
+      Snapshots.readAt(spark, root, fork).schema)
+    requireDiffable(root, schema)
+    write(root,
+      declared(Snapshots.readAt(spark, root, fork), schema),
+      declared(Snapshots.readBranch(spark, root, branch), schema))
+  }
+
+  private def write(root: String, oldState: org.apache.spark.sql.DataFrame,
+      newState: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.lit
     val effects = oldState.exceptAll(newState)
       .withColumn(SnapChanges.ChangeTypeCol, lit("delete"))
       .unionAll(newState.exceptAll(oldState)

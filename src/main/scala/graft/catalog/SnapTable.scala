@@ -256,30 +256,35 @@ class GraftTable(tableName: String, val root: String,
   def partCols: Seq[String] =
     meta.map(m => GraftTable.partColsOf(m._2)).getOrElse(Nil)
 
+  /** True iff an INT-keyed bucket spec lacks the CREATE-time
+    * hash-discipline stamp ([[SnapBucket.hashVerProp]]): int keys hash
+    * AS LONGS since r19, which re-keyed every committed int-hash
+    * directory — a legacy (unstamped) table's dirs would prune and
+    * co-partition WRONGLY under the long-hash readers. Long/string
+    * keys hash identically under both rules, so only int needs the
+    * stamp. */
+  private def legacyIntBucket(m: (StructType, Map[String, String]),
+      spec: Option[(String, Int)]): Boolean =
+    spec.exists { case (c, _) =>
+      m._1.fields.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.IntegerType) &&
+        !m._2.get(SnapBucket.hashVerProp).contains(SnapBucket.hashVer)
+    }
+
   /** Hash-bucket layout of a `PARTITIONED BY (bucket(n, col))` table
-    * ([[SnapBucket]]); mutually exclusive with [[partCols]]. An
-    * INT-keyed layout must carry the CREATE-time hash-discipline stamp
-    * ([[SnapBucket.hashVerProp]]): int keys hash AS LONGS since r19,
-    * which re-keyed every committed int-hash directory — serving a
-    * legacy (unstamped) table would prune into the wrong dirs and
-    * mis-co-partition SPJ with NO error, so it refuses loudly toward a
-    * rewrite instead. */
+    * ([[SnapBucket]]); mutually exclusive with [[partCols]]. A LEGACY
+    * int-keyed layout (pre-long-hash dirs, no stamp —
+    * [[legacyIntBucket]]) DEGRADES to None rather than refusing or
+    * serving wrongly: the synthetic segment is derived (the key column
+    * stays in the data files), so scans without the spec read every
+    * row value-exactly — the table merely loses bucket pruning and SPJ
+    * until a rewrite (compaction, CTAS) re-stamps it. Refusing instead
+    * would dead-end even the remediation read; pruning with the wrong
+    * hash would be silent corruption. */
   def bucketSpec: Option[(String, Int)] =
     meta.flatMap { m =>
       val spec = SnapBucket.of(m._2)
-      spec.foreach { case (c, _) =>
-        val intKey = m._1.fields.find(_.name == c)
-          .exists(_.dataType == org.apache.spark.sql.types.IntegerType)
-        require(!intKey ||
-          m._2.get(SnapBucket.hashVerProp).contains(SnapBucket.hashVer),
-          s"bucket table $tableName has an INT key '$c' but no " +
-            s"'${SnapBucket.hashVerProp}=${SnapBucket.hashVer}' stamp: its " +
-            "directories were committed under the pre-r19 int-hash rule " +
-            "and would prune/co-partition WRONGLY under the long-hash " +
-            "readers — rewrite the table (CTAS into a fresh bucket table) " +
-            "to upgrade")
-      }
-      spec
+      if (legacyIntBucket(m, spec)) None else spec
     }
 
   /** Time/truncate transform layout ([[SnapTransform]]); composes with
@@ -293,7 +298,13 @@ class GraftTable(tableName: String, val root: String,
     * the source column lives) — but writes stage flat and the table
     * reports no derived partitioning. */
   def retiredBucketSpec: Option[(String, Int)] =
-    meta.flatMap(m => SnapBucket.ofRetired(m._2))
+    // the legacy-int degrade applies to RETIRED layouts too: their
+    // committed dirs would prune just as wrongly (retiring is also the
+    // natural escape a user of a legacy table reaches for first)
+    meta.flatMap { m =>
+      val spec = SnapBucket.ofRetired(m._2)
+      if (legacyIntBucket(m, spec)) None else spec
+    }
 
   def retiredTransformSpec: Option[SnapTransform.Spec] =
     meta.flatMap(m => SnapTransform.ofRetired(m._2))
@@ -797,18 +808,37 @@ private[catalog] class GraftV1WriteBuilder(root: String, info: LogicalWriteInfo,
               // a `graft.changes.rewriteDiff` table's INSERT OVERWRITE
               // is a row-changing rewrite like any COW statement: stage
               // first, materialize the row diff, publish both in ONE
-              // atomic manifest so the change feed can replay it
+              // atomic manifest so the change feed can replay it. Same
+              // semantics as the plain overwrite: an empty result
+              // refuses (commit's staged-nonEmpty rule), and a lost
+              // race RETRIES with the diff recomputed against the new
+              // head — the staged files stay valid (an overwrite
+              // replaces the table whatever the parent was); only the
+              // diff is parent-relative.
               val stageDir = Snapshots.newStagingDir(root)
               java.nio.file.Files.createDirectories(
                 java.nio.file.Paths.get(stageDir))
               stage(stageDir)
               val files = Snapshots.listParquet(stageDir)
-              val basedOn = Snapshots.maxCommitted(root)
-              val changeFiles = RewriteDiff.stage(root, data.schema,
-                basedOn, files, stageDir)
-              Snapshots.commitRewriteStaged(root, files, allowEmpty = true,
-                basedOn = Some(basedOn), changeFiles = changeFiles,
-                rowsUnchanged = changeFiles.isEmpty)
+              require(files.nonEmpty,
+                s"overwrite staged no data files under $root")
+              var attempt = 0
+              var done = false
+              while (!done) {
+                val basedOn = Snapshots.maxCommitted(root)
+                val changeFiles = RewriteDiff.stage(root, data.schema,
+                  basedOn, files, stageDir)
+                try {
+                  Snapshots.commitRewriteStaged(root, files,
+                    basedOn = Some(basedOn), changeFiles = changeFiles,
+                    rowsUnchanged = changeFiles.isEmpty)
+                  done = true
+                } catch {
+                  case e: java.util.ConcurrentModificationException =>
+                    attempt += 1
+                    if (attempt > 5) throw e
+                }
+              }
             }
             else if (overwrite || overwriteArg) Snapshots.commit(root)(stage)
             else Snapshots.commitAppend(root)(stage)
@@ -1920,6 +1950,11 @@ private[catalog] object DeleteKeyCache {
                 }
               case _ => v
             }
+          // a delete file staged BEFORE a date→timestamp_ntz widening
+          // carries INT32 epoch DAYS — upcast to midnight micros, the
+          // same promotion the data scan applies to narrow base files
+          case PrimitiveTypeName.INT32 =>
+            g.getInteger(idx, 0).toLong * 86400000000L
           case other => throw new UnsupportedOperationException(
             s"timestamp delete key stored as $other is not supported; " +
               "compact the table (full rewrite) to absorb the deletes")

@@ -863,9 +863,22 @@ object Snapshots {
     catch {
       case _: FileAlreadyExistsException =>
         val existing = new String(Files.readAllBytes(p), UTF_8).trim
-        if (existing != kind) throw new IllegalStateException(
+        // a claim whose REF no longer exists is stale debris (a drop
+        // that crashed between deleting the ref and the claim) — the
+        // name is genuinely free, so take it over atomically instead
+        // of blocking it forever
+        val live = existing match {
+          case "branch" => branchFork(root, name).isDefined
+          case "tag" => tagVersion(root, name).isDefined
+          case _ => false
+        }
+        if (existing != kind && live) throw new IllegalStateException(
           s"'$name' is a $existing of $root; tags and branches share the " +
             "VERSION AS OF namespace")
+        if (existing != kind)
+          Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -1088,44 +1101,16 @@ object Snapshots {
     val bh = branchHead(root, name)
     require(bh > fork, s"branch '$name' has no commits to publish")
     val target = fork + 1
-    val body = squashBody(root, name, fork, bh) match {
-      case b =>
-        // a REWRITE squash (the branch ran copy-on-write repairs, so
-        // fork-era files left the state) on a `graft.changes
-        // .rewriteDiff` table materializes its fork→branch-head row
-        // diff as `#changes:` sidecars in the squash manifest — the
-        // same contract as a main-log COW commit, so a CDC consumer
-        // tailing main survives a WAP publish of a COW-repaired batch.
-        // (MOR-repaired branches need nothing: their squash carries
-        // the re-scoped delete lines the feed already serves.)
-        val headFiles = resolveBranchAt(root, name, bh).files.toSet
-        val rewrote = resolveAt(root, fork).files.exists(!headFiles(_))
-        if (!rewrote ||
-            tableProp(root, "graft.changes.rewriteDiff", "") != "true") b
-        else {
-          val spark = org.apache.spark.sql.SparkSession.active
-          import org.apache.spark.sql.functions.{col, lit}
-          val oldDf = readAt(spark, root, fork)
-          val cols = oldDf.columns.sorted.toSeq.map(col)
-          val newDf = readBranch(spark, root, name)
-          val effects = oldDf.select(cols: _*)
-            .exceptAll(newDf.select(cols: _*))
-            .withColumn("_change_type", lit("delete"))
-            .unionAll(newDf.select(cols: _*)
-              .exceptAll(oldDf.select(cols: _*))
-              .withColumn("_change_type", lit("insert")))
-          val dir = newStagingDir(root)
-          effects.write.mode("append").parquet(dir)
-          val sidecars = listParquet(dir).sorted
-          if (sidecars.isEmpty) s"$rowsUnchangedLine\n$b"
-          else sidecars.map(f => s"$changesPrefix$f").mkString("", "\n", "\n") + b
-        }
-    }
+    val body0 = squashBody(root, name, fork, bh)
+    // race / crash-recovery gate FIRST — before any diff job runs: a
+    // lost race must cost nothing, and a crash-recovery re-run must
+    // not re-stage effects the LINKED manifest already owns (the
+    // idempotency probe strips `#changes:` lines for that reason)
     val head = maxCommitted(root)
     if (head != fork) {
       // our own crashed publish (linked, died before bookkeeping)?
       if (Files.exists(manifestPath(root, target)) &&
-          sameManifestBody(manifestPath(root, target), body)) {
+          sameManifestBody(manifestPath(root, target), body0)) {
         finishBranchPublish(root, name, fork, bh, target)
         return target
       }
@@ -1133,6 +1118,28 @@ object Snapshots {
         s"cannot fast-forward '$name' into $root: main's head ($head) moved " +
           s"past the fork ($fork) — NOTHING was published; branch from the " +
           "new head and re-stage")
+    }
+    // a REWRITE squash (the branch ran copy-on-write repairs, so
+    // fork-era files left the state) on a `graft.changes.rewriteDiff`
+    // table materializes its fork→branch-head row diff as `#changes:`
+    // sidecars in the squash manifest — the same contract as a
+    // main-log COW commit, so a CDC consumer tailing main survives a
+    // WAP publish of a COW-repaired batch. (MOR-repaired branches need
+    // nothing: their squash carries the re-scoped delete lines the
+    // feed already serves.) Guards and declared-type projection are
+    // shared with the per-statement path ([[graft.catalog.RewriteDiff]]).
+    val body = {
+      val headFiles = resolveBranchAt(root, name, bh).files.toSet
+      val rewrote = resolveAt(root, fork).files.exists(!headFiles(_))
+      if (!rewrote || tableProp(root,
+          graft.catalog.GraftTable.rewriteDiffProp, "") != "true") body0
+      else {
+        val sidecars =
+          graft.catalog.RewriteDiff.stageBranchDiff(root, fork, name).sorted
+        if (sidecars.isEmpty) s"$rowsUnchangedLine\n$body0"
+        else sidecars.map(f => s"$changesPrefix$f")
+          .mkString("", "\n", "\n") + body0
+      }
     }
     val parentTs = manifestTimestamp(manifestPath(root, fork)).getOrElse(-1L)
     val commitTs = math.max(

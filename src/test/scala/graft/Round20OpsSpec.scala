@@ -308,12 +308,28 @@ class Round20OpsSpec extends SparkSpec {
       .contains(graft.catalog.SnapBucket.hashVer),
       "bucket tables stamp their hash discipline at CREATE")
     // simulate a pre-r19 table (int-hash directories): stripping the
-    // stamp makes every serve path refuse loudly instead of pruning
-    // into the wrong directories with no error
+    // stamp DEGRADES the layout to none — every row still reads
+    // value-exactly (the key column lives in the data files), but the
+    // table claims no bucket pruning or SPJ co-partitioning, so the
+    // long-hash readers can never prune into the wrong directories
     graft.catalog.GraftTable.writeMeta(root, sc,
       props - graft.catalog.SnapBucket.hashVerProp)
-    val e = intercept[Exception](spark.table("snap.default.r20bh").collect())
-    assert(e.getMessage.contains("rewrite"), e.getMessage)
+    val rows = spark.table("snap.default.r20bh").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set(1 -> "a", 2 -> "b"),
+      "a legacy table must read value-exactly, just unpruned")
+    // a point query must scan WITHOUT bucket pruning (the whole point:
+    // wrong-hash pruning would silently drop matching rows)
+    assert(spark.table("snap.default.r20bh").where("k = 2").count() == 1L)
+    // ...and the degrade covers the RETIRED ledger too (retiring is
+    // the first escape a legacy user reaches for)
+    graft.catalog.GraftTable.writeMeta(root, sc,
+      props - graft.catalog.SnapBucket.hashVerProp -
+        graft.catalog.SnapBucket.prop +
+        (graft.catalog.SnapBucket.retiredProp ->
+          props(graft.catalog.SnapBucket.prop)))
+    assert(spark.table("snap.default.r20bh").where("k = 2").count() == 1L,
+      "a retired legacy layout must not prune with the wrong hash either")
     graft.catalog.GraftTable.writeMeta(root, sc, props)
     assert(sqlDf("SELECT count(*) FROM snap.default.r20bh").as[Long].head() == 2L)
     // a LONG-keyed table needs no stamp: long/string hashes are
@@ -342,6 +358,38 @@ class Round20OpsSpec extends SparkSpec {
     Snapshots.dropBranch(troot, "wip")
     Snapshots.tag(troot, "wip", 1L)
     assert(Snapshots.tagVersion(troot, "wip").contains(1L))
+    // a drop that crashed between deleting the ref and the claim must
+    // not block the name forever: a claim whose ref is gone is stale
+    // debris the next creator takes over atomically
+    Snapshots.createBranch(troot, "ghost")
+    Files.deleteIfExists(Paths.get(troot, "_commits", "ghost.branch"))
+    Snapshots.tag(troot, "ghost", 1L) // stale 'branch' claim taken over
+    assert(Snapshots.tagVersion(troot, "ghost").contains(1L))
+  }
+
+  test("date->timestamp_ntz widening of a MOR key survives the executor key loader") {
+    // force the EXECUTOR-side delete-key loader (inline gate 0): the
+    // staged date keys are INT32 epoch days and must upcast to
+    // midnight micros after the widening, exactly like the data scan
+    spark.conf.set("spark.graft.mor.inlineDeleteBytes", "0")
+    try {
+      sqlDf("DROP TABLE IF EXISTS snap.default.r20dts")
+      sqlDf("CREATE TABLE snap.default.r20dts (d DATE, v BIGINT) " +
+        "TBLPROPERTIES ('graft.mor.key'='d')")
+      sqlDf("""INSERT INTO snap.default.r20dts
+              |SELECT date_add(DATE'2026-03-01', CAST(id AS INT)), id
+              |FROM range(0, 10)""".stripMargin)
+      sqlDf("DELETE FROM snap.default.r20dts WHERE d < DATE'2026-03-03'")
+      sqlDf("ALTER TABLE snap.default.r20dts ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+      val rows = sqlDf("SELECT CAST(d AS STRING), v FROM snap.default.r20dts ORDER BY v")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.length == 8 && rows.head == ("2026-03-03 00:00:00", 2L),
+        s"${rows.toSeq}")
+      // the pre-widening delete still hides its keys through the
+      // executor loader's INT32-date upcast
+      assert(sqlDf("SELECT count(*) FROM snap.default.r20dts " +
+        "WHERE d < TIMESTAMP_NTZ'2026-03-03 00:00:00'").as[Long].head() == 0L)
+    } finally spark.conf.unset("spark.graft.mor.inlineDeleteBytes")
   }
 
   test("widening lattice: date->timestamp_ntz and nested decimal growth straddle") {
