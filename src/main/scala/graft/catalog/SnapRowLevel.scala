@@ -450,6 +450,34 @@ private[graft] object RewriteDiff {
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
+  private val eraDirRe = """(.*/v\d{8}_[^/]+)/.*""".r
+
+  /** A committed state read under the DECLARED schema: per-era
+    * basePath reads with the explicit schema, so identity-partition
+    * path values parse at their declared types (inference would
+    * re-type '007'-style strings — lossy even through a cast). Falls
+    * back to the delete-applying store read (+ cast — type-exact,
+    * value-lossy only for inference-unstable strings) when the state
+    * carries pending MOR/positional deletes, which a COW-mode
+    * rewriteDiff table never does. */
+  private def typedState(spark: SparkSession, root: String,
+      snap: Snapshots.Snapshot, schema: StructType,
+      fallback: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (snap.deletes.nonEmpty || snap.posDeletes.nonEmpty)
+      declared(fallback, schema)
+    else if (snap.files.isEmpty) declared(fallback, schema)
+    else snap.files
+      .groupBy { f => f match { case eraDirRe(b) => b; case _ => "" } }
+      .toSeq.sortBy(_._1)
+      .map { case (base, fs) =>
+        val r = spark.read.schema(schema)
+        declared(
+          (if (base.isEmpty) r else r.option("basePath", base)).parquet(fs: _*),
+          schema)
+      }
+      .reduce(_.unionAll(_))
+  }
+
   def stage(root: String, schema: StructType, basedOn: Long,
       newFiles: Seq[String], newStagingDir: String): Seq[String] = {
     val spark = SparkSession.active
@@ -466,7 +494,8 @@ private[graft] object RewriteDiff {
         .option("basePath", newStagingDir).parquet(newFiles: _*), schema)
     val oldState =
       if (basedOn == 0L) newState.limit(0)
-      else declared(Snapshots.readAt(spark, root, basedOn), schema)
+      else typedState(spark, root, Snapshots.resolveAt(root, basedOn), schema,
+        Snapshots.readAt(spark, root, basedOn))
     write(root, oldState, newState)
   }
 
@@ -481,8 +510,10 @@ private[graft] object RewriteDiff {
       Snapshots.readAt(spark, root, fork).schema)
     requireDiffable(root, schema)
     write(root,
-      declared(Snapshots.readAt(spark, root, fork), schema),
-      declared(Snapshots.readBranch(spark, root, branch), schema))
+      typedState(spark, root, Snapshots.resolveAt(root, fork), schema,
+        Snapshots.readAt(spark, root, fork)),
+      typedState(spark, root, Snapshots.resolveBranch(root, branch), schema,
+        Snapshots.readBranch(spark, root, branch)))
   }
 
   private def write(root: String, oldState: org.apache.spark.sql.DataFrame,

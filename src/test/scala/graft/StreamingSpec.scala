@@ -861,6 +861,53 @@ class StreamingSpec extends SparkSpec {
       "replaying the partitioned keyed feed must reconstruct the table head")
   }
 
+  test("rewrite diffs on an identity-partitioned table keep declared partition types") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Qx.tmpOut("scrdiwh", sf())
+    graft.catalog.GraftCatalog.register(spark, "snap", Some(wh))
+    spark.sql("DROP TABLE IF EXISTS snap.default.scrdi")
+    // STRING partition values that type-INFERENCE would mangle
+    // ('007' -> int 7): the diff must read them at the declared type
+    spark.sql("""CREATE TABLE snap.default.scrdi (code STRING, k BIGINT, v STRING)
+                |PARTITIONED BY (code)
+                |TBLPROPERTIES ('graft.changes.rewriteDiff'='true')""".stripMargin)
+    spark.sql("""INSERT INTO snap.default.scrdi
+                |SELECT IF(id % 2 = 0, '007', '7'), id, concat('v', id)
+                |FROM range(0, 8)""".stripMargin)
+    val out = Qx.tmpOut("scrdiout", sf())
+    val ckpt = Qx.tmpOut("scrdickpt", sf())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def run(): Unit = {
+      val q = spark.readStream.table("snap.default.scrdi.changes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 8L)
+    // a COW DELETE's diff: exactly the matched rows, with the '007'
+    // partition value INTACT (not re-typed to 7 and back to "7") and
+    // rows untouched by the statement NOT churned into the diff
+    spark.sql("DELETE FROM snap.default.scrdi WHERE k IN (0, 1)")
+    run()
+    val feed = spark.read.parquet(out)
+    val dels = feed.where("_change_type = 'delete'")
+      .select($"code", $"k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dels == Set(("007", 0L), ("7", 1L)), s"delete effects: $dels")
+    assert(feed.count() == 10L,
+      "untouched rows must cancel in the diff — no spurious churn")
+    val head = spark.table("snap.default.scrdi").select($"code", $"k", $"v")
+    val effects = feed
+      .groupBy($"code", $"k", $"v").agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions
+            .when($"_change_type" === "insert", 1).otherwise(-1)).as("alive"))
+      .where($"alive" > 0).select($"code", $"k", $"v")
+    assert(effects.exceptAll(head).isEmpty && head.exceptAll(effects).isEmpty)
+  }
+
   test("the .changes feed survives a WAP publish of a COW-repaired branch") {
     import org.apache.spark.sql.streaming.Trigger
     val wh = Qx.tmpOut("scwapwh", sf())
