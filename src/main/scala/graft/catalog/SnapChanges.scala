@@ -88,17 +88,31 @@ private[catalog] class ChangesTable(fullName: String, root: String)
     StructField(SnapChanges.CommitTimestampCol, TimestampType, nullable = true)))
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
+  /** BATCH reads of the feed (r20, Delta's `table_changes` shape):
+    * `spark.read.option("startingVersion", s).option("endingVersion",
+    * e).table("snap.ns.t.changes")` plans exactly the micro-batch
+    * partitions for the version range `(s, e]` — same effects, same
+    * schema, no checkpoint. `startingVersion` defaults to 0 (initial
+    * snapshot + every retained effect), `endingVersion` to the head. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val full = schema()
-    () => new Scan {
+    () => new Scan with Batch {
       override def readSchema(): StructType = full
       override def description(): String = s"graft change feed $fullName"
-      override def toBatch: Batch = throw new UnsupportedOperationException(
-        s"$fullName is a STREAMING change feed — batch change queries go " +
-          "through Snapshots.readChanges (file-level) / readChangesRows " +
-          "(row-level, rewrite-spanning)")
+      private lazy val stream = new ChangesMicroBatchStream(root, dataSchema, options)
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val s0 = Option(options.get(GraftMicroBatchStream.StartingVersionOption))
+          .map(_.trim.toLong).getOrElse(0L)
+        val e = Option(options.get("endingVersion")).map(_.trim.toLong)
+          .getOrElse(Snapshots.maxCommitted(root))
+        stream.planInputPartitions(VersionOffset(s0), VersionOffset(e))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        stream.createReaderFactory()
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new ChangesMicroBatchStream(root, dataSchema, options)
     }

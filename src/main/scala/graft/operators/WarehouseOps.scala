@@ -490,6 +490,46 @@ object WarehouseOps {
       .orderBy($"nationkey")
   }
 
+  /** BATCH CDF over the `.changes` feed (r20) — Delta's
+    * `table_changes` shape: `spark.read.option("startingVersion", s)
+    * .option("endingVersion", e).table("snap.ns.t.changes")` plans the
+    * SAME row-level effects as the streaming feed over the version
+    * range `(s, e]`, no checkpoint required — the backfill/audit twin
+    * of the streaming consumer, sharing one planner (micro-batch
+    * partitions) and one effect semantics. The fixture drives an
+    * append and a keyed MOR delete and reads the range BATCH: the
+    * append's rows arrive as `insert` effects at their commit version,
+    * the delete's previously-visible matches as `delete` effects at
+    * theirs (rows inserted then deleted appear BOTH ways — historical
+    * truth, not state). The oracle recomputes every effect row from
+    * the ORIGINAL table; a leaked effect, a missed one, or one
+    * attributed to the wrong commit hash-mismatches.
+    *
+    * Scale: the range read plans O(delta) partitions off manifests —
+    * a backfill over last night's commits never rescans the table,
+    * the same economics as the streaming path it shares code with. */
+  val snapshotCdfBatch: Q = (s, dir) => {
+    import s.implicits._
+    val (t, _) = SnapCat.table(s, "cdf_batch", dir)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.mor.key' = 'okey')
+             |AS SELECT o_orderkey AS okey, o_orderpriority AS prio,
+             |          o_totalprice AS price
+             |FROM parquet.`$dir/orders.parquet`
+             |WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT o_orderkey AS okey, o_orderpriority AS prio,
+             |       o_totalprice AS price
+             |FROM parquet.`$dir/orders.parquet`
+             |WHERE o_orderkey % 3 = 1""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE prio = '5-LOW'")
+    s.read.option("startingVersion", "1").option("endingVersion", "3")
+      .table(s"$t.changes")
+      .select($"_change_type".as("change_type"),
+        $"_commit_version".as("cv"), $"okey", $"prio", $"price")
+      .orderBy($"change_type", $"cv", $"okey")
+  }
+
   /** KEYED MOR ON A BUCKET LAYOUT (r20) — the composition the earlier
     * rounds refused at DDL: `PARTITIONED BY (bucket(8, custkey))` WITH
     * `graft.mor.key`, so GDPR-rate row-level statements stay O(matched)
@@ -2174,6 +2214,7 @@ object WarehouseOps {
     "sql_branch_wap" -> sqlBranchWap,
     "snapshot_rewrite_cdf" -> snapshotRewriteCdf,
     "sql_delete_mor_bucketed" -> sqlDeleteMorBucketed,
+    "snapshot_cdf_batch" -> snapshotCdfBatch,
     "snapshot_partition_prune" -> snapshotPartitionPrune,
     "snapshot_stats_prune" -> snapshotStatsPrune,
     "snapshot_stats_prune_sql" -> snapshotStatsPruneSql,
@@ -2716,6 +2757,22 @@ object WarehouseOps {
              AND (o_orderpriority <> '5-LOW' OR o_orderkey % 2 = 0))
       GROUP BY o_orderpriority
       ORDER BY era, prio""",
+    // Every effect row recomputed from the ORIGINAL table: the append
+    // slice arrives as v2 inserts (5-LOW rows included — they were
+    // visible before the delete), the keyed delete's matches from BOTH
+    // slices as v3 deletes.
+    "snapshot_cdf_batch" -> """
+      SELECT 'delete' AS change_type, CAST(3 AS BIGINT) AS cv,
+             o_orderkey AS okey, o_orderpriority AS prio,
+             o_totalprice AS price
+      FROM orders
+      WHERE o_orderkey % 3 IN (0, 1) AND o_orderpriority = '5-LOW'
+      UNION ALL
+      SELECT 'insert' AS change_type, CAST(2 AS BIGINT) AS cv,
+             o_orderkey AS okey, o_orderpriority AS prio,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+      ORDER BY change_type, cv, okey""",
     // Both statements replayed over the ORIGINAL table: the DELETE
     // runs first (a nation-7 row in [-50, 0) is gone before the
     // UPDATE), and the layout path must neither leak a deleted row nor

@@ -614,10 +614,20 @@ class StreamingSpec extends SparkSpec {
     val head = spark.table("snap.default.scdc").select($"k", $"v")
     assert(effects.exceptAll(head).isEmpty && head.exceptAll(effects).isEmpty,
       "replaying the change feed must reconstruct the table head")
-    // batch SELECT of the feed refuses with a pointer to the batch CDF
-    val ex = intercept[Exception](
-      spark.sql("SELECT * FROM snap.default.scdc.changes").collect())
-    assert(ex.getMessage != null)
+    // batch SELECT of the feed (r20, Delta's table_changes shape):
+    // the full-history read equals everything the stream delivered
+    val batchAll = spark.sql("SELECT * FROM snap.default.scdc.changes")
+    assert(batchAll.count() == afterUpd.count())
+    val streamed = afterUpd.select($"k", $"v", $"_change_type", $"_commit_version")
+    val batched = batchAll.select($"k", $"v", $"_change_type", $"_commit_version")
+    assert(batched.exceptAll(streamed).isEmpty && streamed.exceptAll(batched).isEmpty,
+      "batch and streaming reads of the feed must deliver identical effects")
+    // a bounded range reads one commit's effects without a checkpoint
+    val ranged = spark.read
+      .option("startingVersion", "2").option("endingVersion", "3")
+      .table("snap.default.scdc.changes")
+    assert(ranged.select("_commit_version").distinct()
+      .as[Long].collect().toSet == Set(3L))
   }
 
   test("the .changes feed paces catch-up with maxFilesPerTrigger") {
